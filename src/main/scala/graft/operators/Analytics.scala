@@ -1,0 +1,262 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Analytics query suite over the TPC-H-shaped tables.
+  *
+  * Spark-first: declarative DataFrame plans so Catalyst handles pushdown,
+  * pruning and join selection; dimension tables are explicitly
+  * `broadcast()`ed; every aggregate is aliased identically to the DuckDB
+  * oracle SQL and doubles are rounded in BOTH engines (summation-order ulps).
+  */
+object Analytics {
+
+  /** TPC-H Q1-shaped pricing summary: single shuffle, map-side combine. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity),2) AS sum_qty,
+      | round(sum(l_extendedprice),2) AS sum_base_price,
+      | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+      | round(avg(l_quantity),4) AS avg_qty,
+      | round(avg(l_discount),4) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+      |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  /** TPC-H Q3-shaped: fact-fact join + broadcast dim + top-k. */
+  def q3Topk(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(spark, dir).filter(to_date(col("o_orderdate")) < lit("1998-01-01"))
+    val li   = Tables.lineitem(spark, dir).filter(to_date(col("l_shipdate")) > lit("1996-01-01"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3TopkSql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+      |  AND CAST(l_shipdate AS DATE) > DATE '1996-01-01'
+      |GROUP BY 1,2,3
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-shaped 5-way join; dims broadcast, facts shuffle on keys. */
+  def q5Join(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val cust   = Tables.customer(spark, dir)
+    val ord    = Tables.orders(spark, dir)
+    val li     = Tables.lineitem(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  val q5JoinSql: String =
+    """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q6-shaped selective scan: filters must reach the parquet reader. */
+  def q6Filter(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) >= lit("1996-01-01"))
+      .filter(to_date(col("l_shipdate")) < lit("1997-01-01"))
+      .filter(col("l_discount").between(0.05, 0.07))
+      .filter(col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  val q6FilterSql: String =
+    """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue, count(*) AS n_rows
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Running aggregation per customer (window, single shuffle on custkey). */
+  def qWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("order_rank", row_number().over(w))
+      .withColumn("running_spend",
+        round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .orderBy(col("o_custkey"), col("order_rank"))
+  }
+
+  val qWindowSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      | row_number() OVER w AS order_rank,
+      | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_spend
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, order_rank""".stripMargin
+
+  /** Rollup aggregation (market segment × nation hierarchy). */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("c_mktsegment"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("mktsegment"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_cust"), col("total_bal"))
+      .orderBy(col("mktsegment"), col("nation"))
+  }
+
+  val qRollupSql: String =
+    """SELECT COALESCE(c_mktsegment,'ALL') AS mktsegment,
+      | COALESCE(n_name,'ALL') AS nation,
+      | count(*) AS n_cust, round(sum(c_acctbal),2) AS total_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP(c_mktsegment, n_name)
+      |ORDER BY 1,2""".stripMargin
+
+  /** Anti join: orders with no deeply-discounted lineitem. */
+  def qSemi(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).filter(col("l_discount") > 0.08)
+    Tables.orders(spark, dir)
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val qSemiSql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice),2) AS total_price
+      |FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Semi join: customers having at least one large order. */
+  def qExists(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.orders(spark, dir).filter(col("o_totalprice") > 50000)
+    Tables.customer(spark, dir)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qExistsSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 50000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Sessionization: 30-minute-gap sessions per user (one shuffle + sort). */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+             col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        round(sum(col("value")), 4).as("total_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val eventsSessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  round(sum(value),4) AS total_value
+      |FROM sess GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  /** Tumbling-window aggregation (batch twin of the streaming windowed agg). */
+  def eventsTumble(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val eventsTumbleSql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      | count(*) AS n_events, round(sum(value),4) AS total_value
+      |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"            -> (q1Agg _),
+    "q3_topk"           -> (q3Topk _),
+    "q5_join"           -> (q5Join _),
+    "q6_filter"         -> (q6Filter _),
+    "q_window"          -> (qWindow _),
+    "q_rollup"          -> (qRollup _),
+    "q_semi"            -> (qSemi _),
+    "q_exists"          -> (qExists _),
+    "events_sessionize" -> (eventsSessionize _),
+    "events_tumble"     -> (eventsTumble _))
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg"            -> q1AggSql,
+    "q3_topk"           -> q3TopkSql,
+    "q5_join"           -> q5JoinSql,
+    "q6_filter"         -> q6FilterSql,
+    "q_window"          -> qWindowSql,
+    "q_rollup"          -> qRollupSql,
+    "q_semi"            -> qSemiSql,
+    "q_exists"          -> qExistsSql,
+    "events_sessionize" -> eventsSessionizeSql,
+    "events_tumble"     -> eventsTumbleSql)
+}
