@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Registry
+import graft.sources.Tables
+
+/** Feature-store query surface (reference semantics re-expressed on Spark):
+  * materialization (latest value), ingestion dedup, point-in-time retrieval
+  * with TTL, online-serving statuses, feature statistics.
+  *
+  * Entity/feature split of the `events` table: `purchase` events play the
+  * entity dataframe (the "training examples"); the remaining events are the
+  * feature stream.
+  */
+object FeatureOps {
+
+  private def entityRows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("entity_ts"), col("event_id").as("row_id"))
+
+  private def featureRows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+
+  /** Materialization: latest feature row per entity key. */
+  def ftLatest(spark: SparkSession, dir: String): DataFrame =
+    LatestValue.latest(Tables.events(spark, dir),
+        keys = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+        valueCols = Seq("ts", "event_id", "event_type", "value"))
+      .orderBy(col("user_id"))
+
+  val ftLatestSql: String =
+    """SELECT user_id, ts, event_id, event_type, value FROM (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** Materialization over an ingestion window [start, end). */
+  def ftLatestRange(spark: SparkSession, dir: String): DataFrame =
+    LatestValue.latest(
+        Tables.events(spark, dir)
+          .filter(col("ts") >= lit("2024-01-10 00:00:00") && col("ts") < lit("2024-01-20 00:00:00")),
+        keys = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+        valueCols = Seq("ts", "event_id", "event_type", "value"))
+      .orderBy(col("user_id"))
+
+  val ftLatestRangeSql: String =
+    """SELECT user_id, ts, event_id, event_type, value FROM (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00')
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** Ingestion dedup: one row per (entity, event_ts), greatest sequence wins. */
+  def ftIngestDedup(spark: SparkSession, dir: String): DataFrame =
+    LatestValue.dedup(Tables.events(spark, dir),
+        keys = Seq("user_id"), eventTs = "ts", tiebreak = Seq("event_id"),
+        valueCols = Seq("event_id", "event_type", "value"))
+      .orderBy(col("user_id"), col("ts"))
+
+  val ftIngestDedupSql: String =
+    """SELECT user_id, ts, event_id, event_type, value FROM (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1 ORDER BY user_id, ts""".stripMargin
+
+  /** Point-in-time join, unbounded lookback. */
+  def pitJoin(spark: SparkSession, dir: String): DataFrame =
+    PointInTimeJoin.asof(
+        entityRows(spark, dir), featureRows(spark, dir),
+        keys = Seq("user_id"), entityTs = "entity_ts", featureTs = "ts",
+        featureCols = Seq("value"), maxAgeSec = None, outPrefix = "feat_")
+      .orderBy(col("row_id"))
+
+  private def pitOracle(maxAgeCond: String): String =
+    s"""WITH entity AS (
+      |  SELECT user_id, ts AS entity_ts, event_id AS row_id
+      |  FROM events WHERE event_type = 'purchase'
+      |), feat AS (
+      |  SELECT user_id, ts AS feat_ts, max(value) AS feat_value
+      |  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+      |), joined AS (
+      |  SELECT e.row_id, e.user_id, e.entity_ts, f.feat_ts, f.feat_value,
+      |    row_number() OVER (PARTITION BY e.row_id ORDER BY f.feat_ts DESC) AS rn
+      |  FROM entity e LEFT JOIN feat f
+      |    ON e.user_id = f.user_id AND f.feat_ts <= e.entity_ts $maxAgeCond
+      |)
+      |SELECT row_id, user_id, entity_ts, feat_ts, feat_value
+      |FROM joined WHERE rn = 1 ORDER BY row_id""".stripMargin
+
+  val pitJoinSql: String = pitOracle("")
+
+  /** Point-in-time join with a 2-day TTL (max_age). */
+  def pitJoinMaxage(spark: SparkSession, dir: String): DataFrame =
+    PointInTimeJoin.asof(
+        entityRows(spark, dir), featureRows(spark, dir),
+        keys = Seq("user_id"), entityTs = "entity_ts", featureTs = "ts",
+        featureCols = Seq("value"), maxAgeSec = Some(2L * 86400), outPrefix = "feat_")
+      .orderBy(col("row_id"))
+
+  val pitJoinMaxageSql: String =
+    pitOracle("AND f.feat_ts >= e.entity_ts - INTERVAL 172800 SECOND")
+
+  /** Point-in-time join of two feature tables in one retrieval. */
+  def pitJoinMulti(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+    val step1 = PointInTimeJoin.asof(entityRows(spark, dir), clicks,
+      keys = Seq("user_id"), entityTs = "entity_ts", featureTs = "ts",
+      featureCols = Seq("value"), maxAgeSec = None, outPrefix = "click_")
+    PointInTimeJoin.asof(step1, views,
+        keys = Seq("user_id"), entityTs = "entity_ts", featureTs = "ts",
+        featureCols = Seq("value"), maxAgeSec = None, outPrefix = "view_")
+      .orderBy(col("row_id"))
+  }
+
+  val pitJoinMultiSql: String =
+    """WITH entity AS (
+      |  SELECT user_id, ts AS entity_ts, event_id AS row_id
+      |  FROM events WHERE event_type = 'purchase'
+      |), clk AS (
+      |  SELECT user_id, ts, max(value) AS value
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+      |), vw AS (
+      |  SELECT user_id, ts, max(value) AS value
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+      |), jc AS (
+      |  SELECT e.row_id, e.user_id, e.entity_ts, c.ts AS click_ts, c.value AS click_value,
+      |    row_number() OVER (PARTITION BY e.row_id ORDER BY c.ts DESC) AS rn
+      |  FROM entity e LEFT JOIN clk c ON e.user_id = c.user_id AND c.ts <= e.entity_ts
+      |), jv AS (
+      |  SELECT e.row_id, v.ts AS view_ts, v.value AS view_value,
+      |    row_number() OVER (PARTITION BY e.row_id ORDER BY v.ts DESC) AS rn
+      |  FROM entity e LEFT JOIN vw v ON e.user_id = v.user_id AND v.ts <= e.entity_ts
+      |)
+      |SELECT jc.row_id, jc.user_id, jc.entity_ts, jc.click_ts, jc.click_value,
+      |       jv.view_ts, jv.view_value
+      |FROM jc JOIN jv ON jc.row_id = jv.row_id AND jv.rn = 1
+      |WHERE jc.rn = 1 ORDER BY jc.row_id""".stripMargin
+
+  /** Online serving: latest value per requested key at request time, with the
+    * reference's field statuses (OnlineServingServiceV2.getMetadata /
+    * checkOutsideMaxAge): PRESENT / OUTSIDE_MAX_AGE / NOT_FOUND. */
+  def serveOnline(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val maxAgeSec = 7L * 86400
+    val latest = LatestValue.latest(ev, keys = Seq("user_id"),
+      orderCols = Seq("ts", "event_id"), valueCols = Seq("ts", "value"))
+    val reqTs = ev.agg(max(col("ts")).as("req_ts"))
+    val stale = unix_micros(col("ts")) < unix_micros(col("req_ts")) - maxAgeSec * 1000000L
+    spark.range(0, 20).select(col("id").as("user_id"))
+      .crossJoin(broadcast(reqTs))
+      .join(broadcast(latest), Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        when(col("ts").isNotNull && !stale, col("value")).as("value"),
+        when(col("ts").isNull, lit("NOT_FOUND"))
+          .when(stale, lit("OUTSIDE_MAX_AGE"))
+          .otherwise(lit("PRESENT")).as("status"))
+      .orderBy(col("user_id"))
+  }
+
+  val serveOnlineSql: String =
+    """WITH req AS (SELECT user_id FROM range(0, 20) t(user_id)),
+      |latest AS (
+      |  SELECT user_id, ts, value FROM (
+      |    SELECT user_id, ts, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events) WHERE rn = 1
+      |), mx AS (SELECT max(ts) AS req_ts FROM events)
+      |SELECT r.user_id,
+      |  CASE WHEN l.user_id IS NULL THEN NULL
+      |       WHEN l.ts < m.req_ts - INTERVAL 604800 SECOND THEN NULL
+      |       ELSE l.value END AS value,
+      |  CASE WHEN l.user_id IS NULL THEN 'NOT_FOUND'
+      |       WHEN l.ts < m.req_ts - INTERVAL 604800 SECOND THEN 'OUTSIDE_MAX_AGE'
+      |       ELSE 'PRESENT' END AS status
+      |FROM req r CROSS JOIN mx m LEFT JOIN latest l ON r.user_id = l.user_id
+      |ORDER BY r.user_id""".stripMargin
+
+  /** Feature validation statistics per feature group. */
+  def ftStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("value")).as("n_nonnull"),
+        round(min(col("value")), 4).as("min_v"),
+        round(max(col("value")), 4).as("max_v"),
+        round(avg(col("value")), 4).as("avg_v"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+
+  val ftStatsSql: String =
+    """SELECT event_type, count(*) AS n, count(value) AS n_nonnull,
+      | round(min(value),4) AS min_v, round(max(value),4) AS max_v,
+      | round(avg(value),4) AS avg_v, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Registry contents as a DataFrame (rows-only check: not SQL over the
+    * parquet tables). */
+  def registryDump(spark: SparkSession, dir: String): DataFrame =
+    Registry.demo(dir).toDF(spark).orderBy(col("table_name"), col("feature"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ft_latest"       -> (ftLatest _),
+    "ft_latest_range" -> (ftLatestRange _),
+    "ft_ingest_dedup" -> (ftIngestDedup _),
+    "pit_join"        -> (pitJoin _),
+    "pit_join_maxage" -> (pitJoinMaxage _),
+    "pit_join_multi"  -> (pitJoinMulti _),
+    "serve_online"    -> (serveOnline _),
+    "ft_stats"        -> (ftStats _),
+    "registry_dump"   -> (registryDump _))
+
+  val oracle: Map[String, String] = Map(
+    "ft_latest"       -> ftLatestSql,
+    "ft_latest_range" -> ftLatestRangeSql,
+    "ft_ingest_dedup" -> ftIngestDedupSql,
+    "pit_join"        -> pitJoinSql,
+    "pit_join_maxage" -> pitJoinMaxageSql,
+    "pit_join_multi"  -> pitJoinMultiSql,
+    "serve_online"    -> serveOnlineSql,
+    "ft_stats"        -> ftStatsSql)
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time ("as-of") join: for every entity row at `entityTs`, attach
+  * the latest feature row with `featureTs <= entityTs`, optionally dropping
+  * it when older than a TTL (reference semantics:
+  * serving/src/main/java/feast/serving/service/OnlineServingServiceV2.java
+  * checkOutsideMaxAge + Feast 0.9 historical retrieval).
+  *
+  * Scale design: the naive formulation — range-join then
+  * `row_number() ... rn = 1` — explodes to |entity| × |matching features|
+  * intermediate rows before pruning; at 100 TB with hot keys that is the
+  * job-killing shuffle. This implementation uses the union-sort algorithm
+  * instead: tag feature and entity rows, union them, and run ONE window pass
+  * partitioned by key ordered by time, carrying the last seen feature
+  * forward. Cost: a single hash shuffle of |E| + |F| rows and a per-key
+  * sort — linear, no explosion, and AQE can split skewed keys because the
+  * window frame is running (each split is still correct within its key after
+  * AQE skew handling falls back to a single partition per key).
+  */
+object PointInTimeJoin {
+
+  /** @param entity      entity rows; every column is preserved in the output
+    * @param features    feature rows (keys ++ featureTs ++ featureCols)
+    * @param keys        join key columns present on both sides
+    * @param entityTs    entity event-timestamp column name
+    * @param featureTs   feature event-timestamp column name
+    * @param featureCols feature value columns to attach
+    * @param maxAgeSec   TTL: latest feature older than entityTs − maxAge is
+    *                    dropped (attached columns become null)
+    * @param outPrefix   attached columns are named s"${outPrefix}$col"; the
+    *                    matched feature timestamp is s"${outPrefix}ts"
+    */
+  def asof(
+      entity: DataFrame,
+      features: DataFrame,
+      keys: Seq[String],
+      entityTs: String,
+      featureTs: String,
+      featureCols: Seq[String],
+      maxAgeSec: Option[Long] = None,
+      outPrefix: String = "feat_"): DataFrame = {
+    val keyCols = keys.map(col)
+
+    // One feature row per (keys, ts): greatest feature-struct wins —
+    // deterministic stand-in for created-timestamp upsert (use
+    // LatestValue.dedup upstream for explicit created-ts semantics).
+    val packed = features
+      .groupBy(keyCols :+ col(featureTs).as("__ts"): _*)
+      .agg(max(struct(featureCols.map(col): _*)).as("__feat"))
+
+    val entityOut = entity.columns.toSeq
+    val e = entity
+      .withColumn("__ts", col(entityTs))
+      .withColumn("__is_entity", lit(1))
+    val f = packed.withColumn("__is_entity", lit(0))
+
+    // Features sort before entities at equal __ts so an exact-timestamp
+    // feature is visible to the entity row (<= semantics).
+    val w = Window
+      .partitionBy(keyCols: _*)
+      .orderBy(col("__ts").asc, col("__is_entity").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val attached = e
+      .unionByName(f, allowMissingColumns = true)
+      .withColumn("__last_ts",
+        last(when(col("__is_entity") === 0, col("__ts")), ignoreNulls = true).over(w))
+      .withColumn("__last_feat", last(col("__feat"), ignoreNulls = true).over(w))
+      .filter(col("__is_entity") === 1)
+
+    val fresh = maxAgeSec match {
+      case Some(age) =>
+        col("__last_ts").isNotNull &&
+          unix_micros(col("__last_ts")) >= unix_micros(col(entityTs)) - age * 1000000L
+      case None => col("__last_ts").isNotNull
+    }
+
+    val out = attached
+      .withColumn(s"${outPrefix}ts", when(fresh, col("__last_ts")))
+      .withColumns(featureCols.map(c =>
+        s"$outPrefix$c" -> when(fresh, col(s"__last_feat.$c"))).toMap)
+
+    out.select(entityOut.map(col) ++
+      (s"${outPrefix}ts" +: featureCols.map(c => s"$outPrefix$c")).map(col): _*)
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import graft.model._
+
+class RegistrySpec extends SparkSpecBase {
+
+  test("value kinds parse round-trip incl. lists") {
+    assert(ValueKind.parse("DOUBLE") == ValueKind.DoubleK)
+    assert(ValueKind.parse("FLOAT_LIST") == ValueKind.ListK(ValueKind.FloatK))
+    assertThrows[IllegalArgumentException](ValueKind.parse("NOPE"))
+  }
+
+  test("feature refs use table:feature string form") {
+    assert(FeatureRef.parse("user_activity:value") == FeatureRef("user_activity", "value"))
+    assert(FeatureRef("t", "f").toString == "t:f")
+  }
+
+  test("registry validates entities on table apply") {
+    val r = new Registry
+    r.applyEntity(Entity("user_id", ValueKind.Int64K))
+    assertThrows[IllegalArgumentException] {
+      r.applyTable(FeatureTable("t", Seq("nope"), Seq(Feature("f", ValueKind.DoubleK))))
+    }
+    r.applyTable(FeatureTable("t", Seq("user_id"), Seq(Feature("f", ValueKind.DoubleK))))
+    assert(r.getTable("t").get.featureRefs == Seq(FeatureRef("t", "f")))
+    r.deleteTable("t")
+    assert(r.getTable("t").isEmpty)
+  }
+
+  test("demo registry dumps one row per table×feature") {
+    val df = Registry.demo(sfDir).toDF(spark)
+    assert(df.count() == 4)
+    assert(df.columns.contains("max_age_sec"))
+  }
+}
