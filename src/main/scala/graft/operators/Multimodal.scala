@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** One media blob with typed metadata (the multimodal column pattern:
+  * opaque `binary` payload + structured metadata columns). */
+final case class BlobRow(
+    doc_id: Long, media_type: String, width: Int, height: Int, blob: Array[Byte])
+
+/** Decoded/extracted features for one blob. */
+final case class MediaFeature(
+    doc_id: Long, media_type: String, n_bytes: Long, width: Int, height: Int,
+    feat_dim: Int, checksum: Long)
+
+/** Multimodal-column plumbing: image/audio/video as opaque binary columns
+  * with typed metadata, processed in partition-local batches.
+  *
+  * The container has no codec libraries, so the DECODE STEP IS A STUB —
+  * `decodeStub` below stands in for "JPEG → pixels → feature vector" with a
+  * deterministic fake (byte histogram). Everything around it is the real
+  * Spark plumbing: schema, binary column, repartition-by-key distribution,
+  * batched per-partition processing (batch shape = 64 blobs, the same shape
+  * a vectorized/Arrow-batched decoder would use), typed Dataset output.
+  */
+object Multimodal {
+
+  /** Deterministic fake media table derived from documents: utf-8 bytes play
+    * the role of encoded frames; metadata derived from doc fields. */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[BlobRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+        (pmod(col("doc_id") * 7, lit(192)) + 64).cast("int").as("width"),
+        (pmod(col("doc_id") * 13, lit(128)) + 64).cast("int").as("height"),
+        encode(col("text"), "utf-8").as("blob"))
+      .as[BlobRow]
+  }
+
+  /** STUB: stands in for a real decoder (image decode / audio resample /
+    * video frame-sample). Deterministic: 16-bin byte histogram as "features"
+    * + additive checksum. A real deployment swaps only this function. */
+  private def decodeStub(blob: Array[Byte]): (Array[Float], Long) = {
+    val hist = new Array[Float](16)
+    var sum = 0L
+    var i = 0
+    while (i < blob.length) {
+      hist((blob(i) & 0xff) >> 4) += 1f
+      sum += (blob(i) & 0xff)
+      i += 1
+    }
+    (hist, sum)
+  }
+
+  /** Batched feature extraction over the blob column. */
+  def extractFeatures(blobs: Dataset[BlobRow], batchSize: Int = 64): Dataset[MediaFeature] = {
+    import blobs.sparkSession.implicits._
+    blobs
+      .repartition(col("doc_id")) // distribute blobs, not whole files
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch => // decoder-friendly batch shape
+          batch.map { b =>
+            val (feats, checksum) = decodeStub(b.blob)
+            MediaFeature(b.doc_id, b.media_type, b.blob.length.toLong,
+              b.width, b.height, feats.length, checksum)
+          }
+        }
+      }
+  }
+
+  /** Gate query (rows-only): metadata + stub-extracted features per blob. */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaTable(spark, dir)).toDF().orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_meta" -> (multimodalMeta _))
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language ID, fingerprinting. All pure `functions._`
+  * column expressions (whole-stage codegen; no UDFs), with regex kept to the
+  * Java∩RE2 common subset so the DuckDB oracle computes the identical value.
+  */
+object TextAnalysis {
+
+  private val wsTok  = "\\S+"
+  private val bpeTok = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+  private val stopEn = "\\b(the|and|of|to|in|is|a)\\b"
+
+  /** Token counting: whitespace tokens + a BPE-ish segmentation. */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(regexp_extract_all(col("text"), lit(wsTok), lit(0))).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(bpeTok), lit(0))).cast("long").as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  val textTokensSql: String =
+    s"""SELECT doc_id, length(text) AS n_chars,
+      | len(regexp_extract_all(text, '$wsTok')) AS ws_tokens,
+      | len(regexp_extract_all(text, '$bpeTok')) AS bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: character-class ratios + stopword density + a
+    * deterministic combined score. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val n     = length(col("text")).cast("double")
+    val alpha = (n - length(regexp_replace(col("text"), "[A-Za-z]", ""))).cast("double")
+    val upper = (n - length(regexp_replace(col("text"), "[A-Z]", ""))).cast("double")
+    val digit = (n - length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
+    val punct = (n - length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", ""))).cast("double")
+    val toks  = size(regexp_extract_all(col("text"), lit(wsTok), lit(0))).cast("double")
+    val stops = size(regexp_extract_all(lower(col("text")), lit(stopEn), lit(0))).cast("double")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        round(alpha / n, 4).as("alpha_ratio"),
+        round(upper / n, 4).as("upper_ratio"),
+        round(digit / n, 4).as("digit_ratio"),
+        round(punct / n, 4).as("punct_ratio"),
+        round(stops / greatest(toks, lit(1.0)), 4).as("stop_ratio"),
+        round(alpha / greatest(toks, lit(1.0)), 4).as("avg_token_len"),
+        round(lit(0.4) * (alpha / n)
+          + lit(0.3) * least(lit(1.0), toks / lit(100.0))
+          + lit(0.3) * (lit(1.0) - punct / n), 4).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textQualitySql: String = {
+    val n     = "length(text)::DOUBLE"
+    val alpha = s"($n - length(regexp_replace(text, '[A-Za-z]', '', 'g')))"
+    val upper = s"($n - length(regexp_replace(text, '[A-Z]', '', 'g')))"
+    val digit = s"($n - length(regexp_replace(text, '[0-9]', '', 'g')))"
+    val punct = s"($n - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))"
+    val toks  = s"len(regexp_extract_all(text, '$wsTok'))::DOUBLE"
+    val stops = s"len(regexp_extract_all(lower(text), '$stopEn'))::DOUBLE"
+    s"""SELECT doc_id,
+      | round($alpha / $n, 4) AS alpha_ratio,
+      | round($upper / $n, 4) AS upper_ratio,
+      | round($digit / $n, 4) AS digit_ratio,
+      | round($punct / $n, 4) AS punct_ratio,
+      | round($stops / greatest($toks, 1.0), 4) AS stop_ratio,
+      | round($alpha / greatest($toks, 1.0), 4) AS avg_token_len,
+      | round(0.4 * ($alpha / $n) + 0.3 * least(1.0, $toks / 100.0)
+      |   + 0.3 * (1.0 - $punct / $n), 4) AS quality_score
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  private val stopwords: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|is|of|to|you|that|it|was|for)\\b",
+    "fr" -> "\\b(le|la|les|et|de|un|une|est|que|dans)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein|zu|mit|auf)\\b",
+    "es" -> "\\b(el|los|las|es|y|un|una|que|en|por)\\b")
+  private val cjk = "[\\x{4e00}-\\x{9fff}]"
+
+  /** Language ID: CJK-script detection + per-language stopword votes with a
+    * fixed precedence (en > fr > de > es) for ties. */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val lowered = lower(col("text"))
+    val score: Map[String, org.apache.spark.sql.Column] = stopwords.toMap.map {
+      case (l, re) => l -> size(regexp_extract_all(lowered, lit(re), lit(0)))
+    }
+    val nCjk = size(regexp_extract_all(col("text"), lit(cjk), lit(0)))
+    val pred = when(nCjk > 0, "zh")
+      .when(score("en") >= score("fr") && score("en") >= score("de") && score("en") >= score("es"), "en")
+      .when(score("fr") >= score("de") && score("fr") >= score("es"), "fr")
+      .when(score("de") >= score("es"), "de")
+      .otherwise("es")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+      .withColumn("correct", (col("lang") === col("pred_lang")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textLangidSql: String = {
+    def s(l: String) =
+      s"len(regexp_extract_all(lower(text), '${stopwords.toMap.apply(l)}'))"
+    s"""SELECT doc_id, lang,
+      | CASE WHEN len(regexp_extract_all(text, '$cjk')) > 0 THEN 'zh'
+      |      WHEN ${s("en")} >= ${s("fr")} AND ${s("en")} >= ${s("de")} AND ${s("en")} >= ${s("es")} THEN 'en'
+      |      WHEN ${s("fr")} >= ${s("de")} AND ${s("fr")} >= ${s("es")} THEN 'fr'
+      |      WHEN ${s("de")} >= ${s("es")} THEN 'de'
+      |      ELSE 'es' END AS pred_lang,
+      | CASE WHEN lang = (CASE WHEN len(regexp_extract_all(text, '$cjk')) > 0 THEN 'zh'
+      |      WHEN ${s("en")} >= ${s("fr")} AND ${s("en")} >= ${s("de")} AND ${s("en")} >= ${s("es")} THEN 'en'
+      |      WHEN ${s("fr")} >= ${s("de")} AND ${s("fr")} >= ${s("es")} THEN 'fr'
+      |      WHEN ${s("de")} >= ${s("es")} THEN 'de'
+      |      ELSE 'es' END) THEN 1 ELSE 0 END AS correct
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Positional rolling-hash fingerprint over alnum tokens (engine-neutral
+    * arithmetic hash — no engine-specific hash functions, so the oracle can
+    * recompute it exactly). Docs with no alnum tokens fingerprint to 0. */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("ws"))
+    val fp = toks
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+      .groupBy(col("doc_id"))
+      .agg((sum((col("pos") + 1) *
+        (length(col("w")) * 31 + ascii(substring(col("w"), 1, 1)))) % 1000000007L)
+        .as("fingerprint"))
+    docs.select(col("doc_id"), col("n_chars"))
+      .join(fp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"), coalesce(col("fingerprint"), lit(0L)).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textFingerprintSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+      |), ex AS (
+      |  SELECT doc_id, unnest(ws) AS w,
+      |         unnest(range(1, len(ws) + 1)) AS pos
+      |  FROM toks
+      |), fp AS (
+      |  SELECT doc_id,
+      |    (sum(pos * (length(w) * 31 + ascii(substr(w, 1, 1)))) % 1000000007)::BIGINT AS fingerprint
+      |  FROM ex GROUP BY 1
+      |)
+      |SELECT d.doc_id, d.n_chars, coalesce(f.fingerprint, 0) AS fingerprint
+      |FROM documents d LEFT JOIN fp f USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens"      -> (textTokens _),
+    "text_quality"     -> (textQuality _),
+    "text_langid"      -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _))
+
+  val oracle: Map[String, String] = Map(
+    "text_tokens"      -> textTokensSql,
+    "text_quality"     -> textQualitySql,
+    "text_langid"      -> textLangidSql,
+    "text_fingerprint" -> textFingerprintSql)
+}

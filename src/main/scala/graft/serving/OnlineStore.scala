@@ -1,0 +1,60 @@
+package graft.serving
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.LatestValue
+
+/** Online-store abstraction (reference: storage/api OnlineRetrieverV2 + the
+  * redis/cassandra/bigtable connectors). The reference stores exactly one
+  * latest feature row per entity key; connectors are I/O adapters, not
+  * compute. Here the interface is kept, with a parquet-backed reference
+  * implementation so materialization → serving round-trips are testable
+  * without an external KV service.
+  */
+trait OnlineStore {
+  /** Merge a batch of feature rows: latest per key wins across the existing
+    * store contents and the new batch. */
+  def upsert(rows: DataFrame, keys: Seq[String], orderCols: Seq[String],
+             valueCols: Seq[String]): Unit
+
+  /** Current store contents (one row per key). */
+  def snapshot(spark: SparkSession): DataFrame
+}
+
+/** Parquet-directory store: durable, idempotent upserts via read-merge-write.
+  * At cluster scale this would be a KV connector (the merge itself is the
+  * same single-pass LatestValue aggregation). */
+final class ParquetOnlineStore(path: String) extends OnlineStore {
+  private def exists(spark: SparkSession): Boolean =
+    new java.io.File(path).exists()
+
+  override def upsert(rows: DataFrame, keys: Seq[String], orderCols: Seq[String],
+                      valueCols: Seq[String]): Unit = {
+    val spark = rows.sparkSession
+    val cols = (keys ++ (orderCols ++ valueCols).distinct).distinct
+    val incoming = LatestValue.latest(rows, keys, orderCols, (orderCols ++ valueCols).distinct)
+      .selectExpr(cols: _*)
+    val merged =
+      if (exists(spark))
+        LatestValue.latest(
+          spark.read.parquet(path).selectExpr(cols: _*).unionByName(incoming),
+          keys, orderCols, (orderCols ++ valueCols).distinct)
+          .selectExpr(cols: _*)
+      else incoming
+    // stage-then-swap: the merge reads the live path, so compute fully into
+    // a staging dir first, then atomically replace (no driver collect)
+    val staging = path + "__staging"
+    merged.write.mode("overwrite").parquet(staging)
+    val target = new java.io.File(path)
+    if (target.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(target)
+    }
+    require(new java.io.File(staging).renameTo(target), s"swap failed: $path")
+  }
+
+  override def snapshot(spark: SparkSession): DataFrame =
+    spark.read.parquet(path)
+}

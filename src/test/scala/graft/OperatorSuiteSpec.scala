@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Smoke + property checks for the document/embedding operator suite on the
+  * sf0.001 testdata (oracle equality is covered by Verify/check.py). */
+class OperatorSuiteSpec extends SparkSpecBase {
+
+  test("dedup_exact keeps every distinct text exactly once") {
+    val out = Dedup.dedupExact(spark, sfDir)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    assert(out.agg(sum("n_copies")).head.getLong(0) == docs.count())
+  }
+
+  test("minhash signature has one value per permutation and responds to similarity") {
+    val out = Dedup.dedupMinhash(spark, sfDir)
+    assert(out.columns.toSeq == Seq("id_a", "id_b", "n_shared_bands"))
+    assert(out.filter(col("id_a") >= col("id_b")).count() == 0)
+  }
+
+  test("simhash pairs have hamming <= 6 and are unique") {
+    val out = Dedup.dedupSimhash(spark, sfDir)
+    assert(out.filter(col("hamming") > 6).count() == 0)
+    assert(out.count() == out.dropDuplicates("id_a", "id_b").count())
+  }
+
+  test("knn_brute returns k ordered neighbors per query") {
+    val out = Similarity.knnBrute(spark, sfDir).collect()
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 10)
+    byQuery.values.foreach { rows =>
+      assert(rows.length == 5)
+      val cos = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("knn_lsh is a subset-quality approximation of brute force") {
+    val brute = Similarity.knnBrute(spark, sfDir)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cos")).toMap
+    val lsh = Similarity.knnLsh(spark, sfDir).filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cos")).toMap
+    // approximate: every LSH best must be <= the true best for that query
+    lsh.foreach { case (q, c) => assert(c <= brute(q) + 1e-9) }
+  }
+
+  test("multimodal pipeline preserves every blob with correct byte counts") {
+    val out = Multimodal.multimodalMeta(spark, sfDir)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    assert(out.count() == docs.count())
+    assert(out.filter(col("feat_dim") =!= 16).count() == 0)
+    // n_bytes = utf-8 length >= char length
+    val bad = out.join(docs, "doc_id")
+      .filter(col("n_bytes") < length(col("text"))).count()
+    assert(bad == 0)
+  }
+
+  test("text fingerprint is order-sensitive") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma", 1L), (2L, "gamma beta alpha", 2L))
+      .toDF("doc_id", "text", "n_chars")
+    val toks = docs.select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("ws"))
+    val fp = toks.select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+      .groupBy("doc_id")
+      .agg((sum((col("pos") + 1) * (length(col("w")) * 31 + ascii(substring(col("w"), 1, 1)))) % 1000000007L).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) != fp(2L))
+  }
+}
