@@ -29,6 +29,25 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Hashed word 3-gram shingles: hash each token once, combine neighbor
+    * hashes with a multi-arg xxhash64 (overflow-free, no shingle strings).
+    *
+    * Built with `zip_with` over shifted slices — NOT a
+    * `transform(sequence(...), i -> element_at(hs, i))` loop. The loop form
+    * references the array column inside the lambda, and after Catalyst's
+    * CollapseProject inlines the tokenization expression into each
+    * reference, it re-tokenizes the document once PER ELEMENT (O(n²) — a
+    * measured 100× slowdown). zip_with only references the array per row. */
+  private def hashedShingles(c: Column): Column = {
+    val hs = transform(toks(c), t => xxhash64(t))
+    val n  = size(hs)
+    val pairs = zip_with(hs, slice(hs, lit(2), greatest(n - 1, lit(0))),
+      (x, y) => struct(x.as("a"), y.as("b")))
+    val tris = zip_with(pairs, slice(hs, lit(3), greatest(n - 2, lit(0))),
+      (p, z) => xxhash64(p.getField("a"), p.getField("b"), z))
+    when(n >= 3, slice(tris, lit(1), n - 2)).otherwise(array().cast("array<bigint>"))
+  }
+
   /** Exact dedup: md5 groupBy, keep the smallest doc_id of each clone set. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -43,16 +62,28 @@ object Dedup {
   /** N-gram (word 3-gram) Jaccard near-dup pairs, blocked by (lang, source).
     * Jaccard over distinct shingle sets; pairs above 0.2 are emitted. */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    // inverted-index formulation: explode hashed shingles, equi-join on
+    // (block, shingle-hash), count matches per pair = |A∩B|, then
+    // |A∪B| = |A|+|B|−|A∩B|. Only pairs that share ≥1 shingle ever
+    // materialize (they're the only ones that can clear the threshold) and
+    // nothing carries whole shingle arrays through the join — this is the
+    // shape that survives 100 TB, unlike a pairwise array-intersect join.
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(shingles(col("text"))).as("sh"))
-    val a = d.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = d.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("lang", "source"))
-      .filter(col("id_a") < col("id_b"))
+        array_distinct(hashedShingles(col("text"))).as("sh"))
+    val sizes = d.select(col("doc_id"), size(col("sh")).as("n"))
+    val ex = d.select(col("lang"), col("source"), col("doc_id"), explode(col("sh")).as("h"))
+    ex.as("a")
+      .join(ex.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a")), "id_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b")), "id_b")
       .withColumn("jaccard",
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)).cast("double"), 4))
+        round(col("inter").cast("double") /
+          greatest(col("n_a") + col("n_b") - col("inter"), lit(1)).cast("double"), 4))
       .filter(col("jaccard") > 0.2)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
@@ -79,17 +110,26 @@ object Dedup {
   private val NumPerms = 64
   private val Bands    = 16 // 16 bands × 4 rows
 
-  /** MinHash signatures (64 perms via seeded xxhash64) as one array column. */
-  private def minhashSig(sh: Column): Column =
-    transform(sequence(lit(0), lit(NumPerms - 1)),
-      i => aggregate(sh, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(concat(s, lit("#"), i.cast("string"))))))
+  /** Permutation `i`'s hash from the base shingle hash: native xxhash64 over
+    * (hash, perm-id) — overflow-free under ANSI mode, codegen'd, and one
+    * string hash per shingle total instead of one per (shingle, perm). */
+  private def permHash(h: Column, i: Int): Column = xxhash64(h, lit(i))
 
   /** MinHash + LSH banding: candidate near-dup pairs sharing ≥1 of 16 bands
-    * (4 minhashes per band). Returns (id_a, id_b, n_shared_bands). */
+    * (4 minhashes per band). Returns (id_a, id_b, n_shared_bands).
+    *
+    * Shape: explode shingles → xxhash64 once → groupBy(doc) with 64 `min`
+    * aggregates (whole-stage codegen, map-side partials) — NOT a per-row
+    * lambda over a shingle array, which runs interpreted and recomputes
+    * string hashes per permutation. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = Tables.documents(spark, dir)
-      .select(col("doc_id"), minhashSig(array_distinct(shingles(col("text")))).as("sig"))
+    val ex = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(hashedShingles(col("text")))).as("h"))
+    val minAggs = (0 until NumPerms).map(i => min(permHash(col("h"), i)).as(s"m$i"))
+    val sigs = ex.groupBy(col("doc_id"))
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
     val banded = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(Bands - 1)),
           b => xxhash64(concat_ws(",", slice(col("sig"), b * lit(NumPerms / Bands) + 1, lit(NumPerms / Bands)))))
@@ -106,17 +146,19 @@ object Dedup {
   /** SimHash 64-bit fingerprints + 4×16-bit-band blocking; emits candidate
     * pairs with exact hamming distance ≤ 6. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val fp = Tables.documents(spark, dir)
-      .select(col("doc_id"), toks(col("text")).as("ws"))
-      .withColumn("hashes", expr("transform(ws, t -> xxhash64(t))"))
-      .withColumn("bitsum", expr(
-        """aggregate(hashes,
-          |  transform(sequence(0, 63), b -> 0L),
-          |  (acc, h) -> zip_with(acc, sequence(0, 63),
-          |    (a, b) -> a + CASE WHEN (shiftright(h, b) & 1L) = 1L THEN 1L ELSE -1L END))""".stripMargin))
-      .withColumn("simhash", expr(
-        "aggregate(zip_with(bitsum, sequence(0, 63), (v, b) -> CASE WHEN v > 0L THEN shiftleft(1L, b) ELSE 0L END), 0L, (acc, x) -> acc + x)"))
-      .select(col("doc_id"), col("simhash"))
+    // explode tokens → one xxhash64 per token → 64 codegen'd signed-bit-vote
+    // sums per doc (same explode+agg shape as minhash, for the same reason)
+    val ex = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val voteAggs = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$b")
+    }
+    val fp = ex.groupBy(col("doc_id"))
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
     val banded = fp.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535L)"))
         .as(Seq("band_id", "band_val")))
