@@ -101,6 +101,52 @@ final class Registry {
 }
 
 object Registry {
+
+  /** Persist a registry as JSON datasets (entities + one row per
+    * table×feature) — the registry IS data, so it round-trips through the
+    * same engine. */
+  def save(r: Registry, spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    r.listEntities.map(e => (e.name, e.valueType.name, e.description))
+      .toDF("name", "value_type", "description")
+      .coalesce(1).write.mode("overwrite").json(s"$dir/entities")
+    r.listTables.flatMap { t =>
+      t.features.map { f =>
+        (t.name, t.entities.mkString(","), f.name, f.valueType.name,
+         t.maxAgeSec.getOrElse(-1L), t.eventTsCol, t.createdTsCol.getOrElse(""),
+         t.batchSourcePath.getOrElse(""), t.streamSourcePath.getOrElse(""))
+      }
+    }.toDF("table_name", "entities", "feature", "value_type", "max_age_sec",
+           "event_ts_col", "created_ts_col", "batch_source", "stream_source")
+      .coalesce(1).write.mode("overwrite").json(s"$dir/tables")
+  }
+
+  def load(spark: SparkSession, dir: String): Registry = {
+    val r = new Registry
+    spark.read.json(s"$dir/entities").collect().foreach { row =>
+      r.applyEntity(Entity(
+        row.getAs[String]("name"),
+        ValueKind.parse(row.getAs[String]("value_type")),
+        Option(row.getAs[String]("description")).getOrElse("")))
+    }
+    val rows = spark.read.json(s"$dir/tables").collect()
+    rows.groupBy(_.getAs[String]("table_name")).foreach { case (name, fs) =>
+      val head = fs.head
+      def opt(s: String): Option[String] =
+        Option(head.getAs[String](s)).filter(_.nonEmpty)
+      r.applyTable(FeatureTable(
+        name = name,
+        entities = head.getAs[String]("entities").split(",").toSeq,
+        features = fs.toSeq.map(f => Feature(f.getAs[String]("feature"),
+          ValueKind.parse(f.getAs[String]("value_type")))),
+        maxAgeSec = Some(head.getAs[Long]("max_age_sec")).filter(_ >= 0),
+        eventTsCol = head.getAs[String]("event_ts_col"),
+        createdTsCol = opt("created_ts_col"),
+        batchSourcePath = opt("batch_source"),
+        streamSourcePath = opt("stream_source")))
+    }
+    r
+  }
   /** Demo registry over the driver testdata (events as the feature stream). */
   def demo(sfDir: String): Registry = {
     val r = new Registry

@@ -151,7 +151,7 @@ object FeatureOps {
     * checkOutsideMaxAge): PRESENT / OUTSIDE_MAX_AGE / NOT_FOUND. */
   def serveOnline(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val maxAgeSec = 7L * 86400
+    val maxAgeSec = 4L * 3600
     val latest = LatestValue.latest(ev, keys = Seq("user_id"),
       orderCols = Seq("ts", "event_id"), valueCols = Seq("ts", "value"))
     val reqTs = ev.agg(max(col("ts")).as("req_ts"))
@@ -178,10 +178,10 @@ object FeatureOps {
       |), mx AS (SELECT max(ts) AS req_ts FROM events)
       |SELECT r.user_id,
       |  CASE WHEN l.user_id IS NULL THEN NULL
-      |       WHEN l.ts < m.req_ts - INTERVAL 604800 SECOND THEN NULL
+      |       WHEN l.ts < m.req_ts - INTERVAL 14400 SECOND THEN NULL
       |       ELSE l.value END AS value,
       |  CASE WHEN l.user_id IS NULL THEN 'NOT_FOUND'
-      |       WHEN l.ts < m.req_ts - INTERVAL 604800 SECOND THEN 'OUTSIDE_MAX_AGE'
+      |       WHEN l.ts < m.req_ts - INTERVAL 14400 SECOND THEN 'OUTSIDE_MAX_AGE'
       |       ELSE 'PRESENT' END AS status
       |FROM req r CROSS JOIN mx m LEFT JOIN latest l ON r.user_id = l.user_id
       |ORDER BY r.user_id""".stripMargin

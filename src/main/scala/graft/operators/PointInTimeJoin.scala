@@ -45,24 +45,27 @@ object PointInTimeJoin {
       outPrefix: String = "feat_"): DataFrame = {
     val keyCols = keys.map(col)
 
-    // One feature row per (keys, ts): greatest feature-struct wins —
-    // deterministic stand-in for created-timestamp upsert (use
-    // LatestValue.dedup upstream for explicit created-ts semantics).
-    val packed = features
-      .groupBy(keyCols :+ col(featureTs).as("__ts"): _*)
-      .agg(max(struct(featureCols.map(col): _*)).as("__feat"))
-
     val entityOut = entity.columns.toSeq
     val e = entity
       .withColumn("__ts", col(entityTs))
       .withColumn("__is_entity", lit(1))
-    val f = packed.withColumn("__is_entity", lit(0))
+    val f = features.select(
+      keyCols ++ Seq(
+        col(featureTs).as("__ts"),
+        struct(featureCols.map(col): _*).as("__feat"),
+        lit(0).as("__is_entity")): _*)
 
-    // Features sort before entities at equal __ts so an exact-timestamp
-    // feature is visible to the entity row (<= semantics).
+    // Window order does triple duty, so feature-side ties need NO separate
+    // dedup aggregation (saves a whole shuffle+sort of the feature table):
+    //  - __ts asc: as-of ordering;
+    //  - __is_entity asc: features sort before entities at equal __ts, so an
+    //    exact-timestamp feature is visible to the entity row (<= semantics);
+    //  - __feat asc: among feature rows at the same (key, ts), last() sees
+    //    the greatest feature struct — the deterministic latest-wins rule
+    //    (use LatestValue.dedup upstream for explicit created-ts semantics).
     val w = Window
       .partitionBy(keyCols: _*)
-      .orderBy(col("__ts").asc, col("__is_entity").asc)
+      .orderBy(col("__ts").asc, col("__is_entity").asc, col("__feat").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val attached = e

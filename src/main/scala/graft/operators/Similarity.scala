@@ -25,23 +25,25 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("vec", asDouble(col("embedding")))
-      .withColumn("norm", sqrt(dot(col("vec"), col("vec"))))
+  /** Cosine via graft's native Catalyst expression (GraftExtensions must be
+    * installed): one fused codegen'd loop for dot + both norms — no
+    * intermediate zip_with array per row pair. */
+  private def cosine(a: Column, b: Column): Column =
+    call_function("cosine_similarity", a, b)
 
   private val K = 5
 
   /** Brute-force cosine top-k (excluding self) for query vectors vec_id<10. */
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
-    val emb = withNorm(Tables.embeddings(spark, dir))
+    val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
-    val cands = emb.select(col("vec_id").as("neighbor_id"), col("vec"), col("norm"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val cands = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     cands.crossJoin(broadcast(queries))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", round(dot(col("vec"), col("qvec")) / (col("norm") * col("qnorm")), 6))
+      .withColumn("cos", round(cosine(col("embedding"), col("qvec")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
@@ -70,16 +72,16 @@ object Similarity {
   /** LSH-bucketed approximate top-k: same output shape as knnBrute but each
     * query only scans its hyperplane-sign bucket (may return < K rows). */
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val emb = withNorm(Tables.embeddings(spark, dir))
-      .withColumn("bucket", bucketOf(col("vec"), 64))
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket", bucketOf(asDouble(col("embedding")), 64))
     val queries = emb.filter(col("vec_id") < 10)
-      .select(col("bucket"), col("vec_id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
-    val cands = emb.select(col("bucket"), col("vec_id").as("neighbor_id"), col("vec"), col("norm"))
+      .select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val cands = emb.select(col("bucket"), col("vec_id").as("neighbor_id"), col("embedding"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     cands.join(broadcast(queries), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", round(dot(col("vec"), col("qvec")) / (col("norm") * col("qnorm")), 6))
+      .withColumn("cos", round(cosine(col("embedding"), col("qvec")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
@@ -89,12 +91,12 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs (cos > 0.35), candidate pairs
     * blocked by the coarse cluster label. */
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
-    val emb = withNorm(Tables.embeddings(spark, dir))
-    val a = emb.select(col("label"), col("vec_id").as("id_a"), col("vec").as("vec_a"), col("norm").as("norm_a"))
-    val b = emb.select(col("label"), col("vec_id").as("id_b"), col("vec").as("vec_b"), col("norm").as("norm_b"))
+    val emb = Tables.embeddings(spark, dir)
+    val a = emb.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+    val b = emb.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("vec_b"))
     a.join(b, Seq("label"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")), 6))
+      .withColumn("cos", round(cosine(col("vec_a"), col("vec_b")), 6))
       .filter(col("cos") > 0.35)
       .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy(col("id_a"), col("id_b"))

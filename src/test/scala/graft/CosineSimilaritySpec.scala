@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class CosineSimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("cosine_similarity matches the composed zip_with formulation") {
+    val df = graft.sources.Tables.embeddings(spark, sfDir).limit(50)
+      .select(col("vec_id"), col("embedding"))
+    val a = df.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = df.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val pairs = a.crossJoin(b).filter(col("ia") < col("ib"))
+    def dotc(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val da = transform(col("ea"), v => v.cast("double"))
+    val db = transform(col("eb"), v => v.cast("double"))
+    val out = pairs.select(
+      call_function("cosine_similarity", col("ea"), col("eb")).as("native"),
+      (dotc(da, db) / (sqrt(dotc(da, da)) * sqrt(dotc(db, db)))).as("composed"))
+      .collect()
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
+  test("cosine_similarity null semantics: null input and zero vector") {
+    val out = spark.sql(
+      """SELECT cosine_similarity(array(1.0d, 2.0d), CAST(NULL AS ARRAY<DOUBLE>)) AS a,
+        |       cosine_similarity(array(0.0d, 0.0d), array(1.0d, 2.0d)) AS b,
+        |       cosine_similarity(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c
+        |""".stripMargin).head()
+    assert(out.isNullAt(0))
+    assert(out.isNullAt(1))
+    assert(math.abs(out.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("cosine_similarity is usable from SQL and survives codegen") {
+    graft.sources.Tables.embeddings(spark, sfDir).limit(10)
+      .createOrReplaceTempView("emb_tmp")
+    val n = spark.sql(
+      """SELECT a.vec_id, cosine_similarity(a.embedding, b.embedding) AS cos
+        |FROM emb_tmp a JOIN emb_tmp b ON a.vec_id < b.vec_id""".stripMargin)
+      .filter(col("cos").isNotNull).count()
+    assert(n == 45)
+  }
+}

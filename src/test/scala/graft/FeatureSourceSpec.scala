@@ -1,0 +1,43 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{BatchSource, Tables}
+
+class FeatureSourceSpec extends SparkSpecBase {
+
+  test("csv and json sources round-trip the parquet events with field mapping") {
+    val dir = Files.createTempDirectory("graft-src").toString
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    ev.withColumnRenamed("ts", "event_time")
+      .write.option("header", "true").mode("overwrite").csv(s"$dir/csv")
+    ev.withColumnRenamed("ts", "event_time")
+      .write.mode("overwrite").json(s"$dir/json")
+
+    for (fmt <- Seq("csv", "json")) {
+      val src = BatchSource(s"$dir/$fmt", fmt,
+        fieldMapping = Map("event_time" -> "ts"), eventTsCol = "ts")
+      val back = BatchSource.read(spark, src)
+      assert(back.count() == ev.count(), s"$fmt count")
+      val joined = back.select(col("event_id"), col("ts").as("ts2"))
+        .join(ev, "event_id")
+        // csv/json keep only millis-level text by default; compare to millis
+        .filter(abs(unix_millis(col("ts2")) - unix_millis(col("ts"))) > 1)
+      assert(joined.count() == 0, s"$fmt timestamps differ")
+    }
+  }
+
+  test("readRange bounds event time [start, end)") {
+    // note: the raw driver events.parquet is TIMESTAMP(NANOS) and must go
+    // through Tables.events; BatchSource targets normal micro parquet
+    val dir = Files.createTempDirectory("graft-range").toString
+    Tables.events(spark, sfDir).write.mode("overwrite").parquet(s"$dir/events")
+    val src = BatchSource(s"$dir/events", "parquet", eventTsCol = "ts")
+    val df = BatchSource.readRange(spark, src, "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+    val bad = df.filter(col("ts") < "2024-01-10 00:00:00" || col("ts") >= "2024-01-20 00:00:00")
+    assert(df.count() > 0 && bad.count() == 0)
+  }
+}

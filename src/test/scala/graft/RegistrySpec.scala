@@ -27,6 +27,18 @@ class RegistrySpec extends SparkSpecBase {
     assert(r.getTable("t").isEmpty)
   }
 
+  test("registry save/load round-trips entities and tables") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-reg").toString
+    val r = Registry.demo(sfDir)
+    Registry.save(r, spark, dir)
+    val back = Registry.load(spark, dir)
+    assert(back.listEntities.toSet == r.listEntities.toSet)
+    assert(back.listTables.map(_.copy(features = Seq.empty)).toSet ==
+           r.listTables.map(_.copy(features = Seq.empty)).toSet)
+    assert(back.getTable("user_activity").get.features.map(_.name).toSet ==
+           r.getTable("user_activity").get.features.map(_.name).toSet)
+  }
+
   test("demo registry dumps one row per table×feature") {
     val df = Registry.demo(sfDir).toDF(spark)
     assert(df.count() == 4)
