@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{FeatureRef, FeatureTable, Registry}
+import graft.operators.{LatestValue, PointInTimeJoin}
+import graft.serving.OnlineStore
+import graft.sources.BatchSource
+
+/** The user-facing API: the reference's three core operations on one object
+  * (reference: serving ServingServiceV2 + Feast 0.9 batch jobs):
+  *
+  *  - [[getHistoricalFeatures]] — point-in-time-correct training retrieval;
+  *  - [[materialize]] — batch window → online store upsert;
+  *  - [[getOnlineFeatures]] — latest values + per-field statuses
+  *    (PRESENT / NULL_VALUE / OUTSIDE_MAX_AGE / NOT_FOUND, mirroring
+  *    OnlineServingServiceV2.getMetadata / checkOutsideMaxAge).
+  *
+  * Output feature columns are named `table__feature` (the reference's
+  * `table:feature` refs with `:` → `__` for column-name safety).
+  */
+final class FeatureStore(val registry: Registry, spark: SparkSession) {
+
+  private def table(name: String): FeatureTable =
+    registry.getTable(name).getOrElse(
+      throw new IllegalArgumentException(s"unknown feature table: $name"))
+
+  private def sourceOf(t: FeatureTable): BatchSource = {
+    val path = t.batchSourcePath.getOrElse(
+      throw new IllegalArgumentException(s"table ${t.name} has no batch source"))
+    val fmt =
+      if (path.endsWith(".csv")) "csv"
+      else if (path.endsWith(".json")) "json"
+      else "parquet"
+    BatchSource(path, fmt, eventTsCol = t.eventTsCol, createdTsCol = t.createdTsCol,
+      eventTsUnit = t.labels.getOrElse("graft.ts_unit", "micros"))
+  }
+
+  private def loadFeatures(t: FeatureTable, featureNames: Seq[String]): DataFrame =
+    BatchSource.read(spark, sourceOf(t))
+      .select((t.entities :+ t.eventTsCol) .map(col) ++ featureNames.map(col): _*)
+
+  /** Point-in-time join every requested feature onto the entity dataframe.
+    * One as-of pass per distinct feature table (each a single shuffle). */
+  def getHistoricalFeatures(entityDf: DataFrame, entityTsCol: String,
+                            refs: Seq[FeatureRef]): DataFrame =
+    refs.groupBy(_.table).toSeq.sortBy(_._1).foldLeft(entityDf) {
+      case (acc, (tname, trefs)) =>
+        val t = table(tname)
+        val featureNames = trefs.map(_.feature)
+        PointInTimeJoin.asof(
+          acc, loadFeatures(t, featureNames),
+          keys = t.entities, entityTs = entityTsCol, featureTs = t.eventTsCol,
+          featureCols = featureNames, maxAgeSec = t.maxAgeSec,
+          outPrefix = s"${tname}__")
+    }
+
+  /** Materialize a table's ingestion window [start, end) into a store:
+    * latest row per entity key wins, merged against existing contents. */
+  def materialize(tableName: String, store: OnlineStore,
+                  startInclusive: String, endExclusive: String): Unit = {
+    val t = table(tableName)
+    val featureNames = t.features.map(_.name)
+    val rows = BatchSource.readRange(spark, sourceOf(t), startInclusive, endExclusive)
+    store.upsert(rows,
+      keys = t.entities,
+      orderCols = Seq(t.eventTsCol) ++ t.createdTsCol,
+      valueCols = featureNames)
+  }
+
+  /** Online retrieval: for each request row, the latest stored value of each
+    * requested feature, plus a `<col>__status` field per feature. `requestTs`
+    * is the serving "now" used for max-age staleness. */
+  def getOnlineFeatures(store: OnlineStore, requestDf: DataFrame,
+                        refs: Seq[FeatureRef], requestTs: Column): DataFrame =
+    refs.groupBy(_.table).toSeq.sortBy(_._1).foldLeft(requestDf) {
+      case (acc, (tname, trefs)) =>
+        val t = table(tname)
+        val snap = store.snapshot(spark)
+        val stored = snap.select(
+          (t.entities :+ t.eventTsCol).map(col) ++
+            trefs.map(r => col(r.feature)): _*)
+        val joined = acc.join(broadcast(stored), t.entities, "left")
+        val fresh: Column = t.maxAgeSec match {
+          case Some(age) =>
+            unix_micros(col(t.eventTsCol)) >= unix_micros(requestTs) - age * 1000000L
+          case None => lit(true)
+        }
+        trefs.foldLeft(joined) { (df, r) =>
+          val out = s"${tname}__${r.feature}"
+          df.withColumn(out + "__status",
+              when(col(t.eventTsCol).isNull, lit("NOT_FOUND"))
+                .when(!fresh, lit("OUTSIDE_MAX_AGE"))
+                .when(col(r.feature).isNull, lit("NULL_VALUE"))
+                .otherwise(lit("PRESENT")))
+            .withColumn(out, when(fresh, col(r.feature)))
+        }.drop(t.eventTsCol).drop(trefs.map(_.feature): _*)
+    }
+}

@@ -114,10 +114,12 @@ object Registry {
       t.features.map { f =>
         (t.name, t.entities.mkString(","), f.name, f.valueType.name,
          t.maxAgeSec.getOrElse(-1L), t.eventTsCol, t.createdTsCol.getOrElse(""),
-         t.batchSourcePath.getOrElse(""), t.streamSourcePath.getOrElse(""))
+         t.batchSourcePath.getOrElse(""), t.streamSourcePath.getOrElse(""),
+         t.labels.map { case (k, v) => s"$k=$v" }.mkString(";"))
       }
     }.toDF("table_name", "entities", "feature", "value_type", "max_age_sec",
-           "event_ts_col", "created_ts_col", "batch_source", "stream_source")
+           "event_ts_col", "created_ts_col", "batch_source", "stream_source",
+           "labels")
       .coalesce(1).write.mode("overwrite").json(s"$dir/tables")
   }
 
@@ -143,7 +145,10 @@ object Registry {
         eventTsCol = head.getAs[String]("event_ts_col"),
         createdTsCol = opt("created_ts_col"),
         batchSourcePath = opt("batch_source"),
-        streamSourcePath = opt("stream_source")))
+        streamSourcePath = opt("stream_source"),
+        labels = opt("labels").map(_.split(";").toSeq
+          .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap)
+          .getOrElse(Map.empty)))
     }
     r
   }
@@ -158,7 +163,8 @@ object Registry {
       features = Seq(Feature("value", ValueKind.DoubleK), Feature("event_type", ValueKind.StringK)),
       maxAgeSec = Some(7L * 86400),
       eventTsCol = "ts",
-      batchSourcePath = Some(s"$sfDir/events.parquet")))
+      batchSourcePath = Some(s"$sfDir/events.parquet"),
+      labels = Map("graft.ts_unit" -> "nanos")))
     r.applyTable(FeatureTable(
       name = "customer_profile",
       entities = Seq("c_custkey"),

@@ -205,6 +205,34 @@ object FeatureOps {
       | round(avg(value),4) AS avg_v, count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** End-to-end facade retrieval: FeatureStore.getHistoricalFeatures driven
+    * purely by registry metadata (demo registry's user_activity table over
+    * the raw nanos events source, 7-day TTL). */
+  def ftHistorical(spark: SparkSession, dir: String): DataFrame = {
+    val fs = new graft.FeatureStore(Registry.demo(dir), spark)
+    fs.getHistoricalFeatures(entityRows(spark, dir), "entity_ts",
+        Seq(graft.model.FeatureRef("user_activity", "value")))
+      .orderBy(col("row_id"))
+  }
+
+  val ftHistoricalSql: String =
+    """WITH entity AS (
+      |  SELECT user_id, ts AS entity_ts, event_id AS row_id
+      |  FROM events WHERE event_type = 'purchase'
+      |), feat AS (
+      |  SELECT user_id, ts AS fts, max(value) AS fval
+      |  FROM events GROUP BY 1, 2
+      |), joined AS (
+      |  SELECT e.row_id, e.user_id, e.entity_ts, f.fts, f.fval,
+      |    row_number() OVER (PARTITION BY e.row_id ORDER BY f.fts DESC) AS rn
+      |  FROM entity e LEFT JOIN feat f
+      |    ON e.user_id = f.user_id AND f.fts <= e.entity_ts
+      |       AND f.fts >= e.entity_ts - INTERVAL 604800 SECOND
+      |)
+      |SELECT row_id, user_id, entity_ts,
+      |       fts AS user_activity__ts, fval AS user_activity__value
+      |FROM joined WHERE rn = 1 ORDER BY row_id""".stripMargin
+
   /** Registry contents as a DataFrame (rows-only check: not SQL over the
     * parquet tables). */
   def registryDump(spark: SparkSession, dir: String): DataFrame =
@@ -219,6 +247,7 @@ object FeatureOps {
     "pit_join_multi"  -> (pitJoinMulti _),
     "serve_online"    -> (serveOnline _),
     "ft_stats"        -> (ftStats _),
+    "ft_historical"   -> (ftHistorical _),
     "registry_dump"   -> (registryDump _))
 
   val oracle: Map[String, String] = Map(
@@ -229,5 +258,6 @@ object FeatureOps {
     "pit_join_maxage" -> pitJoinMaxageSql,
     "pit_join_multi"  -> pitJoinMultiSql,
     "serve_online"    -> serveOnlineSql,
-    "ft_stats"        -> ftStatsSql)
+    "ft_stats"        -> ftStatsSql,
+    "ft_historical"   -> ftHistoricalSql)
 }

@@ -20,12 +20,16 @@ final case class BatchSource(
     fieldMapping: Map[String, String] = Map.empty,
     eventTsCol: String = "event_timestamp",
     createdTsCol: Option[String] = None,
-    datePartitionCol: Option[String] = None)
+    datePartitionCol: Option[String] = None,
+    eventTsUnit: String = "micros") // unit of integer event timestamps:
+                                    // seconds | millis | micros | nanos
 
 object BatchSource {
 
   /** Read the full source with field mapping + timestamp normalization. */
   def read(spark: SparkSession, src: BatchSource): DataFrame = {
+    // tolerate TIMESTAMP(NANOS) parquet (read as long, converted below)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = src.format match {
       case "parquet" => spark.read.parquet(src.path)
       case "csv"     => spark.read.option("header", "true")
@@ -41,7 +45,15 @@ object BatchSource {
       case org.apache.spark.sql.types.TimestampType |
            org.apache.spark.sql.types.TimestampNTZType => mapped
       case org.apache.spark.sql.types.LongType =>
-        mapped.withColumn(src.eventTsCol, timestamp_micros(col(src.eventTsCol)))
+        val c = col(src.eventTsCol)
+        val asTs = src.eventTsUnit match {
+          case "seconds" => timestamp_seconds(c)
+          case "millis"  => timestamp_millis(c)
+          case "micros"  => timestamp_micros(c)
+          case "nanos"   => timestamp_micros(expr(s"${src.eventTsCol} div 1000"))
+          case other => throw new IllegalArgumentException(s"unknown ts unit: $other")
+        }
+        mapped.withColumn(src.eventTsCol, asTs)
       case _ =>
         mapped.withColumn(src.eventTsCol, to_timestamp(col(src.eventTsCol)))
     }

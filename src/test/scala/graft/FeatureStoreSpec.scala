@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.serving.ParquetOnlineStore
+
+class FeatureStoreSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val workDir = Files.createTempDirectory("graft-fs").toString
+
+  private lazy val store: FeatureStore = {
+    val feats = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0, "click"),
+      (1L, ts("2024-01-05 10:00:00"), 11.0, "view"),
+      (2L, ts("2024-01-02 10:00:00"), 20.0, "click"))
+      .toDF("user_id", "ts", "value", "event_type")
+    feats.write.mode("overwrite").parquet(s"$workDir/activity")
+    val r = new Registry
+    r.applyEntity(Entity("user_id", ValueKind.Int64K))
+    r.applyTable(FeatureTable(
+      name = "activity", entities = Seq("user_id"),
+      features = Seq(Feature("value", ValueKind.DoubleK), Feature("event_type", ValueKind.StringK)),
+      maxAgeSec = Some(10L * 86400), eventTsCol = "ts",
+      batchSourcePath = Some(s"$workDir/activity")))
+    new FeatureStore(r, spark)
+  }
+
+  test("getHistoricalFeatures point-in-time joins by registry metadata") {
+    val entities = Seq(
+      (1L, ts("2024-01-03 00:00:00"), 100L),
+      (1L, ts("2024-01-06 00:00:00"), 101L),
+      (3L, ts("2024-01-03 00:00:00"), 102L))
+      .toDF("user_id", "event_timestamp", "row_id")
+    val out = store.getHistoricalFeatures(entities, "event_timestamp",
+      Seq(FeatureRef("activity", "value"), FeatureRef("activity", "event_type")))
+      .collect().map(r => r.getAs[Long]("row_id") ->
+        (Option(r.getAs[java.lang.Double]("activity__value")),
+         Option(r.getAs[String]("activity__event_type")))).toMap
+    assert(out(100L) == (Some(10.0), Some("click")))
+    assert(out(101L) == (Some(11.0), Some("view")))
+    assert(out(102L) == (None, None)) // unknown entity
+  }
+
+  test("materialize + getOnlineFeatures serves latest values with statuses") {
+    val online = new ParquetOnlineStore(s"$workDir/online")
+    store.materialize("activity", online, "2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    val req = Seq(1L, 2L, 9L).toDF("user_id")
+    val out = store.getOnlineFeatures(online, req,
+      Seq(FeatureRef("activity", "value")), lit(ts("2024-01-06 00:00:00")))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (Option(r.getAs[java.lang.Double]("activity__value")),
+         r.getAs[String]("activity__value__status"))).toMap
+    assert(out(1L) == (Some(11.0), "PRESENT"))  // latest row won
+    assert(out(2L) == (Some(20.0), "PRESENT"))
+    assert(out(9L) == (None, "NOT_FOUND"))
+  }
+
+  test("getOnlineFeatures marks stale rows OUTSIDE_MAX_AGE") {
+    val online = new ParquetOnlineStore(s"$workDir/online2")
+    store.materialize("activity", online, "2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    val req = Seq(1L, 2L).toDF("user_id")
+    // request far in the future: everything is older than the 10-day TTL
+    val out = store.getOnlineFeatures(online, req,
+      Seq(FeatureRef("activity", "value")), lit(ts("2024-06-01 00:00:00")))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (Option(r.getAs[java.lang.Double]("activity__value")),
+         r.getAs[String]("activity__value__status"))).toMap
+    assert(out(1L) == (None, "OUTSIDE_MAX_AGE"))
+    assert(out(2L) == (None, "OUTSIDE_MAX_AGE"))
+  }
+}
