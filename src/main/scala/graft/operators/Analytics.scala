@@ -236,6 +236,48 @@ object Analytics {
       | count(*) AS n_events, round(sum(value),4) AS total_value
       |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
+  /** Exact interpolated percentiles of document length per language. */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))").as("ps"),
+        round(avg(col("n_chars")), 2).as("avg_chars"))
+      .select(col("lang"), col("n_docs"),
+        round(element_at(col("ps"), 1), 1).as("p50"),
+        round(element_at(col("ps"), 2), 1).as("p90"),
+        round(element_at(col("ps"), 3), 1).as("p99"),
+        col("avg_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val qPercentilesSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      | round(quantile_cont(n_chars, 0.5), 1) AS p50,
+      | round(quantile_cont(n_chars, 0.9), 1) AS p90,
+      | round(quantile_cont(n_chars, 0.99), 1) AS p99,
+      | round(avg(n_chars), 2) AS avg_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Top-N per group (2 largest orders per customer). */
+  def qTopnGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val qTopnGroupSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
     "q3_topk"           -> (q3Topk _),
@@ -246,7 +288,9 @@ object Analytics {
     "q_semi"            -> (qSemi _),
     "q_exists"          -> (qExists _),
     "events_sessionize" -> (eventsSessionize _),
-    "events_tumble"     -> (eventsTumble _))
+    "events_tumble"     -> (eventsTumble _),
+    "q_percentiles"     -> (qPercentiles _),
+    "q_topn_group"      -> (qTopnGroup _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg"            -> q1AggSql,
@@ -258,5 +302,7 @@ object Analytics {
     "q_semi"            -> qSemiSql,
     "q_exists"          -> qExistsSql,
     "events_sessionize" -> eventsSessionizeSql,
-    "events_tumble"     -> eventsTumbleSql)
+    "events_tumble"     -> eventsTumbleSql,
+    "q_percentiles"     -> qPercentilesSql,
+    "q_topn_group"      -> qTopnGroupSql)
 }

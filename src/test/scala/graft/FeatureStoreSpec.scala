@@ -62,6 +62,50 @@ class FeatureStoreSpec extends SparkSpecBase {
     assert(out(9L) == (None, "NOT_FOUND"))
   }
 
+  test("composite entity keys join on all key columns") {
+    val feats = Seq(
+      (1L, "us", ts("2024-01-01 00:00:00"), 1.0),
+      (1L, "eu", ts("2024-01-01 00:00:00"), 2.0))
+      .toDF("user_id", "region", "ts", "value")
+    feats.write.mode("overwrite").parquet(s"$workDir/geo")
+    val r = new Registry
+    r.applyEntity(Entity("user_id", ValueKind.Int64K))
+    r.applyEntity(Entity("region", ValueKind.StringK))
+    r.applyTable(FeatureTable("geo", Seq("user_id", "region"),
+      Seq(Feature("value", ValueKind.DoubleK)), eventTsCol = "ts",
+      batchSourcePath = Some(s"$workDir/geo")))
+    val fs2 = new FeatureStore(r, spark)
+    val entities = Seq((1L, "us", ts("2024-01-02 00:00:00"), 1L),
+                       (1L, "eu", ts("2024-01-02 00:00:00"), 2L),
+                       (1L, "ap", ts("2024-01-02 00:00:00"), 3L))
+      .toDF("user_id", "region", "event_timestamp", "row_id")
+    val out = fs2.getHistoricalFeatures(entities, "event_timestamp",
+        Seq(FeatureRef("geo", "value")))
+      .collect().map(rw => rw.getAs[Long]("row_id") ->
+        Option(rw.getAs[java.lang.Double]("geo__value"))).toMap
+    assert(out == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> None))
+  }
+
+  test("getOnlineFeatures reports NULL_VALUE for present-but-null features") {
+    val feats = Seq((1L, ts("2024-01-01 00:00:00"), Some(5.0)),
+                    (2L, ts("2024-01-01 00:00:00"), None: Option[Double]))
+      .toDF("user_id", "ts", "value")
+    feats.write.mode("overwrite").parquet(s"$workDir/nulls")
+    val r = new Registry
+    r.applyEntity(Entity("user_id", ValueKind.Int64K))
+    r.applyTable(FeatureTable("nulls", Seq("user_id"),
+      Seq(Feature("value", ValueKind.DoubleK)), eventTsCol = "ts",
+      batchSourcePath = Some(s"$workDir/nulls")))
+    val fs2 = new FeatureStore(r, spark)
+    val online = new ParquetOnlineStore(s"$workDir/online-nulls")
+    fs2.materialize("nulls", online, "2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    val out = fs2.getOnlineFeatures(online, Seq(1L, 2L).toDF("user_id"),
+        Seq(FeatureRef("nulls", "value")), lit(ts("2024-01-02 00:00:00")))
+      .collect().map(rw => rw.getAs[Long]("user_id") ->
+        rw.getAs[String]("nulls__value__status")).toMap
+    assert(out == Map(1L -> "PRESENT", 2L -> "NULL_VALUE"))
+  }
+
   test("getOnlineFeatures marks stale rows OUTSIDE_MAX_AGE") {
     val online = new ParquetOnlineStore(s"$workDir/online2")
     store.materialize("activity", online, "2024-01-01 00:00:00", "2024-02-01 00:00:00")
