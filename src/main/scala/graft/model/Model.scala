@@ -88,6 +88,16 @@ final class Registry {
   def listTables: Seq[FeatureTable] = tables.values.toSeq
   def deleteTable(name: String): Unit = tables.remove(name)
 
+  /** Tables whose entity set equals `entitiesFilter` and whose labels
+    * contain every (k,v) of `labelsFilter` (reference:
+    * FeatureTable.java:281-284 hasAllEntities + label filtering in
+    * CoreServiceImpl.listFeatureTables). */
+  def filterTables(entitiesFilter: Seq[String] = Seq.empty,
+                   labelsFilter: Map[String, String] = Map.empty): Seq[FeatureTable] =
+    listTables
+      .filter(t => entitiesFilter.isEmpty || t.entities.toSet == entitiesFilter.toSet)
+      .filter(t => labelsFilter.forall { case (k, v) => t.labels.get(k).contains(v) })
+
   /** Registry contents as a DataFrame (one row per table×feature). */
   def toDF(spark: SparkSession): DataFrame = {
     import spark.implicits._

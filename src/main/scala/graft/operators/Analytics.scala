@@ -236,6 +236,28 @@ object Analytics {
       | count(*) AS n_events, round(sum(value),4) AS total_value
       |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
+  /** Hopping (sliding) window aggregation: 1-hour windows every 30 minutes —
+    * each event lands in two windows (built-in `window()` with slide). */
+  def eventsHop(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val eventsHopSql: String =
+    """WITH slotted AS (
+      |  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+      |                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS window_start,
+      |         event_type, value
+      |  FROM events
+      |)
+      |SELECT window_start, event_type, count(*) AS n_events,
+      |       round(sum(value), 4) AS total_value
+      |FROM slotted GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Exact interpolated percentiles of document length per language. */
   def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
@@ -290,7 +312,8 @@ object Analytics {
     "events_sessionize" -> (eventsSessionize _),
     "events_tumble"     -> (eventsTumble _),
     "q_percentiles"     -> (qPercentiles _),
-    "q_topn_group"      -> (qTopnGroup _))
+    "q_topn_group"      -> (qTopnGroup _),
+    "events_hop"        -> (eventsHop _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg"            -> q1AggSql,
@@ -304,5 +327,6 @@ object Analytics {
     "events_sessionize" -> eventsSessionizeSql,
     "events_tumble"     -> eventsTumbleSql,
     "q_percentiles"     -> qPercentilesSql,
-    "q_topn_group"      -> qTopnGroupSql)
+    "q_topn_group"      -> qTopnGroupSql,
+    "events_hop"        -> eventsHopSql)
 }

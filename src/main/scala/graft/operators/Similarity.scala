@@ -88,6 +88,40 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-style approximate top-k: a training-free coarse quantizer (first 16
+    * vectors act as centroids), every vector assigned to its nearest
+    * centroid cell, queries probe their 2 nearest cells. The cluster-scale
+    * shape: candidates shuffle once by cell id; queries × cells is tiny and
+    * broadcast. (A learned k-means quantizer would only change how `cents`
+    * is produced.) */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    def nearestCells(df: DataFrame, vecCol: String, n: Int, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("csim", cosine(col(vecCol), col("cvec")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= n)
+        .select(df.columns.map(col) :+ col("cent_id").as(out): _*)
+    }
+    val cands = nearestCells(emb, "embedding", 1, "cell")
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding"))
+    val queries = nearestCells(emb.filter(col("vec_id") < 10), "embedding", 2, "cell")
+      .select(col("cell"), col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    cands.join(broadcast(queries), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("embedding"), col("qvec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos > 0.35), candidate pairs
     * blocked by the coarse cluster label. */
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
@@ -105,6 +139,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute"   -> (knnBrute _),
     "knn_lsh"     -> (knnLsh _),
+    "knn_ivf"     -> (knnIvf _),
     "dedup_embed" -> (dedupEmbed _))
 
   /** Float-vector math: deliberately rows-only (summation-order ulps make

@@ -47,6 +47,18 @@ class OperatorSuiteSpec extends SparkSpecBase {
     lsh.foreach { case (q, c) => assert(c <= brute(q) + 1e-9) }
   }
 
+  test("knn_ivf approximates brute force within the probed cells") {
+    val brute = Similarity.knnBrute(spark, sfDir).filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cos")).toMap
+    val ivf = Similarity.knnIvf(spark, sfDir).collect()
+    val byQuery = ivf.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length <= 5)
+      rows.foreach(r => assert(r.getAs[Double]("cos") <= brute(q) + 1e-9))
+    }
+  }
+
   test("multimodal pipeline preserves every blob with correct byte counts") {
     val out = Multimodal.multimodalMeta(spark, sfDir)
     val docs = graft.sources.Tables.documents(spark, sfDir)

@@ -39,6 +39,14 @@ class RegistrySpec extends SparkSpecBase {
            r.getTable("user_activity").get.features.map(_.name).toSet)
   }
 
+  test("filterTables matches entity sets and label subsets") {
+    val r = Registry.demo(sfDir)
+    assert(r.filterTables(entitiesFilter = Seq("user_id")).map(_.name) == Seq("user_activity"))
+    assert(r.filterTables(labelsFilter = Map("graft.ts_unit" -> "nanos")).map(_.name) == Seq("user_activity"))
+    assert(r.filterTables(labelsFilter = Map("graft.ts_unit" -> "millis")).isEmpty)
+    assert(r.filterTables().size == 2)
+  }
+
   test("demo registry dumps one row per table×feature") {
     val df = Registry.demo(sfDir).toDF(spark)
     assert(df.count() == 4)

@@ -53,6 +53,24 @@ class StreamIngestSpec extends SparkSpecBase {
     assert(streamed(2L)._2 == 5.0)
   }
 
+  test("file-source streaming ingestion (readStream over a growing dir)") {
+    val dir = Files.createTempDirectory("graft-filestream").toString
+    val store = new ParquetOnlineStore(s"$dir/store")
+    // batch 1 lands before the stream starts; batch 2 arrives later
+    batch1.toDF().write.mode("append").parquet(s"$dir/in")
+    val schema = batch1.toDF().schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val writer = StreamIngest.latestUpsert(stream, store,
+      keys = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+      valueCols = Seq("event_type", "value"))
+    StreamIngest.runOnce(writer, s"$dir/cp").awaitTermination()
+    batch2.toDF().write.mode("append").parquet(s"$dir/in")
+    StreamIngest.runOnce(writer, s"$dir/cp").awaitTermination() // same checkpoint: only new files
+    val streamed = store.snapshot(spark)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
+    assert(streamed == Map(1L -> 2.0, 2L -> 5.0)) // late row 4 lost, row 5 won
+  }
+
   test("windowed streaming agg matches batch tumbling aggregation") {
     val dir = Files.createTempDirectory("graft-stream-win").toString
     val input = MemoryStream[EventRow](spark)
