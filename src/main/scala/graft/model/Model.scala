@@ -76,8 +76,21 @@ final class Registry {
   private val entities = scala.collection.mutable.LinkedHashMap.empty[String, Entity]
   private val tables   = scala.collection.mutable.LinkedHashMap.empty[String, FeatureTable]
 
-  def applyEntity(e: Entity): Unit = entities.update(e.name, e)
+  // reference: core/src/main/java/feast/core/validators/Matchers.java
+  // (checkValidCharacters) — names are lower snake-case identifiers
+  private val ValidName = "^[a-zA-Z_][a-zA-Z0-9_]*$".r
+
+  private def requireValidName(kind: String, name: String): Unit =
+    require(ValidName.matches(name),
+      s"invalid $kind name '$name': must match ${ValidName.regex}")
+
+  def applyEntity(e: Entity): Unit = {
+    requireValidName("entity", e.name)
+    entities.update(e.name, e)
+  }
   def applyTable(t: FeatureTable): Unit = {
+    requireValidName("table", t.name)
+    t.features.foreach(f => requireValidName("feature", f.name))
     val missing = t.entities.filterNot(entities.contains)
     require(missing.isEmpty, s"unknown entities: ${missing.mkString(",")}")
     tables.update(t.name, t)

@@ -71,16 +71,19 @@ object Dedup {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(hashedShingles(col("text"))).as("sh"))
-    val sizes = d.select(col("doc_id"), size(col("sh")).as("n"))
-    val ex = d.select(col("lang"), col("source"), col("doc_id"), explode(col("sh")).as("h"))
+    // each exploded row carries its doc's set size, so |A∪B| needs no
+    // separate sizes join (which would re-evaluate the tokenize+shingle
+    // pipeline once per broadcast — the self-join's shuffle is reused by
+    // Spark, but differently-keyed side joins are not)
+    val ex = d.select(col("lang"), col("source"), col("doc_id"),
+      size(col("sh")).as("n"), explode(col("sh")).as("h"))
     ex.as("a")
       .join(ex.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
       .agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a")), "id_a")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b")), "id_b")
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           greatest(col("n_a") + col("n_b") - col("inter"), lit(1)).cast("double"), 4))

@@ -33,6 +33,15 @@ object StreamIngest {
         if (!batch.isEmpty) store.upsert(batch, keys, orderCols, valueCols)
       }
 
+  /** Streaming ingestion dedup: drop exact re-deliveries of the same
+    * (keys, event-ts) within the watermark horizon — the streaming twin of
+    * LatestValue.dedup for at-least-once sources. */
+  def dedupStream(stream: DataFrame, tsCol: String, keys: Seq[String],
+                  watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(keys :+ tsCol)
+
   /** Watermarked tumbling-window aggregation over an event stream. */
   def windowedAgg(stream: DataFrame, tsCol: String, windowLen: String,
                   watermark: String): DataFrame =

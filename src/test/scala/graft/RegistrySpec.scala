@@ -15,6 +15,19 @@ class RegistrySpec extends SparkSpecBase {
     assert(FeatureRef("t", "f").toString == "t:f")
   }
 
+  test("registry rejects invalid names (reference Matchers semantics)") {
+    val r = new Registry
+    assertThrows[IllegalArgumentException](r.applyEntity(Entity("user-id", ValueKind.Int64K)))
+    assertThrows[IllegalArgumentException](r.applyEntity(Entity("1user", ValueKind.Int64K)))
+    r.applyEntity(Entity("user_id", ValueKind.Int64K))
+    assertThrows[IllegalArgumentException] {
+      r.applyTable(FeatureTable("t!", Seq("user_id"), Seq(Feature("f", ValueKind.DoubleK))))
+    }
+    assertThrows[IllegalArgumentException] {
+      r.applyTable(FeatureTable("t", Seq("user_id"), Seq(Feature("f spaces", ValueKind.DoubleK))))
+    }
+  }
+
   test("registry validates entities on table apply") {
     val r = new Registry
     r.applyEntity(Entity("user_id", ValueKind.Int64K))

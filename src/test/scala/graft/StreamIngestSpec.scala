@@ -71,6 +71,23 @@ class StreamIngestSpec extends SparkSpecBase {
     assert(streamed == Map(1L -> 2.0, 2L -> 5.0)) // late row 4 lost, row 5 won
   }
 
+  test("dedupStream drops exact re-deliveries within the watermark") {
+    val dir = Files.createTempDirectory("graft-dedup-stream").toString
+    val input = MemoryStream[EventRow](spark)
+    // row 1 delivered twice (at-least-once source), row 3 once
+    input.addData(batch1.head, batch1.head, batch1(2))
+    val q = StreamIngest.dedupStream(input.toDF(), "ts", Seq("user_id"), "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("dedup_out").collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[Long]("event_id")).toSet == Set(1L, 3L))
+  }
+
   test("windowed streaming agg matches batch tumbling aggregation") {
     val dir = Files.createTempDirectory("graft-stream-win").toString
     val input = MemoryStream[EventRow](spark)
