@@ -56,6 +56,23 @@ final class FeatureStore(val registry: Registry, spark: SparkSession) {
           outPrefix = s"${tname}__")
     }
 
+  /** Apply an on-demand view's derived features to a retrieval result (the
+    * reference computes these at serving time from retrieved features +
+    * request data; here each is a Catalyst SQL expression, so derived
+    * features stay inside codegen and work identically for historical and
+    * online retrieval). Output columns are named `view__feature`. */
+  def applyOnDemand(retrieved: DataFrame, viewName: String): DataFrame = {
+    val v = registry.getOnDemandView(viewName).getOrElse(
+      throw new IllegalArgumentException(s"unknown on-demand view: $viewName"))
+    val missing = v.inputs.map(r => s"${r.table}__${r.feature}")
+      .filterNot(retrieved.columns.contains)
+    require(missing.isEmpty,
+      s"on-demand view $viewName needs input columns: ${missing.mkString(",")}")
+    v.features.foldLeft(retrieved) { (df, f) =>
+      df.withColumn(s"${v.name}__${f.name}", expr(f.sqlExpr))
+    }
+  }
+
   /** Materialize a table's ingestion window [start, end) into a store:
     * latest row per entity key wins, merged against existing contents. */
   def materialize(tableName: String, store: OnlineStore,

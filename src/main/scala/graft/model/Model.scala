@@ -70,11 +70,26 @@ final case class FeatureTable(
   def featureRefs: Seq[FeatureRef] = features.map(f => FeatureRef(name, f.name))
 }
 
+/** One derived feature of an on-demand view: a SQL expression over the
+  * retrieved input columns (`table__feature`) and entity/request columns. */
+final case class OnDemandFeature(name: String, sqlExpr: String)
+
+/** On-demand feature view (reference: serving
+  * OnlineTransformationService.java / isOnDemandFeatureReference — features
+  * computed at retrieval time from other features + request data; here the
+  * transformation is a Catalyst SQL expression instead of a remote python
+  * transformation service). */
+final case class OnDemandView(
+    name: String,
+    inputs: Seq[FeatureRef],
+    features: Seq[OnDemandFeature])
+
 /** In-memory registry with the reference Core's CRUD surface
   * (reference: CoreServiceImpl.java apply/get/list/delete). */
 final class Registry {
   private val entities = scala.collection.mutable.LinkedHashMap.empty[String, Entity]
   private val tables   = scala.collection.mutable.LinkedHashMap.empty[String, FeatureTable]
+  private val odfvs    = scala.collection.mutable.LinkedHashMap.empty[String, OnDemandView]
 
   // reference: core/src/main/java/feast/core/validators/Matchers.java
   // (checkValidCharacters) — names are lower snake-case identifiers
@@ -95,8 +110,17 @@ final class Registry {
     require(missing.isEmpty, s"unknown entities: ${missing.mkString(",")}")
     tables.update(t.name, t)
   }
+  def applyOnDemandView(v: OnDemandView): Unit = {
+    requireValidName("on-demand view", v.name)
+    v.features.foreach(f => requireValidName("on-demand feature", f.name))
+    val missing = v.inputs.map(_.table).distinct.filterNot(tables.contains)
+    require(missing.isEmpty, s"unknown input tables: ${missing.mkString(",")}")
+    odfvs.update(v.name, v)
+  }
   def getEntity(name: String): Option[Entity] = entities.get(name)
   def getTable(name: String): Option[FeatureTable] = tables.get(name)
+  def getOnDemandView(name: String): Option[OnDemandView] = odfvs.get(name)
+  def listOnDemandViews: Seq[OnDemandView] = odfvs.values.toSeq
   def listEntities: Seq[Entity] = entities.values.toSeq
   def listTables: Seq[FeatureTable] = tables.values.toSeq
   def deleteTable(name: String): Unit = tables.remove(name)
@@ -188,6 +212,12 @@ object Registry {
       eventTsCol = "ts",
       batchSourcePath = Some(s"$sfDir/events.parquet"),
       labels = Map("graft.ts_unit" -> "nanos")))
+    r.applyOnDemandView(OnDemandView(
+      name = "activity_derived",
+      inputs = Seq(FeatureRef("user_activity", "value")),
+      features = Seq(
+        OnDemandFeature("value_x2", "round(user_activity__value * 2, 4)"),
+        OnDemandFeature("is_high", "user_activity__value > 50"))))
     r.applyTable(FeatureTable(
       name = "customer_profile",
       entities = Seq("c_custkey"),

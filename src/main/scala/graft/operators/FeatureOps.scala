@@ -233,6 +233,37 @@ object FeatureOps {
       |       fts AS user_activity__ts, fval AS user_activity__value
       |FROM joined WHERE rn = 1 ORDER BY row_id""".stripMargin
 
+  /** On-demand feature view over the facade retrieval: derived features
+    * (reference's ODFV transformation) computed from the point-in-time
+    * result as Catalyst expressions. */
+  def ftOdfv(spark: SparkSession, dir: String): DataFrame = {
+    val reg = Registry.demo(dir)
+    val fs = new graft.FeatureStore(reg, spark)
+    val hist = fs.getHistoricalFeatures(entityRows(spark, dir), "entity_ts",
+      Seq(graft.model.FeatureRef("user_activity", "value")))
+    fs.applyOnDemand(hist, "activity_derived").orderBy(col("row_id"))
+  }
+
+  val ftOdfvSql: String =
+    """WITH entity AS (
+      |  SELECT user_id, ts AS entity_ts, event_id AS row_id
+      |  FROM events WHERE event_type = 'purchase'
+      |), feat AS (
+      |  SELECT user_id, ts AS fts, max(value) AS fval
+      |  FROM events GROUP BY 1, 2
+      |), joined AS (
+      |  SELECT e.row_id, e.user_id, e.entity_ts, f.fts, f.fval,
+      |    row_number() OVER (PARTITION BY e.row_id ORDER BY f.fts DESC) AS rn
+      |  FROM entity e LEFT JOIN feat f
+      |    ON e.user_id = f.user_id AND f.fts <= e.entity_ts
+      |       AND f.fts >= e.entity_ts - INTERVAL 604800 SECOND
+      |)
+      |SELECT row_id, user_id, entity_ts,
+      |       fts AS user_activity__ts, fval AS user_activity__value,
+      |       round(fval * 2, 4) AS activity_derived__value_x2,
+      |       fval > 50 AS activity_derived__is_high
+      |FROM joined WHERE rn = 1 ORDER BY row_id""".stripMargin
+
   /** Registry contents as a DataFrame (rows-only check: not SQL over the
     * parquet tables). */
   def registryDump(spark: SparkSession, dir: String): DataFrame =
@@ -248,6 +279,7 @@ object FeatureOps {
     "serve_online"    -> (serveOnline _),
     "ft_stats"        -> (ftStats _),
     "ft_historical"   -> (ftHistorical _),
+    "ft_odfv"         -> (ftOdfv _),
     "registry_dump"   -> (registryDump _))
 
   val oracle: Map[String, String] = Map(
@@ -259,5 +291,6 @@ object FeatureOps {
     "pit_join_multi"  -> pitJoinMultiSql,
     "serve_online"    -> serveOnlineSql,
     "ft_stats"        -> ftStatsSql,
-    "ft_historical"   -> ftHistoricalSql)
+    "ft_historical"   -> ftHistoricalSql,
+    "ft_odfv"         -> ftOdfvSql)
 }

@@ -62,6 +62,24 @@ class FeatureStoreSpec extends SparkSpecBase {
     assert(out(9L) == (None, "NOT_FOUND"))
   }
 
+  test("on-demand views derive features from retrieved columns") {
+    val r = store.registry
+    r.applyOnDemandView(OnDemandView("derived",
+      Seq(FeatureRef("activity", "value")),
+      Seq(OnDemandFeature("value_sq", "activity__value * activity__value"))))
+    val entities = Seq((1L, ts("2024-01-06 00:00:00"), 1L))
+      .toDF("user_id", "event_timestamp", "row_id")
+    val hist = store.getHistoricalFeatures(entities, "event_timestamp",
+      Seq(FeatureRef("activity", "value")))
+    val out = store.applyOnDemand(hist, "derived").head()
+    assert(out.getAs[Double]("derived__value_sq") == 121.0) // 11.0^2
+    // missing input columns produce a clear error
+    val ex = intercept[IllegalArgumentException] {
+      store.applyOnDemand(entities, "derived")
+    }
+    assert(ex.getMessage.contains("activity__value"))
+  }
+
   test("composite entity keys join on all key columns") {
     val feats = Seq(
       (1L, "us", ts("2024-01-01 00:00:00"), 1.0),
