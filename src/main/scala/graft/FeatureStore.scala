@@ -90,7 +90,13 @@ final class FeatureStore(val registry: Registry, spark: SparkSession) {
     * requested feature, plus a `<col>__status` field per feature. `requestTs`
     * is the serving "now" used for max-age staleness. */
   def getOnlineFeatures(store: OnlineStore, requestDf: DataFrame,
-                        refs: Seq[FeatureRef], requestTs: Column): DataFrame =
+                        refs: Seq[FeatureRef], requestTs: Column): DataFrame = {
+    // reference: serving/util/RequestHelper.validateOnlineRequest
+    require(refs.nonEmpty, "at least one feature reference must be provided")
+    refs.foreach { r =>
+      require(r.table.nonEmpty, "FeatureTable name must be provided in FeatureReference")
+      require(r.feature.nonEmpty, "Feature name must be provided in FeatureReference")
+    }
     refs.groupBy(_.table).toSeq.sortBy(_._1).foldLeft(requestDf) {
       case (acc, (tname, trefs)) =>
         val t = table(tname)
@@ -114,4 +120,5 @@ final class FeatureStore(val registry: Registry, spark: SparkSession) {
             .withColumn(out, when(fresh, col(r.feature)))
         }.drop(t.eventTsCol).drop(trefs.map(_.feature): _*)
     }
+  }
 }

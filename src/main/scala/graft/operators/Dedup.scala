@@ -6,13 +6,13 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** Deduplication operators over `documents`: exact (hash groupBy), n-gram
-  * Jaccard (blocked pair verification), MinHash+LSH banding, SimHash with
-  * hamming banding. All composed from codegen'd array/lambda expressions —
-  * no UDFs — so minhash signatures etc. stay inside whole-stage codegen.
+  * Jaccard (inverted-index join), MinHash+LSH banding, SimHash with hamming
+  * banding. Hot paths are explode + codegen'd hash aggregates (map-side
+  * partials); no UDFs, no per-row lambda loops over shingle arrays.
   *
   * Scale notes: exact and minhash/simhash are shuffle-by-hash-key (linear);
-  * n-gram Jaccard bounds its O(n²) verification to within (lang, source)
-  * blocks; LSH bounds candidate generation to within band buckets.
+  * n-gram Jaccard joins on (block, shingle-hash) so only pairs sharing a
+  * shingle materialize; LSH bounds candidate generation to band buckets.
   */
 object Dedup {
 

@@ -10,8 +10,9 @@ import graft.sources.Tables
   * bucketing as the approximate scale path, and embedding-cosine near-dup
   * pairs with label blocking.
   *
-  * Dot products are `zip_with` + `aggregate` column expressions (codegen'd,
-  * no UDF); vectors are cast to double once up front for numeric stability.
+  * Cosines run through graft's native `cosine_similarity` Catalyst
+  * expression (one fused codegen'd loop, float arrays read in place);
+  * hyperplane projections use `zip_with`+`aggregate` column expressions.
   *
   * Scale: brute-force is O(Q×N) with Q broadcast — correct baseline, not the
   * 100 TB path. The LSH variant buckets candidates by hyperplane sign code so

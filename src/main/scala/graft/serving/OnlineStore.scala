@@ -58,3 +58,35 @@ final class ParquetOnlineStore(path: String) extends OnlineStore {
   override def snapshot(spark: SparkSession): DataFrame =
     spark.read.parquet(path)
 }
+
+/** Driver-memory store: keeps the merged latest rows as collected Rows.
+  * Reference impl of the KV-store shape (everything fits on one node by
+  * definition of "latest row per key" for a bounded key space) — useful for
+  * tests and as the template for a real Redis/Cassandra-style connector,
+  * which would swap collect/createDataFrame for client put/get calls. */
+final class MemoryOnlineStore extends OnlineStore {
+  @volatile private var state: Option[(org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])] = None
+
+  override def upsert(rows: DataFrame, keys: Seq[String], orderCols: Seq[String],
+                      valueCols: Seq[String]): Unit = {
+    val spark = rows.sparkSession
+    val cols = (keys ++ (orderCols ++ valueCols).distinct).distinct
+    val incoming = LatestValue.latest(rows, keys, orderCols, (orderCols ++ valueCols).distinct)
+      .selectExpr(cols: _*)
+    val merged = state match {
+      case Some((schema, data)) =>
+        val existing = spark.createDataFrame(
+          java.util.Arrays.asList(data: _*), schema).selectExpr(cols: _*)
+        LatestValue.latest(existing.unionByName(incoming), keys, orderCols,
+          (orderCols ++ valueCols).distinct).selectExpr(cols: _*)
+      case None => incoming
+    }
+    state = Some((merged.schema, merged.collect()))
+  }
+
+  override def snapshot(spark: SparkSession): DataFrame = state match {
+    case Some((schema, data)) =>
+      spark.createDataFrame(java.util.Arrays.asList(data: _*), schema)
+    case None => throw new IllegalStateException("empty online store")
+  }
+}

@@ -62,6 +62,19 @@ class FeatureStoreSpec extends SparkSpecBase {
     assert(out(9L) == (None, "NOT_FOUND"))
   }
 
+  test("online request validation mirrors reference RequestHelper") {
+    val online = new ParquetOnlineStore(s"$workDir/online-val")
+    store.materialize("activity", online, "2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    val req = Seq(1L).toDF("user_id")
+    val now = lit(ts("2024-01-06 00:00:00"))
+    assertThrows[IllegalArgumentException](
+      store.getOnlineFeatures(online, req, Seq.empty, now))
+    assertThrows[IllegalArgumentException](
+      store.getOnlineFeatures(online, req, Seq(FeatureRef("", "value")), now))
+    assertThrows[IllegalArgumentException](
+      store.getOnlineFeatures(online, req, Seq(FeatureRef("activity", "")), now))
+  }
+
   test("on-demand views derive features from retrieved columns") {
     val r = store.registry
     r.applyOnDemandView(OnDemandView("derived",

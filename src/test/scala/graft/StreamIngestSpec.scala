@@ -71,6 +71,19 @@ class StreamIngestSpec extends SparkSpecBase {
     assert(streamed == Map(1L -> 2.0, 2L -> 5.0)) // late row 4 lost, row 5 won
   }
 
+  test("MemoryOnlineStore matches ParquetOnlineStore upsert semantics") {
+    val dir = Files.createTempDirectory("graft-memstore").toString
+    val pq = new ParquetOnlineStore(s"$dir/store")
+    val mem = new graft.serving.MemoryOnlineStore
+    for (s <- Seq(pq, mem); b <- Seq(batch1, batch2))
+      s.upsert(b.toDF(), Seq("user_id"), Seq("ts", "event_id"), Seq("event_type", "value"))
+    def snap(s: graft.serving.OnlineStore) = s.snapshot(spark)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+      .collect().map(r => r.getLong(0) -> (r.getTimestamp(1), r.getLong(2), r.getDouble(4))).toSet
+    assert(snap(pq) == snap(mem))
+    assertThrows[IllegalStateException](new graft.serving.MemoryOnlineStore().snapshot(spark))
+  }
+
   test("dedupStream drops exact re-deliveries within the watermark") {
     val dir = Files.createTempDirectory("graft-dedup-stream").toString
     val input = MemoryStream[EventRow](spark)
