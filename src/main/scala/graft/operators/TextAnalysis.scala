@@ -154,13 +154,63 @@ object TextAnalysis {
       |SELECT d.doc_id, d.n_chars, coalesce(f.fingerprint, 0) AS fingerprint
       |FROM documents d LEFT JOIN fp f USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  /** End-to-end corpus cleaning: quality threshold + token-count bounds +
+    * exact-dedup keep-list (min doc_id per md5 clone set) — the composition
+    * a training-data pipeline runs before tokenization. Each stage is one
+    * of this module's operators; composed they still plan as one job
+    * (filter → broadcast semi-join on the keep list). */
+  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+    val n     = length(col("text")).cast("double")
+    val alpha = (n - length(regexp_replace(col("text"), "[A-Za-z]", ""))).cast("double")
+    val punct = (n - length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", ""))).cast("double")
+    val toks  = size(regexp_extract_all(col("text"), lit(wsTok), lit(0))).cast("double")
+    val quality = round(lit(0.4) * (alpha / n)
+      + lit(0.3) * least(lit(1.0), toks / lit(100.0))
+      + lit(0.3) * (lit(1.0) - punct / n), 4)
+    val docs = Tables.documents(spark, dir)
+    val keep = docs
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    docs
+      .withColumn("quality_score", quality)
+      .withColumn("ws_tokens", toks.cast("long"))
+      .filter(col("quality_score") >= 0.72)
+      .filter(col("ws_tokens").between(15, 2000))
+      .join(keep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("ws_tokens"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusCleanSql: String = {
+    val n     = "length(text)::DOUBLE"
+    val alpha = s"($n - length(regexp_replace(text, '[A-Za-z]', '', 'g')))"
+    val punct = s"($n - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))"
+    val toks  = s"len(regexp_extract_all(text, '$wsTok'))::DOUBLE"
+    s"""WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    ($toks)::BIGINT AS ws_tokens,
+      |    round(0.4 * ($alpha / $n) + 0.3 * least(1.0, $toks / 100.0)
+      |      + 0.3 * (1.0 - $punct / $n), 4) AS quality_score
+      |  FROM documents
+      |), keep AS (
+      |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+      |)
+      |SELECT s.doc_id, s.lang, s.ws_tokens, s.quality_score
+      |FROM scored s SEMI JOIN keep k ON s.doc_id = k.doc_id
+      |WHERE s.quality_score >= 0.72 AND s.ws_tokens BETWEEN 15 AND 2000
+      |ORDER BY s.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_clean"     -> (corpusClean _),
     "text_tokens"      -> (textTokens _),
     "text_quality"     -> (textQuality _),
     "text_langid"      -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "corpus_clean"     -> corpusCleanSql,
     "text_tokens"      -> textTokensSql,
     "text_quality"     -> textQualitySql,
     "text_langid"      -> textLangidSql,
