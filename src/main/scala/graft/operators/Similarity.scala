@@ -106,7 +106,7 @@ object Similarity {
         .withColumn("csim", cosine(col(vecCol), col("cvec")))
         .withColumn("crn", row_number().over(w))
         .filter(col("crn") <= n)
-        .select(df.columns.map(col) :+ col("cent_id").as(out): _*)
+        .select(df.columns.toIndexedSeq.map(col) :+ col("cent_id").as(out): _*)
     }
     val cands = nearestCells(emb, "embedding", 1, "cell")
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding"))
