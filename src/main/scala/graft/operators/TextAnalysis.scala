@@ -202,8 +202,35 @@ object TextAnalysis {
       |ORDER BY s.doc_id""".stripMargin
   }
 
+  /** Deterministic train/val/test split: engine-neutral multiplicative hash
+    * of the stable doc_id (NOT rng sampling — reproducible across engines,
+    * runs and cluster sizes, and stable under re-partitioning; the property
+    * a training pipeline needs for leakage-free splits). 80/10/10. */
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * 2654435761L + 97531L, lit(100L))
+    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    Tables.documents(spark, dir)
+      .withColumn("split", split)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 2).as("avg_chars"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  val corpusSplitSql: String =
+    """WITH assigned AS (
+      |  SELECT lang, n_chars,
+      |    CASE WHEN (doc_id * 2654435761 + 97531) % 100 < 80 THEN 'train'
+      |         WHEN (doc_id * 2654435761 + 97531) % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents
+      |)
+      |SELECT split, lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+      |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean"     -> (corpusClean _),
+    "corpus_split"     -> (corpusSplit _),
     "text_tokens"      -> (textTokens _),
     "text_quality"     -> (textQuality _),
     "text_langid"      -> (textLangid _),
@@ -211,6 +238,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "corpus_clean"     -> corpusCleanSql,
+    "corpus_split"     -> corpusSplitSql,
     "text_tokens"      -> textTokensSql,
     "text_quality"     -> textQualitySql,
     "text_langid"      -> textLangidSql,
