@@ -106,6 +106,40 @@ object FeatureOps {
   val pitJoinMaxageSql: String =
     pitOracle("AND f.feat_ts >= e.entity_ts - INTERVAL 172800 SECOND")
 
+  /** Composite-key point-in-time join: features keyed on
+    * (user_id, event_type); each purchase asks for the latest 'click'. */
+  def pitJoinComposite(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val entity = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), lit("click").as("event_type"),
+        col("ts").as("entity_ts"), col("event_id").as("row_id"))
+    val feats = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type"), col("ts"), col("value"))
+    PointInTimeJoin.asof(entity, feats,
+        keys = Seq("user_id", "event_type"), entityTs = "entity_ts",
+        featureTs = "ts", featureCols = Seq("value"),
+        maxAgeSec = None, outPrefix = "click_")
+      .orderBy(col("row_id"))
+  }
+
+  val pitJoinCompositeSql: String =
+    """WITH entity AS (
+      |  SELECT user_id, 'click' AS event_type, ts AS entity_ts, event_id AS row_id
+      |  FROM events WHERE event_type = 'purchase'
+      |), feat AS (
+      |  SELECT user_id, event_type, ts AS fts, max(value) AS fval
+      |  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2, 3
+      |), joined AS (
+      |  SELECT e.row_id, e.user_id, e.event_type, e.entity_ts, f.fts, f.fval,
+      |    row_number() OVER (PARTITION BY e.row_id ORDER BY f.fts DESC) AS rn
+      |  FROM entity e LEFT JOIN feat f
+      |    ON e.user_id = f.user_id AND e.event_type = f.event_type
+      |       AND f.fts <= e.entity_ts
+      |)
+      |SELECT row_id, user_id, event_type, entity_ts,
+      |       fts AS click_ts, fval AS click_value
+      |FROM joined WHERE rn = 1 ORDER BY row_id""".stripMargin
+
   /** Point-in-time join of two feature tables in one retrieval. */
   def pitJoinMulti(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -276,6 +310,7 @@ object FeatureOps {
     "pit_join"        -> (pitJoin _),
     "pit_join_maxage" -> (pitJoinMaxage _),
     "pit_join_multi"  -> (pitJoinMulti _),
+    "pit_join_composite" -> (pitJoinComposite _),
     "serve_online"    -> (serveOnline _),
     "ft_stats"        -> (ftStats _),
     "ft_historical"   -> (ftHistorical _),
@@ -289,6 +324,7 @@ object FeatureOps {
     "pit_join"        -> pitJoinSql,
     "pit_join_maxage" -> pitJoinMaxageSql,
     "pit_join_multi"  -> pitJoinMultiSql,
+    "pit_join_composite" -> pitJoinCompositeSql,
     "serve_online"    -> serveOnlineSql,
     "ft_stats"        -> ftStatsSql,
     "ft_historical"   -> ftHistoricalSql,
