@@ -104,7 +104,16 @@ final class FeatureStore(val registry: Registry, spark: SparkSession) {
         val stored = snap.select(
           (t.entities :+ t.eventTsCol).map(col) ++
             trefs.map(r => col(r.feature)): _*)
-        val joined = acc.join(broadcast(stored), t.entities, "left")
+        // Never broadcast the store snapshot: it is one row per entity key
+        // (10⁸+ at scale — broadcasting it OOMs). An outer join can only
+        // build its non-preserved side, so the scale shape is a two-step
+        // lookup: (1) left-semi filter the snapshot by the broadcast request
+        // keys — the snapshot streams once, never shuffles, and the output
+        // is at most |request keys| rows; (2) broadcast that tiny filtered
+        // snapshot into the left join that preserves every request row.
+        val reqKeys = acc.select(t.entities.map(col): _*).distinct()
+        val hit = stored.join(broadcast(reqKeys), t.entities, "left_semi")
+        val joined = acc.join(broadcast(hit), t.entities, "left")
         val fresh: Column = t.maxAgeSec match {
           case Some(age) =>
             unix_micros(col(t.eventTsCol)) >= unix_micros(requestTs) - age * 1000000L

@@ -186,7 +186,12 @@ object Analytics {
       |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 50000)
       |ORDER BY c_custkey""".stripMargin
 
-  /** Sessionization: 30-minute-gap sessions per user (one shuffle + sort). */
+  /** Sessionization: 30-minute-gap sessions per user (one shuffle + sort).
+    *
+    * `total_value_e4` is the session value sum scaled to integral 1e-4 units:
+    * summation-order ulps made a rounded DOUBLE hash-unequal across engines
+    * even when equal to 9 decimal places, so the gate column is a BIGINT
+    * that both engines derive identically. */
   def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(spark, dir)
@@ -201,7 +206,7 @@ object Analytics {
         count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
-        round(sum(col("value")), 4).as("total_value"))
+        round(sum(col("value")) * 10000).cast("long").as("total_value_e4"))
       .orderBy(col("user_id"), col("session_id"))
   }
 
@@ -220,7 +225,7 @@ object Analytics {
       |)
       |SELECT user_id, session_id, count(*) AS n_events,
       |  min(ts) AS session_start, max(ts) AS session_end,
-      |  round(sum(value),4) AS total_value
+      |  CAST(round(sum(value) * 10000, 0) AS BIGINT) AS total_value_e4
       |FROM sess GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
   /** Tumbling-window aggregation (batch twin of the streaming windowed agg). */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -59,9 +60,20 @@ object Dedup {
     """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
       |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
 
+  /** Block-local document-frequency cap on shingles: a shingle occurring in
+    * k docs of one block emits k² rows out of the inverted-index self-join,
+    * so boilerplate text (headers, licenses) makes the join quadratic at
+    * corpus scale. Standard practice is to drop shingles with df above a
+    * threshold before the join — they carry no near-dup signal (everything
+    * shares them) and removing them bounds per-shingle fan-out at maxDf². */
+  val DefaultMaxShingleDf = 1000
+
   /** N-gram (word 3-gram) Jaccard near-dup pairs, blocked by (lang, source).
     * Jaccard over distinct shingle sets; pairs above 0.2 are emitted. */
-  def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame =
+    dedupNgramCapped(spark, dir, DefaultMaxShingleDf)
+
+  def dedupNgramCapped(spark: SparkSession, dir: String, maxDf: Int): DataFrame = {
     // inverted-index formulation: explode hashed shingles, equi-join on
     // (block, shingle-hash), count matches per pair = |A∩B|, then
     // |A∪B| = |A|+|B|−|A∩B|. Only pairs that share ≥1 shingle ever
@@ -75,8 +87,19 @@ object Dedup {
     // separate sizes join (which would re-evaluate the tokenize+shingle
     // pipeline once per broadcast — the self-join's shuffle is reused by
     // Spark, but differently-keyed side joins are not)
-    val ex = d.select(col("lang"), col("source"), col("doc_id"),
+    val exAll = d.select(col("lang"), col("source"), col("doc_id"),
       size(col("sh")).as("n"), explode(col("sh")).as("h"))
+    // hot-shingle cap as a WINDOW over the same (block, shingle) keys the
+    // self-join shuffles on — not a separate groupBy+anti-join, which would
+    // re-run the tokenize+shingle pipeline in a second scan (measured 1.5×
+    // slower). This way the cap rides the join's own shuffle, the filtered
+    // subtree is identical on both join sides, and Spark reuses the exchange:
+    // one tokenization, one shuffle, total.
+    val wDf = Window.partitionBy(col("lang"), col("source"), col("h"))
+    val ex = exAll
+      .withColumn("df", count(lit(1)).over(wDf))
+      .filter(col("df") <= maxDf)
+      .drop("df")
     ex.as("a")
       .join(ex.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&

@@ -190,9 +190,16 @@ object FeatureOps {
       orderCols = Seq("ts", "event_id"), valueCols = Seq("ts", "value"))
     val reqTs = ev.agg(max(col("ts")).as("req_ts"))
     val stale = unix_micros(col("ts")) < unix_micros(col("req_ts")) - maxAgeSec * 1000000L
-    spark.range(0, 20).select(col("id").as("user_id"))
+    // Never broadcast the store snapshot (one row per entity key — unbounded
+    // at scale). An outer join can only build its non-preserved side, so:
+    // left-semi filter the snapshot by the broadcast request keys (snapshot
+    // streams once, output ≤ |requests| rows), then broadcast the tiny
+    // filtered snapshot into the request-preserving left join.
+    val requests = spark.range(0, 20).select(col("id").as("user_id"))
+    val hit = latest.join(broadcast(requests), Seq("user_id"), "left_semi")
+    requests
       .crossJoin(broadcast(reqTs))
-      .join(broadcast(latest), Seq("user_id"), "left")
+      .join(broadcast(hit), Seq("user_id"), "left")
       .select(
         col("user_id"),
         when(col("ts").isNotNull && !stale, col("value")).as("value"),

@@ -21,9 +21,10 @@ final case class MediaFeature(
   * The container has no codec libraries, so the DECODE STEP IS A STUB —
   * `decodeStub` below stands in for "JPEG → pixels → feature vector" with a
   * deterministic fake (byte histogram). Everything around it is the real
-  * Spark plumbing: schema, binary column, repartition-by-key distribution,
-  * batched per-partition processing (batch shape = 64 blobs, the same shape
-  * a vectorized/Arrow-batched decoder would use), typed Dataset output.
+  * Spark plumbing: schema, binary column, scan-partition-local processing
+  * (no shuffle of blob bytes), batched per-partition decode (batch shape =
+  * 64 blobs, the same shape a vectorized/Arrow-batched decoder would use),
+  * typed Dataset output.
   */
 object Multimodal {
 
@@ -60,8 +61,10 @@ object Multimodal {
   /** Batched feature extraction over the blob column. */
   def extractFeatures(blobs: Dataset[BlobRow], batchSize: Int = 64): Dataset[MediaFeature] = {
     import blobs.sparkSession.implicits._
+    // NO repartition here: blobs are the heaviest bytes in the system and the
+    // scan's partitioning already distributes them — a shuffle before the
+    // decode step would move every blob over the network for zero benefit.
     blobs
-      .repartition(col("doc_id")) // distribute blobs, not whole files
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch => // decoder-friendly batch shape
           batch.map { b =>
