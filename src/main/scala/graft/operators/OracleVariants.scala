@@ -1,0 +1,318 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** DuckDB-provable twins of the hash/float operators that are rows-only in
+  * their production form (`dedup_minhash`, `dedup_simhash`, `knn_brute`,
+  * `dedup_embed`).
+  *
+  * The production paths use `xxhash64` (no DuckDB equivalent) and raw float
+  * math (summation-order ulps make cross-engine hash equality meaningless).
+  * These variants swap exactly that layer for engine-neutral arithmetic —
+  * a char-polynomial token hash mod p and ×1000-quantized integer vectors —
+  * so DuckDB recomputes the identical BIGINT/rounded values and the driver's
+  * hash gate proves the whole surrounding pipeline (shingling, min-hash
+  * aggregation, banding, candidate-pair join, hamming filter, cosine top-k):
+  * everything except the swapped hash function itself. Specs in
+  * OracleVariantsSpec tie each production path to its oracled twin.
+  *
+  * All arithmetic is ANSI-overflow-safe by construction: hashes live in
+  * [0, p) with p ≈ 2³⁰, so products with 8191 or permutation multipliers
+  * stay < 2⁶³; quantized embedding coordinates are ≤ ~530, so 64-dim dot
+  * products and norm products stay < 2⁴⁰.
+  */
+object OracleVariants {
+
+  private val P = 1000000007L
+
+  /** Word tokens, lowercased alnum runs (same tokenizer as Dedup). */
+  private def toks(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
+  /** Char-polynomial token hash: fold (acc*31 + codepoint) mod p, seed 7.
+    * Spark's split(w, "") appends a trailing "" (Java split semantics) —
+    * filtered out so both engines fold the same char sequence. */
+  private def tokHash(w: Column): Column =
+    aggregate(
+      filter(split(w, ""), ch => length(ch) > 0),
+      lit(7L),
+      (acc, ch) => (acc * lit(31L) + ascii(ch)) % lit(P))
+
+  private val tokHashSql: String =
+    s"list_reduce(list_prepend(7::BIGINT, list_transform(string_split_regex(w, ''), c -> ascii(c)::BIGINT)), (acc, x) -> (acc*31 + x) % $P)"
+
+  /** Neutral 3-gram shingle hashes: fold 3 consecutive token hashes with
+    * (acc*8191 + t) mod p. Mirrors Dedup.hashedShingles' zip_with-over-slices
+    * shape (safe under CollapseProject — arrays referenced per row, never
+    * per element). */
+  private def neutralShingles(c: Column): Column = {
+    val hs = transform(toks(c), tokHash(_))
+    val n  = size(hs)
+    val pairs = zip_with(hs, slice(hs, lit(2), greatest(n - 1, lit(0))),
+      (x, y) => (x * lit(8191L) + y) % lit(P))
+    val tris = zip_with(pairs, slice(hs, lit(3), greatest(n - 2, lit(0))),
+      (p, z) => (p * lit(8191L) + z) % lit(P))
+    when(n >= 3, slice(tris, lit(1), n - 2)).otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Shared SQL prologue: documents → per-doc distinct neutral shingle set. */
+  private val shinglesSqlCte: String =
+    s"""WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+      |), th AS (
+      |  SELECT doc_id, list_transform(ws, w -> $tokHashSql) AS hs FROM tk
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(hs) >= 3
+      |    THEN list_transform(range(1, len(hs) - 1),
+      |      i -> ((hs[i]*8191 + hs[i+1]) % $P * 8191 + hs[i+2]) % $P)
+      |    ELSE [] END) AS shs
+      |  FROM th
+      |), ex AS (
+      |  SELECT doc_id, unnest(shs) AS h FROM sh
+      |)""".stripMargin
+
+  // ---------------------------------------------------------------- minhash
+
+  private val NumPerms = 16
+  private val Bands    = 4 // 4 bands × 4 rows
+
+  /** Universal-hash permutation params, precomputed as plain Scala constants
+    * and inlined as literals into BOTH engines' expressions. */
+  private val permA: IndexedSeq[Long] = (0 until NumPerms).map(i => (i * 2654435761L + 1) % P)
+  private val permB: IndexedSeq[Long] = (0 until NumPerms).map(i => (i * 97531L + 12345) % P)
+
+  private def bandCombine(ms: Seq[Column]): Column =
+    ms.reduceLeft((acc, m) => (acc * lit(8191L) + m) % lit(P))
+
+  private def bandCombineSql(ms: Seq[String]): String =
+    ms.reduceLeft((acc, m) => s"($acc*8191 + $m) % $P")
+
+  /** MinHash+LSH banding with the neutral hash family: same explode →
+    * 16 codegen'd `min` aggregates → band join shape as the production
+    * `dedup_minhash`, provable in DuckDB. Output (id_a, id_b,
+    * n_shared_bands). */
+  def dedupMinhashOracle(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(neutralShingles(col("text")))).as("h"))
+    val minAggs = (0 until NumPerms).map { i =>
+      min((lit(permA(i)) * col("h") + lit(permB(i))) % lit(P)).as(s"m$i")
+    }
+    val sigs = ex.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val bandVals = (0 until Bands).map { b =>
+      bandCombine((0 until NumPerms / Bands).map(j => col(s"m${b * (NumPerms / Bands) + j}")))
+    }
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array(bandVals: _*)).as(Seq("band_id", "band_val")))
+    val l = banded.select(col("band_id"), col("band_val"), col("doc_id").as("id_a"))
+    val r = banded.select(col("band_id"), col("band_val"), col("doc_id").as("id_b"))
+    l.join(r, Seq("band_id", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dedupMinhashOracleSql: String = {
+    val minSelects = (0 until NumPerms)
+      .map(i => s"min((${permA(i)}*h + ${permB(i)}) % $P) AS m$i").mkString(",\n      |    ")
+    val bandExprs = (0 until Bands)
+      .map(b => bandCombineSql((0 until NumPerms / Bands).map(j => s"m${b * (NumPerms / Bands) + j}")))
+      .mkString(",\n      |      ")
+    s"""$shinglesSqlCte, sig AS (
+      |  SELECT doc_id,
+      |    $minSelects
+      |  FROM ex GROUP BY 1
+      |), band AS (
+      |  SELECT doc_id,
+      |    unnest([$bandExprs]) AS band_val,
+      |    unnest([${(0 until Bands).mkString(", ")}]) AS band_id
+      |  FROM sig
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+      |FROM band a JOIN band b
+      |  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  private val SimBits    = 24
+  private val SimBands   = 3 // 3 bands × 8 bits
+  private val MaxHamming = 3
+
+  /** SimHash with the neutral token hash, 24-bit fingerprints (the hash
+    * lives in [0, p) ⊂ 2³⁰, so 24 well-mixed low bits), 3×8-bit banding,
+    * hamming ≤ 3. Same bit-vote aggregate shape as production
+    * `dedup_simhash`. */
+  def dedupSimhashOracle(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .select(col("doc_id"), tokHash(col("w")).as("h"))
+    val voteAggs = (0 until SimBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$b")
+    }
+    val fp = ex.groupBy(col("doc_id"))
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimBits).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until SimBands).map(b =>
+        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*))
+        .as(Seq("band_id", "band_val")))
+    val l = banded.select(col("band_id"), col("band_val"),
+      col("doc_id").as("id_a"), col("simhash").as("sim_a"))
+    val r = banded.select(col("band_id"), col("band_val"),
+      col("doc_id").as("id_b"), col("simhash").as("sim_b"))
+    l.join(r, Seq("band_id", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= MaxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dedupSimhashOracleSql: String = {
+    val votes = (0 until SimBits)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n      |    ")
+    val fpExpr = (0 until SimBits)
+      .map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tk AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents
+      |), hs AS (
+      |  SELECT doc_id, $tokHashSql AS h FROM tk
+      |), votes AS (
+      |  SELECT doc_id,
+      |    $votes
+      |  FROM hs GROUP BY 1
+      |), fp AS (
+      |  SELECT doc_id, ($fpExpr)::BIGINT AS simhash FROM votes
+      |), band AS (
+      |  SELECT doc_id, simhash,
+      |    unnest([simhash & 255, (simhash >> 8) & 255, (simhash >> 16) & 255]) AS band_val,
+      |    unnest([0, 1, 2]) AS band_id
+      |  FROM fp
+      |)
+      |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+      |FROM band a JOIN band b
+      |  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming
+      |ORDER BY 1, 2""".stripMargin
+  }
+
+  // ------------------------------------------------------------ knn / embed
+
+  /** ×1000-quantized integer copy of a float vector: both engines compute
+    * round(x·1000) on the same float→double value, then all dot/norm math is
+    * exact integer arithmetic and the one double division + sqrt at the end
+    * is IEEE-identical. */
+  private def quant(c: Column): Column =
+    transform(c, x => round(x.cast("double") * 1000).cast("long"))
+
+  private val quantSql = "list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT)"
+
+  private def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  private def inorm(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0L), (acc, v) => acc + v)
+
+  private def icos(dot: Column, na: Column, nb: Column): Column =
+    round(dot.cast("double") / sqrt(greatest(na * nb, lit(1L)).cast("double")), 4)
+
+  private val K = 5
+
+  /** Brute-force cosine top-k on quantized vectors — DuckDB-provable twin of
+    * `knn_brute` (same O(Q×N)-with-Q-broadcast plan). */
+  def knnBruteOracle(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), quant(col("embedding")).as("qv"),
+        inorm(quant(col("embedding"))).as("nq"))
+    val cands = emb
+      .select(col("vec_id").as("neighbor_id"), quant(col("embedding")).as("cv"),
+        inorm(quant(col("embedding"))).as("nc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    cands.crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", icos(idot(col("cv"), col("qv")), col("nc"), col("nq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val knnBruteOracleSql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id AS query_id, $quantSql AS qv FROM embeddings WHERE vec_id < 10
+      |), c AS (
+      |  SELECT vec_id AS neighbor_id, $quantSql AS cv FROM embeddings
+      |), p AS (
+      |  SELECT query_id, neighbor_id,
+      |    list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i]*cv[i]))::BIGINT AS dot,
+      |    list_sum(list_transform(qv, x -> x*x))::BIGINT AS nq,
+      |    list_sum(list_transform(cv, x -> x*x))::BIGINT AS nc
+      |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id
+      |), r AS (
+      |  SELECT query_id, neighbor_id,
+      |    round(dot::DOUBLE / sqrt(greatest(nq*nc, 1)::DOUBLE), 4) AS cos
+      |  FROM p
+      |), rk AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS "rank"
+      |  FROM r
+      |)
+      |SELECT query_id, "rank", neighbor_id, cos FROM rk
+      |WHERE "rank" <= $K ORDER BY query_id, "rank"""".stripMargin
+
+  /** Embedding near-dup pairs on quantized vectors, blocked by label —
+    * DuckDB-provable twin of `dedup_embed`. */
+  def dedupEmbedOracle(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("label"), col("vec_id"), quant(col("embedding")).as("v"),
+        inorm(quant(col("embedding"))).as("nv"))
+    val a = emb.select(col("label"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nv").as("na"))
+    val b = emb.select(col("label"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nv").as("nb"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", icos(idot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cos") > 0.35)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dedupEmbedOracleSql: String =
+    s"""WITH e AS (
+      |  SELECT label, vec_id, $quantSql AS v,
+      |    list_sum(list_transform($quantSql, x -> x*x))::BIGINT AS nv
+      |  FROM embeddings
+      |), p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i]*b.v[i]))::DOUBLE
+      |      / sqrt(greatest(a.nv*b.nv, 1)::DOUBLE), 4) AS cos
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |)
+      |SELECT id_a, id_b, cos FROM p WHERE cos > 0.35 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_oracle" -> (dedupMinhashOracle _),
+    "dedup_simhash_oracle" -> (dedupSimhashOracle _),
+    "knn_brute_oracle"     -> (knnBruteOracle _),
+    "dedup_embed_oracle"   -> (dedupEmbedOracle _))
+
+  val oracle: Map[String, String] = Map(
+    "dedup_minhash_oracle" -> dedupMinhashOracleSql,
+    "dedup_simhash_oracle" -> dedupSimhashOracleSql,
+    "knn_brute_oracle"     -> knnBruteOracleSql,
+    "dedup_embed_oracle"   -> dedupEmbedOracleSql)
+}
