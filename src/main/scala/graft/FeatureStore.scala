@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.model.{FeatureRef, FeatureTable, Registry}
+import graft.model.{FeatureRef, FeatureTable, Project, Registry}
 import graft.operators.{LatestValue, PointInTimeJoin}
 import graft.serving.OnlineStore
 import graft.sources.BatchSource
@@ -19,12 +19,21 @@ import graft.sources.BatchSource
   *
   * Output feature columns are named `table__feature` (the reference's
   * `table:feature` refs with `:` → `__` for column-name safety).
+  *
+  * All registry lookups and online-store keys are scoped by `project`
+  * (reference: Project.java; RedisKeyGenerator.java builds every online key
+  * as project + entity names + entity values).
   */
-final class FeatureStore(val registry: Registry, spark: SparkSession) {
+final class FeatureStore(val registry: Registry, spark: SparkSession,
+                         val project: String = Project.Default) {
+
+  /** Online-store key column carrying the project namespace (the Spark
+    * analog of RedisKeyV2.project). */
+  private val ProjectCol = "__project"
 
   private def table(name: String): FeatureTable =
-    registry.getTable(name).getOrElse(
-      throw new IllegalArgumentException(s"unknown feature table: $name"))
+    registry.getTable(name, project).getOrElse(
+      throw new IllegalArgumentException(s"unknown feature table: $name (project $project)"))
 
   private def sourceOf(t: FeatureTable): BatchSource = {
     val path = t.batchSourcePath.getOrElse(
@@ -62,7 +71,7 @@ final class FeatureStore(val registry: Registry, spark: SparkSession) {
     * features stay inside codegen and work identically for historical and
     * online retrieval). Output columns are named `view__feature`. */
   def applyOnDemand(retrieved: DataFrame, viewName: String): DataFrame = {
-    val v = registry.getOnDemandView(viewName).getOrElse(
+    val v = registry.getOnDemandView(viewName, project).getOrElse(
       throw new IllegalArgumentException(s"unknown on-demand view: $viewName"))
     val missing = v.inputs.map(r => s"${r.table}__${r.feature}")
       .filterNot(retrieved.columns.contains)
@@ -80,8 +89,8 @@ final class FeatureStore(val registry: Registry, spark: SparkSession) {
     val t = table(tableName)
     val featureNames = t.features.map(_.name)
     val rows = BatchSource.readRange(spark, sourceOf(t), startInclusive, endExclusive)
-    store.upsert(rows,
-      keys = t.entities,
+    store.upsert(rows.withColumn(ProjectCol, lit(project)),
+      keys = ProjectCol +: t.entities,
       orderCols = Seq(t.eventTsCol) ++ t.createdTsCol,
       valueCols = featureNames)
   }
@@ -100,7 +109,11 @@ final class FeatureStore(val registry: Registry, spark: SparkSession) {
     refs.groupBy(_.table).toSeq.sortBy(_._1).foldLeft(requestDf) {
       case (acc, (tname, trefs)) =>
         val t = table(tname)
+        // project scoping: only this project's keys are visible (stores may
+        // hold many projects' materializations; reference keys every row by
+        // project)
         val snap = store.snapshot(spark)
+          .filter(col(ProjectCol) === project)
         val stored = snap.select(
           (t.entities :+ t.eventTsCol).map(col) ++
             trefs.map(r => col(r.feature)): _*)

@@ -5,8 +5,9 @@ import org.apache.spark.sql.types._
 
 /** Registry data model, mirroring the reference's feature-store registry
   * (reference: core/src/main/java/feast/core/model/EntityV2.java,
-  * FeatureTable.java:76-99, FeatureV2.java and the Value proto in
-  * datatypes/). Spark-side it is plain metadata: case classes + a map.
+  * FeatureTable.java:76-99, FeatureV2.java, Project.java, DataSource.java
+  * and the Value proto in datatypes/). Spark-side it is plain metadata:
+  * case classes + project-scoped maps.
   */
 sealed abstract class ValueKind(val name: String) {
   def sparkType: DataType
@@ -34,6 +35,15 @@ object ValueKind {
       throw new IllegalArgumentException(s"unknown value type: $s"))
 }
 
+/** A project namespace (reference: core/model/Project.java — name +
+  * archived flag; every entity/table/serving key is scoped by it). */
+final case class Project(name: String, archived: Boolean = false)
+
+object Project {
+  /** reference: Project.DEFAULT_NAME — autofilled when unspecified. */
+  val Default = "default"
+}
+
 /** An entity = a join key (reference: EntityV2). */
 final case class Entity(name: String, valueType: ValueKind, description: String = "")
 
@@ -53,6 +63,109 @@ object FeatureRef {
   }
 }
 
+/** Serialization format of a stream's payload (reference:
+  * DataFormatProto.StreamFormat — PROTO_FORMAT with a class path, or
+  * AVRO_FORMAT with a schema). */
+sealed trait StreamFormat { def render: String }
+object StreamFormat {
+  final case class ProtoFormat(classPath: String) extends StreamFormat {
+    def render: String = s"proto:$classPath"
+  }
+  final case class AvroFormat(schemaJson: String = "") extends StreamFormat {
+    def render: String = s"avro:$schemaJson"
+  }
+  def parse(s: String): StreamFormat = s.split(":", 2) match {
+    case Array("proto", cp) => ProtoFormat(cp)
+    case Array("avro", sj)  => AvroFormat(sj)
+    case _ => throw new IllegalArgumentException(s"bad stream format: $s")
+  }
+}
+
+/** A stream data source spec (reference: DataSource.java:27-30 +
+  * DataSourceProto KafkaOptions / KinesisOptions / FileOptions). The
+  * sandbox has no Kafka/Kinesis broker, so these carry the full spec —
+  * model + validation + field mapping — while only the file source is
+  * executable here (StreamIngest); a cluster deployment swaps the
+  * `readStream` format without touching the registry surface. */
+sealed trait StreamSourceSpec {
+  def eventTsCol: String
+  def fieldMapping: Map[String, String]
+  def render: String
+}
+
+final case class KafkaSourceSpec(
+    bootstrapServers: String,
+    topic: String,
+    messageFormat: StreamFormat,
+    eventTsCol: String = "event_timestamp",
+    fieldMapping: Map[String, String] = Map.empty) extends StreamSourceSpec {
+  def render: String =
+    s"kafka|$bootstrapServers|$topic|${messageFormat.render}|$eventTsCol|${SourceValidation.renderMap(fieldMapping)}"
+}
+
+final case class KinesisSourceSpec(
+    region: String,
+    streamName: String,
+    recordFormat: StreamFormat,
+    eventTsCol: String = "event_timestamp",
+    fieldMapping: Map[String, String] = Map.empty) extends StreamSourceSpec {
+  def render: String =
+    s"kinesis|$region|$streamName|${recordFormat.render}|$eventTsCol|${SourceValidation.renderMap(fieldMapping)}"
+}
+
+final case class FileStreamSourceSpec(
+    path: String,
+    fileFormat: String = "parquet",
+    eventTsCol: String = "event_timestamp",
+    fieldMapping: Map[String, String] = Map.empty) extends StreamSourceSpec {
+  def render: String =
+    s"file|$path|$fileFormat|$eventTsCol|${SourceValidation.renderMap(fieldMapping)}"
+}
+
+object StreamSourceSpec {
+  def parse(s: String): StreamSourceSpec = s.split("\\|", -1) match {
+    case Array("kafka", bs, t, fmt, ts, fm) =>
+      KafkaSourceSpec(bs, t, StreamFormat.parse(fmt), ts, SourceValidation.parseMap(fm))
+    case Array("kinesis", r, sn, fmt, ts, fm) =>
+      KinesisSourceSpec(r, sn, StreamFormat.parse(fmt), ts, SourceValidation.parseMap(fm))
+    case Array("file", p, ff, ts, fm) =>
+      FileStreamSourceSpec(p, ff, ts, SourceValidation.parseMap(fm))
+    case _ => throw new IllegalArgumentException(s"bad stream source: $s")
+  }
+}
+
+/** Source validation (reference: core/validators/DataSourceValidator.java +
+  * Matchers.checkValidClassPath). */
+object SourceValidation {
+  private val ClassPath = "^[a-zA-Z_][a-zA-Z0-9_]*(\\.[a-zA-Z_][a-zA-Z0-9_]*)*$".r
+
+  private def checkFormat(fmt: StreamFormat, kind: String): Unit = fmt match {
+    case StreamFormat.ProtoFormat(cp) =>
+      require(ClassPath.matches(cp),
+        s"invalid value for FeatureTable resource, $cp: argument must be a valid class path")
+    case StreamFormat.AvroFormat(_) => () // reference: AVRO_FORMAT passes
+  }
+
+  def validateStream(spec: StreamSourceSpec): Unit = spec match {
+    case KafkaSourceSpec(bs, topic, fmt, _, _) =>
+      require(bs.nonEmpty, "Kafka source must have bootstrap_servers")
+      require(topic.nonEmpty, "Kafka source must have topic")
+      checkFormat(fmt, "Kafka")
+    case KinesisSourceSpec(region, stream, fmt, _, _) =>
+      require(region.nonEmpty, "Kinesis source must have region")
+      require(stream.nonEmpty, "Kinesis source must have stream_name")
+      checkFormat(fmt, "Kinesis")
+    case FileStreamSourceSpec(path, _, _, _) =>
+      require(path.nonEmpty, "File stream source must have a path")
+  }
+
+  def renderMap(m: Map[String, String]): String =
+    m.map { case (k, v) => s"$k=$v" }.mkString(",")
+  def parseMap(s: String): Map[String, String] =
+    if (s.isEmpty) Map.empty
+    else s.split(",").toSeq.map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+}
+
 /** A feature table: entities + features + freshness TTL + sources
   * (reference: FeatureTable.java — entities, features, maxAgeSecs,
   * batchSource, streamSource).
@@ -65,7 +178,7 @@ final case class FeatureTable(
     eventTsCol: String = "event_timestamp",
     createdTsCol: Option[String] = None,
     batchSourcePath: Option[String] = None,
-    streamSourcePath: Option[String] = None,
+    streamSource: Option[StreamSourceSpec] = None,
     labels: Map[String, String] = Map.empty) {
   def featureRefs: Seq[FeatureRef] = features.map(f => FeatureRef(name, f.name))
 }
@@ -84,89 +197,190 @@ final case class OnDemandView(
     inputs: Seq[FeatureRef],
     features: Seq[OnDemandFeature])
 
-/** In-memory registry with the reference Core's CRUD surface
-  * (reference: CoreServiceImpl.java apply/get/list/delete). */
+/** In-memory registry with the reference Core's CRUD surface, scoped by
+  * project (reference: SpecService.java apply/get/list — project autofilled
+  * to "default", archived projects reject writes; ProjectService.java
+  * create/archive/list; FeatureTableValidator.java validateSpec). */
 final class Registry {
-  private val entities = scala.collection.mutable.LinkedHashMap.empty[String, Entity]
-  private val tables   = scala.collection.mutable.LinkedHashMap.empty[String, FeatureTable]
-  private val odfvs    = scala.collection.mutable.LinkedHashMap.empty[String, OnDemandView]
+  private val projects = scala.collection.mutable.LinkedHashMap[String, Project](
+    Project.Default -> Project(Project.Default))
+  private val entities = scala.collection.mutable.LinkedHashMap.empty[(String, String), Entity]
+  private val tables   = scala.collection.mutable.LinkedHashMap.empty[(String, String), FeatureTable]
+  private val odfvs    = scala.collection.mutable.LinkedHashMap.empty[(String, String), OnDemandView]
 
   // reference: core/src/main/java/feast/core/validators/Matchers.java
-  // (checkValidCharacters) — names are lower snake-case identifiers
-  private val ValidName = "^[a-zA-Z_][a-zA-Z0-9_]*$".r
+  // (checkValidCharacters) — names are identifiers; project names may also
+  // contain dashes (checkValidCharactersAllowDash)
+  private val ValidName        = "^[a-zA-Z_][a-zA-Z0-9_]*$".r
+  private val ValidProjectName = "^[a-zA-Z_][a-zA-Z0-9_-]*$".r
+
+  // reference: FeatureTableValidator.RESERVED_NAMES
+  private val ReservedNames = Set("created_timestamp", "event_timestamp")
 
   private def requireValidName(kind: String, name: String): Unit =
     require(ValidName.matches(name),
       s"invalid $kind name '$name': must match ${ValidName.regex}")
 
-  def applyEntity(e: Entity): Unit = {
+  /** Autofill + validate a project for a READ (reference: SpecService
+    * getters — no creation, no archived check). */
+  private def readProject(p: String): String = {
+    val name = if (p.isEmpty) Project.Default else p
+    require(ValidProjectName.matches(name),
+      s"invalid project name '$name': must match ${ValidProjectName.regex}")
+    name
+  }
+
+  /** Autofill + validate + auto-create a project for a WRITE (reference:
+    * SpecService.applyEntity/applyFeatureTable — find-or-create, then
+    * reject if archived). */
+  private def writeProject(p: String): String = {
+    val name = readProject(p)
+    val proj = projects.getOrElseUpdate(name, Project(name))
+    require(!proj.archived, s"Project is archived: $name")
+    name
+  }
+
+  // ------------------------------------------------------- project service
+
+  /** reference: ProjectService.createProject — duplicate is an error. */
+  def createProject(name: String): Unit = {
+    require(ValidProjectName.matches(name),
+      s"invalid project name '$name': must match ${ValidProjectName.regex}")
+    require(!projects.contains(name), s"Project already exists: $name")
+    projects.update(name, Project(name))
+  }
+
+  /** reference: ProjectService.archiveProject — must exist, default
+    * project cannot be archived. */
+  def archiveProject(name: String): Unit = {
+    val p = projects.getOrElse(name,
+      throw new IllegalArgumentException(s"""Could not find project: "$name""""))
+    if (name == Project.Default)
+      throw new UnsupportedOperationException("Archiving the default project is not allowed.")
+    projects.update(name, p.copy(archived = true))
+  }
+
+  /** reference: ProjectService.listProjects — active (non-archived) only. */
+  def listProjects: Seq[Project] = projects.values.filterNot(_.archived).toSeq
+
+  // ---------------------------------------------------------------- writes
+
+  def applyEntity(e: Entity, project: String = Project.Default): Unit = {
+    val p = writeProject(project)
     requireValidName("entity", e.name)
-    entities.update(e.name, e)
+    entities.update((p, e.name), e)
   }
-  def applyTable(t: FeatureTable): Unit = {
-    requireValidName("table", t.name)
-    t.features.foreach(f => requireValidName("feature", f.name))
-    val missing = t.entities.filterNot(entities.contains)
-    require(missing.isEmpty, s"unknown entities: ${missing.mkString(",")}")
-    tables.update(t.name, t)
+
+  /** reference: FeatureTableValidator.validateSpec — checks in the same
+    * order as the reference. */
+  def applyTable(t: FeatureTable, project: String = Project.Default): Unit = {
+    val p = writeProject(project)
+    require(t.name.nonEmpty, "FeatureTable name must be provided")
+    require(!t.labels.contains(""), "FeatureTable cannot have labels with empty key.")
+    require(t.entities.nonEmpty, "FeatureTable entities list cannot be empty.")
+    require(t.features.nonEmpty, "FeatureTable features list cannot be empty.")
+    require(t.batchSourcePath.nonEmpty, "FeatureTable batch source cannot be empty.")
+    requireValidName("FeatureTable", t.name)
+    t.features.foreach { f =>
+      requireValidName("Feature", f.name)
+      require(!f.labels.contains(""), "Features cannot have labels with empty key.")
+    }
+    val fieldNames = t.entities ++ t.features.map(_.name)
+    require(fieldNames.forall(n => !ReservedNames.contains(n)),
+      s"Reserved names has been used as Feature(s) names. Reserved: $ReservedNames")
+    require(fieldNames.distinct.size == fieldNames.size,
+      "Entity and Feature names within a Feature Table should be unique.")
+    t.streamSource.foreach(SourceValidation.validateStream)
+    val missing = t.entities.filterNot(e => entities.contains((p, e)))
+    require(missing.isEmpty, s"unknown entities in project $p: ${missing.mkString(",")}")
+    tables.update((p, t.name), t)
   }
-  def applyOnDemandView(v: OnDemandView): Unit = {
+
+  def applyOnDemandView(v: OnDemandView, project: String = Project.Default): Unit = {
+    val p = writeProject(project)
     requireValidName("on-demand view", v.name)
     v.features.foreach(f => requireValidName("on-demand feature", f.name))
-    val missing = v.inputs.map(_.table).distinct.filterNot(tables.contains)
-    require(missing.isEmpty, s"unknown input tables: ${missing.mkString(",")}")
-    odfvs.update(v.name, v)
+    val missing = v.inputs.map(_.table).distinct.filterNot(t => tables.contains((p, t)))
+    require(missing.isEmpty, s"unknown input tables in project $p: ${missing.mkString(",")}")
+    odfvs.update((p, v.name), v)
   }
-  def getEntity(name: String): Option[Entity] = entities.get(name)
-  def getTable(name: String): Option[FeatureTable] = tables.get(name)
-  def getOnDemandView(name: String): Option[OnDemandView] = odfvs.get(name)
-  def listOnDemandViews: Seq[OnDemandView] = odfvs.values.toSeq
-  def listEntities: Seq[Entity] = entities.values.toSeq
-  def listTables: Seq[FeatureTable] = tables.values.toSeq
-  def deleteTable(name: String): Unit = tables.remove(name)
+
+  // ----------------------------------------------------------------- reads
+
+  def getEntity(name: String, project: String = Project.Default): Option[Entity] =
+    entities.get((readProject(project), name))
+  def getTable(name: String, project: String = Project.Default): Option[FeatureTable] =
+    tables.get((readProject(project), name))
+  def getOnDemandView(name: String, project: String = Project.Default): Option[OnDemandView] =
+    odfvs.get((readProject(project), name))
+
+  def listEntities: Seq[Entity] = listEntities(Project.Default)
+  def listEntities(project: String): Seq[Entity] = {
+    val p = readProject(project)
+    entities.collect { case ((`p`, _), e) => e }.toSeq
+  }
+  def listTables: Seq[FeatureTable] = listTables(Project.Default)
+  def listTables(project: String): Seq[FeatureTable] = {
+    val p = readProject(project)
+    tables.collect { case ((`p`, _), t) => t }.toSeq
+  }
+  def listOnDemandViews: Seq[OnDemandView] = listOnDemandViews(Project.Default)
+  def listOnDemandViews(project: String): Seq[OnDemandView] = {
+    val p = readProject(project)
+    odfvs.collect { case ((`p`, _), v) => v }.toSeq
+  }
+
+  def deleteTable(name: String, project: String = Project.Default): Unit = {
+    tables.remove((readProject(project), name)); ()
+  }
 
   /** Tables whose entity set equals `entitiesFilter` and whose labels
     * contain every (k,v) of `labelsFilter` (reference:
     * FeatureTable.java:281-284 hasAllEntities + label filtering in
-    * CoreServiceImpl.listFeatureTables). */
+    * SpecService.listFeatureTables). */
   def filterTables(entitiesFilter: Seq[String] = Seq.empty,
-                   labelsFilter: Map[String, String] = Map.empty): Seq[FeatureTable] =
-    listTables
+                   labelsFilter: Map[String, String] = Map.empty,
+                   project: String = Project.Default): Seq[FeatureTable] =
+    listTables(project)
       .filter(t => entitiesFilter.isEmpty || t.entities.toSet == entitiesFilter.toSet)
       .filter(t => labelsFilter.forall { case (k, v) => t.labels.get(k).contains(v) })
 
-  /** Registry contents as a DataFrame (one row per table×feature). */
+  /** Registry contents as a DataFrame (one row per project×table×feature). */
   def toDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    listTables.flatMap { t =>
+    tables.toSeq.flatMap { case ((p, _), t) =>
       t.features.map { f =>
-        (t.name, t.entities.mkString(","), f.name, f.valueType.name,
+        (p, t.name, t.entities.mkString(","), f.name, f.valueType.name,
          t.maxAgeSec.getOrElse(0L), t.batchSourcePath.getOrElse(""))
       }
-    }.toDF("table_name", "entities", "feature", "value_type", "max_age_sec", "batch_source")
+    }.toDF("project", "table_name", "entities", "feature", "value_type",
+           "max_age_sec", "batch_source")
   }
 }
 
 object Registry {
 
   /** Persist a registry as JSON datasets (entities + one row per
-    * table×feature) — the registry IS data, so it round-trips through the
-    * same engine. */
+    * project×table×feature) — the registry IS data, so it round-trips
+    * through the same engine. */
   def save(r: Registry, spark: SparkSession, dir: String): Unit = {
     import spark.implicits._
-    r.listEntities.map(e => (e.name, e.valueType.name, e.description))
-      .toDF("name", "value_type", "description")
+    r.listProjects.flatMap { p =>
+      r.listEntities(p.name).map(e => (p.name, e.name, e.valueType.name, e.description))
+    }.toDF("project", "name", "value_type", "description")
       .coalesce(1).write.mode("overwrite").json(s"$dir/entities")
-    r.listTables.flatMap { t =>
-      t.features.map { f =>
-        (t.name, t.entities.mkString(","), f.name, f.valueType.name,
-         t.maxAgeSec.getOrElse(-1L), t.eventTsCol, t.createdTsCol.getOrElse(""),
-         t.batchSourcePath.getOrElse(""), t.streamSourcePath.getOrElse(""),
-         t.labels.map { case (k, v) => s"$k=$v" }.mkString(";"))
+    r.listProjects.flatMap { p =>
+      r.listTables(p.name).flatMap { t =>
+        t.features.map { f =>
+          (p.name, t.name, t.entities.mkString(","), f.name, f.valueType.name,
+           t.maxAgeSec.getOrElse(-1L), t.eventTsCol, t.createdTsCol.getOrElse(""),
+           t.batchSourcePath.getOrElse(""), t.streamSource.map(_.render).getOrElse(""),
+           t.labels.map { case (k, v) => s"$k=$v" }.mkString(";"))
+        }
       }
-    }.toDF("table_name", "entities", "feature", "value_type", "max_age_sec",
-           "event_ts_col", "created_ts_col", "batch_source", "stream_source",
-           "labels")
+    }.toDF("project", "table_name", "entities", "feature", "value_type",
+           "max_age_sec", "event_ts_col", "created_ts_col", "batch_source",
+           "stream_source", "labels")
       .coalesce(1).write.mode("overwrite").json(s"$dir/tables")
   }
 
@@ -176,27 +390,30 @@ object Registry {
       r.applyEntity(Entity(
         row.getAs[String]("name"),
         ValueKind.parse(row.getAs[String]("value_type")),
-        Option(row.getAs[String]("description")).getOrElse("")))
+        Option(row.getAs[String]("description")).getOrElse("")),
+        project = row.getAs[String]("project"))
     }
     val rows = spark.read.json(s"$dir/tables").collect()
-    rows.groupBy(_.getAs[String]("table_name")).foreach { case (name, fs) =>
-      val head = fs.head
-      def opt(s: String): Option[String] =
-        Option(head.getAs[String](s)).filter(_.nonEmpty)
-      r.applyTable(FeatureTable(
-        name = name,
-        entities = head.getAs[String]("entities").split(",").toSeq,
-        features = fs.toSeq.map(f => Feature(f.getAs[String]("feature"),
-          ValueKind.parse(f.getAs[String]("value_type")))),
-        maxAgeSec = Some(head.getAs[Long]("max_age_sec")).filter(_ >= 0),
-        eventTsCol = head.getAs[String]("event_ts_col"),
-        createdTsCol = opt("created_ts_col"),
-        batchSourcePath = opt("batch_source"),
-        streamSourcePath = opt("stream_source"),
-        labels = opt("labels").map(_.split(";").toSeq
-          .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap)
-          .getOrElse(Map.empty)))
-    }
+    rows.groupBy(rw => (rw.getAs[String]("project"), rw.getAs[String]("table_name")))
+      .foreach { case ((project, name), fs) =>
+        val head = fs.head
+        def opt(s: String): Option[String] =
+          Option(head.getAs[String](s)).filter(_.nonEmpty)
+        r.applyTable(FeatureTable(
+          name = name,
+          entities = head.getAs[String]("entities").split(",").toSeq,
+          features = fs.toSeq.map(f => Feature(f.getAs[String]("feature"),
+            ValueKind.parse(f.getAs[String]("value_type")))),
+          maxAgeSec = Some(head.getAs[Long]("max_age_sec")).filter(_ >= 0),
+          eventTsCol = head.getAs[String]("event_ts_col"),
+          createdTsCol = opt("created_ts_col"),
+          batchSourcePath = opt("batch_source"),
+          streamSource = opt("stream_source").map(StreamSourceSpec.parse),
+          labels = opt("labels").map(_.split(";").toSeq
+            .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap)
+            .getOrElse(Map.empty)),
+          project = project)
+      }
     r
   }
   /** Demo registry over the driver testdata (events as the feature stream). */
@@ -211,6 +428,11 @@ object Registry {
       maxAgeSec = Some(7L * 86400),
       eventTsCol = "ts",
       batchSourcePath = Some(s"$sfDir/events.parquet"),
+      streamSource = Some(KafkaSourceSpec(
+        bootstrapServers = "broker-1:9092,broker-2:9092",
+        topic = "user_activity_events",
+        messageFormat = StreamFormat.AvroFormat(),
+        eventTsCol = "ts")),
       labels = Map("graft.ts_unit" -> "nanos")))
     r.applyOnDemandView(OnDemandView(
       name = "activity_derived",

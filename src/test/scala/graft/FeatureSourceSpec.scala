@@ -30,6 +30,42 @@ class FeatureSourceSpec extends SparkSpecBase {
     }
   }
 
+  test("stream source specs render/parse round-trip (incl. field mapping)") {
+    import graft.model._
+    val specs: Seq[StreamSourceSpec] = Seq(
+      KafkaSourceSpec("b1:9092,b2:9092", "events", StreamFormat.ProtoFormat("com.example.Row"),
+        eventTsCol = "ts", fieldMapping = Map("event_time" -> "ts", "v" -> "value")),
+      KafkaSourceSpec("b:9092", "t", StreamFormat.AvroFormat("{}")),
+      KinesisSourceSpec("us-east-1", "stream", StreamFormat.AvroFormat()),
+      FileStreamSourceSpec("/data/in", "parquet", "ts", Map("a" -> "b")))
+    specs.foreach { s =>
+      assert(StreamSourceSpec.parse(s.render) == s, s"round-trip failed for $s")
+    }
+    assertThrows[IllegalArgumentException](StreamSourceSpec.parse("pulsar|x|y"))
+  }
+
+  test("StreamIngest.readStreamSource executes file specs, rejects broker specs") {
+    import graft.model._
+    import graft.streaming.StreamIngest
+    val dir = Files.createTempDirectory("graft-streamsrc").toString
+    val ev = Tables.events(spark, sfDir).limit(100)
+      .select(col("event_id"), col("ts").as("event_time"), col("user_id"), col("value"))
+    ev.write.mode("overwrite").parquet(s"$dir/in")
+    val spec = FileStreamSourceSpec(s"$dir/in", "parquet", "ts",
+      fieldMapping = Map("event_time" -> "ts"))
+    val stream = StreamIngest.readStreamSource(spark, spec, ev.schema)
+    assert(stream.isStreaming && stream.columns.contains("ts"))
+    val q = stream.writeStream.format("memory").queryName("src_out")
+      .option("checkpointLocation", s"$dir/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("src_out").count() == 100)
+    assertThrows[UnsupportedOperationException](StreamIngest.readStreamSource(spark,
+      KafkaSourceSpec("b:9092", "t", StreamFormat.AvroFormat()), ev.schema))
+    assertThrows[UnsupportedOperationException](StreamIngest.readStreamSource(spark,
+      KinesisSourceSpec("us-east-1", "s", StreamFormat.AvroFormat()), ev.schema))
+  }
+
   test("readRange bounds event time [start, end)") {
     // note: the raw driver events.parquet is TIMESTAMP(NANOS) and must go
     // through Tables.events; BatchSource targets normal micro parquet

@@ -137,6 +137,42 @@ class FeatureStoreSpec extends SparkSpecBase {
     assert(out == Map(1L -> "PRESENT", 2L -> "NULL_VALUE"))
   }
 
+  test("project namespacing isolates online keys sharing one store") {
+    // two projects define the SAME table name + entity key, materialize
+    // into the SAME store: lookups must never leak across projects
+    // (reference: RedisKeyGenerator.java — every key carries the project)
+    val r = new Registry
+    r.applyEntity(Entity("user_id", ValueKind.Int64K))
+    r.applyEntity(Entity("user_id", ValueKind.Int64K), project = "team-b")
+    for ((p, v) <- Seq(Project.Default -> 1.0, "team-b" -> 2.0)) {
+      Seq((1L, ts("2024-01-01 10:00:00"), v)).toDF("user_id", "ts", "value")
+        .write.mode("overwrite").parquet(s"$workDir/proj-$p")
+      r.applyTable(FeatureTable("shared", Seq("user_id"),
+        Seq(Feature("value", ValueKind.DoubleK)), eventTsCol = "ts",
+        batchSourcePath = Some(s"$workDir/proj-$p")), project = p)
+    }
+    val online = new ParquetOnlineStore(s"$workDir/online-projects")
+    val fsDefault = new FeatureStore(r, spark)
+    val fsTeamB   = new FeatureStore(r, spark, project = "team-b")
+    fsDefault.materialize("shared", online, "2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    fsTeamB.materialize("shared", online, "2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    def lookup(fs: FeatureStore) =
+      fs.getOnlineFeatures(online, Seq(1L).toDF("user_id"),
+          Seq(FeatureRef("shared", "value")), lit(ts("2024-01-02 00:00:00")))
+        .head().getAs[Double]("shared__value")
+    assert(lookup(fsDefault) == 1.0)
+    assert(lookup(fsTeamB) == 2.0)
+    // a project with no materialization sees NOT_FOUND, not another's rows
+    r.applyEntity(Entity("user_id", ValueKind.Int64K), project = "team-c")
+    r.applyTable(FeatureTable("shared", Seq("user_id"),
+      Seq(Feature("value", ValueKind.DoubleK)), eventTsCol = "ts",
+      batchSourcePath = Some(s"$workDir/proj-default")), project = "team-c")
+    val fsTeamC = new FeatureStore(r, spark, project = "team-c")
+    val row = fsTeamC.getOnlineFeatures(online, Seq(1L).toDF("user_id"),
+      Seq(FeatureRef("shared", "value")), lit(ts("2024-01-02 00:00:00"))).head()
+    assert(row.getAs[String]("shared__value__status") == "NOT_FOUND")
+  }
+
   test("getOnlineFeatures marks stale rows OUTSIDE_MAX_AGE") {
     val online = new ParquetOnlineStore(s"$workDir/online2")
     store.materialize("activity", online, "2024-01-01 00:00:00", "2024-02-01 00:00:00")

@@ -4,6 +4,23 @@ import graft.model._
 
 class RegistrySpec extends SparkSpecBase {
 
+  private val src = Some("/tmp/nowhere.parquet")
+
+  private def table(name: String = "t",
+                    entities: Seq[String] = Seq("user_id"),
+                    features: Seq[Feature] = Seq(Feature("f", ValueKind.DoubleK)),
+                    labels: Map[String, String] = Map.empty,
+                    batchSourcePath: Option[String] = src,
+                    streamSource: Option[StreamSourceSpec] = None) =
+    FeatureTable(name, entities, features, labels = labels,
+      batchSourcePath = batchSourcePath, streamSource = streamSource)
+
+  private def freshRegistry: Registry = {
+    val r = new Registry
+    r.applyEntity(Entity("user_id", ValueKind.Int64K))
+    r
+  }
+
   test("value kinds parse round-trip incl. lists") {
     assert(ValueKind.parse("DOUBLE") == ValueKind.DoubleK)
     assert(ValueKind.parse("FLOAT_LIST") == ValueKind.ListK(ValueKind.FloatK))
@@ -16,40 +33,145 @@ class RegistrySpec extends SparkSpecBase {
   }
 
   test("registry rejects invalid names (reference Matchers semantics)") {
-    val r = new Registry
+    val r = freshRegistry
     assertThrows[IllegalArgumentException](r.applyEntity(Entity("user-id", ValueKind.Int64K)))
     assertThrows[IllegalArgumentException](r.applyEntity(Entity("1user", ValueKind.Int64K)))
-    r.applyEntity(Entity("user_id", ValueKind.Int64K))
-    assertThrows[IllegalArgumentException] {
-      r.applyTable(FeatureTable("t!", Seq("user_id"), Seq(Feature("f", ValueKind.DoubleK))))
-    }
-    assertThrows[IllegalArgumentException] {
-      r.applyTable(FeatureTable("t", Seq("user_id"), Seq(Feature("f spaces", ValueKind.DoubleK))))
-    }
+    assertThrows[IllegalArgumentException](r.applyTable(table(name = "t!")))
+    assertThrows[IllegalArgumentException](
+      r.applyTable(table(features = Seq(Feature("f spaces", ValueKind.DoubleK)))))
   }
 
   test("registry validates entities on table apply") {
-    val r = new Registry
-    r.applyEntity(Entity("user_id", ValueKind.Int64K))
-    assertThrows[IllegalArgumentException] {
-      r.applyTable(FeatureTable("t", Seq("nope"), Seq(Feature("f", ValueKind.DoubleK))))
-    }
-    r.applyTable(FeatureTable("t", Seq("user_id"), Seq(Feature("f", ValueKind.DoubleK))))
+    val r = freshRegistry
+    assertThrows[IllegalArgumentException](r.applyTable(table(entities = Seq("nope"))))
+    r.applyTable(table())
     assert(r.getTable("t").get.featureRefs == Seq(FeatureRef("t", "f")))
     r.deleteTable("t")
     assert(r.getTable("t").isEmpty)
   }
 
-  test("registry save/load round-trips entities and tables") {
+  // Each case quotes the reference rule it mirrors
+  // (core/src/main/java/feast/core/validators/FeatureTableValidator.java:35-70).
+  test("validateSpec parity: FeatureTableValidator rules") {
+    val r = freshRegistry
+    // "FeatureTable name must be provided"
+    assertThrows[IllegalArgumentException](r.applyTable(table(name = "")))
+    // "FeatureTable cannot have labels with empty key."
+    assertThrows[IllegalArgumentException](r.applyTable(table(labels = Map("" -> "v"))))
+    // "FeatureTable entities list cannot be empty."
+    assertThrows[IllegalArgumentException](r.applyTable(table(entities = Seq.empty)))
+    // "FeatureTable features list cannot be empty."
+    assertThrows[IllegalArgumentException](r.applyTable(table(features = Seq.empty)))
+    // "FeatureTable batch source cannot be empty."
+    assertThrows[IllegalArgumentException](r.applyTable(table(batchSourcePath = None)))
+    // "Features cannot have labels with empty key."
+    assertThrows[IllegalArgumentException](r.applyTable(
+      table(features = Seq(Feature("f", ValueKind.DoubleK, labels = Map("" -> "v"))))))
+    // "Reserved names has been used as Feature(s) names." — both reserved
+    // names, as either feature or entity
+    assertThrows[IllegalArgumentException](r.applyTable(
+      table(features = Seq(Feature("event_timestamp", ValueKind.DoubleK)))))
+    assertThrows[IllegalArgumentException](r.applyTable(
+      table(features = Seq(Feature("created_timestamp", ValueKind.DoubleK)))))
+    r.applyEntity(Entity("event_timestamp", ValueKind.Int64K))
+    assertThrows[IllegalArgumentException](r.applyTable(
+      table(entities = Seq("event_timestamp"))))
+    // "Entity and Feature names within a Feature Table should be unique."
+    assertThrows[IllegalArgumentException](r.applyTable(
+      table(features = Seq(Feature("user_id", ValueKind.DoubleK)))))
+    assertThrows[IllegalArgumentException](r.applyTable(
+      table(features = Seq(Feature("f", ValueKind.DoubleK), Feature("f", ValueKind.Int64K)))))
+    // a fully-valid spec still applies
+    r.applyTable(table())
+    assert(r.getTable("t").nonEmpty)
+  }
+
+  // reference: core/model/Project.java + service/ProjectService.java +
+  // SpecService.java project autofill/archived checks.
+  test("project namespacing: scoping, autofill, archive semantics") {
+    val r = new Registry
+    r.createProject("team-a") // dashes allowed for projects only
+    assertThrows[IllegalArgumentException](r.createProject("team-a")) // "Project already exists"
+    assertThrows[IllegalArgumentException](r.createProject("bad name"))
+    r.applyEntity(Entity("user_id", ValueKind.Int64K), project = "team-a")
+    r.applyEntity(Entity("user_id", ValueKind.Int64K)) // default project
+    // same table name in two projects = two independent tables
+    r.applyTable(table(features = Seq(Feature("fa", ValueKind.DoubleK))), project = "team-a")
+    r.applyTable(table(features = Seq(Feature("fb", ValueKind.DoubleK))))
+    assert(r.getTable("t", "team-a").get.features.head.name == "fa")
+    assert(r.getTable("t").get.features.head.name == "fb")
+    assert(r.getTable("t", "team-a").get ne r.getTable("t").get)
+    assert(r.listTables("team-a").size == 1 && r.listTables.size == 1)
+    // empty project autofills to "default" (SpecService.java:104)
+    assert(r.getTable("t", "").get.features.head.name == "fb")
+    // apply auto-creates an unknown project (SpecService.java:281)
+    r.applyEntity(Entity("item_id", ValueKind.Int64K), project = "auto_made")
+    assert(r.getEntity("item_id", "auto_made").nonEmpty)
+    // archive: unknown project errors, default cannot be archived,
+    // archived projects reject writes, and vanish from listProjects
+    assertThrows[IllegalArgumentException](r.archiveProject("ghost"))
+    assertThrows[UnsupportedOperationException](r.archiveProject(Project.Default))
+    r.archiveProject("team-a")
+    assert(!r.listProjects.map(_.name).contains("team-a"))
+    assertThrows[IllegalArgumentException]( // "Project is archived"
+      r.applyEntity(Entity("x", ValueKind.Int64K), project = "team-a"))
+    // reads of archived projects still work (reference keeps the data)
+    assert(r.getTable("t", "team-a").nonEmpty)
+  }
+
+  // reference: core/validators/DataSourceValidator.java STREAM_KAFKA /
+  // STREAM_KINESIS arms + Matchers.checkValidClassPath.
+  test("stream source spec validation parity") {
+    val r = freshRegistry
+    def withStream(s: StreamSourceSpec) = table(streamSource = Some(s))
+    // Kafka: bootstrap_servers/topic required; proto format needs a valid
+    // class path; avro passes
+    assertThrows[IllegalArgumentException](r.applyTable(withStream(
+      KafkaSourceSpec("", "topic", StreamFormat.AvroFormat()))))
+    assertThrows[IllegalArgumentException](r.applyTable(withStream(
+      KafkaSourceSpec("b:9092", "", StreamFormat.AvroFormat()))))
+    assertThrows[IllegalArgumentException](r.applyTable(withStream(
+      KafkaSourceSpec("b:9092", "topic", StreamFormat.ProtoFormat("not a classpath!")))))
+    r.applyTable(withStream(
+      KafkaSourceSpec("b:9092", "topic", StreamFormat.ProtoFormat("com.example.FeatureRow"))))
+    r.applyTable(withStream(
+      KafkaSourceSpec("b:9092", "topic", StreamFormat.AvroFormat("{}"))))
+    // Kinesis: region/stream_name required
+    assertThrows[IllegalArgumentException](r.applyTable(withStream(
+      KinesisSourceSpec("", "stream", StreamFormat.AvroFormat()))))
+    assertThrows[IllegalArgumentException](r.applyTable(withStream(
+      KinesisSourceSpec("us-east-1", "", StreamFormat.AvroFormat()))))
+    r.applyTable(withStream(
+      KinesisSourceSpec("us-east-1", "stream", StreamFormat.ProtoFormat("com.example.Row"))))
+    // File: path required
+    assertThrows[IllegalArgumentException](r.applyTable(withStream(
+      FileStreamSourceSpec(""))))
+  }
+
+  test("registry save/load round-trips entities, tables, projects and stream sources") {
     val dir = java.nio.file.Files.createTempDirectory("graft-reg").toString
     val r = Registry.demo(sfDir)
+    r.createProject("team-b")
+    r.applyEntity(Entity("item_id", ValueKind.Int64K), project = "team-b")
+    r.applyTable(FeatureTable("items", Seq("item_id"),
+      Seq(Feature("price", ValueKind.DoubleK)),
+      batchSourcePath = Some("/tmp/items.parquet"),
+      streamSource = Some(KinesisSourceSpec("eu-west-1", "item_stream",
+        StreamFormat.ProtoFormat("com.example.Item"), fieldMapping = Map("p" -> "price")))),
+      project = "team-b")
     Registry.save(r, spark, dir)
     val back = Registry.load(spark, dir)
     assert(back.listEntities.toSet == r.listEntities.toSet)
+    assert(back.listEntities("team-b").toSet == r.listEntities("team-b").toSet)
     assert(back.listTables.map(_.copy(features = Seq.empty)).toSet ==
            r.listTables.map(_.copy(features = Seq.empty)).toSet)
     assert(back.getTable("user_activity").get.features.map(_.name).toSet ==
            r.getTable("user_activity").get.features.map(_.name).toSet)
+    // typed stream sources round-trip exactly
+    assert(back.getTable("user_activity").get.streamSource ==
+           r.getTable("user_activity").get.streamSource)
+    assert(back.getTable("items", "team-b").get.streamSource ==
+           r.getTable("items", "team-b").get.streamSource)
   }
 
   test("filterTables matches entity sets and label subsets") {
@@ -60,9 +182,11 @@ class RegistrySpec extends SparkSpecBase {
     assert(r.filterTables().size == 2)
   }
 
-  test("demo registry dumps one row per table×feature") {
+  test("demo registry dumps one row per project×table×feature") {
     val df = Registry.demo(sfDir).toDF(spark)
     assert(df.count() == 4)
     assert(df.columns.contains("max_age_sec"))
+    assert(df.columns.head == "project")
+    assert(df.select("project").distinct().collect().map(_.getString(0)).toSeq == Seq("default"))
   }
 }
