@@ -89,28 +89,85 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** IVF-style approximate top-k: a training-free coarse quantizer (first 16
-    * vectors act as centroids), every vector assigned to its nearest
-    * centroid cell, queries probe their 2 nearest cells. The cluster-scale
-    * shape: candidates shuffle once by cell id; queries × cells is tiny and
-    * broadcast. (A learned k-means quantizer would only change how `cents`
-    * is produced.) */
-  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** Deterministic spread seeding for the coarse quantizer: the k vectors
+    * with the smallest xxhash64(vec_id) — a uniform pseudo-random sample
+    * that is stable across runs and partitionings (unlike head-of-table
+    * seeding, which reflects insertion order, or rand(), which doesn't
+    * replay). */
+  private def seedCentroids(emb: DataFrame, k: Int): Seq[Seq[Double]] =
+    emb.select(asDouble(col("embedding")).as("v"), xxhash64(col("vec_id")).as("r"))
+      .orderBy(col("r")).limit(k)
+      .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+
+  /** Spherical k-means (Lloyd) iterations, entirely as DataFrame
+    * aggregations: assign every vector to its max-cosine centroid (16-row
+    * broadcast, no shuffle of the vectors), then recompute each cell's mean
+    * coordinate-wise via posexplode + two partial-aggregating groupBys.
+    * Only the k×dim centroid matrix is collected per iteration — driver
+    * traffic is O(k·dim), independent of corpus size, which is how k-means
+    * on a cluster always closes the loop. Cells that lose all members keep
+    * their previous centroid. */
+  private def lloyd(emb: DataFrame, seeds: Seq[Seq[Double]], iters: Int): Seq[Seq[Double]] = {
+    val spark = emb.sparkSession
+    var cents = seeds
+    for (_ <- 0 until iters) {
+      val centRows = cents.zipWithIndex.map { case (v, i) => (i, v) }
+      val centsDf = spark.createDataFrame(centRows).toDF("cent_id", "cvec")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
+      val assigned = emb.crossJoin(broadcast(centsDf))
+        .withColumn("csim", cosine(asDouble(col("embedding")), col("cvec")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") === 1)
+      val means = assigned
+        .select(col("cent_id"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+        .groupBy(col("cent_id"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cvec"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+      cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
+    }
+    cents
+  }
+
+  /** Trained coarse quantizer for [[knnIvf]]: seeded sample + Lloyd steps. */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] =
+    lloyd(emb, seedCentroids(emb, k), iters)
+
+  /** IVF-style approximate top-k: a k-means coarse quantizer (sampled
+    * seeding + Lloyd iterations as DataFrame aggregations), every vector
+    * assigned to its nearest centroid cell, queries probe their `nprobe`
+    * nearest cells. The cluster-scale shape: candidates shuffle once by
+    * cell id; queries × cells is tiny and broadcast. */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame =
+    knnIvfWith(spark, dir,
+      kmeansCentroids(Tables.embeddings(spark, dir), k = 16, iters = 2), nprobe = 2)
+
+  /** IVF search against a given centroid set (exposed so specs can compare
+    * quantizers and query ranges; `knnIvf` is the trained production entry).
+    * Probing every cell (`nprobe` = #centroids) degenerates to exact brute
+    * force, which specs use as ground truth for held-out queries. */
+  def knnIvfWith(spark: SparkSession, dir: String, centroids: Seq[Seq[Double]],
+                 nprobe: Int, queryLo: Long = 0L, queryHi: Long = 10L): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val cents = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val cents = broadcast(
+      spark.createDataFrame(centroids.zipWithIndex.map { case (v, i) => (i, v) })
+        .toDF("cent_id", "cvec"))
     def nearestCells(df: DataFrame, vecCol: String, n: Int, out: String): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("csim", cosine(col(vecCol), col("cvec")))
+      df.crossJoin(cents)
+        .withColumn("csim", cosine(asDouble(col(vecCol)), col("cvec")))
         .withColumn("crn", row_number().over(w))
         .filter(col("crn") <= n)
         .select(df.columns.toIndexedSeq.map(col) :+ col("cent_id").as(out): _*)
     }
     val cands = nearestCells(emb, "embedding", 1, "cell")
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding"))
-    val queries = nearestCells(emb.filter(col("vec_id") < 10), "embedding", 2, "cell")
+    val queries = nearestCells(
+        emb.filter(col("vec_id") >= queryLo && col("vec_id") < queryHi),
+        "embedding", nprobe, "cell")
       .select(col("cell"), col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))

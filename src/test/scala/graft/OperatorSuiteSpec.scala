@@ -59,6 +59,39 @@ class OperatorSuiteSpec extends SparkSpecBase {
     }
   }
 
+  test("knn_ivf k-means quantizer beats head-of-table seeding on held-out recall@5") {
+    // Measured pitfall: the round-1 stub quantizer (first 16 vectors as
+    // centroids) CONTAINS the 10 gate query vectors, so on queries 0-10 its
+    // probed cells are centered exactly on each query — recall 0.92, pure
+    // coincidence, not quantizer quality. Held-out queries (100-130) give
+    // the honest comparison. Everything is deterministic (hash seeding +
+    // Lloyd), so exact assertions are stable. sf0.01 = 500 vectors / 16
+    // cells; ground truth = probing all 16 cells (exhaustive).
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val (lo, hi) = (100L, 130L)
+    def top5(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    def recallOf(approx: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double =
+      exact.map { case (q, t) => approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+        .sum / exact.size
+    val headStub = emb.filter(col("vec_id") < 16)
+      .select(expr("transform(embedding, x -> cast(x as double))"))
+      .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    val trained = Similarity.kmeansCentroids(emb, 16, 2)
+    val exact = top5(Similarity.knnIvfWith(spark, dir, trained, 16, lo, hi))
+    val stubRecall = recallOf(top5(Similarity.knnIvfWith(spark, dir, headStub, 2, lo, hi)), exact)
+    val trainedRecall = recallOf(top5(Similarity.knnIvfWith(spark, dir, trained, 2, lo, hi)), exact)
+    // measured: trained 0.38 vs stub 0.28 at nprobe=2 (0.61 vs 0.47 at 4)
+    assert(trainedRecall >= stubRecall,
+      s"k-means recall $trainedRecall < stub recall $stubRecall")
+    assert(trainedRecall >= 0.3, s"recall@5 too low: $trainedRecall")
+    // centroids actually train: Lloyd moves them off the raw seeds
+    assert(Similarity.kmeansCentroids(emb, 16, 0) != trained)
+    assert(trained.size == 16 && trained.forall(_.size == 64))
+  }
+
   test("multimodal pipeline preserves every blob with correct byte counts") {
     val out = Multimodal.multimodalMeta(spark, sfDir)
     val docs = graft.sources.Tables.documents(spark, sfDir)
