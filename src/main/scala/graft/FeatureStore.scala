@@ -95,6 +95,20 @@ final class FeatureStore(val registry: Registry, spark: SparkSession,
       valueCols = featureNames)
   }
 
+  /** Materialize every table of this project that `storeSpec` subscribes to
+    * (reference: stores subscribe to feature tables by project/name glob
+    * patterns — Store.java subscriptions + isSubscribedToFeatureSet — and
+    * ingestion routes each table's rows to every subscribed store). Returns
+    * the table names materialized, in registry order. */
+  def materializeSubscribed(storeSpec: graft.model.StoreSpec, store: OnlineStore,
+                            startInclusive: String, endExclusive: String): Seq[String] = {
+    val subscribed = registry.listTables(project)
+      .filter(t => storeSpec.isSubscribedTo(project, t.name))
+      .map(_.name)
+    subscribed.foreach(materialize(_, store, startInclusive, endExclusive))
+    subscribed
+  }
+
   /** Online retrieval: for each request row, the latest stored value of each
     * requested feature, plus a `<col>__status` field per feature. `requestTs`
     * is the serving "now" used for max-age staleness. */

@@ -183,6 +183,49 @@ final case class FeatureTable(
   def featureRefs: Seq[FeatureRef] = features.map(f => FeatureRef(name, f.name))
 }
 
+/** A store's subscription to feature tables by project/name glob pattern
+  * (reference: StoreProto.Store.Subscription via common/models/Store.java —
+  * string form "project:name:exclude", `*` globs, exclusions win). */
+final case class Subscription(project: String, name: String, exclude: Boolean = false) {
+  require(project.nonEmpty && name.nonEmpty,
+    s"Missing arguments in subscription string: $this")
+  def render: String = s"$project:$name:$exclude"
+
+  private def toPattern(s: String): scala.util.matching.Regex =
+    (if (s.contains(".*")) s else s.replace("*", ".*")).r
+  def matches(projectName: String, tableName: String): Boolean =
+    toPattern(project).matches(projectName) && toPattern(name).matches(tableName)
+}
+
+object Subscription {
+  /** reference: common/models/Store.convertStringToSubscription — 2-part
+    * form is the backward-compat spelling without the exclude flag. */
+  def parse(s: String): Subscription = s.split(":") match {
+    case Array(p, n)    => Subscription(p, n)
+    case Array(p, n, e) => Subscription(p, n, e.toBoolean)
+    case _ => throw new IllegalArgumentException(s"bad subscription: $s")
+  }
+}
+
+/** A registered online store: type + connection config + the table
+  * subscriptions that route materialization to it (reference:
+  * core/model/Store.java — name, type, config bytes, comma-delimited
+  * subscriptions). The connection `config` is opaque metadata here: the
+  * executable store implementations live in graft.serving. */
+final case class StoreSpec(
+    name: String,
+    storeType: String,
+    config: Map[String, String] = Map.empty,
+    subscriptions: Seq[Subscription] = Seq.empty) {
+
+  /** reference: common/models/Store.isSubscribedToFeatureSet — exclusions
+    * have highest priority; otherwise any matching include subscribes. */
+  def isSubscribedTo(projectName: String, tableName: String): Boolean = {
+    if (subscriptions.exists(s => s.exclude && s.matches(projectName, tableName))) false
+    else subscriptions.exists(s => !s.exclude && s.matches(projectName, tableName))
+  }
+}
+
 /** One derived feature of an on-demand view: a SQL expression over the
   * retrieved input columns (`table__feature`) and entity/request columns. */
 final case class OnDemandFeature(name: String, sqlExpr: String)
@@ -207,6 +250,7 @@ final class Registry {
   private val entities = scala.collection.mutable.LinkedHashMap.empty[(String, String), Entity]
   private val tables   = scala.collection.mutable.LinkedHashMap.empty[(String, String), FeatureTable]
   private val odfvs    = scala.collection.mutable.LinkedHashMap.empty[(String, String), OnDemandView]
+  private val stores   = scala.collection.mutable.LinkedHashMap.empty[String, StoreSpec]
 
   // reference: core/src/main/java/feast/core/validators/Matchers.java
   // (checkValidCharacters) — names are identifiers; project names may also
@@ -304,6 +348,16 @@ final class Registry {
     require(missing.isEmpty, s"unknown input tables in project $p: ${missing.mkString(",")}")
     odfvs.update((p, v.name), v)
   }
+
+  /** Stores are global (not project-scoped) — their subscriptions carry the
+    * project patterns (reference: Store.java unique name; UpdateStore in
+    * CoreServiceImpl). */
+  def applyStore(s: StoreSpec): Unit = {
+    requireValidName("store", s.name)
+    stores.update(s.name, s)
+  }
+  def getStore(name: String): Option[StoreSpec] = stores.get(name)
+  def listStores: Seq[StoreSpec] = stores.values.toSeq
 
   // ----------------------------------------------------------------- reads
 

@@ -51,32 +51,56 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private val NumPlanes = 8
-
   /** Deterministic pseudo-random hyperplanes (LCG on (plane, dim)). */
-  private def planes(dim: Int): Seq[Seq[Double]] =
-    (0 until NumPlanes).map { p =>
+  private def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { p =>
       (0 until dim).map { d =>
         val x = (p * 1315423911L + d * 2654435761L + 97531L) & 0xffffffffL
         (x % 2001L).toDouble / 1000.0 - 1.0
       }
     }
 
-  private def bucketOf(vec: Column, dim: Int): Column = {
-    val ps = planes(dim)
-    (0 until NumPlanes).map { p =>
+  private def bucketOf(vec: Column, nPlanes: Int, dim: Int): Column = {
+    val ps = planes(nPlanes, dim)
+    (0 until nPlanes).map { p =>
       val plane = typedLit(ps(p))
       when(dot(vec, plane) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
   }
 
+  /** Plane count scaled to corpus size: 2^planes buckets targeting ~32
+    * vectors per bucket, clamped to [4, 24]. A FIXED plane count does not
+    * survive scale: at N = 10⁹, 8 planes = 256 buckets of ~4M vectors each
+    * and every probe degenerates toward a full scan; at 24 planes a bucket
+    * holds ~60. Multi-probe (below) covers the recall side of finer
+    * bucketing. */
+  def planesForCorpus(n: Long): Int =
+    math.max(4, math.min(24,
+      math.ceil(math.log(math.max(n, 1L).toDouble / 32.0) / math.log(2.0)).toInt))
+
   /** LSH-bucketed approximate top-k: same output shape as knnBrute but each
-    * query only scans its hyperplane-sign bucket (may return < K rows). */
+    * query only scans its hyperplane-sign bucket(s). Plane count adapts to
+    * the corpus; queries multi-probe their bucket plus all hamming-1
+    * neighbor buckets (flip one plane's sign bit) — the standard recall
+    * recovery for sign LSH, costing only |queries|×(planes+1) broadcast
+    * rows, never touching the candidate side's partitioning. */
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    knnLshWith(spark, dir, planesForCorpus(n), multiProbe = true)
+  }
+
+  def knnLshWith(spark: SparkSession, dir: String, numPlanes: Int,
+                 multiProbe: Boolean): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-      .withColumn("bucket", bucketOf(asDouble(col("embedding")), 64))
+      .withColumn("bucket", bucketOf(asDouble(col("embedding")), numPlanes, 64))
+    val probes: Column =
+      if (multiProbe)
+        array(col("bucket") +: (0 until numPlanes)
+          .map(p => col("bucket").bitwiseXOR(lit(1 << p))): _*)
+      else array(col("bucket"))
     val queries = emb.filter(col("vec_id") < 10)
-      .select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .select(explode(probes).as("bucket"),
+        col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val cands = emb.select(col("bucket"), col("vec_id").as("neighbor_id"), col("embedding"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))

@@ -173,6 +173,25 @@ class FeatureStoreSpec extends SparkSpecBase {
     assert(row.getAs[String]("shared__value__status") == "NOT_FOUND")
   }
 
+  test("materializeSubscribed routes only subscribed tables into the store") {
+    // two tables; the store subscribes to activity-like names only
+    val feats2 = Seq((1L, ts("2024-01-01 10:00:00"), 7.0))
+      .toDF("user_id", "ts", "other_value")
+    feats2.write.mode("overwrite").parquet(s"$workDir/other")
+    val r = store.registry
+    r.applyTable(FeatureTable("other_table", Seq("user_id"),
+      Seq(Feature("other_value", ValueKind.DoubleK)), eventTsCol = "ts",
+      batchSourcePath = Some(s"$workDir/other")))
+    val spec = StoreSpec("routed", "parquet",
+      subscriptions = Seq(Subscription("default", "activ*")))
+    val online = new ParquetOnlineStore(s"$workDir/online-routed")
+    val done = store.materializeSubscribed(spec, online,
+      "2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    assert(done == Seq("activity"))
+    val snapCols = online.snapshot(spark).columns.toSet
+    assert(snapCols.contains("value") && !snapCols.contains("other_value"))
+  }
+
   test("getOnlineFeatures marks stale rows OUTSIDE_MAX_AGE") {
     val online = new ParquetOnlineStore(s"$workDir/online2")
     store.materialize("activity", online, "2024-01-01 00:00:00", "2024-02-01 00:00:00")

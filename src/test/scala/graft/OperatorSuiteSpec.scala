@@ -47,6 +47,34 @@ class OperatorSuiteSpec extends SparkSpecBase {
     lsh.foreach { case (q, c) => assert(c <= brute(q) + 1e-9) }
   }
 
+  test("knn_lsh scales planes to corpus size and multi-probes for recall") {
+    // clamp behavior: 2^planes buckets target ~32 vectors each
+    assert(Similarity.planesForCorpus(1L) == 4)
+    assert(Similarity.planesForCorpus(500L) == 4)
+    assert(Similarity.planesForCorpus(5000L) == 8)
+    assert(Similarity.planesForCorpus(1L << 40) == 24) // ~1e12 vectors
+    // multi-probe dominates single-probe at the same plane count: it scans
+    // the exact bucket plus every hamming-1 bucket, so its candidate set is
+    // a superset and per-query recall can only improve (deterministic data)
+    def found(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val dir = "/root/testdata/sf0.01"
+    val planes = Similarity.planesForCorpus(500L) // the production pick: 4
+    val single = found(Similarity.knnLshWith(spark, dir, planes, multiProbe = false))
+    val multi  = found(Similarity.knnLshWith(spark, dir, planes, multiProbe = true))
+    val brute  = found(Similarity.knnBrute(spark, dir))
+    def recall(a: Map[Long, Set[Long]]): Double =
+      brute.map { case (q, t) => a.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+        .sum / brute.size
+    assert(recall(multi) >= recall(single))
+    // measured: adaptive 4 planes + multi-probe = 0.5; the round-1 fixed
+    // config (8 planes, no probe) measures 0.0 on the same data
+    assert(recall(multi) >= 0.5, s"multi-probe recall too low: ${recall(multi)}")
+    assert(recall(found(Similarity.knnLshWith(spark, dir, 8, multiProbe = false))) <=
+           recall(multi))
+  }
+
   test("knn_ivf approximates brute force within the probed cells") {
     val brute = Similarity.knnBrute(spark, sfDir).filter(col("rank") === 1).collect()
       .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cos")).toMap

@@ -174,6 +174,42 @@ class RegistrySpec extends SparkSpecBase {
            r.getTable("items", "team-b").get.streamSource)
   }
 
+  // reference: core/model/Store.java + common/models/Store.java
+  // (parseSubscriptionFrom / convertStringToSubscription /
+  // isSubscribedToFeatureSet).
+  test("store subscriptions: string form, globs, exclusion priority") {
+    // "project:name:exclude" round-trip + 2-part backward-compat form
+    assert(Subscription.parse("default:driver_*:false") ==
+           Subscription("default", "driver_*"))
+    assert(Subscription.parse("team-a:t1") == Subscription("team-a", "t1"))
+    assert(Subscription.parse("*:*:true") == Subscription("*", "*", exclude = true))
+    assert(Subscription.parse(Subscription("p", "n", exclude = true).render) ==
+           Subscription("p", "n", exclude = true))
+    // "Missing arguments in subscription string"
+    assertThrows[IllegalArgumentException](Subscription("", "n"))
+    assertThrows[IllegalArgumentException](Subscription("p", ""))
+    // glob matching on both project and name
+    val s = StoreSpec("online", "parquet",
+      subscriptions = Seq(Subscription("team-*", "driver_*")))
+    assert(s.isSubscribedTo("team-a", "driver_hourly"))
+    assert(!s.isSubscribedTo("other", "driver_hourly"))
+    assert(!s.isSubscribedTo("team-a", "rider_hourly"))
+    // exclusions have highest priority (reference Case 1 before Case 2)
+    val excl = StoreSpec("online", "parquet", subscriptions = Seq(
+      Subscription("*", "*"),
+      Subscription("default", "secret_*", exclude = true)))
+    assert(excl.isSubscribedTo("default", "driver_hourly"))
+    assert(!excl.isSubscribedTo("default", "secret_stats"))
+    // no include patterns -> subscribed to nothing
+    assert(!StoreSpec("s", "parquet").isSubscribedTo("default", "t"))
+    // registry CRUD
+    val r = freshRegistry
+    r.applyStore(s)
+    assert(r.getStore("online").contains(s))
+    assert(r.listStores == Seq(s))
+    assertThrows[IllegalArgumentException](r.applyStore(StoreSpec("bad name", "parquet")))
+  }
+
   test("filterTables matches entity sets and label subsets") {
     val r = Registry.demo(sfDir)
     assert(r.filterTables(entitiesFilter = Seq("user_id")).map(_.name) == Seq("user_activity"))
