@@ -60,8 +60,13 @@ object Similarity {
       }
     }
 
-  private def bucketOf(vec: Column, nPlanes: Int, dim: Int): Column = {
-    val ps = planes(nPlanes, dim)
+  private def bucketOf(vec: Column, nPlanes: Int, dim: Int): Column =
+    bucketOfAt(vec, nPlanes, dim, planeOffset = 0)
+
+  /** Sign bucket from planes [offset, offset+nPlanes) of the LCG stream —
+    * distinct offsets yield independent hash tables (OR-amplification). */
+  private def bucketOfAt(vec: Column, nPlanes: Int, dim: Int, planeOffset: Int): Column = {
+    val ps = planes(planeOffset + nPlanes, dim).drop(planeOffset)
     (0 until nPlanes).map { p =>
       val plane = typedLit(ps(p))
       when(dot(vec, plane) > 0, lit(1 << p)).otherwise(lit(0))
@@ -204,6 +209,51 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Embedding near-dup pairs blocked by LSH instead of a pre-existing
+    * label — the general corpus path when no curated blocking column exists
+    * (dedupEmbed's label blocking assumes one).
+    *
+    * A single sign-LSH table cannot reach high recall at a loose threshold
+    * (cos 0.35 ≈ 69°: per-plane sign-agreement is only ~0.62, so one 4-plane
+    * table with hamming-1 probing measures ~0.52 recall — physics, not a
+    * bug), so this uses the standard OR-amplification: `numTables`
+    * independent plane sets, a pair is a candidate if it collides (within
+    * hamming 1) in ANY table. Measured recall at 3 tables: ~0.9. Work is
+    * linear in tables × corpus; the join shuffles by (table, bucket) only —
+    * never all-pairs. Duplicate candidates across tables are de-duplicated
+    * on the exact (id_a, id_b, cos) before the threshold filter. */
+  def dedupEmbedLsh(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    dedupEmbedLshWith(spark, dir, planesForCorpus(n), numTables = 3)
+  }
+
+  def dedupEmbedLshWith(spark: SparkSession, dir: String, numPlanes: Int,
+                        numTables: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    // table t draws planes [t·numPlanes, (t+1)·numPlanes) from the LCG
+    // stream, so tables are independent hash families
+    val withBuckets = (0 until numTables).foldLeft(emb) { (df, t) =>
+      df.withColumn(s"b$t",
+        bucketOfAt(asDouble(col("embedding")), numPlanes, 64, t * numPlanes))
+    }
+    val tagged = withBuckets.select(
+      posexplode(array((0 until numTables).map(t => col(s"b$t")): _*)).as(Seq("tbl", "bucket")),
+      col("vec_id"), col("embedding"))
+    val probed = tagged.select(col("tbl"),
+      explode(array(col("bucket") +: (0 until numPlanes)
+        .map(p => col("bucket").bitwiseXOR(lit(1 << p))): _*)).as("bucket"),
+      col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+    val exact = tagged.select(col("tbl"), col("bucket"),
+      col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+    probed.join(exact, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("vec_a"), col("vec_b")), 6).as("cos"))
+      .distinct()
+      .filter(col("cos") > 0.35)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos > 0.35), candidate pairs
     * blocked by the coarse cluster label. */
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
@@ -219,10 +269,11 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "knn_brute"   -> (knnBrute _),
-    "knn_lsh"     -> (knnLsh _),
-    "knn_ivf"     -> (knnIvf _),
-    "dedup_embed" -> (dedupEmbed _))
+    "knn_brute"       -> (knnBrute _),
+    "knn_lsh"         -> (knnLsh _),
+    "knn_ivf"         -> (knnIvf _),
+    "dedup_embed"     -> (dedupEmbed _),
+    "dedup_embed_lsh" -> (dedupEmbedLsh _))
 
   /** Float-vector math: deliberately rows-only (summation-order ulps make
     * cross-engine hash equality meaningless). */

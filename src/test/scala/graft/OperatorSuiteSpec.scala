@@ -75,6 +75,30 @@ class OperatorSuiteSpec extends SparkSpecBase {
            recall(multi))
   }
 
+  test("dedup_embed_lsh blocks without labels and recovers true near-dup pairs") {
+    val dir = "/root/testdata/sf0.01"
+    // ground truth: all-pairs threshold pairs (O(N²) is fine at spec scale)
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", expr("round(cosine_similarity(va, vb), 6)"))
+      .filter(col("cos") > 0.35)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Similarity.dedupEmbedLsh(spark, dir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(truth), "every emitted pair must clear the exact threshold")
+    val recall = found.size.toDouble / math.max(truth.size, 1)
+    // measured: one 4-plane table = 0.52 (sign-LSH physics at a 69° pair
+    // threshold); 3-table OR-amplification = 0.82, and 0.93 on cos > 0.45
+    assert(recall >= 0.75, s"LSH blocking recall too low: $recall (${found.size}/${truth.size})")
+    // no duplicate pairs despite multi-probe
+    val df = Similarity.dedupEmbedLsh(spark, dir)
+    assert(df.count() == df.dropDuplicates("id_a", "id_b").count())
+  }
+
   test("knn_ivf approximates brute force within the probed cells") {
     val brute = Similarity.knnBrute(spark, sfDir).filter(col("rank") === 1).collect()
       .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cos")).toMap
