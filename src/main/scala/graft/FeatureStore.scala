@@ -95,6 +95,26 @@ final class FeatureStore(val registry: Registry, spark: SparkSession,
       valueCols = featureNames)
   }
 
+  /** Stream half of materialization (reference: ingestion into the online
+    * store is decoupled from reading; stream DataSource in
+    * FeatureTable.java:94-97): open the table's registered stream-source
+    * spec and continuously upsert latest values — the same LatestValue
+    * merge as batch [[materialize]], so the two paths cannot diverge.
+    * Returns the writer; callers start it with their trigger/checkpoint. */
+  def materializeStream(tableName: String, store: OnlineStore,
+                        schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val t = table(tableName)
+    val spec = t.streamSource.getOrElse(
+      throw new IllegalArgumentException(s"table $tableName has no stream source"))
+    val stream = graft.streaming.StreamIngest.readStreamSource(spark, spec, schema)
+    graft.streaming.StreamIngest.latestUpsert(
+      stream.withColumn(ProjectCol, lit(project)), store,
+      keys = ProjectCol +: t.entities,
+      orderCols = Seq(spec.eventTsCol) ++ t.createdTsCol,
+      valueCols = t.features.map(_.name))
+  }
+
   /** Materialize every table of this project that `storeSpec` subscribes to
     * (reference: stores subscribe to feature tables by project/name glob
     * patterns — Store.java subscriptions + isSubscribedToFeatureSet — and

@@ -20,5 +20,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Analytics.oracle ++ FeatureOps.oracle ++ TextAnalysis.oracle ++
-      Dedup.oracle ++ Similarity.oracle ++ OracleVariants.oracle
+      Dedup.oracle ++ Similarity.oracle ++ OracleVariants.oracle ++
+      Multimodal.oracle
 }

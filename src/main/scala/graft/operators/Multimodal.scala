@@ -80,6 +80,49 @@ object Multimodal {
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaTable(spark, dir)).toDF().orderBy(col("doc_id"))
 
+  /** Decoded metadata row of the DuckDB-provable twin. */
+  final case class MediaMetaOracle(
+      doc_id: Long, media_type: String, width: Int, height: Int,
+      n_bytes: Long, checksum_cp: Long)
+
+  /** DuckDB-provable twin of the multimodal pipeline: the SAME binary
+    * column + typed metadata + batched mapPartitions plumbing, but the
+    * decode step computes engine-neutral values — byte count of the blob
+    * and the sum of its UTF-8-decoded code points — which DuckDB recomputes
+    * from the text (strlen = bytes, ascii() = code point). The byte-sum
+    * checksum of the rows-only gate can't be expressed in DuckDB (no
+    * blob→byte-list), so this is the strongest provable surface: it
+    * hash-gates everything in the pipeline except the stub decoder body. */
+  def multimodalMetaOracle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.map { b =>
+            val text = new String(b.blob, java.nio.charset.StandardCharsets.UTF_8)
+            val cpSum = text.codePoints().asLongStream().sum()
+            MediaMetaOracle(b.doc_id, b.media_type, b.width, b.height,
+              b.blob.length.toLong, cpSum)
+          }
+        }
+      }
+      .toDF().orderBy(col("doc_id"))
+  }
+
+  val multimodalMetaOracleSql: String =
+    """SELECT doc_id,
+      |  ['image/png','audio/wav','video/mp4'][(doc_id % 3 + 1)::INT] AS media_type,
+      |  (doc_id * 7 % 192 + 64)::INT AS width,
+      |  (doc_id * 13 % 128 + 64)::INT AS height,
+      |  strlen(text)::BIGINT AS n_bytes,
+      |  coalesce(list_sum(list_transform(string_split_regex(text, ''),
+      |    c -> ascii(c)::BIGINT)), 0)::BIGINT AS checksum_cp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_meta" -> (multimodalMeta _))
+    "multimodal_meta"        -> (multimodalMeta _),
+    "multimodal_meta_oracle" -> (multimodalMetaOracle _))
+
+  val oracle: Map[String, String] = Map(
+    "multimodal_meta_oracle" -> multimodalMetaOracleSql)
 }

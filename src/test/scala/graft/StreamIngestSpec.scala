@@ -71,6 +71,43 @@ class StreamIngestSpec extends SparkSpecBase {
     assert(streamed == Map(1L -> 2.0, 2L -> 5.0)) // late row 4 lost, row 5 won
   }
 
+  test("registry-driven stream materialization serves through getOnlineFeatures") {
+    import graft.model._
+    // full facade round trip: registry spec -> stream source -> latest
+    // upsert -> online lookup, driven purely by registry metadata
+    val dir = Files.createTempDirectory("graft-stream-facade").toString
+    batch1.toDF().write.mode("append").parquet(s"$dir/in")
+    val r = new Registry
+    r.applyEntity(Entity("user_id", ValueKind.Int64K))
+    r.applyTable(FeatureTable("activity", Seq("user_id"),
+      Seq(Feature("value", ValueKind.DoubleK), Feature("event_type", ValueKind.StringK)),
+      eventTsCol = "ts",
+      createdTsCol = Some("event_id"),
+      batchSourcePath = Some(s"$dir/in"),
+      streamSource = Some(FileStreamSourceSpec(s"$dir/in", "parquet", "ts"))))
+    val fs = new FeatureStore(r, spark)
+    val store = new ParquetOnlineStore(s"$dir/store")
+    val writer = fs.materializeStream("activity", store, batch1.toDF().schema)
+    StreamIngest.runOnce(writer, s"$dir/cp").awaitTermination()
+    batch2.toDF().write.mode("append").parquet(s"$dir/in")
+    StreamIngest.runOnce(writer, s"$dir/cp").awaitTermination()
+    val out = fs.getOnlineFeatures(store, Seq(1L, 2L, 9L).toDF("user_id"),
+        Seq(FeatureRef("activity", "value")),
+        lit(ts("2024-01-01 13:00:00")))
+      .collect().map(rw => rw.getAs[Long]("user_id") ->
+        (Option(rw.getAs[java.lang.Double]("activity__value")),
+         rw.getAs[String]("activity__value__status"))).toMap
+    assert(out(1L) == (Some(2.0), "PRESENT")) // late row 4 did not win
+    assert(out(2L) == (Some(5.0), "PRESENT"))
+    assert(out(9L) == (None, "NOT_FOUND"))
+    // a table without a stream source refuses stream materialization
+    r.applyTable(FeatureTable("batch_only", Seq("user_id"),
+      Seq(Feature("value", ValueKind.DoubleK)), eventTsCol = "ts",
+      batchSourcePath = Some(s"$dir/in")))
+    assertThrows[IllegalArgumentException](
+      fs.materializeStream("batch_only", store, batch1.toDF().schema))
+  }
+
   test("MemoryOnlineStore matches ParquetOnlineStore upsert semantics") {
     val dir = Files.createTempDirectory("graft-memstore").toString
     val pq = new ParquetOnlineStore(s"$dir/store")
