@@ -7,14 +7,46 @@ import org.apache.spark.sql.functions._
   * cardinality grows too) and time the heavy operators, to observe the
   * scaling exponent rather than guess it. Dev tool, not library surface. */
 object ScaleProbe {
+
+  /** Quadratic-vs-capped probe for the dedup_ngram hot-shingle cap: a
+    * corpus where EVERY doc shares one boilerplate sentence (single
+    * block), doubled in size per step. Uncapped, the shared shingles emit
+    * O(n²) join rows — time should ~4× per doubling; capped, the
+    * boilerplate shingles are dropped and growth stays near-linear. */
+  private def ngramProbe(spark: SparkSession, sizes: Seq[Int]): Unit = {
+    import org.apache.spark.sql.functions._
+    val boiler = "terms of service apply to all content published in this corpus today"
+    for (n <- sizes) {
+      val dir = java.nio.file.Files.createTempDirectory(s"probe-ngram-$n").toString
+      spark.range(0, n).select(
+          col("id").as("doc_id"), lit("en").as("lang"), lit("web").as("source"),
+          concat(lit(boiler + " entry "), col("id"),
+            lit(" view "), col("id") * 7,
+            lit(" body "), col("id") * 13).as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      for ((name, maxDf) <- Seq("uncapped" -> Int.MaxValue, "capped" -> 1000)) {
+        val t0 = System.nanoTime()
+        val rows = graft.operators.Dedup.dedupNgramCapped(spark, dir, maxDf).count()
+        println(f"[scale] ngram $name%-9s n=$n%-6d ${(System.nanoTime() - t0) / 1e9}%7.2f s pairs=$rows")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val k = args.headOption.map(_.toInt).getOrElse(10)
+    val k = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
+
+    if (args.headOption.contains("ngram")) {
+      ngramProbe(spark, Seq(2000, 4000, 8000))
+      spark.stop()
+      return
+    }
 
     def rep(df: DataFrame, keyCols: Seq[String]): DataFrame =
       (0 until k).map { i =>
