@@ -133,6 +133,50 @@ object Dedup {
       |    greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1)::DOUBLE, 4) > 0.2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Near-dup CLUSTERING: connected components over the union of exact-dup
+    * edges (doc ↔ its md5-group root) and n-gram near-dup pair edges, with
+    * one row per document: its component id (min reachable doc_id) and
+    * whether it is the component's keep representative. This is the step a
+    * training pipeline actually runs — pairs alone don't say which docs to
+    * drop when duplicates chain (A≈B, B≈C ⇒ one cluster even if A̸≈C).
+    *
+    * Algorithm: iterative min-label propagation to fixpoint — labels start
+    * as doc_id, each round every doc takes the min of its own label and its
+    * neighbors', until nothing changes. Each round is ONE shuffle of
+    * (labels ∪ edge-carried labels) on doc_id; rounds needed = component
+    * diameter (dup clusters are near-cliques, so 2-3 in practice). The
+    * driver sees only the per-round change count and the final labels are
+    * localCheckpoint'ed so lineage stays bounded — the standard large-graph
+    * CC shape, no driver-side graph. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val withHash = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val roots = withHash.groupBy(col("h")).agg(min(col("doc_id")).as("root"))
+    val exactEdges = withHash.join(roots, "h")
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("doc_id").as("a"), col("root").as("b"))
+    val ngramEdges = dedupNgram(spark, dir).select(col("id_a").as("a"), col("id_b").as("b"))
+    val directed = exactEdges.unionByName(ngramEdges)
+    val edges = directed
+      .unionByName(directed.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbors = edges.join(labels, edges("b") === labels("doc_id"))
+        .select(edges("a").as("doc_id"), labels("lbl"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "doc_id")
+        .filter(col("lbl") =!= col("prev")).count()
+      labels = next
+    }
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"),
+        (col("doc_id") === col("lbl")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   private val NumPerms = 64
   private val Bands    = 16 // 16 bands × 4 rows
 
@@ -201,13 +245,52 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Oracle for dedup_clusters: same edge set (md5-root stars + the ngram
+    * oracle's pair formulation), connected components via a recursive
+    * closure — min reachable doc_id per doc. Components are tiny (dup
+    * clusters), so the closure is cheap for DuckDB even though the Spark
+    * side uses fixpoint propagation instead. */
+  val dedupClustersSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 3
+      |      THEN list_transform(
+      |        range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 1),
+      |        i -> array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+')[i:i+2], ' '))
+      |      ELSE [] END) AS sh
+      |  FROM documents
+      |), npairs AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |      greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1)::DOUBLE, 4) > 0.2
+      |), eh AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents
+      |), eroots AS (
+      |  SELECT h, min(doc_id) AS root FROM eh GROUP BY 1
+      |), eedges AS (
+      |  SELECT eh.doc_id AS a, er.root AS b FROM eh JOIN eroots er USING (h)
+      |  WHERE eh.doc_id <> er.root
+      |), edges AS (
+      |  SELECT a, b FROM eedges UNION SELECT b, a FROM eedges
+      |  UNION SELECT a, b FROM npairs UNION SELECT b, a FROM npairs
+      |), reach(doc_id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.b
+      |)
+      |SELECT doc_id, min(lbl) AS cluster_id, doc_id = min(lbl) AS keep
+      |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_exact"   -> (dedupExact _),
-    "dedup_ngram"   -> (dedupNgram _),
-    "dedup_minhash" -> (dedupMinhash _),
-    "dedup_simhash" -> (dedupSimhash _))
+    "dedup_exact"    -> (dedupExact _),
+    "dedup_ngram"    -> (dedupNgram _),
+    "dedup_minhash"  -> (dedupMinhash _),
+    "dedup_simhash"  -> (dedupSimhash _),
+    "dedup_clusters" -> (dedupClusters _))
 
   val oracle: Map[String, String] = Map(
-    "dedup_exact" -> dedupExactSql,
-    "dedup_ngram" -> dedupNgramSql)
+    "dedup_exact"    -> dedupExactSql,
+    "dedup_ngram"    -> dedupNgramSql,
+    "dedup_clusters" -> dedupClustersSql)
 }

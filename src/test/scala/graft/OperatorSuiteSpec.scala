@@ -47,6 +47,38 @@ class OperatorSuiteSpec extends SparkSpecBase {
     lsh.foreach { case (q, c) => assert(c <= brute(q) + 1e-9) }
   }
 
+  test("dedup_clusters merges chained near-dups transitively and keeps the min doc") {
+    import spark.implicits._
+    // chain: 0 ≈ 1 (share s1), 1 ≈ 2 (share s2), 0 and 2 share nothing;
+    // 3 is an EXACT copy of 0; 4 is unrelated. Expect {0,1,2,3} one
+    // cluster with keep=0, {4} a singleton.
+    val s1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val s2 = "omicron pi rho sigma tau upsilon phi chi"
+    val docs = Seq(
+      (0L, "en", "web", s"$s1 one two three"),
+      (1L, "en", "web", s"$s1 $s2"),
+      (2L, "en", "web", s"$s2 four five six"),
+      (3L, "en", "web", s"$s1 one two three"), // exact dup of 0
+      (4L, "en", "web", "totally unrelated content about q1 q2 q3 q4 q5 q6 q7 q8"))
+      .toDF("doc_id", "lang", "source", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-clusters").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // precondition: the chain is real (0-1 and 1-2 pair, no 0-2 pair)
+    val pairs = Dedup.dedupNgram(spark, dir).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.contains((0L, 2L)))
+    val out = Dedup.dedupClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(0L) == (0L, true))
+    assert(out(1L) == (0L, false)) // via direct pair
+    assert(out(2L) == (0L, false)) // via transitivity through 1
+    assert(out(3L) == (0L, false)) // via exact-dup edge
+    assert(out(4L) == (4L, true))  // singleton keeps itself
+  }
+
   test("knn_lsh scales planes to corpus size and multi-probes for recall") {
     // clamp behavior: 2^planes buckets target ~32 vectors each
     assert(Similarity.planesForCorpus(1L) == 4)
