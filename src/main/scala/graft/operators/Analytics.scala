@@ -287,6 +287,39 @@ object Analytics {
       | round(avg(n_chars), 2) AS avg_chars
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Sketch twin of q_percentiles: approx_percentile (positional quantile
+    * sketch). Exact `percentile` buffers every value per group — at 100 TB
+    * per-group value lists don't fit; the sketch is mergeable map-side with
+    * bounded memory, which is the only shape that scales. Rows-only gate
+    * (sketch outputs are engine-specific by definition); the spec pins it
+    * to the exact operator within the sketch's accuracy bound. */
+  def qPercentilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("approx_percentile(n_chars, array(0.5D, 0.9D, 0.99D), 10000)").as("ps"))
+      .select(col("lang"), col("n_docs"),
+        element_at(col("ps"), 1).cast("double").as("p50"),
+        element_at(col("ps"), 2).cast("double").as("p90"),
+        element_at(col("ps"), 3).cast("double").as("p99"))
+      .orderBy(col("lang"))
+  }
+
+  /** Sketch twin of ft_stats' n_users: HyperLogLog++ distinct counting.
+    * Exact count_distinct shuffles every (group, user) pair; the HLL
+    * sketch is a fixed-size mergeable buffer per group — the 100 TB path
+    * for cardinality. Rows-only (sketch estimate is engine-specific);
+    * spec pins the estimate to the exact count within the configured
+    * relative error. */
+  def ftStatsApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"))
+      .orderBy(col("event_type"))
+
   /** Top-N per group (2 largest orders per customer). */
   def qTopnGroup(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -317,6 +350,8 @@ object Analytics {
     "events_sessionize" -> (eventsSessionize _),
     "events_tumble"     -> (eventsTumble _),
     "q_percentiles"     -> (qPercentiles _),
+    "q_percentiles_approx" -> (qPercentilesApprox _),
+    "ft_stats_approx"   -> (ftStatsApprox _),
     "q_topn_group"      -> (qTopnGroup _),
     "events_hop"        -> (eventsHop _))
 

@@ -73,6 +73,23 @@ object StreamIngest {
       .select(col("win.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Watermarked session-window aggregation — the streaming twin of
+    * Analytics.eventsSessionize (30-min-gap sessions), using Spark's native
+    * `session_window` state store instead of a batch sort+scan: sessions
+    * merge incrementally as events arrive and close when the watermark
+    * passes gap past the last event. */
+  def sessionAgg(stream: DataFrame, tsCol: String, keyCol: String,
+                 gap: String, watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("sess"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        round(sum(col("value")), 4).as("total_value"))
+      .select(col(keyCol), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Convenience: run a writer until all currently-available data is
     * processed (test/demo helper; production would use its own trigger). */
   def runOnce(w: DataStreamWriter[Row], checkpoint: String): StreamingQuery =

@@ -47,6 +47,29 @@ class OperatorSuiteSpec extends SparkSpecBase {
     lsh.foreach { case (q, c) => assert(c <= brute(q) + 1e-9) }
   }
 
+  test("sketch twins track their exact operators within accuracy bounds") {
+    val dir = "/root/testdata/sf0.01"
+    // approx_percentile (positional sketch, accuracy 10000) vs exact
+    val exactP = Analytics.qPercentiles(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p90"))).toMap
+    Analytics.qPercentilesApprox(spark, dir).collect().foreach { r =>
+      val (p50, p90) = exactP(r.getAs[String]("lang"))
+      // positional sketch: rank error <= n/accuracy; value tolerance loose
+      assert(math.abs(r.getAs[Double]("p50") - p50) <= 0.1 * math.max(p50, 1.0))
+      assert(math.abs(r.getAs[Double]("p90") - p90) <= 0.1 * math.max(p90, 1.0))
+    }
+    // HLL++ at rsd 2% vs exact count_distinct
+    val exactU = graft.operators.FeatureOps.ftStats(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users")).toMap
+    Analytics.ftStatsApprox(spark, dir).collect().foreach { r =>
+      val exact = exactU(r.getAs[String]("event_type"))
+      val est = r.getAs[Long]("n_users_approx")
+      assert(math.abs(est - exact).toDouble / exact <= 0.06,
+        s"HLL estimate $est too far from exact $exact")
+    }
+  }
+
   test("dedup_clusters merges chained near-dups transitively and keeps the min doc") {
     import spark.implicits._
     // chain: 0 ≈ 1 (share s1), 1 ≈ 2 (share s2), 0 and 2 share nothing;

@@ -138,6 +138,33 @@ class StreamIngestSpec extends SparkSpecBase {
     assert(out.map(_.getAs[Long]("event_id")).toSet == Set(1L, 3L))
   }
 
+  test("streaming session_window agg matches batch sessionization") {
+    val dir = Files.createTempDirectory("graft-stream-sess").toString
+    // events for one user: two 30-min-gap sessions (10:00-10:20, 11:30)
+    val rows = Seq(
+      EventRow(1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+      EventRow(2L, ts("2024-01-01 10:20:00"), 7L, "view", 2.0),
+      EventRow(3L, ts("2024-01-01 11:30:00"), 7L, "click", 4.0),
+      // a far-future event advances the watermark so both sessions close
+      EventRow(9L, ts("2024-01-02 00:00:00"), 8L, "click", 0.5))
+    val input = MemoryStream[EventRow](spark)
+    input.addData(rows: _*)
+    val q = StreamIngest.sessionAgg(input.toDF(), "ts", "user_id", "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("sess_out").filter(col("user_id") === 7L)
+      .orderBy(col("session_start")).collect()
+      .map(r => (r.getAs[Timestamp]("session_start"), r.getAs[Timestamp]("session_end"),
+                 r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+    assert(streamed.toSeq == Seq(
+      (ts("2024-01-01 10:00:00"), ts("2024-01-01 10:20:00"), 2L, 3.0),
+      (ts("2024-01-01 11:30:00"), ts("2024-01-01 11:30:00"), 1L, 4.0)))
+  }
+
   test("windowed streaming agg matches batch tumbling aggregation") {
     val dir = Files.createTempDirectory("graft-stream-win").toString
     val input = MemoryStream[EventRow](spark)
