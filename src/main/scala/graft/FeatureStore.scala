@@ -46,9 +46,20 @@ final class FeatureStore(val registry: Registry, spark: SparkSession,
       eventTsUnit = t.labels.getOrElse("graft.ts_unit", "micros"))
   }
 
-  private def loadFeatures(t: FeatureTable, featureNames: Seq[String]): DataFrame =
+  /** Load a table's source, projecting entities + event-ts + the requested
+    * features, CAST to their registry-declared value types (reference:
+    * feature values are typed by the Value proto, not by whatever the
+    * source file happens to contain). Unknown feature names fail fast with
+    * the reference's error shape instead of a Spark analysis error. */
+  private def loadFeatures(t: FeatureTable, featureNames: Seq[String]): DataFrame = {
+    val declared = t.features.map(f => f.name -> f).toMap
+    val unknown = featureNames.filterNot(declared.contains)
+    require(unknown.isEmpty,
+      s"Feature(s) ${unknown.mkString(", ")} not found in table ${t.name}")
     BatchSource.read(spark, sourceOf(t))
-      .select((t.entities :+ t.eventTsCol) .map(col) ++ featureNames.map(col): _*)
+      .select((t.entities :+ t.eventTsCol).map(col) ++
+        featureNames.map(n => col(n).cast(declared(n).valueType.sparkType).as(n)): _*)
+  }
 
   /** Point-in-time join every requested feature onto the entity dataframe.
     * One as-of pass per distinct feature table (each a single shuffle). */

@@ -228,9 +228,56 @@ object TextAnalysis {
       |SELECT split, lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
       |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // PII patterns kept to the Java∩RE2 common subset so the oracle computes
+  // identical matches (no lookbehind, no backreferences).
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val urlRe   = "https?://[^\\s]+"
+  private val ipRe    = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val phoneRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
+  /** PII scrub: count and redact emails/URLs/IPs/phone-shaped strings —
+    * the redaction pass a training corpus runs before tokenization. The
+    * redacted text is emitted as an md5 (the gate hashes it; carrying the
+    * full redacted text through the compare adds nothing). Replacement
+    * order is fixed (email → url → ip → phone) and identical in the
+    * oracle, so the hash is deterministic cross-engine. */
+  def corpusRedact(spark: SparkSession, dir: String): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), emailRe, "<EMAIL>"),
+            urlRe, "<URL>"),
+          ipRe, "<IP>"),
+        phoneRe, "<PHONE>")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(urlRe), lit(0))).cast("long").as("n_urls"),
+        size(regexp_extract_all(col("text"), lit(ipRe), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+        md5(redacted.cast("binary")).as("redacted_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusRedactSql: String =
+    s"""SELECT doc_id,
+      | len(regexp_extract_all(text, '$emailRe')) AS n_emails,
+      | len(regexp_extract_all(text, '$urlRe')) AS n_urls,
+      | len(regexp_extract_all(text, '$ipRe')) AS n_ips,
+      | len(regexp_extract_all(text, '$phoneRe')) AS n_phones,
+      | md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      |   '$emailRe', '<EMAIL>', 'g'),
+      |   '$urlRe', '<URL>', 'g'),
+      |   '$ipRe', '<IP>', 'g'),
+      |   '$phoneRe', '<PHONE>', 'g')) AS redacted_hash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean"     -> (corpusClean _),
     "corpus_split"     -> (corpusSplit _),
+    "corpus_redact"    -> (corpusRedact _),
     "text_tokens"      -> (textTokens _),
     "text_quality"     -> (textQuality _),
     "text_langid"      -> (textLangid _),
@@ -239,6 +286,7 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "corpus_clean"     -> corpusCleanSql,
     "corpus_split"     -> corpusSplitSql,
+    "corpus_redact"    -> corpusRedactSql,
     "text_tokens"      -> textTokensSql,
     "text_quality"     -> textQualitySql,
     "text_langid"      -> textLangidSql,

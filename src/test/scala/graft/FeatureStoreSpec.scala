@@ -137,6 +137,31 @@ class FeatureStoreSpec extends SparkSpecBase {
     assert(out == Map(1L -> "PRESENT", 2L -> "NULL_VALUE"))
   }
 
+  test("features are cast to registry-declared types; unknown features fail fast") {
+    // source stores value as BIGINT; registry declares INT32 + DOUBLE views
+    val feats = Seq((1L, ts("2024-01-01 00:00:00"), 41L))
+      .toDF("user_id", "ts", "score")
+    feats.write.mode("overwrite").parquet(s"$workDir/typed")
+    val r = new Registry
+    r.applyEntity(Entity("user_id", ValueKind.Int64K))
+    r.applyTable(FeatureTable("typed", Seq("user_id"),
+      Seq(Feature("score", ValueKind.Int32K)), eventTsCol = "ts",
+      batchSourcePath = Some(s"$workDir/typed")))
+    val fs2 = new FeatureStore(r, spark)
+    val entities = Seq((1L, ts("2024-01-02 00:00:00"))).toDF("user_id", "event_timestamp")
+    val out = fs2.getHistoricalFeatures(entities, "event_timestamp",
+      Seq(FeatureRef("typed", "score")))
+    assert(out.schema("typed__score").dataType ==
+           org.apache.spark.sql.types.IntegerType)
+    assert(out.head().getAs[Int]("typed__score") == 41)
+    // reference error shape for unknown features
+    val ex = intercept[IllegalArgumentException] {
+      fs2.getHistoricalFeatures(entities, "event_timestamp",
+        Seq(FeatureRef("typed", "nope")))
+    }
+    assert(ex.getMessage.contains("not found in table typed"))
+  }
+
   test("project namespacing isolates online keys sharing one store") {
     // two projects define the SAME table name + entity key, materialize
     // into the SAME store: lookups must never leak across projects

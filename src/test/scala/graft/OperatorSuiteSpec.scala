@@ -47,6 +47,29 @@ class OperatorSuiteSpec extends SparkSpecBase {
     lsh.foreach { case (q, c) => assert(c <= brute(q) + 1e-9) }
   }
 
+  test("corpus_redact counts and strips PII-shaped strings") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "en", "web",
+       "contact bob@example.com or visit https://example.com/x and ping 10.0.0.1 or call 555-123-4567"),
+      (1L, "en", "web", "no pii here at all"))
+      .toDF("doc_id", "lang", "source", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-redact").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.corpusRedact(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Long]("n_emails") == 1)
+    assert(out(0L).getAs[Long]("n_urls") == 1)
+    assert(out(0L).getAs[Long]("n_ips") == 1)
+    assert(out(0L).getAs[Long]("n_phones") == 1)
+    val expected = "contact <EMAIL> or visit <URL> and ping <IP> or call <PHONE>"
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0L).getAs[String]("redacted_hash") == md5hex)
+    assert(out(1L).getAs[Long]("n_emails") == 0)
+  }
+
   test("sketch twins track their exact operators within accuracy bounds") {
     val dir = "/root/testdata/sf0.01"
     // approx_percentile (positional sketch, accuracy 10000) vs exact
