@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.JoinUtils
+
+class JoinUtilsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("co-bucketed tables join with no shuffle exchange") {
+    val wh = Files.createTempDirectory("graft-bucketed").toString
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = graft.sources.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity")
+    JoinUtils.writeBucketed(orders, wh, "orders_b", "o_orderkey", 8)
+    JoinUtils.writeBucketed(lineitem, wh, "lineitem_b", "l_orderkey", 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan
+      assert(plan.collect { case j: SortMergeJoinExec => j }.nonEmpty)
+      val shuffles = plan.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.isEmpty,
+        s"bucketed join must not shuffle, found: ${shuffles.map(_.nodeName)}")
+      // and it computes the right thing
+      val plain = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      assert(joined.count() == plain.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("salted join is result-identical to the plain join on skewed keys") {
+    // 90% of left rows share one hot key
+    val left = spark.range(0, 10000)
+      .select(when(col("id") % 10 =!= 0, lit(42L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val right = Seq((42L, "hot"), (0L, "a"), (10L, "b"), (7777L, "never")).toDF("k", "v")
+    val plain = left.join(right, Seq("k"))
+      .select("k", "payload", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val salted = JoinUtils.saltedJoin(left, right, Seq("k"), saltFactor = 8)
+      .select("k", "payload", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(salted.toSeq == plain.toSeq)
+    assert(plain.count(_._1 == 42L) == 9000)
+    // the salted plan actually spreads the hot key: join keys include __salt
+    val planStr = JoinUtils.saltedJoin(left, right, Seq("k"), 8)
+      .queryExecution.optimizedPlan.toString
+    assert(planStr.contains("__salt"))
+  }
+}
