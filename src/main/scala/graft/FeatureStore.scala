@@ -106,6 +106,33 @@ final class FeatureStore(val registry: Registry, spark: SparkSession,
       valueCols = featureNames)
   }
 
+  /** Incremental materialization: materialize only [last-completed-end,
+    * upToExclusive) as recorded in `log`, then record the new window
+    * (reference: JobService's ingestion-job tracking is what makes
+    * "materialize the delta" possible instead of re-reading history).
+    * Returns the window materialized, or None when already up to date. */
+  def materializeIncremental(tableName: String, store: OnlineStore,
+                             log: graft.serving.MaterializationLog,
+                             upToExclusive: String,
+                             origin: String = "1970-01-01 00:00:00",
+                             storeName: String = "default")
+      : Option[(String, String)] = {
+    val start = log.lastEndExclusive(spark, project, tableName, storeName)
+      .getOrElse(origin)
+    if (start >= upToExclusive) None
+    else {
+      val t = table(tableName)
+      val rows = BatchSource.readRange(spark, sourceOf(t), start, upToExclusive)
+      val n = rows.count()
+      store.upsert(rows.withColumn(ProjectCol, lit(project)),
+        keys = ProjectCol +: t.entities,
+        orderCols = Seq(t.eventTsCol) ++ t.createdTsCol,
+        valueCols = t.features.map(_.name))
+      log.record(spark, project, tableName, storeName, start, upToExclusive, n)
+      Some((start, upToExclusive))
+    }
+  }
+
   /** Stream half of materialization (reference: ingestion into the online
     * store is decoupled from reading; stream DataSource in
     * FeatureTable.java:94-97): open the table's registered stream-source

@@ -21,6 +21,40 @@ trait OnlineStore {
   def snapshot(spark: SparkSession): DataFrame
 }
 
+/** Materialization bookkeeping (reference: core's JobService tracks
+  * ingestion jobs per table/source/store — here a tiny append-only parquet
+  * log of completed windows). Enables incremental materialization: the
+  * next run starts where the last finished instead of rescanning history —
+  * at 100 TB the difference between a daily delta and a full re-read. */
+final class MaterializationLog(path: String) {
+
+  def record(spark: SparkSession, project: String, table: String, storeName: String,
+             startInclusive: String, endExclusive: String, rows: Long): Unit = {
+    import spark.implicits._
+    Seq((project, table, storeName, startInclusive, endExclusive, rows,
+        java.time.Instant.now().toString))
+      .toDF("project", "table_name", "store_name", "start_ts", "end_ts",
+        "n_rows", "recorded_at")
+      .write.mode("append").parquet(path)
+  }
+
+  /** Exclusive end of the latest completed window for (project, table,
+    * store), i.e. the next run's inclusive start. */
+  def lastEndExclusive(spark: SparkSession, project: String, table: String,
+                       storeName: String): Option[String] = {
+    if (!new java.io.File(path).exists()) return None
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(path)
+      .filter(col("project") === project && col("table_name") === table &&
+        col("store_name") === storeName)
+      .agg(max(col("end_ts")))
+      .collect().headOption.flatMap(r => Option(r.getString(0)))
+  }
+
+  def entries(spark: SparkSession): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(path)
+}
+
 /** Parquet-directory store: durable, idempotent upserts via read-merge-write.
   * At cluster scale this would be a KV connector (the merge itself is the
   * same single-pass LatestValue aggregation). */

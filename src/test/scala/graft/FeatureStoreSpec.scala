@@ -137,6 +137,37 @@ class FeatureStoreSpec extends SparkSpecBase {
     assert(out == Map(1L -> "PRESENT", 2L -> "NULL_VALUE"))
   }
 
+  test("incremental materialization processes only the delta window") {
+    import graft.serving.MaterializationLog
+    val base = s"$workDir/incr"
+    Seq((1L, ts("2024-01-02 00:00:00"), 1.0), (2L, ts("2024-01-03 00:00:00"), 2.0))
+      .toDF("user_id", "ts", "value").write.mode("overwrite").parquet(s"$base/src")
+    val r = new Registry
+    r.applyEntity(Entity("user_id", ValueKind.Int64K))
+    r.applyTable(FeatureTable("incr", Seq("user_id"),
+      Seq(Feature("value", ValueKind.DoubleK)), eventTsCol = "ts",
+      batchSourcePath = Some(s"$base/src")))
+    val fs = new FeatureStore(r, spark)
+    val online = new ParquetOnlineStore(s"$base/store")
+    val log = new MaterializationLog(s"$base/log")
+    // run 1: everything up to Jan 10
+    val w1 = fs.materializeIncremental("incr", online, log, "2024-01-10 00:00:00")
+    assert(w1.contains(("1970-01-01 00:00:00", "2024-01-10 00:00:00")))
+    // no new data: run is a no-op, nothing recorded
+    assert(fs.materializeIncremental("incr", online, log, "2024-01-10 00:00:00").isEmpty)
+    // late-arriving source rows: one INSIDE the already-done window (must
+    // NOT be picked up — it is the batch-world cost of incremental) and one
+    // after it (must be picked up by run 2 only)
+    Seq((1L, ts("2024-01-05 00:00:00"), 99.0), (3L, ts("2024-01-15 00:00:00"), 3.0))
+      .toDF("user_id", "ts", "value").write.mode("append").parquet(s"$base/src")
+    val w2 = fs.materializeIncremental("incr", online, log, "2024-01-20 00:00:00")
+    assert(w2.contains(("2024-01-10 00:00:00", "2024-01-20 00:00:00")))
+    val snap = online.snapshot(spark).collect()
+      .map(rw => rw.getAs[Long]("user_id") -> rw.getAs[Double]("value")).toMap
+    assert(snap == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0)) // 99.0 skipped
+    assert(log.entries(spark).count() == 2)
+  }
+
   test("features are cast to registry-declared types; unknown features fail fast") {
     // source stores value as BIGINT; registry declares INT32 + DOUBLE views
     val feats = Seq((1L, ts("2024-01-01 00:00:00"), 41L))
