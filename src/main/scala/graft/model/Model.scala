@@ -44,8 +44,10 @@ object Project {
   val Default = "default"
 }
 
-/** An entity = a join key (reference: EntityV2). */
-final case class Entity(name: String, valueType: ValueKind, description: String = "")
+/** An entity = a join key (reference: EntityV2 — name, value type,
+  * description, labels). */
+final case class Entity(name: String, valueType: ValueKind, description: String = "",
+                        labels: Map[String, String] = Map.empty)
 
 /** A single feature column (reference: FeatureV2). */
 final case class Feature(name: String, valueType: ValueKind, labels: Map[String, String] = Map.empty)
@@ -373,6 +375,13 @@ final class Registry {
     val p = readProject(project)
     entities.collect { case ((`p`, _), e) => e }.toSeq
   }
+
+  /** Entities whose labels contain every (k,v) of `labelsFilter`
+    * (reference: SpecService.listEntities — `entity.hasAllLabels`). */
+  def filterEntities(labelsFilter: Map[String, String],
+                     project: String = Project.Default): Seq[Entity] =
+    listEntities(project)
+      .filter(e => labelsFilter.forall { case (k, v) => e.labels.get(k).contains(v) })
   def listTables: Seq[FeatureTable] = listTables(Project.Default)
   def listTables(project: String): Seq[FeatureTable] = {
     val p = readProject(project)
@@ -420,8 +429,9 @@ object Registry {
   def save(r: Registry, spark: SparkSession, dir: String): Unit = {
     import spark.implicits._
     r.listProjects.flatMap { p =>
-      r.listEntities(p.name).map(e => (p.name, e.name, e.valueType.name, e.description))
-    }.toDF("project", "name", "value_type", "description")
+      r.listEntities(p.name).map(e => (p.name, e.name, e.valueType.name, e.description,
+        e.labels.map { case (k, v) => s"$k=$v" }.mkString(";")))
+    }.toDF("project", "name", "value_type", "description", "labels")
       .coalesce(1).write.mode("overwrite").json(s"$dir/entities")
     r.listProjects.flatMap { p =>
       r.listTables(p.name).flatMap { t =>
@@ -444,7 +454,11 @@ object Registry {
       r.applyEntity(Entity(
         row.getAs[String]("name"),
         ValueKind.parse(row.getAs[String]("value_type")),
-        Option(row.getAs[String]("description")).getOrElse("")),
+        Option(row.getAs[String]("description")).getOrElse(""),
+        Option(row.getAs[String]("labels")).filter(_.nonEmpty)
+          .map(_.split(";").toSeq.map(_.split("=", 2))
+            .collect { case Array(k, v) => k -> v }.toMap)
+          .getOrElse(Map.empty)),
         project = row.getAs[String]("project"))
     }
     val rows = spark.read.json(s"$dir/tables").collect()

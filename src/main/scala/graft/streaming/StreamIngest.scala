@@ -73,6 +73,17 @@ object StreamIngest {
       .select(col("win.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Watermarked hopping-window aggregation (streaming twin of
+    * Analytics.eventsHop): each event lands in windowLen/slide windows. */
+  def hoppingAgg(stream: DataFrame, tsCol: String, windowLen: String,
+                 slide: String, watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   /** Watermarked session-window aggregation — the streaming twin of
     * Analytics.eventsSessionize (30-min-gap sessions), using Spark's native
     * `session_window` state store instead of a batch sort+scan: sessions

@@ -193,6 +193,36 @@ class FeatureStoreSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("not found in table typed"))
   }
 
+  test("list-valued features flow through retrieval and serving") {
+    // reference Value proto has list variants; arrays must survive the
+    // as-of join, materialization merge and online lookup unchanged
+    val feats = Seq(
+      (1L, ts("2024-01-01 00:00:00"), Seq(1.0f, 2.0f, 3.0f)),
+      (1L, ts("2024-01-05 00:00:00"), Seq(9.0f, 8.0f, 7.0f)))
+      .toDF("user_id", "ts", "embedding")
+    feats.write.mode("overwrite").parquet(s"$workDir/vec")
+    val r = new Registry
+    r.applyEntity(Entity("user_id", ValueKind.Int64K))
+    r.applyTable(FeatureTable("vec", Seq("user_id"),
+      Seq(Feature("embedding", ValueKind.ListK(ValueKind.FloatK))), eventTsCol = "ts",
+      batchSourcePath = Some(s"$workDir/vec")))
+    val fs2 = new FeatureStore(r, spark)
+    val entities = Seq((1L, ts("2024-01-03 00:00:00"), 1L), (1L, ts("2024-01-06 00:00:00"), 2L))
+      .toDF("user_id", "event_timestamp", "row_id")
+    val hist = fs2.getHistoricalFeatures(entities, "event_timestamp",
+        Seq(FeatureRef("vec", "embedding")))
+      .collect().map(rw => rw.getAs[Long]("row_id") ->
+        rw.getAs[scala.collection.Seq[Float]]("vec__embedding").toSeq).toMap
+    assert(hist(1L) == Seq(1.0f, 2.0f, 3.0f)) // point-in-time: first row
+    assert(hist(2L) == Seq(9.0f, 8.0f, 7.0f))
+    val online = new ParquetOnlineStore(s"$workDir/online-vec")
+    fs2.materialize("vec", online, "2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    val served = fs2.getOnlineFeatures(online, Seq(1L).toDF("user_id"),
+        Seq(FeatureRef("vec", "embedding")), lit(ts("2024-01-06 00:00:00")))
+      .head().getAs[scala.collection.Seq[Float]]("vec__embedding").toSeq
+    assert(served == Seq(9.0f, 8.0f, 7.0f)) // latest row won
+  }
+
   test("project namespacing isolates online keys sharing one store") {
     // two projects define the SAME table name + entity key, materialize
     // into the SAME store: lookups must never leak across projects

@@ -210,6 +210,20 @@ class RegistrySpec extends SparkSpecBase {
     assertThrows[IllegalArgumentException](r.applyStore(StoreSpec("bad name", "parquet")))
   }
 
+  test("entity labels filter and persist (reference hasAllLabels)") {
+    val r = new Registry
+    r.applyEntity(Entity("user_id", ValueKind.Int64K, labels = Map("team" -> "growth", "pii" -> "no")))
+    r.applyEntity(Entity("device_id", ValueKind.StringK, labels = Map("team" -> "infra")))
+    assert(r.filterEntities(Map("team" -> "growth")).map(_.name) == Seq("user_id"))
+    assert(r.filterEntities(Map("team" -> "growth", "pii" -> "no")).map(_.name) == Seq("user_id"))
+    assert(r.filterEntities(Map("team" -> "nope")).isEmpty)
+    assert(r.filterEntities(Map.empty).size == 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ent-labels").toString
+    Registry.save(r, spark, dir)
+    assert(Registry.load(spark, dir).getEntity("user_id").get.labels ==
+           Map("team" -> "growth", "pii" -> "no"))
+  }
+
   test("filterTables matches entity sets and label subsets") {
     val r = Registry.demo(sfDir)
     assert(r.filterTables(entitiesFilter = Seq("user_id")).map(_.name) == Seq("user_activity"))

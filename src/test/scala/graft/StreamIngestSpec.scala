@@ -165,6 +165,33 @@ class StreamIngestSpec extends SparkSpecBase {
       (ts("2024-01-01 11:30:00"), ts("2024-01-01 11:30:00"), 1L, 4.0)))
   }
 
+  test("hopping streaming agg matches batch hopping aggregation") {
+    val dir = Files.createTempDirectory("graft-stream-hop").toString
+    val input = MemoryStream[EventRow](spark)
+    input.addData(batch1 ++ batch2: _*)
+    val q = StreamIngest.hoppingAgg(input.toDF(), "ts", "1 hour", "30 minutes", "2 hours")
+      .writeStream.format("memory").queryName("hop_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("hop_out").collect()
+      .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toMap
+    // batch twin: each event belongs to the two slide-aligned windows
+    val batch = (batch1 ++ batch2).toDF()
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .collect()
+      .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (k, v) => assert(batch(k) == v) }
+  }
+
   test("windowed streaming agg matches batch tumbling aggregation") {
     val dir = Files.createTempDirectory("graft-stream-win").toString
     val input = MemoryStream[EventRow](spark)
