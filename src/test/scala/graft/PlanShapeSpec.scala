@@ -86,6 +86,32 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("partitioned corpus writes prune partitions at the scan") {
+    // the 100 TB layout: partition the corpus by a low-cardinality column
+    // (lang) so per-language jobs read only their directories — pruning
+    // must show up as PartitionFilters in the scan, not a post-scan filter
+    val dir = Files.createTempDirectory("graft-part").toString
+    graft.sources.Tables.documents(spark, sfDir)
+      .write.partitionBy("lang").mode("overwrite").parquet(s"$dir/docs")
+    val langs = graft.sources.Tables.documents(spark, sfDir)
+      .select("lang").distinct().count()
+    assert(langs > 1, "need multiple partitions for the pruning to matter")
+    val df = spark.read.parquet(s"$dir/docs").filter(col("lang") === "en")
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("expected a FileSourceScanExec"))
+    assert(scan.partitionFilters.exists(_.references.map(_.name).toSeq.contains("lang")),
+      "lang predicate must be a partition filter, not a data filter")
+    // and the scan actually reads fewer files than the full table
+    val allFiles = spark.read.parquet(s"$dir/docs")
+      .queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get.relation.location.inputFiles.length
+    assert(scan.relation.location.inputFiles.length == allFiles) // same relation
+    assert(df.count() ==
+      graft.sources.Tables.documents(spark, sfDir).filter(col("lang") === "en").count())
+  }
+
   test("ngram hot-shingle cap bounds fan-out on injected boilerplate") {
     // 40 docs sharing one boilerplate sentence + distinct bodies: uncapped,
     // the shared shingles alone emit ~40² join rows; capped at df<=8 the
