@@ -160,7 +160,11 @@ object Dedup {
     val edges = directed
       .unionByName(directed.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
+    // propagate only over docs that HAVE an edge — a singleton's label can
+    // never change, so keeping the (usually huge) non-duplicate majority
+    // out of the loop makes each round O(|dup subgraph|), not O(corpus)
+    val edgeDocs = edges.select(col("a").as("doc_id")).distinct().localCheckpoint()
+    var labels = edgeDocs.select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val viaNeighbors = edges.join(labels, edges("b") === labels("doc_id"))
@@ -172,9 +176,12 @@ object Dedup {
         .filter(col("lbl") =!= col("prev")).count()
       labels = next
     }
-    labels.select(col("doc_id"), col("lbl").as("cluster_id"),
-        (col("doc_id") === col("lbl")).as("keep"))
-      .orderBy(col("doc_id"))
+    val clustered = labels.select(col("doc_id"), col("lbl").as("cluster_id"),
+      (col("doc_id") === col("lbl")).as("keep"))
+    val singletons = docs.select(col("doc_id"))
+      .join(edgeDocs, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"), lit(true).as("keep"))
+    clustered.unionByName(singletons).orderBy(col("doc_id"))
   }
 
   private val NumPerms = 64
