@@ -228,6 +228,44 @@ object Analytics {
       |  CAST(round(sum(value) * 10000, 0) AS BIGINT) AS total_value_e4
       |FROM sess GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
+  /** Sessionization via Spark's native `session_window` — ONE aggregation
+    * (partial-merge of session state map-side) instead of eventsSessionize's
+    * two analytic-window passes over a per-user sort. Semantics: a new
+    * session starts when the gap is ≥ 30 min at full timestamp precision
+    * (the built-in's [start, last+gap) convention), vs the ordinal variant's
+    * truncated-seconds > 1800 — both are gate queries, each with its own
+    * exact oracle. Sessions are keyed by start time, not ordinal. */
+  def eventsSessionizeNative(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sess"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        round(sum(col("value")) * 10000).cast("long").as("total_value_e4"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value_e4"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  val eventsSessionizeNativeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged
+      |)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(round(sum(value) * 10000, 0) AS BIGINT) AS total_value_e4
+      |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
   /** Tumbling-window aggregation (batch twin of the streaming windowed agg). */
   def eventsTumble(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)
@@ -348,6 +386,7 @@ object Analytics {
     "q_semi"            -> (qSemi _),
     "q_exists"          -> (qExists _),
     "events_sessionize" -> (eventsSessionize _),
+    "events_sessionize_native" -> (eventsSessionizeNative _),
     "events_tumble"     -> (eventsTumble _),
     "q_percentiles"     -> (qPercentiles _),
     "q_percentiles_approx" -> (qPercentilesApprox _),
@@ -365,6 +404,7 @@ object Analytics {
     "q_semi"            -> qSemiSql,
     "q_exists"          -> qExistsSql,
     "events_sessionize" -> eventsSessionizeSql,
+    "events_sessionize_native" -> eventsSessionizeNativeSql,
     "events_tumble"     -> eventsTumbleSql,
     "q_percentiles"     -> qPercentilesSql,
     "q_topn_group"      -> qTopnGroupSql,
