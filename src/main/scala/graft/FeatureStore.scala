@@ -23,9 +23,16 @@ import graft.sources.BatchSource
   * All registry lookups and online-store keys are scoped by `project`
   * (reference: Project.java; RedisKeyGenerator.java builds every online key
   * as project + entity names + entity values).
+  *
+  * `asofBucketSec`: when set, historical retrieval uses the skew-proof
+  * bucketed as-of join (PointInTimeJoin.asofBucketed — per-key timelines
+  * sharded into time buckets with a carry-in summary), spec-proven
+  * result-identical to the plain as-of and measured 2× faster at 30×
+  * scale on hot keys (SURVEY §5). Leave None for the single-window form.
   */
 final class FeatureStore(val registry: Registry, spark: SparkSession,
-                         val project: String = Project.Default) {
+                         val project: String = Project.Default,
+                         val asofBucketSec: Option[Long] = None) {
 
   /** Online-store key column carrying the project namespace (the Spark
     * analog of RedisKeyV2.project). */
@@ -69,11 +76,20 @@ final class FeatureStore(val registry: Registry, spark: SparkSession,
       case (acc, (tname, trefs)) =>
         val t = table(tname)
         val featureNames = trefs.map(_.feature)
-        PointInTimeJoin.asof(
-          acc, loadFeatures(t, featureNames),
-          keys = t.entities, entityTs = entityTsCol, featureTs = t.eventTsCol,
-          featureCols = featureNames, maxAgeSec = t.maxAgeSec,
-          outPrefix = s"${tname}__")
+        asofBucketSec match {
+          case Some(bucket) =>
+            PointInTimeJoin.asofBucketed(
+              acc, loadFeatures(t, featureNames),
+              keys = t.entities, entityTs = entityTsCol, featureTs = t.eventTsCol,
+              featureCols = featureNames, bucketSec = bucket,
+              maxAgeSec = t.maxAgeSec, outPrefix = s"${tname}__")
+          case None =>
+            PointInTimeJoin.asof(
+              acc, loadFeatures(t, featureNames),
+              keys = t.entities, entityTs = entityTsCol, featureTs = t.eventTsCol,
+              featureCols = featureNames, maxAgeSec = t.maxAgeSec,
+              outPrefix = s"${tname}__")
+        }
     }
 
   /** Apply an on-demand view's derived features to a retrieval result (the

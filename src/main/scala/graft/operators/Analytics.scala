@@ -358,6 +358,75 @@ object Analytics {
         approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"))
       .orderBy(col("event_type"))
 
+  /** Correlated scalar subquery: orders 1.5× above their customer's average
+    * order value. Catalyst decorrelates this into an aggregate + join — the
+    * declarative form stays one shuffle on o_custkey. */
+  def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_sq")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders_sq o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT avg(o2.o_totalprice) FROM orders_sq o2
+        |  WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val qScalarSubquerySql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > 1.5 * (
+      |  SELECT avg(o2.o_totalprice) FROM orders o2
+      |  WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Pivot: order counts per status pivoted by the five priority classes.
+    * Values are enumerated, so the pivot is a single pass of conditional
+    * aggregates (no second distinct-values job) — the enumerated form is
+    * also what keeps it expressible as portable SQL. */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+      .select(col("o_orderstatus").as("status") +:
+        prios.zipWithIndex.map { case (p, i) =>
+          coalesce(col(s"`$p`"), lit(0L)).as(s"prio_$i") }: _*)
+      .orderBy(col("status"))
+  }
+
+  val qPivotSql: String =
+    """SELECT o_orderstatus AS status,
+      | count(*) FILTER (o_orderpriority = '1-URGENT') AS prio_0,
+      | count(*) FILTER (o_orderpriority = '2-HIGH') AS prio_1,
+      | count(*) FILTER (o_orderpriority = '3-MEDIUM') AS prio_2,
+      | count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS prio_3,
+      | count(*) FILTER (o_orderpriority = '5-LOW') AS prio_4
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Full outer join: per-nation customer vs supplier counts, nations with
+    * only one side preserved. */
+  def qFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val custs = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("nationkey")).agg(count(lit(1)).as("n_cust"))
+    val supps = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey").as("nationkey")).agg(count(lit(1)).as("n_supp"))
+    custs.join(supps, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  val qFullOuterSql: String =
+    """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+      | coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s
+      |USING (nationkey)
+      |ORDER BY nationkey""".stripMargin
+
   /** Top-N per group (2 largest orders per customer). */
   def qTopnGroup(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -392,6 +461,9 @@ object Analytics {
     "q_percentiles_approx" -> (qPercentilesApprox _),
     "ft_stats_approx"   -> (ftStatsApprox _),
     "q_topn_group"      -> (qTopnGroup _),
+    "q_scalar_subquery" -> (qScalarSubquery _),
+    "q_pivot"           -> (qPivot _),
+    "q_full_outer"      -> (qFullOuter _),
     "events_hop"        -> (eventsHop _))
 
   val oracle: Map[String, String] = Map(
@@ -408,5 +480,8 @@ object Analytics {
     "events_tumble"     -> eventsTumbleSql,
     "q_percentiles"     -> qPercentilesSql,
     "q_topn_group"      -> qTopnGroupSql,
+    "q_scalar_subquery" -> qScalarSubquerySql,
+    "q_pivot"           -> qPivotSql,
+    "q_full_outer"      -> qFullOuterSql,
     "events_hop"        -> eventsHopSql)
 }

@@ -193,6 +193,21 @@ class FeatureStoreSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("not found in table typed"))
   }
 
+  test("bucketed-asof facade mode returns identical historical features") {
+    val entities = Seq(
+      (1L, ts("2024-01-03 00:00:00"), 100L),
+      (1L, ts("2024-01-06 00:00:00"), 101L),
+      (3L, ts("2024-01-03 00:00:00"), 102L))
+      .toDF("user_id", "event_timestamp", "row_id")
+    val refs = Seq(FeatureRef("activity", "value"), FeatureRef("activity", "event_type"))
+    def result(fs: FeatureStore) =
+      fs.getHistoricalFeatures(entities, "event_timestamp", refs)
+        .orderBy(col("row_id")).collect().map(_.toSeq).toSeq
+    val bucketed = new FeatureStore(store.registry, spark,
+      asofBucketSec = Some(86400L))
+    assert(result(bucketed) == result(store))
+  }
+
   test("list-valued features flow through retrieval and serving") {
     // reference Value proto has list variants; arrays must survive the
     // as-of join, materialization merge and online lookup unchanged
