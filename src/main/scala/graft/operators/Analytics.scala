@@ -358,6 +358,23 @@ object Analytics {
         approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"))
       .orderBy(col("event_type"))
 
+  /** Multiple distinct aggregates in one pass (Catalyst plans this with an
+    * Expand — each distinct column gets its own duplicate-elimination
+    * stream inside a single shuffle). */
+  def qDistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count_distinct(col("o_custkey")).as("n_cust"),
+        count_distinct(col("o_orderpriority")).as("n_prio"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+
+  val qDistinctAggSql: String =
+    """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+      | count(DISTINCT o_orderpriority) AS n_prio, count(*) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Correlated scalar subquery: orders 1.5× above their customer's average
     * order value. Catalyst decorrelates this into an aggregate + join — the
     * declarative form stays one shuffle on o_custkey. */
@@ -461,6 +478,7 @@ object Analytics {
     "q_percentiles_approx" -> (qPercentilesApprox _),
     "ft_stats_approx"   -> (ftStatsApprox _),
     "q_topn_group"      -> (qTopnGroup _),
+    "q_distinct_agg"    -> (qDistinctAgg _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_pivot"           -> (qPivot _),
     "q_full_outer"      -> (qFullOuter _),
@@ -480,6 +498,7 @@ object Analytics {
     "events_tumble"     -> eventsTumbleSql,
     "q_percentiles"     -> qPercentilesSql,
     "q_topn_group"      -> qTopnGroupSql,
+    "q_distinct_agg"    -> qDistinctAggSql,
     "q_scalar_subquery" -> qScalarSubquerySql,
     "q_pivot"           -> qPivotSql,
     "q_full_outer"      -> qFullOuterSql,

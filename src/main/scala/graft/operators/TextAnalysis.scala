@@ -274,7 +274,76 @@ object TextAnalysis {
       |   '$phoneRe', '<PHONE>', 'g')) AS redacted_hash
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Balanced stratified downsampling: each language keeps a deterministic
+    * hash-selected subset sized to the SMALLEST language's count — the
+    * rebalancing step a multilingual training mix runs so one dominant
+    * language doesn't drown the rest. Selection is the same engine-portable
+    * multiplicative hash as corpus_split (reproducible across engines,
+    * runs, and partitionings); per-language counts are a tiny aggregate
+    * broadcast back onto the scan, not a global sort. */
+  def corpusSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val minCnt = counts.agg(min(col("n_docs")).as("min_docs"))
+    val bucket = pmod(col("doc_id") * 2654435761L + 97531L, lit(1000000L))
+    docs
+      .join(broadcast(counts), "lang")
+      .crossJoin(broadcast(minCnt))
+      .withColumn("keep",
+        bucket < col("min_docs") * lit(1000000L) / col("n_docs"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  val corpusSampleSql: String =
+    """WITH counts AS (
+      |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+      |), mn AS (SELECT min(n_docs) AS min_docs FROM counts)
+      |SELECT d.lang, count(*) AS n_docs,
+      |  sum(CASE WHEN (d.doc_id * 2654435761 + 97531) % 1000000
+      |             < mn.min_docs * 1000000 / c.n_docs
+      |      THEN 1 ELSE 0 END) AS n_sampled
+      |FROM documents d JOIN counts c ON d.lang = c.lang CROSS JOIN mn
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Sequence packing: assign docs to fixed token-budget bins (4096) the
+    * way a training pipeline packs documents into context windows. Packing
+    * is greedy by doc_id WITHIN deterministic hash shards — per-shard
+    * running sums parallelize across shards (a single global order would
+    * serialize the cumsum), which is how packing actually runs at corpus
+    * scale: pack per shard, feed shards to loaders independently. */
+  def corpusPack(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 4096L
+    val toks = size(regexp_extract_all(col("text"), lit(wsTok), lit(0))).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        pmod(col("doc_id") * 2654435761L + 97531L, lit(64L)).as("shard"),
+        toks.as("n_toks"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_toks"),
+        floor((col("cum") - col("n_toks")) / budget).as("bin_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusPackSql: String =
+    s"""SELECT doc_id, shard, n_toks,
+      |  CAST(floor((cum - n_toks) / 4096) AS BIGINT) AS bin_id
+      |FROM (
+      |  SELECT doc_id, (doc_id * 2654435761 + 97531) % 64 AS shard,
+      |    len(regexp_extract_all(text, '$wsTok')) AS n_toks,
+      |    sum(len(regexp_extract_all(text, '$wsTok')))
+      |      OVER (PARTITION BY (doc_id * 2654435761 + 97531) % 64
+      |            ORDER BY doc_id) AS cum
+      |  FROM documents
+      |) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_sample"    -> (corpusSample _),
+    "corpus_pack"      -> (corpusPack _),
     "corpus_clean"     -> (corpusClean _),
     "corpus_split"     -> (corpusSplit _),
     "corpus_redact"    -> (corpusRedact _),
@@ -284,6 +353,8 @@ object TextAnalysis {
     "text_fingerprint" -> (textFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "corpus_sample"    -> corpusSampleSql,
+    "corpus_pack"      -> corpusPackSql,
     "corpus_clean"     -> corpusCleanSql,
     "corpus_split"     -> corpusSplitSql,
     "corpus_redact"    -> corpusRedactSql,
