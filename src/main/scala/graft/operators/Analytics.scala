@@ -358,6 +358,42 @@ object Analytics {
         approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"))
       .orderBy(col("event_type"))
 
+  /** Funnel analysis: users progressing view → click → purchase in event-
+    * time order. Each stage is a tiny per-user aggregate (first qualifying
+    * timestamp given the previous stage's), chained by per-user joins —
+    * every step shuffles by user_id only, and AQE broadcasts the shrinking
+    * stage frontiers at real scale. */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") >= col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") >= col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    v.agg(count(lit(1)).as("n_view")).crossJoin(
+      c.agg(count(lit(1)).as("n_view_click"))).crossJoin(
+      p.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
+  val eventsFunnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+      |), c AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts >= v.t1 GROUP BY 1
+      |), p AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= c.t2 GROUP BY 1
+      |)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |       (SELECT count(*) FROM c) AS n_view_click,
+      |       (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin
+
   /** Multiple distinct aggregates in one pass (Catalyst plans this with an
     * Expand — each distinct column gets its own duplicate-elimination
     * stream inside a single shuffle). */
@@ -478,6 +514,7 @@ object Analytics {
     "q_percentiles_approx" -> (qPercentilesApprox _),
     "ft_stats_approx"   -> (ftStatsApprox _),
     "q_topn_group"      -> (qTopnGroup _),
+    "events_funnel"     -> (eventsFunnel _),
     "q_distinct_agg"    -> (qDistinctAgg _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_pivot"           -> (qPivot _),
@@ -498,6 +535,7 @@ object Analytics {
     "events_tumble"     -> eventsTumbleSql,
     "q_percentiles"     -> qPercentilesSql,
     "q_topn_group"      -> qTopnGroupSql,
+    "events_funnel"     -> eventsFunnelSql,
     "q_distinct_agg"    -> qDistinctAggSql,
     "q_scalar_subquery" -> qScalarSubquerySql,
     "q_pivot"           -> qPivotSql,

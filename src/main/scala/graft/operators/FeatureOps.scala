@@ -246,6 +246,60 @@ object FeatureOps {
       | round(avg(value),4) AS avg_v, count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Feature drift: population stability index of `value` per event_type
+    * between two ingestion windows (before/after 2024-01-15) — the
+    * monitoring check a feature platform runs to catch distribution shift
+    * between training and serving data. Fixed decile-width bins (value/10,
+    * clamped to [0,9]) keep binning deterministic and engine-portable;
+    * counts are smoothed (+0.5) so empty bins don't blow up the log. One
+    * aggregation pass: (window, type, bin) counts roll up map-side. */
+  def ftDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("win", when(col("ts") < lit("2024-01-15 00:00:00"), "a").otherwise("b"))
+      .withColumn("bin", least(greatest(floor(col("value") / 10), lit(0L)), lit(9L)))
+    val counts = ev.groupBy(col("event_type"), col("win"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("event_type"), col("win"))
+      .agg(sum(col("n")).as("total"))
+    val p = counts.join(totals, Seq("event_type", "win"))
+      .select(col("event_type"), col("bin"), col("win"),
+        ((col("n") + 0.5) / (col("total") + 5.0)).as("p"))
+    val byBin = p.groupBy(col("event_type"), col("bin"))
+      .agg(
+        max(when(col("win") === "a", col("p"))).as("pa"),
+        max(when(col("win") === "b", col("p"))).as("pb"))
+      .filter(col("pa").isNotNull && col("pb").isNotNull)
+    byBin
+      .groupBy(col("event_type"))
+      .agg(round(sum((col("pa") - col("pb")) * log(col("pa") / col("pb"))), 4).as("psi"),
+        count(lit(1)).as("n_bins"))
+      .orderBy(col("event_type"))
+  }
+
+  val ftDriftSql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 'a' ELSE 'b' END AS win,
+      |    least(greatest(CAST(floor(value / 10) AS BIGINT), 0), 9) AS bin
+      |  FROM events
+      |), counts AS (
+      |  SELECT event_type, win, bin, count(*) AS n FROM ev GROUP BY 1, 2, 3
+      |), totals AS (
+      |  SELECT event_type, win, sum(n) AS total FROM counts GROUP BY 1, 2
+      |), p AS (
+      |  SELECT c.event_type, c.bin, c.win, (c.n + 0.5) / (t.total + 5.0) AS p
+      |  FROM counts c JOIN totals t ON c.event_type = t.event_type AND c.win = t.win
+      |), bybin AS (
+      |  SELECT event_type, bin,
+      |    max(CASE WHEN win = 'a' THEN p END) AS pa,
+      |    max(CASE WHEN win = 'b' THEN p END) AS pb
+      |  FROM p GROUP BY 1, 2
+      |)
+      |SELECT event_type, round(sum((pa - pb) * ln(pa / pb)), 4) AS psi,
+      |  count(*) AS n_bins
+      |FROM bybin WHERE pa IS NOT NULL AND pb IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** End-to-end facade retrieval: FeatureStore.getHistoricalFeatures driven
     * purely by registry metadata (demo registry's user_activity table over
     * the raw nanos events source, 7-day TTL). */
@@ -320,6 +374,7 @@ object FeatureOps {
     "pit_join_composite" -> (pitJoinComposite _),
     "serve_online"    -> (serveOnline _),
     "ft_stats"        -> (ftStats _),
+    "ft_drift"        -> (ftDrift _),
     "ft_historical"   -> (ftHistorical _),
     "ft_odfv"         -> (ftOdfv _),
     "registry_dump"   -> (registryDump _))
@@ -334,6 +389,7 @@ object FeatureOps {
     "pit_join_composite" -> pitJoinCompositeSql,
     "serve_online"    -> serveOnlineSql,
     "ft_stats"        -> ftStatsSql,
+    "ft_drift"        -> ftDriftSql,
     "ft_historical"   -> ftHistoricalSql,
     "ft_odfv"         -> ftOdfvSql)
 }
