@@ -314,14 +314,20 @@ object TextAnalysis {
     * running sums parallelize across shards (a single global order would
     * serialize the cumsum), which is how packing actually runs at corpus
     * scale: pack per shard, feed shards to loaders independently. */
-  def corpusPack(spark: SparkSession, dir: String): DataFrame = {
+  def corpusPack(spark: SparkSession, dir: String): DataFrame =
+    corpusPackSharded(spark, dir, numShards = 64L)
+
+  /** `numShards` bounds cumsum parallelism — the gate uses 64; a 100 TB
+    * corpus raises it (e.g. ~1 shard per few hundred MB) since shards are
+    * fully independent. */
+  def corpusPackSharded(spark: SparkSession, dir: String, numShards: Long): DataFrame = {
     val budget = 4096L
     val toks = size(regexp_extract_all(col("text"), lit(wsTok), lit(0))).cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        pmod(col("doc_id") * 2654435761L + 97531L, lit(64L)).as("shard"),
+        pmod(col("doc_id") * 2654435761L + 97531L, lit(numShards)).as("shard"),
         toks.as("n_toks"))
       .withColumn("cum", sum(col("n_toks")).over(w))
       .select(col("doc_id"), col("shard"), col("n_toks"),

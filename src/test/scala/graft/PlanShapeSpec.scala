@@ -86,6 +86,32 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("flagship plans stay regression-pinned: q6 pushdown, q5 broadcast shape") {
+    withoutAqe {
+      // q6: every predicate reaches the parquet scan; schema pruned
+      val q6 = graft.operators.Analytics.q6Filter(spark, sfDir)
+      val scan = q6.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.getOrElse(fail("expected parquet scan"))
+      assert(scan.dataFilters.nonEmpty, "q6 predicates must reach the scan")
+      assert(scan.requiredSchema.size <= 4,
+        s"q6 must prune to <=4 of 11 columns, read ${scan.requiredSchema.size}")
+      // q5: all four dims broadcast; only the fact-fact join + agg shuffle
+      val q5 = graft.operators.Analytics.q5Join(spark, sfDir)
+      val plan = q5.queryExecution.executedPlan
+      val bhj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      assert(bhj.size >= 3, s"q5 dims must broadcast, got ${bhj.size} BHJs")
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      // lineitem↔orders join (2) + final agg (1) + orderBy (1) = at most 4
+      assert(shuffles.size <= 4,
+        s"q5 must not grow extra shuffles, got ${shuffles.size}")
+    }
+  }
+
   test("partitioned corpus writes prune partitions at the scan") {
     // the 100 TB layout: partition the corpus by a low-cardinality column
     // (lang) so per-language jobs read only their directories — pruning
