@@ -21,15 +21,6 @@ object Dedup {
   private def toks(c: Column): Column =
     regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
 
-  /** Word 3-gram shingles (empty when < 3 tokens). */
-  private def shingles(c: Column): Column = {
-    val ws = toks(c)
-    when(size(ws) >= 3,
-      transform(sequence(lit(0), size(ws) - 3),
-        i => concat_ws(" ", slice(ws, i + 1, lit(3)))))
-      .otherwise(array().cast("array<string>"))
-  }
-
   /** Hashed word 3-gram shingles: hash each token once, combine neighbor
     * hashes with a multi-arg xxhash64 (overflow-free, no shingle strings).
     *

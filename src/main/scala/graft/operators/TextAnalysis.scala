@@ -205,7 +205,14 @@ object TextAnalysis {
   /** Deterministic train/val/test split: engine-neutral multiplicative hash
     * of the stable doc_id (NOT rng sampling — reproducible across engines,
     * runs and cluster sizes, and stable under re-partitioning; the property
-    * a training pipeline needs for leakage-free splits). 80/10/10. */
+    * a training pipeline needs for leakage-free splits). 80/10/10.
+    *
+    * BOUND (applies to every `doc_id * 2654435761` site — split, sample,
+    * pack): the raw Long multiply is ANSI-overflow-safe only for
+    * doc_id < 2⁶³/2654435761 ≈ 3.47e9. The multiplier is deliberately NOT
+    * xxhash64 because the oracle must recompute it in SQL; an id space
+    * beyond ~3.4e9 docs needs a wider-modulus ladder (split the multiply
+    * mod p as in OracleVariants' hash family). */
   def corpusSplit(spark: SparkSession, dir: String): DataFrame = {
     val bucket = pmod(col("doc_id") * 2654435761L + 97531L, lit(100L))
     val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
