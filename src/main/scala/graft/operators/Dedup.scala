@@ -40,6 +40,57 @@ object Dedup {
     when(n >= 3, slice(tris, lit(1), n - 2)).otherwise(array().cast("array<bigint>"))
   }
 
+  /** Hashed word n-gram shingles for arbitrary n: token hashes combined by
+    * chained pairwise xxhash64 over shifted slices (same CollapseProject-
+    * safe zip_with shape as [[hashedShingles]]). */
+  private[operators] def hashedNgrams(c: Column, n: Int): Column = {
+    val hs = transform(toks(c), t => xxhash64(t))
+    val sz = size(hs)
+    var acc = hs
+    for (k <- 2 to n)
+      acc = zip_with(acc, slice(hs, lit(k), greatest(sz - (k - 1), lit(0))),
+        (a, b) => xxhash64(a, b))
+    when(sz >= n, slice(acc, lit(1), sz - (n - 1))).otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Benchmark decontamination: flag corpus docs sharing any word 5-gram
+    * with the benchmark set (docs with doc_id ≡ 0 mod 97 stand in for the
+    * eval set — swapping in a real benchmark table changes one filter).
+    * The pipeline stage every serious pretraining corpus runs so eval
+    * questions don't leak into training data. Same inverted-index shape as
+    * dedup_ngram: only (shingle-matching) pairs materialize, the benchmark
+    * side is a small fraction so per-shingle fan-out is bounded by its df. */
+  def corpusDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(hashedNgrams(col("text"), 5))).as("s"))
+    val bench = sh.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("s"), col("doc_id").as("bench_doc"))
+    val corp = sh.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    corp.join(bench, "s")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("s")).as("n_hits"),
+        count_distinct(col("bench_doc")).as("n_bench_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusDecontaminateSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 5
+      |    THEN list_transform(range(1, len(ws) - 3), i -> array_to_string(ws[i:i+4], ' '))
+      |    ELSE [] END) AS shs
+      |  FROM tk
+      |), bench AS (
+      |  SELECT doc_id AS bench_doc, unnest(shs) AS s FROM sh WHERE doc_id % 97 = 0
+      |), corp AS (
+      |  SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 97 <> 0
+      |)
+      |SELECT c.doc_id, count(DISTINCT c.s) AS n_hits,
+      |  count(DISTINCT b.bench_doc) AS n_bench_docs
+      |FROM corp c JOIN bench b ON c.s = b.s
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Exact dedup: md5 groupBy, keep the smallest doc_id of each clone set. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -285,10 +336,12 @@ object Dedup {
     "dedup_ngram"    -> (dedupNgram _),
     "dedup_minhash"  -> (dedupMinhash _),
     "dedup_simhash"  -> (dedupSimhash _),
-    "dedup_clusters" -> (dedupClusters _))
+    "dedup_clusters" -> (dedupClusters _),
+    "corpus_decontaminate" -> (corpusDecontaminate _))
 
   val oracle: Map[String, String] = Map(
     "dedup_exact"    -> dedupExactSql,
     "dedup_ngram"    -> dedupNgramSql,
-    "dedup_clusters" -> dedupClustersSql)
+    "dedup_clusters" -> dedupClustersSql,
+    "corpus_decontaminate" -> corpusDecontaminateSql)
 }

@@ -354,7 +354,48 @@ object TextAnalysis {
       |  FROM documents
       |) ORDER BY doc_id""".stripMargin
 
+  /** Top-10 word bigrams per language — the corpus statistic a tokenizer/
+    * vocab build starts from. Bigram strings exist only inside the
+    * aggregation (explode → groupBy count with map-side partials); ties
+    * break lexicographically so the top-k is deterministic. */
+  def textNgramTopk(spark: SparkSession, dir: String): DataFrame = {
+    val ws = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val bigrams = zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    val valid = when(size(ws) >= 2, slice(bigrams, lit(1), size(ws) - 1))
+      .otherwise(array().cast("array<string>"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("cnt").desc, col("bigram"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(valid).as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("lang"), col("rank"), col("bigram"), col("cnt"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val textNgramTopkSql: String =
+    """WITH tk AS (
+      |  SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+      |), bg AS (
+      |  SELECT lang, unnest(CASE WHEN len(ws) >= 2
+      |    THEN list_transform(range(1, len(ws)), i -> array_to_string(ws[i:i+1], ' '))
+      |    ELSE [] END) AS bigram
+      |  FROM tk
+      |), cnts AS (
+      |  SELECT lang, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT lang, bigram, cnt,
+      |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS "rank"
+      |  FROM cnts
+      |)
+      |SELECT lang, "rank", bigram, cnt FROM ranked
+      |WHERE "rank" <= 10 ORDER BY lang, "rank"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_topk"  -> (textNgramTopk _),
     "corpus_sample"    -> (corpusSample _),
     "corpus_pack"      -> (corpusPack _),
     "corpus_clean"     -> (corpusClean _),
@@ -366,6 +407,7 @@ object TextAnalysis {
     "text_fingerprint" -> (textFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "text_ngram_topk"  -> textNgramTopkSql,
     "corpus_sample"    -> corpusSampleSql,
     "corpus_pack"      -> corpusPackSql,
     "corpus_clean"     -> corpusCleanSql,
