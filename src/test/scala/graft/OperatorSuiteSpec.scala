@@ -47,6 +47,46 @@ class OperatorSuiteSpec extends SparkSpecBase {
     lsh.foreach { case (q, c) => assert(c <= brute(q) + 1e-9) }
   }
 
+  test("corpus_decontaminate flags exactly the docs sharing benchmark 5-grams") {
+    import spark.implicits._
+    val benchSentence = "the quick brown fox jumps over the lazy sleeping dog"
+    val docs = Seq(
+      (0L, "en", "web", s"benchmark item $benchSentence end of question"), // 0 % 97 == 0: benchmark
+      (1L, "en", "web", s"contaminated because it contains $benchSentence verbatim"),
+      (2L, "en", "web", "totally clean document with its own unique words here"),
+      (3L, "en", "web", "quick brown fox alone is only a 3-gram not a 5-gram x"))
+      .toDF("doc_id", "lang", "source", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-decon").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.corpusDecontaminate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    assert(out.contains(1L) && out(1L) >= 6) // 10-token overlap = 6 shared 5-grams
+    assert(!out.contains(2L), "clean doc must not be flagged")
+    assert(!out.contains(3L), "sub-5-gram overlap must not be flagged")
+    assert(!out.contains(0L), "benchmark docs are not corpus rows")
+  }
+
+  test("corpus_sample balances languages; corpus_pack respects the bin budget") {
+    val dir = "/root/testdata/sf0.01"
+    // sample: every language's kept count lands near the smallest language
+    val sample = TextAnalysis.corpusSample(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_sampled")))
+    val minDocs = sample.map(_._2).min
+    sample.foreach { case (lang, n, kept) =>
+      assert(kept <= n)
+      assert(math.abs(kept - minDocs) <= math.max(6L, minDocs / 4),
+        s"$lang kept $kept, expected ≈ $minDocs")
+    }
+    // pack: per (shard, bin) token sums stay within budget unless a single
+    // oversized doc forces its own bin
+    val over = TextAnalysis.corpusPack(spark, dir)
+      .groupBy(col("shard"), col("bin_id"))
+      .agg(sum(col("n_toks")).as("toks"), count(lit(1)).as("n_docs"))
+      .filter(col("toks") > 4096 + 2000 && col("n_docs") > 1)
+    assert(over.count() == 0, "multi-doc bins must stay near the 4096 budget")
+  }
+
   test("corpus_redact counts and strips PII-shaped strings") {
     import spark.implicits._
     val docs = Seq(
