@@ -259,16 +259,26 @@ object FeatureOps {
       .withColumn("bin", least(greatest(floor(col("value") / 10), lit(0L)), lit(9L)))
     val counts = ev.groupBy(col("event_type"), col("win"), col("bin"))
       .agg(count(lit(1)).as("n"))
-    val totals = counts.groupBy(col("event_type"), col("win"))
+    // enumerate the FULL (type × win × bin) frame: a bin absent from one
+    // window is exactly what drift looks like — it must contribute a
+    // smoothed near-zero probability, not silently drop out (a fully
+    // disjoint shift would otherwise produce NO bins and NO output)
+    val frame = ev.select(col("event_type")).distinct()
+      .crossJoin(spark.range(0, 10).select(col("id").as("bin")))
+      .crossJoin(spark.range(0, 2).select(
+        when(col("id") === 0, "a").otherwise("b").as("win")))
+    val filled = frame.join(counts, Seq("event_type", "win", "bin"), "left")
+      .select(col("event_type"), col("win"), col("bin"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val totals = filled.groupBy(col("event_type"), col("win"))
       .agg(sum(col("n")).as("total"))
-    val p = counts.join(totals, Seq("event_type", "win"))
+    val p = filled.join(totals, Seq("event_type", "win"))
       .select(col("event_type"), col("bin"), col("win"),
         ((col("n") + 0.5) / (col("total") + 5.0)).as("p"))
     val byBin = p.groupBy(col("event_type"), col("bin"))
       .agg(
         max(when(col("win") === "a", col("p"))).as("pa"),
         max(when(col("win") === "b", col("p"))).as("pb"))
-      .filter(col("pa").isNotNull && col("pb").isNotNull)
     byBin
       .groupBy(col("event_type"))
       .agg(round(sum((col("pa") - col("pb")) * log(col("pa") / col("pb"))), 4).as("psi"),
@@ -284,11 +294,20 @@ object FeatureOps {
       |  FROM events
       |), counts AS (
       |  SELECT event_type, win, bin, count(*) AS n FROM ev GROUP BY 1, 2, 3
+      |), frame AS (
+      |  SELECT t.event_type, w.win, b.bin
+      |  FROM (SELECT DISTINCT event_type FROM ev) t
+      |  CROSS JOIN (SELECT unnest(['a', 'b']) AS win) w
+      |  CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) b
+      |), filled AS (
+      |  SELECT f.event_type, f.win, f.bin, coalesce(c.n, 0) AS n
+      |  FROM frame f LEFT JOIN counts c
+      |    ON f.event_type = c.event_type AND f.win = c.win AND f.bin = c.bin
       |), totals AS (
-      |  SELECT event_type, win, sum(n) AS total FROM counts GROUP BY 1, 2
+      |  SELECT event_type, win, sum(n) AS total FROM filled GROUP BY 1, 2
       |), p AS (
       |  SELECT c.event_type, c.bin, c.win, (c.n + 0.5) / (t.total + 5.0) AS p
-      |  FROM counts c JOIN totals t ON c.event_type = t.event_type AND c.win = t.win
+      |  FROM filled c JOIN totals t ON c.event_type = t.event_type AND c.win = t.win
       |), bybin AS (
       |  SELECT event_type, bin,
       |    max(CASE WHEN win = 'a' THEN p END) AS pa,
@@ -297,8 +316,7 @@ object FeatureOps {
       |)
       |SELECT event_type, round(sum((pa - pb) * ln(pa / pb)), 4) AS psi,
       |  count(*) AS n_bins
-      |FROM bybin WHERE pa IS NOT NULL AND pb IS NOT NULL
-      |GROUP BY 1 ORDER BY 1""".stripMargin
+      |FROM bybin GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** End-to-end facade retrieval: FeatureStore.getHistoricalFeatures driven
     * purely by registry metadata (demo registry's user_activity table over

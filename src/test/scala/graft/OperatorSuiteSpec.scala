@@ -47,6 +47,52 @@ class OperatorSuiteSpec extends SparkSpecBase {
     lsh.foreach { case (q, c) => assert(c <= brute(q) + 1e-9) }
   }
 
+  test("ft_drift: identical windows score ~0 PSI, shifted windows score higher") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00") // window a
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-20 00:00:00") // window b
+    // "stable": same distribution both windows; "shifted": values move up
+    val rows =
+      (0 until 200).map(i => (i.toLong, ts0, 100L + i, "stable", (i % 100).toDouble)) ++
+      (0 until 200).map(i => (i.toLong, ts1, 300L + i, "stable", (i % 100).toDouble)) ++
+      (0 until 200).map(i => (i.toLong, ts0, 500L + i, "shifted", (i % 30).toDouble)) ++
+      (0 until 200).map(i => (i.toLong, ts1, 700L + i, "shifted", 70.0 + (i % 30)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // write as micros parquet: read via a FeatureOps-compatible layout
+    val out = graft.operators.FeatureOps.ftDrift(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("psi")).toMap
+    assert(math.abs(out("stable")) < 0.01, s"identical windows drift: ${out("stable")}")
+    assert(out("shifted") > 1.0, s"disjoint distributions must score high: ${out("shifted")}")
+  }
+
+  test("events_funnel counts only in-order stage progressions") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // user 1: full funnel in order
+      (1L, t("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      (1L, t("2024-01-01 11:00:00"), 2L, "click", 1.0),
+      (1L, t("2024-01-01 12:00:00"), 3L, "purchase", 1.0),
+      // user 2: purchase BEFORE click -> stops at view+click
+      (2L, t("2024-01-01 10:00:00"), 4L, "view", 1.0),
+      (2L, t("2024-01-01 10:30:00"), 5L, "purchase", 1.0),
+      (2L, t("2024-01-01 11:00:00"), 6L, "click", 1.0),
+      // user 3: click before any view -> stops at view
+      (3L, t("2024-01-01 09:00:00"), 7L, "click", 1.0),
+      (3L, t("2024-01-01 10:00:00"), 8L, "view", 1.0),
+      // user 4: never views
+      (4L, t("2024-01-01 10:00:00"), 9L, "purchase", 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Analytics.eventsFunnel(spark, dir).head()
+    assert(r.getAs[Long]("n_view") == 3)               // users 1, 2, 3
+    assert(r.getAs[Long]("n_view_click") == 2)         // users 1, 2
+    assert(r.getAs[Long]("n_view_click_purchase") == 1) // user 1 only
+  }
+
   test("corpus_decontaminate flags exactly the docs sharing benchmark 5-grams") {
     import spark.implicits._
     val benchSentence = "the quick brown fox jumps over the lazy sleeping dog"
