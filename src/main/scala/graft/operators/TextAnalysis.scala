@@ -354,6 +354,42 @@ object TextAnalysis {
       |  FROM documents
       |) ORDER BY doc_id""".stripMargin
 
+  /** Unigram log-probability score per document: average ln(corpus
+    * frequency) of a doc's tokens — the language-model-proxy quality signal
+    * (CCNet-style) that flags gibberish/rare-token documents without an
+    * actual LM. Two aggregations: corpus term frequencies (shuffle by
+    * token), then a per-doc average over the token↔frequency join. Emitted
+    * as an integral 1e-4-scaled BIGINT (the sessionize-proven pattern) so
+    * the cross-engine hash is bit-stable. */
+  def textUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+    val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).cast("double").as("total"))
+    tok.join(freq, "w")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        round(avg(log(col("cnt") / col("total"))) * 10000).cast("long")
+          .as("avg_logprob_e4"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textUnigramLogprobSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents
+      |), freq AS (
+      |  SELECT w, count(*) AS cnt FROM tok GROUP BY 1
+      |), tot AS (
+      |  SELECT sum(cnt)::DOUBLE AS total FROM freq
+      |)
+      |SELECT doc_id, count(*) AS n_toks,
+      |  CAST(round(avg(ln(cnt / total)) * 10000, 0) AS BIGINT) AS avg_logprob_e4
+      |FROM tok JOIN freq USING (w) CROSS JOIN tot
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Top-10 word bigrams per language — the corpus statistic a tokenizer/
     * vocab build starts from. Bigram strings exist only inside the
     * aggregation (explode → groupBy count with map-side partials); ties
@@ -396,6 +432,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_ngram_topk"  -> (textNgramTopk _),
+    "text_unigram_logprob" -> (textUnigramLogprob _),
     "corpus_sample"    -> (corpusSample _),
     "corpus_pack"      -> (corpusPack _),
     "corpus_clean"     -> (corpusClean _),
@@ -408,6 +445,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "text_ngram_topk"  -> textNgramTopkSql,
+    "text_unigram_logprob" -> textUnigramLogprobSql,
     "corpus_sample"    -> corpusSampleSql,
     "corpus_pack"      -> corpusPackSql,
     "corpus_clean"     -> corpusCleanSql,
