@@ -183,6 +183,20 @@ final class FeatureStore(val registry: Registry, spark: SparkSession,
     subscribed
   }
 
+  /** Fully registry-driven materialization: resolve the store BY NAME from
+    * the registry, construct the executable store from its StoreSpec
+    * (OnlineStore.fromSpec — the reference's Store.java type→connector
+    * wiring), and route every subscribed table into it. A user who only
+    * declared a store in the registry gets a working handle back for
+    * [[getOnlineFeatures]]. */
+  def materializeSubscribed(storeName: String, startInclusive: String,
+                            endExclusive: String): (OnlineStore, Seq[String]) = {
+    val spec = registry.getStore(storeName).getOrElse(
+      throw new IllegalArgumentException(s"unknown store: $storeName"))
+    val store = OnlineStore.fromSpec(spec)
+    (store, materializeSubscribed(spec, store, startInclusive, endExclusive))
+  }
+
   /** Online retrieval: for each request row, the latest stored value of each
     * requested feature, plus a `<col>__status` field per feature. `requestTs`
     * is the serving "now" used for max-age staleness. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, QuantizedCosine}
 
 /** Session extensions: registers graft's native Catalyst expressions so they
   * are callable from SQL and `functions.call_function`. Install with
@@ -19,6 +19,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "cosine_similarity takes exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("quantized_cosine"),
+      new ExpressionInfo(classOf[QuantizedCosine].getName, "quantized_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "quantized_cosine takes exactly 2 arguments")
+        QuantizedCosine(children.head, children(1))
       }))
   }
 }

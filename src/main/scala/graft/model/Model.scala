@@ -101,8 +101,9 @@ final case class KafkaSourceSpec(
     messageFormat: StreamFormat,
     eventTsCol: String = "event_timestamp",
     fieldMapping: Map[String, String] = Map.empty) extends StreamSourceSpec {
+  import SourceValidation.esc
   def render: String =
-    s"kafka|$bootstrapServers|$topic|${messageFormat.render}|$eventTsCol|${SourceValidation.renderMap(fieldMapping)}"
+    s"kafka|${esc(bootstrapServers)}|${esc(topic)}|${esc(messageFormat.render)}|${esc(eventTsCol)}|${SourceValidation.renderMap(fieldMapping)}"
 }
 
 final case class KinesisSourceSpec(
@@ -111,8 +112,9 @@ final case class KinesisSourceSpec(
     recordFormat: StreamFormat,
     eventTsCol: String = "event_timestamp",
     fieldMapping: Map[String, String] = Map.empty) extends StreamSourceSpec {
+  import SourceValidation.esc
   def render: String =
-    s"kinesis|$region|$streamName|${recordFormat.render}|$eventTsCol|${SourceValidation.renderMap(fieldMapping)}"
+    s"kinesis|${esc(region)}|${esc(streamName)}|${esc(recordFormat.render)}|${esc(eventTsCol)}|${SourceValidation.renderMap(fieldMapping)}"
 }
 
 final case class FileStreamSourceSpec(
@@ -120,18 +122,22 @@ final case class FileStreamSourceSpec(
     fileFormat: String = "parquet",
     eventTsCol: String = "event_timestamp",
     fieldMapping: Map[String, String] = Map.empty) extends StreamSourceSpec {
+  import SourceValidation.esc
   def render: String =
-    s"file|$path|$fileFormat|$eventTsCol|${SourceValidation.renderMap(fieldMapping)}"
+    s"file|${esc(path)}|${esc(fileFormat)}|${esc(eventTsCol)}|${SourceValidation.renderMap(fieldMapping)}"
 }
 
 object StreamSourceSpec {
+  import SourceValidation.unesc
   def parse(s: String): StreamSourceSpec = s.split("\\|", -1) match {
     case Array("kafka", bs, t, fmt, ts, fm) =>
-      KafkaSourceSpec(bs, t, StreamFormat.parse(fmt), ts, SourceValidation.parseMap(fm))
+      KafkaSourceSpec(unesc(bs), unesc(t), StreamFormat.parse(unesc(fmt)),
+        unesc(ts), SourceValidation.parseMap(fm))
     case Array("kinesis", r, sn, fmt, ts, fm) =>
-      KinesisSourceSpec(r, sn, StreamFormat.parse(fmt), ts, SourceValidation.parseMap(fm))
+      KinesisSourceSpec(unesc(r), unesc(sn), StreamFormat.parse(unesc(fmt)),
+        unesc(ts), SourceValidation.parseMap(fm))
     case Array("file", p, ff, ts, fm) =>
-      FileStreamSourceSpec(p, ff, ts, SourceValidation.parseMap(fm))
+      FileStreamSourceSpec(unesc(p), unesc(ff), unesc(ts), SourceValidation.parseMap(fm))
     case _ => throw new IllegalArgumentException(s"bad stream source: $s")
   }
 }
@@ -161,11 +167,26 @@ object SourceValidation {
       require(path.nonEmpty, "File stream source must have a path")
   }
 
+  /** Delimiter escaping for the rendered spec strings: a schemaJson or
+    * field-mapping value containing '|' ',' '=' must survive render →
+    * Registry.save → load → parse unchanged. Percent-encodes '%' first (and
+    * decodes it last) so escaped sequences can never collide with literal
+    * text. */
+  def esc(s: String): String =
+    s.replace("%", "%25").replace("|", "%7C")
+  def unesc(s: String): String =
+    s.replace("%7C", "|").replace("%25", "%")
+  private def escKV(s: String): String =
+    esc(s).replace(",", "%2C").replace("=", "%3D")
+  private def unescKV(s: String): String =
+    unesc(s.replace("%2C", ",").replace("%3D", "="))
+
   def renderMap(m: Map[String, String]): String =
-    m.map { case (k, v) => s"$k=$v" }.mkString(",")
+    m.map { case (k, v) => s"${escKV(k)}=${escKV(v)}" }.mkString(",")
   def parseMap(s: String): Map[String, String] =
     if (s.isEmpty) Map.empty
-    else s.split(",").toSeq.map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    else s.split(",").toSeq.map(_.split("=", 2))
+      .collect { case Array(k, v) => unescKV(k) -> unescKV(v) }.toMap
 }
 
 /** A feature table: entities + features + freshness TTL + sources
@@ -309,6 +330,11 @@ final class Registry {
   /** reference: ProjectService.listProjects — active (non-archived) only. */
   def listProjects: Seq[Project] = projects.values.filterNot(_.archived).toSeq
 
+  /** Every project INCLUDING archived ones — persistence must not lose an
+    * archived project's contents (the reference archives a project but
+    * keeps its data; only writes are rejected). */
+  def listAllProjects: Seq[Project] = projects.values.toSeq
+
   // ---------------------------------------------------------------- writes
 
   def applyEntity(e: Entity, project: String = Project.Default): Unit = {
@@ -423,17 +449,23 @@ final class Registry {
 
 object Registry {
 
-  /** Persist a registry as JSON datasets (entities + one row per
-    * project×table×feature) — the registry IS data, so it round-trips
-    * through the same engine. */
+  /** Persist a registry as JSON datasets (projects + entities + one row per
+    * project×table×feature + on-demand views + stores) — the registry IS
+    * data, so it round-trips through the same engine. ARCHIVED projects'
+    * contents are saved too: the reference archives a project but keeps its
+    * data (only writes are rejected), so a save/load round-trip must not
+    * silently drop them. */
   def save(r: Registry, spark: SparkSession, dir: String): Unit = {
     import spark.implicits._
-    r.listProjects.flatMap { p =>
+    val all = r.listAllProjects
+    all.map(p => (p.name, p.archived)).toDF("name", "archived")
+      .coalesce(1).write.mode("overwrite").json(s"$dir/projects")
+    all.flatMap { p =>
       r.listEntities(p.name).map(e => (p.name, e.name, e.valueType.name, e.description,
         e.labels.map { case (k, v) => s"$k=$v" }.mkString(";")))
     }.toDF("project", "name", "value_type", "description", "labels")
       .coalesce(1).write.mode("overwrite").json(s"$dir/entities")
-    r.listProjects.flatMap { p =>
+    all.flatMap { p =>
       r.listTables(p.name).flatMap { t =>
         t.features.map { f =>
           (p.name, t.name, t.entities.mkString(","), f.name, f.valueType.name,
@@ -446,11 +478,41 @@ object Registry {
            "max_age_sec", "event_ts_col", "created_ts_col", "batch_source",
            "stream_source", "labels")
       .coalesce(1).write.mode("overwrite").json(s"$dir/tables")
+    all.flatMap { p =>
+      r.listOnDemandViews(p.name).flatMap { v =>
+        v.features.map(f => (p.name, v.name,
+          v.inputs.map(i => s"${i.table}:${i.feature}").mkString(","),
+          f.name, f.sqlExpr))
+      }
+    }.toDF("project", "view_name", "inputs", "feature", "sql_expr")
+      .coalesce(1).write.mode("overwrite").json(s"$dir/odfvs")
+    r.listStores.map(s => (s.name, s.storeType,
+        SourceValidation.renderMap(s.config),
+        s.subscriptions.map(_.render).mkString(";")))
+      .toDF("name", "store_type", "config", "subscriptions")
+      .coalesce(1).write.mode("overwrite").json(s"$dir/stores")
   }
 
   def load(spark: SparkSession, dir: String): Registry = {
     val r = new Registry
-    spark.read.json(s"$dir/entities").collect().foreach { row =>
+    def existing(path: String): Option[DataFrame] = {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hp)) None
+      else
+        // an EMPTY dataset (e.g. a registry saved with no stores) has no
+        // rows to infer a schema from — treat it like a missing one
+        try Some(spark.read.json(path)).filter(_.columns.nonEmpty)
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
+    // projects first (so archived ones exist + accept content), archive LAST
+    val archived = existing(s"$dir/projects").toSeq.flatMap(_.collect().toSeq)
+      .flatMap { row =>
+        val name = row.getAs[String]("name")
+        if (name != Project.Default) r.createProject(name)
+        if (row.getAs[Boolean]("archived")) Some(name) else None
+      }
+    existing(s"$dir/entities").toSeq.flatMap(_.collect().toSeq).foreach { row =>
       r.applyEntity(Entity(
         row.getAs[String]("name"),
         ValueKind.parse(row.getAs[String]("value_type")),
@@ -461,7 +523,7 @@ object Registry {
           .getOrElse(Map.empty)),
         project = row.getAs[String]("project"))
     }
-    val rows = spark.read.json(s"$dir/tables").collect()
+    val rows = existing(s"$dir/tables").toSeq.flatMap(_.collect().toSeq)
     rows.groupBy(rw => (rw.getAs[String]("project"), rw.getAs[String]("table_name")))
       .foreach { case ((project, name), fs) =>
         val head = fs.head
@@ -482,6 +544,25 @@ object Registry {
             .getOrElse(Map.empty)),
           project = project)
       }
+    existing(s"$dir/odfvs").toSeq.flatMap(_.collect().toSeq)
+      .groupBy(rw => (rw.getAs[String]("project"), rw.getAs[String]("view_name")))
+      .foreach { case ((project, name), fs) =>
+        r.applyOnDemandView(OnDemandView(
+          name = name,
+          inputs = fs.head.getAs[String]("inputs").split(",").toSeq.map(FeatureRef.parse),
+          features = fs.toSeq.map(f => OnDemandFeature(
+            f.getAs[String]("feature"), f.getAs[String]("sql_expr")))),
+          project = project)
+      }
+    existing(s"$dir/stores").toSeq.flatMap(_.collect().toSeq).foreach { row =>
+      r.applyStore(StoreSpec(
+        row.getAs[String]("name"),
+        row.getAs[String]("store_type"),
+        SourceValidation.parseMap(Option(row.getAs[String]("config")).getOrElse("")),
+        Option(row.getAs[String]("subscriptions")).filter(_.nonEmpty)
+          .map(_.split(";").toSeq.map(Subscription.parse)).getOrElse(Seq.empty)))
+    }
+    archived.foreach(r.archiveProject)
     r
   }
   /** Demo registry over the driver testdata (events as the feature stream). */

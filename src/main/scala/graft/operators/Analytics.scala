@@ -188,10 +188,10 @@ object Analytics {
 
   /** Sessionization: 30-minute-gap sessions per user (one shuffle + sort).
     *
-    * `total_value_e4` is the session value sum scaled to integral 1e-4 units:
-    * summation-order ulps made a rounded DOUBLE hash-unequal across engines
-    * even when equal to 9 decimal places, so the gate column is a BIGINT
-    * that both engines derive identically. */
+    * `total_value_e4` is the session value sum scaled to integral 1e-4 units,
+    * rounded PER ELEMENT before the sum (sum of BIGINTs is order-independent
+    * and exact in both engines; rounding after a double sum can still flip
+    * the last unit on a .5 boundary under a different summation order). */
   def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(spark, dir)
@@ -206,7 +206,7 @@ object Analytics {
         count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
-        round(sum(col("value")) * 10000).cast("long").as("total_value_e4"))
+        sum(round(col("value") * 10000).cast("long")).as("total_value_e4"))
       .orderBy(col("user_id"), col("session_id"))
   }
 
@@ -219,13 +219,13 @@ object Analytics {
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |), sess AS (
-      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM flagged
       |)
       |SELECT user_id, session_id, count(*) AS n_events,
       |  min(ts) AS session_start, max(ts) AS session_end,
-      |  CAST(round(sum(value) * 10000, 0) AS BIGINT) AS total_value_e4
+      |  CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT) AS total_value_e4
       |FROM sess GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
   /** Sessionization via Spark's native `session_window` — ONE aggregation
@@ -242,7 +242,7 @@ object Analytics {
         count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
-        round(sum(col("value")) * 10000).cast("long").as("total_value_e4"))
+        sum(round(col("value") * 10000).cast("long")).as("total_value_e4"))
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), col("total_value_e4"))
       .orderBy(col("user_id"), col("session_start"))
@@ -263,7 +263,7 @@ object Analytics {
       |)
       |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
       |  count(*) AS n_events,
-      |  CAST(round(sum(value) * 10000, 0) AS BIGINT) AS total_value_e4
+      |  CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT) AS total_value_e4
       |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
   /** Tumbling-window aggregation (batch twin of the streaming windowed agg). */

@@ -157,8 +157,20 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  val dedupNgramSql: String =
-    """WITH d AS (
+  /** Mirrors the SHIPPED semantics including the df≤1000 hot-shingle cap:
+    * same inverted-index formulation (explode → window df filter → equi-join
+    * → |A∩B| count) with the PRE-cap set size in the union denominator, so
+    * the gate proves the cap's behavior at any df — a pairwise
+    * list_intersect oracle would silently diverge the first time a real
+    * shingle crosses the cap. */
+  val dedupNgramSql: String = dedupNgramPairsSqlCte +
+    """
+      |SELECT id_a, id_b, jaccard FROM npairs ORDER BY 1, 2""".stripMargin
+
+  /** Shared CTE prologue ending in `npairs(id_a, id_b, jaccard)` — reused by
+    * the clusters oracle so both gates prove one pair semantics. */
+  private def dedupNgramPairsSqlCte: String =
+    s"""WITH d AS (
       |  SELECT doc_id, lang, source,
       |    list_distinct(CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 3
       |      THEN list_transform(
@@ -166,14 +178,25 @@ object Dedup {
       |        i -> array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+')[i:i+2], ' '))
       |      ELSE [] END) AS sh
       |  FROM documents
-      |)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-      |    greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1)::DOUBLE, 4) AS jaccard
-      |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-      |WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-      |    greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1)::DOUBLE, 4) > 0.2
-      |ORDER BY 1, 2""".stripMargin
+      |), ex AS (
+      |  SELECT doc_id, lang, source, len(sh) AS n, unnest(sh) AS s FROM d
+      |), capped AS (
+      |  SELECT * FROM (
+      |    SELECT *, count(*) OVER (PARTITION BY lang, source, s) AS df FROM ex
+      |  ) WHERE df <= $DefaultMaxShingleDf
+      |), ipairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+      |    count(*) AS inter
+      |  FROM capped a JOIN capped b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.s = b.s
+      |       AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4
+      |), npairs AS (
+      |  SELECT id_a, id_b,
+      |    round(inter::DOUBLE / greatest(n_a + n_b - inter, 1)::DOUBLE, 4) AS jaccard
+      |  FROM ipairs
+      |  WHERE round(inter::DOUBLE / greatest(n_a + n_b - inter, 1)::DOUBLE, 4) > 0.2
+      |)""".stripMargin
 
   /** Near-dup CLUSTERING: connected components over the union of exact-dup
     * edges (doc ↔ its md5-group root) and n-gram near-dup pair edges, with
@@ -300,20 +323,8 @@ object Dedup {
     * clusters), so the closure is cheap for DuckDB even though the Spark
     * side uses fixpoint propagation instead. */
   val dedupClustersSql: String =
-    """WITH RECURSIVE d AS (
-      |  SELECT doc_id, lang, source,
-      |    list_distinct(CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 3
-      |      THEN list_transform(
-      |        range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 1),
-      |        i -> array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+')[i:i+2], ' '))
-      |      ELSE [] END) AS sh
-      |  FROM documents
-      |), npairs AS (
-      |  SELECT a.doc_id AS a, b.doc_id AS b
-      |  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-      |  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-      |      greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1)::DOUBLE, 4) > 0.2
-      |), eh AS (
+    dedupNgramPairsSqlCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+    """, eh AS (
       |  SELECT doc_id, md5(text) AS h FROM documents
       |), eroots AS (
       |  SELECT h, min(doc_id) AS root FROM eh GROUP BY 1
@@ -322,7 +333,7 @@ object Dedup {
       |  WHERE eh.doc_id <> er.root
       |), edges AS (
       |  SELECT a, b FROM eedges UNION SELECT b, a FROM eedges
-      |  UNION SELECT a, b FROM npairs UNION SELECT b, a FROM npairs
+      |  UNION SELECT id_a, id_b FROM npairs UNION SELECT id_b, id_a FROM npairs
       |), reach(doc_id, lbl) AS (
       |  SELECT doc_id, doc_id FROM documents
       |  UNION

@@ -377,10 +377,28 @@ object FeatureOps {
       |       fval > 50 AS activity_derived__is_high
       |FROM joined WHERE rn = 1 ORDER BY row_id""".stripMargin
 
-  /** Registry contents as a DataFrame (rows-only check: not SQL over the
-    * parquet tables). */
+  /** Registry contents as a DataFrame. The dump is deterministic metadata,
+    * so it IS oracle-gateable: the DuckDB side is a literal VALUES table of
+    * the demo registry. `batch_source` is reduced to the file basename so
+    * the dump (and its oracle) is independent of which sf directory the
+    * driver runs against. */
   def registryDump(spark: SparkSession, dir: String): DataFrame =
-    Registry.demo(dir).toDF(spark).orderBy(col("table_name"), col("feature"))
+    Registry.demo(dir).toDF(spark)
+      .withColumn("batch_source", regexp_replace(col("batch_source"), ".*/", ""))
+      .orderBy(col("table_name"), col("feature"))
+
+  val registryDumpSql: String =
+    """SELECT * FROM (VALUES
+      |  ('default', 'customer_profile', 'c_custkey', 'c_acctbal', 'DOUBLE',
+      |   CAST(0 AS BIGINT), 'customer.parquet'),
+      |  ('default', 'customer_profile', 'c_custkey', 'c_mktsegment', 'STRING',
+      |   CAST(0 AS BIGINT), 'customer.parquet'),
+      |  ('default', 'user_activity', 'user_id', 'event_type', 'STRING',
+      |   CAST(604800 AS BIGINT), 'events.parquet'),
+      |  ('default', 'user_activity', 'user_id', 'value', 'DOUBLE',
+      |   CAST(604800 AS BIGINT), 'events.parquet')
+      |) AS t(project, table_name, entities, feature, value_type, max_age_sec, batch_source)
+      |ORDER BY table_name, feature""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ft_latest"       -> (ftLatest _),
@@ -409,5 +427,6 @@ object FeatureOps {
     "ft_stats"        -> ftStatsSql,
     "ft_drift"        -> ftDriftSql,
     "ft_historical"   -> ftHistoricalSql,
-    "ft_odfv"         -> ftOdfvSql)
+    "ft_odfv"         -> ftOdfvSql,
+    "registry_dump"   -> registryDumpSql)
 }

@@ -26,17 +26,22 @@ object JoinUtils {
   }
 
   /** Inner equi-join with the left side salted over `saltFactor` sub-keys:
-    * left rows scatter by a hash of their whole row, right rows replicate
+    * left rows scatter by a per-row nonce, right rows replicate
     * `saltFactor`×, and the join key becomes (key, salt) — a hot key's rows
-    * land on `saltFactor` partitions instead of one. Result-identical to
-    * the plain join (spec-proven); replication cost is `saltFactor`× the
-    * right side, so salt the side with the skewed keys and keep the
-    * replicated side the smaller one. */
+    * land on `saltFactor` partitions instead of one. The salt comes from
+    * `monotonically_increasing_id()` (round-robin within each input
+    * partition), NOT a hash of the row's columns: hot keys are routinely
+    * FULLY IDENTICAL duplicate rows (retries, log replays), and a
+    * content hash sends all of them to one salt value — exactly the skew
+    * the salt exists to break. Result-identical to the plain join
+    * (spec-proven, including a duplicate-row corpus); replication cost is
+    * `saltFactor`× the right side, so salt the side with the skewed keys
+    * and keep the replicated side the smaller one. */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltFactor: Int): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
     val l = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(saltFactor.toLong)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
     val r = right.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     l.join(r, keys :+ "__salt").drop("__salt")

@@ -274,18 +274,26 @@ object OracleVariants {
       |WHERE "rank" <= $K ORDER BY query_id, "rank"""".stripMargin
 
   /** Embedding near-dup pairs on quantized vectors, blocked by label —
-    * DuckDB-provable twin of `dedup_embed`. */
+    * DuckDB-provable twin of `dedup_embed`.
+    *
+    * The dot/norm math runs through graft's native `quantized_cosine`
+    * Catalyst expression (functions/QuantizedCosine.scala): exact long
+    * dot + norms in ONE fused whole-stage-codegen loop per pair, then one
+    * IEEE division + sqrt — NOT per-pair `aggregate(zip_with(...))`
+    * lambdas (higher-order functions have no codegen; the interpreted
+    * form was the slowest line of the round-3 bench and degraded 14×
+    * under memory pressure). Same join shape and same per-pair arithmetic
+    * as the production `dedup_embed` float path, so the twin benches at
+    * the same speed while staying engine-neutral. */
   def dedupEmbedOracle(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-      .select(col("label"), col("vec_id"), quant(col("embedding")).as("v"),
-        inorm(quant(col("embedding"))).as("nv"))
-    val a = emb.select(col("label"), col("vec_id").as("id_a"),
-      col("v").as("va"), col("nv").as("na"))
-    val b = emb.select(col("label"), col("vec_id").as("id_b"),
-      col("v").as("vb"), col("nv").as("nb"))
+      .select(col("label"), col("vec_id"), quant(col("embedding")).as("v"))
+    val a = emb.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = emb.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
     a.join(b, Seq("label"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", icos(idot(col("va"), col("vb")), col("na"), col("nb")))
+      .withColumn("cos",
+        round(call_function("quantized_cosine", col("va"), col("vb")), 4))
       .filter(col("cos") > 0.35)
       .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy(col("id_a"), col("id_b"))

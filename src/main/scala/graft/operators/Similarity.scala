@@ -21,6 +21,16 @@ import graft.sources.Tables
   */
 object Similarity {
 
+  /** Corpus size per data dir, resolved ONCE per JVM. An ANN query must not
+    * pay a full counting scan before every search (at 100 TB that is an
+    * extra job per query); on a cluster this number comes from catalog
+    * statistics or a maintained table property — here the first resolution
+    * counts and every later query (and every other ANN operator on the same
+    * path) reuses it. */
+  private val corpusCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
+  def corpusCount(spark: SparkSession, dir: String): Long =
+    corpusCounts.getOrElseUpdate(dir, Tables.embeddings(spark, dir).count())
+
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   private def dot(a: Column, b: Column): Column =
@@ -89,10 +99,8 @@ object Similarity {
     * neighbor buckets (flip one plane's sign bit) — the standard recall
     * recovery for sign LSH, costing only |queries|×(planes+1) broadcast
     * rows, never touching the candidate side's partitioning. */
-  def knnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val n = Tables.embeddings(spark, dir).count()
-    knnLshWith(spark, dir, planesForCorpus(n), multiProbe = true)
-  }
+  def knnLsh(spark: SparkSession, dir: String): DataFrame =
+    knnLshWith(spark, dir, planesForCorpus(corpusCount(spark, dir)), multiProbe = true)
 
   def knnLshWith(spark: SparkSession, dir: String, numPlanes: Int,
                  multiProbe: Boolean): DataFrame = {
@@ -164,14 +172,59 @@ object Similarity {
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] =
     lloyd(emb, seedCentroids(emb, k), iters)
 
+  /** Where trained centroids for `dir` persist. Overridable via the
+    * `graft.ivf.dir` session conf (a cluster points this at shared
+    * storage); defaults to a per-corpus subdir under the JVM tmpdir. */
+  def centroidStorePath(spark: SparkSession, dir: String): String = {
+    val base = spark.conf.getOption("graft.ivf.dir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_ivf")
+    base + "/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+  }
+
+  /** Train the coarse quantizer ONCE and persist it (cent_id, cvec) as
+    * parquet — the 100 TB operating mode: centroids are a model artifact
+    * trained offline and amortized over every subsequent query, not
+    * retrained inside each search. Returns the trained centroids. */
+  def trainQuantizer(spark: SparkSession, dir: String,
+                     k: Int = 16, iters: Int = 2): Seq[Seq[Double]] = {
+    val cents = kmeansCentroids(Tables.embeddings(spark, dir), k, iters)
+    val path = centroidStorePath(spark, dir)
+    spark.createDataFrame(cents.zipWithIndex.map { case (v, i) => (i, v) })
+      .toDF("cent_id", "cvec")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+    centroidCache.put(path, cents)
+    cents
+  }
+
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Double]]]
+
+  /** Persisted centroids if present (cached per JVM), else train + persist.
+    * Existence is resolved through the Hadoop FileSystem of the path — a
+    * local java.io.File probe is always false on HDFS/S3. */
+  def loadOrTrainCentroids(spark: SparkSession, dir: String): Seq[Seq[Double]] = {
+    val path = centroidStorePath(spark, dir)
+    centroidCache.getOrElseUpdate(path, {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp))
+        spark.read.parquet(path)
+          .orderBy(col("cent_id"))
+          .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+      else trainQuantizer(spark, dir)
+    })
+  }
+
   /** IVF-style approximate top-k: a k-means coarse quantizer (sampled
     * seeding + Lloyd iterations as DataFrame aggregations), every vector
     * assigned to its nearest centroid cell, queries probe their `nprobe`
     * nearest cells. The cluster-scale shape: candidates shuffle once by
-    * cell id; queries × cells is tiny and broadcast. */
+    * cell id; queries × cells is tiny and broadcast. The quantizer is
+    * loaded from the persisted store (training it on first use) — see
+    * [[trainQuantizer]]. */
   def knnIvf(spark: SparkSession, dir: String): DataFrame =
-    knnIvfWith(spark, dir,
-      kmeansCentroids(Tables.embeddings(spark, dir), k = 16, iters = 2), nprobe = 2)
+    knnIvfWith(spark, dir, loadOrTrainCentroids(spark, dir), nprobe = 2)
 
   /** IVF search against a given centroid set (exposed so specs can compare
     * quantizers and query ranges; `knnIvf` is the trained production entry).
@@ -222,10 +275,8 @@ object Similarity {
     * linear in tables × corpus; the join shuffles by (table, bucket) only —
     * never all-pairs. Duplicate candidates across tables are de-duplicated
     * on the exact (id_a, id_b, cos) before the threshold filter. */
-  def dedupEmbedLsh(spark: SparkSession, dir: String): DataFrame = {
-    val n = Tables.embeddings(spark, dir).count()
-    dedupEmbedLshWith(spark, dir, planesForCorpus(n), numTables = 3)
-  }
+  def dedupEmbedLsh(spark: SparkSession, dir: String): DataFrame =
+    dedupEmbedLshWith(spark, dir, planesForCorpus(corpusCount(spark, dir)), numTables = 3)
 
   def dedupEmbedLshWith(spark: SparkSession, dir: String, numPlanes: Int,
                         numTables: Int): DataFrame = {

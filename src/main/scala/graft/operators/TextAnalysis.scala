@@ -309,9 +309,9 @@ object TextAnalysis {
       |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
       |), mn AS (SELECT min(n_docs) AS min_docs FROM counts)
       |SELECT d.lang, count(*) AS n_docs,
-      |  sum(CASE WHEN (d.doc_id * 2654435761 + 97531) % 1000000
+      |  CAST(sum(CASE WHEN (d.doc_id * 2654435761 + 97531) % 1000000
       |             < mn.min_docs * 1000000 / c.n_docs
-      |      THEN 1 ELSE 0 END) AS n_sampled
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
       |FROM documents d JOIN counts c ON d.lang = c.lang CROSS JOIN mn
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -358,9 +358,12 @@ object TextAnalysis {
     * frequency) of a doc's tokens — the language-model-proxy quality signal
     * (CCNet-style) that flags gibberish/rare-token documents without an
     * actual LM. Two aggregations: corpus term frequencies (shuffle by
-    * token), then a per-doc average over the token↔frequency join. Emitted
-    * as an integral 1e-4-scaled BIGINT (the sessionize-proven pattern) so
-    * the cross-engine hash is bit-stable. */
+    * token), then a per-doc sum over the token↔frequency join. Each token's
+    * log-probability is rounded to integral 1e-4 units BEFORE the sum
+    * (integer sums are order-independent and exact in both engines; rounding
+    * after a float aggregation can flip the last unit on a .5 boundary under
+    * a different summation order). The per-doc average = sum_logprob_e4 /
+    * n_toks / 1e4. */
   def textUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -371,8 +374,8 @@ object TextAnalysis {
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"),
-        round(avg(log(col("cnt") / col("total"))) * 10000).cast("long")
-          .as("avg_logprob_e4"))
+        sum(round(log(col("cnt") / col("total")) * 10000).cast("long"))
+          .as("sum_logprob_e4"))
       .orderBy(col("doc_id"))
   }
 
@@ -386,7 +389,8 @@ object TextAnalysis {
       |  SELECT sum(cnt)::DOUBLE AS total FROM freq
       |)
       |SELECT doc_id, count(*) AS n_toks,
-      |  CAST(round(avg(ln(cnt / total)) * 10000, 0) AS BIGINT) AS avg_logprob_e4
+      |  CAST(sum(CAST(round(ln(cnt / total) * 10000, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_logprob_e4
       |FROM tok JOIN freq USING (w) CROSS JOIN tot
       |GROUP BY 1 ORDER BY 1""".stripMargin
 

@@ -21,6 +21,48 @@ trait OnlineStore {
   def snapshot(spark: SparkSession): DataFrame
 }
 
+object OnlineStore {
+  /** Construct an executable store from its registry StoreSpec — the wiring
+    * the reference does in core/model/Store.java:30-70 (StoreType →
+    * connector config class) and serving's ServingServiceConfigV2 (active
+    * store config → retriever): a store DECLARED in the registry becomes a
+    * USABLE handle without the caller knowing connector classes.
+    *
+    * Types: "parquet" → [[ParquetOnlineStore]] at `config("path")`;
+    * "memory" → [[MemoryOnlineStore]] (per-name singleton, so every handle
+    * to the same declared store shares state the way two clients of one
+    * Redis do). Unknown types fail fast, mirroring Store.fromProto's
+    * "Unsupported store type" error. */
+  def fromSpec(spec: graft.model.StoreSpec): OnlineStore =
+    spec.storeType.toLowerCase match {
+      case "parquet" =>
+        val path = spec.config.getOrElse("path", throw new IllegalArgumentException(
+          s"store ${spec.name}: parquet store requires config key 'path'"))
+        new ParquetOnlineStore(path)
+      case "memory" =>
+        memoryStores.getOrElseUpdate(spec.name, new MemoryOnlineStore)
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported store type: $other")
+    }
+
+  private val memoryStores =
+    scala.collection.concurrent.TrieMap.empty[String, MemoryOnlineStore]
+}
+
+/** Hadoop-FileSystem path helpers: store/log paths must resolve through the
+  * path's OWN filesystem (HDFS/S3/local) — a `java.io.File` probe is always
+  * false off the local disk, which at cluster scale silently turns
+  * incremental work into full restarts. */
+private[graft] object StorePaths {
+  def fs(spark: SparkSession, path: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val (f, p) = fs(spark, path); f.exists(p)
+  }
+}
+
 /** Materialization bookkeeping (reference: core's JobService tracks
   * ingestion jobs per table/source/store — here a tiny append-only parquet
   * log of completed windows). Enables incremental materialization: the
@@ -42,7 +84,7 @@ final class MaterializationLog(path: String) {
     * store), i.e. the next run's inclusive start. */
   def lastEndExclusive(spark: SparkSession, project: String, table: String,
                        storeName: String): Option[String] = {
-    if (!new java.io.File(path).exists()) return None
+    if (!StorePaths.exists(spark, path)) return None
     import org.apache.spark.sql.functions._
     spark.read.parquet(path)
       .filter(col("project") === project && col("table_name") === table &&
@@ -59,8 +101,6 @@ final class MaterializationLog(path: String) {
   * At cluster scale this would be a KV connector (the merge itself is the
   * same single-pass LatestValue aggregation). */
 final class ParquetOnlineStore(path: String) extends OnlineStore {
-  private def exists(spark: SparkSession): Boolean =
-    new java.io.File(path).exists()
 
   override def upsert(rows: DataFrame, keys: Seq[String], orderCols: Seq[String],
                       valueCols: Seq[String]): Unit = {
@@ -69,24 +109,21 @@ final class ParquetOnlineStore(path: String) extends OnlineStore {
     val incoming = LatestValue.latest(rows, keys, orderCols, (orderCols ++ valueCols).distinct)
       .selectExpr(cols: _*)
     val merged =
-      if (exists(spark))
+      if (StorePaths.exists(spark, path))
         LatestValue.latest(
           spark.read.parquet(path).selectExpr(cols: _*).unionByName(incoming),
           keys, orderCols, (orderCols ++ valueCols).distinct)
           .selectExpr(cols: _*)
       else incoming
     // stage-then-swap: the merge reads the live path, so compute fully into
-    // a staging dir first, then atomically replace (no driver collect)
+    // a staging dir first, then replace via the path's own FileSystem (works
+    // on HDFS/S3A the same as on local disk; no driver collect)
     val staging = path + "__staging"
     merged.write.mode("overwrite").parquet(staging)
-    val target = new java.io.File(path)
-    if (target.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(target)
-    }
-    require(new java.io.File(staging).renameTo(target), s"swap failed: $path")
+    val (fsys, target) = StorePaths.fs(spark, path)
+    if (fsys.exists(target)) fsys.delete(target, true)
+    require(fsys.rename(new org.apache.hadoop.fs.Path(staging), target),
+      s"swap failed: $path")
   }
 
   override def snapshot(spark: SparkSession): DataFrame =

@@ -35,6 +35,42 @@ class CosineSimilaritySpec extends SparkSpecBase {
     assert(math.abs(out.getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("quantized_cosine matches the interpreted integer formulation exactly") {
+    // the fused expression must be BIT-IDENTICAL to the aggregate(zip_with)
+    // integer math it replaced — exact long dot/norms, one IEEE div+sqrt —
+    // or the DuckDB oracle twin's hash gate breaks
+    val q = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => round(x.cast("double") * 1000).cast("long"))
+    val df = graft.sources.Tables.embeddings(spark, sfDir).limit(40)
+      .select(col("vec_id"), q(col("embedding")).as("v"))
+    val a = df.select(col("vec_id").as("ia"), col("v").as("va"))
+    val b = df.select(col("vec_id").as("ib"), col("v").as("vb"))
+    def idot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
+    val out = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .select(
+        call_function("quantized_cosine", col("va"), col("vb")).as("native"),
+        (idot(col("va"), col("vb")).cast("double") /
+          sqrt(greatest(idot(col("va"), col("va")) * idot(col("vb"), col("vb")), lit(1L))
+            .cast("double"))).as("composed"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact, not atol
+  }
+
+  test("quantized_cosine null and type semantics") {
+    val out = spark.sql(
+      """SELECT quantized_cosine(array(1L, 2L), CAST(NULL AS ARRAY<BIGINT>)) AS a,
+        |       quantized_cosine(array(0L, 0L), array(1L, 2L)) AS b,
+        |       quantized_cosine(array(3L, 4L), array(3L, 4L)) AS c
+        |""".stripMargin).head()
+    assert(out.isNullAt(0))
+    assert(out.getDouble(1) == 0.0) // zero norm → max(na*nb,1) guard, not null
+    assert(math.abs(out.getDouble(2) - 1.0) < 1e-12)
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT quantized_cosine(array(1.0d), array(2.0d))").collect())
+  }
+
   test("cosine_similarity is usable from SQL and survives codegen") {
     graft.sources.Tables.embeddings(spark, sfDir).limit(10)
       .createOrReplaceTempView("emb_tmp")

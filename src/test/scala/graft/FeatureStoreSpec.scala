@@ -238,6 +238,42 @@ class FeatureStoreSpec extends SparkSpecBase {
     assert(served == Seq(9.0f, 8.0f, 7.0f)) // latest row won
   }
 
+  test("BYTES features round-trip through materialization and serving") {
+    // reference Value proto serves BYTES payloads (ProtoFeature/AvroFeature
+    // decode them per declared type); binary must survive the latest-value
+    // merge, the parquet store write/read, and online lookup bit-for-bit
+    val blob1 = Array[Byte](0, 1, -1, 127, -128, 42)
+    val blob2 = Array[Byte](9, 9, 9)
+    val feats = Seq(
+      (1L, ts("2024-01-01 00:00:00"), blob1),
+      (1L, ts("2024-01-02 00:00:00"), blob2), // latest must win
+      (2L, ts("2024-01-01 00:00:00"), blob1))
+      .toDF("user_id", "ts", "payload")
+    feats.write.mode("overwrite").parquet(s"$workDir/bytes")
+    val r = new Registry
+    r.applyEntity(Entity("user_id", ValueKind.Int64K))
+    r.applyTable(FeatureTable("blobs", Seq("user_id"),
+      Seq(Feature("payload", ValueKind.BytesK)), eventTsCol = "ts",
+      batchSourcePath = Some(s"$workDir/bytes")))
+    val fs2 = new FeatureStore(r, spark)
+    // historical: declared type is BinaryType after the registry cast
+    val hist = fs2.getHistoricalFeatures(
+      Seq((1L, ts("2024-01-03 00:00:00"))).toDF("user_id", "event_timestamp"),
+      "event_timestamp", Seq(FeatureRef("blobs", "payload")))
+    assert(hist.schema("blobs__payload").dataType ==
+           org.apache.spark.sql.types.BinaryType)
+    assert(hist.head().getAs[Array[Byte]]("blobs__payload").toSeq == blob2.toSeq)
+    // online: materialize → serve returns the latest blob unchanged
+    val online = new ParquetOnlineStore(s"$workDir/online-bytes")
+    fs2.materialize("blobs", online, "2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    val served = fs2.getOnlineFeatures(online, Seq(1L, 2L).toDF("user_id"),
+        Seq(FeatureRef("blobs", "payload")), lit(ts("2024-01-03 00:00:00")))
+      .collect().map(rw => rw.getAs[Long]("user_id") ->
+        rw.getAs[Array[Byte]]("blobs__payload").toSeq).toMap
+    assert(served(1L) == blob2.toSeq)
+    assert(served(2L) == blob1.toSeq)
+  }
+
   test("project namespacing isolates online keys sharing one store") {
     // two projects define the SAME table name + entity key, materialize
     // into the SAME store: lookups must never leak across projects
@@ -291,6 +327,36 @@ class FeatureStoreSpec extends SparkSpecBase {
     assert(done == Seq("activity"))
     val snapCols = online.snapshot(spark).columns.toSet
     assert(snapCols.contains("value") && !snapCols.contains("other_value"))
+  }
+
+  test("registry-declared store: fromSpec → materializeSubscribed → getOnlineFeatures") {
+    // the reference wires StoreType → connector (core Store.java:30-70,
+    // serving ServingServiceConfigV2); here a store declared purely as
+    // registry metadata must come back as a usable handle end-to-end
+    val r = store.registry
+    r.applyStore(StoreSpec("decl", "parquet",
+      config = Map("path" -> s"$workDir/online-decl"),
+      subscriptions = Seq(Subscription("default", "activity"))))
+    val (online, done) = store.materializeSubscribed("decl",
+      "2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    assert(done == Seq("activity"))
+    val out = store.getOnlineFeatures(online, Seq(1L).toDF("user_id"),
+      Seq(FeatureRef("activity", "value")), lit(ts("2024-01-06 00:00:00"))).head()
+    assert(out.getAs[Double]("activity__value") == 11.0)
+    assert(out.getAs[String]("activity__value__status") == "PRESENT")
+    // memory stores are per-name singletons (two handles to one declared
+    // store share state, like two clients of one KV service)
+    import graft.serving.OnlineStore
+    assert(OnlineStore.fromSpec(StoreSpec("m1", "memory")) eq
+           OnlineStore.fromSpec(StoreSpec("m1", "memory")))
+    // reference error shapes: unknown type, missing required config
+    val ex = intercept[IllegalArgumentException](
+      OnlineStore.fromSpec(StoreSpec("bad", "somethingelse")))
+    assert(ex.getMessage.contains("Unsupported store type"))
+    assertThrows[IllegalArgumentException](
+      OnlineStore.fromSpec(StoreSpec("nopath", "parquet")))
+    assertThrows[IllegalArgumentException](
+      store.materializeSubscribed("never-declared", "2024-01-01 00:00:00", "2024-02-01 00:00:00"))
   }
 
   test("getOnlineFeatures marks stale rows OUTSIDE_MAX_AGE") {

@@ -59,4 +59,19 @@ class JoinUtilsSpec extends SparkSpecBase {
       .queryExecution.optimizedPlan.toString
     assert(planStr.contains("__salt"))
   }
+
+  test("salted join spreads FULLY IDENTICAL duplicate rows (nonce salt)") {
+    // hot keys are routinely exact duplicate rows (retries, log replays); a
+    // content-hash salt maps them all to one salt value and the hot
+    // partition survives intact — the nonce salt must not
+    val left = spark.range(0, 8000).select(lit(42L).as("k"), lit("dup").as("payload"))
+    val right = Seq((42L, "hot"), (7L, "cold")).toDF("k", "v")
+    val salted = JoinUtils.saltedJoin(left, right, Seq("k"), saltFactor = 8)
+    assert(salted.count() == 8000)
+    // the salt the join uses internally must take >1 value on identical rows
+    val nSalts = left
+      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(8L)).cast("int"))
+      .select("__salt").distinct().count()
+    assert(nSalts > 1, "identical duplicate rows all landed on one salt")
+  }
 }

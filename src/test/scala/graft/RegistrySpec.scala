@@ -174,6 +174,56 @@ class RegistrySpec extends SparkSpecBase {
            r.getTable("items", "team-b").get.streamSource)
   }
 
+  test("save/load keeps archived projects' contents, stores and on-demand views") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-reg2").toString
+    val r = Registry.demo(sfDir)
+    // archived project WITH contents: reference Core archives but keeps data
+    r.createProject("old-team")
+    r.applyEntity(Entity("thing_id", ValueKind.Int64K), project = "old-team")
+    r.applyTable(FeatureTable("things", Seq("thing_id"),
+      Seq(Feature("weight", ValueKind.DoubleK)),
+      batchSourcePath = Some("/tmp/things.parquet")), project = "old-team")
+    r.archiveProject("old-team")
+    // a store with config + subscriptions must survive the round trip
+    r.applyStore(StoreSpec("online_main", "parquet",
+      config = Map("path" -> "/tmp/store", "note" -> "a=b,c|d"),
+      subscriptions = Seq(Subscription("default", "*"),
+        Subscription("default", "secret_*", exclude = true))))
+    Registry.save(r, spark, dir)
+    val back = Registry.load(spark, dir)
+    // archived project: contents present, still archived (writes rejected)
+    assert(back.getTable("things", "old-team").get.features.map(_.name) == Seq("weight"))
+    assert(!back.listProjects.exists(_.name == "old-team"))
+    assert(back.listAllProjects.exists(p => p.name == "old-team" && p.archived))
+    assertThrows[IllegalArgumentException](
+      back.applyEntity(Entity("x", ValueKind.Int64K), project = "old-team"))
+    // stores + on-demand views round-trip exactly
+    assert(back.getStore("online_main") == r.getStore("online_main"))
+    assert(back.getOnDemandView("activity_derived") == r.getOnDemandView("activity_derived"))
+  }
+
+  test("stream source render/parse survives delimiter characters (Avro schema JSON)") {
+    // a realistic Avro schema contains '|' in doc strings and ','/':'
+    // everywhere; fieldMapping keys/values may carry ','/'='/'|'
+    val schema = """{"type":"record","name":"E","doc":"a|b,c=d","fields":[{"name":"v","type":"double"}]}"""
+    val spec = KafkaSourceSpec("broker-1:9092,broker-2:9092", "topic.v1",
+      StreamFormat.AvroFormat(schema), "ts",
+      fieldMapping = Map("raw,key" -> "clean=value", "pipe|key" -> "v|2"))
+    assert(StreamSourceSpec.parse(spec.render) == spec)
+    val fspec = FileStreamSourceSpec("/data/with|pipe", "json", "ts",
+      fieldMapping = Map("a" -> "b"))
+    assert(StreamSourceSpec.parse(fspec.render) == fspec)
+    // and through a full registry save/load
+    val dir = java.nio.file.Files.createTempDirectory("graft-reg3").toString
+    val r = new Registry
+    r.applyEntity(Entity("user_id", ValueKind.Int64K))
+    r.applyTable(FeatureTable("esc", Seq("user_id"),
+      Seq(Feature("value", ValueKind.DoubleK)),
+      batchSourcePath = Some("/tmp/esc.parquet"), streamSource = Some(spec)))
+    Registry.save(r, spark, dir)
+    assert(Registry.load(spark, dir).getTable("esc").get.streamSource.contains(spec))
+  }
+
   // reference: core/model/Store.java + common/models/Store.java
   // (parseSubscriptionFrom / convertStringToSubscription /
   // isSubscribedToFeatureSet).

@@ -192,6 +192,50 @@ class StreamIngestSpec extends SparkSpecBase {
     streamed.foreach { case (k, v) => assert(batch(k) == v) }
   }
 
+  test("Kafka spec drives materializeStream end-to-end (rate demo transport)") {
+    import graft.model._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-rate-demo").toString
+    spark.conf.set("graft.stream.demo", "rate")
+    try {
+      val r = new Registry
+      r.applyEntity(Entity("user_id", ValueKind.Int64K))
+      r.applyTable(FeatureTable("clicks", Seq("user_id"),
+        Seq(Feature("value", ValueKind.DoubleK), Feature("event_type", ValueKind.StringK)),
+        eventTsCol = "ts",
+        batchSourcePath = Some(s"$dir/unused"),
+        streamSource = Some(KafkaSourceSpec("broker-1:9092", "clicks.v1",
+          StreamFormat.AvroFormat(), eventTsCol = "ts"))))
+      val fs = new FeatureStore(r, spark)
+      val store = new graft.serving.MemoryOnlineStore
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", TimestampType),
+        StructField("value", DoubleType), StructField("event_type", StringType)))
+      // the NON-file spec opens and materializes through the same writer
+      val q = fs.materializeStream("clicks", store, schema)
+        .option("checkpointLocation", s"$dir/cp").start()
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        var n = 0L
+        while (n == 0 && System.currentTimeMillis() < deadline) {
+          Thread.sleep(250)
+          n = try store.snapshot(spark).count()
+              catch { case _: IllegalStateException => 0L }
+        }
+        assert(n > 0, "no rows flowed from the Kafka-spec'd demo stream")
+      } finally q.stop()
+      // and the serving path reads what the stream materialized
+      val someUser = store.snapshot(spark).select("user_id").head().getLong(0)
+      val out = fs.getOnlineFeatures(store, Seq(someUser).toDF("user_id"),
+        Seq(FeatureRef("clicks", "value")), lit(ts("2024-01-01 00:00:00")))
+      assert(out.head().getAs[String]("clicks__value__status") == "PRESENT")
+      // without the demo conf the spec still refuses (no connector here)
+      spark.conf.unset("graft.stream.demo")
+      assertThrows[UnsupportedOperationException](
+        fs.materializeStream("clicks", store, schema))
+    } finally spark.conf.unset("graft.stream.demo")
+  }
+
   test("windowed streaming agg matches batch tumbling aggregation") {
     val dir = Files.createTempDirectory("graft-stream-win").toString
     val input = MemoryStream[EventRow](spark)
