@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, QuantizedCosine}
+import graft.functions.{CharPolyHash, CosineSimilarity, QuantizedCosine}
 
 /** Session extensions: registers graft's native Catalyst expressions so they
   * are callable from SQL and `functions.call_function`. Install with
@@ -26,6 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "quantized_cosine takes exactly 2 arguments")
         QuantizedCosine(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("char_poly_hash"),
+      new ExpressionInfo(classOf[CharPolyHash].getName, "char_poly_hash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "char_poly_hash takes exactly 1 argument")
+        CharPolyHash(children.head)
       }))
   }
 }

@@ -394,6 +394,38 @@ object Analytics {
       |       (SELECT count(*) FROM c) AS n_view_click,
       |       (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin
 
+  /** Weekly cohort retention: users grouped by the week they were first
+    * seen, counted in every later week they were active — the standard
+    * product-analytics retention triangle. One shuffle keys the per-user
+    * cohort; the events↔cohort join reuses the same user_id exchange;
+    * the final distinct count shuffles by (cohort, offset). Week offsets
+    * are exact day-diffs / 7 (both weeks are Monday-truncated), so the
+    * gate column is integral in both engines. */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    ev.join(cohorts, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val eventsRetentionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, date_trunc('week', ts) AS wk FROM events
+      |), cohorts AS (
+      |  SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1
+      |)
+      |SELECT c.cohort_week,
+      |  CAST(date_diff('day', c.cohort_week::DATE, e.wk::DATE) / 7 AS BIGINT)
+      |    AS week_offset,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM ev e JOIN cohorts c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Multiple distinct aggregates in one pass (Catalyst plans this with an
     * Expand — each distinct column gets its own duplicate-elimination
     * stream inside a single shuffle). */
@@ -515,6 +547,7 @@ object Analytics {
     "ft_stats_approx"   -> (ftStatsApprox _),
     "q_topn_group"      -> (qTopnGroup _),
     "events_funnel"     -> (eventsFunnel _),
+    "events_retention"  -> (eventsRetention _),
     "q_distinct_agg"    -> (qDistinctAgg _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_pivot"           -> (qPivot _),
@@ -536,6 +569,7 @@ object Analytics {
     "q_percentiles"     -> qPercentilesSql,
     "q_topn_group"      -> qTopnGroupSql,
     "events_funnel"     -> eventsFunnelSql,
+    "events_retention"  -> eventsRetentionSql,
     "q_distinct_agg"    -> qDistinctAggSql,
     "q_scalar_subquery" -> qScalarSubquerySql,
     "q_pivot"           -> qPivotSql,

@@ -32,14 +32,13 @@ object OracleVariants {
   private def toks(c: Column): Column =
     regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
 
-  /** Char-polynomial token hash: fold (acc*31 + codepoint) mod p, seed 7.
-    * Spark's split(w, "") appends a trailing "" (Java split semantics) —
-    * filtered out so both engines fold the same char sequence. */
-  private def tokHash(w: Column): Column =
-    aggregate(
-      filter(split(w, ""), ch => length(ch) > 0),
-      lit(7L),
-      (acc, ch) => (acc * lit(31L) + ascii(ch)) % lit(P))
+  /** Char-polynomial token hash: fold (acc*31 + codepoint) mod p, seed 7 —
+    * graft's native `char_poly_hash` expression (one tight loop,
+    * codegen-callable; functions/CharPolyHash.scala). The composed
+    * `aggregate(filter(split(w, '')), ...)` form computed the identical
+    * values through a per-character interpreted expression tree and
+    * dominated the minhash/simhash twins' bench time. */
+  private def tokHash(w: Column): Column = call_function("char_poly_hash", w)
 
   private val tokHashSql: String =
     s"list_reduce(list_prepend(7::BIGINT, list_transform(string_split_regex(w, ''), c -> ascii(c)::BIGINT)), (acc, x) -> (acc*31 + x) % $P)"
@@ -218,32 +217,23 @@ object OracleVariants {
 
   private val quantSql = "list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT)"
 
-  private def idot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
-
-  private def inorm(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0L), (acc, v) => acc + v)
-
-  private def icos(dot: Column, na: Column, nb: Column): Column =
-    round(dot.cast("double") / sqrt(greatest(na * nb, lit(1L)).cast("double")), 4)
-
   private val K = 5
 
   /** Brute-force cosine top-k on quantized vectors — DuckDB-provable twin of
-    * `knn_brute` (same O(Q×N)-with-Q-broadcast plan). */
+    * `knn_brute` (same O(Q×N)-with-Q-broadcast plan, same fused
+    * `quantized_cosine` per-pair arithmetic as dedupEmbedOracle). */
   def knnBruteOracle(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), quant(col("embedding")).as("qv"),
-        inorm(quant(col("embedding"))).as("nq"))
+      .select(col("vec_id").as("query_id"), quant(col("embedding")).as("qv"))
     val cands = emb
-      .select(col("vec_id").as("neighbor_id"), quant(col("embedding")).as("cv"),
-        inorm(quant(col("embedding"))).as("nc"))
+      .select(col("vec_id").as("neighbor_id"), quant(col("embedding")).as("cv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     cands.crossJoin(broadcast(queries))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", icos(idot(col("cv"), col("qv")), col("nc"), col("nq")))
+      .withColumn("cos",
+        round(call_function("quantized_cosine", col("cv"), col("qv")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))

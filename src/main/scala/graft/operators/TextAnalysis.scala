@@ -315,6 +315,61 @@ object TextAnalysis {
       |FROM documents d JOIN counts c ON d.lang = c.lang CROSS JOIN mn
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Temperature-scaled source mixture (α = 0.5): the standard rebalancing
+    * a multi-source training mix runs — each source's share of the output
+    * is proportional to n_s^α, so dominant sources are downsampled and
+    * small ones upweighted RELATIVELY without exploding their absolute
+    * count (α = 1 keeps raw proportions, α = 0 forces uniform). Target
+    * size is half the corpus. Selection is the same engine-portable
+    * multiplicative hash as corpus_split/corpus_sample.
+    *
+    * Cross-engine determinism: source weights are rounded to INTEGRAL
+    * sqrt·1000 units so their total is an order-independent integer sum
+    * (a Σ of raw sqrt doubles would depend on summation order); the few
+    * remaining float ops (two divisions, one multiply) are IEEE-exact on
+    * identical inputs with an identical evaluation tree in both engines. */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame =
+    corpusMixOf(Tables.documents(spark, dir))
+
+  def corpusMixOf(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", round(sqrt(col("n_docs").cast("double")) * 1000).cast("long"))
+    val tot = counts.agg(sum(col("n_docs")).as("n_total"), sum(col("w")).as("w_total"))
+    val rate = least(lit(1.0),
+      col("w").cast("double") / col("w_total").cast("double") *
+        (col("n_total").cast("double") / lit(2.0)) / col("n_docs").cast("double"))
+    docs
+      .join(broadcast(counts), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("keep",
+        pmod(col("doc_id") * 2654435761L + 97531L, lit(1000000L)).cast("double")
+          < rate * lit(1000000.0))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy(col("source"))
+  }
+
+  val corpusMixSql: String =
+    """WITH counts AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(round(sqrt(count(*)::DOUBLE) * 1000, 0) AS BIGINT) AS w
+      |  FROM documents GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+      |         CAST(sum(w) AS BIGINT) AS w_total
+      |  FROM counts
+      |)
+      |SELECT d.source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN (d.doc_id * 2654435761 + 97531) % 1000000
+      |         < least(1.0, c.w::DOUBLE / t.w_total::DOUBLE
+      |                      * (t.n_total::DOUBLE / 2.0) / c.n_docs::DOUBLE)
+      |           * 1000000.0
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |FROM documents d JOIN counts c USING (source) CROSS JOIN tot t
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Sequence packing: assign docs to fixed token-budget bins (4096) the
     * way a training pipeline packs documents into context windows. Packing
     * is greedy by doc_id WITHIN deterministic hash shards — per-shard
@@ -438,6 +493,7 @@ object TextAnalysis {
     "text_ngram_topk"  -> (textNgramTopk _),
     "text_unigram_logprob" -> (textUnigramLogprob _),
     "corpus_sample"    -> (corpusSample _),
+    "corpus_mix"       -> (corpusMix _),
     "corpus_pack"      -> (corpusPack _),
     "corpus_clean"     -> (corpusClean _),
     "corpus_split"     -> (corpusSplit _),
@@ -451,6 +507,7 @@ object TextAnalysis {
     "text_ngram_topk"  -> textNgramTopkSql,
     "text_unigram_logprob" -> textUnigramLogprobSql,
     "corpus_sample"    -> corpusSampleSql,
+    "corpus_mix"       -> corpusMixSql,
     "corpus_pack"      -> corpusPackSql,
     "corpus_clean"     -> corpusCleanSql,
     "corpus_split"     -> corpusSplitSql,

@@ -71,6 +71,36 @@ class CosineSimilaritySpec extends SparkSpecBase {
       spark.sql("SELECT quantized_cosine(array(1.0d), array(2.0d))").collect())
   }
 
+  test("char_poly_hash matches the composed aggregate(split) formulation") {
+    // the native expression replaced the per-character interpreted tree; it
+    // must produce IDENTICAL values or the minhash/simhash oracle twins'
+    // hash gates break
+    val docs = graft.sources.Tables.documents(spark, sfDir).limit(100)
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+    val composed = aggregate(
+      filter(split(col("w"), ""), ch => length(ch) > 0),
+      lit(7L),
+      (acc, ch) => (acc * lit(31L) + ascii(ch)) % lit(1000000007L))
+    val out = docs
+      .select(call_function("char_poly_hash", col("w")).as("native"),
+        composed.as("composed"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // non-ASCII inputs fold code points (DuckDB ascii() semantics); empty = seed
+    def ref(s: String): Long = {
+      var acc = 7L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i); acc = (acc * 31L + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    val row = spark.sql("SELECT char_poly_hash('héllo✓') AS h, char_poly_hash('') AS e").head()
+    assert(row.getLong(0) == ref("héllo✓"))
+    assert(row.getLong(1) == 7L)
+  }
+
   test("cosine_similarity is usable from SQL and survives codegen") {
     graft.sources.Tables.embeddings(spark, sfDir).limit(10)
       .createOrReplaceTempView("emb_tmp")

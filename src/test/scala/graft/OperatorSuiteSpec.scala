@@ -133,6 +133,48 @@ class OperatorSuiteSpec extends SparkSpecBase {
     assert(over.count() == 0, "multi-doc bins must stay near the 4096 budget")
   }
 
+  test("corpus_mix temperature-scales source shares (α = 0.5)") {
+    import spark.implicits._
+    // skewed corpus: big source 1000 docs, mid 300, tiny 10 (tiny's quota
+    // exceeds its availability, so its rate caps at 1.0 = keep everything)
+    val docs = (0L until 1000L).map(i => (i, "en", "big", s"doc $i")) ++
+      (1000L until 1300L).map(i => (i, "en", "mid", s"doc $i")) ++
+      (1300L until 1310L).map(i => (i, "en", "tiny", s"doc $i"))
+    val out = TextAnalysis.corpusMixOf(
+        docs.toDF("doc_id", "lang", "source", "text"))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_sampled"))).toMap
+    val rate = out.map { case (s, (n, k)) => s -> k.toDouble / n }
+    // α = 0.5 upweights small sources RELATIVELY: keep rates grow as the
+    // source shrinks, capping at 1.0 when quota exceeds availability
+    assert(rate("tiny") == 1.0 && rate("mid") > rate("big"),
+      s"rates must grow as sources shrink: $rate")
+    assert(rate("mid") < 1.0, s"mid source must be downsampled, got $rate")
+    // total lands near the half-corpus target (655 here)
+    val total = out.values.map(_._2).sum
+    assert(total > 450 && total < 800, s"total $total should be ≈ 655 (half corpus)")
+    // nothing is oversampled beyond its availability
+    out.foreach { case (_, (n, k)) => assert(k <= n) }
+  }
+
+  test("events_retention cohorts are consistent: week 0 covers each cohort") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = Analytics.eventsRetention(spark, dir).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("cohort_week"),
+        r.getAs[Long]("week_offset"), r.getAs[Long]("n_users")))
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (_, rs) =>
+      val at0 = rs.find(_._2 == 0L).map(_._3).getOrElse(0L)
+      // every user is active in their own first week by construction, and
+      // no later week of a cohort can exceed the cohort's size
+      assert(at0 > 0)
+      rs.foreach { case (_, _, n) => assert(n <= at0) }
+    }
+    // offsets are non-negative (first week is the minimum)
+    rows.foreach { case (_, off, _) => assert(off >= 0L) }
+  }
+
   test("corpus_redact counts and strips PII-shaped strings") {
     import spark.implicits._
     val docs = Seq(
