@@ -396,11 +396,14 @@ object Analytics {
 
   /** Weekly cohort retention: users grouped by the week they were first
     * seen, counted in every later week they were active — the standard
-    * product-analytics retention triangle. One shuffle keys the per-user
-    * cohort; the events↔cohort join reuses the same user_id exchange;
-    * the final distinct count shuffles by (cohort, offset). Week offsets
-    * are exact day-diffs / 7 (both weeks are Monday-truncated), so the
-    * gate column is integral in both engines. */
+    * product-analytics retention triangle. The per-user cohort is one
+    * partial-aggregated shuffle; the events↔cohort join is declarative, so
+    * Catalyst broadcasts the cohort side at small scale and AQE/stats
+    * demote it to a sort-merge join on the already-shuffled user_id when
+    * cohorts outgrow the broadcast threshold; the final distinct count
+    * shuffles by (cohort, offset). Week offsets are exact day-diffs / 7
+    * (both weeks are Monday-truncated), so the gate column is integral in
+    * both engines. */
   def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))

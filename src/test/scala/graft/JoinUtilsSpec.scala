@@ -60,6 +60,57 @@ class JoinUtilsSpec extends SparkSpecBase {
     assert(planStr.contains("__salt"))
   }
 
+  test("AQE splits a skewed sort-merge join (the runtime half of skew handling)") {
+    // saltedJoin is the manual answer for shapes AQE can't rebalance; this
+    // pins the AUTOMATIC answer — AQE's OptimizeSkewedJoin must kick in on
+    // a skewed SMJ so the declarative plans the engine emits self-heal at
+    // scale. Thresholds are lowered so a local dataset trips the same code
+    // path a 100 TB hot key would.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // AQE replans with its OWN broadcast threshold — disable that too or
+      // the runtime demotes the SMJ to broadcast and no skew split happens
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 95% of 200k left rows share one hot key
+      val left = spark.range(0, 200000)
+        .select(when(col("id") % 20 =!= 0, lit(42L)).otherwise(col("id")).as("k"),
+          concat(lit("payload_"), col("id")).as("payload"))
+      val right = spark.range(0, 50000).select(col("id").as("k"),
+        concat(lit("dim_"), col("id")).as("v"))
+      val joined = left.join(right, Seq("k"))
+      val n = joined.count()
+      // 190k hot-key rows match the one k=42 dim row; of the 10k pass-through
+      // keys (multiples of 20) only those < 50000 (2500) have a dim row
+      assert(n == 190000L + 2500L)
+      val df2 = left.join(right, Seq("k"))
+      df2.collect()
+      val adaptive = df2.queryExecution.executedPlan
+        .collectFirst { case a: AdaptiveSparkPlanExec => a }
+        .getOrElse(fail("expected an adaptive plan"))
+      // AQE may keep the SMJ or replan it as a shuffled-hash join; either
+      // way OptimizeSkewedJoin must have split the hot partition. Query
+      // stages are LEAF nodes (collect cannot see inside them), so assert
+      // on the final plan's rendering: the join carries skew=true and the
+      // skewed side reads through an AQEShuffleRead marked "skewed".
+      val finalStr = adaptive.executedPlan.treeString
+      assert(finalStr.contains("SortMergeJoin") || finalStr.contains("ShuffledHashJoin"),
+        s"expected a shuffled join under AQE:\n${finalStr.take(3000)}")
+      assert(finalStr.contains("skew=true") && finalStr.contains("AQEShuffleRead skewed"),
+        s"AQE did not split the skewed join:\n${finalStr.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted join spreads FULLY IDENTICAL duplicate rows (nonce salt)") {
     // hot keys are routinely exact duplicate rows (retries, log replays); a
     // content-hash salt maps them all to one salt value and the hot
