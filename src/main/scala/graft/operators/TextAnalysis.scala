@@ -315,6 +315,37 @@ object TextAnalysis {
       |FROM documents d JOIN counts c ON d.lang = c.lang CROSS JOIN mn
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Corpus card: per (lang, source) document/token/char statistics with
+    * ROLLUP subtotals (per lang, and the corpus total) — the standard
+    * reporting rollup a dataset release ships. One pass: the rollup's
+    * grouping sets partial-aggregate before the single shuffle like any
+    * groupBy; token counts ride the same whitespace tokenizer as
+    * corpus_pack. Gate columns are integral sums (count/sum of BIGINT) so
+    * the cross-engine hash is exact. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = size(regexp_extract_all(col("text"), lit(wsTok), lit(0))).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), toks.as("n_toks"),
+        length(col("text")).cast("long").as("n_chars"))
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("n_tokens"), col("n_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val corpusStatsSql: String =
+    s"""SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+      |  count(*) AS n_docs,
+      |  CAST(sum(len(regexp_extract_all(text, '$wsTok'))) AS BIGINT) AS n_tokens,
+      |  CAST(sum(len(text)) AS BIGINT) AS n_chars
+      |FROM documents
+      |GROUP BY ROLLUP(lang, source)
+      |ORDER BY 1, 2""".stripMargin
+
   /** Temperature-scaled source mixture (α = 0.5): the standard rebalancing
     * a multi-source training mix runs — each source's share of the output
     * is proportional to n_s^α, so dominant sources are downsampled and
@@ -494,6 +525,7 @@ object TextAnalysis {
     "text_unigram_logprob" -> (textUnigramLogprob _),
     "corpus_sample"    -> (corpusSample _),
     "corpus_mix"       -> (corpusMix _),
+    "corpus_stats"     -> (corpusStats _),
     "corpus_pack"      -> (corpusPack _),
     "corpus_clean"     -> (corpusClean _),
     "corpus_split"     -> (corpusSplit _),
@@ -508,6 +540,7 @@ object TextAnalysis {
     "text_unigram_logprob" -> textUnigramLogprobSql,
     "corpus_sample"    -> corpusSampleSql,
     "corpus_mix"       -> corpusMixSql,
+    "corpus_stats"     -> corpusStatsSql,
     "corpus_pack"      -> corpusPackSql,
     "corpus_clean"     -> corpusCleanSql,
     "corpus_split"     -> corpusSplitSql,

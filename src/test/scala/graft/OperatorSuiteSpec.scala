@@ -175,6 +175,24 @@ class OperatorSuiteSpec extends SparkSpecBase {
     rows.foreach { case (_, off, _) => assert(off >= 0L) }
   }
 
+  test("corpus_stats rollup subtotals are consistent") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = TextAnalysis.corpusStats(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+    val leaves = rows.filter(r => r._1 != "ALL" && r._2 != "ALL")
+    val langTotals = rows.filter(r => r._1 != "ALL" && r._2 == "ALL")
+    val grand = rows.filter(r => r._1 == "ALL" && r._2 == "ALL")
+    assert(leaves.nonEmpty && langTotals.nonEmpty && grand.length == 1)
+    // each lang subtotal = sum of its leaves; grand total = sum of leaves
+    langTotals.foreach { case (lang, _, nd, nt) =>
+      val ls = leaves.filter(_._1 == lang)
+      assert(ls.map(_._3).sum == nd && ls.map(_._4).sum == nt, s"lang $lang")
+    }
+    assert(grand.head._3 == leaves.map(_._3).sum)
+    assert(grand.head._4 == leaves.map(_._4).sum)
+  }
+
   test("corpus_redact counts and strips PII-shaped strings") {
     import spark.implicits._
     val docs = Seq(
