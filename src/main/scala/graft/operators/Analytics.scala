@@ -404,8 +404,11 @@ object Analytics {
     * shuffles by (cohort, offset). Week offsets are exact day-diffs / 7
     * (both weeks are Monday-truncated), so the gate column is integral in
     * both engines. */
-  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame =
+    eventsRetentionOf(Tables.events(spark, dir))
+
+  def eventsRetentionOf(events: DataFrame): DataFrame = {
+    val ev = events
       .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
     val cohorts = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
     ev.join(cohorts, "user_id")

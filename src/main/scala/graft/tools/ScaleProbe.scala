@@ -79,6 +79,11 @@ object ScaleProbe {
     time(s"pit_bucketed x$k")(graft.operators.PointInTimeJoin.asofBucketed(
       entity, feats, Seq("user_id"), "entity_ts", "ts", Seq("value"), 86400L).count())
 
+    time(s"corpus_mix x$k")(
+      graft.operators.TextAnalysis.corpusMixOf(docs).count())
+    time(s"events_retention x$k")(
+      graft.operators.Analytics.eventsRetentionOf(ev).count())
+
     spark.stop()
   }
 }

@@ -112,6 +112,38 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("corpus_mix and events_retention keep their scale shapes") {
+    withoutAqe {
+      // corpus_mix: the documents scan streams once through BROADCAST joins
+      // of two tiny aggregates (per-source counts + one-row totals) — the
+      // full corpus must never shuffle before the final per-source agg
+      val mix = graft.operators.TextAnalysis.corpusMix(spark, sfDir)
+      val mixPlan = mix.queryExecution.executedPlan
+      assert(mixPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }.nonEmpty, "per-source counts must broadcast")
+      assert(mixPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.isEmpty, "corpus_mix must not sort-merge the corpus")
+      // shuffles: counts agg + totals agg(1-row) + final agg + orderBy only
+      val mixShuffles = mixPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(mixShuffles.size <= 5,
+        s"corpus_mix must not grow extra shuffles, got ${mixShuffles.size}")
+
+      // events_retention: the cohort side partial-aggregates BEFORE its
+      // exchange (one row per user crosses the network, not every event)
+      val ret = graft.operators.Analytics.eventsRetention(spark, sfDir)
+      val retPlan = ret.queryExecution.executedPlan
+      val aggs = retPlan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }
+      assert(aggs.size >= 2, "cohort min(wk) must plan partial+final aggregates")
+      assert(ret.count() > 0)
+    }
+  }
+
   test("partitioned corpus writes prune partitions at the scan") {
     // the 100 TB layout: partition the corpus by a low-cardinality column
     // (lang) so per-language jobs read only their directories — pruning
