@@ -128,6 +128,33 @@ final class ParquetOnlineStore(path: String) extends OnlineStore {
 
   override def snapshot(spark: SparkSession): DataFrame =
     spark.read.parquet(path)
+
+  /** TTL compaction: drop keys whose latest row is already older than
+    * `maxAgeSec` at `nowTs` — those rows can only ever serve
+    * OUTSIDE_MAX_AGE (value NULL), so at scale they are dead weight the
+    * store pays for on every merge and snapshot scan. Serving semantics
+    * change only from OUTSIDE_MAX_AGE to NOT_FOUND (both serve no value);
+    * the reference's TTL stores (e.g. per-key Redis expiry) make the same
+    * transition when a key lapses. Same stage-then-swap write discipline
+    * as upsert. */
+  def compact(spark: SparkSession, eventTsCol: String, maxAgeSec: Long,
+              nowTs: java.sql.Timestamp): Long = {
+    import org.apache.spark.sql.functions._
+    if (!StorePaths.exists(spark, path)) return 0L
+    val all = spark.read.parquet(path)
+    val fresh = all.filter(
+      unix_micros(col(eventTsCol)) >= unix_micros(lit(nowTs)) - maxAgeSec * 1000000L)
+    val dropped = all.count() - fresh.count()
+    if (dropped > 0L) {
+      val staging = path + "__staging"
+      fresh.write.mode("overwrite").parquet(staging)
+      val (fsys, target) = StorePaths.fs(spark, path)
+      if (fsys.exists(target)) fsys.delete(target, true)
+      require(fsys.rename(new org.apache.hadoop.fs.Path(staging), target),
+        s"swap failed: $path")
+    }
+    dropped
+  }
 }
 
 /** Driver-memory store: keeps the merged latest rows as collected Rows.

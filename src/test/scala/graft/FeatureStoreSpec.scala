@@ -274,6 +274,46 @@ class FeatureStoreSpec extends SparkSpecBase {
     assert(served(2L) == blob1.toSeq)
   }
 
+  test("LIST-of-BYTES features round-trip bit-for-bit") {
+    // the deepest Value-proto type: a list of binary payloads must survive
+    // the registry cast, the as-of join, the store merge and serving
+    val blobs1 = Seq(Array[Byte](1, -2), Array[Byte](3))
+    val blobs2 = Seq(Array[Byte](127, -128, 0))
+    val feats = Seq(
+      (1L, ts("2024-01-01 00:00:00"), blobs1),
+      (1L, ts("2024-01-02 00:00:00"), blobs2)) // latest wins
+      .toDF("user_id", "ts", "chunks")
+    feats.write.mode("overwrite").parquet(s"$workDir/byteslist")
+    val r = new Registry
+    r.applyEntity(Entity("user_id", ValueKind.Int64K))
+    r.applyTable(FeatureTable("chunked", Seq("user_id"),
+      Seq(Feature("chunks", ValueKind.ListK(ValueKind.BytesK))), eventTsCol = "ts",
+      batchSourcePath = Some(s"$workDir/byteslist")))
+    val fs2 = new FeatureStore(r, spark)
+    val online = new ParquetOnlineStore(s"$workDir/online-byteslist")
+    fs2.materialize("chunked", online, "2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    val served = fs2.getOnlineFeatures(online, Seq(1L).toDF("user_id"),
+        Seq(FeatureRef("chunked", "chunks")), lit(ts("2024-01-03 00:00:00")))
+      .head().getAs[scala.collection.Seq[Array[Byte]]]("chunked__chunks")
+    assert(served.map(_.toSeq) == blobs2.map(_.toSeq))
+  }
+
+  test("ParquetOnlineStore.compact drops only lapsed keys (TTL)") {
+    val online = new ParquetOnlineStore(s"$workDir/online-compact")
+    store.materialize("activity", online, "2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    // user 1's latest is Jan 05, user 2's is Jan 02; at Jan 10 with a 7-day
+    // TTL nothing lapses, at Jan 11 user 2 does
+    assert(online.compact(spark, "ts", 7L * 86400, ts("2024-01-09 00:00:00")) == 0L)
+    val dropped = online.compact(spark, "ts", 7L * 86400, ts("2024-01-11 00:00:00"))
+    assert(dropped == 1L)
+    val out = store.getOnlineFeatures(online, Seq(1L, 2L).toDF("user_id"),
+        Seq(FeatureRef("activity", "value")), lit(ts("2024-01-11 00:00:00")))
+      .collect().map(rw => rw.getAs[Long]("user_id") ->
+        rw.getAs[String]("activity__value__status")).toMap
+    assert(out(1L) == "PRESENT")
+    assert(out(2L) == "NOT_FOUND") // lapsed key compacted away entirely
+  }
+
   test("project namespacing isolates online keys sharing one store") {
     // two projects define the SAME table name + entity key, materialize
     // into the SAME store: lookups must never leak across projects
