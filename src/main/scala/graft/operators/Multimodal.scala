@@ -119,10 +119,69 @@ object Multimodal {
       |    c -> ascii(c)::BIGINT)), 0)::BIGINT AS checksum_cp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** One sampled frame of a blob. */
+  final case class FrameSample(doc_id: Long, frame_idx: Int, frame_start: Long,
+                               frame_len: Long, checksum_cp: Long)
+
+  /** Frame sampling: K=4 deterministic windows per blob, evenly spread from
+    * the start to the end of the payload — the video/audio "sample N frames
+    * per clip" access pattern. The REAL part is the plumbing: windows are
+    * cut partition-locally from the binary column (blob bytes never
+    * shuffle; the per-frame rows that leave the node are tiny), in the same
+    * 64-blob batches a vectorized decoder would take; a real deployment
+    * replaces only the per-window byte→feature body. The emitted checksum
+    * is the engine-neutral code-point sum so the whole window arithmetic
+    * (lengths, offsets, slicing) is DuckDB-hash-gated like
+    * multimodalMetaOracle (ASCII corpus ⇒ byte slices = char slices,
+    * same documented assumption). */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val K = 4
+    mediaTable(spark, dir)
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.flatMap { b =>
+            val n = b.blob.length.toLong
+            val flen = math.max(1L, n / 8L)
+            val span = math.max(0L, n - flen)
+            (0 until K).map { i =>
+              val start = i.toLong * span / (K - 1).toLong
+              val bytes = b.blob.slice(start.toInt, (start + flen).toInt)
+              val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+              FrameSample(b.doc_id, i, start, flen,
+                text.codePoints().asLongStream().sum())
+            }
+          }
+        }
+      }
+      .toDF().orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val multimodalFramesSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |    greatest(1, strlen(text)::BIGINT // 8) AS flen,
+      |    greatest(0, strlen(text)::BIGINT - greatest(1, strlen(text)::BIGINT // 8)) AS span
+      |  FROM documents
+      |), fr AS (
+      |  SELECT doc_id, i::INT AS frame_idx,
+      |    (i * span) // 3 AS frame_start, flen AS frame_len, text
+      |  FROM f CROSS JOIN unnest([0, 1, 2, 3]) AS t(i)
+      |)
+      |SELECT doc_id, frame_idx,
+      |  CAST(frame_start AS BIGINT) AS frame_start,
+      |  CAST(frame_len AS BIGINT) AS frame_len,
+      |  coalesce(list_sum(list_transform(
+      |    string_split_regex(substring(text, (frame_start + 1)::INT, frame_len::INT), ''),
+      |    c -> ascii(c)::BIGINT)), 0)::BIGINT AS checksum_cp
+      |FROM fr ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta"        -> (multimodalMeta _),
-    "multimodal_meta_oracle" -> (multimodalMetaOracle _))
+    "multimodal_meta_oracle" -> (multimodalMetaOracle _),
+    "multimodal_frames"      -> (multimodalFrames _))
 
   val oracle: Map[String, String] = Map(
-    "multimodal_meta_oracle" -> multimodalMetaOracleSql)
+    "multimodal_meta_oracle" -> multimodalMetaOracleSql,
+    "multimodal_frames"      -> multimodalFramesSql)
 }

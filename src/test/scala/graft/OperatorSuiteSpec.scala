@@ -379,6 +379,28 @@ class OperatorSuiteSpec extends SparkSpecBase {
     assert(bad == 0)
   }
 
+  test("multimodal_frames samples 4 in-bounds windows per blob") {
+    val dir = "/root/testdata/sf0.01"
+    val frames = graft.operators.Multimodal.multimodalFrames(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("frame_idx"),
+        r.getAs[Long]("frame_start"), r.getAs[Long]("frame_len")))
+    val sizes = graft.operators.Multimodal.multimodalMeta(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bytes")).toMap
+    val byDoc = frames.groupBy(_._1)
+    assert(byDoc.size == sizes.size)
+    byDoc.foreach { case (doc, fs) =>
+      assert(fs.map(_._2).sorted.toSeq == Seq(0, 1, 2, 3))
+      val n = sizes(doc)
+      fs.foreach { case (_, _, start, len) =>
+        assert(start >= 0 && len >= 1 && start + len <= math.max(n, 1L),
+          s"doc $doc frame [$start, ${start + len}) outside blob of $n bytes")
+      }
+      // first frame starts at 0; last frame ends at the blob end (n >= 1)
+      assert(fs.minBy(_._2)._3 == 0L)
+      if (n >= 8) assert(fs.maxBy(_._2)._3 + fs.maxBy(_._2)._4 == n)
+    }
+  }
+
   test("text fingerprint is order-sensitive") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma", 1L), (2L, "gamma beta alpha", 2L))
