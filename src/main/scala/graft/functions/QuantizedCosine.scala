@@ -22,9 +22,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * codegen and was the single slowest line of the round-3 bench; the fused
   * loop runs at the same speed as the float `cosine_similarity` path.
   *
-  * NULL when either input is NULL. Extra elements beyond the shorter length
-  * are ignored; NULL elements contribute nothing. Quantized magnitudes must
-  * keep dot/norm sums within Long (|x| ≤ ~3e4 at 64 dims is ample).
+  * NULL when either input is NULL. Matching DuckDB's list arithmetic
+  * exactly: each side's NORM runs over that side's FULL vector (a NULL
+  * element contributes nothing, like list_sum skipping NULLs); the DOT
+  * pairs elements up to the shorter length (an out-of-range or NULL
+  * partner makes the product NULL in SQL, so it contributes nothing).
+  * The norm product is formed in DOUBLE — na and nb are exact below 2⁵³,
+  * so the one rounding of `(double)na * (double)nb` is bit-identical to
+  * DuckDB casting the exact HUGEINT product, with no Long overflow.
+  * Quantized magnitudes must keep each norm sum within 2⁵³
+  * (|x| ≤ ~1e7 at 64 dims).
   */
 final case class QuantizedCosine(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -53,34 +60,12 @@ final case class QuantizedCosine(left: Expression, right: Expression)
     if (r == null) return null
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    var dot = 0L
-    var na = 0L
-    var nb = 0L
-    var i = 0
-    while (i < n) {
-      if (!a.isNullAt(i) && !b.isNullAt(i)) {
-        val x = a.getLong(i)
-        val y = b.getLong(i)
-        dot += x * y
-        na += x * x
-        nb += y * y
-      }
-      i += 1
-    }
-    dot.toDouble / math.sqrt(math.max(na * nb, 1L).toDouble)
+    QuantizedCosine.cosine(a, b)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val l = ctx.freshName("lArr")
-    val r = ctx.freshName("rArr")
-    val n = ctx.freshName("n")
-    val i = ctx.freshName("i")
-    val dot = ctx.freshName("dot")
-    val na = ctx.freshName("na")
-    val nb = ctx.freshName("nb")
-    val x = ctx.freshName("x")
-    val y = ctx.freshName("y")
+    // one static call — the loop body is identical either way and a single
+    // shared implementation cannot drift between eval and codegen
     val leftGen = left.genCode(ctx)
     val rightGen = right.genCode(ctx)
     val resultCode =
@@ -90,24 +75,9 @@ final case class QuantizedCosine(left: Expression, right: Expression)
         boolean ${ev.isNull} = true;
         double ${ev.value} = 0.0;
         if (!${leftGen.isNull} && !${rightGen.isNull}) {
-          org.apache.spark.sql.catalyst.util.ArrayData $l = ${leftGen.value};
-          org.apache.spark.sql.catalyst.util.ArrayData $r = ${rightGen.value};
-          int $n = java.lang.Math.min($l.numElements(), $r.numElements());
-          long $dot = 0L;
-          long $na = 0L;
-          long $nb = 0L;
-          for (int $i = 0; $i < $n; $i++) {
-            if (!$l.isNullAt($i) && !$r.isNullAt($i)) {
-              long $x = $l.getLong($i);
-              long $y = $r.getLong($i);
-              $dot += $x * $y;
-              $na += $x * $x;
-              $nb += $y * $y;
-            }
-          }
           ${ev.isNull} = false;
-          ${ev.value} = (double) $dot /
-            java.lang.Math.sqrt((double) java.lang.Math.max($na * $nb, 1L));
+          ${ev.value} = graft.functions.QuantizedCosine.cosine(
+            ${leftGen.value}, ${rightGen.value});
         }
       """
     ev.copy(code = resultCode)
@@ -116,4 +86,37 @@ final case class QuantizedCosine(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): QuantizedCosine =
     copy(left = newLeft, right = newRight)
+}
+
+object QuantizedCosine {
+  /** Static so generated code calls the same implementation as eval. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val nA = a.numElements()
+    val nB = b.numElements()
+    val shared = math.min(nA, nB)
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < shared) {
+      val aNull = a.isNullAt(i)
+      val bNull = b.isNullAt(i)
+      if (!aNull && !bNull) dot += a.getLong(i) * b.getLong(i)
+      if (!aNull) { val x = a.getLong(i); na += x * x }
+      if (!bNull) { val y = b.getLong(i); nb += y * y }
+      i += 1
+    }
+    // norms cover each side's FULL vector (DuckDB list_sum semantics)
+    var j = shared
+    while (j < nA) {
+      if (!a.isNullAt(j)) { val x = a.getLong(j); na += x * x }
+      j += 1
+    }
+    j = shared
+    while (j < nB) {
+      if (!b.isNullAt(j)) { val y = b.getLong(j); nb += y * y }
+      j += 1
+    }
+    dot.toDouble / math.sqrt(math.max(na.toDouble * nb.toDouble, 1.0))
+  }
 }

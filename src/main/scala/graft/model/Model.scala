@@ -496,9 +496,7 @@ object Registry {
   def load(spark: SparkSession, dir: String): Registry = {
     val r = new Registry
     def existing(path: String): Option[DataFrame] = {
-      val hp = new org.apache.hadoop.fs.Path(path)
-      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(hp)) None
+      if (!graft.serving.StorePaths.exists(spark, path)) None
       else
         // an EMPTY dataset (e.g. a registry saved with no stores) has no
         // rows to infer a schema from — treat it like a missing one

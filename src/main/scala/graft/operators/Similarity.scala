@@ -206,9 +206,7 @@ object Similarity {
   def loadOrTrainCentroids(spark: SparkSession, dir: String): Seq[Seq[Double]] = {
     val path = centroidStorePath(spark, dir)
     centroidCache.getOrElseUpdate(path, {
-      val hp = new org.apache.hadoop.fs.Path(path)
-      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(hp))
+      if (graft.serving.StorePaths.exists(spark, path))
         spark.read.parquet(path)
           .orderBy(col("cent_id"))
           .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq

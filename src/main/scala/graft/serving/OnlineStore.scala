@@ -115,11 +115,17 @@ final class ParquetOnlineStore(path: String) extends OnlineStore {
           keys, orderCols, (orderCols ++ valueCols).distinct)
           .selectExpr(cols: _*)
       else incoming
-    // stage-then-swap: the merge reads the live path, so compute fully into
-    // a staging dir first, then replace via the path's own FileSystem (works
-    // on HDFS/S3A the same as on local disk; no driver collect)
+    stageThenSwap(merged)
+  }
+
+  /** Stage-then-swap write discipline shared by upsert and compact: the
+    * computation reads the live path, so materialize fully into a staging
+    * dir first, then replace via the path's own FileSystem (works on
+    * HDFS/S3A the same as on local disk; no driver collect). */
+  private def stageThenSwap(replacement: DataFrame): Unit = {
+    val spark = replacement.sparkSession
     val staging = path + "__staging"
-    merged.write.mode("overwrite").parquet(staging)
+    replacement.write.mode("overwrite").parquet(staging)
     val (fsys, target) = StorePaths.fs(spark, path)
     if (fsys.exists(target)) fsys.delete(target, true)
     require(fsys.rename(new org.apache.hadoop.fs.Path(staging), target),
@@ -141,19 +147,18 @@ final class ParquetOnlineStore(path: String) extends OnlineStore {
               nowTs: java.sql.Timestamp): Long = {
     import org.apache.spark.sql.functions._
     if (!StorePaths.exists(spark, path)) return 0L
-    val all = spark.read.parquet(path)
-    val fresh = all.filter(
-      unix_micros(col(eventTsCol)) >= unix_micros(lit(nowTs)) - maxAgeSec * 1000000L)
-    val dropped = all.count() - fresh.count()
-    if (dropped > 0L) {
-      val staging = path + "__staging"
-      fresh.write.mode("overwrite").parquet(staging)
-      val (fsys, target) = StorePaths.fs(spark, path)
-      if (fsys.exists(target)) fsys.delete(target, true)
-      require(fsys.rename(new org.apache.hadoop.fs.Path(staging), target),
-        s"swap failed: $path")
-    }
-    dropped
+    val cutoff = unix_micros(lit(nowTs)) - maxAgeSec * 1000000L
+    // one aggregate pass decides; the rewrite pass only happens when
+    // something actually lapsed — at store scale the scans ARE the cost of
+    // compaction, so bookkeeping must not add passes of its own
+    val lapsed = Option(
+      spark.read.parquet(path)
+        .agg(sum(when(unix_micros(col(eventTsCol)) < cutoff, 1L).otherwise(0L)))
+        .head().getAs[java.lang.Long](0)).map(_.toLong).getOrElse(0L)
+    if (lapsed > 0L)
+      stageThenSwap(spark.read.parquet(path)
+        .filter(unix_micros(col(eventTsCol)) >= cutoff))
+    lapsed
   }
 }
 

@@ -69,6 +69,16 @@ class CosineSimilaritySpec extends SparkSpecBase {
     assert(math.abs(out.getDouble(2) - 1.0) < 1e-12)
     assertThrows[org.apache.spark.sql.AnalysisException](
       spark.sql("SELECT quantized_cosine(array(1.0d), array(2.0d))").collect())
+    // unequal lengths follow DuckDB list arithmetic: dot over the shared
+    // prefix, each NORM over its side's FULL vector
+    val uneq = spark.sql(
+      "SELECT quantized_cosine(array(3L, 4L), array(3L, 4L, 12L)) AS c").head()
+    assert(uneq.getDouble(0) == 25.0 / 65.0) // 25 / sqrt(25 * 169), exact
+    // norm product forms in double: magnitudes that overflow Long stay finite
+    val big = spark.sql(
+      "SELECT quantized_cosine(array_repeat(30000L, 64), array_repeat(30000L, 64)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(big - 1.0) < 1e-12)
   }
 
   test("char_poly_hash matches the composed aggregate(split) formulation") {

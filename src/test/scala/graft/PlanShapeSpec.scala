@@ -83,6 +83,16 @@ class PlanShapeSpec extends SparkSpecBase {
       }
       assert(exchanges.isEmpty,
         s"blob pipeline must not shuffle blob bytes, found: ${exchanges.map(_.nodeName)}")
+      // frame sampling: the only exchange is the final output sort — the
+      // window cut itself runs on the scan's own partitioning
+      val framesPlan = Multimodal.multimodalFrames(spark, sfDir)
+        .queryExecution.executedPlan
+      val beforeMap = framesPlan.collectFirst {
+        case m: org.apache.spark.sql.execution.MapPartitionsExec => m
+      }.getOrElse(fail("expected a MapPartitions window cut"))
+      assert(beforeMap.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }.isEmpty, "frame windows must be cut before any exchange")
     }
   }
 
