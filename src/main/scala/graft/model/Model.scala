@@ -460,23 +460,27 @@ object Registry {
     val all = r.listAllProjects
     all.map(p => (p.name, p.archived)).toDF("name", "archived")
       .coalesce(1).write.mode("overwrite").json(s"$dir/projects")
+    // label maps render through the ESCAPED k=v form (renderMap) — a label
+    // value containing ','/'=' must survive the round trip, same delimiter
+    // rule as stream-source specs
     all.flatMap { p =>
       r.listEntities(p.name).map(e => (p.name, e.name, e.valueType.name, e.description,
-        e.labels.map { case (k, v) => s"$k=$v" }.mkString(";")))
+        SourceValidation.renderMap(e.labels)))
     }.toDF("project", "name", "value_type", "description", "labels")
       .coalesce(1).write.mode("overwrite").json(s"$dir/entities")
     all.flatMap { p =>
       r.listTables(p.name).flatMap { t =>
         t.features.map { f =>
           (p.name, t.name, t.entities.mkString(","), f.name, f.valueType.name,
+           SourceValidation.renderMap(f.labels),
            t.maxAgeSec.getOrElse(-1L), t.eventTsCol, t.createdTsCol.getOrElse(""),
            t.batchSourcePath.getOrElse(""), t.streamSource.map(_.render).getOrElse(""),
-           t.labels.map { case (k, v) => s"$k=$v" }.mkString(";"))
+           SourceValidation.renderMap(t.labels))
         }
       }
     }.toDF("project", "table_name", "entities", "feature", "value_type",
-           "max_age_sec", "event_ts_col", "created_ts_col", "batch_source",
-           "stream_source", "labels")
+           "feature_labels", "max_age_sec", "event_ts_col", "created_ts_col",
+           "batch_source", "stream_source", "labels")
       .coalesce(1).write.mode("overwrite").json(s"$dir/tables")
     all.flatMap { p =>
       r.listOnDemandViews(p.name).flatMap { v =>
@@ -515,10 +519,7 @@ object Registry {
         row.getAs[String]("name"),
         ValueKind.parse(row.getAs[String]("value_type")),
         Option(row.getAs[String]("description")).getOrElse(""),
-        Option(row.getAs[String]("labels")).filter(_.nonEmpty)
-          .map(_.split(";").toSeq.map(_.split("=", 2))
-            .collect { case Array(k, v) => k -> v }.toMap)
-          .getOrElse(Map.empty)),
+        SourceValidation.parseMap(Option(row.getAs[String]("labels")).getOrElse(""))),
         project = row.getAs[String]("project"))
     }
     val rows = existing(s"$dir/tables").toSeq.flatMap(_.collect().toSeq)
@@ -531,15 +532,16 @@ object Registry {
           name = name,
           entities = head.getAs[String]("entities").split(",").toSeq,
           features = fs.toSeq.map(f => Feature(f.getAs[String]("feature"),
-            ValueKind.parse(f.getAs[String]("value_type")))),
+            ValueKind.parse(f.getAs[String]("value_type")),
+            SourceValidation.parseMap(
+              Option(f.getAs[String]("feature_labels")).getOrElse("")))),
           maxAgeSec = Some(head.getAs[Long]("max_age_sec")).filter(_ >= 0),
           eventTsCol = head.getAs[String]("event_ts_col"),
           createdTsCol = opt("created_ts_col"),
           batchSourcePath = opt("batch_source"),
           streamSource = opt("stream_source").map(StreamSourceSpec.parse),
-          labels = opt("labels").map(_.split(";").toSeq
-            .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap)
-            .getOrElse(Map.empty)),
+          labels = SourceValidation.parseMap(
+            Option(head.getAs[String]("labels")).getOrElse(""))),
           project = project)
       }
     existing(s"$dir/odfvs").toSeq.flatMap(_.collect().toSeq)

@@ -184,7 +184,13 @@ object Similarity {
   /** Train the coarse quantizer ONCE and persist it (cent_id, cvec) as
     * parquet — the 100 TB operating mode: centroids are a model artifact
     * trained offline and amortized over every subsequent query, not
-    * retrained inside each search. Returns the trained centroids. */
+    * retrained inside each search. Returns the trained centroids.
+    *
+    * Sizing at scale: IVF practice targets k ≈ √N cells (tens of vectors
+    * probed per cell at nprobe 2–8); the gate corpus uses the k=16 floor.
+    * Training cost stays bounded because only the k×dim centroid matrix
+    * ever reaches the driver and the offline job amortizes over every
+    * query against the persisted artifact. */
   def trainQuantizer(spark: SparkSession, dir: String,
                      k: Int = 16, iters: Int = 2): Seq[Seq[Double]] = {
     val cents = kmeansCentroids(Tables.embeddings(spark, dir), k, iters)

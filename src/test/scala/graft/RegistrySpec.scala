@@ -218,10 +218,15 @@ class RegistrySpec extends SparkSpecBase {
     val r = new Registry
     r.applyEntity(Entity("user_id", ValueKind.Int64K))
     r.applyTable(FeatureTable("esc", Seq("user_id"),
-      Seq(Feature("value", ValueKind.DoubleK)),
-      batchSourcePath = Some("/tmp/esc.parquet"), streamSource = Some(spec)))
+      Seq(Feature("value", ValueKind.DoubleK, labels = Map("unit" -> "m=s,x"))),
+      batchSourcePath = Some("/tmp/esc.parquet"), streamSource = Some(spec),
+      labels = Map("note" -> "a=b,c")))
     Registry.save(r, spark, dir)
-    assert(Registry.load(spark, dir).getTable("esc").get.streamSource.contains(spec))
+    val back = Registry.load(spark, dir).getTable("esc").get
+    assert(back.streamSource.contains(spec))
+    // table AND feature label maps survive delimiter-laden values
+    assert(back.labels == Map("note" -> "a=b,c"))
+    assert(back.features.head.labels == Map("unit" -> "m=s,x"))
   }
 
   // reference: core/model/Store.java + common/models/Store.java

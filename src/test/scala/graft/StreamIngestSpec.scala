@@ -236,6 +236,24 @@ class StreamIngestSpec extends SparkSpecBase {
     } finally spark.conf.unset("graft.stream.demo")
   }
 
+  test("Kinesis spec opens under the rate demo transport; refuses without") {
+    import graft.model._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    val spec = KinesisSourceSpec("us-east-1", "clicks",
+      StreamFormat.ProtoFormat("com.example.E"))
+    assertThrows[UnsupportedOperationException](
+      StreamIngest.readStreamSource(spark, spec, schema))
+    spark.conf.set("graft.stream.demo", "rate")
+    try {
+      val df = StreamIngest.readStreamSource(spark, spec, schema)
+      assert(df.isStreaming)
+      assert(df.schema.fieldNames.toSeq == Seq("user_id", "ts", "value"))
+    } finally spark.conf.unset("graft.stream.demo")
+  }
+
   test("windowed streaming agg matches batch tumbling aggregation") {
     val dir = Files.createTempDirectory("graft-stream-win").toString
     val input = MemoryStream[EventRow](spark)
