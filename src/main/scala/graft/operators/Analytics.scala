@@ -421,7 +421,9 @@ object Analytics {
 
   val eventsRetentionSql: String =
     """WITH ev AS (
-      |  SELECT user_id, date_trunc('week', ts) AS wk FROM events
+      |  -- DuckDB date_trunc('week') yields DATE; the driver hash is
+      |  -- type-sensitive, so cast back to TIMESTAMP to match Spark
+      |  SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events
       |), cohorts AS (
       |  SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1
       |)
