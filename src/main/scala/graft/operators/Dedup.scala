@@ -230,15 +230,24 @@ object Dedup {
     // out of the loop makes each round O(|dup subgraph|), not O(corpus)
     val edgeDocs = edges.select(col("a").as("doc_id")).distinct().localCheckpoint()
     var labels = edgeDocs.select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    // convergence check: labels are min-propagated, so they only ever
+    // DECREASE — Σ lbl is strictly monotone and stalls exactly at the
+    // fixpoint. One tiny aggregate per round replaces a prev↔next join +
+    // count (halves the per-round job count; at cluster scale the saved
+    // pass is a full labels shuffle per iteration).
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
       val viaNeighbors = edges.join(labels, edges("b") === labels("doc_id"))
         .select(edges("a").as("doc_id"), labels("lbl"))
       val next = labels.unionByName(viaNeighbors)
         .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "doc_id")
-        .filter(col("lbl") =!= col("prev")).count()
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
     }
     val clustered = labels.select(col("doc_id"), col("lbl").as("cluster_id"),
