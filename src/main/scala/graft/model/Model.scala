@@ -533,8 +533,11 @@ object Registry {
           entities = head.getAs[String]("entities").split(",").toSeq,
           features = fs.toSeq.map(f => Feature(f.getAs[String]("feature"),
             ValueKind.parse(f.getAs[String]("value_type")),
+            // tolerate saves from before feature labels were persisted
             SourceValidation.parseMap(
-              Option(f.getAs[String]("feature_labels")).getOrElse("")))),
+              if (f.schema.fieldNames.contains("feature_labels"))
+                Option(f.getAs[String]("feature_labels")).getOrElse("")
+              else ""))),
           maxAgeSec = Some(head.getAs[Long]("max_age_sec")).filter(_ >= 0),
           eventTsCol = head.getAs[String]("event_ts_col"),
           createdTsCol = opt("created_ts_col"),
@@ -549,7 +552,10 @@ object Registry {
       .foreach { case ((project, name), fs) =>
         r.applyOnDemandView(OnDemandView(
           name = name,
-          inputs = fs.head.getAs[String]("inputs").split(",").toSeq.map(FeatureRef.parse),
+          // a request-data-only view has NO inputs: "".split(",") yields
+          // Array(""), which must not reach FeatureRef.parse
+          inputs = fs.head.getAs[String]("inputs").split(",").toSeq
+            .filter(_.nonEmpty).map(FeatureRef.parse),
           features = fs.toSeq.map(f => OnDemandFeature(
             f.getAs[String]("feature"), f.getAs[String]("sql_expr")))),
           project = project)

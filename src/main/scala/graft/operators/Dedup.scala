@@ -234,9 +234,14 @@ object Dedup {
     // DECREASE — Σ lbl is strictly monotone and stalls exactly at the
     // fixpoint. One tiny aggregate per round replaces a prev↔next join +
     // count (halves the per-round job count; at cluster scale the saved
-    // pass is a full labels shuffle per iteration).
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
+    // pass is a full labels shuffle per iteration). Summed as
+    // decimal(38,0): 64-bit id schemes (snowflake-style ~1e18 doc_ids)
+    // overflow a Long sum within a handful of rows, which ANSI turns into
+    // a mid-loop abort.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")))
+        .head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
@@ -246,7 +251,7 @@ object Dedup {
         .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
       val nextSum = labelSum(next)
-      converged = nextSum == prevSum
+      converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels = next
     }

@@ -33,10 +33,14 @@ object JoinUtils {
     * partition), NOT a hash of the row's columns: hot keys are routinely
     * FULLY IDENTICAL duplicate rows (retries, log replays), and a
     * content hash sends all of them to one salt value — exactly the skew
-    * the salt exists to break. Result-identical to the plain join
-    * (spec-proven, including a duplicate-row corpus); replication cost is
-    * `saltFactor`× the right side, so salt the side with the skewed keys
-    * and keep the replicated side the smaller one. */
+    * the salt exists to break. The id is order-dependent, which is safe
+    * here: Spark marks it nondeterministic, so the stage is INDETERMINATE
+    * and a lost-executor retry re-runs the whole stage rather than mixing
+    * old and recomputed map outputs (the SPARK-23207 semantics) — coarser
+    * retries, never duplicated/dropped rows. Result-identical to the
+    * plain join (spec-proven, including a duplicate-row corpus);
+    * replication cost is `saltFactor`× the right side, so salt the side
+    * with the skewed keys and keep the replicated side the smaller one. */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltFactor: Int): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")

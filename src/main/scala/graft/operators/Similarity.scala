@@ -174,11 +174,31 @@ object Similarity {
 
   /** Where trained centroids for `dir` persist. Overridable via the
     * `graft.ivf.dir` session conf (a cluster points this at shared
-    * storage); defaults to a per-corpus subdir under the JVM tmpdir. */
+    * storage); defaults to a per-corpus subdir under the JVM tmpdir.
+    *
+    * The path carries a FINGERPRINT of the corpus files (names, sizes,
+    * mtimes): a regenerated corpus at the same path must NOT silently
+    * serve the previous quantizer — stale centroids degrade recall with
+    * no error. A changed corpus changes the fingerprint, so the lookup
+    * misses and the quantizer retrains. Writing the artifact is
+    * single-writer (an offline training job), the standard model-artifact
+    * discipline. */
   def centroidStorePath(spark: SparkSession, dir: String): String = {
     val base = spark.conf.getOption("graft.ivf.dir")
       .getOrElse(sys.props("java.io.tmpdir") + "/graft_ivf")
-    base + "/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    base + "/" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "-" + corpusFingerprint(spark, dir)
+  }
+
+  private def corpusFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sig =
+      try fs.listStatus(p).sortBy(_.getPath.getName)
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .mkString("|")
+      catch { case _: java.io.FileNotFoundException => "absent" }
+    (scala.util.hashing.MurmurHash3.stringHash(sig).toLong & 0xffffffffL).toHexString
   }
 
   /** Train the coarse quantizer ONCE and persist it (cent_id, cvec) as

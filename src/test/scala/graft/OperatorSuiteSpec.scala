@@ -379,6 +379,21 @@ class OperatorSuiteSpec extends SparkSpecBase {
     assert(bad == 0)
   }
 
+  test("IVF centroid store path changes when the corpus changes") {
+    // a regenerated corpus at the same path must invalidate the persisted
+    // quantizer — stale centroids degrade recall silently
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-fp").toString
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    emb.limit(50).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val p1 = Similarity.centroidStorePath(spark, dir)
+    Thread.sleep(1100) // mtime resolution
+    emb.limit(60).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val p2 = Similarity.centroidStorePath(spark, dir)
+    assert(p1 != p2, "corpus change must change the centroid store key")
+    // unchanged corpus keeps the same key (cache hits across sessions)
+    assert(Similarity.centroidStorePath(spark, dir) == p2)
+  }
+
   test("multimodal_frames samples 4 in-bounds windows per blob") {
     val dir = "/root/testdata/sf0.01"
     val frames = graft.operators.Multimodal.multimodalFrames(spark, dir).collect()

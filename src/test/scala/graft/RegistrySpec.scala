@@ -202,6 +202,16 @@ class RegistrySpec extends SparkSpecBase {
     assert(back.getOnDemandView("activity_derived") == r.getOnDemandView("activity_derived"))
   }
 
+  test("request-data-only on-demand views (no inputs) survive save/load") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-reg4").toString
+    val r = new Registry
+    r.applyOnDemandView(OnDemandView("reqonly", Seq.empty,
+      Seq(OnDemandFeature("const_two", "1 + 1"))))
+    Registry.save(r, spark, dir)
+    val back = Registry.load(spark, dir)
+    assert(back.getOnDemandView("reqonly") == r.getOnDemandView("reqonly"))
+  }
+
   test("stream source render/parse survives delimiter characters (Avro schema JSON)") {
     // a realistic Avro schema contains '|' in doc strings and ','/':'
     // everywhere; fieldMapping keys/values may carry ','/'='/'|'
