@@ -21,37 +21,18 @@ object Dedup {
   private def toks(c: Column): Column =
     regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
 
-  /** Hashed word 3-gram shingles: hash each token once, combine neighbor
-    * hashes with a multi-arg xxhash64 (overflow-free, no shingle strings).
-    *
-    * Built with `zip_with` over shifted slices — NOT a
-    * `transform(sequence(...), i -> element_at(hs, i))` loop. The loop form
-    * references the array column inside the lambda, and after Catalyst's
-    * CollapseProject inlines the tokenization expression into each
-    * reference, it re-tokenizes the document once PER ELEMENT (O(n²) — a
-    * measured 100× slowdown). zip_with only references the array per row. */
-  private def hashedShingles(c: Column): Column = {
-    val hs = transform(toks(c), t => xxhash64(t))
-    val n  = size(hs)
-    val pairs = zip_with(hs, slice(hs, lit(2), greatest(n - 1, lit(0))),
-      (x, y) => struct(x.as("a"), y.as("b")))
-    val tris = zip_with(pairs, slice(hs, lit(3), greatest(n - 2, lit(0))),
-      (p, z) => xxhash64(p.getField("a"), p.getField("b"), z))
-    when(n >= 3, slice(tris, lit(1), n - 2)).otherwise(array().cast("array<bigint>"))
-  }
+  /** Hashed word 3-gram shingles via graft's native `word_shingle_hash`
+    * expression (functions/WordShingleHash.scala): lowercase, tokenize,
+    * one xxhash64 per token and the n-gram combine all in ONE fused loop.
+    * The earlier `transform` + `zip_with`-over-slices column pipeline was
+    * CollapseProject-safe (see SURVEY §5 for the O(n²) trap it dodged)
+    * but still interpreted per token/shingle — the hot inner loop of all
+    * four shingle-based operators. */
+  private def hashedShingles(c: Column): Column = hashedNgrams(c, 3)
 
-  /** Hashed word n-gram shingles for arbitrary n: token hashes combined by
-    * chained pairwise xxhash64 over shifted slices (same CollapseProject-
-    * safe zip_with shape as [[hashedShingles]]). */
-  private[operators] def hashedNgrams(c: Column, n: Int): Column = {
-    val hs = transform(toks(c), t => xxhash64(t))
-    val sz = size(hs)
-    var acc = hs
-    for (k <- 2 to n)
-      acc = zip_with(acc, slice(hs, lit(k), greatest(sz - (k - 1), lit(0))),
-        (a, b) => xxhash64(a, b))
-    when(sz >= n, slice(acc, lit(1), sz - (n - 1))).otherwise(array().cast("array<bigint>"))
-  }
+  /** Hashed word n-gram shingles for arbitrary n. */
+  private[operators] def hashedNgrams(c: Column, n: Int): Column =
+    call_function("word_shingle_hash", c, lit(n))
 
   /** Benchmark decontamination: flag corpus docs sharing any word 5-gram
     * with the benchmark set (docs with doc_id ≡ 0 mod 97 stand in for the
