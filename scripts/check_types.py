@@ -19,6 +19,7 @@ Usage: python3 scripts/check_types.py <sfDir> <verifyOutDir>
 import glob
 import json
 import os
+import re
 import sys
 
 import duckdb
@@ -26,12 +27,15 @@ import pyarrow.parquet as pq
 
 
 def norm(t: str) -> str:
+    # substitutions must reach INSIDE nested types (list<item: int32> vs
+    # list<element: int64> is a tolerated difference too), so normalize by
+    # regex over the whole rendering, not just the top-level string
     t = (t.replace("large_string", "string")
           .replace("large_list", "list"))
-    if t.startswith("timestamp"):
-        return "timestamp"
-    if t in ("int8", "int16", "int32", "int64", "uint8", "uint16", "uint32"):
-        return "int"
+    t = re.sub(r"timestamp\[[^\]]*\]", "timestamp", t)
+    t = re.sub(r"\buint(8|16|32)\b", "int", t)
+    t = re.sub(r"\bint(8|16|32|64)\b", "int", t)
+    t = re.sub(r"\b(item|element|l):", "f:", t)  # arrow child-field names
     return t
 
 

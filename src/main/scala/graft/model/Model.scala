@@ -454,7 +454,13 @@ object Registry {
     * data, so it round-trips through the same engine. ARCHIVED projects'
     * contents are saved too: the reference archives a project but keeps its
     * data (only writes are rejected), so a save/load round-trip must not
-    * silently drop them. */
+    * silently drop them.
+    *
+    * Format note: label maps render in the ','-separated ESCAPED k=v form
+    * (format v2). [[load]] tolerates STRUCTURALLY older saves (missing
+    * datasets/columns load as empty), but does NOT migrate v1's
+    * ';'-separated unescaped label VALUES — re-save registries that
+    * predate the escaping change rather than loading them. */
   def save(r: Registry, spark: SparkSession, dir: String): Unit = {
     import spark.implicits._
     val all = r.listAllProjects

@@ -26,26 +26,39 @@ object JoinUtils {
   }
 
   /** Inner equi-join with the left side salted over `saltFactor` sub-keys:
-    * left rows scatter by a per-row nonce, right rows replicate
-    * `saltFactor`×, and the join key becomes (key, salt) — a hot key's rows
-    * land on `saltFactor` partitions instead of one. The salt comes from
-    * `monotonically_increasing_id()` (round-robin within each input
-    * partition), NOT a hash of the row's columns: hot keys are routinely
-    * FULLY IDENTICAL duplicate rows (retries, log replays), and a
-    * content hash sends all of them to one salt value — exactly the skew
-    * the salt exists to break. The id is order-dependent, which is safe
-    * here: Spark marks it nondeterministic, so the stage is INDETERMINATE
-    * and a lost-executor retry re-runs the whole stage rather than mixing
-    * old and recomputed map outputs (the SPARK-23207 semantics) — coarser
-    * retries, never duplicated/dropped rows. Result-identical to the
-    * plain join (spec-proven, including a duplicate-row corpus);
-    * replication cost is `saltFactor`× the right side, so salt the side
-    * with the skewed keys and keep the replicated side the smaller one. */
+    * left rows scatter across salts, right rows replicate `saltFactor`×,
+    * and the join key becomes (key, salt) — a hot key's rows land on
+    * `saltFactor` partitions instead of one. Result-identical to the plain
+    * join (spec-proven, including a duplicate-row corpus); replication
+    * cost is `saltFactor`× the right side, so salt the side with the
+    * skewed keys and keep the replicated side the smaller one.
+    *
+    * Two salting modes, because no single salt is both retry-exact and
+    * duplicate-spreading (pick per workload):
+    *
+    *  - `contentSalt = false` (default): per-row nonce from
+    *    `monotonically_increasing_id()` — spreads even FULLY IDENTICAL
+    *    duplicate rows (retries, log replays — the common hot-key shape).
+    *    The nonce is input-order-dependent; Spark does not propagate
+    *    expression nondeterminism into stage-retry planning
+    *    (SPARK-38388), so a mid-shuffle fetch-failure retry that
+    *    recomputes only some map tasks can re-salt their rows
+    *    differently. For identical duplicates that is harmless (any
+    *    copy↔salt assignment yields the same bytes); for DISTINCT rows
+    *    under executor loss, rerun the job or use content salting.
+    *  - `contentSalt = true`: salt = hash of the whole row — a pure
+    *    function of content, exact under any partial retry, but all
+    *    copies of an identical row share one salt, so it only spreads
+    *    hot KEYS whose rows differ (the distinct-payload shape).
+    */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-                 saltFactor: Int): DataFrame = {
+                 saltFactor: Int, contentSalt: Boolean = false): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
-    val l = left.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
+    val salt =
+      if (contentSalt)
+        pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(saltFactor.toLong))
+      else pmod(monotonically_increasing_id(), lit(saltFactor.toLong))
+    val l = left.withColumn("__salt", salt.cast("int"))
     val r = right.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     l.join(r, keys :+ "__salt").drop("__salt")

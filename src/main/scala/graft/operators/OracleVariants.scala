@@ -44,9 +44,10 @@ object OracleVariants {
     s"list_reduce(list_prepend(7::BIGINT, list_transform(string_split_regex(w, ''), c -> ascii(c)::BIGINT)), (acc, x) -> (acc*31 + x) % $P)"
 
   /** Neutral 3-gram shingle hashes: fold 3 consecutive token hashes with
-    * (acc*8191 + t) mod p. Mirrors Dedup.hashedShingles' zip_with-over-slices
-    * shape (safe under CollapseProject — arrays referenced per row, never
-    * per element). */
+    * (acc*8191 + t) mod p. Stays in the CollapseProject-safe
+    * zip_with-over-slices column form (SURVEY §5) — unlike the production
+    * path, which moved to the fused native `word_shingle_hash`, this twin
+    * must remain expressible as the exact arithmetic DuckDB replays. */
   private def neutralShingles(c: Column): Column = {
     val hs = transform(toks(c), tokHash(_))
     val n  = size(hs)

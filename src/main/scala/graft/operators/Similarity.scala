@@ -198,7 +198,11 @@ object Similarity {
         .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
         .mkString("|")
       catch { case _: java.io.FileNotFoundException => "absent" }
-    (scala.util.hashing.MurmurHash3.stringHash(sig).toLong & 0xffffffffL).toHexString
+    // 128-bit digest — a fingerprint exists to rule out silent staleness,
+    // so a 32-bit hash's collision budget would defeat its own purpose
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
   }
 
   /** Train the coarse quantizer ONCE and persist it (cent_id, cvec) as
@@ -220,6 +224,21 @@ object Similarity {
       .coalesce(1)
       .write.mode("overwrite").parquet(path)
     centroidCache.put(path, cents)
+    // retraining supersedes every older fingerprint of the SAME corpus —
+    // drop the orphans so a long-lived shared artifact dir doesn't grow
+    // without bound across corpus refreshes
+    val cur = new org.apache.hadoop.fs.Path(path)
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-"
+    if (fs.exists(cur.getParent)) {
+      fs.listStatus(cur.getParent)
+        // compare by NAME: listStatus returns fully-qualified paths while
+        // `cur` may be scheme-less, so Path equality would match nothing
+        // and the freshly-written artifact itself would be deleted
+        .filter(s => s.getPath.getName.startsWith(prefix) &&
+          s.getPath.getName != cur.getName)
+        .foreach(s => fs.delete(s.getPath, true))
+    }
     cents
   }
 

@@ -53,6 +53,11 @@ class JoinUtilsSpec extends SparkSpecBase {
       .select("k", "payload", "v").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
     assert(salted.toSeq == plain.toSeq)
+    // content mode (retry-exact; spreads distinct-payload hot rows like these)
+    val saltedC = JoinUtils.saltedJoin(left, right, Seq("k"), 8, contentSalt = true)
+      .select("k", "payload", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(saltedC.toSeq == plain.toSeq)
     assert(plain.count(_._1 == 42L) == 9000)
     // the salted plan actually spreads the hot key: join keys include __salt
     val planStr = JoinUtils.saltedJoin(left, right, Seq("k"), 8)
