@@ -16,6 +16,28 @@ object TextAnalysis {
   private val bpeTok = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
   private val stopEn = "\\b(the|and|of|to|in|is|a)\\b"
 
+  /** Engine-portable deterministic id hash shared by corpus_split /
+    * corpus_sample / corpus_mix / corpus_pack: h(id) = (A·(id mod p) + B)
+    * mod p with p = 1e9+7 — NOT rng sampling (reproducible across engines,
+    * runs, and partitionings) and NOT xxhash64 (the oracle must recompute
+    * it in SQL).
+    *
+    * Wide-id safety: the former raw form `id * 2654435761` ANSI-aborts at
+    * id ≥ 2⁶³/A ≈ 3.47e9 — exactly the snowflake-style 64-bit id scale a
+    * 100 TB corpus carries. Reducing mod p FIRST bounds the product by
+    * A·(p−1) ≈ 2.66e18 < 2⁶³, so the ladder is overflow-free for EVERY
+    * non-negative long id (spec-pinned at 10¹⁸ and Long.MaxValue) while
+    * staying a one-line DuckDB mirror. The affine map is a bijection on
+    * [0, p), so bucket uniformity is unchanged; ids differing by a
+    * multiple of p collide, which a split/sample cares nothing about. */
+  private val HashP = 1000000007L
+  private val HashA = 2654435761L
+  private val HashB = 97531L
+  def idHash(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(lit(HashA) * pmod(id, lit(HashP)) + lit(HashB), lit(HashP))
+  /** DuckDB mirror of [[idHash]] over a column rendering `ref`. */
+  def idHashSql(ref: String): String = s"(($HashA * ($ref % $HashP) + $HashB) % $HashP)"
+
   /** Token counting: whitespace tokens + a BPE-ish segmentation. */
   def textTokens(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -202,21 +224,17 @@ object TextAnalysis {
       |ORDER BY s.doc_id""".stripMargin
   }
 
-  /** Deterministic train/val/test split: engine-neutral multiplicative hash
-    * of the stable doc_id (NOT rng sampling — reproducible across engines,
-    * runs and cluster sizes, and stable under re-partitioning; the property
-    * a training pipeline needs for leakage-free splits). 80/10/10.
-    *
-    * BOUND (applies to every `doc_id * 2654435761` site — split, sample,
-    * pack): the raw Long multiply is ANSI-overflow-safe only for
-    * doc_id < 2⁶³/2654435761 ≈ 3.47e9. The multiplier is deliberately NOT
-    * xxhash64 because the oracle must recompute it in SQL; an id space
-    * beyond ~3.4e9 docs needs a wider-modulus ladder (split the multiply
-    * mod p as in OracleVariants' hash family). */
-  def corpusSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(col("doc_id") * 2654435761L + 97531L, lit(100L))
+  /** Deterministic train/val/test split via [[idHash]] of the stable doc_id
+    * (reproducible across engines, runs and cluster sizes, and stable under
+    * re-partitioning; the property a training pipeline needs for
+    * leakage-free splits). 80/10/10. */
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame =
+    corpusSplitOf(Tables.documents(spark, dir))
+
+  def corpusSplitOf(docs: DataFrame): DataFrame = {
+    val bucket = pmod(idHash(col("doc_id")), lit(100L))
     val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    Tables.documents(spark, dir)
+    docs
       .withColumn("split", split)
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -224,16 +242,18 @@ object TextAnalysis {
       .orderBy(col("split"), col("lang"))
   }
 
-  val corpusSplitSql: String =
-    """WITH assigned AS (
+  val corpusSplitSql: String = {
+    val b = s"${idHashSql("doc_id")} % 100"
+    s"""WITH assigned AS (
       |  SELECT lang, n_chars,
-      |    CASE WHEN (doc_id * 2654435761 + 97531) % 100 < 80 THEN 'train'
-      |         WHEN (doc_id * 2654435761 + 97531) % 100 < 90 THEN 'val'
+      |    CASE WHEN $b < 80 THEN 'train'
+      |         WHEN $b < 90 THEN 'val'
       |         ELSE 'test' END AS split
       |  FROM documents
       |)
       |SELECT split, lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
       |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 
   // PII patterns kept to the Java∩RE2 common subset so the oracle computes
   // identical matches (no lookbehind, no backreferences).
@@ -285,14 +305,16 @@ object TextAnalysis {
     * hash-selected subset sized to the SMALLEST language's count — the
     * rebalancing step a multilingual training mix runs so one dominant
     * language doesn't drown the rest. Selection is the same engine-portable
-    * multiplicative hash as corpus_split (reproducible across engines,
-    * runs, and partitionings); per-language counts are a tiny aggregate
-    * broadcast back onto the scan, not a global sort. */
-  def corpusSample(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    * [[idHash]] as corpus_split (reproducible across engines, runs, and
+    * partitionings); per-language counts are a tiny aggregate broadcast
+    * back onto the scan, not a global sort. */
+  def corpusSample(spark: SparkSession, dir: String): DataFrame =
+    corpusSampleOf(Tables.documents(spark, dir))
+
+  def corpusSampleOf(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
     val minCnt = counts.agg(min(col("n_docs")).as("min_docs"))
-    val bucket = pmod(col("doc_id") * 2654435761L + 97531L, lit(1000000L))
+    val bucket = pmod(idHash(col("doc_id")), lit(1000000L))
     docs
       .join(broadcast(counts), "lang")
       .crossJoin(broadcast(minCnt))
@@ -305,11 +327,11 @@ object TextAnalysis {
   }
 
   val corpusSampleSql: String =
-    """WITH counts AS (
+    s"""WITH counts AS (
       |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
       |), mn AS (SELECT min(n_docs) AS min_docs FROM counts)
       |SELECT d.lang, count(*) AS n_docs,
-      |  CAST(sum(CASE WHEN (d.doc_id * 2654435761 + 97531) % 1000000
+      |  CAST(sum(CASE WHEN ${idHashSql("d.doc_id")} % 1000000
       |             < mn.min_docs * 1000000 / c.n_docs
       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
       |FROM documents d JOIN counts c ON d.lang = c.lang CROSS JOIN mn
@@ -352,7 +374,7 @@ object TextAnalysis {
     * small ones upweighted RELATIVELY without exploding their absolute
     * count (α = 1 keeps raw proportions, α = 0 forces uniform). Target
     * size is half the corpus. Selection is the same engine-portable
-    * multiplicative hash as corpus_split/corpus_sample.
+    * [[idHash]] as corpus_split/corpus_sample.
     *
     * Cross-engine determinism: source weights are rounded to INTEGRAL
     * sqrt·1000 units so their total is an order-independent integer sum
@@ -374,7 +396,7 @@ object TextAnalysis {
       .join(broadcast(counts), "source")
       .crossJoin(broadcast(tot))
       .withColumn("keep",
-        pmod(col("doc_id") * 2654435761L + 97531L, lit(1000000L)).cast("double")
+        pmod(idHash(col("doc_id")), lit(1000000L)).cast("double")
           < rate * lit(1000000.0))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -383,7 +405,7 @@ object TextAnalysis {
   }
 
   val corpusMixSql: String =
-    """WITH counts AS (
+    s"""WITH counts AS (
       |  SELECT source, count(*) AS n_docs,
       |    CAST(round(sqrt(count(*)::DOUBLE) * 1000, 0) AS BIGINT) AS w
       |  FROM documents GROUP BY 1
@@ -393,7 +415,7 @@ object TextAnalysis {
       |  FROM counts
       |)
       |SELECT d.source, count(*) AS n_docs,
-      |  CAST(sum(CASE WHEN (d.doc_id * 2654435761 + 97531) % 1000000
+      |  CAST(sum(CASE WHEN ${idHashSql("d.doc_id")} % 1000000
       |         < least(1.0, c.w::DOUBLE / t.w_total::DOUBLE
       |                      * (t.n_total::DOUBLE / 2.0) / c.n_docs::DOUBLE)
       |           * 1000000.0
@@ -420,7 +442,7 @@ object TextAnalysis {
       .partitionBy(col("shard")).orderBy(col("doc_id"))
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        pmod(col("doc_id") * 2654435761L + 97531L, lit(numShards)).as("shard"),
+        pmod(idHash(col("doc_id")), lit(numShards)).as("shard"),
         toks.as("n_toks"))
       .withColumn("cum", sum(col("n_toks")).over(w))
       .select(col("doc_id"), col("shard"), col("n_toks"),
@@ -432,10 +454,10 @@ object TextAnalysis {
     s"""SELECT doc_id, shard, n_toks,
       |  CAST(floor((cum - n_toks) / 4096) AS BIGINT) AS bin_id
       |FROM (
-      |  SELECT doc_id, (doc_id * 2654435761 + 97531) % 64 AS shard,
+      |  SELECT doc_id, ${idHashSql("doc_id")} % 64 AS shard,
       |    len(regexp_extract_all(text, '$wsTok')) AS n_toks,
       |    sum(len(regexp_extract_all(text, '$wsTok')))
-      |      OVER (PARTITION BY (doc_id * 2654435761 + 97531) % 64
+      |      OVER (PARTITION BY ${idHashSql("doc_id")} % 64
       |            ORDER BY doc_id) AS cum
       |  FROM documents
       |) ORDER BY doc_id""".stripMargin
