@@ -36,23 +36,25 @@ object JoinUtils {
     * Two salting modes, because no single salt is both retry-exact and
     * duplicate-spreading (pick per workload):
     *
-    *  - `contentSalt = false` (default): per-row nonce from
+    *  - `contentSalt = true` (DEFAULT — the safe mode): salt = hash of the
+    *    whole row — a pure function of content, so the join is exact under
+    *    ANY partial stage retry. All copies of an identical row share one
+    *    salt, so it only spreads hot KEYS whose rows differ (the
+    *    distinct-payload shape, which is the common one).
+    *  - `contentSalt = false` (opt-in): per-row nonce from
     *    `monotonically_increasing_id()` — spreads even FULLY IDENTICAL
-    *    duplicate rows (retries, log replays — the common hot-key shape).
-    *    The nonce is input-order-dependent; Spark does not propagate
-    *    expression nondeterminism into stage-retry planning
-    *    (SPARK-38388), so a mid-shuffle fetch-failure retry that
-    *    recomputes only some map tasks can re-salt their rows
-    *    differently. For identical duplicates that is harmless (any
-    *    copy↔salt assignment yields the same bytes); for DISTINCT rows
-    *    under executor loss, rerun the job or use content salting.
-    *  - `contentSalt = true`: salt = hash of the whole row — a pure
-    *    function of content, exact under any partial retry, but all
-    *    copies of an identical row share one salt, so it only spreads
-    *    hot KEYS whose rows differ (the distinct-payload shape).
+    *    duplicate rows (retries, log replays). The nonce is
+    *    input-order-dependent; Spark does not propagate expression
+    *    nondeterminism into stage-retry planning (SPARK-38388), so a
+    *    mid-shuffle fetch-failure retry that recomputes only some map
+    *    tasks can re-salt their rows differently — harmless for identical
+    *    duplicates (any copy↔salt assignment yields the same bytes), but
+    *    silently wrong for DISTINCT rows under executor loss. Opt in ONLY
+    *    when the hot key's rows are exact duplicates; the default must be
+    *    the mode that can never drop or duplicate output.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-                 saltFactor: Int, contentSalt: Boolean = false): DataFrame = {
+                 saltFactor: Int, contentSalt: Boolean = true): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
     val salt =
       if (contentSalt)

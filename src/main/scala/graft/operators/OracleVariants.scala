@@ -253,8 +253,11 @@ object OracleVariants {
       |    list_sum(list_transform(cv, x -> x*x))::BIGINT AS nc
       |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id
       |), r AS (
+      |  -- norm product formed in DOUBLE exactly like quantized_cosine: a
+      |  -- BIGINT nq*nc would raise out-of-range once per-side norms pass
+      |  -- ~3e9, a failure mode the Spark side doesn't share
       |  SELECT query_id, neighbor_id,
-      |    round(dot::DOUBLE / sqrt(greatest(nq*nc, 1)::DOUBLE), 4) AS cos
+      |    round(dot::DOUBLE / sqrt(greatest(nq::DOUBLE * nc::DOUBLE, 1.0)), 4) AS cos
       |  FROM p
       |), rk AS (
       |  SELECT query_id, neighbor_id, cos,
@@ -277,11 +280,21 @@ object OracleVariants {
     * as the production `dedup_embed` float path, so the twin benches at
     * the same speed while staying engine-neutral. */
   def dedupEmbedOracle(spark: SparkSession, dir: String): DataFrame = {
+    // same oversized-block guard as the production dedup_embed (label
+    // blocks above Similarity.DefaultMaxBlock sub-block by the
+    // engine-portable id hash), mirrored in the oracle SQL — the gate
+    // proves the guard's arithmetic, not just the unguarded fast path
+    val maxBlock = Similarity.DefaultMaxBlock
+    val counts = Tables.embeddings(spark, dir)
+      .groupBy(col("label")).agg(count(lit(1)).as("n_lbl"))
     val emb = Tables.embeddings(spark, dir)
-      .select(col("label"), col("vec_id"), quant(col("embedding")).as("v"))
-    val a = emb.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
-    val b = emb.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
-    a.join(b, Seq("label"))
+      .join(broadcast(counts), "label")
+      .withColumn("nsub", floor((col("n_lbl") - lit(1L)) / lit(maxBlock)) + lit(1L))
+      .withColumn("sub", pmod(TextAnalysis.idHash(col("vec_id")), col("nsub")))
+      .select(col("label"), col("sub"), col("vec_id"), quant(col("embedding")).as("v"))
+    val a = emb.select(col("label"), col("sub"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = emb.select(col("label"), col("sub"), col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("label", "sub"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos",
         round(call_function("quantized_cosine", col("va"), col("vb")), 4))
@@ -291,15 +304,19 @@ object OracleVariants {
   }
 
   val dedupEmbedOracleSql: String =
-    s"""WITH e AS (
+    s"""WITH cnt AS (
+      |  SELECT label, count(*) AS n_lbl FROM embeddings GROUP BY 1
+      |), e AS (
       |  SELECT label, vec_id, $quantSql AS v,
-      |    list_sum(list_transform($quantSql, x -> x*x))::BIGINT AS nv
-      |  FROM embeddings
+      |    list_sum(list_transform($quantSql, x -> x*x))::BIGINT AS nv,
+      |    ${TextAnalysis.idHashSql("vec_id")}
+      |      % (CAST(floor((n_lbl - 1) / ${Similarity.DefaultMaxBlock}) AS BIGINT) + 1) AS sub
+      |  FROM embeddings JOIN cnt USING (label)
       |), p AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |    round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i]*b.v[i]))::DOUBLE
-      |      / sqrt(greatest(a.nv*b.nv, 1)::DOUBLE), 4) AS cos
-      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |      / sqrt(greatest(a.nv::DOUBLE * b.nv::DOUBLE, 1.0)), 4) AS cos
+      |  FROM e a JOIN e b ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
       |)
       |SELECT id_a, id_b, cos FROM p WHERE cos > 0.35 ORDER BY 1, 2""".stripMargin
 

@@ -21,15 +21,20 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** Corpus size per data dir, resolved ONCE per JVM. An ANN query must not
-    * pay a full counting scan before every search (at 100 TB that is an
-    * extra job per query); on a cluster this number comes from catalog
-    * statistics or a maintained table property — here the first resolution
-    * counts and every later query (and every other ANN operator on the same
-    * path) reuses it. */
+  /** Corpus size per data dir, resolved ONCE per corpus CONTENT. An ANN
+    * query must not pay a full counting scan before every search (at 100 TB
+    * that is an extra job per query); on a cluster this number comes from
+    * catalog statistics or a maintained table property — here the first
+    * resolution counts and every later query (and every other ANN operator
+    * on the same path) reuses it. The cache key carries the corpus
+    * fingerprint (names/sizes/mtimes — one FS metadata listing, no data
+    * scan), so a regenerated corpus at the same path re-counts instead of
+    * silently serving a stale size to the LSH plane sizing — the same
+    * staleness class the fingerprinted centroid store exists to prevent. */
   private val corpusCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
   def corpusCount(spark: SparkSession, dir: String): Long =
-    corpusCounts.getOrElseUpdate(dir, Tables.embeddings(spark, dir).count())
+    corpusCounts.getOrElseUpdate(dir + "@" + corpusFingerprint(spark, dir),
+      Tables.embeddings(spark, dir).count())
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -186,9 +191,16 @@ object Similarity {
   def centroidStorePath(spark: SparkSession, dir: String): String = {
     val base = spark.conf.getOption("graft.ivf.dir")
       .getOrElse(sys.props("java.io.tmpdir") + "/graft_ivf")
-    base + "/" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
-      "-" + corpusFingerprint(spark, dir)
+    base + "/" + corpusKey(dir) + "-" + corpusFingerprint(spark, dir)
   }
+
+  /** Sanitized corpus component of the artifact name. '-' is NOT allowed
+    * through: it is the corpus↔fingerprint delimiter, and a dir that kept
+    * it (e.g. `/data/sf0.1-v2`) would make one corpus's artifact name a
+    * prefix of another's — the orphan GC in [[trainQuantizer]] would then
+    * delete a LIVE sibling corpus's centroids, forcing spurious retrains. */
+  private def corpusKey(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9._]", "_")
 
   private def corpusFingerprint(spark: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
@@ -229,7 +241,9 @@ object Similarity {
     // without bound across corpus refreshes
     val cur = new org.apache.hadoop.fs.Path(path)
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val prefix = dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-"
+    // '-' cannot appear in corpusKey, so this prefix matches ONLY this
+    // corpus's fingerprints — never a sibling whose dir extends this one
+    val prefix = corpusKey(dir) + "-"
     if (fs.exists(cur.getParent)) {
       fs.listStatus(cur.getParent)
         // compare by NAME: listStatus returns fully-qualified paths while
@@ -348,13 +362,34 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** A label block of size k emits k²/2 candidate pairs, so label blocking
+    * is only linear while blocks stay bounded — one coarse or degenerate
+    * label would make the join quadratic with no error (the same failure
+    * mode dedup_ngram's hot-shingle cap guards). Blocks above this cap are
+    * sub-blocked by an engine-portable id hash into ceil(k/cap) sub-blocks,
+    * bounding candidate volume at ~k·cap/2 per label. */
+  val DefaultMaxBlock = 1000L
+
   /** Embedding-cosine near-duplicate pairs (cos > 0.35), candidate pairs
-    * blocked by the coarse cluster label. */
-  def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val a = emb.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("vec_a"))
-    val b = emb.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("vec_b"))
-    a.join(b, Seq("label"))
+    * blocked by the coarse cluster label, oversized blocks sub-blocked
+    * (see [[DefaultMaxBlock]]). */
+  def dedupEmbed(spark: SparkSession, dir: String): DataFrame =
+    dedupEmbedOf(Tables.embeddings(spark, dir))
+
+  /** Pairs missed by sub-blocking (across sub-blocks of ONE oversized
+    * label) are the documented trade for bounded work — a corpus whose
+    * labels routinely exceed the cap should use [[dedupEmbedLsh]], the
+    * label-free recall-preserving path. Per-label counts are a tiny
+    * broadcast aggregate (the corpus_sample pattern), so the big side
+    * still shuffles exactly once, on (label, sub). */
+  def dedupEmbedOf(emb0: DataFrame, maxBlock: Long = DefaultMaxBlock): DataFrame = {
+    val counts = emb0.groupBy(col("label")).agg(count(lit(1)).as("n_lbl"))
+    val emb = emb0.join(broadcast(counts), "label")
+      .withColumn("nsub", floor((col("n_lbl") - lit(1L)) / lit(maxBlock)) + lit(1L))
+      .withColumn("sub", pmod(TextAnalysis.idHash(col("vec_id")), col("nsub")))
+    val a = emb.select(col("label"), col("sub"), col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+    val b = emb.select(col("label"), col("sub"), col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+    a.join(b, Seq("label", "sub"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", round(cosine(col("vec_a"), col("vec_b")), 6))
       .filter(col("cos") > 0.35)

@@ -33,6 +33,27 @@ object ScaleProbe {
     }
   }
 
+  /** Quadratic-vs-capped probe for dedup_embed's oversized-block guard: a
+    * corpus where EVERY vector shares one label (the degenerate blocking
+    * the guard exists for), doubled in size per step. Unguarded, the
+    * label self-join emits n²/2 candidate pairs — time ~4× per doubling;
+    * capped, sub-blocking bounds candidates at ~n·cap/2 (linear). */
+  private def embedProbe(spark: SparkSession, sizes: Seq[Int]): Unit = {
+    import org.apache.spark.sql.functions._
+    for (n <- sizes) {
+      val emb = spark.range(0, n).select(
+        col("id").as("vec_id"), lit(0L).as("label"),
+        transform(sequence(lit(0), lit(63)),
+          j => ((pmod(col("id") * 31 + j * 17, lit(1000)).cast("double") / 500.0)
+            - 1.0).cast("float")).as("embedding"))
+      for ((name, cap) <- Seq("unguarded" -> Long.MaxValue, "capped" -> 1000L)) {
+        val t0 = System.nanoTime()
+        val rows = graft.operators.Similarity.dedupEmbedOf(emb, cap).count()
+        println(f"[scale] embed $name%-10s n=$n%-6d ${(System.nanoTime() - t0) / 1e9}%7.2f s pairs=$rows")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val k = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
@@ -44,6 +65,11 @@ object ScaleProbe {
 
     if (args.headOption.contains("ngram")) {
       ngramProbe(spark, Seq(2000, 4000, 8000))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("embed")) {
+      embedProbe(spark, Seq(4000, 8000, 16000))
       spark.stop()
       return
     }

@@ -49,15 +49,23 @@ class JoinUtilsSpec extends SparkSpecBase {
     val plain = left.join(right, Seq("k"))
       .select("k", "payload", "v").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    // default mode is content salting (retry-exact; spreads the
+    // distinct-payload hot rows of this dataset)
     val salted = JoinUtils.saltedJoin(left, right, Seq("k"), saltFactor = 8)
       .select("k", "payload", "v").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
     assert(salted.toSeq == plain.toSeq)
-    // content mode (retry-exact; spreads distinct-payload hot rows like these)
-    val saltedC = JoinUtils.saltedJoin(left, right, Seq("k"), 8, contentSalt = true)
+    // nonce mode (opt-in; spreads identical duplicates, not retry-exact)
+    val saltedC = JoinUtils.saltedJoin(left, right, Seq("k"), 8, contentSalt = false)
       .select("k", "payload", "v").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
     assert(saltedC.toSeq == plain.toSeq)
+    // the DEFAULT salt spreads this hot key: distinct payloads hash to >1 salt
+    val nSalts = left.filter(col("k") === 42L)
+      .withColumn("__salt",
+        pmod(xxhash64(col("k"), col("payload")), lit(8L)).cast("int"))
+      .select("__salt").distinct().count()
+    assert(nSalts > 1, "content salt left the distinct-payload hot key on one salt")
     assert(plain.count(_._1 == 42L) == 9000)
     // the salted plan actually spreads the hot key: join keys include __salt
     val planStr = JoinUtils.saltedJoin(left, right, Seq("k"), 8)
@@ -116,13 +124,14 @@ class JoinUtilsSpec extends SparkSpecBase {
     }
   }
 
-  test("salted join spreads FULLY IDENTICAL duplicate rows (nonce salt)") {
-    // hot keys are routinely exact duplicate rows (retries, log replays); a
+  test("salted join spreads FULLY IDENTICAL duplicate rows (opt-in nonce salt)") {
+    // hot keys can be exact duplicate rows (retries, log replays); a
     // content-hash salt maps them all to one salt value and the hot
-    // partition survives intact — the nonce salt must not
+    // partition survives intact — the opt-in nonce salt must not
     val left = spark.range(0, 8000).select(lit(42L).as("k"), lit("dup").as("payload"))
     val right = Seq((42L, "hot"), (7L, "cold")).toDF("k", "v")
-    val salted = JoinUtils.saltedJoin(left, right, Seq("k"), saltFactor = 8)
+    val salted = JoinUtils.saltedJoin(left, right, Seq("k"), saltFactor = 8,
+      contentSalt = false)
     assert(salted.count() == 8000)
     // the salt the join uses internally must take >1 value on identical rows
     val nSalts = left

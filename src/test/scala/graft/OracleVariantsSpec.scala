@@ -86,6 +86,31 @@ class OracleVariantsSpec extends SparkSpecBase {
     assert(top1Agree >= 8, s"top-1 neighbors should survive quantization, got $top1Agree/10")
   }
 
+  test("dedup_embed sub-blocks oversized label blocks (guard differential)") {
+    // one degenerate label of 60 near-identical vectors (every pair clears
+    // the 0.35 threshold): with cap 10 the guard must emit EXACTLY the
+    // pairs whose engine-portable sub-block hashes agree — checked against
+    // an independent BigInt reference of the sub assignment — and with the
+    // cap above the block size it must be a no-op (all pairs)
+    val n = 60
+    val rows = (0 until n).map { i =>
+      (i.toLong, 0L,
+        (0 until 8).map(j => 1.0f + (if (j == i % 8) 0.01f * (i / 8 + 1) else 0.0f)))
+    }
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val guarded = pairs(Similarity.dedupEmbedOf(emb, maxBlock = 10L))
+    val P = 1000000007L; val A = 2654435761L; val B = 97531L
+    def sub(id: Long) = ((A * (id % P) + B) % P) % 6L // nsub = floor(59/10)+1
+    val expected = (for {
+      a <- 0 until n; b <- a + 1 until n; if sub(a) == sub(b)
+    } yield (a.toLong, b.toLong)).toSet
+    assert(guarded == expected)
+    assert(guarded.nonEmpty && guarded.size < n * (n - 1) / 2)
+    // below the cap the guard is a no-op: every pair survives
+    val plain = pairs(Similarity.dedupEmbedOf(emb, maxBlock = 1000L))
+    assert(plain == (for { a <- 0 until n; b <- a + 1 until n } yield (a.toLong, b.toLong)).toSet)
+  }
+
   test("dedup_embed: quantized oracle finds the same near-dup pairs") {
     val prod = pairs(Similarity.dedupEmbed(spark, sfDir))
     val orac = pairs(OracleVariants.dedupEmbedOracle(spark, sfDir))
