@@ -12,6 +12,15 @@ object Bench {
     }
   }
 
+  /** The DuckDB-replayable `_oracle` twins exist to make rows-only pipelines
+    * hash-provable, not to be the production path — their engine-neutral
+    * hash arithmetic is deliberately slower than the xxhash64/float
+    * production forms they mirror. Bucketing them separately keeps the
+    * headline number an honest statement about production paths. */
+  private val oracleTwins = Set(
+    "dedup_minhash_oracle", "dedup_simhash_oracle", "knn_brute_oracle",
+    "dedup_embed_oracle", "multimodal_meta_oracle")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -25,31 +34,33 @@ object Bench {
     // warm up JVM/codegen/parquet-footer paths so the first timed query
     // doesn't absorb one-time session costs
     SparkEntry.entry(spark).count()
-    // Environment noise (GC history, codegen cache misses, a single slow
-    // run in a 63-query single-JVM session) once recorded a 52.8 s time for
-    // a query that re-times at 3.7 s standalone. Queries slower than the
-    // rerun threshold — and failures, which may be transient — get a second
-    // attempt and report the best successful time; persistent failures
-    // still read as -1 (a regression, never a fast run).
-    val rerunAbove = 1.5
+    // EVERY query runs twice, best successful time wins. Environment noise
+    // (GC history, codegen cache misses in a 67-query single-JVM session)
+    // once recorded 52.8 s for a query that re-times at 3.7 s standalone,
+    // and sub-second single-sample queries showed phantom 2.4-3.0x
+    // round-over-round "regressions" on unchanged plans. One extra pass
+    // over a ~40 s suite is cheap; a false regression line costs a round
+    // of investigation. Persistent failures still read -1 (a regression,
+    // never a fast run).
     val results = SparkEntry.queries.map { case (name, fn) =>
       val first = time1(spark, sfDir, name, fn)
-      val best =
-        if (first < 0 || first > rerunAbove) {
-          val second = time1(spark, sfDir, name, fn)
-          (first, second) match {
-            case (f, s) if f < 0 && s < 0 => -1.0
-            case (f, s) if f < 0          => s
-            case (f, s) if s < 0          => f
-            case (f, s)                   => math.min(f, s)
-          }
-        } else first
+      val second = time1(spark, sfDir, name, fn)
+      val best = (first, second) match {
+        case (f, s) if f < 0 && s < 0 => -1.0
+        case (f, s) if f < 0          => s
+        case (f, s) if s < 0          => f
+        case (f, s)                   => math.min(f, s)
+      }
       name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val twinTotal = results.collect { case (k, v) if oracleTwins(k) && v > 0 => v }.sum
+    val prodTotal = results.collect { case (k, v) if !oracleTwins(k) && v > 0 => v }.sum
+    val buckets =
+      s"""{"production":$prodTotal,"oracle_twin":$twinTotal}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"buckets":$buckets,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
