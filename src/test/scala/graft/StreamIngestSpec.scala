@@ -236,6 +236,49 @@ class StreamIngestSpec extends SparkSpecBase {
     } finally spark.conf.unset("graft.stream.demo")
   }
 
+  test("Kinesis spec drives materializeStream end-to-end (rate demo transport)") {
+    import graft.model._
+    import org.apache.spark.sql.types._
+    // the reference treats Kinesis as a first-class source type alongside
+    // Kafka (DataSource.java kinesis options; DataSourceValidator covers
+    // both) — so the demo-transport parity proof must too: spec resolution,
+    // field mapping, LatestValue upsert and serving are the production
+    // path for BOTH broker-backed spec types
+    val dir = Files.createTempDirectory("graft-rate-demo-kinesis").toString
+    spark.conf.set("graft.stream.demo", "rate")
+    try {
+      val r = new Registry
+      r.applyEntity(Entity("user_id", ValueKind.Int64K))
+      r.applyTable(FeatureTable("taps", Seq("user_id"),
+        Seq(Feature("value", ValueKind.DoubleK), Feature("event_type", ValueKind.StringK)),
+        eventTsCol = "ts",
+        batchSourcePath = Some(s"$dir/unused"),
+        streamSource = Some(KinesisSourceSpec("us-east-1", "taps.v1",
+          StreamFormat.AvroFormat(), eventTsCol = "ts"))))
+      val fs = new FeatureStore(r, spark)
+      val store = new graft.serving.MemoryOnlineStore
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", TimestampType),
+        StructField("value", DoubleType), StructField("event_type", StringType)))
+      val q = fs.materializeStream("taps", store, schema)
+        .option("checkpointLocation", s"$dir/cp").start()
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        var n = 0L
+        while (n == 0 && System.currentTimeMillis() < deadline) {
+          Thread.sleep(250)
+          n = try store.snapshot(spark).count()
+              catch { case _: IllegalStateException => 0L }
+        }
+        assert(n > 0, "no rows flowed from the Kinesis-spec'd demo stream")
+      } finally q.stop()
+      val someUser = store.snapshot(spark).select("user_id").head().getLong(0)
+      val out = fs.getOnlineFeatures(store, Seq(someUser).toDF("user_id"),
+        Seq(FeatureRef("taps", "value")), lit(ts("2024-01-01 00:00:00")))
+      assert(out.head().getAs[String]("taps__value__status") == "PRESENT")
+    } finally spark.conf.unset("graft.stream.demo")
+  }
+
   test("Kinesis spec opens under the rate demo transport; refuses without") {
     import graft.model._
     import org.apache.spark.sql.types._
