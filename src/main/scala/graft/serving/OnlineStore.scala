@@ -103,19 +103,41 @@ final class MaterializationLog(path: String) {
 final class ParquetOnlineStore(path: String) extends OnlineStore {
 
   override def upsert(rows: DataFrame, keys: Seq[String], orderCols: Seq[String],
-                      valueCols: Seq[String]): Unit = {
+                      valueCols: Seq[String]): Unit =
+    stageThenSwap(merge(rows, keys, orderCols, valueCols))
+
+  /** Upsert with the TTL cutoff fused into the merge's single read: rows
+    * (existing or incoming) whose event time already lapsed are dropped in
+    * the same stage-then-swap write the merge pays anyway. A separate
+    * [[compact]] pass re-scans the whole store AFTER upsert just read it —
+    * at store scale the scans ARE the cost of maintenance, so the steady
+    * state (periodic materialize + TTL hygiene) should pay one read, not
+    * two. Serving semantics for lapsed keys change only from
+    * OUTSIDE_MAX_AGE to NOT_FOUND (both serve no value), exactly like
+    * [[compact]] and the reference's per-key KV expiry. */
+  def upsertCompacting(rows: DataFrame, keys: Seq[String], orderCols: Seq[String],
+                       valueCols: Seq[String], eventTsCol: String, maxAgeSec: Long,
+                       nowTs: java.sql.Timestamp): Unit = {
+    import org.apache.spark.sql.functions._
+    val cutoff = unix_micros(lit(nowTs)) - maxAgeSec * 1000000L
+    stageThenSwap(merge(rows, keys, orderCols, valueCols)
+      .filter(unix_micros(col(eventTsCol)) >= cutoff))
+  }
+
+  /** Latest-per-key merge of the incoming batch with the live store (one
+    * read of the existing contents; no write). */
+  private def merge(rows: DataFrame, keys: Seq[String], orderCols: Seq[String],
+                    valueCols: Seq[String]): DataFrame = {
     val spark = rows.sparkSession
     val cols = (keys ++ (orderCols ++ valueCols).distinct).distinct
     val incoming = LatestValue.latest(rows, keys, orderCols, (orderCols ++ valueCols).distinct)
       .selectExpr(cols: _*)
-    val merged =
-      if (StorePaths.exists(spark, path))
-        LatestValue.latest(
-          spark.read.parquet(path).selectExpr(cols: _*).unionByName(incoming),
-          keys, orderCols, (orderCols ++ valueCols).distinct)
-          .selectExpr(cols: _*)
-      else incoming
-    stageThenSwap(merged)
+    if (StorePaths.exists(spark, path))
+      LatestValue.latest(
+        spark.read.parquet(path).selectExpr(cols: _*).unionByName(incoming),
+        keys, orderCols, (orderCols ++ valueCols).distinct)
+        .selectExpr(cols: _*)
+    else incoming
   }
 
   /** Stage-then-swap write discipline shared by upsert and compact: the
@@ -142,7 +164,10 @@ final class ParquetOnlineStore(path: String) extends OnlineStore {
     * change only from OUTSIDE_MAX_AGE to NOT_FOUND (both serve no value);
     * the reference's TTL stores (e.g. per-key Redis expiry) make the same
     * transition when a key lapses. Same stage-then-swap write discipline
-    * as upsert. */
+    * as upsert. This standalone pass exists for TTL hygiene BETWEEN
+    * ingestion runs; the steady-state materialize loop should use
+    * [[upsertCompacting]], which fuses the same cutoff into the merge's
+    * single read instead of paying a second full store scan. */
   def compact(spark: SparkSession, eventTsCol: String, maxAgeSec: Long,
               nowTs: java.sql.Timestamp): Long = {
     import org.apache.spark.sql.functions._

@@ -314,6 +314,36 @@ class FeatureStoreSpec extends SparkSpecBase {
     assert(out(2L) == "NOT_FOUND") // lapsed key compacted away entirely
   }
 
+  test("upsertCompacting fuses merge + TTL into one write (lapsed -> NOT_FOUND)") {
+    val online = new ParquetOnlineStore(s"$workDir/online-upsert-ttl")
+    // seed: user 1 fresh (Jan 05), user 2 stale (Jan 02)
+    store.materialize("activity", online, "2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    // one fused call at Jan 11 with a 7-day TTL: merges a new batch for
+    // user 3 AND drops user 2 in the same stage-then-swap write
+    import spark.implicits._
+    // same row shape materialize upserts: the __project key namespaces keys
+    val batch = Seq(("default", 3L, ts("2024-01-10 00:00:00"), 9.5, "click"))
+      .toDF("__project", "user_id", "ts", "value", "event_type")
+    online.upsertCompacting(batch, Seq("__project", "user_id"), Seq("ts"),
+      Seq("value", "event_type"), "ts", 7L * 86400, ts("2024-01-11 00:00:00"))
+    val snap = online.snapshot(spark).select("user_id").collect().map(_.getLong(0)).toSet
+    assert(snap.contains(3L) && !snap.contains(2L), s"snapshot keys: $snap")
+    val out = store.getOnlineFeatures(online, Seq(1L, 2L, 3L).toDF("user_id"),
+        Seq(FeatureRef("activity", "value")), lit(ts("2024-01-11 00:00:00")))
+      .collect().map(rw => rw.getAs[Long]("user_id") ->
+        rw.getAs[String]("activity__value__status")).toMap
+    assert(out(1L) == "PRESENT")  // fresh key merged through untouched
+    assert(out(2L) == "NOT_FOUND") // lapsed key dropped by the fused filter
+    assert(out(3L) == "PRESENT")  // incoming batch landed in the same write
+    // an incoming row that is ALREADY lapsed never enters the store
+    val stale = Seq(("default", 4L, ts("2024-01-01 00:00:00"), 1.0, "view"))
+      .toDF("__project", "user_id", "ts", "value", "event_type")
+    online.upsertCompacting(stale, Seq("__project", "user_id"), Seq("ts"),
+      Seq("value", "event_type"), "ts", 7L * 86400, ts("2024-01-11 00:00:00"))
+    assert(!online.snapshot(spark).select("user_id")
+      .collect().map(_.getLong(0)).toSet.contains(4L))
+  }
+
   test("project namespacing isolates online keys sharing one store") {
     // two projects define the SAME table name + entity key, materialize
     // into the SAME store: lookups must never leak across projects
