@@ -187,6 +187,24 @@ object SourceValidation {
     if (s.isEmpty) Map.empty
     else s.split(",").toSeq.map(_.split("=", 2))
       .collect { case Array(k, v) => unescKV(k) -> unescKV(v) }.toMap
+
+  /** Label-map parse that ALSO accepts the round-3 v1 persistence format
+    * (';'-separated, unescaped `k=v` pairs) — a registry saved before the
+    * escaping change must load, not silently mis-split into one giant
+    * label. Detection: a v2 string never uses ';' BETWEEN pairs, so a
+    * string whose every ';'-segment is `k=v`-shaped is read as v1. The
+    * residual ambiguity — a v2 value that itself looks like `...;k=v`
+    * (';' passes v2 escaping untouched) — resolves toward v1, the
+    * operationally safe direction: v1 files exist on disk, while such a
+    * value requires an adversarially-shaped label written by the current
+    * code. Writes always emit v2. */
+  def parseMapCompat(s: String): Map[String, String] = {
+    val segs = s.split(";", -1)
+    if (s.contains(";") && segs.forall(_.split("=", 2).length == 2))
+      segs.toSeq.map(_.split("=", 2))
+        .collect { case Array(k, v) => k -> v }.toMap
+    else parseMap(s)
+  }
 }
 
 /** A feature table: entities + features + freshness TTL + sources
@@ -458,9 +476,9 @@ object Registry {
     *
     * Format note: label maps render in the ','-separated ESCAPED k=v form
     * (format v2). [[load]] tolerates STRUCTURALLY older saves (missing
-    * datasets/columns load as empty), but does NOT migrate v1's
-    * ';'-separated unescaped label VALUES — re-save registries that
-    * predate the escaping change rather than loading them. */
+    * datasets/columns load as empty) AND reads v1's ';'-separated
+    * unescaped label maps via [[SourceValidation.parseMapCompat]] — a
+    * round-3 registry file loads as-is and re-saves in v2. */
   def save(r: Registry, spark: SparkSession, dir: String): Unit = {
     import spark.implicits._
     val all = r.listAllProjects
@@ -525,7 +543,7 @@ object Registry {
         row.getAs[String]("name"),
         ValueKind.parse(row.getAs[String]("value_type")),
         Option(row.getAs[String]("description")).getOrElse(""),
-        SourceValidation.parseMap(Option(row.getAs[String]("labels")).getOrElse(""))),
+        SourceValidation.parseMapCompat(Option(row.getAs[String]("labels")).getOrElse(""))),
         project = row.getAs[String]("project"))
     }
     val rows = existing(s"$dir/tables").toSeq.flatMap(_.collect().toSeq)
@@ -540,7 +558,7 @@ object Registry {
           features = fs.toSeq.map(f => Feature(f.getAs[String]("feature"),
             ValueKind.parse(f.getAs[String]("value_type")),
             // tolerate saves from before feature labels were persisted
-            SourceValidation.parseMap(
+            SourceValidation.parseMapCompat(
               if (f.schema.fieldNames.contains("feature_labels"))
                 Option(f.getAs[String]("feature_labels")).getOrElse("")
               else ""))),
@@ -549,7 +567,7 @@ object Registry {
           createdTsCol = opt("created_ts_col"),
           batchSourcePath = opt("batch_source"),
           streamSource = opt("stream_source").map(StreamSourceSpec.parse),
-          labels = SourceValidation.parseMap(
+          labels = SourceValidation.parseMapCompat(
             Option(head.getAs[String]("labels")).getOrElse(""))),
           project = project)
       }

@@ -174,6 +174,40 @@ class RegistrySpec extends SparkSpecBase {
            r.getTable("items", "team-b").get.streamSource)
   }
 
+  test("load accepts a round-3 (v1) registry save: ';'-separated unescaped labels") {
+    import spark.implicits._
+    // byte-for-byte the shape round 3's save wrote: labels joined with ';'
+    // unescaped, and NO feature_labels column on tables
+    val dir = java.nio.file.Files.createTempDirectory("graft-reg-v1").toString
+    Seq(("default", false)).toDF("name", "archived")
+      .coalesce(1).write.json(s"$dir/projects")
+    Seq(("default", "user_id", "INT64", "actor", "team=ml;tier=gold"))
+      .toDF("project", "name", "value_type", "description", "labels")
+      .coalesce(1).write.json(s"$dir/entities")
+    Seq(("default", "activity", "user_id", "value", "DOUBLE",
+        604800L, "ts", "", "/tmp/ev.parquet", "", "graft.ts_unit=nanos;owner=data"))
+      .toDF("project", "table_name", "entities", "feature", "value_type",
+        "max_age_sec", "event_ts_col", "created_ts_col", "batch_source",
+        "stream_source", "labels")
+      .coalesce(1).write.json(s"$dir/tables")
+    val r = Registry.load(spark, dir)
+    assert(r.listEntities.head.labels == Map("team" -> "ml", "tier" -> "gold"))
+    val t = r.getTable("activity").get
+    assert(t.labels == Map("graft.ts_unit" -> "nanos", "owner" -> "data"))
+    assert(t.maxAgeSec.contains(604800L))
+    // re-save writes v2; the round trip preserves the maps exactly
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-reg-v1b").toString
+    Registry.save(r, spark, dir2)
+    val r2 = Registry.load(spark, dir2)
+    assert(r2.listEntities.head.labels == Map("team" -> "ml", "tier" -> "gold"))
+    assert(r2.getTable("activity").get.labels ==
+      Map("graft.ts_unit" -> "nanos", "owner" -> "data"))
+    // and a v2 string whose VALUE contains ';' (no k=v shape after it)
+    // still parses as v2
+    assert(SourceValidation.parseMapCompat("k=a;b") == Map("k" -> "a;b"))
+    assert(SourceValidation.parseMapCompat("a=1;b=2") == Map("a" -> "1", "b" -> "2"))
+  }
+
   test("save/load keeps archived projects' contents, stores and on-demand views") {
     val dir = java.nio.file.Files.createTempDirectory("graft-reg2").toString
     val r = Registry.demo(sfDir)
