@@ -423,6 +423,68 @@ object TextAnalysis {
       |FROM documents d JOIN counts c USING (source) CROSS JOIN tot t
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Temperature-scaled mixture generalized over α AND the mixing key:
+    * real mixing sweeps α and rebalances per (lang × source) cell, not per
+    * source alone — a web-heavy English corpus and a web-heavy French one
+    * are different cells with different depths. Cell shares ∝ n_g^α toward
+    * a half-corpus target, rates capped at availability; same plan shape
+    * as [[corpusMixOf]] (two tiny broadcast aggregates over one corpus
+    * stream), so the 1×→10× sub-linear ScaleProbe measurement carries.
+    *
+    * α arrives in TENTHS (3 → 0.3) so gate keys stay integral. Weights
+    * are integral round(n^α·1000) units like the α=0.5 form; n^α for
+    * α ∉ {0, 0.5, 1} needs pow(), which unlike sqrt is not guaranteed
+    * correctly-rounded identically across engines — a weight is only at
+    * risk when pow(n,α)·1000 lands within an ulp of a .5 boundary, and
+    * TemperedMixSpec pins a ≥1e-6 margin for every gate-corpus cell count
+    * (the gate data is fixed; the margin makes the cross-engine hash a
+    * property, not luck). */
+  def corpusMixTempered(docs: DataFrame, alphaTenths: Int,
+                        groupCols: Seq[String] = Seq("lang", "source")): DataFrame = {
+    require(alphaTenths >= 0 && alphaTenths <= 10, "alphaTenths in [0, 10]")
+    val alpha = alphaTenths / 10.0
+    val gcols = groupCols.map(col)
+    val counts = docs.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w",
+        round(pow(col("n_docs").cast("double"), lit(alpha)) * 1000).cast("long"))
+    val tot = counts.agg(sum(col("n_docs")).as("n_total"), sum(col("w")).as("w_total"))
+    val rate = least(lit(1.0),
+      col("w").cast("double") / col("w_total").cast("double") *
+        (col("n_total").cast("double") / lit(2.0)) / col("n_docs").cast("double"))
+    docs
+      .join(broadcast(counts), groupCols)
+      .crossJoin(broadcast(tot))
+      .withColumn("keep",
+        pmod(idHash(col("doc_id")), lit(1000000L)).cast("double")
+          < rate * lit(1000000.0))
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy(gcols: _*)
+  }
+
+  def corpusMixTemperedSql(alphaTenths: Int): String = {
+    val alpha = alphaTenths / 10.0
+    s"""WITH counts AS (
+      |  SELECT lang, source, count(*) AS n_docs,
+      |    CAST(round(pow(count(*)::DOUBLE, $alpha) * 1000, 0) AS BIGINT) AS w
+      |  FROM documents GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+      |         CAST(sum(w) AS BIGINT) AS w_total
+      |  FROM counts
+      |)
+      |SELECT d.lang, d.source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN ${idHashSql("d.doc_id")} % 1000000
+      |         < least(1.0, c.w::DOUBLE / t.w_total::DOUBLE
+      |                      * (t.n_total::DOUBLE / 2.0) / c.n_docs::DOUBLE)
+      |           * 1000000.0
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |FROM documents d JOIN counts c USING (lang, source) CROSS JOIN tot t
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** Sequence packing: assign docs to fixed token-budget bins (4096) the
     * way a training pipeline packs documents into context windows. Packing
     * is greedy by doc_id WITHIN deterministic hash shards — per-shard
@@ -547,6 +609,9 @@ object TextAnalysis {
     "text_unigram_logprob" -> (textUnigramLogprob _),
     "corpus_sample"    -> (corpusSample _),
     "corpus_mix"       -> (corpusMix _),
+    "corpus_mix_a3"    -> ((s, d) => corpusMixTempered(Tables.documents(s, d), 3)),
+    "corpus_mix_a5"    -> ((s, d) => corpusMixTempered(Tables.documents(s, d), 5)),
+    "corpus_mix_a7"    -> ((s, d) => corpusMixTempered(Tables.documents(s, d), 7)),
     "corpus_stats"     -> (corpusStats _),
     "corpus_pack"      -> (corpusPack _),
     "corpus_clean"     -> (corpusClean _),
@@ -562,6 +627,9 @@ object TextAnalysis {
     "text_unigram_logprob" -> textUnigramLogprobSql,
     "corpus_sample"    -> corpusSampleSql,
     "corpus_mix"       -> corpusMixSql,
+    "corpus_mix_a3"    -> corpusMixTemperedSql(3),
+    "corpus_mix_a5"    -> corpusMixTemperedSql(5),
+    "corpus_mix_a7"    -> corpusMixTemperedSql(7),
     "corpus_stats"     -> corpusStatsSql,
     "corpus_pack"      -> corpusPackSql,
     "corpus_clean"     -> corpusCleanSql,
