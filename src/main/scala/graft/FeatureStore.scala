@@ -122,6 +122,30 @@ final class FeatureStore(val registry: Registry, spark: SparkSession,
       valueCols = featureNames)
   }
 
+  /** Materialize with the table's registered TTL fused into the store
+    * merge: keys whose latest feature row is already older than the
+    * table's max_age at `nowTs` can only ever serve OUTSIDE_MAX_AGE, so
+    * they are dropped inside the SAME read-merge-write the upsert pays
+    * anyway (ParquetOnlineStore.upsertCompacting) — the steady-state
+    * ingestion loop gets TTL hygiene for free instead of running a
+    * separate compact scan per cycle. Tables without a max_age, or stores
+    * without the fused path, fall back to the plain [[materialize]]. */
+  def materializeCompacting(tableName: String, store: OnlineStore,
+                            startInclusive: String, endExclusive: String,
+                            nowTs: java.sql.Timestamp): Unit = {
+    val t = table(tableName)
+    (store, t.maxAgeSec) match {
+      case (p: graft.serving.ParquetOnlineStore, Some(maxAge)) =>
+        val rows = BatchSource.readRange(spark, sourceOf(t), startInclusive, endExclusive)
+        p.upsertCompacting(rows.withColumn(ProjectCol, lit(project)),
+          keys = ProjectCol +: t.entities,
+          orderCols = Seq(t.eventTsCol) ++ t.createdTsCol,
+          valueCols = t.features.map(_.name),
+          eventTsCol = t.eventTsCol, maxAgeSec = maxAge, nowTs = nowTs)
+      case _ => materialize(tableName, store, startInclusive, endExclusive)
+    }
+  }
+
   /** Incremental materialization: materialize only [last-completed-end,
     * upToExclusive) as recorded in `log`, then record the new window
     * (reference: JobService's ingestion-job tracking is what makes

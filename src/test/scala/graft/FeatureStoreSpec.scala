@@ -344,6 +344,29 @@ class FeatureStoreSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSet.contains(4L))
   }
 
+  test("materializeCompacting applies the table's registered TTL in the merge") {
+    // activity's registry max_age is 10 days; at Jan 13 user 2's latest
+    // (Jan 02) has lapsed while user 1's (Jan 05) has not — one facade
+    // call must merge the window AND drop the lapsed key
+    val online = new ParquetOnlineStore(s"$workDir/online-mat-ttl")
+    store.materializeCompacting("activity", online,
+      "2024-01-01 00:00:00", "2024-02-01 00:00:00", ts("2024-01-13 00:00:00"))
+    val out = store.getOnlineFeatures(online, Seq(1L, 2L).toDF("user_id"),
+        Seq(FeatureRef("activity", "value")), lit(ts("2024-01-13 00:00:00")))
+      .collect().map(rw => rw.getAs[Long]("user_id") ->
+        rw.getAs[String]("activity__value__status")).toMap
+    assert(out(1L) == "PRESENT")
+    assert(out(2L) == "NOT_FOUND")
+    // a store without the fused path falls back to the plain upsert
+    val mem = new graft.serving.MemoryOnlineStore
+    store.materializeCompacting("activity", mem,
+      "2024-01-01 00:00:00", "2024-02-01 00:00:00", ts("2024-01-13 00:00:00"))
+    val memOut = store.getOnlineFeatures(mem, Seq(2L).toDF("user_id"),
+        Seq(FeatureRef("activity", "value")), lit(ts("2024-01-13 00:00:00")))
+      .head().getAs[String]("activity__value__status")
+    assert(memOut == "OUTSIDE_MAX_AGE") // plain path keeps the lapsed key
+  }
+
   test("project namespacing isolates online keys sharing one store") {
     // two projects define the SAME table name + entity key, materialize
     // into the SAME store: lookups must never leak across projects

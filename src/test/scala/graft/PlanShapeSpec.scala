@@ -154,6 +154,43 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("dedup_embed guard keeps per-label counts broadcast; tempered mix keeps the mix shape") {
+    withoutAqe {
+      // the oversized-block guard adds a per-label count — it must ride a
+      // tiny BROADCAST join (the corpus_sample pattern), never a sort-merge
+      // of the embeddings against their own counts, and the candidate
+      // self-join must join on (label, sub) so one degenerate label cannot
+      // rebuild the quadratic block
+      val embed = graft.operators.Similarity.dedupEmbed(spark, sfDir)
+      val plan = embed.queryExecution.executedPlan
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }.nonEmpty, "per-label counts must broadcast")
+      // at gate scale the tiny self-join may itself broadcast; what must
+      // hold at ANY scale is the equi-join KEYS — (label, sub), so one
+      // degenerate label cannot rebuild the quadratic block
+      val joinKeySizes = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys.size
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys.size
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys.size
+      }
+      assert(joinKeySizes.exists(_ >= 2),
+        s"candidate self-join must key on (label, sub); key sizes: $joinKeySizes")
+
+      // corpus_mix_a* inherits corpus_mix's shape: corpus streams once
+      // through broadcast joins of two tiny aggregates
+      val mix = graft.operators.TextAnalysis.corpusMixTempered(
+        graft.sources.Tables.documents(spark, sfDir), 3)
+      val mixPlan = mix.queryExecution.executedPlan
+      assert(mixPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.isEmpty, "tempered mix must not sort-merge the corpus")
+      assert(mixPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }.nonEmpty, "per-cell counts must broadcast")
+    }
+  }
+
   test("partitioned corpus writes prune partitions at the scan") {
     // the 100 TB layout: partition the corpus by a low-cardinality column
     // (lang) so per-language jobs read only their directories — pruning
