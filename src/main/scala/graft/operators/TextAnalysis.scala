@@ -564,6 +564,66 @@ object TextAnalysis {
       |FROM tok JOIN freq USING (w) CROSS JOIN tot
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Repetition signals per document (the Gopher-style quality gates a
+    * training pipeline filters on: templated/spammy docs repeat n-grams):
+    * duplicate-bigram fraction (1 − distinct/total) and top-bigram
+    * fraction (most frequent bigram's share). Bigram strings exist only
+    * inside the aggregation (explode → two stacked partial-aggregating
+    * groupBys — no per-doc array carried through a shuffle). Gate columns
+    * are integral: counts as BIGINT, ratios as round(a·10⁴/b) with exact
+    * integer numerators, so the cross-engine hash is boundary-safe. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val ws = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val bigrams = zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    val valid = when(size(ws) >= 2, slice(bigrams, lit(1), size(ws) - 1))
+      .otherwise(array().cast("array<string>"))
+    val docs = Tables.documents(spark, dir)
+    val stats = docs
+      .select(col("doc_id"), explode(valid).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"))
+    docs.select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(round((col("n_bigrams") - col("n_distinct")) * lit(10000.0)
+          / col("n_bigrams")).cast("long"), lit(0L)).as("dup_frac_e4"),
+        coalesce(round(col("top_cnt") * lit(10000.0)
+          / col("n_bigrams")).cast("long"), lit(0L)).as("top_frac_e4"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textRepetitionSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+      |), bg AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+      |    THEN list_transform(range(1, len(ws)), i -> array_to_string(ws[i:i+1], ' '))
+      |    ELSE [] END) AS bigram
+      |  FROM tk
+      |), cnts AS (
+      |  SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2
+      |), stats AS (
+      |  SELECT doc_id,
+      |    CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+      |    count(*) AS n_distinct,
+      |    CAST(max(cnt) AS BIGINT) AS top_cnt
+      |  FROM cnts GROUP BY 1
+      |)
+      |SELECT d.doc_id,
+      |  coalesce(s.n_bigrams, 0) AS n_bigrams,
+      |  coalesce(s.n_distinct, 0) AS n_distinct,
+      |  coalesce(CAST(round((s.n_bigrams - s.n_distinct) * 10000.0 / s.n_bigrams, 0) AS BIGINT), 0) AS dup_frac_e4,
+      |  coalesce(CAST(round(s.top_cnt * 10000.0 / s.n_bigrams, 0) AS BIGINT), 0) AS top_frac_e4
+      |FROM documents d LEFT JOIN stats s USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Top-10 word bigrams per language — the corpus statistic a tokenizer/
     * vocab build starts from. Bigram strings exist only inside the
     * aggregation (explode → groupBy count with map-side partials); ties
@@ -606,6 +666,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_ngram_topk"  -> (textNgramTopk _),
+    "text_repetition"  -> (textRepetition _),
     "text_unigram_logprob" -> (textUnigramLogprob _),
     "corpus_sample"    -> (corpusSample _),
     "corpus_mix"       -> (corpusMix _),
@@ -624,6 +685,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "text_ngram_topk"  -> textNgramTopkSql,
+    "text_repetition"  -> textRepetitionSql,
     "text_unigram_logprob" -> textUnigramLogprobSql,
     "corpus_sample"    -> corpusSampleSql,
     "corpus_mix"       -> corpusMixSql,

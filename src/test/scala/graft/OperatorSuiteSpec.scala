@@ -157,6 +157,26 @@ class OperatorSuiteSpec extends SparkSpecBase {
     out.foreach { case (_, (n, k)) => assert(k <= n) }
   }
 
+  test("text_repetition computes exact duplicate/top bigram fractions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    Seq(
+      (0L, "en", "web", "a b a b a b"),         // bigrams: ab,ba,ab,ba,ab
+      (1L, "en", "web", "one two three four"),  // 3 distinct bigrams
+      (2L, "en", "web", "solo"),                // no bigrams
+      (3L, "en", "web", ""))                    // no tokens
+      .toDF("doc_id", "lang", "source", "text")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextAnalysis.textRepetition(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(0L) == (5L, 2L, 6000L, 6000L)) // 3 of 5 repeats; "a b" x3
+    assert(out(1L) == (3L, 3L, 0L, 3333L))    // round(1e4/3)
+    assert(out(2L) == (0L, 0L, 0L, 0L))
+    assert(out(3L) == (0L, 0L, 0L, 0L))
+  }
+
   test("events_retention cohorts are consistent: week 0 covers each cohort") {
     val dir = "/root/testdata/sf0.01"
     val rows = Analytics.eventsRetention(spark, dir).collect()
