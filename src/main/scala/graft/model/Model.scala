@@ -176,10 +176,16 @@ object SourceValidation {
     s.replace("%", "%25").replace("|", "%7C")
   def unesc(s: String): String =
     s.replace("%7C", "|").replace("%25", "%")
+  // ';' is escaped too — not because v2 uses it as a delimiter, but so a
+  // v2-rendered string can NEVER look like the v1 format: parseMapCompat's
+  // v1 detection keys on ';'-separated k=v segments, and escaping ';' on
+  // write makes that detection exact for every registry written from here
+  // on (the documented ambiguity only remains for pre-existing v2 saves
+  // whose label values happened to embed ';…=…').
   private def escKV(s: String): String =
-    esc(s).replace(",", "%2C").replace("=", "%3D")
+    esc(s).replace(",", "%2C").replace("=", "%3D").replace(";", "%3B")
   private def unescKV(s: String): String =
-    unesc(s.replace("%2C", ",").replace("%3D", "="))
+    unesc(s.replace("%2C", ",").replace("%3D", "=").replace("%3B", ";"))
 
   def renderMap(m: Map[String, String]): String =
     m.map { case (k, v) => s"${escKV(k)}=${escKV(v)}" }.mkString(",")
@@ -191,13 +197,13 @@ object SourceValidation {
   /** Label-map parse that ALSO accepts the round-3 v1 persistence format
     * (';'-separated, unescaped `k=v` pairs) — a registry saved before the
     * escaping change must load, not silently mis-split into one giant
-    * label. Detection: a v2 string never uses ';' BETWEEN pairs, so a
+    * label. Detection: a v2 string never contains a literal ';' (escKV
+    * escapes it on write precisely so this detection is exact), so a
     * string whose every ';'-segment is `k=v`-shaped is read as v1. The
-    * residual ambiguity — a v2 value that itself looks like `...;k=v`
-    * (';' passes v2 escaping untouched) — resolves toward v1, the
-    * operationally safe direction: v1 files exist on disk, while such a
-    * value requires an adversarially-shaped label written by the current
-    * code. Writes always emit v2. */
+    * residual ambiguity — a v2 save from BEFORE ';' was escaped whose
+    * value embeds `...;k=v` — resolves toward v1, the operationally safe
+    * direction: v1 files exist on disk, such values are adversarial.
+    * Writes always emit v2. */
   def parseMapCompat(s: String): Map[String, String] = {
     val segs = s.split(";", -1)
     if (s.contains(";") && segs.forall(_.split("=", 2).length == 2))

@@ -92,6 +92,31 @@ object StreamIngest {
         if (!batch.isEmpty) store.upsert(batch, keys, orderCols, valueCols)
       }
 
+  /** Continuous materialization with the TTL fused into each micro-batch
+    * merge (ParquetOnlineStore.upsertCompacting): long-running streaming
+    * ingest is exactly the workload where lapsed keys otherwise accumulate
+    * between compaction jobs — fusing the cutoff into the merge's own
+    * read-merge-write gives the stream TTL hygiene per batch for free.
+    * The cutoff is evaluated at each batch's processing time (the same
+    * "now" serving uses), so a key lapses in the store at the moment it
+    * would stop serving a value anyway (OUTSIDE_MAX_AGE → NOT_FOUND). */
+  def latestUpsertCompacting(
+      stream: DataFrame,
+      store: graft.serving.ParquetOnlineStore,
+      keys: Seq[String],
+      orderCols: Seq[String],
+      valueCols: Seq[String],
+      eventTsCol: String,
+      maxAgeSec: Long): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          store.upsertCompacting(batch, keys, orderCols, valueCols,
+            eventTsCol, maxAgeSec,
+            new java.sql.Timestamp(System.currentTimeMillis()))
+      }
+
   /** Streaming ingestion dedup: drop exact re-deliveries of the same
     * (keys, event-ts) within the watermark horizon — the streaming twin of
     * LatestValue.dedup for at-least-once sources. */

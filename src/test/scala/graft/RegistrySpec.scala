@@ -264,12 +264,14 @@ class RegistrySpec extends SparkSpecBase {
     r.applyTable(FeatureTable("esc", Seq("user_id"),
       Seq(Feature("value", ValueKind.DoubleK, labels = Map("unit" -> "m=s,x"))),
       batchSourcePath = Some("/tmp/esc.parquet"), streamSource = Some(spec),
-      labels = Map("note" -> "a=b,c")))
+      // the ';x=y' value is the v1-lookalike shape: ';' is escaped on
+      // write, so the compat parser can never mistake this v2 save for v1
+      labels = Map("note" -> "a=b,c", "tricky" -> "v;x=y")))
     Registry.save(r, spark, dir)
     val back = Registry.load(spark, dir).getTable("esc").get
     assert(back.streamSource.contains(spec))
     // table AND feature label maps survive delimiter-laden values
-    assert(back.labels == Map("note" -> "a=b,c"))
+    assert(back.labels == Map("note" -> "a=b,c", "tricky" -> "v;x=y"))
     assert(back.features.head.labels == Map("unit" -> "m=s,x"))
   }
 

@@ -121,6 +121,26 @@ class StreamIngestSpec extends SparkSpecBase {
     assertThrows[IllegalStateException](new graft.serving.MemoryOnlineStore().snapshot(spark))
   }
 
+  test("streaming TTL-fused upsert drops lapsed keys per micro-batch") {
+    val dir = Files.createTempDirectory("graft-stream-ttl").toString
+    val store = new ParquetOnlineStore(s"$dir/store")
+    val input = MemoryStream[EventRow](spark)
+    val now = System.currentTimeMillis()
+    val fresh = new Timestamp(now - 3600L * 1000)           // 1h old
+    val stale = new Timestamp(now - 30L * 86400 * 1000)     // 30d old
+    input.addData(
+      EventRow(1L, fresh, 1L, "click", 1.0),
+      EventRow(2L, stale, 2L, "view", 2.0))
+    val writer = StreamIngest.latestUpsertCompacting(input.toDF(), store,
+      keys = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+      valueCols = Seq("event_type", "value"),
+      eventTsCol = "ts", maxAgeSec = 7L * 86400)
+    StreamIngest.runOnce(writer, s"$dir/cp").awaitTermination()
+    val keys = store.snapshot(spark).select("user_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keys == Set(1L), s"stale key must lapse in the fused merge: $keys")
+  }
+
   test("dedupStream drops exact re-deliveries within the watermark") {
     val dir = Files.createTempDirectory("graft-dedup-stream").toString
     val input = MemoryStream[EventRow](spark)
