@@ -434,6 +434,58 @@ object Analytics {
       |FROM ev e JOIN cohorts c USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Last-touch attribution: every purchase is credited to the SAME USER's
+    * most recent click at or before the purchase, as long as that click is
+    * within a 1-hour window (older → unattributed) — the standard
+    * marketing/product attribution query, and the batch twin of the
+    * streaming interval join (StreamIngest.intervalJoin).
+    *
+    * Scale shape: this is exactly an as-of join with TTL, so it reuses
+    * [[graft.operators.PointInTimeJoin.asof]] — ONE hash shuffle of
+    * clicks + purchases on user_id and a per-key sort; the naive
+    * range-join + row_number formulation explodes |purchases| × |clicks in
+    * window| rows first (the oracle's formulation, fine in DuckDB at gate
+    * scale, job-killing at 100 TB). Ties (two clicks at the purchase's
+    * exact best timestamp) break to the greatest click event_id via asof's
+    * deterministic greatest-feature-struct rule, mirrored in the oracle's
+    * per-(user, ts) max(event_id) pre-dedup. */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 10000).cast("long").as("value_e4"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("cid"))
+    PointInTimeJoin.asof(purch, clicks,
+        keys = Seq("user_id"), entityTs = "ts", featureTs = "ts",
+        featureCols = Seq("cid"), maxAgeSec = Some(3600L), outPrefix = "click_")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value_e4"),
+        col("click_ts"), col("click_cid").as("click_event_id"),
+        when(col("click_ts").isNotNull, 1).otherwise(0).as("attributed"))
+      .orderBy(col("event_id"))
+  }
+
+  val eventsAttributionSql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, ts, max(event_id) AS click_event_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+      |), purch AS (
+      |  SELECT event_id, user_id, ts,
+      |    CAST(round(value * 10000, 0) AS BIGINT) AS value_e4
+      |  FROM events WHERE event_type = 'purchase'
+      |), j AS (
+      |  SELECT p.event_id, p.user_id, p.ts, p.value_e4,
+      |    c.ts AS click_ts, c.click_event_id,
+      |    row_number() OVER (PARTITION BY p.event_id
+      |      ORDER BY c.ts DESC NULLS LAST) AS rn
+      |  FROM purch p LEFT JOIN clicks c
+      |    ON c.user_id = p.user_id AND c.ts <= p.ts
+      |   AND c.ts >= p.ts - INTERVAL 1 HOUR
+      |)
+      |SELECT event_id, user_id, ts, value_e4, click_ts, click_event_id,
+      |  CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END AS attributed
+      |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
+
   /** Multiple distinct aggregates in one pass (Catalyst plans this with an
     * Expand — each distinct column gets its own duplicate-elimination
     * stream inside a single shuffle). */
@@ -560,7 +612,8 @@ object Analytics {
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_pivot"           -> (qPivot _),
     "q_full_outer"      -> (qFullOuter _),
-    "events_hop"        -> (eventsHop _))
+    "events_hop"        -> (eventsHop _),
+    "events_attribution" -> (eventsAttribution _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg"            -> q1AggSql,
@@ -582,5 +635,6 @@ object Analytics {
     "q_scalar_subquery" -> qScalarSubquerySql,
     "q_pivot"           -> qPivotSql,
     "q_full_outer"      -> qFullOuterSql,
-    "events_hop"        -> eventsHopSql)
+    "events_hop"        -> eventsHopSql,
+    "events_attribution" -> eventsAttributionSql)
 }
