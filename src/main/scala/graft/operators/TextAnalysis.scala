@@ -524,6 +524,97 @@ object TextAnalysis {
       |  FROM documents
       |) ORDER BY doc_id""".stripMargin
 
+  /** Cross-document duplicated-span removal: every token position covered
+    * by a word 8-gram that also appears in ANOTHER document is removed —
+    * the fixed-granularity distributed form of exact-substring train-data
+    * dedup (suffix-array substring dedup needs a global order; corpus-scale
+    * pipelines run precisely this n-gram-keyed approximation instead).
+    * Output per doc: token counts, duplicated-span starts, covered-token
+    * count, and the md5 of the kept (uncovered) token sequence.
+    *
+    * Scale shape — linear, never pairwise: span keys are md5'd 8-gram
+    * strings built with 7 `lead`s in ONE per-doc window pass; corpus doc
+    * frequency is a (key, doc) distinct + count (shuffles by key hash);
+    * flags join back by key; coverage is a bounded running `max` window
+    * ([pos−7, pos]) over the same per-doc sort. No candidate pairs
+    * materialize anywhere — duplicate detection rides counts, so one
+    * boilerplate 8-gram shared by k docs costs k rows, not k². */
+  def corpusDedupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val NGram = 8
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"),
+      posexplode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+        .as(Seq("pos", "w")))
+    val gramParts = col("w") +: (1 until NGram).map(i => lead(col("w"), i).over(wOrd))
+    val withGram = tok.withColumn("gram",
+      when(lead(col("w"), NGram - 1).over(wOrd).isNotNull,
+        md5(concat_ws(" ", gramParts: _*).cast("binary"))))
+    val gdf = withGram.filter(col("gram").isNotNull)
+      .select(col("gram"), col("doc_id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
+    val wCov = wOrd.rowsBetween(-(NGram - 1), 0)
+    val covered = withGram.join(gdf, Seq("gram"), "left")
+      .withColumn("dup_start", when(col("gdf") > 1, 1).otherwise(0))
+      .withColumn("covered", max(col("dup_start")).over(wCov))
+    val agg = covered.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("dup_start")).cast("long").as("n_dup_starts"),
+        sum(col("covered")).cast("long").as("n_covered"),
+        md5(concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(col("covered") === 0, struct(col("pos"), col("w"))))),
+            s => s.getField("w"))).cast("binary")).as("kept_hash"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        coalesce(col("kept_hash"), md5(lit("").cast("binary"))).as("kept_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusDedupSpansSql: String = {
+    val leads = (1 to 7).map(i => s"lead(w, $i) OVER wd").mkString(", ")
+    s"""WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+      |), tok AS (
+      |  SELECT doc_id, unnest(ws) AS w, unnest(range(0, len(ws))) AS pos FROM tk
+      |), gram AS (
+      |  SELECT doc_id, pos, w,
+      |    CASE WHEN lead(w, 7) OVER wd IS NOT NULL
+      |         THEN md5(concat_ws(' ', w, $leads)) END AS gram
+      |  FROM tok WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)
+      |), gdf AS (
+      |  SELECT gram, count(DISTINCT doc_id) AS gdf
+      |  FROM gram WHERE gram IS NOT NULL GROUP BY 1
+      |), cov AS (
+      |  SELECT g.doc_id, g.pos, g.w,
+      |    CASE WHEN d.gdf > 1 THEN 1 ELSE 0 END AS dup_start,
+      |    max(CASE WHEN d.gdf > 1 THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY g.doc_id ORDER BY g.pos
+      |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+      |  FROM gram g LEFT JOIN gdf d ON g.gram = d.gram
+      |), agg AS (
+      |  SELECT doc_id, count(*) AS n_toks,
+      |    CAST(sum(dup_start) AS BIGINT) AS n_dup_starts,
+      |    CAST(sum(covered) AS BIGINT) AS n_covered,
+      |    md5(coalesce(string_agg(w, ' ' ORDER BY pos) FILTER (covered = 0), ''))
+      |      AS kept_hash
+      |  FROM cov GROUP BY 1
+      |)
+      |SELECT d.doc_id,
+      |  coalesce(a.n_toks, 0) AS n_toks,
+      |  coalesce(a.n_dup_starts, 0) AS n_dup_starts,
+      |  coalesce(a.n_covered, 0) AS n_covered,
+      |  coalesce(a.kept_hash, md5('')) AS kept_hash
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Unigram log-probability score per document: average ln(corpus
     * frequency) of a doc's tokens — the language-model-proxy quality signal
     * (CCNet-style) that flags gibberish/rare-token documents without an
@@ -667,6 +758,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_ngram_topk"  -> (textNgramTopk _),
     "text_repetition"  -> (textRepetition _),
+    "corpus_dedup_spans" -> (corpusDedupSpans _),
     "text_unigram_logprob" -> (textUnigramLogprob _),
     "corpus_sample"    -> (corpusSample _),
     "corpus_mix"       -> (corpusMix _),
@@ -686,6 +778,7 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "text_ngram_topk"  -> textNgramTopkSql,
     "text_repetition"  -> textRepetitionSql,
+    "corpus_dedup_spans" -> corpusDedupSpansSql,
     "text_unigram_logprob" -> textUnigramLogprobSql,
     "corpus_sample"    -> corpusSampleSql,
     "corpus_mix"       -> corpusMixSql,
