@@ -655,6 +655,85 @@ object TextAnalysis {
       |FROM tok JOIN freq USING (w) CROSS JOIN tot
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Hashed-feature importance weight per document (DSIR-style data
+    * selection): score(d) = Σ_tokens ln(p_target(bucket) / p_raw(bucket)),
+    * where token buckets are a 512-bucket hash of the word and the two
+    * distributions are Laplace-smoothed bucket frequencies of the TARGET
+    * domain (here: lang = 'en') vs the whole corpus. High scores = "looks
+    * like the target domain"; the weight drives importance resampling of a
+    * raw crawl toward a curated distribution.
+    *
+    * Plan shape: ONE aggregation computes both distributions (rcnt +
+    * conditional tcnt per bucket — no second corpus pass for the target),
+    * the 512-row score table broadcasts back onto the token stream, and the
+    * per-doc sum shuffles by doc_id. Bucket hashing is the native
+    * codegen'd `char_poly_hash` (DuckDB-mirrored). Smoothed ratios are
+    * formed in DOUBLE before multiplying (identical IEEE tree in both
+    * engines; BIGINT products would overflow at corpus-scale counts), and
+    * each token's log-ratio is rounded to integral 1e-4 units BEFORE the
+    * per-doc sum — order-independent integer sums, the unigram-logprob
+    * gate discipline. */
+  def corpusDsir(spark: SparkSession, dir: String): DataFrame = {
+    val B = 512L
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .select(col("doc_id"), col("lang"),
+        pmod(call_function("char_poly_hash", col("w")), lit(B)).as("b"))
+    val bstats = tok.groupBy(col("b")).agg(
+      count(lit(1)).as("rcnt"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tcnt"))
+    val tot = bstats.agg(sum(col("rcnt")).as("rtot"), sum(col("tcnt")).as("ttot"))
+    val scores = bstats.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round(log(
+          ((col("tcnt") + lit(1L)).cast("double") * (col("rtot") + lit(B)).cast("double")) /
+          ((col("rcnt") + lit(1L)).cast("double") * (col("ttot") + lit(B)).cast("double")))
+          * 10000).cast("long").as("s_e4"))
+    val perDoc = tok.join(broadcast(scores), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("s_e4")).as("dsir_e4"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("dsir_e4"), lit(0L)).as("dsir_e4"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusDsirSql: String = {
+    val tokHash =
+      "list_reduce(list_prepend(7::BIGINT, list_transform(string_split_regex(w, ''), c -> ascii(c)::BIGINT)), (acc, x) -> (acc*31 + x) % 1000000007)"
+    s"""WITH tok AS (
+      |  SELECT doc_id, lang, $tokHash % 512 AS b
+      |  FROM (SELECT doc_id, lang,
+      |          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |        FROM documents)
+      |), bstats AS (
+      |  SELECT b, count(*) AS rcnt,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tcnt
+      |  FROM tok GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(rcnt) AS BIGINT) AS rtot,
+      |         CAST(sum(tcnt) AS BIGINT) AS ttot
+      |  FROM bstats
+      |), scores AS (
+      |  SELECT b,
+      |    CAST(round(ln(((tcnt + 1)::DOUBLE * (rtot + 512)::DOUBLE)
+      |                / ((rcnt + 1)::DOUBLE * (ttot + 512)::DOUBLE)) * 10000, 0)
+      |         AS BIGINT) AS s_e4
+      |  FROM bstats CROSS JOIN tot
+      |), per_doc AS (
+      |  SELECT doc_id, count(*) AS n_toks, CAST(sum(s_e4) AS BIGINT) AS dsir_e4
+      |  FROM tok JOIN scores USING (b) GROUP BY 1
+      |)
+      |SELECT d.doc_id, d.lang,
+      |  coalesce(p.n_toks, 0) AS n_toks,
+      |  coalesce(p.dsir_e4, 0) AS dsir_e4
+      |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Repetition signals per document (the Gopher-style quality gates a
     * training pipeline filters on: templated/spammy docs repeat n-grams):
     * duplicate-bigram fraction (1 − distinct/total) and top-bigram
@@ -759,6 +838,7 @@ object TextAnalysis {
     "text_ngram_topk"  -> (textNgramTopk _),
     "text_repetition"  -> (textRepetition _),
     "corpus_dedup_spans" -> (corpusDedupSpans _),
+    "corpus_dsir"      -> (corpusDsir _),
     "text_unigram_logprob" -> (textUnigramLogprob _),
     "corpus_sample"    -> (corpusSample _),
     "corpus_mix"       -> (corpusMix _),
@@ -779,6 +859,7 @@ object TextAnalysis {
     "text_ngram_topk"  -> textNgramTopkSql,
     "text_repetition"  -> textRepetitionSql,
     "corpus_dedup_spans" -> corpusDedupSpansSql,
+    "corpus_dsir"      -> corpusDsirSql,
     "text_unigram_logprob" -> textUnigramLogprobSql,
     "corpus_sample"    -> corpusSampleSql,
     "corpus_mix"       -> corpusMixSql,
