@@ -319,6 +319,167 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- PQ / ADC
+
+  /** Product-quantization geometry: 64 dims → 4 subspaces × 16 dims, 16
+    * centroids per subspace. A vector's compressed form is 4 small codes
+    * (4 bytes) vs 64 float32 (256 bytes) — 64× compression, which is the
+    * only way a 100 TB embedding corpus fits an ANN scan's working set.
+    * Vectors are L2-normalized before quantization so squared-L2 ADC
+    * ranking orders like cosine (‖q−x‖² = 2 − 2·cos on the unit sphere). */
+  private val PqSub = 4
+  private val PqSubDim = 16
+  private val PqK = 16
+
+  private def sqdist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  private def l2norm(c: Column): Column = {
+    val v = asDouble(c)
+    val n = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+    transform(v, x => x / greatest(n, lit(1e-12)))
+  }
+
+  /** Per-subspace L2 Lloyd on normalized sub-vectors: same driver-traffic
+    * discipline as [[lloyd]] — only the k×subdim centroid matrix is ever
+    * collected, assignment is a 16-row broadcast against the vector stream. */
+  private def lloydL2Sub(emb: DataFrame, sub: Int, iters: Int): Seq[Seq[Double]] = {
+    val spark = emb.sparkSession
+    val sv = emb.select(col("vec_id"),
+      slice(l2norm(col("embedding")), sub * PqSubDim + 1, PqSubDim).as("v"))
+    var cents: Seq[Seq[Double]] = sv
+      .select(col("v"), xxhash64(col("vec_id")).as("r"))
+      .orderBy(col("r")).limit(PqK)
+      .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    for (_ <- 0 until iters) {
+      val centsDf = spark.createDataFrame(
+        cents.zipWithIndex.map { case (v, i) => (i, v) }).toDF("c", "cvec")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("d").asc, col("c"))
+      val assigned = sv.crossJoin(broadcast(centsDf))
+        .withColumn("d", sqdist(col("v"), col("cvec")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val means = assigned
+        .select(col("c"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("c"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("c"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cvec"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+      cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
+    }
+    cents
+  }
+
+  private def pqStorePath(spark: SparkSession, dir: String): String = {
+    val base = spark.conf.getOption("graft.pq.dir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_pq")
+    base + "/" + corpusKey(dir) + "-" + corpusFingerprint(spark, dir)
+  }
+
+  /** Train the 4×16 codebook and encode the WHOLE corpus once, persisting
+    * both (the model-artifact + compressed-representation discipline of
+    * [[trainQuantizer]]): at scale the 4-byte codes ARE the stored index —
+    * the float vectors are only touched again to rerank shortlists. Encode
+    * is one pass: vectors × 64 broadcast centroids, min-distance code per
+    * (vector, subspace), written as 4 int columns. Orphan fingerprints of
+    * the same corpus are GC'd like the IVF store. */
+  def trainPq(spark: SparkSession, dir: String): Unit = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents: Seq[(Int, Int, Seq[Double])] =
+      (0 until PqSub).flatMap { s =>
+        lloydL2Sub(emb, s, iters = 2).zipWithIndex.map { case (v, c) => (s, c, v) }
+      }
+    val path = pqStorePath(spark, dir)
+    val centsDf = spark.createDataFrame(cents).toDF("s", "c", "cvec")
+    centsDf.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    val centsB = broadcast(centsDf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("s")).orderBy(col("d").asc, col("c"))
+    val codesWide = emb.select(col("vec_id"), l2norm(col("embedding")).as("vn"))
+      .crossJoin(centsB)
+      .withColumn("d", sqdist(slice(col("vn"), col("s") * PqSubDim + 1, lit(PqSubDim)), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("s") === 0, col("c"))).as("c0"),
+        (1 until PqSub).map(s =>
+          max(when(col("s") === s, col("c"))).as(s"c$s")): _*)
+    codesWide.write.mode("overwrite").parquet(path + "/codes")
+    // GC superseded fingerprints of this corpus (corpusKey bans '-', so the
+    // prefix can't match a sibling corpus whose dir extends this one)
+    val cur = new org.apache.hadoop.fs.Path(path)
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = corpusKey(dir) + "-"
+    if (fs.exists(cur.getParent)) {
+      fs.listStatus(cur.getParent)
+        .filter(st => st.getPath.getName.startsWith(prefix) &&
+          st.getPath.getName != cur.getName)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
+  }
+
+  private def ensurePq(spark: SparkSession, dir: String): String = {
+    val path = pqStorePath(spark, dir)
+    if (!graft.serving.StorePaths.exists(spark, path + "/codes")) trainPq(spark, dir)
+    path
+  }
+
+  /** PQ/ADC approximate top-k: queries build a 4×16 distance table against
+    * the codebook (10×64 tiny rows), the corpus is scanned as CODES ONLY —
+    * approx distance is four `element_at` array lookups per (candidate,
+    * query), no per-pair float-vector math — and the top-`rerank` shortlist
+    * is re-ranked with the exact native cosine against the float vectors.
+    * Same output shape as [[knnBrute]]; recall is spec-pinned (PqSpec).
+    *
+    * The scan shuffles nothing: codes stream once, the distance tables and
+    * query vectors are a broadcast, and the only wide op is the per-query
+    * top-k window over N×Q shortlist candidates (Q bounded per batch). */
+  def knnPq(spark: SparkSession, dir: String): DataFrame =
+    knnPqWith(spark, dir, rerank = 50)
+
+  def knnPqWith(spark: SparkSession, dir: String, rerank: Int): DataFrame = {
+    val path = ensurePq(spark, dir)
+    val cents = spark.read.parquet(path + "/centroids")
+    val codes = spark.read.parquet(path + "/codes")
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        l2norm(col("embedding")).as("qn"))
+    // distance table: per (query, subspace) the 16 centroid distances,
+    // assembled into one array per subspace ordered by code
+    val dt = queries.crossJoin(broadcast(cents))
+      .withColumn("d",
+        sqdist(slice(col("qn"), col("s") * PqSubDim + 1, lit(PqSubDim)), col("cvec")))
+    val dtab = dt.groupBy(col("query_id"))
+      .agg(first(col("qvec")).as("qvec"),
+        (0 until PqSub).map { s =>
+          transform(
+            array_sort(collect_list(when(col("s") === s, struct(col("c"), col("d"))))),
+            t => t.getField("d")).as(s"d$s")
+        }: _*)
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adist").asc, col("neighbor_id"))
+    val shortlist = codes.withColumnRenamed("vec_id", "neighbor_id")
+      .crossJoin(broadcast(dtab))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adist",
+        (0 until PqSub).map(s => element_at(col(s"d$s"), col(s"c$s") + 1)).reduce(_ + _))
+      .withColumn("arn", row_number().over(wA))
+      .filter(col("arn") <= rerank)
+      .select(col("query_id"), col("neighbor_id"), col("qvec"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+      .withColumn("cos", round(cosine(col("embedding"), col("qvec")), 6))
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding near-dup pairs blocked by LSH instead of a pre-existing
     * label — the general corpus path when no curated blocking column exists
     * (dedupEmbed's label blocking assumes one).
@@ -401,6 +562,7 @@ object Similarity {
     "knn_brute"       -> (knnBrute _),
     "knn_lsh"         -> (knnLsh _),
     "knn_ivf"         -> (knnIvf _),
+    "knn_pq"          -> (knnPq _),
     "dedup_embed"     -> (dedupEmbed _),
     "dedup_embed_lsh" -> (dedupEmbedLsh _))
 
