@@ -126,6 +126,27 @@ object StreamIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keys :+ tsCol)
 
+  /** Watermarked stream-stream interval join — the streaming twin of the
+    * batch `events_attribution` as-of query: every right-side row (e.g. a
+    * purchase) pairs with each left-side row (e.g. a click) of the same
+    * key whose timestamp lies in [rightTs − windowSec, rightTs]. The time
+    * bound is what makes this runnable forever: with both sides
+    * watermarked AND the join range closed, Spark derives a state
+    * watermark per side and evicts buffered rows once they can no longer
+    * match — unbounded state is exactly how an unconstrained stream-stream
+    * join dies in production. Column names must be disjoint across sides
+    * (rename before calling); picking the LATEST match per right row is a
+    * downstream aggregation, batch-identical by construction. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTs: String, rightTs: String,
+                   windowSec: Long, watermark: String): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(leftTs) <= col(rightTs) &&
+          col(leftTs) >= col(rightTs) - expr(s"INTERVAL $windowSec SECONDS"))
+
   /** Watermarked tumbling-window aggregation over an event stream. */
   def windowedAgg(stream: DataFrame, tsCol: String, windowLen: String,
                   watermark: String): DataFrame =

@@ -12,6 +12,8 @@ import graft.streaming.StreamIngest
 
 final case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
                           event_type: String, value: Double)
+final case class ClickRow(click_id: Long, click_ts: Timestamp, c_user: Long)
+final case class PurchRow(purchase_id: Long, p_ts: Timestamp, p_user: Long)
 
 class StreamIngestSpec extends SparkSpecBase {
   import spark.implicits._
@@ -315,6 +317,56 @@ class StreamIngestSpec extends SparkSpecBase {
       assert(df.isStreaming)
       assert(df.schema.fieldNames.toSeq == Seq("user_id", "ts", "value"))
     } finally spark.conf.unset("graft.stream.demo")
+  }
+
+  test("stream-stream interval join attributes purchases to in-window clicks") {
+    val dir = Files.createTempDirectory("graft-stream-ij").toString
+    val clicks = MemoryStream[ClickRow](spark)
+    val purchases = MemoryStream[PurchRow](spark)
+    clicks.addData(
+      ClickRow(10L, ts("2024-01-01 10:00:00"), 1L),
+      ClickRow(11L, ts("2024-01-01 10:25:00"), 1L),
+      ClickRow(12L, ts("2024-01-01 09:00:00"), 2L),
+      // far-future rows advance both watermarks so all joinable pairs emit
+      ClickRow(99L, ts("2024-01-03 00:00:00"), 9L))
+    purchases.addData(
+      PurchRow(20L, ts("2024-01-01 10:30:00"), 1L), // clicks 10 + 11 in window
+      PurchRow(21L, ts("2024-01-01 12:00:00"), 1L), // both clicks older than 1h
+      PurchRow(22L, ts("2024-01-01 09:30:00"), 2L), // click 12 in window
+      PurchRow(98L, ts("2024-01-03 00:00:00"), 8L))
+    val q = StreamIngest.intervalJoin(clicks.toDF(), purchases.toDF(),
+        leftKey = "c_user", rightKey = "p_user",
+        leftTs = "click_ts", rightTs = "p_ts",
+        windowSec = 3600L, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("ij_out")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == Set((20L, 10L), (20L, 11L), (22L, 12L)))
+    // batch twin: the identical join condition over the same rows — the
+    // streaming result must be exactly the batch relation, not a sample
+    val clicksDf = Seq(
+      ClickRow(10L, ts("2024-01-01 10:00:00"), 1L),
+      ClickRow(11L, ts("2024-01-01 10:25:00"), 1L),
+      ClickRow(12L, ts("2024-01-01 09:00:00"), 2L),
+      ClickRow(99L, ts("2024-01-03 00:00:00"), 9L)).toDF()
+    val purchDf = Seq(
+      PurchRow(20L, ts("2024-01-01 10:30:00"), 1L),
+      PurchRow(21L, ts("2024-01-01 12:00:00"), 1L),
+      PurchRow(22L, ts("2024-01-01 09:30:00"), 2L),
+      PurchRow(98L, ts("2024-01-03 00:00:00"), 8L)).toDF()
+    val batchPairs = clicksDf.join(purchDf,
+        col("c_user") === col("p_user") &&
+          col("click_ts") <= col("p_ts") &&
+          col("click_ts") >= col("p_ts") - expr("INTERVAL 3600 SECONDS"))
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batchPairs)
   }
 
   test("windowed streaming agg matches batch tumbling aggregation") {
