@@ -449,8 +449,10 @@ object Analytics {
     * exact best timestamp) break to the greatest click event_id via asof's
     * deterministic greatest-feature-struct rule, mirrored in the oracle's
     * per-(user, ts) max(event_id) pre-dedup. */
-  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame =
+    eventsAttributionOf(Tables.events(spark, dir))
+
+  def eventsAttributionOf(ev: DataFrame): DataFrame = {
     val purch = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"),
         round(col("value") * 10000).cast("long").as("value_e4"))

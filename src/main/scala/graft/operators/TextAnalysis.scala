@@ -539,11 +539,13 @@ object TextAnalysis {
     * ([pos−7, pos]) over the same per-doc sort. No candidate pairs
     * materialize anywhere — duplicate detection rides counts, so one
     * boilerplate 8-gram shared by k docs costs k rows, not k². */
-  def corpusDedupSpans(spark: SparkSession, dir: String): DataFrame = {
+  def corpusDedupSpans(spark: SparkSession, dir: String): DataFrame =
+    corpusDedupSpansOf(Tables.documents(spark, dir))
+
+  def corpusDedupSpansOf(docs: DataFrame): DataFrame = {
     val NGram = 8
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val docs = Tables.documents(spark, dir)
     val tok = docs.select(col("doc_id"),
       posexplode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
         .as(Seq("pos", "w")))
@@ -673,9 +675,11 @@ object TextAnalysis {
     * each token's log-ratio is rounded to integral 1e-4 units BEFORE the
     * per-doc sum — order-independent integer sums, the unigram-logprob
     * gate discipline. */
-  def corpusDsir(spark: SparkSession, dir: String): DataFrame = {
+  def corpusDsir(spark: SparkSession, dir: String): DataFrame =
+    corpusDsirOf(Tables.documents(spark, dir))
+
+  def corpusDsirOf(docs: DataFrame): DataFrame = {
     val B = 512L
-    val docs = Tables.documents(spark, dir)
     val tok = docs.select(col("doc_id"), col("lang"),
       explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
       .select(col("doc_id"), col("lang"),

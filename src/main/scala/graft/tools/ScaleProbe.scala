@@ -109,6 +109,12 @@ object ScaleProbe {
       graft.operators.TextAnalysis.corpusMixOf(docs).count())
     time(s"events_retention x$k")(
       graft.operators.Analytics.eventsRetentionOf(ev).count())
+    time(s"events_attribution x$k")(
+      graft.operators.Analytics.eventsAttributionOf(ev).count())
+    time(s"corpus_dedup_spans x$k")(
+      graft.operators.TextAnalysis.corpusDedupSpansOf(docs).count())
+    time(s"corpus_dsir x$k")(
+      graft.operators.TextAnalysis.corpusDsirOf(docs).count())
 
     spark.stop()
   }
