@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** text_unigram_logprob and corpus_dsir gate columns are per-element
+  * round(ln(·)·10⁴) BIGINTs. Unlike sqrt, ln is not guaranteed correctly
+  * rounded identically across engines, so a cross-engine hash gate is only
+  * deterministic while no gate-corpus element lands within an ulp of a .5
+  * scaled rounding boundary (the TemperedMixSpec discipline, applied to
+  * the two ln-based gates). This spec enumerates EVERY distinct ln input
+  * each gate evaluates on the gate corpora and pins a ≥1e-6 margin —
+  * ~7 orders of magnitude wider than a 1-ulp disagreement at these
+  * magnitudes — turning would-be data luck into a checked property. */
+class LogGateMarginSpec extends SparkSpecBase {
+
+  private val dirs = Seq("/root/testdata/sf0.001",
+    "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+  private def assertMargin(x: Double, what: String): Unit = {
+    val frac = math.abs(x) - math.floor(math.abs(x))
+    assert(math.abs(frac - 0.5) > 1e-6,
+      s"$what = $x is within 1e-6 of a .5 rounding boundary")
+  }
+
+  test("unigram-logprob ln margins hold for every gate-corpus frequency") {
+    for (dir <- dirs) {
+      val tok = Tables.documents(spark, dir).select(
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+      val freqs = tok.groupBy(col("w")).count()
+        .select(col("count")).distinct().collect().map(_.getLong(0))
+      val total = tok.count().toDouble
+      assert(freqs.nonEmpty)
+      freqs.foreach { cnt =>
+        assertMargin(math.log(cnt / total) * 10000.0, s"ln($cnt/$total)*1e4 ($dir)")
+      }
+    }
+  }
+
+  test("dsir ln margins hold for every gate-corpus bucket ratio") {
+    for (dir <- dirs) {
+      val tok = Tables.documents(spark, dir).select(col("lang"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+        .select(col("lang"),
+          pmod(call_function("char_poly_hash", col("w")), lit(512L)).as("b"))
+      val stats = tok.groupBy(col("b")).agg(
+        count(lit(1)).as("rcnt"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tcnt"))
+        .collect().map(r => (r.getAs[Long]("tcnt"), r.getAs[Long]("rcnt")))
+      val rtot = stats.map(_._2).sum.toDouble + 512.0
+      val ttot = stats.map(_._1).sum.toDouble + 512.0
+      assert(stats.nonEmpty)
+      stats.foreach { case (tcnt, rcnt) =>
+        val x = math.log(((tcnt + 1).toDouble * rtot) / ((rcnt + 1).toDouble * ttot)) * 10000.0
+        assertMargin(x, s"dsir bucket ln((${tcnt + 1}·$rtot)/(${rcnt + 1}·$ttot))*1e4 ($dir)")
+      }
+    }
+  }
+}
