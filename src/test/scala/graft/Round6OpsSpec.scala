@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, TextAnalysis}
+
+/** Semantics pins for the round-6 operators on hand-built corpora — the
+  * oracle gate proves cross-engine arithmetic; these prove the operators
+  * mean what they claim on cases with known answers. */
+class Round6OpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  test("corpus_dedup_spans removes shared 8-gram spans and keeps unique text") {
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta" // exactly 8 tokens
+    val docs = Seq(
+      (0L, s"$boiler one two"),
+      (1L, s"$boiler three four"),
+      (2L, "unique words only here nothing repeats anywhere today"),
+      (3L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.corpusDedupSpansOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_toks"), r.getAs[Long]("n_dup_starts"),
+         r.getAs[Long]("n_covered"), r.getAs[String]("kept_hash"))).toMap
+    // docs 0/1 share ONLY the leading boilerplate 8-gram: its 8 positions
+    // are covered and removed, the unique tails survive verbatim
+    assert(out(0L) == ((10L, 1L, 8L, md5hex("one two"))))
+    assert(out(1L) == ((10L, 1L, 8L, md5hex("three four"))))
+    // a fully unique doc is untouched (its single 8-gram has df = 1)
+    assert(out(2L) == ((8L, 0L, 0L,
+      md5hex("unique words only here nothing repeats anywhere today"))))
+    // below the n-gram width nothing can be flagged
+    assert(out(3L) == ((2L, 0L, 0L, md5hex("tiny doc"))))
+  }
+
+  test("events_attribution credits the latest in-window click, ties to max id") {
+    val ev = Seq(
+      // user 1: two clicks before the purchase; the later one wins
+      (10L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0),
+      (11L, ts("2024-01-01 10:20:00"), 1L, "click", 0.0),
+      (20L, ts("2024-01-01 10:30:00"), 1L, "purchase", 5.0),
+      // user 2: only click is 2h old — outside the 1h window
+      (12L, ts("2024-01-01 08:00:00"), 2L, "click", 0.0),
+      (21L, ts("2024-01-01 10:00:00"), 2L, "purchase", 7.0),
+      // user 3: click at EXACTLY the purchase ts is attributable (<=), and
+      // two clicks at the same instant break ties to the max event_id
+      (13L, ts("2024-01-01 09:00:00"), 3L, "click", 0.0),
+      (14L, ts("2024-01-01 09:00:00"), 3L, "click", 0.0),
+      (22L, ts("2024-01-01 09:00:00"), 3L, "purchase", 9.0),
+      // user 4: never clicked
+      (23L, ts("2024-01-01 12:00:00"), 4L, "purchase", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Analytics.eventsAttributionOf(ev).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Long]("click_event_id")),
+         r.getAs[Int]("attributed"))).toMap
+    assert(out(20L) == ((Some(11L), 1)))
+    assert(out(21L) == ((None, 0)))
+    assert(out(22L) == ((Some(14L), 1)))
+    assert(out(23L) == ((None, 0)))
+  }
+
+  test("corpus_dsir scores target-domain-like docs above off-domain docs") {
+    // target = lang 'en'; en docs share an en-only vocabulary, zh docs a
+    // disjoint one, so importance log-ratios must separate them cleanly
+    val docs = (0L until 20L).map { i =>
+      if (i < 10) (i, "en", "hello world training data pipeline quality")
+      else (i, "zh", "nihao shijie xunlian shuju guandao zhiliang")
+    }.toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.corpusDsirOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dsir_e4")).toMap
+    val en = (0L until 10L).map(out)
+    val zh = (10L until 20L).map(out)
+    assert(en.distinct.size == 1 && zh.distinct.size == 1)
+    assert(en.head > zh.head,
+      s"en docs must score above zh docs: en=${en.head} zh=${zh.head}")
+    // with a 50/50 corpus the target half must score positive (more
+    // target-like than the corpus average) and the off half negative
+    assert(en.head > 0 && zh.head < 0)
+  }
+}
