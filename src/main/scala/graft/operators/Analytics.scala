@@ -592,6 +592,100 @@ object Analytics {
       |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
       |  FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin
 
+  /** TPC-H Q13-shaped customer distribution: how many customers placed k
+    * qualifying orders, including the zero-order customers the left join
+    * preserves.
+    *
+    * Scale shape: the fact table is pre-aggregated to one row per custkey
+    * (map-side combine) BEFORE joining the customer dim — the textbook
+    * LEFT JOIN ... GROUP BY c_custkey formulation shuffles every order row
+    * into the join first, paying |orders| network where this plan pays
+    * |custkeys|. The qualifying filter prunes at the scan (only references
+    * the orders side). */
+  def qCustdist(spark: SparkSession, dir: String): DataFrame = {
+    val ocnt = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    Tables.customer(spark, dir)
+      .join(ocnt, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val qCustdistSql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT coalesce(o.cnt, 0) AS c_count
+      |  FROM customer c LEFT JOIN (
+      |    SELECT o_custkey, count(*) AS cnt FROM orders
+      |    WHERE o_orderpriority <> '1-URGENT' GROUP BY 1) o
+      |  ON c.c_custkey = o.o_custkey)
+      |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Equi-width histogram of order totals (10 × 50k bins): the profiling
+    * aggregation every column-stats / data-quality pass runs. One shuffle
+    * with map-side combine on the bin key; the price sum rides the gate as
+    * integral cents (round PER ROW, then integer sum — order-independent
+    * and exact cross-engine, per the e4-gate discipline). */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") / 50000.0).cast("long").as("bin"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_price_e2"))
+      .select((col("bin") * 50000L).as("bin_lo"), col("n_orders"), col("sum_price_e2"))
+      .orderBy(col("bin_lo"))
+
+  val qHistogramSql: String =
+    """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) * 50000 AS bin_lo,
+      | count(*) AS n_orders,
+      | CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_e2
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Event-type transition matrix (first-order Markov counts): for every
+    * consecutive event pair within a user's timeline, count (from → to)
+    * and its share of the from-state's outgoing transitions — the
+    * product-analytics "what happens next" query and the input to
+    * Markov-chain attribution models.
+    *
+    * Scale shape: ONE shuffle on user_id feeds the lead() window (same
+    * partitioning the sessionize family rides), then the (from, to) count
+    * partial-aggregates; the per-from total is a 25-row window over the
+    * aggregated result, not a second pass over events. prob_e4 is a
+    * per-row round of a ratio of two exact integers — identical IEEE
+    * division cross-engine. Ordering within a user breaks ts ties by
+    * event_id, so the transition relation is deterministic. */
+  def eventsTransitions(spark: SparkSession, dir: String): DataFrame =
+    eventsTransitionsOf(Tables.events(spark, dir))
+
+  def eventsTransitionsOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wTot = Window.partitionBy(col("from_type"))
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("prob_e4",
+        round(col("n_trans") * lit(10000.0) / sum(col("n_trans")).over(wTot)).cast("long"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val eventsTransitionsSql: String =
+    """WITH nxt AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events
+      |), cnt AS (
+      |  SELECT from_type, to_type, count(*) AS n_trans
+      |  FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT from_type, to_type, n_trans,
+      |  CAST(round(n_trans * 10000.0 / sum(n_trans) OVER (PARTITION BY from_type), 0)
+      |    AS BIGINT) AS prob_e4
+      |FROM cnt ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
     "q3_topk"           -> (q3Topk _),
@@ -615,7 +709,10 @@ object Analytics {
     "q_pivot"           -> (qPivot _),
     "q_full_outer"      -> (qFullOuter _),
     "events_hop"        -> (eventsHop _),
-    "events_attribution" -> (eventsAttribution _))
+    "events_attribution" -> (eventsAttribution _),
+    "q_custdist"        -> (qCustdist _),
+    "q_histogram"       -> (qHistogram _),
+    "events_transitions" -> (eventsTransitions _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg"            -> q1AggSql,
@@ -638,5 +735,8 @@ object Analytics {
     "q_pivot"           -> qPivotSql,
     "q_full_outer"      -> qFullOuterSql,
     "events_hop"        -> eventsHopSql,
-    "events_attribution" -> eventsAttributionSql)
+    "events_attribution" -> eventsAttributionSql,
+    "q_custdist"        -> qCustdistSql,
+    "q_histogram"       -> qHistogramSql,
+    "events_transitions" -> eventsTransitionsSql)
 }

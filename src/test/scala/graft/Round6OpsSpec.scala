@@ -69,6 +69,62 @@ class Round6OpsSpec extends SparkSpecBase {
     assert(out(23L) == ((None, 0)))
   }
 
+  test("events_transitions counts consecutive pairs per user, probs sum to 1e4") {
+    val ev = Seq(
+      // user 1 timeline: view -> click -> view  (two transitions)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "click"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "view"),
+      // user 2 timeline: view -> view; a ts tie ordered by event_id
+      (4L, ts("2024-01-01 09:00:00"), 2L, "view"),
+      (5L, ts("2024-01-01 09:00:00"), 2L, "view"),
+      // user 3: a single event contributes no transition
+      (6L, ts("2024-01-01 08:00:00"), 3L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val rows = Analytics.eventsTransitionsOf(ev).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n_trans"), r.getAs[Long]("prob_e4"))).toMap
+    assert(rows == Map(
+      ("view", "click")  -> ((1L, 5000L)),
+      ("click", "view")  -> ((1L, 10000L)),
+      ("view", "view")   -> ((1L, 5000L))))
+    // per-from shares reconcile to exactly 1e4 (exact halves here)
+    assert(rows.collect { case ((f, _), (_, p)) if f == "view" => p }.sum == 10000L)
+  }
+
+  test("q_custdist partitions every customer into exactly one order-count bin") {
+    val out = Analytics.qCustdist(spark, sfDir).collect()
+    val nCustomers = graft.sources.Tables.customer(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("custdist")).sum == nCustomers)
+    // the zero bin holds exactly the customers with no qualifying order
+    // (possibly none: sf0.001's 150 custkeys all appear in orders)
+    val withOrders = graft.sources.Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(countDistinct(col("o_custkey"))).head().getLong(0)
+    val zeroBin = out.collectFirst {
+      case r if r.getAs[Long]("c_count") == 0L => r.getAs[Long]("custdist")
+    }.getOrElse(0L)
+    assert(zeroBin == nCustomers - withOrders)
+    // bins are distinct and counts positive
+    val bins = out.map(_.getAs[Long]("c_count"))
+    assert(bins.distinct.length == bins.length)
+    assert(out.forall(_.getAs[Long]("custdist") > 0L))
+  }
+
+  test("q_histogram bins cover all orders and cents reconcile with the total") {
+    val out = Analytics.qHistogram(spark, sfDir).collect()
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+    assert(out.map(_.getAs[Long]("n_orders")).sum == orders.count())
+    // per-row rounded cents summed across bins == the same sum unbinned
+    val totalCents = orders
+      .select(sum(round(col("o_totalprice") * 100).cast("long")))
+      .head().getLong(0)
+    assert(out.map(_.getAs[Long]("sum_price_e2")).sum == totalCents)
+    // bin lower bounds are strictly increasing multiples of 50k
+    val los = out.map(_.getAs[Long]("bin_lo"))
+    assert(los.sameElements(los.sorted) && los.forall(_ % 50000L == 0L))
+  }
+
   test("corpus_dsir scores target-domain-like docs above off-domain docs") {
     // target = lang 'en'; en docs share an en-only vocabulary, zh docs a
     // disjoint one, so importance log-ratios must separate them cleanly
