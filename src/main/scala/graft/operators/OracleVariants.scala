@@ -320,15 +320,109 @@ object OracleVariants {
       |)
       |SELECT id_a, id_b, cos FROM p WHERE cos > 0.35 ORDER BY 1, 2""".stripMargin
 
+  /** Engine-neutral twin of `dedup_semantic` (Similarity.dedupSemantic):
+    * the identical cluster → within-cluster pairs → drop-the-more-central
+    * pipeline, with the two float layers swapped for arithmetic DuckDB
+    * replays bit-for-bit. Clustering: a deterministic 16-cell sign
+    * partition over the first 4 quantized coordinates (stands in for the
+    * trained k-means assignment). Centroid: the cell's ×1000-scaled mean
+    * vector — integer sums are exact, the one scaling division is IEEE on
+    * exact inputs, and the ≤530000 re-quantized magnitude keeps
+    * `quantized_cosine`'s 2⁵³ norm bound independent of corpus size
+    * (a raw sum vector would breach it near 2e7 rows/cell). Centrality
+    * compare happens on the 4dp-rounded doubles, so the drop decision is
+    * the same deterministic value both engines computed. */
+  def dedupSemanticOracle(spark: SparkSession, dir: String): DataFrame = {
+    val maxBlock = Similarity.DefaultMaxBlock
+    val qv = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quant(col("embedding")).as("v"))
+      .withColumn("cell", (0 until 4).map(i =>
+        when(element_at(col("v"), i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _))
+    val perPos = qv.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .select(col("cell"), col("pos"),
+        round(col("s") * lit(1000.0) / col("n")).cast("long").as("m"), col("n"))
+    val cellVec = perPos.groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        t => t.getField("m")).as("mv"),
+        max(col("n")).as("n_cell"))
+    val c = qv.join(broadcast(cellVec), "cell")
+      .withColumn("cent",
+        round(call_function("quantized_cosine", col("v"), col("mv")), 4))
+      .withColumn("nsub", floor((col("n_cell") - lit(1L)) / lit(maxBlock)) + lit(1L))
+      .withColumn("sub", pmod(TextAnalysis.idHash(col("vec_id")), col("nsub")))
+    val a = c.select(col("cell"), col("sub"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("cent").as("ca"))
+    val b = c.select(col("cell"), col("sub"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("cent").as("cb"))
+    a.join(b, Seq("cell", "sub"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        round(call_function("quantized_cosine", col("va"), col("vb")), 4))
+      .filter(col("cos") > 0.35)
+      .select(col("cell"),
+        when(col("ca") > col("cb"), col("id_a"))
+          .when(col("cb") > col("ca"), col("id_b"))
+          .otherwise(greatest(col("id_a"), col("id_b"))).as("vec_id"),
+        when(col("ca") > col("cb"), col("ca")).otherwise(col("cb")).as("cent"))
+      .groupBy(col("vec_id"), col("cell"), col("cent"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("vec_id"))
+  }
+
+  val dedupSemanticOracleSql: String = {
+    val cosSql = (l: String, r: String) =>
+      s"""round(list_sum(list_transform(range(1, len($l) + 1), i -> $l[i]*$r[i]))::DOUBLE
+        |    / sqrt(greatest(list_sum(list_transform($l, x -> x*x))::DOUBLE
+        |      * list_sum(list_transform($r, x -> x*x))::DOUBLE, 1.0)), 4)""".stripMargin
+    s"""WITH e AS (
+      |  SELECT vec_id, $quantSql AS v FROM embeddings
+      |), ec AS (
+      |  SELECT vec_id, v,
+      |    (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+      |     + CASE WHEN v[3] > 0 THEN 4 ELSE 0 END
+      |     + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)::BIGINT AS cell
+      |  FROM e
+      |), ex AS (
+      |  SELECT cell, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM ec
+      |), pp AS (
+      |  SELECT cell, pos, CAST(sum(x) AS BIGINT) AS s, count(*) AS n
+      |  FROM ex GROUP BY 1, 2
+      |), mv AS (
+      |  SELECT cell, list(CAST(round(s * 1000.0 / n) AS BIGINT) ORDER BY pos) AS m,
+      |    max(n) AS n_cell
+      |  FROM pp GROUP BY 1
+      |), c AS (
+      |  SELECT vec_id, cell, v,
+      |    ${cosSql("v", "m")} AS cent,
+      |    ${TextAnalysis.idHashSql("vec_id")}
+      |      % (CAST(floor((n_cell - 1) / ${Similarity.DefaultMaxBlock}) AS BIGINT) + 1) AS sub
+      |  FROM ec JOIN mv USING (cell)
+      |), p AS (
+      |  SELECT a.cell,
+      |    CASE WHEN a.cent > b.cent THEN a.vec_id WHEN b.cent > a.cent THEN b.vec_id
+      |      ELSE greatest(a.vec_id, b.vec_id) END AS vec_id,
+      |    CASE WHEN a.cent > b.cent THEN a.cent ELSE b.cent END AS cent
+      |  FROM c a JOIN c b ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
+      |  WHERE ${cosSql("a.v", "b.v")} > 0.35
+      |)
+      |SELECT vec_id, cell, cent, count(*) AS n_pairs
+      |FROM p GROUP BY 1, 2, 3 ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_minhash_oracle" -> (dedupMinhashOracle _),
-    "dedup_simhash_oracle" -> (dedupSimhashOracle _),
-    "knn_brute_oracle"     -> (knnBruteOracle _),
-    "dedup_embed_oracle"   -> (dedupEmbedOracle _))
+    "dedup_minhash_oracle"  -> (dedupMinhashOracle _),
+    "dedup_simhash_oracle"  -> (dedupSimhashOracle _),
+    "knn_brute_oracle"      -> (knnBruteOracle _),
+    "dedup_embed_oracle"    -> (dedupEmbedOracle _),
+    "dedup_semantic_oracle" -> (dedupSemanticOracle _))
 
   val oracle: Map[String, String] = Map(
-    "dedup_minhash_oracle" -> dedupMinhashOracleSql,
-    "dedup_simhash_oracle" -> dedupSimhashOracleSql,
-    "knn_brute_oracle"     -> knnBruteOracleSql,
-    "dedup_embed_oracle"   -> dedupEmbedOracleSql)
+    "dedup_minhash_oracle"  -> dedupMinhashOracleSql,
+    "dedup_simhash_oracle"  -> dedupSimhashOracleSql,
+    "knn_brute_oracle"      -> knnBruteOracleSql,
+    "dedup_embed_oracle"    -> dedupEmbedOracleSql,
+    "dedup_semantic_oracle" -> dedupSemanticOracleSql)
 }

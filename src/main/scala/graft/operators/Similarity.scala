@@ -558,13 +558,72 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // ------------------------------------------------------------- semdedup
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    * arXiv:2303.09540): cluster the corpus with the trained k-means coarse
+    * quantizer, find near-duplicate pairs WITHIN clusters only, and for
+    * each pair drop the member MORE similar to its cluster centroid — the
+    * keep-the-outlier rule that preserves diversity. Output: the distinct
+    * dropped vectors with their cell, centroid similarity, and how many
+    * dup pairs implicated them.
+    *
+    * Scale shape: reuses the persisted IVF centroids (train-once artifact,
+    * [[loadOrTrainCentroids]]); assignment is a k-row broadcast against
+    * the vector stream; pair candidates shuffle once on (cell, sub) with
+    * the same oversized-block sub-blocking guard as [[dedupEmbedOf]] — a
+    * degenerate clustering cannot go quadratic. Rows-only gate (float
+    * k-means + cosine); the engine-neutral twin `dedup_semantic_oracle`
+    * hash-proves the identical pipeline shape. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    dedupSemanticOf(Tables.embeddings(spark, dir), loadOrTrainCentroids(spark, dir))
+
+  def dedupSemanticOf(emb0: DataFrame, centroids: Seq[Seq[Double]],
+                      threshold: Double = 0.35,
+                      maxBlock: Long = DefaultMaxBlock): DataFrame = {
+    val spark = emb0.sparkSession
+    val cents = broadcast(spark.createDataFrame(
+      centroids.zipWithIndex.map { case (v, i) => (i, v) }).toDF("cell", "cvec"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
+    val assigned = emb0.select(col("vec_id"), col("embedding"))
+      .crossJoin(cents)
+      .withColumn("csim", cosine(asDouble(col("embedding")), col("cvec")))
+      .withColumn("crn", row_number().over(wA))
+      .filter(col("crn") === 1)
+      .select(col("cell").cast("long").as("cell"), col("vec_id"), col("embedding"),
+        round(col("csim"), 6).as("cent"))
+    val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
+    val e = assigned.join(broadcast(counts), "cell")
+      .withColumn("nsub", floor((col("n_cell") - lit(1L)) / lit(maxBlock)) + lit(1L))
+      .withColumn("sub", pmod(TextAnalysis.idHash(col("vec_id")), col("nsub")))
+    val a = e.select(col("cell"), col("sub"), col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("cent").as("ca"))
+    val b = e.select(col("cell"), col("sub"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("cent").as("cb"))
+    a.join(b, Seq("cell", "sub"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") > threshold)
+      // drop the MORE-central member; a centrality tie drops the larger id
+      .select(col("cell"),
+        when(col("ca") > col("cb"), col("id_a"))
+          .when(col("cb") > col("ca"), col("id_b"))
+          .otherwise(greatest(col("id_a"), col("id_b"))).as("vec_id"),
+        when(col("ca") > col("cb"), col("ca")).otherwise(col("cb")).as("cent"))
+      .groupBy(col("vec_id"), col("cell"), col("cent"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute"       -> (knnBrute _),
     "knn_lsh"         -> (knnLsh _),
     "knn_ivf"         -> (knnIvf _),
     "knn_pq"          -> (knnPq _),
     "dedup_embed"     -> (dedupEmbed _),
-    "dedup_embed_lsh" -> (dedupEmbedLsh _))
+    "dedup_embed_lsh" -> (dedupEmbedLsh _),
+    "dedup_semantic"  -> (dedupSemantic _))
 
   /** Float-vector math: deliberately rows-only (summation-order ulps make
     * cross-engine hash equality meaningless). */

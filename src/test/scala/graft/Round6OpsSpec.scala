@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, TextAnalysis}
+import graft.operators.{Analytics, Similarity, TextAnalysis}
 
 /** Semantics pins for the round-6 operators on hand-built corpora — the
   * oracle gate proves cross-engine arithmetic; these prove the operators
@@ -123,6 +123,43 @@ class Round6OpsSpec extends SparkSpecBase {
     // bin lower bounds are strictly increasing multiples of 50k
     val los = out.map(_.getAs[Long]("bin_lo"))
     assert(los.sameElements(los.sorted) && los.forall(_ % 50000L == 0L))
+  }
+
+  test("dedup_semantic drops the more-central member of a within-cell dup pair") {
+    val centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val emb = Seq(
+      (1L, Seq(1.0, 0.05)),  // cell 0, most central — the drop candidate
+      (2L, Seq(1.0, 0.10)),  // cell 0, near-dup of 1 but less central
+      (3L, Seq(0.1, 1.0))    // cell 1, alone — untouched
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.dedupSemanticOf(emb, centroids).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("vec_id") == 1L)
+    assert(out.head.getAs[Long]("cell") == 0L)
+    assert(out.head.getAs[Long]("n_pairs") == 1L)
+    // a dissimilar vector in the same cell must NOT pair: push 2 below the
+    // cosine threshold by flipping it near-orthogonal (still cell 0)
+    val emb2 = Seq(
+      (1L, Seq(1.0, 0.05)),
+      (2L, Seq(0.3, -0.9))
+    ).toDF("vec_id", "embedding")
+    assert(Similarity.dedupSemanticOf(emb2, centroids).isEmpty)
+  }
+
+  test("dedup_semantic sub-blocking bounds pair volume on a one-cell corpus") {
+    // 40 near-identical vectors, all landing in cell 0: unguarded this is
+    // 780 candidate pairs; maxBlock=10 caps candidates to within-sub-block
+    // pairs only, and every emitted drop decision is still cell-0-consistent
+    val emb = (1L to 40L).map(i => (i, Seq(1.0, i / 1e6))).toDF("vec_id", "embedding")
+    val out = Similarity.dedupSemanticOf(emb, Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      maxBlock = 10L)
+    val rows = out.collect()
+    assert(rows.forall(_.getAs[Long]("cell") == 0L))
+    // 4 sub-blocks of ~10 → ≈45 pairs/block; dropped ids’ pair counts must
+    // sum to the sub-blocked candidate volume, far below the 780 all-pairs
+    val nPairs = rows.map(_.getAs[Long]("n_pairs")).sum
+    assert(nPairs > 0L && nPairs < 300L,
+      s"sub-blocked pair volume should be ~180, was $nPairs")
   }
 
   test("corpus_dsir scores target-domain-like docs above off-domain docs") {
