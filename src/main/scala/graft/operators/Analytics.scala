@@ -686,6 +686,106 @@ object Analytics {
       |    AS BIGINT) AS prob_e4
       |FROM cnt ORDER BY 1, 2""".stripMargin
 
+  /** Time-based RANGE window frame: each order's trailing-90-day spend for
+    * the same customer — the sliding-balance query ROWS frames can't
+    * express (peers at one timestamp must aggregate together, gaps must
+    * not count phantom rows). Ordered by integer epoch seconds so both
+    * engines bound the frame with exact integer arithmetic; the spend
+    * rides the gate as per-row-rounded integral cents. One shuffle on
+    * o_custkey; the frame is computed in a single sort pass per
+    * partition. */
+  def qRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("epoch_s"))
+      .rangeBetween(-7776000L, 0L) // 90 days of seconds
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderdate").cast("long").as("epoch_s"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("spend_90d_e2", sum(col("cents")).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("spend_90d_e2"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val qRangeFrameSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      | CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER (
+      |   PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+      |   RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS BIGINT) AS spend_90d_e2
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Set operations (INTERSECT / EXCEPT): year-over-year customer cohorts —
+    * retained (both years), churned (1995 only), acquired (1996 only).
+    * Spark plans DISTINCT set ops as aggregates + left-semi/anti joins on
+    * already-deduplicated keysets, so the wide side shuffles |custkeys|,
+    * never |orders|. */
+  def qSetops(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+    def ys(yy: Int) = o.filter(col("y") === yy).select(col("o_custkey")).distinct()
+    val retained = ys(1995).intersect(ys(1996))
+      .select(lit("retained").as("cohort"), col("o_custkey"))
+    val churned = ys(1995).except(ys(1996))
+      .select(lit("churned").as("cohort"), col("o_custkey"))
+    val acquired = ys(1996).except(ys(1995))
+      .select(lit("acquired").as("cohort"), col("o_custkey"))
+    retained.union(churned).union(acquired)
+      .groupBy(col("cohort")).agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("cohort"))
+  }
+
+  val qSetopsSql: String =
+    """WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+      | y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+      | tagged AS (
+      |   SELECT 'retained' AS cohort, o_custkey FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+      |   UNION ALL
+      |   SELECT 'churned', o_custkey FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+      |   UNION ALL
+      |   SELECT 'acquired', o_custkey FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y95))
+      |SELECT cohort, count(*) AS n_customers FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** CUBE over (market segment, nation) — completes the grouping trio with
+    * q_rollup / q_grouping_sets: all four subtotal combinations in one
+    * Expand-planned pass (one shuffle). */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .cube(col("c_mktsegment"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("mktsegment"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_cust"), col("total_bal"))
+      .orderBy(col("mktsegment"), col("nation"))
+
+  val qCubeSql: String =
+    """SELECT COALESCE(c_mktsegment,'ALL') AS mktsegment,
+      | COALESCE(n_name,'ALL') AS nation,
+      | count(*) AS n_cust, round(sum(c_acctbal),2) AS total_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY CUBE(c_mktsegment, n_name)
+      |ORDER BY 1,2""".stripMargin
+
+  /** Ordered string aggregation: per region the sorted CSV of its nations.
+    * Deterministic cross-engine by sorting INSIDE the aggregate
+    * (array_sort(collect_list) ↔ string_agg ORDER BY) instead of relying
+    * on input order, which neither engine guarantees after a shuffle. */
+  def qStringAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations_csv"),
+        count(lit(1)).as("n_nations"))
+      .orderBy(col("region"))
+
+  val qStringAggSql: String =
+    """SELECT r_name AS region,
+      | string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+      | count(*) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
     "q3_topk"           -> (q3Topk _),
@@ -712,7 +812,11 @@ object Analytics {
     "events_attribution" -> (eventsAttribution _),
     "q_custdist"        -> (qCustdist _),
     "q_histogram"       -> (qHistogram _),
-    "events_transitions" -> (eventsTransitions _))
+    "events_transitions" -> (eventsTransitions _),
+    "q_range_frame"     -> (qRangeFrame _),
+    "q_setops"          -> (qSetops _),
+    "q_cube"            -> (qCube _),
+    "q_string_agg"      -> (qStringAgg _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg"            -> q1AggSql,
@@ -738,5 +842,9 @@ object Analytics {
     "events_attribution" -> eventsAttributionSql,
     "q_custdist"        -> qCustdistSql,
     "q_histogram"       -> qHistogramSql,
-    "events_transitions" -> eventsTransitionsSql)
+    "events_transitions" -> eventsTransitionsSql,
+    "q_range_frame"     -> qRangeFrameSql,
+    "q_setops"          -> qSetopsSql,
+    "q_cube"            -> qCubeSql,
+    "q_string_agg"      -> qStringAggSql)
 }

@@ -838,7 +838,60 @@ object TextAnalysis {
       |SELECT lang, "rank", bigram, cnt FROM ranked
       |WHERE "rank" <= 10 ORDER BY lang, "rank"""".stripMargin
 
+  /** Gopher-style composite quality gate (Rae et al. 2021, public
+    * arXiv:2112.11446 — rule family, thresholds tuned to this corpus):
+    * every document is scored against all rules at once and the verdict
+    * carries a per-rule fail bitmask, so a pipeline can both hard-filter
+    * (keep = 1) and audit WHICH rule fired without a second pass.
+    *   bit 0 (1): fewer than 30 words      bit 1 (2): over 100k words
+    *   bit 2 (4): mean word length outside [3.0, 4.5]
+    *   bit 3 (8): alphabetic-character fraction below 0.81
+    * All signals are exact-integer counts; the two ratio comparisons
+    * divide identical exact integers in both engines, so the branch taken
+    * is deterministic cross-engine. One narrow projection pass, no
+    * shuffle until the final ORDER BY. */
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame =
+    corpusFilterOf(Tables.documents(spark, dir))
+
+  def corpusFilterOf(docs: DataFrame): DataFrame = {
+    val n     = greatest(length(col("text")).cast("double"), lit(1.0))
+    val alpha = (length(col("text"))
+      - length(regexp_replace(col("text"), "[A-Za-z]", ""))).cast("double")
+    val nw    = size(regexp_extract_all(col("text"), lit(wsTok), lit(0))).cast("long")
+    val mwl   = alpha / greatest(nw.cast("double"), lit(1.0))
+    val mask  =
+      when(nw < 30, lit(1L)).otherwise(lit(0L)) +
+      when(nw > 100000, lit(2L)).otherwise(lit(0L)) +
+      when(mwl < 3.0 || mwl > 4.5, lit(4L)).otherwise(lit(0L)) +
+      when(alpha / n < 0.81, lit(8L)).otherwise(lit(0L))
+    docs.select(col("doc_id"), nw.as("n_words"), mask.as("fail_mask"))
+      .withColumn("keep", when(col("fail_mask") === 0L, 1).otherwise(0))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusFilterSql: String =
+    s"""WITH s AS (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(text, '$wsTok'))::BIGINT AS nw,
+      |    greatest(length(text)::DOUBLE, 1.0) AS n,
+      |    (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE AS alpha
+      |  FROM documents
+      |)
+      |SELECT doc_id, nw AS n_words,
+      |  (CASE WHEN nw < 30 THEN 1 ELSE 0 END
+      |   + CASE WHEN nw > 100000 THEN 2 ELSE 0 END
+      |   + CASE WHEN alpha / greatest(nw::DOUBLE, 1.0) < 3.0
+      |          OR alpha / greatest(nw::DOUBLE, 1.0) > 4.5 THEN 4 ELSE 0 END
+      |   + CASE WHEN alpha / n < 0.81 THEN 8 ELSE 0 END)::BIGINT AS fail_mask,
+      |  CASE WHEN (CASE WHEN nw < 30 THEN 1 ELSE 0 END
+      |   + CASE WHEN nw > 100000 THEN 2 ELSE 0 END
+      |   + CASE WHEN alpha / greatest(nw::DOUBLE, 1.0) < 3.0
+      |          OR alpha / greatest(nw::DOUBLE, 1.0) > 4.5 THEN 4 ELSE 0 END
+      |   + CASE WHEN alpha / n < 0.81 THEN 8 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_filter"    -> (corpusFilter _),
     "text_ngram_topk"  -> (textNgramTopk _),
     "text_repetition"  -> (textRepetition _),
     "corpus_dedup_spans" -> (corpusDedupSpans _),
@@ -860,6 +913,7 @@ object TextAnalysis {
     "text_fingerprint" -> (textFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "corpus_filter"    -> corpusFilterSql,
     "text_ngram_topk"  -> textNgramTopkSql,
     "text_repetition"  -> textRepetitionSql,
     "corpus_dedup_spans" -> corpusDedupSpansSql,

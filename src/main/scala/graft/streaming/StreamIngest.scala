@@ -126,6 +126,20 @@ object StreamIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keys :+ tsCol)
 
+  /** Jitter-tolerant streaming dedup: drop re-deliveries of the same keys
+    * even when the retry carries a DIFFERENT event timestamp (proxies
+    * re-stamping at send time, a common at-least-once reality
+    * [[dedupStream]]'s exact (keys, ts) match cannot absorb).
+    * `dropDuplicatesWithinWatermark` keeps the first-seen row per key and
+    * holds key state only until the watermark passes it — bounded state,
+    * unlike a global dropDuplicates on keys alone, whose state grows with
+    * every key ever seen and dies at stream scale. */
+  def dedupStreamJittered(stream: DataFrame, tsCol: String, keys: Seq[String],
+                          watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Watermarked stream-stream interval join — the streaming twin of the
     * batch `events_attribution` as-of query: every right-side row (e.g. a
     * purchase) pairs with each left-side row (e.g. a click) of the same

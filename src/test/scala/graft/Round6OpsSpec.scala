@@ -162,6 +162,24 @@ class Round6OpsSpec extends SparkSpecBase {
       s"sub-blocked pair volume should be ~180, was $nPairs")
   }
 
+  test("corpus_filter bitmask pins each Gopher rule independently") {
+    // passes all rules: 40 words alternating lengths 4/5 → mwl exactly 4.5
+    // (boundary INCLUDED), alpha frac 180/219 ≈ 0.822 ≥ 0.81
+    val good = (0 until 40).map(i => if (i % 2 == 0) "abcd" else "abcde").mkString(" ")
+    val short = "ab cd" // bit 0 (2 words) + bit 2 (mwl 2.0) + bit 3 (4/5 = 0.8)
+    val longWords = Seq.fill(40)("abcdefgh").mkString(" ") // bit 2 only (mwl 8)
+    val digits = Seq.fill(40)("ab12").mkString(" ") // bit 2 (mwl 2) + bit 3 (0.402)
+    val docs = Seq((0L, good), (1L, short), (2L, longWords), (3L, digits))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.corpusFilterOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("fail_mask"), r.getAs[Int]("keep"))).toMap
+    assert(out(0L) == ((0L, 1)))
+    assert(out(1L) == ((13L, 0)))
+    assert(out(2L) == ((4L, 0)))
+    assert(out(3L) == ((12L, 0)))
+  }
+
   test("corpus_dsir scores target-domain-like docs above off-domain docs") {
     // target = lang 'en'; en docs share an en-only vocabulary, zh docs a
     // disjoint one, so importance log-ratios must separate them cleanly

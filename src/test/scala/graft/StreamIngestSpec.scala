@@ -160,6 +160,28 @@ class StreamIngestSpec extends SparkSpecBase {
     assert(out.map(_.getAs[Long]("event_id")).toSet == Set(1L, 3L))
   }
 
+  test("dedupStreamJittered drops re-stamped re-deliveries, keeps distinct keys") {
+    val dir = Files.createTempDirectory("graft-dedup-jitter").toString
+    val input = MemoryStream[EventRow](spark)
+    // user 7's event re-delivered 5s later with a re-stamped ts (exact-match
+    // dedup would pass BOTH); user 8 is a distinct key and must survive
+    input.addData(
+      EventRow(1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+      EventRow(2L, ts("2024-01-01 10:00:05"), 7L, "click", 1.0),
+      EventRow(3L, ts("2024-01-01 10:01:00"), 8L, "view", 2.0))
+    val q = StreamIngest.dedupStreamJittered(input.toDF(), "ts", Seq("user_id"), "1 hour")
+      .writeStream.format("memory").queryName("dedup_jitter_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("dedup_jitter_out").collect()
+    assert(out.map(_.getAs[Long]("user_id")).sorted.toSeq == Seq(7L, 8L))
+    // first-seen wins for the duplicated key
+    assert(out.map(_.getAs[Long]("event_id")).toSet == Set(1L, 3L))
+  }
+
   test("streaming session_window agg matches batch sessionization") {
     val dir = Files.createTempDirectory("graft-stream-sess").toString
     // events for one user: two 30-min-gap sessions (10:00-10:20, 11:30)
