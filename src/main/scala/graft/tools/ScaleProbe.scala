@@ -54,6 +54,29 @@ object ScaleProbe {
     }
   }
 
+  /** Quadratic-vs-capped probe for dedup_semantic's sub-blocking guard: a
+    * single-centroid quantizer puts EVERY vector in one cell (the
+    * degenerate clustering the guard exists for), doubled in size per
+    * step. Unguarded, the cell self-join emits n²/2 candidate pairs;
+    * capped, sub-blocking bounds candidates at ~n·cap/2. */
+  private def semanticProbe(spark: SparkSession, sizes: Seq[Int]): Unit = {
+    import org.apache.spark.sql.functions._
+    val cents = Seq(Seq.fill(64)(1.0), Seq.fill(64)(-1.0))
+    for (n <- sizes) {
+      val emb = spark.range(0, n).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          j => ((pmod(col("id") * 31 + j * 17, lit(1000)).cast("double") / 1000.0))
+            .cast("float")).as("embedding"))
+      for ((name, cap) <- Seq("unguarded" -> Long.MaxValue, "capped" -> 1000L)) {
+        val t0 = System.nanoTime()
+        val rows = graft.operators.Similarity
+          .dedupSemanticOf(emb, cents, maxBlock = cap).count()
+        println(f"[scale] semantic $name%-10s n=$n%-6d ${(System.nanoTime() - t0) / 1e9}%7.2f s dropped=$rows")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val k = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
@@ -70,6 +93,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("embed")) {
       embedProbe(spark, Seq(4000, 8000, 16000))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("semantic")) {
+      semanticProbe(spark, Seq(8000, 16000, 32000))
       spark.stop()
       return
     }
@@ -115,6 +143,10 @@ object ScaleProbe {
       graft.operators.TextAnalysis.corpusDedupSpansOf(docs).count())
     time(s"corpus_dsir x$k")(
       graft.operators.TextAnalysis.corpusDsirOf(docs).count())
+    time(s"events_transitions x$k")(
+      graft.operators.Analytics.eventsTransitionsOf(ev).count())
+    time(s"corpus_filter x$k")(
+      graft.operators.TextAnalysis.corpusFilterOf(docs).count())
 
     spark.stop()
   }
