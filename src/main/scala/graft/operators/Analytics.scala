@@ -694,10 +694,13 @@ object Analytics {
     * rides the gate as per-row-rounded integral cents. One shuffle on
     * o_custkey; the frame is computed in a single sort pass per
     * partition. */
-  def qRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+  def qRangeFrame(spark: SparkSession, dir: String): DataFrame =
+    qRangeFrameOf(Tables.orders(spark, dir))
+
+  def qRangeFrameOf(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("epoch_s"))
       .rangeBetween(-7776000L, 0L) // 90 days of seconds
-    Tables.orders(spark, dir)
+    orders
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
         col("o_orderdate").cast("long").as("epoch_s"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
@@ -786,6 +789,59 @@ object Analytics {
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Daily-volume anomaly detection per event type: z-score each day's
+    * event count against that type's distribution, flag |z| > 2 — the
+    * monitoring/data-quality scan every ingestion pipeline runs.
+    *
+    * Cross-engine discipline: library stddev implementations differ
+    * (Welford vs naïve accumulation → different ulps), so the variance is
+    * computed EXPLICITLY from exact integer sums — Σn as BIGINT, Σn² in
+    * DECIMAL(38)/HUGEINT (a BIGINT n² would ANSI-abort past 3e9
+    * events/day) — with the identical double expression tree in both
+    * engines; sqrt is correctly-rounded, so the 4dp gate rounding is
+    * deterministic. Plan: one shuffle to daily counts (map-side combined),
+    * stats ride a window over the tiny aggregate. */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame =
+    eventsAnomalyOf(Tables.events(spark, dir))
+
+  def eventsAnomalyOf(ev: DataFrame): DataFrame = {
+    val daily = ev.groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type"))
+    val s  = sum(col("n_events")).over(w).cast("double")
+    val ss = sum(col("n_events").cast("decimal(38,0)") * col("n_events")).over(w)
+      .cast("double")
+    val nd = count(lit(1)).over(w).cast("double")
+    val z = (col("n_events") - s / nd) /
+      sqrt(greatest(ss / nd - (s / nd) * (s / nd), lit(1e-12)))
+    daily
+      .withColumn("z", round(z, 4))
+      .withColumn("is_anomaly", when(abs(col("z")) > 2.0, 1).otherwise(0))
+      .select(col("event_type"), col("day"), col("n_events"), col("z"),
+        col("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val eventsAnomalySql: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |), st AS (
+      |  SELECT event_type, day, n_events,
+      |    CAST(sum(n_events) OVER w AS DOUBLE) AS s,
+      |    CAST(sum(n_events::HUGEINT * n_events) OVER w AS DOUBLE) AS ss,
+      |    CAST(count(*) OVER w AS DOUBLE) AS nd
+      |  FROM d WINDOW w AS (PARTITION BY event_type)
+      |), zz AS (
+      |  SELECT event_type, day, n_events,
+      |    round((n_events - s/nd) / sqrt(greatest(ss/nd - (s/nd)*(s/nd), 1e-12)), 4) AS z
+      |  FROM st
+      |)
+      |SELECT event_type, day, n_events, z,
+      |  CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END AS is_anomaly
+      |FROM zz ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
     "q3_topk"           -> (q3Topk _),
@@ -816,7 +872,8 @@ object Analytics {
     "q_range_frame"     -> (qRangeFrame _),
     "q_setops"          -> (qSetops _),
     "q_cube"            -> (qCube _),
-    "q_string_agg"      -> (qStringAgg _))
+    "q_string_agg"      -> (qStringAgg _),
+    "events_anomaly"    -> (eventsAnomaly _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg"            -> q1AggSql,
@@ -846,5 +903,6 @@ object Analytics {
     "q_range_frame"     -> qRangeFrameSql,
     "q_setops"          -> qSetopsSql,
     "q_cube"            -> qCubeSql,
-    "q_string_agg"      -> qStringAggSql)
+    "q_string_agg"      -> qStringAggSql,
+    "events_anomaly"    -> eventsAnomalySql)
 }

@@ -616,7 +616,73 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  // ------------------------------------------------------- int8 quantize
+
+  /** Symmetric int8 embedding quantization — the storage-compression op a
+    * 100 TB vector corpus runs before anything else (4 B float → 1 B code,
+    * amax-scaled per vector, the standard faiss/SQ8 scheme). The
+    * production form writes (codes, scale) as the compressed artifact
+    * (the [[trainPq]] discipline); the gate query emits per-vector
+    * checksums of the code stream — code sum, code square-sum, max |code|
+    * (must be 127 for any non-zero vector), and the ×1e6 scale — so the
+    * DuckDB oracle proves the quantization arithmetic end to end.
+    *
+    * Engine-portable by construction: amax and every x/scale division are
+    * the same IEEE doubles in both engines (no transcendentals), so
+    * per-element `round` agrees everywhere; checksums are exact integer
+    * sums (BIGINT-cast for the HUGEINT hash rule). Narrow no-shuffle
+    * projection until the final ORDER BY. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    embedQuantizeOf(Tables.embeddings(spark, dir))
+
+  def embedQuantizeOf(emb: DataFrame): DataFrame = {
+    val xd = asDouble(col("embedding"))
+    val amax = array_max(transform(xd, x => abs(x)))
+    // the scale rides the aggregate's SEED so it's evaluated once per ROW:
+    // referencing it inside the lambda would let CollapseProject inline the
+    // amax array-max per ELEMENT — the O(d²) trap SURVEY §5 documents
+    val zero = struct(lit(0L).as("s"), lit(0L).as("q"), lit(0L).as("m"),
+      (greatest(amax, lit(1e-12)) / lit(127.0)).as("sc"))
+    val acc = aggregate(xd, zero, (a, x) => {
+      val c = round(x / a.getField("sc")).cast("long")
+      struct((a.getField("s") + c).as("s"),
+        (a.getField("q") + c * c).as("q"),
+        greatest(a.getField("m"), abs(c)).as("m"),
+        a.getField("sc").as("sc"))
+    })
+    emb
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        round(amax * 1e6).cast("long").as("amax_e6"),
+        acc.getField("s").as("code_sum"),
+        acc.getField("q").as("code_ssq"),
+        acc.getField("m").as("code_max"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embedQuantizeSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS xd
+      |  FROM embeddings
+      |), s AS (
+      |  SELECT vec_id, xd,
+      |    list_max(list_transform(xd, x -> abs(x))) AS amax
+      |  FROM e
+      |), c AS (
+      |  SELECT vec_id, xd, amax,
+      |    list_transform(xd, x -> round(x / (greatest(amax, 1e-12) / 127.0))::BIGINT) AS codes
+      |  FROM s
+      |)
+      |SELECT vec_id,
+      |  len(xd)::BIGINT AS n_dims,
+      |  round(amax * 1e6)::BIGINT AS amax_e6,
+      |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+      |  CAST(list_sum(list_transform(codes, c -> c * c)) AS BIGINT) AS code_ssq,
+      |  CAST(list_max(list_transform(codes, c -> abs(c))) AS BIGINT) AS code_max
+      |FROM c ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_quantize"  -> (embedQuantize _),
     "knn_brute"       -> (knnBrute _),
     "knn_lsh"         -> (knnLsh _),
     "knn_ivf"         -> (knnIvf _),
@@ -625,7 +691,9 @@ object Similarity {
     "dedup_embed_lsh" -> (dedupEmbedLsh _),
     "dedup_semantic"  -> (dedupSemantic _))
 
-  /** Float-vector math: deliberately rows-only (summation-order ulps make
-    * cross-engine hash equality meaningless). */
-  val oracle: Map[String, String] = Map.empty
+  /** Float-vector math is deliberately rows-only (summation-order ulps
+    * make cross-engine hash equality meaningless) — except embed_quantize,
+    * whose per-element arithmetic is boundary-exact in both engines. */
+  val oracle: Map[String, String] = Map(
+    "embed_quantize" -> embedQuantizeSql)
 }

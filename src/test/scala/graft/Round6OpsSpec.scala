@@ -180,6 +180,63 @@ class Round6OpsSpec extends SparkSpecBase {
     assert(out(3L) == ((12L, 0)))
   }
 
+  test("events_anomaly flags a volume spike, stays quiet on uniform days") {
+    // type a: 9 days of 10 events + one 110-event spike → mean 20, σ 30,
+    // spike z = 3.0 (flagged), normal days z = −0.3333 (not)
+    val a = (1 to 9).flatMap(d =>
+      Seq.fill(10)((ts(f"2024-01-0$d%d 10:00:00"), "a"))) ++
+      Seq.fill(110)((ts("2024-01-10 10:00:00"), "a"))
+    // type b: perfectly uniform → z exactly 0 everywhere
+    val b = (1 to 3).flatMap(d => Seq.fill(5)((ts(s"2024-02-0$d 09:00:00"), "b")))
+    val out = Analytics.eventsAnomalyOf((a ++ b).toDF("ts", "event_type")).collect()
+    val aRows = out.filter(_.getAs[String]("event_type") == "a")
+    val spike = aRows.filter(_.getAs[Long]("n_events") == 110L)
+    assert(spike.length == 1 && spike.head.getAs[Double]("z") == 3.0
+      && spike.head.getAs[Int]("is_anomaly") == 1)
+    val normals = aRows.filter(_.getAs[Long]("n_events") == 10L)
+    assert(normals.length == 9 &&
+      normals.forall(r => r.getAs[Double]("z") == -0.3333 && r.getAs[Int]("is_anomaly") == 0))
+    assert(out.filter(_.getAs[String]("event_type") == "b")
+      .forall(r => r.getAs[Double]("z") == 0.0 && r.getAs[Int]("is_anomaly") == 0))
+  }
+
+  test("embed_quantize emits exact int8 codes checksums") {
+    val emb = Seq(
+      (1L, Seq(1.0, -0.5, 0.25, 0.0)), // scale 1/127 → codes 127,−64,32,0
+      (2L, Seq(0.0, 0.0)),             // zero vector → all checksums 0
+      (3L, Seq(-2.0, 1.0))             // scale 2/127 → codes −127, 64
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.embedQuantizeOf(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("n_dims"), r.getAs[Long]("amax_e6"),
+          r.getAs[Long]("code_sum"), r.getAs[Long]("code_ssq"),
+          r.getAs[Long]("code_max")))).toMap
+    assert(out(1L) == ((4L, 1000000L, 95L, 21249L, 127L)))
+    assert(out(2L) == ((2L, 0L, 0L, 0L, 0L)))
+    assert(out(3L) == ((2L, 2000000L, -63L, 20225L, 127L)))
+  }
+
+  test("q_range_frame matches a brute-force trailing-90-day sum on random data") {
+    val rnd = new scala.util.Random(42)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val rows = (1 to 300).map { i =>
+      (rnd.nextInt(5).toLong + 1L, i.toLong,
+        new Timestamp(base + rnd.nextInt(300 * 86400).toLong * 1000L),
+        rnd.nextInt(1000000) / 100.0)
+    }
+    val df = rows.toDF("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val got = Analytics.qRangeFrameOf(df).collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Long]("spend_90d_e2")).toMap
+    rows.foreach { case (ck, ok, ts0, _) =>
+      val want = rows.collect { case (c2, _, t2, p2)
+        if c2 == ck && t2.getTime / 1000 <= ts0.getTime / 1000 &&
+          t2.getTime / 1000 >= ts0.getTime / 1000 - 7776000L =>
+        math.round(p2 * 100)
+      }.sum
+      assert(got(ok) == want, s"orderkey $ok: got ${got(ok)}, want $want")
+    }
+  }
+
   test("corpus_dsir scores target-domain-like docs above off-domain docs") {
     // target = lang 'en'; en docs share an en-only vocabulary, zh docs a
     // disjoint one, so importance log-ratios must separate them cleanly
