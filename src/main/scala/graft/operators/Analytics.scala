@@ -842,6 +842,42 @@ object Analytics {
       |  CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END AS is_anomaly
       |FROM zz ORDER BY event_type, day""".stripMargin
 
+  /** Top-10 most-travelled 3-step event-type paths across all user
+    * timelines — the path-mining counterpart of `events_transitions`
+    * (which counts single hops). Two lead()s ride ONE user_id shuffle —
+    * the same partitioning the sessionize/transitions family uses — then
+    * the (step1, step2, step3) trigram counts partial-aggregate to at most
+    * |types|³ = 125 rows before the top-k sort. Ordering is total
+    * (count desc, then the path lexically), so LIMIT is deterministic
+    * cross-engine. */
+  def eventsTopPaths(spark: SparkSession, dir: String): DataFrame =
+    eventsTopPathsOf(Tables.events(spark, dir))
+
+  def eventsTopPathsOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("step2", lead(col("event_type"), 1).over(w))
+      .withColumn("step3", lead(col("event_type"), 2).over(w))
+      .filter(col("step3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("step1"), col("step2"), col("step3"))
+      .limit(10)
+  }
+
+  val eventsTopPathsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS step1,
+      |    lead(event_type, 1) OVER w AS step2,
+      |    lead(event_type, 2) OVER w AS step3
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT step1, step2, step3, count(*) AS n_paths
+      |FROM seq WHERE step3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n_paths DESC, 1, 2, 3
+      |LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
     "q3_topk"           -> (q3Topk _),
@@ -873,7 +909,8 @@ object Analytics {
     "q_setops"          -> (qSetops _),
     "q_cube"            -> (qCube _),
     "q_string_agg"      -> (qStringAgg _),
-    "events_anomaly"    -> (eventsAnomaly _))
+    "events_anomaly"    -> (eventsAnomaly _),
+    "events_top_paths"  -> (eventsTopPaths _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg"            -> q1AggSql,
@@ -904,5 +941,6 @@ object Analytics {
     "q_setops"          -> qSetopsSql,
     "q_cube"            -> qCubeSql,
     "q_string_agg"      -> qStringAggSql,
-    "events_anomaly"    -> eventsAnomalySql)
+    "events_anomaly"    -> eventsAnomalySql,
+    "events_top_paths"  -> eventsTopPathsSql)
 }

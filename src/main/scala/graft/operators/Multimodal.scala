@@ -176,12 +176,41 @@ object Multimodal {
       |    c -> ascii(c)::BIGINT)), 0)::BIGINT AS checksum_cp
       |FROM fr ORDER BY 1, 2""".stripMargin
 
+  /** Exact dedup over the BINARY column: group blobs by md5 digest, keep
+    * the lowest doc_id per group — "same encoded file stored twice" is the
+    * single highest-yield dedup in any crawled media corpus and must run
+    * BEFORE any decode step (a 16-byte digest comparison vs a full
+    * decode). Scale shape: the digest is computed partition-locally at the
+    * scan, so only (digest, doc_id, n_bytes) triples shuffle — blob bytes
+    * never leave their partition (same invariant as the rest of this
+    * file). The DuckDB gate recomputes md5 over the text the blob was
+    * encoded from (UTF-8 bytes identical by construction), so grouping,
+    * keep rule, and byte accounting are all hash-proven. */
+  def multimodalDedup(spark: SparkSession, dir: String): DataFrame =
+    multimodalDedupOf(mediaTable(spark, dir).toDF())
+
+  def multimodalDedupOf(blobs: DataFrame): DataFrame =
+    blobs
+      .select(col("doc_id"), md5(col("blob")).as("blob_md5"),
+        length(col("blob")).cast("long").as("n_bytes"))
+      .groupBy(col("blob_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"),
+        max(col("n_bytes")).as("n_bytes"))
+      .orderBy(col("blob_md5"))
+
+  val multimodalDedupSql: String =
+    """SELECT md5(text) AS blob_md5, count(*) AS n_copies,
+      | min(doc_id) AS keep_doc_id, CAST(max(strlen(text)) AS BIGINT) AS n_bytes
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta"        -> (multimodalMeta _),
     "multimodal_meta_oracle" -> (multimodalMetaOracle _),
-    "multimodal_frames"      -> (multimodalFrames _))
+    "multimodal_frames"      -> (multimodalFrames _),
+    "multimodal_dedup"       -> (multimodalDedup _))
 
   val oracle: Map[String, String] = Map(
     "multimodal_meta_oracle" -> multimodalMetaOracleSql,
-    "multimodal_frames"      -> multimodalFramesSql)
+    "multimodal_frames"      -> multimodalFramesSql,
+    "multimodal_dedup"       -> multimodalDedupSql)
 }

@@ -92,6 +92,45 @@ class Round6OpsSpec extends SparkSpecBase {
     assert(rows.collect { case ((f, _), (_, p)) if f == "view" => p }.sum == 10000L)
   }
 
+  test("events_top_paths counts overlapping trigrams, orders by count then path") {
+    val ev = Seq(
+      // user 1: view click view click -> trigrams (v,c,v), (c,v,c)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "click"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "view"),
+      (4L, ts("2024-01-01 10:03:00"), 1L, "click"),
+      // user 2: view click view -> (v,c,v) again (now count 2)
+      (5L, ts("2024-01-01 09:00:00"), 2L, "view"),
+      (6L, ts("2024-01-01 09:01:00"), 2L, "click"),
+      (7L, ts("2024-01-01 09:02:00"), 2L, "view"),
+      // user 3: two events only — no trigram
+      (8L, ts("2024-01-01 08:00:00"), 3L, "view"),
+      (9L, ts("2024-01-01 08:01:00"), 3L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val rows = Analytics.eventsTopPathsOf(ev).collect()
+      .map(r => (r.getAs[String]("step1"), r.getAs[String]("step2"),
+        r.getAs[String]("step3"), r.getAs[Long]("n_paths")))
+    // count-desc first, lexical tie-break after; cross-user sequences never mix
+    assert(rows.toSeq == Seq(
+      ("view", "click", "view", 2L),
+      ("click", "view", "click", 1L)))
+  }
+
+  test("multimodal_dedup groups identical blobs, keeps the min doc_id") {
+    val blobs = Seq(
+      (10L, "same payload".getBytes("UTF-8")),
+      (7L,  "same payload".getBytes("UTF-8")),
+      (3L,  "unique payload".getBytes("UTF-8"))
+    ).toDF("doc_id", "blob")
+    val out = graft.operators.Multimodal.multimodalDedupOf(blobs).collect()
+      .map(r => r.getAs[String]("blob_md5") ->
+        (r.getAs[Long]("n_copies"), r.getAs[Long]("keep_doc_id"),
+         r.getAs[Long]("n_bytes"))).toMap
+    assert(out(md5hex("same payload")) == ((2L, 7L, 12L)))
+    assert(out(md5hex("unique payload")) == ((1L, 3L, 14L)))
+    assert(out.size == 2)
+  }
+
   test("q_custdist partitions every customer into exactly one order-count bin") {
     val out = Analytics.qCustdist(spark, sfDir).collect()
     val nCustomers = graft.sources.Tables.customer(spark, sfDir).count()
