@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.model.{FileStreamSourceSpec, KafkaSourceSpec, KinesisSourceSpec, StreamSourceSpec}
@@ -198,6 +198,86 @@ object StreamIngest {
         round(sum(col("value")), 4).as("total_value"))
       .select(col(keyCol), col("session_start"), col("session_end"),
         col("n_events"), col("total_value"))
+
+  /** Input row for [[sessionizeStateful]]. */
+  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp,
+                             event_id: Long, value: Double)
+
+  /** Per-user session state: `ord` is the ordinal of the CURRENT (or last
+    * closed) session — the cross-session counter native `session_window`
+    * cannot carry. */
+  final case class SessState(ord: Long, open: Boolean, startMs: Long,
+                             endMs: Long, n: Long, sumE4: Long)
+
+  /** One closed session (column shape = batch `events_sessionize`). */
+  final case class SessionRow(user_id: Long, session_id: Long,
+                              n_events: Long, session_start: java.sql.Timestamp,
+                              session_end: java.sql.Timestamp, total_value_e4: Long)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * streaming operator `session_window` CANNOT express: per-user ORDINAL
+    * session ids (session 1, 2, 3 … per key), because numbering a user's
+    * next session requires state that survives across closed sessions.
+    * Column-for-column the streaming twin of batch `events_sessionize`
+    * (Analytics.scala): 30-min default gap, value sum as integral e4.
+    *
+    * Mechanics: events group-shuffle once on user_id; within a micro-batch
+    * each group's slice is sorted in memory (bounded by the batch, never
+    * the stream); sessions that close INSIDE the batch emit immediately,
+    * the open tail is stored with an event-time timeout at end+gap, and
+    * the watermark firing that timeout emits it. After emitting, the state
+    * row is kept (open = false) so the ordinal survives — one ~40-byte row
+    * per user, the same per-key state any latest-value materialization
+    * carries; a deployment that can't afford per-key residue uses
+    * [[sessionAgg]] and keys sessions by start instead of ordinal.
+    * Timeout timestamps clamp to watermark+1 because Spark rejects
+    * timeouts at-or-before the current watermark (a batch can contain
+    * events already straddling it). */
+  def sessionizeStateful(events: Dataset[SessEvent], gapMinutes: Int = 30,
+                         watermark: String = "1 hour"): Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    def emit(user: Long, s: SessState): SessionRow =
+      SessionRow(user, s.ord, s.n, new java.sql.Timestamp(s.startMs),
+        new java.sql.Timestamp(s.endMs), s.sumE4)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            if (s.open) { state.update(s.copy(open = false)); Iterator(emit(user, s)) }
+            else Iterator.empty
+          } else {
+            val evs = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+            var st = state.getOption
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              val vE4 = math.rint(e.value * 10000).toLong
+              st match {
+                case Some(s) if s.open && t - s.endMs <= gapMs =>
+                  st = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1,
+                    sumE4 = s.sumE4 + vE4))
+                case Some(s) =>
+                  if (s.open) out += emit(user, s)
+                  st = Some(SessState(s.ord + 1, open = true, t, t, 1L, vE4))
+                case None =>
+                  st = Some(SessState(1L, open = true, t, t, 1L, vE4))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              if (s.open)
+                state.setTimeoutTimestamp(
+                  math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
 
   /** Convenience: run a writer until all currently-available data is
     * processed (test/demo helper; production would use its own trigger). */

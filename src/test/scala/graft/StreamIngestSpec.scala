@@ -416,4 +416,65 @@ class StreamIngestSpec extends SparkSpecBase {
     assert(streamed.nonEmpty)
     streamed.foreach { case (k, v) => assert(batch(k) == v) }
   }
+
+  test("stateful sessionization emits ordinal sessions matching batch shape") {
+    val dir = Files.createTempDirectory("graft-stream-fmgws").toString
+    val rows = Seq(
+      // user 7: two sessions — (10:00,10:20) then (11:30)
+      StreamIngest.SessEvent(7L, ts("2024-01-01 10:00:00"), 1L, 1.0),
+      StreamIngest.SessEvent(7L, ts("2024-01-01 10:20:00"), 2L, 2.0),
+      StreamIngest.SessEvent(7L, ts("2024-01-01 11:30:00"), 3L, 4.0),
+      // user 8: far-future event advances the watermark past 12:00 so user
+      // 7's open second session times out and emits; user 8's own stays open
+      StreamIngest.SessEvent(8L, ts("2024-01-02 00:00:00"), 9L, 0.5))
+    val input = MemoryStream[StreamIngest.SessEvent](spark)
+    input.addData(rows: _*)
+    val q = StreamIngest.sessionizeStateful(input.toDS(), 30, "1 hour")
+      .writeStream.format("memory").queryName("fmgws_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("fmgws_out").filter(col("user_id") === 7L)
+      .orderBy(col("session_id")).collect()
+      .map(r => (r.getAs[Long]("session_id"), r.getAs[Long]("n_events"),
+        r.getAs[Timestamp]("session_start"), r.getAs[Timestamp]("session_end"),
+        r.getAs[Long]("total_value_e4")))
+    // identical column semantics to batch events_sessionize: ordinal ids,
+    // min/max ts bounds, integral e4 value sum
+    assert(out.toSeq == Seq(
+      (1L, 2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:20:00"), 30000L),
+      (2L, 1L, ts("2024-01-01 11:30:00"), ts("2024-01-01 11:30:00"), 40000L)))
+    // the watermark has not passed user 8's session — nothing emitted for it
+    assert(spark.table("fmgws_out").filter(col("user_id") === 8L).count() == 0)
+  }
+
+  test("stateful sessionization ordinals survive across closed sessions and batches") {
+    val dir = Files.createTempDirectory("graft-stream-fmgws2").toString
+    val input = MemoryStream[StreamIngest.SessEvent](spark)
+    val q = StreamIngest.sessionizeStateful(input.toDS(), 30, "1 hour")
+      .writeStream.format("memory").queryName("fmgws2_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    // batch A: user 9 opens session 1; user 8 advances the watermark
+    input.addData(
+      StreamIngest.SessEvent(9L, ts("2024-01-01 10:00:00"), 1L, 1.0),
+      StreamIngest.SessEvent(8L, ts("2024-01-03 00:00:00"), 100L, 0.0))
+    q.processAllAvailable()
+    // batch B: user 9 returns days later — session 1 must close as ordinal
+    // 1 and the NEW session must number 2 (state carried across sessions)
+    input.addData(StreamIngest.SessEvent(9L, ts("2024-01-05 10:00:00"), 2L, 2.0))
+    q.processAllAvailable()
+    // batch C: advance the watermark past session 2's gap so it emits too
+    input.addData(StreamIngest.SessEvent(8L, ts("2024-01-10 00:00:00"), 101L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("fmgws2_out").filter(col("user_id") === 9L)
+      .orderBy(col("session_id")).collect()
+      .map(r => (r.getAs[Long]("session_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("total_value_e4")))
+    assert(out.toSeq == Seq((1L, 1L, 10000L), (2L, 1L, 20000L)))
+  }
 }
