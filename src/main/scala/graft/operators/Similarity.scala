@@ -480,6 +480,85 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF + PQ composed (the faiss-IVFPQ architecture, the standard shape a
+    * 100 TB ANN index actually ships): the coarse quantizer bounds WHICH
+    * vectors are scanned (queries probe `nprobe` cells → only those cells'
+    * members are candidates) and the PQ codes bound WHAT the scan reads
+    * per candidate (4 bytes + four `element_at` lookups, no float math),
+    * with the exact native-cosine rerank only touching the shortlist's
+    * float vectors. Neither half alone gives that: plain IVF reads full
+    * vectors per candidate; plain PQ scans the whole corpus's codes.
+    *
+    * Both artifacts load from their persisted stores (train-once /
+    * amortize); the cell assignment is recomputed from the floats here
+    * because the corpus is one scan at test scale — a production index
+    * persists (cell, codes) side by side at encode time, which is the same
+    * single pass trainPq already makes. Setting nprobe = #cells and
+    * rerank ≥ corpus degenerates to EXACT brute force (spec-pinned),
+    * so the recall knobs trade accuracy for work transparently. */
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame =
+    knnIvfPqWith(spark, dir, nprobe = 2, rerank = 50)
+
+  def knnIvfPqWith(spark: SparkSession, dir: String, nprobe: Int, rerank: Int,
+                   queryLo: Long = 0L, queryHi: Long = 10L): DataFrame = {
+    val centroids = loadOrTrainCentroids(spark, dir)
+    val path = ensurePq(spark, dir)
+    val pqCents = spark.read.parquet(path + "/centroids")
+    val codes = spark.read.parquet(path + "/codes")
+    val emb = Tables.embeddings(spark, dir)
+    val cents = broadcast(
+      spark.createDataFrame(centroids.zipWithIndex.map { case (v, i) => (i, v) })
+        .toDF("cent_id", "cvec"))
+    def nearestCells(df: DataFrame, vecCol: String, n: Int, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
+      df.crossJoin(cents)
+        .withColumn("csim", cosine(asDouble(col(vecCol)), col("cvec")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= n)
+        .select(df.columns.toIndexedSeq.map(col) :+ col("cent_id").as(out): _*)
+    }
+    // candidate side: (cell, codes) — the 4-byte scan representation
+    val cands = nearestCells(emb.select(col("vec_id"), col("embedding")),
+        "embedding", 1, "cell")
+      .select(col("vec_id").as("neighbor_id"), col("cell"))
+      .join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    // query side: nprobe cells + per-subspace ADC distance tables
+    val queries = nearestCells(
+        emb.filter(col("vec_id") >= queryLo && col("vec_id") < queryHi),
+        "embedding", nprobe, "cell")
+      .select(col("cell"), col("vec_id").as("query_id"),
+        col("embedding").as("qvec"), l2norm(col("embedding")).as("qn"))
+    val dtab = queries.crossJoin(broadcast(pqCents))
+      .withColumn("d",
+        sqdist(slice(col("qn"), col("s") * PqSubDim + 1, lit(PqSubDim)), col("cvec")))
+      .groupBy(col("query_id"), col("cell"))
+      .agg(first(col("qvec")).as("qvec"),
+        (0 until PqSub).map { s =>
+          transform(
+            array_sort(collect_list(when(col("s") === s, struct(col("c"), col("d"))))),
+            t => t.getField("d")).as(s"d$s")
+        }: _*)
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adist").asc, col("neighbor_id"))
+    val shortlist = cands.join(broadcast(dtab), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adist",
+        (0 until PqSub).map(s => element_at(col(s"d$s"), col(s"c$s") + 1)).reduce(_ + _))
+      .withColumn("arn", row_number().over(wA))
+      .filter(col("arn") <= rerank)
+      .select(col("query_id"), col("neighbor_id"), col("qvec"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+      .withColumn("cos", round(cosine(col("embedding"), col("qvec")), 6))
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding near-dup pairs blocked by LSH instead of a pre-existing
     * label — the general corpus path when no curated blocking column exists
     * (dedupEmbed's label blocking assumes one).
@@ -687,6 +766,7 @@ object Similarity {
     "knn_lsh"         -> (knnLsh _),
     "knn_ivf"         -> (knnIvf _),
     "knn_pq"          -> (knnPq _),
+    "knn_ivfpq"       -> (knnIvfPq _),
     "dedup_embed"     -> (dedupEmbed _),
     "dedup_embed_lsh" -> (dedupEmbedLsh _),
     "dedup_semantic"  -> (dedupSemantic _))

@@ -66,4 +66,34 @@ class PqSpec extends SparkSpecBase {
       spark.conf.unset("graft.pq.dir")
     }
   }
+
+  test("knn_ivfpq bounds the scan by cells and degenerates to exact brute force") {
+    val tmpPq = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec_pq").toString
+    val tmpIvf = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec_ivf").toString
+    spark.conf.set("graft.pq.dir", tmpPq)
+    spark.conf.set("graft.ivf.dir", tmpIvf)
+    try {
+      val brute = top5(Similarity.knnBrute(spark, dir))
+      // production knobs: nprobe=2 of 8 cells, rerank=50. Recall is below
+      // plain PQ's by construction (the cell filter excludes candidates) —
+      // that's the traded-away work; the pin is deterministic
+      val ivfpq = top5(Similarity.knnIvfPq(spark, dir))
+      val r = recallOf(ivfpq, brute)
+      assert(r >= 0.3, s"IVFPQ recall@5 too low: $r")
+
+      // opening every cell and reranking everything IS brute force: the
+      // approximation is only in what gets pruned, never in the final math
+      val nCells = Similarity.loadOrTrainCentroids(spark, dir).size
+      val n = graft.sources.Tables.embeddings(spark, dir).count().toInt
+      val exact = top5(Similarity.knnIvfPqWith(spark, dir, nprobe = nCells, rerank = n))
+      assert(recallOf(exact, brute) == 1.0, "full-probe full-rerank must be exact")
+
+      // more probed cells can only add candidates -> recall non-decreasing
+      val probe1 = recallOf(top5(Similarity.knnIvfPqWith(spark, dir, nprobe = 1, rerank = 50)), brute)
+      assert(r >= probe1, s"nprobe monotonicity violated: 1->$probe1 2->$r")
+    } finally {
+      spark.conf.unset("graft.pq.dir")
+      spark.conf.unset("graft.ivf.dir")
+    }
+  }
 }
