@@ -890,7 +890,59 @@ object TextAnalysis {
       |   + CASE WHEN alpha / n < 0.81 THEN 8 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS keep
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Quality-tiered downsampling — the standard pretraining-mix lever
+    * (keep everything that clears the quality bar, hash-sample the middle
+    * at 50%, the tail at 10%) applied per doc in ONE narrow no-shuffle
+    * pass: tiers come from exact integer signals (token count;
+    * alpha-fraction as the cross-multiplied integer comparison
+    * alpha·10⁴ ≥ chars·8200, so no double threshold can straddle engines)
+    * and the sampling decision is the [[idHash]] bucket against an
+    * integer rate — reproducible across engines, runs, partitionings, and
+    * corpus growth (a doc's keep decision never depends on other docs,
+    * unlike [[corpusSample]]'s corpus-relative balancing — that's what
+    * makes this the incremental-ingest-safe variant). */
+  def corpusQualitySample(spark: SparkSession, dir: String): DataFrame =
+    corpusQualitySampleOf(Tables.documents(spark, dir))
+
+  def corpusQualitySampleOf(docs: DataFrame): DataFrame = {
+    val n     = length(col("text")).cast("long")
+    val alpha = n - length(regexp_replace(col("text"), "[A-Za-z]", "")).cast("long")
+    val toks  = size(regexp_extract_all(col("text"), lit(wsTok), lit(0))).cast("long")
+    val tier  = when(toks >= 55 && alpha * 10000L >= n * 8200L, "high")
+      .when(toks >= 40, "mid")
+      .otherwise("low")
+    val bucket = pmod(idHash(col("doc_id")), lit(1000000L))
+    docs
+      .select(col("doc_id"), tier.as("tier"), bucket.as("bucket"))
+      .withColumn("rate_ppm",
+        when(col("tier") === "high", 1000000L)
+          .when(col("tier") === "mid", 500000L).otherwise(100000L))
+      .withColumn("keep", (col("bucket") < col("rate_ppm")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusQualitySampleSql: String = {
+    val n     = "length(text)::BIGINT"
+    val alpha = s"($n - length(regexp_replace(text, '[A-Za-z]', '', 'g'))::BIGINT)"
+    val toks  = s"len(regexp_extract_all(text, '$wsTok'))::BIGINT"
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN $toks >= 55 AND $alpha * 10000 >= $n * 8200 THEN 'high'
+      |         WHEN $toks >= 40 THEN 'mid' ELSE 'low' END AS tier,
+      |    ${idHashSql("doc_id")} AS bucket
+      |  FROM documents
+      |)
+      |SELECT doc_id, tier, bucket % 1000000 AS bucket,
+      |  CASE tier WHEN 'high' THEN 1000000 WHEN 'mid' THEN 500000
+      |    ELSE 100000 END::BIGINT AS rate_ppm,
+      |  CASE WHEN bucket % 1000000 <
+      |    CASE tier WHEN 'high' THEN 1000000 WHEN 'mid' THEN 500000
+      |      ELSE 100000 END THEN 1 ELSE 0 END::INT AS keep
+      |FROM t ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_quality_sample" -> (corpusQualitySample _),
     "corpus_filter"    -> (corpusFilter _),
     "text_ngram_topk"  -> (textNgramTopk _),
     "text_repetition"  -> (textRepetition _),
@@ -913,6 +965,7 @@ object TextAnalysis {
     "text_fingerprint" -> (textFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "corpus_quality_sample" -> corpusQualitySampleSql,
     "corpus_filter"    -> corpusFilterSql,
     "text_ngram_topk"  -> textNgramTopkSql,
     "text_repetition"  -> textRepetitionSql,

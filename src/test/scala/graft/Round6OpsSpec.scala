@@ -131,6 +131,31 @@ class Round6OpsSpec extends SparkSpecBase {
     assert(out.size == 2)
   }
 
+  test("corpus_quality_sample tiers on integer signals, keeps all high tier") {
+    val highText = Array.fill(60)("alpha").mkString(" ")      // 60 toks, alpha-heavy
+    val midText  = Array.fill(45)("beta").mkString(" ")       // 45 toks
+    val lowText  = Array.fill(10)("x").mkString(" ")          // 10 toks
+    val highPunct = Array.fill(60)("a...,,,;;;!!!").mkString(" ") // long but punct-heavy
+    val docs = Seq(
+      (1L, highText), (2L, midText), (3L, lowText), (4L, highPunct)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.corpusQualitySampleOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("tier"), r.getAs[Long]("rate_ppm"), r.getAs[Int]("keep"))).toMap
+    assert(out(1L)._1 == "high" && out(1L)._2 == 1000000L && out(1L)._3 == 1)
+    assert(out(2L)._1 == "mid"  && out(2L)._2 == 500000L)
+    assert(out(3L)._1 == "low"  && out(3L)._2 == 100000L)
+    // length alone can't buy the high tier: the alpha-fraction rule demotes
+    assert(out(4L)._1 == "mid")
+    // keep decision = hash bucket vs rate, doc-local (recompute to confirm)
+    val p = 1000000007L
+    def bucket(id: Long) = ((2654435761L * (id % p) + 97531L) % p) % 1000000L
+    Seq(2L, 3L).foreach { id =>
+      val expected = if (bucket(id) < out(id)._2) 1 else 0
+      assert(out(id)._3 == expected, s"doc $id keep mismatch")
+    }
+  }
+
   test("q_custdist partitions every customer into exactly one order-count bin") {
     val out = Analytics.qCustdist(spark, sfDir).collect()
     val nCustomers = graft.sources.Tables.customer(spark, sfDir).count()
