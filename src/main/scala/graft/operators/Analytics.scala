@@ -878,6 +878,60 @@ object Analytics {
       |ORDER BY n_paths DESC, 1, 2, 3
       |LIMIT 10""".stripMargin
 
+  /** TPC-H-Q2-shaped argmin join: the cheapest observed supplier per part
+    * (ties → lowest suppkey), parts filtered to p_size ≤ 15. The plan
+    * shape is the point — pre-aggregate offers to (part, supp) grain, take
+    * the per-part min, and join the min BACK to the offers at aggregate
+    * grain. The naive window-rank over the raw fact table sorts |lineitem|
+    * rows; this sorts nothing and shuffles the fact table once into a
+    * partial-aggregated (part, supp) relation that is strictly smaller.
+    * Dimension joins broadcast; prices ride the gate as per-row integral
+    * cents so min() is exact integer math in both engines. */
+  def qArgminJoin(spark: SparkSession, dir: String): DataFrame =
+    qArgminJoinOf(Tables.lineitem(spark, dir), Tables.part(spark, dir),
+      Tables.supplier(spark, dir))
+
+  def qArgminJoinOf(lineitem: DataFrame, part: DataFrame,
+                    supplier: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_partkey"), col("l_suppkey"),
+      round(col("l_extendedprice") * 100).cast("long").as("price_e2"))
+    val offers = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("price_e2")).as("offer_e2"))
+    val best = offers.groupBy(col("l_partkey")).agg(min(col("offer_e2")).as("best_e2"))
+    val chosen = offers.join(best, "l_partkey")
+      .filter(col("offer_e2") === col("best_e2"))
+      .groupBy(col("l_partkey"), col("best_e2"))
+      .agg(min(col("l_suppkey")).as("s_suppkey"))
+    chosen
+      .join(broadcast(part.filter(col("p_size") <= 15)),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier), "s_suppkey")
+      .select(col("p_partkey"), col("p_brand"), col("s_name"), col("best_e2"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val qArgminJoinSql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_e2
+      |  FROM lineitem
+      |), offers AS (
+      |  SELECT l_partkey, l_suppkey, min(price_e2) AS offer_e2
+      |  FROM li GROUP BY 1, 2
+      |), best AS (
+      |  SELECT l_partkey, min(offer_e2) AS best_e2 FROM offers GROUP BY 1
+      |), chosen AS (
+      |  SELECT o.l_partkey, b.best_e2, min(o.l_suppkey) AS s_suppkey
+      |  FROM offers o JOIN best b
+      |    ON o.l_partkey = b.l_partkey AND o.offer_e2 = b.best_e2
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p_partkey, p_brand, s_name, best_e2
+      |FROM chosen c
+      |JOIN part p ON c.l_partkey = p.p_partkey AND p.p_size <= 15
+      |JOIN supplier s ON c.s_suppkey = s.s_suppkey
+      |ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
     "q3_topk"           -> (q3Topk _),
@@ -910,7 +964,8 @@ object Analytics {
     "q_cube"            -> (qCube _),
     "q_string_agg"      -> (qStringAgg _),
     "events_anomaly"    -> (eventsAnomaly _),
-    "events_top_paths"  -> (eventsTopPaths _))
+    "events_top_paths"  -> (eventsTopPaths _),
+    "q_argmin_join"     -> (qArgminJoin _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg"            -> q1AggSql,
@@ -942,5 +997,6 @@ object Analytics {
     "q_cube"            -> qCubeSql,
     "q_string_agg"      -> qStringAggSql,
     "events_anomaly"    -> eventsAnomalySql,
-    "events_top_paths"  -> eventsTopPathsSql)
+    "events_top_paths"  -> eventsTopPathsSql,
+    "q_argmin_join"     -> qArgminJoinSql)
 }

@@ -156,6 +156,25 @@ class Round6OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("q_argmin_join picks the cheapest supplier per part, ties to min suppkey") {
+    val li = Seq(
+      // part 1: supp 20 offers 5.00 twice, supp 10 offers 5.00 -> tie, pick 10
+      (1L, 20L, 5.00), (1L, 20L, 7.00), (1L, 10L, 5.00),
+      // part 2: supp 30 cheapest at 1.50 (its own higher offer must not matter)
+      (2L, 30L, 1.50), (2L, 30L, 9.00), (2L, 10L, 2.00),
+      // part 3: oversized part — filtered out by p_size
+      (3L, 10L, 1.00)
+    ).toDF("l_partkey", "l_suppkey", "l_extendedprice")
+    val part = Seq((1L, "B1", 10), (2L, "B2", 15), (3L, "B3", 40))
+      .toDF("p_partkey", "p_brand", "p_size")
+    val supp = Seq((10L, "S10"), (20L, "S20"), (30L, "S30"))
+      .toDF("s_suppkey", "s_name")
+    val out = Analytics.qArgminJoinOf(li, part, supp).collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[String]("p_brand"),
+        r.getAs[String]("s_name"), r.getAs[Long]("best_e2")))
+    assert(out.toSeq == Seq((1L, "B1", "S10", 500L), (2L, "B2", "S30", 150L)))
+  }
+
   test("q_custdist partitions every customer into exactly one order-count bin") {
     val out = Analytics.qCustdist(spark, sfDir).collect()
     val nCustomers = graft.sources.Tables.customer(spark, sfDir).count()
