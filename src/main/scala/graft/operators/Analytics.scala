@@ -897,8 +897,14 @@ object Analytics {
       round(col("l_extendedprice") * 100).cast("long").as("price_e2"))
     val offers = li.groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("price_e2")).as("offer_e2"))
-    val best = offers.groupBy(col("l_partkey")).agg(min(col("offer_e2")).as("best_e2"))
-    val chosen = offers.join(best, "l_partkey")
+    // per-part min as a window over the ALREADY-AGGREGATED offers: a
+    // groupBy+join-back formulation re-scans the fact table for the min
+    // side (verified: two parquet scans in the physical plan) — the window
+    // reuses the one aggregate, so lineitem is read exactly once and the
+    // only extra exchange moves (part, supp) rows, not facts
+    val wBest = Window.partitionBy(col("l_partkey"))
+    val chosen = offers
+      .withColumn("best_e2", min(col("offer_e2")).over(wBest))
       .filter(col("offer_e2") === col("best_e2"))
       .groupBy(col("l_partkey"), col("best_e2"))
       .agg(min(col("l_suppkey")).as("s_suppkey"))

@@ -147,6 +147,15 @@ object ScaleProbe {
       graft.operators.Analytics.eventsTransitionsOf(ev).count())
     time(s"corpus_filter x$k")(
       graft.operators.TextAnalysis.corpusFilterOf(docs).count())
+    time(s"events_top_paths x$k")(
+      graft.operators.Analytics.eventsTopPathsOf(ev).count())
+    time(s"corpus_qsample x$k")(
+      graft.operators.TextAnalysis.corpusQualitySampleOf(docs).count())
+    time(s"q_argmin_join x$k")(graft.operators.Analytics.qArgminJoinOf(
+      li, graft.sources.Tables.part(spark, dir),
+      graft.sources.Tables.supplier(spark, dir)).count())
+    time(s"multimodal_dedup x$k")(graft.operators.Multimodal.multimodalDedupOf(
+      docs.select(col("doc_id"), encode(col("text"), "utf-8").as("blob"))).count())
 
     spark.stop()
   }
