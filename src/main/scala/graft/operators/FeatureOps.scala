@@ -106,6 +106,59 @@ object FeatureOps {
   val pitJoinMaxageSql: String =
     pitOracle("AND f.feat_ts >= e.entity_ts - INTERVAL 172800 SECOND")
 
+  /** Forward as-of join: each purchase labeled with the NEXT feature event
+    * (earliest featureTs ≥ entityTs) — the "what happened next" direction
+    * [[PointInTimeJoin.asofForward]] adds over the reference's
+    * backward-only retrieval. */
+  def pitJoinForward(spark: SparkSession, dir: String): DataFrame =
+    PointInTimeJoin.asofForward(
+        entityRows(spark, dir), featureRows(spark, dir),
+        keys = Seq("user_id"), entityTs = "entity_ts", featureTs = "ts",
+        featureCols = Seq("value"), maxAgeSec = None, outPrefix = "feat_")
+      .orderBy(col("row_id"))
+
+  val pitJoinForwardSql: String =
+    """WITH entity AS (
+      |  SELECT user_id, ts AS entity_ts, event_id AS row_id
+      |  FROM events WHERE event_type = 'purchase'
+      |), feat AS (
+      |  SELECT user_id, ts AS feat_ts, max(value) AS feat_value
+      |  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+      |), joined AS (
+      |  SELECT e.row_id, e.user_id, e.entity_ts, f.feat_ts, f.feat_value,
+      |    row_number() OVER (PARTITION BY e.row_id ORDER BY f.feat_ts ASC) AS rn
+      |  FROM entity e LEFT JOIN feat f
+      |    ON e.user_id = f.user_id AND f.feat_ts >= e.entity_ts
+      |)
+      |SELECT row_id, user_id, entity_ts, feat_ts, feat_value
+      |FROM joined WHERE rn = 1 ORDER BY row_id""".stripMargin
+
+  /** Nearest as-of join: the temporally closest feature on either side,
+    * ties to the backward match. */
+  def pitJoinNearest(spark: SparkSession, dir: String): DataFrame =
+    PointInTimeJoin.asofNearest(
+        entityRows(spark, dir), featureRows(spark, dir),
+        keys = Seq("user_id"), entityTs = "entity_ts", featureTs = "ts",
+        featureCols = Seq("value"), maxAgeSec = None, outPrefix = "feat_")
+      .orderBy(col("row_id"))
+
+  val pitJoinNearestSql: String =
+    """WITH entity AS (
+      |  SELECT user_id, ts AS entity_ts, event_id AS row_id
+      |  FROM events WHERE event_type = 'purchase'
+      |), feat AS (
+      |  SELECT user_id, ts AS feat_ts, max(value) AS feat_value
+      |  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+      |), joined AS (
+      |  SELECT e.row_id, e.user_id, e.entity_ts, f.feat_ts, f.feat_value,
+      |    row_number() OVER (PARTITION BY e.row_id ORDER BY
+      |      abs(epoch_ns(f.feat_ts) - epoch_ns(e.entity_ts)) ASC,
+      |      (f.feat_ts > e.entity_ts) ASC) AS rn
+      |  FROM entity e LEFT JOIN feat f ON e.user_id = f.user_id
+      |)
+      |SELECT row_id, user_id, entity_ts, feat_ts, feat_value
+      |FROM joined WHERE rn = 1 ORDER BY row_id""".stripMargin
+
   /** Composite-key point-in-time join: features keyed on
     * (user_id, event_type); each purchase asks for the latest 'click'. */
   def pitJoinComposite(spark: SparkSession, dir: String): DataFrame = {
@@ -406,6 +459,8 @@ object FeatureOps {
     "ft_ingest_dedup" -> (ftIngestDedup _),
     "pit_join"        -> (pitJoin _),
     "pit_join_maxage" -> (pitJoinMaxage _),
+    "pit_join_forward" -> (pitJoinForward _),
+    "pit_join_nearest" -> (pitJoinNearest _),
     "pit_join_multi"  -> (pitJoinMulti _),
     "pit_join_composite" -> (pitJoinComposite _),
     "serve_online"    -> (serveOnline _),
@@ -421,6 +476,8 @@ object FeatureOps {
     "ft_ingest_dedup" -> ftIngestDedupSql,
     "pit_join"        -> pitJoinSql,
     "pit_join_maxage" -> pitJoinMaxageSql,
+    "pit_join_forward" -> pitJoinForwardSql,
+    "pit_join_nearest" -> pitJoinNearestSql,
     "pit_join_multi"  -> pitJoinMultiSql,
     "pit_join_composite" -> pitJoinCompositeSql,
     "serve_online"    -> serveOnlineSql,

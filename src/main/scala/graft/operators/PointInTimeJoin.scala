@@ -181,4 +181,95 @@ object PointInTimeJoin {
       .select(entityOut.map(col) ++
         (s"${outPrefix}ts" +: featureCols.map(c => s"$outPrefix$c")).map(col): _*)
   }
+
+  /** Forward as-of join: the EARLIEST feature with `featureTs >= entityTs`
+    * (the mirror of [[asof]] — "what happened next", e.g. labeling events
+    * with the following outcome). Same union-sort algorithm, one shuffle,
+    * no range-join explosion; only the window direction flips (__ts desc,
+    * so the running last() carries the closest FUTURE feature). Tie rules
+    * match [[asof]]: an exact-timestamp feature is visible (>= includes
+    * equality), and among features at one (key, ts) the greatest feature
+    * struct wins. `maxAgeSec` bounds how far AHEAD a feature may be. */
+  def asofForward(
+      entity: DataFrame,
+      features: DataFrame,
+      keys: Seq[String],
+      entityTs: String,
+      featureTs: String,
+      featureCols: Seq[String],
+      maxAgeSec: Option[Long] = None,
+      outPrefix: String = "feat_"): DataFrame = {
+    val keyCols = keys.map(col)
+
+    val entityOut = entity.columns.toSeq
+    val e = entity
+      .withColumn("__ts", col(entityTs))
+      .withColumn("__is_entity", lit(1))
+    val f = features.select(
+      keyCols ++ Seq(
+        col(featureTs).as("__ts"),
+        struct(featureCols.map(col): _*).as("__feat"),
+        lit(0).as("__is_entity")): _*)
+
+    val w = Window
+      .partitionBy(keyCols: _*)
+      .orderBy(col("__ts").desc, col("__is_entity").asc, col("__feat").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val attached = e
+      .unionByName(f, allowMissingColumns = true)
+      .withColumn("__last_ts",
+        last(when(col("__is_entity") === 0, col("__ts")), ignoreNulls = true).over(w))
+      .withColumn("__last_feat", last(col("__feat"), ignoreNulls = true).over(w))
+      .filter(col("__is_entity") === 1)
+
+    val fresh = maxAgeSec match {
+      case Some(age) =>
+        col("__last_ts").isNotNull &&
+          unix_micros(col("__last_ts")) <= unix_micros(col(entityTs)) + age * 1000000L
+      case None => col("__last_ts").isNotNull
+    }
+
+    attached
+      .withColumn(s"${outPrefix}ts", when(fresh, col("__last_ts")))
+      .withColumns(featureCols.map(c =>
+        s"$outPrefix$c" -> when(fresh, col(s"__last_feat.$c"))).toMap)
+      .select(entityOut.map(col) ++
+        (s"${outPrefix}ts" +: featureCols.map(c => s"$outPrefix$c")).map(col): _*)
+  }
+
+  /** Nearest as-of join: whichever of the backward/forward matches is
+    * closer in time wins; equal distance prefers the backward match (the
+    * deterministic choice that degrades to plain [[asof]] when the future
+    * is empty). Built by CHAINING the two one-shuffle passes — the
+    * backward result's attached columns ride the forward pass as ordinary
+    * entity columns — so the cost is two linear window passes, never a
+    * |E|×|F| candidate join. `maxAgeSec` bounds the distance on BOTH
+    * sides. */
+  def asofNearest(
+      entity: DataFrame,
+      features: DataFrame,
+      keys: Seq[String],
+      entityTs: String,
+      featureTs: String,
+      featureCols: Seq[String],
+      maxAgeSec: Option[Long] = None,
+      outPrefix: String = "feat_"): DataFrame = {
+    val entityOut = entity.columns.toSeq
+    val back = asof(entity, features, keys, entityTs, featureTs,
+      featureCols, maxAgeSec, "__b_")
+    val both = asofForward(back, features, keys, entityTs, featureTs,
+      featureCols, maxAgeSec, "__f_")
+    val db = abs(unix_micros(col("__b_ts")) - unix_micros(col(entityTs)))
+    val df = abs(unix_micros(col("__f_ts")) - unix_micros(col(entityTs)))
+    val pickBack = col("__b_ts").isNotNull && (col("__f_ts").isNull || db <= df)
+    both
+      .withColumn(s"${outPrefix}ts",
+        when(pickBack, col("__b_ts")).otherwise(col("__f_ts")))
+      .withColumns(featureCols.map(c =>
+        s"$outPrefix$c" ->
+          when(pickBack, col(s"__b_$c")).otherwise(col(s"__f_$c"))).toMap)
+      .select(entityOut.map(col) ++
+        (s"${outPrefix}ts" +: featureCols.map(c => s"$outPrefix$c")).map(col): _*)
+  }
 }

@@ -62,4 +62,41 @@ class PointInTimeJoinSpec extends SparkSpecBase {
       .map(r => r.getAs[Long]("row_id") -> r.getAs[Double]("feat_value")).toMap
     assert(out(100L) == 11.0) // greatest value wins deterministically
   }
+
+  test("asofForward attaches the earliest feature at-or-after entity ts") {
+    val out = PointInTimeJoin.asofForward(entity, features, Seq("user_id"),
+      "entity_ts", "ts", Seq("value")).collect()
+      .map(r => r.getAs[Long]("row_id") -> Option(r.getAs[java.lang.Double]("feat_value"))).toMap
+    assert(out(100L).contains(11.0)) // >= is inclusive: exact-ts visible
+    assert(out(101L).isEmpty)        // nothing after 01-20
+    assert(out(102L).isEmpty)        // user 2's only feature is in the past
+    assert(out(103L).isEmpty)
+    // maxAge bounds the FORWARD distance: 01-12 is 2 days after 01-10
+    val ttl = PointInTimeJoin.asofForward(
+      entity.filter(col("row_id") === 100L),
+      features.filter(col("ts") =!= ts("2024-01-10 00:00:00")),
+      Seq("user_id"), "entity_ts", "ts", Seq("value"),
+      maxAgeSec = Some(86400L)).collect()
+    assert(ttl.head.isNullAt(ttl.head.fieldIndex("feat_value")))
+  }
+
+  test("asofNearest picks the closer side, ties prefer backward") {
+    val ent = Seq(
+      (1L, ts("2024-01-11 00:00:00"), 200L), // back 01-10 (1d) vs fwd 01-12 (1d): tie -> back
+      (1L, ts("2024-01-11 18:00:00"), 201L), // fwd 01-12 (6h) closer than back 01-10
+      (2L, ts("2024-01-15 00:00:00"), 202L), // only a past feature -> backward
+      (3L, ts("2024-01-15 00:00:00"), 203L)  // no features at all
+    ).toDF("user_id", "entity_ts", "row_id")
+    val out = PointInTimeJoin.asofNearest(ent, features, Seq("user_id"),
+      "entity_ts", "ts", Seq("value")).collect()
+      .map(r => r.getAs[Long]("row_id") -> Option(r.getAs[java.lang.Double]("feat_value"))).toMap
+    assert(out(200L).contains(11.0)) // tie -> backward (01-10 value)
+    assert(out(201L).contains(12.0)) // forward closer
+    assert(out(202L).contains(20.0)) // degrades to plain asof
+    assert(out(203L).isEmpty)
+    // column contract identical to asof
+    val cols = PointInTimeJoin.asofNearest(ent, features, Seq("user_id"),
+      "entity_ts", "ts", Seq("value")).columns.toSeq
+    assert(cols == Seq("user_id", "entity_ts", "row_id", "feat_ts", "feat_value"))
+  }
 }
