@@ -941,8 +941,33 @@ object TextAnalysis {
       |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  /** Language-ID confusion matrix: labeled lang × predicted lang with doc
+    * counts and per-label recall — the audit every corpus pipeline runs
+    * before TRUSTING a classifier enough to filter on it. Rides the
+    * [[textLangid]] per-doc pass and partial-aggregates to ≤ |langs|²
+    * rows; recall is a per-row round of a ratio of two exact integers
+    * (the [[eventsTransitions]]-proven e4 gate pattern). */
+  def corpusLangConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val wLang = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    textLangid(spark, dir)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("recall_e4",
+        round(col("n_docs") * lit(10000.0) / sum(col("n_docs")).over(wLang))
+          .cast("long"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  val corpusLangConfusionSql: String =
+    s"""WITH l AS ($textLangidSql)
+      |SELECT lang, pred_lang, count(*) AS n_docs,
+      |  CAST(round(count(*) * 10000.0 /
+      |    sum(count(*)) OVER (PARTITION BY lang), 0) AS BIGINT) AS recall_e4
+      |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_quality_sample" -> (corpusQualitySample _),
+    "corpus_lang_confusion" -> (corpusLangConfusion _),
     "corpus_filter"    -> (corpusFilter _),
     "text_ngram_topk"  -> (textNgramTopk _),
     "text_repetition"  -> (textRepetition _),
@@ -966,6 +991,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "corpus_quality_sample" -> corpusQualitySampleSql,
+    "corpus_lang_confusion" -> corpusLangConfusionSql,
     "corpus_filter"    -> corpusFilterSql,
     "text_ngram_topk"  -> textNgramTopkSql,
     "text_repetition"  -> textRepetitionSql,

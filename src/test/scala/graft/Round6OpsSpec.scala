@@ -175,6 +175,23 @@ class Round6OpsSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((1L, "B1", "S10", 500L), (2L, "B2", "S30", 150L)))
   }
 
+  test("corpus_lang_confusion cells reconcile with the corpus and per-lang recalls") {
+    val dir = "/root/testdata/sf0.001"
+    val cells = TextAnalysis.corpusLangConfusion(spark, dir).collect()
+    val nDocs = graft.sources.Tables.documents(spark, dir).count()
+    // every doc lands in exactly one (lang, pred) cell
+    assert(cells.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // per-lang recalls sum to 1e4 up to per-cell rounding (±1 per cell)
+    cells.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val total = rows.map(_.getAs[Long]("recall_e4")).sum
+      assert(math.abs(total - 10000L) <= rows.length,
+        s"lang $lang recalls sum to $total")
+    }
+    // the diagonal exists: the heuristic gets at least one lang mostly right
+    assert(cells.exists(r => r.getAs[String]("lang") == r.getAs[String]("pred_lang")
+      && r.getAs[Long]("recall_e4") > 5000L))
+  }
+
   test("q_custdist partitions every customer into exactly one order-count bin") {
     val out = Analytics.qCustdist(spark, sfDir).collect()
     val nCustomers = graft.sources.Tables.customer(spark, sfDir).count()
