@@ -760,8 +760,43 @@ object Similarity {
       |  CAST(list_max(list_transform(codes, c -> abs(c))) AS BIGINT) AS code_max
       |FROM c ORDER BY vec_id""".stripMargin
 
+  /** Per-(label, dimension) embedding statistics — the corpus-card /
+    * drift-monitoring pass for a vector corpus (is label 7's centroid
+    * where it was last week? did dimension 13 collapse?). One posexplode
+    * long-form pass partial-aggregates to |labels|×d rows; the gate rides
+    * ×1000-quantized exact integer sums (the [[graft.operators.OracleVariants]]
+    * discipline), with the e3 centroid coordinate a per-row round of a
+    * ratio of two exact integers. */
+  def embedCentroidStats(spark: SparkSession, dir: String): DataFrame =
+    embedCentroidStatsOf(Tables.embeddings(spark, dir))
+
+  def embedCentroidStatsOf(emb: DataFrame): DataFrame =
+    emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("q", round(col("x").cast("double") * 1000).cast("long"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sum_q"),
+        max(col("q")).as("max_q"), min(col("q")).as("min_q"))
+      .withColumn("mean_e3",
+        round(col("sum_q").cast("double") / col("n_vecs")).cast("long"))
+      .orderBy(col("label"), col("dim"))
+
+  val embedCentroidStatsSql: String =
+    """WITH q AS (
+      |  SELECT label, i::INT - 1 AS dim,
+      |    round(embedding[i]::DOUBLE * 1000)::BIGINT AS q
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+      |)
+      |SELECT label, dim, count(*) AS n_vecs,
+      |  CAST(sum(q) AS BIGINT) AS sum_q,
+      |  CAST(max(q) AS BIGINT) AS max_q,
+      |  CAST(min(q) AS BIGINT) AS min_q,
+      |  CAST(round(CAST(sum(q) AS DOUBLE) / count(*), 0) AS BIGINT) AS mean_e3
+      |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_quantize"  -> (embedQuantize _),
+    "embed_centroid_stats" -> (embedCentroidStats _),
     "knn_brute"       -> (knnBrute _),
     "knn_lsh"         -> (knnLsh _),
     "knn_ivf"         -> (knnIvf _),
@@ -775,5 +810,6 @@ object Similarity {
     * make cross-engine hash equality meaningless) — except embed_quantize,
     * whose per-element arithmetic is boundary-exact in both engines. */
   val oracle: Map[String, String] = Map(
-    "embed_quantize" -> embedQuantizeSql)
+    "embed_quantize" -> embedQuantizeSql,
+    "embed_centroid_stats" -> embedCentroidStatsSql)
 }

@@ -192,6 +192,24 @@ class Round6OpsSpec extends SparkSpecBase {
       && r.getAs[Long]("recall_e4") > 5000L))
   }
 
+  test("embed_centroid_stats aggregates exact quantized sums per (label, dim)") {
+    val emb = Seq(
+      (1L, Seq(0.5f, -1.0f), 1),
+      (2L, Seq(1.5f, -2.0f), 1),
+      (3L, Seq(0.0f, 3.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.embedCentroidStatsOf(emb).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("dim")) ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("sum_q"), r.getAs[Long]("max_q"),
+         r.getAs[Long]("min_q"), r.getAs[Long]("mean_e3"))).toMap
+    // label 1 dim 0: q = 500, 1500 -> sum 2000, mean 1000
+    assert(out((1, 0)) == ((2L, 2000L, 1500L, 500L, 1000L)))
+    // label 1 dim 1: q = -1000, -2000 -> mean -1500 (negative-ratio round)
+    assert(out((1, 1)) == ((2L, -3000L, -1000L, -2000L, -1500L)))
+    assert(out((2, 0)) == ((1L, 0L, 0L, 0L, 0L)))
+    assert(out((2, 1)) == ((1L, 3000L, 3000L, 3000L, 3000L)))
+  }
+
   test("q_custdist partitions every customer into exactly one order-count bin") {
     val out = Analytics.qCustdist(spark, sfDir).collect()
     val nCustomers = graft.sources.Tables.customer(spark, sfDir).count()
