@@ -938,6 +938,54 @@ object Analytics {
       |JOIN supplier s ON c.s_suppkey = s.s_suppkey
       |ORDER BY p_partkey""".stripMargin
 
+  /** Rolling active-user counts: DAU and trailing-7-day WAU per day — the
+    * product-analytics headline metric. `count(distinct)` cannot ride a
+    * window frame, so the WAU uses the contribution-days expansion: each
+    * (user, active-day) pair — already deduplicated, so the explode
+    * multiplies the per-(user,day) GRAIN by 7, never raw events — posts
+    * the user to the 7 days it keeps them active, then one distinct-agg
+    * per day counts them. Days with no events inside a window contribute
+    * nothing (no phantom rows), matching the RANGE-frame discipline of
+    * q_range_frame. Output keyed by integer epoch-day for exact
+    * cross-engine day arithmetic. */
+  def eventsActiveUsers(spark: SparkSession, dir: String): DataFrame =
+    eventsActiveUsersOf(Tables.events(spark, dir))
+
+  def eventsActiveUsersOf(ev: DataFrame): DataFrame = {
+    val userDays = ev
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"))
+      .distinct()
+    val dau = userDays.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau")) // userDays is distinct at (user, day)
+    val wau = userDays
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).as("wau"))
+    // inner join: report only days with activity (a day that appears in a
+    // trailing window but had no events itself is not a reporting day)
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"))
+      .orderBy(col("day"))
+  }
+
+  val eventsActiveUsersSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+      |  FROM events
+      |), dau AS (
+      |  SELECT day, count(*) AS dau FROM ud GROUP BY 1
+      |), contrib AS (
+      |  SELECT user_id, day + i AS day
+      |  FROM ud, unnest(range(0, 7)) AS t(i)
+      |), wau AS (
+      |  SELECT day, count(DISTINCT user_id) AS wau FROM contrib GROUP BY 1
+      |)
+      |SELECT d.day, d.dau, w.wau
+      |FROM dau d JOIN wau w ON d.day = w.day
+      |ORDER BY d.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
     "q3_topk"           -> (q3Topk _),
@@ -971,7 +1019,8 @@ object Analytics {
     "q_string_agg"      -> (qStringAgg _),
     "events_anomaly"    -> (eventsAnomaly _),
     "events_top_paths"  -> (eventsTopPaths _),
-    "q_argmin_join"     -> (qArgminJoin _))
+    "q_argmin_join"     -> (qArgminJoin _),
+    "events_active_users" -> (eventsActiveUsers _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg"            -> q1AggSql,
@@ -1004,5 +1053,6 @@ object Analytics {
     "q_string_agg"      -> qStringAggSql,
     "events_anomaly"    -> eventsAnomalySql,
     "events_top_paths"  -> eventsTopPathsSql,
-    "q_argmin_join"     -> qArgminJoinSql)
+    "q_argmin_join"     -> qArgminJoinSql,
+    "events_active_users" -> eventsActiveUsersSql)
 }

@@ -210,6 +210,27 @@ class Round6OpsSpec extends SparkSpecBase {
     assert(out((2, 1)) == ((1L, 3000L, 3000L, 3000L, 3000L)))
   }
 
+  test("events_active_users counts DAU exactly and WAU over trailing 7 days") {
+    val ev = Seq(
+      // day 0: users 1, 2 (user 1 twice — dedup to the (user, day) grain)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "click", 0.0),
+      (3L, ts("2024-01-01 12:00:00"), 2L, "view", 0.0),
+      // day 3: user 3 only -> WAU(day 3) = {1,2,3}
+      (4L, ts("2024-01-04 09:00:00"), 3L, "view", 0.0),
+      // day 8: user 1 -> day 0 outside [2..8]; WAU = {1, 3(day3 within)}
+      (5L, ts("2024-01-09 09:00:00"), 1L, "view", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Analytics.eventsActiveUsersOf(ev).collect()
+      .map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau"))).toMap
+    val d0 = ts("2024-01-01 00:00:00").getTime / 86400000L
+    assert(out(d0) == ((2L, 2L)))
+    assert(out(d0 + 3) == ((1L, 3L)))     // both day-0 users still in window
+    assert(out(d0 + 8) == ((1L, 2L)))     // day 0 aged out, day 3 still in
+    assert(out.size == 3)                  // only days WITH activity report
+  }
+
   test("q_custdist partitions every customer into exactly one order-count bin") {
     val out = Analytics.qCustdist(spark, sfDir).collect()
     val nCustomers = graft.sources.Tables.customer(spark, sfDir).count()
