@@ -234,4 +234,58 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(uncapped == 40L * 39 / 2, "boilerplate makes every pair a candidate")
     assert(capped == 0, "df cap removes boilerplate-only candidate pairs")
   }
+
+  test("q_argmin_join scans each table once; dims broadcast") {
+    withoutAqe {
+      val plan = graft.operators.Analytics.qArgminJoin(spark, sfDir)
+        .queryExecution.executedPlan
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      // one scan per table — the join-back formulation read lineitem TWICE
+      // for the per-part min side; the window-over-aggregate must not regress
+      assert(scans.size == 3, s"expected 3 scans (li/part/supp), got ${scans.size}")
+      val bhj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      assert(bhj.size >= 2, s"part and supplier must broadcast, got ${bhj.size}")
+    }
+  }
+
+  test("multimodal_dedup shuffles digests, never blob bytes") {
+    withoutAqe {
+      val plan = Multimodal.multimodalDedup(spark, sfDir)
+        .queryExecution.executedPlan
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(shuffles.nonEmpty, "the digest groupBy must shuffle something")
+      shuffles.foreach { e =>
+        assert(!e.output.exists(_.name == "blob"),
+          "an exchange carries the blob column — digest must be computed at the scan")
+      }
+    }
+  }
+
+  test("forward and nearest as-of joins stay linear: 1 and 2 data shuffles") {
+    withoutAqe {
+      import spark.implicits._
+      val ent = Seq((1L, Timestamp.valueOf("2024-01-10 00:00:00"), 100L))
+        .toDF("user_id", "entity_ts", "row_id")
+      val fts = Seq((1L, Timestamp.valueOf("2024-01-09 00:00:00"), 1.0))
+        .toDF("user_id", "ts", "value")
+      def dataShuffles(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        }.size
+      val fwd = graft.operators.PointInTimeJoin.asofForward(
+        ent, fts, Seq("user_id"), "entity_ts", "ts", Seq("value"))
+      assert(dataShuffles(fwd) == 1,
+        s"forward as-of must shuffle once, got ${dataShuffles(fwd)}")
+      val near = graft.operators.PointInTimeJoin.asofNearest(
+        ent, fts, Seq("user_id"), "entity_ts", "ts", Seq("value"))
+      assert(dataShuffles(near) == 2,
+        s"nearest as-of is two chained passes, got ${dataShuffles(near)}")
+    }
+  }
 }
