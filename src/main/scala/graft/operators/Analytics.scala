@@ -986,6 +986,51 @@ object Analytics {
       |FROM dau d JOIN wau w ON d.day = w.day
       |ORDER BY d.day""".stripMargin
 
+  /** Inter-arrival-time statistics per event type: the latency/health scan
+    * of every event pipeline (is the click stream stalling?). One user_id
+    * shuffle orders each user's timeline (lag over the sessionize family's
+    * partitioning); gaps are exact integer SECONDS (µs difference integer-
+    * divided, so both engines interpolate percentiles over identical
+    * integers — the q_percentiles-proven pattern). Same-user gaps only:
+    * cross-user deltas are meaningless. */
+  def eventsInterArrival(spark: SparkSession, dir: String): DataFrame =
+    eventsInterArrivalOf(Tables.events(spark, dir))
+
+  def eventsInterArrivalOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .withColumn("gap_s",
+        floor((unix_micros(col("ts")) - unix_micros(col("prev_ts"))) / lit(1000000L))
+          .cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("sum_gap_s"),
+        expr("percentile(gap_s, array(0.5D, 0.9D))").as("ps"),
+        max(col("gap_s")).as("max_gap_s"))
+      .select(col("event_type"), col("n_gaps"), col("sum_gap_s"),
+        round(element_at(col("ps"), 1), 1).as("p50_gap_s"),
+        round(element_at(col("ps"), 2), 1).as("p90_gap_s"),
+        col("max_gap_s"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsInterArrivalSql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    CAST(floor((epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000) AS BIGINT)
+      |      AS gap_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT event_type, count(*) AS n_gaps,
+      |  CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+      |  round(quantile_cont(gap_s, 0.5), 1) AS p50_gap_s,
+      |  round(quantile_cont(gap_s, 0.9), 1) AS p90_gap_s,
+      |  CAST(max(gap_s) AS BIGINT) AS max_gap_s
+      |FROM g WHERE gap_s IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
     "q3_topk"           -> (q3Topk _),
@@ -1020,7 +1065,8 @@ object Analytics {
     "events_anomaly"    -> (eventsAnomaly _),
     "events_top_paths"  -> (eventsTopPaths _),
     "q_argmin_join"     -> (qArgminJoin _),
-    "events_active_users" -> (eventsActiveUsers _))
+    "events_active_users" -> (eventsActiveUsers _),
+    "events_inter_arrival" -> (eventsInterArrival _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg"            -> q1AggSql,
@@ -1054,5 +1100,6 @@ object Analytics {
     "events_anomaly"    -> eventsAnomalySql,
     "events_top_paths"  -> eventsTopPathsSql,
     "q_argmin_join"     -> qArgminJoinSql,
-    "events_active_users" -> eventsActiveUsersSql)
+    "events_active_users" -> eventsActiveUsersSql,
+    "events_inter_arrival" -> eventsInterArrivalSql)
 }

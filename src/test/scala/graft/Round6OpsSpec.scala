@@ -231,6 +231,24 @@ class Round6OpsSpec extends SparkSpecBase {
     assert(out.size == 3)                  // only days WITH activity report
   }
 
+  test("events_inter_arrival attributes same-user gaps to the arriving event's type") {
+    val ev = Seq(
+      // user 1: view @0s -> click @10s (gap 10 to click) -> view @40s (gap 30)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (2L, ts("2024-01-01 10:00:10"), 1L, "click", 0.0),
+      (3L, ts("2024-01-01 10:00:40"), 1L, "view", 0.0),
+      // user 2: single event -> contributes no gap
+      (4L, ts("2024-01-01 09:00:00"), 2L, "view", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Analytics.eventsInterArrivalOf(ev).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_gaps"), r.getAs[Long]("sum_gap_s"),
+         r.getAs[Double]("p50_gap_s"), r.getAs[Long]("max_gap_s"))).toMap
+    assert(out("click") == ((1L, 10L, 10.0, 10L)))
+    assert(out("view") == ((1L, 30L, 30.0, 30L)))   // cross-user gap excluded
+    assert(out.size == 2)
+  }
+
   test("q_custdist partitions every customer into exactly one order-count bin") {
     val out = Analytics.qCustdist(spark, sfDir).collect()
     val nCustomers = graft.sources.Tables.customer(spark, sfDir).count()
