@@ -156,6 +156,10 @@ object ScaleProbe {
       graft.sources.Tables.supplier(spark, dir)).count())
     time(s"multimodal_dedup x$k")(graft.operators.Multimodal.multimodalDedupOf(
       docs.select(col("doc_id"), encode(col("text"), "utf-8").as("blob"))).count())
+    time(s"events_active_users x$k")(
+      graft.operators.Analytics.eventsActiveUsersOf(ev).count())
+    time(s"events_inter_arrival x$k")(
+      graft.operators.Analytics.eventsInterArrivalOf(ev).count())
 
     spark.stop()
   }
