@@ -276,12 +276,30 @@ object Similarity {
   /** IVF-style approximate top-k: a k-means coarse quantizer (sampled
     * seeding + Lloyd iterations as DataFrame aggregations), every vector
     * assigned to its nearest centroid cell, queries probe their `nprobe`
-    * nearest cells. The cluster-scale shape: candidates shuffle once by
-    * cell id; queries × cells is tiny and broadcast. The quantizer is
-    * loaded from the persisted store (training it on first use) — see
-    * [[trainQuantizer]]. */
+    * nearest cells. The cluster-scale shape: candidate cell assignment is
+    * a zero-shuffle per-row argmax over the broadcast centroid literals
+    * ([[nearestCellExpr]]); queries × cells is tiny and broadcast; the
+    * only candidate exchange left is the per-query top-k itself. The
+    * quantizer is loaded from the persisted store (training it on first
+    * use) — see [[trainQuantizer]]. */
   def knnIvf(spark: SparkSession, dir: String): DataFrame =
     knnIvfWith(spark, dir, loadOrTrainCentroids(spark, dir), nprobe = 2)
+
+  /** Nearest-cell id as a PER-ROW expression: cosine to each centroid
+    * literal, argmax via `array_max` over (csim, −cent_id) structs (struct
+    * ordering is lexicographic, so ties go to the LOWEST cent_id — the
+    * same rule as the window formulation). k cosines per row, NO
+    * crossJoin, NO window, NO shuffle — the corpus-side cell assignment
+    * in an ANN scan must not cost a full-corpus exchange. */
+  private def nearestCellExpr(vecCol: Column, centroids: Seq[Seq[Double]]): Column =
+    if (centroids.isEmpty) lit(null).cast("int") // empty corpus trains 0 cells
+    else {
+      val scored = centroids.zipWithIndex.map { case (cvec, i) =>
+        struct(cosine(asDouble(vecCol), typedLit(cvec)).as("csim"),
+          lit(-i).as("neg_id"))
+      }
+      -array_max(array(scored: _*)).getField("neg_id")
+    }
 
   /** IVF search against a given centroid set (exposed so specs can compare
     * quantizers and query ranges; `knnIvf` is the trained production entry).
@@ -302,7 +320,11 @@ object Similarity {
         .filter(col("crn") <= n)
         .select(df.columns.toIndexedSeq.map(col) :+ col("cent_id").as(out): _*)
     }
-    val cands = nearestCells(emb, "embedding", 1, "cell")
+    // corpus side: per-row argmax expression — zero-shuffle assignment (the
+    // windowed nearestCells stays for the QUERY side only, where n = nprobe
+    // rows per query are needed and the input is tiny)
+    val cands = emb
+      .withColumn("cell", nearestCellExpr(col("embedding"), centroids))
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding"))
     val queries = nearestCells(
         emb.filter(col("vec_id") >= queryLo && col("vec_id") < queryHi),
@@ -518,10 +540,12 @@ object Similarity {
         .filter(col("crn") <= n)
         .select(df.columns.toIndexedSeq.map(col) :+ col("cent_id").as(out): _*)
     }
-    // candidate side: (cell, codes) — the 4-byte scan representation
-    val cands = nearestCells(emb.select(col("vec_id"), col("embedding")),
-        "embedding", 1, "cell")
-      .select(col("vec_id").as("neighbor_id"), col("cell"))
+    // candidate side: (cell, codes) — the 4-byte scan representation; cell
+    // assignment is the zero-shuffle per-row argmax (nearestCellExpr), so
+    // the only exchange on this side is the codes join
+    val cands = emb
+      .select(col("vec_id").as("neighbor_id"),
+        nearestCellExpr(col("embedding"), centroids).as("cell"))
       .join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
     // query side: nprobe cells + per-subspace ADC distance tables
     val queries = nearestCells(
