@@ -67,6 +67,13 @@ object Bench {
     val buckets =
       s"""{"production":${r3(prodTotal)},"oracle_twin":${r3(twinTotal)}}"""
     println(s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"buckets":$buckets,"metric":"total","unit":"sec","value":${r3(total)}}""")
+    // The full per-query line above outgrew the collector's ~2000-char tail
+    // (98 queries ≈ 2.4 kB), so its head — and with it the opening brace —
+    // is cut and the artifact parses as null. Emit a SECOND, short,
+    // headline-only JSON line after it: the tail then always ends with one
+    // complete object, keeping the artifact machine-readable while the long
+    // line keeps the per-query detail for humans and for drift diffing.
+    println(s"""{"metric":"total","unit":"sec","value":${r3(total)},"sf":"$sfDir","n_queries":${results.size},"buckets":$buckets}""")
     spark.stop()
   }
 }

@@ -152,7 +152,7 @@ object FeatureOps {
       |), joined AS (
       |  SELECT e.row_id, e.user_id, e.entity_ts, f.feat_ts, f.feat_value,
       |    row_number() OVER (PARTITION BY e.row_id ORDER BY
-      |      abs(epoch_ns(f.feat_ts) - epoch_ns(e.entity_ts)) ASC,
+      |      abs(epoch_us(f.feat_ts) - epoch_us(e.entity_ts)) ASC,
       |      (f.feat_ts > e.entity_ts) ASC) AS rn
       |  FROM entity e LEFT JOIN feat f ON e.user_id = f.user_id
       |)

@@ -285,21 +285,36 @@ object Similarity {
   def knnIvf(spark: SparkSession, dir: String): DataFrame =
     knnIvfWith(spark, dir, loadOrTrainCentroids(spark, dir), nprobe = 2)
 
-  /** Nearest-cell id as a PER-ROW expression: cosine to each centroid
-    * literal, argmax via `array_max` over (csim, −cent_id) structs (struct
-    * ordering is lexicographic, so ties go to the LOWEST cent_id — the
-    * same rule as the window formulation). k cosines per row, NO
-    * crossJoin, NO window, NO shuffle — the corpus-side cell assignment
-    * in an ANN scan must not cost a full-corpus exchange. */
-  private def nearestCellExpr(vecCol: Column, centroids: Seq[Seq[Double]]): Column =
-    if (centroids.isEmpty) lit(null).cast("int") // empty corpus trains 0 cells
+  /** Winning (cell, csim) of the nearest-centroid assignment as a PER-ROW
+    * expression: cosine to each centroid literal, argmax via `array_max`
+    * over (csim, −cent_id) structs (struct ordering is lexicographic, so
+    * ties go to the LOWEST cent_id — the same rule as the window
+    * formulation). k cosines per row, NO crossJoin, NO window, NO
+    * shuffle — the corpus-side cell assignment in an ANN scan must not
+    * cost a full-corpus exchange.
+    *
+    * k bound: the k cosine calls inline into ONE row expression, so
+    * codegen size grows linearly with centroid count — fine for a coarse
+    * quantizer (10s–100s of cells; this corpus trains 8) but a
+    * production-sized k in the thousands would cross janino's 64KB method
+    * limit and silently fall back to interpreted evaluation. Above that
+    * scale, assign via the broadcast-join form ([[knnIvfWith]]'s
+    * query-side `nearestCells`) whose per-centroid work stays one row. */
+  private[operators] def nearestCellStruct(vecCol: Column,
+      centroids: Seq[Seq[Double]]): Column =
+    if (centroids.isEmpty) // empty corpus trains 0 cells
+      struct(lit(null).cast("int").as("cell"), lit(null).cast("double").as("csim"))
     else {
       val scored = centroids.zipWithIndex.map { case (cvec, i) =>
         struct(cosine(asDouble(vecCol), typedLit(cvec)).as("csim"),
           lit(-i).as("neg_id"))
       }
-      -array_max(array(scored: _*)).getField("neg_id")
+      val best = array_max(array(scored: _*))
+      struct((-best.getField("neg_id")).as("cell"), best.getField("csim").as("csim"))
     }
+
+  private def nearestCellExpr(vecCol: Column, centroids: Seq[Seq[Double]]): Column =
+    nearestCellStruct(vecCol, centroids).getField("cell")
 
   /** IVF search against a given centroid set (exposed so specs can compare
     * quantizers and query ranges; `knnIvf` is the trained production entry).
@@ -672,30 +687,26 @@ object Similarity {
     * dup pairs implicated them.
     *
     * Scale shape: reuses the persisted IVF centroids (train-once artifact,
-    * [[loadOrTrainCentroids]]); assignment is a k-row broadcast against
-    * the vector stream; pair candidates shuffle once on (cell, sub) with
-    * the same oversized-block sub-blocking guard as [[dedupEmbedOf]] — a
-    * degenerate clustering cannot go quadratic. Rows-only gate (float
-    * k-means + cosine); the engine-neutral twin `dedup_semantic_oracle`
-    * hash-proves the identical pipeline shape. */
+    * [[loadOrTrainCentroids]]); assignment is a zero-shuffle per-row
+    * argmax over the broadcast centroid literals ([[nearestCellStruct]] —
+    * the crossJoin×cells + window formulation this replaced exchanged
+    * k×|corpus| embedding-carrying rows before any real work); pair
+    * candidates shuffle once on (cell, sub) with the same oversized-block
+    * sub-blocking guard as [[dedupEmbedOf]] — a degenerate clustering
+    * cannot go quadratic. Rows-only gate (float k-means + cosine); the
+    * engine-neutral twin `dedup_semantic_oracle` hash-proves the
+    * identical pipeline shape. */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
     dedupSemanticOf(Tables.embeddings(spark, dir), loadOrTrainCentroids(spark, dir))
 
   def dedupSemanticOf(emb0: DataFrame, centroids: Seq[Seq[Double]],
                       threshold: Double = 0.35,
                       maxBlock: Long = DefaultMaxBlock): DataFrame = {
-    val spark = emb0.sparkSession
-    val cents = broadcast(spark.createDataFrame(
-      centroids.zipWithIndex.map { case (v, i) => (i, v) }).toDF("cell", "cvec"))
-    val wA = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
+    val best = nearestCellStruct(col("embedding"), centroids)
     val assigned = emb0.select(col("vec_id"), col("embedding"))
-      .crossJoin(cents)
-      .withColumn("csim", cosine(asDouble(col("embedding")), col("cvec")))
-      .withColumn("crn", row_number().over(wA))
-      .filter(col("crn") === 1)
-      .select(col("cell").cast("long").as("cell"), col("vec_id"), col("embedding"),
-        round(col("csim"), 6).as("cent"))
+      .select(best.getField("cell").cast("long").as("cell"),
+        col("vec_id"), col("embedding"),
+        round(best.getField("csim"), 6).as("cent"))
     val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
     val e = assigned.join(broadcast(counts), "cell")
       .withColumn("nsub", floor((col("n_cell") - lit(1L)) / lit(maxBlock)) + lit(1L))

@@ -232,7 +232,22 @@ object StreamIngest {
     * [[sessionAgg]] and keys sessions by start instead of ordinal.
     * Timeout timestamps clamp to watermark+1 because Spark rejects
     * timeouts at-or-before the current watermark (a batch can contain
-    * events already straddling it). */
+    * events already straddling it).
+    *
+    * Out-of-order arrivals across micro-batches: the open session's
+    * aggregate interval is merged INTO the sorted batch timeline and the
+    * combined list is re-sessionized, so a late event (within the
+    * watermark) that lands before the open session's start extends it
+    * backward when within the gap, and forms its own EARLIER session when
+    * beyond it. Inserting that earlier session before the open one is
+    * batch-correct for ordinals: every event the operator sees is ≥ the
+    * watermark, and every previously EMITTED session ended > gap before
+    * the watermark that fired it — so late events always sort after all
+    * emitted sessions, and only the not-yet-emitted open session needs
+    * renumbering, which this does by numbering the merged timeline
+    * consecutively from the state's counter. Value e4 rounds HALF_UP via
+    * BigDecimal — the same away-from-zero rule as batch `round()`
+    * (math.rint's half-to-even diverges on exact .5 boundaries). */
   def sessionizeStateful(events: Dataset[SessEvent], gapMinutes: Int = 30,
                          watermark: String = "1 hour"): Dataset[SessionRow] = {
     import events.sparkSession.implicits._
@@ -251,30 +266,47 @@ object StreamIngest {
             if (s.open) { state.update(s.copy(open = false)); Iterator(emit(user, s)) }
             else Iterator.empty
           } else {
-            val evs = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
-            val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
-            var st = state.getOption
-            evs.foreach { e =>
-              val t = e.ts.getTime
-              val vE4 = math.rint(e.value * 10000).toLong
-              st match {
-                case Some(s) if s.open && t - s.endMs <= gapMs =>
-                  st = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1,
-                    sumE4 = s.sumE4 + vE4))
-                case Some(s) =>
-                  if (s.open) out += emit(user, s)
-                  st = Some(SessState(s.ord + 1, open = true, t, t, 1L, vE4))
-                case None =>
-                  st = Some(SessState(1L, open = true, t, t, 1L, vE4))
+            // one session-in-progress on the merged timeline
+            case class Iv(startMs: Long, endMs: Long, n: Long, sumE4: Long)
+            def e4(v: Double): Long =
+              BigDecimal(v * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            val st0 = state.getOption
+            val items =
+              (st0.filter(_.open).map(s => Iv(s.startMs, s.endMs, s.n, s.sumE4)).toSeq ++
+                rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+                  .map(e => Iv(e.ts.getTime, e.ts.getTime, 1L, e4(e.value))))
+                .sortBy(iv => (iv.startMs, iv.endMs))
+            val merged = scala.collection.mutable.ArrayBuffer.empty[Iv]
+            items.foreach { iv =>
+              if (merged.nonEmpty && iv.startMs - merged.last.endMs <= gapMs)
+                merged(merged.size - 1) = Iv(
+                  math.min(merged.last.startMs, iv.startMs),
+                  math.max(merged.last.endMs, iv.endMs),
+                  merged.last.n + iv.n, merged.last.sumE4 + iv.sumE4)
+              else merged += iv
+            }
+            if (merged.isEmpty) Iterator.empty
+            else {
+              // number the merged timeline consecutively from the counter:
+              // the open session keeps its ordinal unless a late-but-earlier
+              // session was inserted before it (see scaladoc)
+              val base = st0 match {
+                case Some(s) if s.open => s.ord - 1
+                case Some(s)           => s.ord
+                case None              => 0L
               }
+              val out = merged.init.zipWithIndex.map { case (iv, i) =>
+                emit(user, SessState(base + i + 1, open = true,
+                  iv.startMs, iv.endMs, iv.n, iv.sumE4))
+              }
+              val last = merged.last
+              val open = SessState(base + merged.size, open = true,
+                last.startMs, last.endMs, last.n, last.sumE4)
+              state.update(open)
+              state.setTimeoutTimestamp(
+                math.max(open.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+              out.iterator
             }
-            st.foreach { s =>
-              state.update(s)
-              if (s.open)
-                state.setTimeoutTimestamp(
-                  math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
-            }
-            out.iterator
           }
       }
   }

@@ -288,4 +288,30 @@ class PlanShapeSpec extends SparkSpecBase {
         s"nearest as-of is two chained passes, got ${dataShuffles(near)}")
     }
   }
+
+  test("dedup_semantic assigns cells with zero shuffle (no window, no vec_id exchange)") {
+    withoutAqe {
+      val emb = (1L to 50L)
+        .map(i => (i, Seq(math.cos(i / 10.0), math.sin(i / 10.0))))
+        .toDF("vec_id", "embedding")
+      val plan = graft.operators.Similarity
+        .dedupSemanticOf(emb, Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0)))
+        .queryExecution.executedPlan
+      // the crossJoin×cells + window formulation ranked cells with a
+      // row_number window whose hash exchange moved k×|corpus| embedding
+      // rows partitioned by vec_id; the per-row argmax needs neither
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, "cell assignment must not use an analytic window")
+      val vecIdPartitioned = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }.filter(_.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.flatMap(_.references.toSeq).map(_.name).toSet == Set("vec_id")
+        case _ => false
+      })
+      assert(vecIdPartitioned.isEmpty,
+        "no exchange may repartition the corpus by vec_id before the (cell, sub) pair shuffle")
+    }
+  }
 }

@@ -477,4 +477,49 @@ class StreamIngestSpec extends SparkSpecBase {
         r.getAs[Long]("total_value_e4")))
     assert(out.toSeq == Seq((1L, 1L, 10000L), (2L, 1L, 20000L)))
   }
+
+  test("stateful sessionization handles late events BEFORE the open session") {
+    val dir = Files.createTempDirectory("graft-stream-fmgws3").toString
+    val input = MemoryStream[StreamIngest.SessEvent](spark)
+    val q = StreamIngest.sessionizeStateful(input.toDS(), 30, "2 hours")
+      .writeStream.format("memory").queryName("fmgws3_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    // batch A: user 11 opens a session at 12:00; user 12 opens one at
+    // 13:00, setting the watermark to 11:00 (2h delay)
+    input.addData(
+      StreamIngest.SessEvent(11L, ts("2024-01-01 12:00:00"), 1L, 1.0),
+      StreamIngest.SessEvent(12L, ts("2024-01-01 13:00:00"), 2L, 2.0),
+      StreamIngest.SessEvent(8L, ts("2024-01-01 12:30:00"), 100L, 0.0))
+    q.processAllAvailable()
+    // batch B, both events late (≥ watermark 11:00) and EARLIER than their
+    // user's open session start:
+    //  - user 11's 11:40 is within the 30-min gap of 12:00 → the open
+    //    session must extend BACKWARD (start 11:40), not swallow the event
+    //    while keeping start 12:00 (the pre-fix behavior)
+    //  - user 12's 11:35 is 85 min before 13:00 → beyond the gap, so it is
+    //    its own EARLIER session: ordinal 1, and the open session renumbers
+    //    to 2. The value 0.03125 → e4 312.5 must round HALF-UP to 313 like
+    //    batch round() (math.rint's half-even gave 312).
+    input.addData(
+      StreamIngest.SessEvent(11L, ts("2024-01-01 11:40:00"), 3L, 4.0),
+      StreamIngest.SessEvent(12L, ts("2024-01-01 11:35:00"), 4L, 0.03125))
+    q.processAllAvailable()
+    // batch C: far-future event flushes every open session
+    input.addData(StreamIngest.SessEvent(8L, ts("2024-01-02 12:00:00"), 101L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    def sessions(user: Long) =
+      spark.table("fmgws3_out").filter(col("user_id") === user)
+        .orderBy(col("session_id")).collect()
+        .map(r => (r.getAs[Long]("session_id"), r.getAs[Long]("n_events"),
+          r.getAs[Timestamp]("session_start"), r.getAs[Timestamp]("session_end"),
+          r.getAs[Long]("total_value_e4")))
+    assert(sessions(11L).toSeq == Seq(
+      (1L, 2L, ts("2024-01-01 11:40:00"), ts("2024-01-01 12:00:00"), 50000L)))
+    assert(sessions(12L).toSeq == Seq(
+      (1L, 1L, ts("2024-01-01 11:35:00"), ts("2024-01-01 11:35:00"), 313L),
+      (2L, 1L, ts("2024-01-01 13:00:00"), ts("2024-01-01 13:00:00"), 20000L)))
+  }
 }
