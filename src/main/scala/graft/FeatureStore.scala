@@ -30,6 +30,14 @@ import graft.sources.BatchSource
   * result-identical to the plain as-of and measured 2× faster at 30×
   * scale on hot keys (SURVEY §5). Leave None for the single-window form.
   */
+object FeatureStore {
+  /** As-of direction for [[FeatureStore.getHistoricalFeatures]]. */
+  sealed trait AsofMode
+  case object Backward extends AsofMode
+  case object Forward extends AsofMode
+  case object Nearest extends AsofMode
+}
+
 final class FeatureStore(val registry: Registry, spark: SparkSession,
                          val project: String = Project.Default,
                          val asofBucketSec: Option[Long] = None) {
@@ -69,26 +77,47 @@ final class FeatureStore(val registry: Registry, spark: SparkSession,
   }
 
   /** Point-in-time join every requested feature onto the entity dataframe.
-    * One as-of pass per distinct feature table (each a single shuffle). */
+    * One as-of pass per distinct feature table (each a single shuffle;
+    * nearest = two chained passes).
+    *
+    * `asofMode` picks the join direction per call: Backward (default — the
+    * reference's training-retrieval semantics), Forward (earliest feature
+    * ≥ entity ts: "what happened next" labeling), Nearest (closer of the
+    * two, ties backward). The table's registered max_age bounds the
+    * distance in every mode. The skew-proof bucketed form (`asofBucketSec`)
+    * applies to the backward direction only; forward/nearest always use
+    * their linear window passes. */
   def getHistoricalFeatures(entityDf: DataFrame, entityTsCol: String,
-                            refs: Seq[FeatureRef]): DataFrame =
+                            refs: Seq[FeatureRef],
+                            asofMode: FeatureStore.AsofMode = FeatureStore.Backward)
+      : DataFrame =
     refs.groupBy(_.table).toSeq.sortBy(_._1).foldLeft(entityDf) {
       case (acc, (tname, trefs)) =>
         val t = table(tname)
         val featureNames = trefs.map(_.feature)
-        asofBucketSec match {
-          case Some(bucket) =>
-            PointInTimeJoin.asofBucketed(
-              acc, loadFeatures(t, featureNames),
-              keys = t.entities, entityTs = entityTsCol, featureTs = t.eventTsCol,
-              featureCols = featureNames, bucketSec = bucket,
+        val feats = loadFeatures(t, featureNames)
+        (asofMode, asofBucketSec) match {
+          case (FeatureStore.Forward, _) =>
+            PointInTimeJoin.asofForward(
+              acc, feats, keys = t.entities, entityTs = entityTsCol,
+              featureTs = t.eventTsCol, featureCols = featureNames,
               maxAgeSec = t.maxAgeSec, outPrefix = s"${tname}__")
-          case None =>
-            PointInTimeJoin.asof(
-              acc, loadFeatures(t, featureNames),
-              keys = t.entities, entityTs = entityTsCol, featureTs = t.eventTsCol,
-              featureCols = featureNames, maxAgeSec = t.maxAgeSec,
+          case (FeatureStore.Nearest, _) =>
+            PointInTimeJoin.asofNearest(
+              acc, feats, keys = t.entities, entityTs = entityTsCol,
+              featureTs = t.eventTsCol, featureCols = featureNames,
+              maxAgeSec = t.maxAgeSec, outPrefix = s"${tname}__")
+          case (FeatureStore.Backward, Some(bucket)) =>
+            PointInTimeJoin.asofBucketed(
+              acc, feats, keys = t.entities, entityTs = entityTsCol,
+              featureTs = t.eventTsCol, featureCols = featureNames,
+              bucketSec = bucket, maxAgeSec = t.maxAgeSec,
               outPrefix = s"${tname}__")
+          case (FeatureStore.Backward, None) =>
+            PointInTimeJoin.asof(
+              acc, feats, keys = t.entities, entityTs = entityTsCol,
+              featureTs = t.eventTsCol, featureCols = featureNames,
+              maxAgeSec = t.maxAgeSec, outPrefix = s"${tname}__")
         }
     }
 
@@ -223,7 +252,17 @@ final class FeatureStore(val registry: Registry, spark: SparkSession,
 
   /** Online retrieval: for each request row, the latest stored value of each
     * requested feature, plus a `<col>__status` field per feature. `requestTs`
-    * is the serving "now" used for max-age staleness. */
+    * is the serving "now" used for max-age staleness.
+    *
+    * A ref whose table names a registered ON-DEMAND view (reference:
+    * OnlineTransformationService.java, wired into getOnlineFeatures by
+    * ServingServiceV2 / isOnDemandFeatureReference) is served by deriving
+    * the view's expression AFTER the lookup joins: the view's input
+    * features are retrieved transparently (and dropped again unless also
+    * requested), and the derived feature's `__status` propagates from its
+    * inputs — NOT_FOUND, then OUTSIDE_MAX_AGE, if any input carries it;
+    * NULL_VALUE when the derived expression evaluates to null; PRESENT
+    * otherwise. */
   def getOnlineFeatures(store: OnlineStore, requestDf: DataFrame,
                         refs: Seq[FeatureRef], requestTs: Column): DataFrame = {
     // reference: serving/util/RequestHelper.validateOnlineRequest
@@ -232,6 +271,46 @@ final class FeatureStore(val registry: Registry, spark: SparkSession,
       require(r.table.nonEmpty, "FeatureTable name must be provided in FeatureReference")
       require(r.feature.nonEmpty, "Feature name must be provided in FeatureReference")
     }
+    val (odfvRefs, tableRefs) =
+      refs.partition(r => registry.getOnDemandView(r.table, project).isDefined)
+    val views = odfvRefs.map(_.table).distinct
+      .map(n => registry.getOnDemandView(n, project).get)
+    views.foreach { v =>
+      val known = v.features.map(_.name).toSet
+      val unknown = odfvRefs.filter(_.table == v.name).map(_.feature).filterNot(known)
+      require(unknown.isEmpty,
+        s"Feature(s) ${unknown.mkString(", ")} not found in on-demand view ${v.name}")
+    }
+    val inputRefs = views.flatMap(_.inputs).distinct
+    val looked = lookupOnline(store, requestDf,
+      (tableRefs ++ inputRefs.filterNot(tableRefs.contains)).distinct, requestTs)
+    val derived = views.foldLeft(looked) { (df, v) =>
+      val wanted = odfvRefs.filter(_.table == v.name).map(_.feature).toSet
+      val anyInput = (s: String) =>
+        if (v.inputs.isEmpty) lit(false) // request-data-only view
+        else v.inputs
+          .map(r => col(s"${r.table}__${r.feature}__status") === s)
+          .reduce(_ || _)
+      v.features.filter(f => wanted(f.name)).foldLeft(df) { (d, f) =>
+        val out = s"${v.name}__${f.name}"
+        d.withColumn(out, expr(f.sqlExpr))
+          .withColumn(out + "__status",
+            when(anyInput("NOT_FOUND"), lit("NOT_FOUND"))
+              .when(anyInput("OUTSIDE_MAX_AGE"), lit("OUTSIDE_MAX_AGE"))
+              .when(col(out).isNull, lit("NULL_VALUE"))
+              .otherwise(lit("PRESENT")))
+      }
+    }
+    // inputs pulled in only for derivation don't belong to the response
+    val helperCols = inputRefs.filterNot(tableRefs.contains)
+      .flatMap(r => Seq(s"${r.table}__${r.feature}", s"${r.table}__${r.feature}__status"))
+    derived.drop(helperCols: _*)
+  }
+
+  /** The feature-table half of online retrieval: semi-filtered snapshot
+    * lookup + per-field status per requested table ref. */
+  private def lookupOnline(store: OnlineStore, requestDf: DataFrame,
+                           refs: Seq[FeatureRef], requestTs: Column): DataFrame = {
     refs.groupBy(_.table).toSeq.sortBy(_._1).foldLeft(requestDf) {
       case (acc, (tname, trefs)) =>
         val t = table(tname)

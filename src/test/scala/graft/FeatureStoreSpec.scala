@@ -465,4 +465,62 @@ class FeatureStoreSpec extends SparkSpecBase {
     assert(out(1L) == (None, "OUTSIDE_MAX_AGE"))
     assert(out(2L) == (None, "OUTSIDE_MAX_AGE"))
   }
+
+  test("getHistoricalFeatures asofMode exposes forward and nearest directions") {
+    // activity has user 1 features at 01-01 (10.0) and 01-05 (11.0)
+    val entities = Seq(
+      (1L, ts("2024-01-03 00:00:00"), 100L),  // 2d back vs 2d fwd → tie
+      (1L, ts("2024-01-04 00:00:00"), 101L),  // 3d back vs 1d fwd
+      (1L, ts("2024-01-06 00:00:00"), 102L))  // nothing ahead
+      .toDF("user_id", "event_timestamp", "row_id")
+    def run(mode: FeatureStore.AsofMode) =
+      store.getHistoricalFeatures(entities, "event_timestamp",
+        Seq(FeatureRef("activity", "value")), mode)
+        .collect().map(r => r.getAs[Long]("row_id") ->
+          Option(r.getAs[java.lang.Double]("activity__value")).map(_.toDouble)).toMap
+    assert(run(FeatureStore.Backward) ==
+      Map(100L -> Some(10.0), 101L -> Some(10.0), 102L -> Some(11.0)))
+    assert(run(FeatureStore.Forward) ==
+      Map(100L -> Some(11.0), 101L -> Some(11.0), 102L -> None))
+    // nearest: tie at 100 prefers backward; 101 is closer forward; 102
+    // falls back to the only (backward) match
+    assert(run(FeatureStore.Nearest) ==
+      Map(100L -> Some(10.0), 101L -> Some(11.0), 102L -> Some(11.0)))
+  }
+
+  test("getOnlineFeatures serves on-demand views with input-derived statuses") {
+    val online = new ParquetOnlineStore(s"$workDir/online-odfv")
+    store.materialize("activity", online, "2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    store.registry.applyOnDemandView(OnDemandView("odx",
+      Seq(FeatureRef("activity", "value")),
+      Seq(OnDemandFeature("value_x2", "round(activity__value * 2, 1)"))))
+    // request 2024-01-14 with the 10-day TTL: user 1 (latest 01-05) is
+    // fresh, user 2 (latest 01-02) is stale, user 9 unknown
+    val req = Seq(1L, 2L, 9L).toDF("user_id")
+    val df = store.getOnlineFeatures(online, req,
+      Seq(FeatureRef("odx", "value_x2")), lit(ts("2024-01-14 00:00:00")))
+    // the view's input was retrieved transparently and must NOT leak into
+    // the response when it was not itself requested
+    assert(!df.columns.contains("activity__value"))
+    assert(!df.columns.contains("activity__value__status"))
+    val out = df.collect().map(r => r.getAs[Long]("user_id") ->
+      (Option(r.getAs[java.lang.Double]("odx__value_x2")),
+       r.getAs[String]("odx__value_x2__status"))).toMap
+    assert(out(1L) == (Some(22.0), "PRESENT"))
+    assert(out(2L) == (None, "OUTSIDE_MAX_AGE"))
+    assert(out(9L) == (None, "NOT_FOUND"))
+    // requesting the input alongside the view keeps both columns
+    val both = store.getOnlineFeatures(online, req,
+      Seq(FeatureRef("activity", "value"), FeatureRef("odx", "value_x2")),
+      lit(ts("2024-01-14 00:00:00")))
+    assert(both.columns.contains("activity__value"))
+    assert(both.filter(col("user_id") === 1L)
+      .head().getAs[Double]("odx__value_x2") == 22.0)
+    // unknown view feature fails with the reference error shape
+    val ex = intercept[IllegalArgumentException] {
+      store.getOnlineFeatures(online, req,
+        Seq(FeatureRef("odx", "nope")), lit(ts("2024-01-14 00:00:00")))
+    }
+    assert(ex.getMessage.contains("not found in on-demand view odx"))
+  }
 }
