@@ -420,10 +420,17 @@ object Similarity {
     * [[trainQuantizer]]): at scale the 4-byte codes ARE the stored index —
     * the float vectors are only touched again to rerank shortlists. Encode
     * is one pass: vectors × 64 broadcast centroids, min-distance code per
-    * (vector, subspace), written as 4 int columns. Orphan fingerprints of
-    * the same corpus are GC'd like the IVF store. */
+    * (vector, subspace), written as 4 int columns PLUS the vector's coarse
+    * IVF cell ([[nearestCellStruct]] over the persisted coarse quantizer,
+    * zero extra shuffle) — persisting (cell, codes) side by side is what
+    * lets the composed IVF+PQ query run as a pure codes-scan with no
+    * float-vector read until rerank. Both quantizers are deterministic
+    * per-corpus, so the cell column can never go stale against the IVF
+    * store of the same fingerprint. Orphan fingerprints of the same
+    * corpus are GC'd like the IVF store. */
   def trainPq(spark: SparkSession, dir: String): Unit = {
     val emb = Tables.embeddings(spark, dir)
+    val ivfCents = loadOrTrainCentroids(spark, dir)
     val cents: Seq[(Int, Int, Seq[Double])] =
       (0 until PqSub).flatMap { s =>
         lloydL2Sub(emb, s, iters = 2).zipWithIndex.map { case (v, c) => (s, c, v) }
@@ -434,12 +441,14 @@ object Similarity {
     val centsB = broadcast(centsDf)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"), col("s")).orderBy(col("d").asc, col("c"))
-    val codesWide = emb.select(col("vec_id"), l2norm(col("embedding")).as("vn"))
+    val codesWide = emb.select(col("vec_id"),
+        nearestCellExpr(col("embedding"), ivfCents).as("cell"),
+        l2norm(col("embedding")).as("vn"))
       .crossJoin(centsB)
       .withColumn("d", sqdist(slice(col("vn"), col("s") * PqSubDim + 1, lit(PqSubDim)), col("cvec")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .groupBy(col("vec_id"))
+      .groupBy(col("vec_id"), col("cell"))
       .agg(max(when(col("s") === 0, col("c"))).as("c0"),
         (1 until PqSub).map(s =>
           max(when(col("s") === s, col("c"))).as(s"c$s")): _*)
@@ -459,7 +468,11 @@ object Similarity {
 
   private def ensurePq(spark: SparkSession, dir: String): String = {
     val path = pqStorePath(spark, dir)
-    if (!graft.serving.StorePaths.exists(spark, path + "/codes")) trainPq(spark, dir)
+    // an artifact from the pre-(cell, codes) layout lacks the cell column;
+    // retrain rather than serve a candidate side that can't cell-filter
+    val ok = graft.serving.StorePaths.exists(spark, path + "/codes") &&
+      spark.read.parquet(path + "/codes").columns.contains("cell")
+    if (!ok) trainPq(spark, dir)
     path
   }
 
@@ -527,12 +540,13 @@ object Similarity {
     * vectors per candidate; plain PQ scans the whole corpus's codes.
     *
     * Both artifacts load from their persisted stores (train-once /
-    * amortize); the cell assignment is recomputed from the floats here
-    * because the corpus is one scan at test scale — a production index
-    * persists (cell, codes) side by side at encode time, which is the same
-    * single pass trainPq already makes. Setting nprobe = #cells and
-    * rerank ≥ corpus degenerates to EXACT brute force (spec-pinned),
-    * so the recall knobs trade accuracy for work transparently. */
+    * amortize), and the codes artifact carries each vector's coarse cell
+    * (persisted side by side at encode time by [[trainPq]]) — so the
+    * candidate side is a pure codes-scan: no embedding column is read
+    * until the rerank join (plan-pinned in PqSpec). Setting nprobe =
+    * #cells and rerank ≥ corpus degenerates to EXACT brute force
+    * (spec-pinned), so the recall knobs trade accuracy for work
+    * transparently. */
   def knnIvfPq(spark: SparkSession, dir: String): DataFrame =
     knnIvfPqWith(spark, dir, nprobe = 2, rerank = 50)
 
@@ -555,13 +569,10 @@ object Similarity {
         .filter(col("crn") <= n)
         .select(df.columns.toIndexedSeq.map(col) :+ col("cent_id").as(out): _*)
     }
-    // candidate side: (cell, codes) — the 4-byte scan representation; cell
-    // assignment is the zero-shuffle per-row argmax (nearestCellExpr), so
-    // the only exchange on this side is the codes join
-    val cands = emb
-      .select(col("vec_id").as("neighbor_id"),
-        nearestCellExpr(col("embedding"), centroids).as("cell"))
-      .join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    // candidate side: the persisted (cell, codes) artifact AS-IS — a pure
+    // 4-byte-per-vector scan, no float read, no assignment recompute, no
+    // exchange at all until the per-query top-k
+    val cands = codes.withColumnRenamed("vec_id", "neighbor_id")
     // query side: nprobe cells + per-subspace ADC distance tables
     val queries = nearestCells(
         emb.filter(col("vec_id") >= queryLo && col("vec_id") < queryHi),
@@ -730,6 +741,42 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  // --------------------------------------------------------- recall gate
+
+  /** Driver-visible ANN quality gate: recall@5 of each approximate method
+    * against the exact brute-force baseline, computed IN-QUERY (pair-level
+    * micro-recall — identical to the specs' macro mean here because every
+    * query has exactly K brute neighbors). Emits one row per method whose
+    * recall_e2 meets its spec floor (PqSpec/IvfSpec pins), so a healthy
+    * index reports 3 rows and a recall regression DROPS a row — visible in
+    * the driver's rows count without a DuckDB oracle (the methods are
+    * float-ANN, deliberately rows-only like their parents).
+    *
+    * Scale shape: reuses the three production query paths unchanged; the
+    * scoring overlay is a left-semi join on (query_id, neighbor_id) — Q×K
+    * rows, broadcast-sized by construction — and two single-row
+    * aggregates. */
+  def knnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val b = knnBrute(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val bTot = b.agg(count(lit(1)).as("n_brute"))
+    val methods: Seq[(String, DataFrame, Long)] = Seq(
+      ("ivf",   knnIvf(spark, dir),   30L),
+      ("ivfpq", knnIvfPq(spark, dir), 30L),
+      ("pq",    knnPq(spark, dir),    40L))
+    methods.map { case (nm, df, floor) =>
+      df.select(col("query_id"), col("neighbor_id"))
+        .join(b, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(broadcast(bTot))
+        .select(lit(nm).as("method"),
+          when(col("n_brute") > 0,
+            round(col("n_hit") * 100.0 / col("n_brute")).cast("long"))
+            .as("recall_e2"),
+          lit(floor).as("floor_e2"))
+        .filter(col("recall_e2") >= col("floor_e2"))
+    }.reduce(_ unionByName _).orderBy(col("method"))
+  }
+
   // ------------------------------------------------------- int8 quantize
 
   /** Symmetric int8 embedding quantization — the storage-compression op a
@@ -837,6 +884,7 @@ object Similarity {
     "knn_ivf"         -> (knnIvf _),
     "knn_pq"          -> (knnPq _),
     "knn_ivfpq"       -> (knnIvfPq _),
+    "knn_recall"      -> (knnRecall _),
     "dedup_embed"     -> (dedupEmbed _),
     "dedup_embed_lsh" -> (dedupEmbedLsh _),
     "dedup_semantic"  -> (dedupSemantic _))

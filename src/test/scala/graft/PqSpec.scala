@@ -47,12 +47,13 @@ class PqSpec extends SparkSpecBase {
         assert(row.getAs[Double]("cos") <= best(row.getAs[Long]("query_id")) + 1e-9)
       }
 
-      // the persisted compressed form really is 4 small codes per vector —
+      // the persisted compressed form really is 4 small codes per vector
+      // plus its coarse IVF cell (persisted side by side at encode time) —
       // the representation the 100 TB scan reads instead of float vectors
       val stores = new java.io.File(tmp).listFiles().filter(_.isDirectory)
       assert(stores.length == 1)
       val codes = spark.read.parquet(stores.head.getPath + "/codes")
-      assert(codes.columns.sorted.toSeq == Seq("c0", "c1", "c2", "c3", "vec_id"))
+      assert(codes.columns.sorted.toSeq == Seq("c0", "c1", "c2", "c3", "cell", "vec_id"))
       assert(codes.count() == graft.sources.Tables.embeddings(spark, dir).count())
       val cents = spark.read.parquet(stores.head.getPath + "/centroids")
       assert(cents.count() == 4 * 16)
@@ -64,6 +65,26 @@ class PqSpec extends SparkSpecBase {
       assert(codesDir.lastModified() == before, "second query retrained the PQ store")
     } finally {
       spark.conf.unset("graft.pq.dir")
+    }
+  }
+
+  test("knn_recall reports every ANN method at or above its spec floor") {
+    val tmpPq = java.nio.file.Files.createTempDirectory("graft_recall_pq").toString
+    val tmpIvf = java.nio.file.Files.createTempDirectory("graft_recall_ivf").toString
+    spark.conf.set("graft.pq.dir", tmpPq)
+    spark.conf.set("graft.ivf.dir", tmpIvf)
+    try {
+      val out = Similarity.knnRecall(spark, dir).collect()
+      // 3 rows = every method above its floor; a recall regression drops
+      // its row, which the driver's rows count surfaces
+      assert(out.map(_.getAs[String]("method")).toSeq == Seq("ivf", "ivfpq", "pq"))
+      out.foreach { r =>
+        assert(r.getAs[Long]("recall_e2") >= r.getAs[Long]("floor_e2"),
+          s"${r.getAs[String]("method")} below floor: $r")
+      }
+    } finally {
+      spark.conf.unset("graft.pq.dir")
+      spark.conf.unset("graft.ivf.dir")
     }
   }
 
@@ -91,6 +112,20 @@ class PqSpec extends SparkSpecBase {
       // more probed cells can only add candidates -> recall non-decreasing
       val probe1 = recallOf(top5(Similarity.knnIvfPqWith(spark, dir, nprobe = 1, rerank = 50)), brute)
       assert(r >= probe1, s"nprobe monotonicity violated: 1->$probe1 2->$r")
+
+      // the candidate side is a pure codes-scan: only the query side and
+      // the rerank join read the embedding column — the persisted cell
+      // makes the float vectors invisible to the shortlist scan
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val plan = Similarity.knnIvfPq(spark, dir).queryExecution.executedPlan
+        val embScans = plan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.output.exists(_.name == "embedding") => s
+        }
+        assert(embScans.size == 2,
+          s"expected 2 embedding scans (queries + rerank), got ${embScans.size}")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     } finally {
       spark.conf.unset("graft.pq.dir")
       spark.conf.unset("graft.ivf.dir")
