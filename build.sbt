@@ -28,4 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~100 gate queries x 2 runs of whole-stage codegen in one JVM emit far
+  // more JIT-compiled code than the 240m default reserves; once the code
+  // cache fills, the sweeper discards hot methods and timings get noisy
+  "-XX:ReservedCodeCacheSize=512m",
 )
