@@ -280,6 +280,74 @@ object FeatureOps {
       |FROM req r CROSS JOIN mx m LEFT JOIN latest l ON r.user_id = l.user_id
       |ORDER BY r.user_id""".stripMargin
 
+  /** Online ODFV serving end-to-end through the facade (reference:
+    * OnlineTransformationService wired into getOnlineFeatures by
+    * ServingServiceV2): the request asks for a stored feature AND two
+    * on-demand features of Registry.demo's `activity_derived` view, and
+    * the facade derives them after the lookup joins with input-propagated
+    * statuses. The store is a read-only view (snapshot = latest event per
+    * user computed on the fly) so the gate query stays deterministic and
+    * writes nothing; the lookup itself is the exact production path —
+    * semi-filtered snapshot, broadcast request keys, per-field statuses.
+    * The single-row max(ts) collect fixes the serving "now" (the same
+    * driver-side traffic class as the quantizer training loops). */
+  def serveOnlineOdfv(spark: SparkSession, dir: String): DataFrame = {
+    val reg = Registry.demo(dir)
+    val fs = new graft.FeatureStore(reg, spark)
+    val ev = Tables.events(spark, dir)
+    val latest = LatestValue.latest(ev, keys = Seq("user_id"),
+        orderCols = Seq("ts", "event_id"), valueCols = Seq("ts", "value"))
+      .withColumn("__project", lit("default"))
+    val viewStore = new graft.serving.OnlineStore {
+      override def upsert(rows: DataFrame, keys: Seq[String],
+                          orderCols: Seq[String], valueCols: Seq[String]): Unit =
+        throw new UnsupportedOperationException("read-only view store")
+      override def snapshot(s: SparkSession): DataFrame = latest
+    }
+    val reqTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    fs.getOnlineFeatures(viewStore,
+        spark.range(0, 20).select(col("id").as("user_id")),
+        Seq(graft.model.FeatureRef("user_activity", "value"),
+          graft.model.FeatureRef("activity_derived", "value_x2"),
+          graft.model.FeatureRef("activity_derived", "is_high")),
+        lit(reqTs).cast("timestamp")) // cast: a null max-ts (empty corpus) must stay TIMESTAMP-typed
+      .orderBy(col("user_id"))
+  }
+
+  val serveOnlineOdfvSql: String =
+    """WITH req AS (SELECT user_id FROM range(0, 20) t(user_id)),
+      |latest AS (
+      |  SELECT user_id, ts, value FROM (
+      |    SELECT user_id, ts, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events) WHERE rn = 1
+      |), mx AS (SELECT max(ts) AS req_ts FROM events),
+      |served AS (
+      |  SELECT r.user_id,
+      |    CASE WHEN l.user_id IS NOT NULL
+      |           AND l.ts >= m.req_ts - INTERVAL 604800 SECOND
+      |         THEN l.value END AS v,
+      |    CASE WHEN l.user_id IS NULL THEN 'NOT_FOUND'
+      |         WHEN l.ts < m.req_ts - INTERVAL 604800 SECOND THEN 'OUTSIDE_MAX_AGE'
+      |         WHEN l.value IS NULL THEN 'NULL_VALUE'
+      |         ELSE 'PRESENT' END AS st
+      |  FROM req r CROSS JOIN mx m LEFT JOIN latest l ON r.user_id = l.user_id
+      |)
+      |SELECT user_id,
+      |  v AS user_activity__value,
+      |  st AS user_activity__value__status,
+      |  round(v * 2, 4) AS activity_derived__value_x2,
+      |  CASE WHEN st = 'NOT_FOUND' THEN 'NOT_FOUND'
+      |       WHEN st = 'OUTSIDE_MAX_AGE' THEN 'OUTSIDE_MAX_AGE'
+      |       WHEN round(v * 2, 4) IS NULL THEN 'NULL_VALUE'
+      |       ELSE 'PRESENT' END AS activity_derived__value_x2__status,
+      |  v > 50 AS activity_derived__is_high,
+      |  CASE WHEN st = 'NOT_FOUND' THEN 'NOT_FOUND'
+      |       WHEN st = 'OUTSIDE_MAX_AGE' THEN 'OUTSIDE_MAX_AGE'
+      |       WHEN (v > 50) IS NULL THEN 'NULL_VALUE'
+      |       ELSE 'PRESENT' END AS activity_derived__is_high__status
+      |FROM served ORDER BY user_id""".stripMargin
+
   /** Feature validation statistics per feature group. */
   def ftStats(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -464,6 +532,7 @@ object FeatureOps {
     "pit_join_multi"  -> (pitJoinMulti _),
     "pit_join_composite" -> (pitJoinComposite _),
     "serve_online"    -> (serveOnline _),
+    "serve_online_odfv" -> (serveOnlineOdfv _),
     "ft_stats"        -> (ftStats _),
     "ft_drift"        -> (ftDrift _),
     "ft_historical"   -> (ftHistorical _),
@@ -481,6 +550,7 @@ object FeatureOps {
     "pit_join_multi"  -> pitJoinMultiSql,
     "pit_join_composite" -> pitJoinCompositeSql,
     "serve_online"    -> serveOnlineSql,
+    "serve_online_odfv" -> serveOnlineOdfvSql,
     "ft_stats"        -> ftStatsSql,
     "ft_drift"        -> ftDriftSql,
     "ft_historical"   -> ftHistoricalSql,
