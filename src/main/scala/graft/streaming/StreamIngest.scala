@@ -311,6 +311,69 @@ object StreamIngest {
       }
   }
 
+  /** Input row for [[pathMineStream]]. */
+  final case class PathEvent(user_id: Long, ts: java.sql.Timestamp,
+                             event_id: Long, event_type: String)
+
+  /** Per-user path-mining state: the two most recent event types plus the
+    * last event's µs time — the sliding 3-gram window plus the lag(1)
+    * timestamp, ~50 bytes per user. */
+  final case class PathState(lastUs: Long, last1: String, last2: String)
+
+  /** One mined step, emitted per event: `gap_s` is the exact-integer-second
+    * gap to the same user's previous event (null on the user's first —
+    * batch `events_inter_arrival`'s grain), and (`step1`, `step2`,
+    * `event_type`) is the 3-step path COMPLETED by this event (step1/step2
+    * null until the user has two events of history — batch
+    * `events_top_paths`' triple). */
+  final case class PathStep(user_id: Long, ts: java.sql.Timestamp,
+                            event_type: String, gap_s: java.lang.Long,
+                            step1: String, step2: String)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** Streaming twin of the path-mining family's analytic shuffle: batch
+    * `events_top_paths` / `events_inter_arrival` / `events_transitions`
+    * all ride ONE user_id exchange feeding lag()/lead() — this is that
+    * exchange as `flatMapGroupsWithState` carrying a 3-gram sliding window
+    * per user, so each arriving event immediately yields its completed
+    * path triple and its inter-arrival gap. Downstream windowed
+    * aggregations (path counts, gap stats) compose on the emitted stream;
+    * batch parity of the substrate is spec-proven column-for-column
+    * (StreamIngestSpec).
+    *
+    * Ordering contract: events are sorted within each micro-batch (the
+    * sessionizeStateful discipline), so in-order streams match batch
+    * exactly. A CROSS-batch late arrival appends to the user's chain in
+    * ARRIVAL order — unlike sessions (interval algebra merges), an
+    * already-emitted lag/lead context cannot be retracted in append mode;
+    * that is the documented divergence, bounded by the watermark. */
+  def pathMineStream(events: Dataset[PathEvent], watermark: String = "1 hour")
+      : Dataset[PathStep] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PathState, PathStep](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[PathEvent], state: GroupState[PathState]) =>
+          val evs = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(PathState(Long.MinValue, null, null))
+          val out = evs.map { e =>
+            val us = micros(e.ts)
+            val gap: java.lang.Long =
+              if (st.lastUs == Long.MinValue) null
+              else java.lang.Long.valueOf(Math.floorDiv(us - st.lastUs, 1000000L))
+            val step = PathStep(user, e.ts, e.event_type, gap, st.last2, st.last1)
+            st = PathState(us, e.event_type, st.last1)
+            step
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Convenience: run a writer until all currently-available data is
     * processed (test/demo helper; production would use its own trigger). */
   def runOnce(w: DataStreamWriter[Row], checkpoint: String): StreamingQuery =

@@ -522,4 +522,47 @@ class StreamIngestSpec extends SparkSpecBase {
       (1L, 1L, ts("2024-01-01 11:35:00"), ts("2024-01-01 11:35:00"), 313L),
       (2L, 1L, ts("2024-01-01 13:00:00"), ts("2024-01-01 13:00:00"), 20000L)))
   }
+
+  test("streaming path mining matches the batch lag/lead substrate across batches") {
+    val dir = Files.createTempDirectory("graft-stream-path").toString
+    val types = Seq("view", "click", "purchase")
+    // 3 users x 12 events, deterministic interleaved types; per-user gaps
+    // differ by user so the gap column is exercised at multiple values
+    val all = for {
+      u <- 1L to 3L
+      i <- 0 until 12
+    } yield StreamIngest.PathEvent(u,
+      ts(f"2024-01-01 ${10 + (i * (5 + u.toInt)) / 60}%02d:${(i * (5 + u.toInt)) % 60}%02d:00"),
+      u * 100 + i, types(((i * 7 + u.toInt) % 3)))
+    val (batchA, batchB) = all.partition(e => e.event_id % 100 < 6)
+    val input = MemoryStream[StreamIngest.PathEvent](spark)
+    val q = StreamIngest.pathMineStream(input.toDS())
+      .writeStream.format("memory").queryName("path_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    input.addData(batchA: _*); q.processAllAvailable()
+    input.addData(batchB: _*); q.processAllAvailable()
+    q.stop()
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("ts"),
+        r.getAs[String]("event_type"), Option(r.getAs[java.lang.Long]("gap_s")),
+        Option(r.getAs[String]("step1")), Option(r.getAs[String]("step2")))).toSet
+    val streamed = rowSet(spark.table("path_out"))
+    // the batch form of the same substrate: ONE user_id analytic shuffle
+    // feeding lag() — what events_top_paths / events_inter_arrival /
+    // events_transitions all build on
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = rowSet(all.toDF()
+      .withColumn("gap_s",
+        floor((unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+          / lit(1000000L)).cast("long"))
+      .withColumn("step1", lag(col("event_type"), 2).over(w))
+      .withColumn("step2", lag(col("event_type"), 1).over(w))
+      .select(col("user_id"), col("ts"), col("event_type"), col("gap_s"),
+        col("step1"), col("step2")))
+    assert(streamed == batch, "streaming substrate diverged from batch lag/lead")
+    assert(streamed.size == 36)
+  }
 }
