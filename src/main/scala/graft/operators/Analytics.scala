@@ -850,6 +850,115 @@ object Analytics {
     * |types|³ = 125 rows before the top-k sort. Ordering is total
     * (count desc, then the path lexically), so LIMIT is deterministic
     * cross-engine. */
+  /** RFM segmentation: per-user recency (days since last event vs corpus
+    * "now"), frequency (event count), monetary (purchase cents), each
+    * quartile-bucketed — the standard customer-segmentation scan.
+    *
+    * Scale shape: the naive formulation ranks users with ntile() over a
+    * GLOBAL order — a single-partition window sort of every user. Here
+    * quartile THRESHOLDS come from one mergeable percentile aggregate
+    * (3 doubles per dimension), broadcast back over the per-user grain as
+    * three comparisons — two aggregate passes, no global sort, the
+    * corpus_dsir discipline. All gate columns are exact integers; the
+    * threshold doubles are interpolations of exact integers (identical
+    * IEEE arithmetic in both engines — the q_percentiles-proven class). */
+  def eventsRfm(spark: SparkSession, dir: String): DataFrame =
+    eventsRfmOf(Tables.events(spark, dir))
+
+  def eventsRfmOf(ev: DataFrame): DataFrame = {
+    val per = ev.groupBy(col("user_id")).agg(
+      max(unix_micros(col("ts"))).as("last_us"),
+      count(lit(1)).as("frequency"),
+      coalesce(sum(when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long"))), lit(0L)).as("monetary_e2"))
+    val mx = ev.agg(max(unix_micros(col("ts"))).as("mx_us"))
+    val r = per.crossJoin(broadcast(mx))
+      .withColumn("recency_days",
+        floor((col("mx_us") - col("last_us")) / lit(86400000000L)).cast("long"))
+    val th = r.agg(
+      expr("percentile(recency_days, array(0.25D, 0.5D, 0.75D))").as("rq"),
+      expr("percentile(frequency, array(0.25D, 0.5D, 0.75D))").as("fq"),
+      expr("percentile(monetary_e2, array(0.25D, 0.5D, 0.75D))").as("mq"))
+    def bucket(v: org.apache.spark.sql.Column,
+               qs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (lit(1) + (v > element_at(qs, 1)).cast("int")
+        + (v > element_at(qs, 2)).cast("int")
+        + (v > element_at(qs, 3)).cast("int")).cast("long")
+    r.crossJoin(broadcast(th))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_e2"),
+        bucket(col("recency_days"), col("rq")).as("r_q"),
+        bucket(col("frequency"), col("fq")).as("f_q"),
+        bucket(col("monetary_e2"), col("mq")).as("m_q"))
+      .withColumn("segment",
+        (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).cast("long"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventsRfmSql: String =
+    """WITH per AS (
+      |  SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS frequency,
+      |    coalesce(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 100, 0) AS BIGINT) END), 0) AS monetary_e2
+      |  FROM events GROUP BY 1
+      |), mx AS (SELECT max(epoch_us(ts)) AS mx_us FROM events),
+      |r AS (
+      |  SELECT p.user_id, p.frequency, CAST(p.monetary_e2 AS BIGINT) AS monetary_e2,
+      |    CAST(floor((m.mx_us - p.last_us) / 86400000000) AS BIGINT) AS recency_days
+      |  FROM per p CROSS JOIN mx m
+      |), th AS (
+      |  SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rq,
+      |    quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fq,
+      |    quantile_cont(monetary_e2, [0.25, 0.5, 0.75]) AS mq
+      |  FROM r
+      |)
+      |SELECT user_id, recency_days, frequency, monetary_e2,
+      |  CAST(1 + (recency_days > rq[1])::INT + (recency_days > rq[2])::INT
+      |    + (recency_days > rq[3])::INT AS BIGINT) AS r_q,
+      |  CAST(1 + (frequency > fq[1])::INT + (frequency > fq[2])::INT
+      |    + (frequency > fq[3])::INT AS BIGINT) AS f_q,
+      |  CAST(1 + (monetary_e2 > mq[1])::INT + (monetary_e2 > mq[2])::INT
+      |    + (monetary_e2 > mq[3])::INT AS BIGINT) AS m_q,
+      |  CAST((1 + (recency_days > rq[1])::INT + (recency_days > rq[2])::INT
+      |    + (recency_days > rq[3])::INT) * 100
+      |   + (1 + (frequency > fq[1])::INT + (frequency > fq[2])::INT
+      |    + (frequency > fq[3])::INT) * 10
+      |   + (1 + (monetary_e2 > mq[1])::INT + (monetary_e2 > mq[2])::INT
+      |    + (monetary_e2 > mq[3])::INT) AS BIGINT) AS segment
+      |FROM r CROSS JOIN th ORDER BY user_id""".stripMargin
+
+  /** The distribution-ranking window functions not covered elsewhere —
+    * ntile / percent_rank / cume_dist — over a BOUNDED partition
+    * (customers within their market segment), never a global order: the
+    * per-segment sort is the same shuffle any per-group analytic pays,
+    * and segments are balanced, so no partition outgrows its executor.
+    * Order is total ((c_acctbal, c_custkey)), so every rank is
+    * deterministic; the two ratio columns round to 6dp on both sides. */
+  def qRankFuncs(spark: SparkSession, dir: String): DataFrame = {
+    // order on the integral cents + custkey: total (custkey unique), so
+    // percent_rank/cume_dist see no peer groups and stay engine-exact
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("acctbal_e2"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("acctbal_e2"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  val qRankFuncsSql: String =
+    """SELECT c_mktsegment, c_custkey,
+      |  e2 AS acctbal_e2,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM (SELECT c_mktsegment, c_custkey,
+      |        CAST(round(c_acctbal * 100, 0) AS BIGINT) AS e2 FROM customer)
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY e2, c_custkey)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
   def eventsTopPaths(spark: SparkSession, dir: String): DataFrame =
     eventsTopPathsOf(Tables.events(spark, dir))
 
@@ -1066,7 +1175,9 @@ object Analytics {
     "events_top_paths"  -> (eventsTopPaths _),
     "q_argmin_join"     -> (qArgminJoin _),
     "events_active_users" -> (eventsActiveUsers _),
-    "events_inter_arrival" -> (eventsInterArrival _))
+    "events_inter_arrival" -> (eventsInterArrival _),
+    "events_rfm"        -> (eventsRfm _),
+    "q_rank_funcs"      -> (qRankFuncs _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg"            -> q1AggSql,
@@ -1101,5 +1212,7 @@ object Analytics {
     "events_top_paths"  -> eventsTopPathsSql,
     "q_argmin_join"     -> qArgminJoinSql,
     "events_active_users" -> eventsActiveUsersSql,
-    "events_inter_arrival" -> eventsInterArrivalSql)
+    "events_inter_arrival" -> eventsInterArrivalSql,
+    "events_rfm"        -> eventsRfmSql,
+    "q_rank_funcs"      -> qRankFuncsSql)
 }
