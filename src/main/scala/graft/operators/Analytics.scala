@@ -859,9 +859,13 @@ object Analytics {
     * quartile THRESHOLDS come from one mergeable percentile aggregate
     * (3 doubles per dimension), broadcast back over the per-user grain as
     * three comparisons — two aggregate passes, no global sort, the
-    * corpus_dsir discipline. All gate columns are exact integers; the
-    * threshold doubles are interpolations of exact integers (identical
-    * IEEE arithmetic in both engines — the q_percentiles-proven class). */
+    * corpus_dsir discipline. The threshold branch references the per-user
+    * aggregate a second time, but AQE's exchange reuse dedups it at
+    * runtime (spec-pinned: the adaptive plan carries a ReusedExchange, so
+    * the fact table materializes ONE user_id shuffle). All gate columns
+    * are exact integers; the threshold doubles are interpolations of
+    * exact integers (identical IEEE arithmetic in both engines — the
+    * q_percentiles-proven class). */
   def eventsRfm(spark: SparkSession, dir: String): DataFrame =
     eventsRfmOf(Tables.events(spark, dir))
 

@@ -54,6 +54,19 @@ class Round7OpsSpec extends SparkSpecBase {
     }.isEmpty, "events_rfm must not use an analytic window")
   }
 
+  test("events_rfm threshold branch reuses the per-user aggregate exchange (AQE)") {
+    // the static plan shows the per-user aggregate twice (output branch +
+    // threshold branch); at runtime AQE's exchange reuse dedups it — the
+    // fact table materializes ONE user_id shuffle, the threshold pass
+    // reads the reused stage. Query stages are leaves, so assert on the
+    // ADAPTIVE executed plan's tree (SURVEY §5 AQE rule)
+    val df = Analytics.eventsRfm(spark, sfDir)
+    df.collect()
+    val tree = df.queryExecution.executedPlan.treeString
+    assert(tree.contains("ReusedExchange"),
+      "threshold branch must reuse the per-user aggregate exchange, not recompute it")
+  }
+
   test("q_rank_funcs quartiles, percent_rank and cume_dist are positional on a total order") {
     val out = Analytics.qRankFuncs(spark, sfDir).collect()
     assert(out.nonEmpty)
