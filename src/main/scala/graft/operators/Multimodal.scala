@@ -134,7 +134,10 @@ object Multimodal {
     * (lengths, offsets, slicing) is DuckDB-hash-gated like
     * multimodalMetaOracle (ASCII corpus ⇒ byte slices = char slices,
     * same documented assumption). */
-  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+  /** The frame substrate of [[multimodalFrames]] (and the signature source
+    * of [[multimodalNearDup]]): K deterministic windows per blob, cut
+    * partition-locally in decoder-shaped batches. */
+  def frameSamples(spark: SparkSession, dir: String): Dataset[FrameSample] = {
     import spark.implicits._
     val K = 4
     mediaTable(spark, dir)
@@ -154,8 +157,10 @@ object Multimodal {
           }
         }
       }
-      .toDF().orderBy(col("doc_id"), col("frame_idx"))
   }
+
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    frameSamples(spark, dir).toDF().orderBy(col("doc_id"), col("frame_idx"))
 
   val multimodalFramesSql: String =
     """WITH f AS (
@@ -203,14 +208,88 @@ object Multimodal {
       | min(doc_id) AS keep_doc_id, CAST(max(strlen(text)) AS BIGINT) AS n_bytes
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Near-duplicate blobs via frame-signature banding — the perceptual-
+    * dedup access pattern (pHash-style) over the [[frameSamples]]
+    * substrate: two blobs are near-dup candidates when they agree on a
+    * whole frame window (same index, length, checksum), and a pair is
+    * reported when ≥ 2 of the 4 frames agree — catching re-encoded /
+    * padded / prefix-trimmed copies whose md5 differs so
+    * [[multimodalDedup]] misses them, without ever decoding twice or
+    * comparing all pairs.
+    *
+    * Scale shape is dedup_ngram's: candidates ride an inverted-index
+    * equi-join on the (frame_idx, frame_len, checksum) band — only blobs
+    * sharing a band ever pair — and the hot-band cap is a window over the
+    * SAME keys the self-join shuffles on, so the filtered subtree is
+    * identical on both sides and the exchange is reused (one frame
+    * derivation, one shuffle). Bands larger than `maxBucket` are dropped:
+    * a band that hot is an exact-dup farm, which is [[multimodalDedup]]'s
+    * 16-byte-digest job, not a frame join's. The checksum is the
+    * engine-neutral codepoint sum, so the full pipeline is
+    * DuckDB-hash-gated. */
+  def multimodalNearDup(spark: SparkSession, dir: String): DataFrame =
+    multimodalNearDupOf(frameSamples(spark, dir).toDF())
+
+  def multimodalNearDupOf(frames: DataFrame, maxBucket: Long = 1000L): DataFrame = {
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("frame_idx"), col("frame_len"), col("checksum_cp"))
+    val fr = frames
+      .select(col("doc_id"), col("frame_idx"), col("frame_len"), col("checksum_cp"))
+      .withColumn("n_bkt", count(lit(1)).over(wB))
+      .filter(col("n_bkt") <= maxBucket)
+      .drop("n_bkt")
+    fr.as("a").join(fr.as("b"),
+        col("a.frame_idx") === col("b.frame_idx") &&
+          col("a.frame_len") === col("b.frame_len") &&
+          col("a.checksum_cp") === col("b.checksum_cp") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_match")) // one row per doc per frame_idx ⇒ = #agreeing frames
+      .filter(col("n_match") >= 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val multimodalNearDupSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |    greatest(1, strlen(text)::BIGINT // 8) AS flen,
+      |    greatest(0, strlen(text)::BIGINT - greatest(1, strlen(text)::BIGINT // 8)) AS span
+      |  FROM documents
+      |), fr AS (
+      |  SELECT doc_id, i::INT AS frame_idx,
+      |    (i * span) // 3 AS frame_start, flen AS frame_len, text
+      |  FROM f CROSS JOIN unnest([0, 1, 2, 3]) AS t(i)
+      |), fx AS (
+      |  SELECT doc_id, frame_idx, CAST(frame_len AS BIGINT) AS frame_len,
+      |    coalesce(list_sum(list_transform(
+      |      string_split_regex(substring(text, (frame_start + 1)::INT, frame_len::INT), ''),
+      |      c -> ascii(c)::BIGINT)), 0)::BIGINT AS checksum_cp
+      |  FROM fr
+      |), capped AS (
+      |  SELECT * FROM (
+      |    SELECT fx.*, count(*) OVER
+      |      (PARTITION BY frame_idx, frame_len, checksum_cp) AS n_bkt
+      |    FROM fx)
+      |  WHERE n_bkt <= 1000
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(count(*) AS BIGINT) AS n_match
+      |FROM capped a JOIN capped b
+      |  ON a.frame_idx = b.frame_idx AND a.frame_len = b.frame_len
+      | AND a.checksum_cp = b.checksum_cp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta"        -> (multimodalMeta _),
     "multimodal_meta_oracle" -> (multimodalMetaOracle _),
     "multimodal_frames"      -> (multimodalFrames _),
-    "multimodal_dedup"       -> (multimodalDedup _))
+    "multimodal_dedup"       -> (multimodalDedup _),
+    "multimodal_near_dup"    -> (multimodalNearDup _))
 
   val oracle: Map[String, String] = Map(
     "multimodal_meta_oracle" -> multimodalMetaOracleSql,
     "multimodal_frames"      -> multimodalFramesSql,
-    "multimodal_dedup"       -> multimodalDedupSql)
+    "multimodal_dedup"       -> multimodalDedupSql,
+    "multimodal_near_dup"    -> multimodalNearDupSql)
 }

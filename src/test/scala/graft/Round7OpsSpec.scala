@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Analytics
+import graft.operators.{Analytics, Multimodal}
 
 /** Semantics pins for the round-7 operators on hand-built corpora — the
   * oracle gate proves cross-engine arithmetic; these prove the operators
@@ -65,6 +65,27 @@ class Round7OpsSpec extends SparkSpecBase {
     val tree = df.queryExecution.executedPlan.treeString
     assert(tree.contains("ReusedExchange"),
       "threshold branch must reuse the per-user aggregate exchange, not recompute it")
+  }
+
+  test("multimodal_near_dup pairs on >=2 agreeing frames; hot bands defer to exact dedup") {
+    // docs 1/2 identical (4 agreeing frames), doc 3 shares frames 0-1 with
+    // them, doc 4 shares only frame 0 (below the >=2 threshold)
+    val frames = Seq(
+      (1L, 0, 10L, 100L), (1L, 1, 10L, 200L), (1L, 2, 10L, 300L), (1L, 3, 10L, 400L),
+      (2L, 0, 10L, 100L), (2L, 1, 10L, 200L), (2L, 2, 10L, 300L), (2L, 3, 10L, 400L),
+      (3L, 0, 10L, 100L), (3L, 1, 10L, 200L), (3L, 2, 10L, 999L), (3L, 3, 10L, 888L),
+      (4L, 0, 10L, 100L), (4L, 1, 10L, 777L), (4L, 2, 10L, 666L), (4L, 3, 10L, 555L))
+      .toDF("doc_id", "frame_idx", "frame_len", "checksum_cp")
+    val out = Multimodal.multimodalNearDupOf(frames).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("n_match")))
+    assert(out.toSet == Set((1L, 2L, 4L), (1L, 3L, 2L), (2L, 3L, 2L)))
+    // capping the frame-0 band (4 members > 3) removes its contribution:
+    // the 1-3 / 2-3 pairs fall to one agreeing frame and drop out, while
+    // the exact-dup pair still matches on the remaining 3 frames — the
+    // degenerate-band work belongs to multimodal_dedup's digest pass
+    val capped = Multimodal.multimodalNearDupOf(frames, maxBucket = 3L).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("n_match")))
+    assert(capped.toSet == Set((1L, 2L, 3L)))
   }
 
   test("q_rank_funcs quartiles, percent_rank and cume_dist are positional on a total order") {
