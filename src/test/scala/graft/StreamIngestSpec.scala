@@ -565,4 +565,52 @@ class StreamIngestSpec extends SparkSpecBase {
     assert(streamed == batch, "streaming substrate diverged from batch lag/lead")
     assert(streamed.size == 36)
   }
+
+  test("streaming path mining randomized differential across batch splits") {
+    val rnd = new scala.util.Random(13)
+    val typeNames = Seq("view", "click", "purchase", "scroll")
+    val baseMs = ts("2024-03-01 00:00:00").getTime
+    // 20 users, random-length in-order timelines with random gaps and
+    // duplicate timestamps (event_id breaks ties), split at a random
+    // per-user point into two micro-batches — the operator's in-order
+    // contract, exercised across the state handoff
+    val perUser = (1L to 20L).map { u =>
+      var t = baseMs + rnd.nextInt(3600) * 1000L
+      val evs = (0 until (2 + rnd.nextInt(10))).map { i =>
+        if (rnd.nextBoolean()) t += rnd.nextInt(7200) * 1000L // else: exact tie
+        StreamIngest.PathEvent(u, new Timestamp(t), u * 1000 + i,
+          typeNames(rnd.nextInt(typeNames.length)))
+      }
+      val cut = rnd.nextInt(evs.length + 1)
+      (evs.take(cut), evs.drop(cut))
+    }
+    val (batchA, batchB) = (perUser.flatMap(_._1), perUser.flatMap(_._2))
+    val dir = Files.createTempDirectory("graft-stream-path-rnd").toString
+    val input = MemoryStream[StreamIngest.PathEvent](spark)
+    // 720h watermark: no batch-B event can fall behind batch A's global
+    // high-water mark and get dropped — parity, not lateness, is under test
+    val q = StreamIngest.pathMineStream(input.toDS(), watermark = "720 hours")
+      .writeStream.format("memory").queryName("path_rnd_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    if (batchA.nonEmpty) { input.addData(batchA: _*); q.processAllAvailable() }
+    if (batchB.nonEmpty) { input.addData(batchB: _*); q.processAllAvailable() }
+    q.stop()
+    def rowSet2(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("ts"),
+        r.getAs[String]("event_type"), Option(r.getAs[java.lang.Long]("gap_s")),
+        Option(r.getAs[String]("step1")), Option(r.getAs[String]("step2")))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = rowSet2((batchA ++ batchB).toDF()
+      .withColumn("gap_s",
+        floor((unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+          / lit(1000000L)).cast("long"))
+      .withColumn("step1", lag(col("event_type"), 2).over(w))
+      .withColumn("step2", lag(col("event_type"), 1).over(w))
+      .select(col("user_id"), col("ts"), col("event_type"), col("gap_s"),
+        col("step1"), col("step2")))
+    assert(rowSet2(spark.table("path_rnd_out")) == batch)
+  }
 }
