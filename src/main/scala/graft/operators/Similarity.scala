@@ -293,14 +293,17 @@ object Similarity {
     * shuffle — the corpus-side cell assignment in an ANN scan must not
     * cost a full-corpus exchange.
     *
-    * k bound: the k cosine calls inline into ONE row expression, so
-    * codegen size grows linearly with centroid count — fine for a coarse
-    * quantizer (10s–100s of cells; this corpus trains 8) but a
-    * production-sized k in the thousands would cross janino's 64KB method
-    * limit and silently fall back to interpreted evaluation. Above that
-    * scale, assign via the broadcast-join form ([[knnIvfWith]]'s
-    * query-side `nearestCells`) whose per-centroid work stays one row. */
-  private[operators] def nearestCellStruct(vecCol: Column,
+    * k bound (measured, `ScaleProbe cells`): the k cosine calls inline
+    * into one row expression whose cost is linear in k — 200k×64-dim
+    * assignments run 2.4 s at k=64 and 15.9 s at k=1024 with NO codegen
+    * fallback (Catalyst splits oversized expressions into helper methods,
+    * so the janino 64KB cliff does not bite through at least k=1024).
+    * The practical bound is arithmetic, not codegen: every row pays all k
+    * cosines, so for k in the many thousands an inverted/two-level coarse
+    * quantizer (assign to √k super-cells first) or the broadcast-join
+    * form ([[knnIvfWith]]'s query-side `nearestCells`) is the right
+    * shape. */
+  private[graft] def nearestCellStruct(vecCol: Column,
       centroids: Seq[Seq[Double]]): Column =
     if (centroids.isEmpty) // empty corpus trains 0 cells
       struct(lit(null).cast("int").as("cell"), lit(null).cast("double").as("csim"))

@@ -77,6 +77,30 @@ object ScaleProbe {
     }
   }
 
+  /** Codegen-size probe for the per-row argmax cell assignment
+    * (nearestCellStruct): the k cosine calls inline into one expression,
+    * so this measures throughput as the centroid count grows toward the
+    * janino method-size cliff the scaladoc warns about. Watch stderr for
+    * whole-stage-codegen fallback warnings. */
+  private def cellsProbe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val n = 200000L
+    val emb = spark.range(0, n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        j => ((pmod(col("id") * 31 + j * 17, lit(1000)).cast("double") / 500.0)
+          - 1.0).cast("float")).as("embedding"))
+    for (k <- Seq(8, 64, 256, 1024)) {
+      val rnd = new scala.util.Random(42)
+      val cents = Seq.fill(k)(Seq.fill(64)(rnd.nextDouble() * 2 - 1))
+      val t0 = System.nanoTime()
+      val cells = emb.select(graft.operators.Similarity
+          .nearestCellStruct(col("embedding"), cents).getField("cell").as("cell"))
+        .groupBy(col("cell")).count().count()
+      println(f"[scale] cells k=$k%-5d n=$n ${(System.nanoTime() - t0) / 1e9}%7.2f s distinct=$cells")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val k = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
@@ -98,6 +122,12 @@ object ScaleProbe {
     }
     if (args.headOption.contains("semantic")) {
       semanticProbe(spark, Seq(8000, 16000, 32000))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("cells")) {
+      spark.sparkContext.setLogLevel("WARN") // surface codegen-fallback warnings
+      cellsProbe(spark)
       spark.stop()
       return
     }
