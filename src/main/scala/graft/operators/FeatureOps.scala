@@ -69,6 +69,46 @@ object FeatureOps {
       |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
       |  FROM events) WHERE rn = 1 ORDER BY user_id, ts""".stripMargin
 
+  /** SCD2-style validity-interval materialization: the full feature
+    * TIMELINE per entity key — each ingested value (after the same
+    * (key, ts) dedup as `ft_ingest_dedup`) is valid from its event ts
+    * until the key's next ingested value; the current value carries a
+    * null `valid_to`. The interval form is how warehouses persist
+    * point-in-time correctness for audit/backfill (an as-of lookup
+    * becomes `valid_from <= t < valid_to`).
+    *
+    * One exchange: a dedup-then-rewindow formulation pays TWO (the dedup
+    * ranks within (key, ts), the interval lead() needs (key) — a
+    * (key, ts) hash partitioning does not satisfy a (key) requirement).
+    * Instead ONE user_id window sorted by (ts, event_id) yields both:
+    * a row is its ts-group's keeper iff the next row's ts differs (last
+    * in ascending event_id order = the greatest-sequence ingest-dedup
+    * rule), and that same next ts IS the keeper's valid_to (plan-pinned
+    * to a single data exchange). */
+  def ftTimeline(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("next_ts").isNull || col("next_ts") =!= col("ts"))
+      .select(col("user_id"), col("ts").as("valid_from"),
+        col("next_ts").as("valid_to"), col("event_id"), col("value"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
+  val ftTimelineSql: String =
+    """WITH d AS (
+      |  SELECT user_id, ts, event_id, value FROM (
+      |    SELECT user_id, ts, event_id, value,
+      |      row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |    FROM events) WHERE rn = 1
+      |)
+      |SELECT user_id, ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+      |  event_id, value
+      |FROM d ORDER BY user_id, valid_from""".stripMargin
+
   /** Point-in-time join, unbounded lookback. */
   def pitJoin(spark: SparkSession, dir: String): DataFrame =
     PointInTimeJoin.asof(
@@ -525,6 +565,7 @@ object FeatureOps {
     "ft_latest"       -> (ftLatest _),
     "ft_latest_range" -> (ftLatestRange _),
     "ft_ingest_dedup" -> (ftIngestDedup _),
+    "ft_timeline"     -> (ftTimeline _),
     "pit_join"        -> (pitJoin _),
     "pit_join_maxage" -> (pitJoinMaxage _),
     "pit_join_forward" -> (pitJoinForward _),
@@ -543,6 +584,7 @@ object FeatureOps {
     "ft_latest"       -> ftLatestSql,
     "ft_latest_range" -> ftLatestRangeSql,
     "ft_ingest_dedup" -> ftIngestDedupSql,
+    "ft_timeline"     -> ftTimelineSql,
     "pit_join"        -> pitJoinSql,
     "pit_join_maxage" -> pitJoinMaxageSql,
     "pit_join_forward" -> pitJoinForwardSql,

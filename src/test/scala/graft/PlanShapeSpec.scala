@@ -289,6 +289,19 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("ft_timeline derives ingest-dedup and validity intervals from ONE exchange") {
+    withoutAqe {
+      val plan = FeatureOps.ftTimeline(spark, sfDir).queryExecution.executedPlan
+      val hashEx = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }.filter(_.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+      // dedup-then-rewindow pays two; the single (ts, event_id) window pays one
+      assert(hashEx.size == 1,
+        s"expected one user_id exchange, got ${hashEx.size}")
+    }
+  }
+
   test("dedup_semantic assigns cells with zero shuffle (no window, no vec_id exchange)") {
     withoutAqe {
       val emb = (1L to 50L)
