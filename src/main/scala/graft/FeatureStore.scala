@@ -90,7 +90,39 @@ final class FeatureStore(val registry: Registry, spark: SparkSession,
   def getHistoricalFeatures(entityDf: DataFrame, entityTsCol: String,
                             refs: Seq[FeatureRef],
                             asofMode: FeatureStore.AsofMode = FeatureStore.Backward)
-      : DataFrame =
+      : DataFrame = {
+    // a ref naming an on-demand view derives AFTER the as-of joins (the
+    // same transparent-input contract as the online path; historical rows
+    // carry no __status — unmatched inputs are nulls and propagate)
+    val (odfvRefs, tableRefs) =
+      refs.partition(r => registry.getOnDemandView(r.table, project).isDefined)
+    val views = odfvRefs.map(_.table).distinct
+      .map(n => registry.getOnDemandView(n, project).get)
+    views.foreach { v =>
+      val known = v.features.map(_.name).toSet
+      val unknown = odfvRefs.filter(_.table == v.name).map(_.feature).filterNot(known)
+      require(unknown.isEmpty,
+        s"Feature(s) ${unknown.mkString(", ")} not found in on-demand view ${v.name}")
+    }
+    val inputRefs = views.flatMap(_.inputs).distinct
+    val joined = joinHistorical(entityDf, entityTsCol,
+      (tableRefs ++ inputRefs.filterNot(tableRefs.contains)).distinct, asofMode)
+    val derived = views.foldLeft(joined) { (df, v) =>
+      val wanted = odfvRefs.filter(_.table == v.name).map(_.feature).toSet
+      v.features.filter(f => wanted(f.name)).foldLeft(df) { (d, f) =>
+        d.withColumn(s"${v.name}__${f.name}", expr(f.sqlExpr))
+      }
+    }
+    val helperCols = inputRefs.filterNot(tableRefs.contains)
+      .map(r => s"${r.table}__${r.feature}") ++
+      inputRefs.map(_.table).distinct // matched-ts col of input-only tables
+        .filterNot(t => tableRefs.exists(_.table == t)).map(t => s"${t}__ts")
+    derived.drop(helperCols: _*)
+  }
+
+  private def joinHistorical(entityDf: DataFrame, entityTsCol: String,
+                             refs: Seq[FeatureRef],
+                             asofMode: FeatureStore.AsofMode): DataFrame =
     refs.groupBy(_.table).toSeq.sortBy(_._1).foldLeft(entityDf) {
       case (acc, (tname, trefs)) =>
         val t = table(tname)

@@ -488,6 +488,28 @@ class FeatureStoreSpec extends SparkSpecBase {
       Map(100L -> Some(10.0), 101L -> Some(11.0), 102L -> Some(11.0)))
   }
 
+  test("getHistoricalFeatures accepts on-demand view refs directly") {
+    store.registry.applyOnDemandView(OnDemandView("hx",
+      Seq(FeatureRef("activity", "value")),
+      Seq(OnDemandFeature("value_half", "round(activity__value / 2, 2)"))))
+    val entities = Seq(
+      (1L, ts("2024-01-06 00:00:00"), 1L),   // latest value 11.0
+      (3L, ts("2024-01-06 00:00:00"), 2L))   // unknown entity → null input
+      .toDF("user_id", "event_timestamp", "row_id")
+    val df = store.getHistoricalFeatures(entities, "event_timestamp",
+      Seq(FeatureRef("hx", "value_half")))
+    // transparent inputs (value AND the matched-ts column) must not leak
+    assert(!df.columns.contains("activity__value"))
+    assert(!df.columns.contains("activity__ts"))
+    val out = df.collect().map(r => r.getAs[Long]("row_id") ->
+      Option(r.getAs[java.lang.Double]("hx__value_half")).map(_.toDouble)).toMap
+    assert(out == Map(1L -> Some(5.5), 2L -> None))
+    // requesting the input alongside keeps it
+    val both = store.getHistoricalFeatures(entities, "event_timestamp",
+      Seq(FeatureRef("activity", "value"), FeatureRef("hx", "value_half")))
+    assert(both.columns.contains("activity__value"))
+  }
+
   test("getOnlineFeatures serves on-demand views with input-derived statuses") {
     val online = new ParquetOnlineStore(s"$workDir/online-odfv")
     store.materialize("activity", online, "2024-01-01 00:00:00", "2024-02-01 00:00:00")
