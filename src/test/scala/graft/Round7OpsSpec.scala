@@ -86,6 +86,13 @@ class Round7OpsSpec extends SparkSpecBase {
     val capped = Multimodal.multimodalNearDupOf(frames, maxBucket = 3L).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("n_match")))
     assert(capped.toSet == Set((1L, 2L, 3L)))
+    // the cap rides the join's own band shuffle: at runtime AQE reuses the
+    // frame-derivation exchange between the self-join sides (adaptive-tree
+    // assertion per the SURVEY §5 AQE rule) — one frame pass, one shuffle
+    val full = Multimodal.multimodalNearDup(spark, sfDir)
+    full.collect()
+    assert(full.queryExecution.executedPlan.treeString.contains("ReusedExchange"),
+      "band self-join must reuse the frame-derivation exchange")
   }
 
   test("q_rank_funcs quartiles, percent_rank and cume_dist are positional on a total order") {
