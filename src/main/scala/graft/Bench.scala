@@ -19,7 +19,8 @@ object Bench {
     * headline number an honest statement about production paths. */
   private val oracleTwins = Set(
     "dedup_minhash_oracle", "dedup_simhash_oracle", "knn_brute_oracle",
-    "dedup_embed_oracle", "multimodal_meta_oracle", "dedup_semantic_oracle")
+    "dedup_embed_oracle", "multimodal_meta_oracle", "dedup_semantic_oracle",
+    "dedup_incremental_oracle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -259,18 +259,26 @@ object Dedup {
     * aggregates (whole-stage codegen, map-side partials) — NOT a per-row
     * lambda over a shingle array, which runs interpreted and recomputes
     * string hashes per permutation. */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val ex = Tables.documents(spark, dir)
+  /** The 16 LSH band hashes per document — the signature both the batch
+    * pair join ([[dedupMinhash]]) and the incremental index
+    * ([[dedupIncrementalBatch]]) are built from, factored so the two
+    * paths can never diverge. */
+  private[operators] def bandSignatures(docs: DataFrame): DataFrame = {
+    val ex = docs
       .select(col("doc_id"), explode(array_distinct(hashedShingles(col("text")))).as("h"))
     val minAggs = (0 until NumPerms).map(i => min(permHash(col("h"), i)).as(s"m$i"))
-    val sigs = ex.groupBy(col("doc_id"))
+    ex.groupBy(col("doc_id"))
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc_id"),
         array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
-    val banded = sigs.select(col("doc_id"),
+      .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(Bands - 1)),
           b => xxhash64(concat_ws(",", slice(col("sig"), b * lit(NumPerms / Bands) + 1, lit(NumPerms / Bands)))))
         ).as(Seq("band_id", "band_hash")))
+  }
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val banded = bandSignatures(Tables.documents(spark, dir))
     val l = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("id_a"))
     val r = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("id_b"))
     l.join(r, Seq("band_id", "band_hash"))
@@ -278,6 +286,78 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ------------------------------------------------------ incremental dedup
+
+  /** One batch of INCREMENTAL near-dedup against a persisted band index —
+    * the operation a 100 TB corpus actually runs: new documents dedup
+    * against everything ever seen WITHOUT re-reading history; history is
+    * a band index that only ever appends.
+    *
+    * Contract (first-seen wins): a document DROPS iff one of its LSH
+    * bands was already seen — in the index (any earlier batch) or on a
+    * smaller-id document of this batch. EVERY seen document's bands are
+    * appended to the index, dropped ones included (the crawler
+    * Bloom-filter discipline), so all later members of a duplicate
+    * cluster drop rather than resurrecting when their nearest match was
+    * itself dropped. Under an append-only id discipline this makes the
+    * keep-set INDEPENDENT of how the stream is batched (= the global
+    * "no band shared with any smaller id" rule) — spec-pinned, and
+    * hash-proven cross-engine by the `dedup_incremental_oracle` twin
+    * whose DuckDB side computes the global rule in one pass.
+    *
+    * Scale shape: the delta's bands shuffle once on (band_id, band_hash)
+    * — the within-batch min rides that window, the index probe is a
+    * left-semi join on the same keys (index side streams, never
+    * broadcast, never carries text); decisions are pinned eagerly
+    * (localCheckpoint) BEFORE the append so the returned frame cannot
+    * observe its own batch's writes. */
+  def dedupIncrementalBatch(docs: DataFrame, indexPath: String): DataFrame =
+    dedupIncrementalFold(docs, bandSignatures(docs), indexPath)
+
+  /** The fold body, generic in the signature source so the engine-neutral
+    * `dedup_incremental_oracle` twin runs the IDENTICAL pipeline over its
+    * own hash family. `sigsRaw` must be (doc_id, band_id, band_hash). */
+  private[graft] def dedupIncrementalFold(docs: DataFrame, sigsRaw: DataFrame,
+                                          indexPath: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = sigsRaw.localCheckpoint()
+    val hitIndex =
+      if (graft.serving.StorePaths.exists(spark, indexPath))
+        sigs.join(spark.read.parquet(indexPath),
+            Seq("band_id", "band_hash"), "left_semi")
+          .select(col("doc_id"))
+      else Seq.empty[Long].toDF("doc_id")
+    val wMin = Window.partitionBy(col("band_id"), col("band_hash"))
+    val hitBatch = sigs
+      .withColumn("min_id", min(col("doc_id")).over(wMin))
+      .filter(col("doc_id") > col("min_id"))
+      .select(col("doc_id"))
+    val dropped = hitIndex.unionByName(hitBatch).distinct()
+      .withColumn("hit", lit(1))
+    val decisions = docs.select(col("doc_id"))
+      .join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("hit").isNull.as("keep"))
+      .localCheckpoint()
+    sigs.select(col("band_id"), col("band_hash"))
+      .write.mode("append").parquet(indexPath)
+    decisions
+  }
+
+  /** Gate form: the corpus split into two id-ordered batches folded
+    * through [[dedupIncrementalBatch]] with a fresh index — deterministic
+    * per call, and (by the batching-invariance contract) equal to the
+    * one-pass global rule the oracle twin hash-proves. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val mid = docs.agg(coalesce(max(col("doc_id")), lit(0L))).head().getLong(0) / 2
+    val idx = java.nio.file.Files.createTempDirectory("graft_dedup_idx")
+      .toString + "/bands"
+    val r1 = dedupIncrementalBatch(docs.filter(col("doc_id") <= mid), idx)
+    val r2 = dedupIncrementalBatch(docs.filter(col("doc_id") > mid), idx)
+    r1.unionByName(r2).orderBy(col("doc_id"))
   }
 
   /** SimHash 64-bit fingerprints + 4×16-bit-band blocking; emits candidate
@@ -343,6 +423,7 @@ object Dedup {
     "dedup_minhash"  -> (dedupMinhash _),
     "dedup_simhash"  -> (dedupSimhash _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_incremental" -> (dedupIncremental _),
     "corpus_decontaminate" -> (corpusDecontaminate _))
 
   val oracle: Map[String, String] = Map(

@@ -94,8 +94,11 @@ object OracleVariants {
     * 16 codegen'd `min` aggregates → band join shape as the production
     * `dedup_minhash`, provable in DuckDB. Output (id_a, id_b,
     * n_shared_bands). */
-  def dedupMinhashOracle(spark: SparkSession, dir: String): DataFrame = {
-    val ex = Tables.documents(spark, dir)
+  /** Per-doc neutral band values (doc_id, band_id, band_val) — the twin's
+    * analog of Dedup.bandSignatures, shared by the pair join and the
+    * incremental twin. */
+  private def neutralBandSigs(docs: DataFrame): DataFrame = {
+    val ex = docs
       .select(col("doc_id"), explode(array_distinct(neutralShingles(col("text")))).as("h"))
     val minAggs = (0 until NumPerms).map { i =>
       min((lit(permA(i)) * col("h") + lit(permB(i))) % lit(P)).as(s"m$i")
@@ -104,8 +107,12 @@ object OracleVariants {
     val bandVals = (0 until Bands).map { b =>
       bandCombine((0 until NumPerms / Bands).map(j => col(s"m${b * (NumPerms / Bands) + j}")))
     }
-    val banded = sigs.select(col("doc_id"),
+    sigs.select(col("doc_id"),
       posexplode(array(bandVals: _*)).as(Seq("band_id", "band_val")))
+  }
+
+  def dedupMinhashOracle(spark: SparkSession, dir: String): DataFrame = {
+    val banded = neutralBandSigs(Tables.documents(spark, dir))
     val l = banded.select(col("band_id"), col("band_val"), col("doc_id").as("id_a"))
     val r = banded.select(col("band_id"), col("band_val"), col("doc_id").as("id_b"))
     l.join(r, Seq("band_id", "band_val"))
@@ -135,6 +142,54 @@ object OracleVariants {
       |FROM band a JOIN band b
       |  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** DuckDB-provable incremental-dedup twin: the Spark side runs the SAME
+    * two-batch fold as `dedup_incremental` (fresh index, id-ordered
+    * halves, Dedup.dedupIncrementalFold) over the neutral band family,
+    * while the SQL oracle computes the GLOBAL rule — keep iff no band is
+    * shared with a smaller doc_id — in one window pass. The hash match IS
+    * the cross-engine proof that the incremental fold is independent of
+    * batching (first-seen-wins under an append-only id discipline). */
+  def dedupIncrementalOracle(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val mid = docs.agg(coalesce(max(col("doc_id")), lit(0L))).head().getLong(0) / 2
+    val idx = java.nio.file.Files.createTempDirectory("graft_dedup_idx_orc")
+      .toString + "/bands"
+    def sigsOf(batch: DataFrame) =
+      neutralBandSigs(batch).withColumnRenamed("band_val", "band_hash")
+    def half(batch: DataFrame) =
+      Dedup.dedupIncrementalFold(batch, sigsOf(batch), idx)
+    half(docs.filter(col("doc_id") <= mid))
+      .unionByName(half(docs.filter(col("doc_id") > mid)))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupIncrementalOracleSql: String = {
+    val minSelects = (0 until NumPerms)
+      .map(i => s"min((${permA(i)}*h + ${permB(i)}) % $P) AS m$i").mkString(",\n      |    ")
+    val bandExprs = (0 until Bands)
+      .map(b => bandCombineSql((0 until NumPerms / Bands).map(j => s"m${b * (NumPerms / Bands) + j}")))
+      .mkString(",\n      |      ")
+    s"""$shinglesSqlCte, sig AS (
+      |  SELECT doc_id,
+      |    $minSelects
+      |  FROM ex GROUP BY 1
+      |), band AS (
+      |  SELECT doc_id,
+      |    unnest([$bandExprs]) AS band_val,
+      |    unnest([${(0 until Bands).mkString(", ")}]) AS band_id
+      |  FROM sig
+      |), bm AS (
+      |  SELECT doc_id,
+      |    min(doc_id) OVER (PARTITION BY band_id, band_val) AS min_id
+      |  FROM band
+      |), dec AS (
+      |  SELECT doc_id, min(min_id) = doc_id AS keep FROM bm GROUP BY 1
+      |)
+      |SELECT d.doc_id, coalesce(dec.keep, true) AS keep
+      |FROM documents d LEFT JOIN dec USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------- simhash
@@ -414,6 +469,7 @@ object OracleVariants {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_oracle"  -> (dedupMinhashOracle _),
+    "dedup_incremental_oracle" -> (dedupIncrementalOracle _),
     "dedup_simhash_oracle"  -> (dedupSimhashOracle _),
     "knn_brute_oracle"      -> (knnBruteOracle _),
     "dedup_embed_oracle"    -> (dedupEmbedOracle _),
@@ -421,6 +477,7 @@ object OracleVariants {
 
   val oracle: Map[String, String] = Map(
     "dedup_minhash_oracle"  -> dedupMinhashOracleSql,
+    "dedup_incremental_oracle" -> dedupIncrementalOracleSql,
     "dedup_simhash_oracle"  -> dedupSimhashOracleSql,
     "knn_brute_oracle"      -> knnBruteOracleSql,
     "dedup_embed_oracle"    -> dedupEmbedOracleSql,
