@@ -307,12 +307,17 @@ object Dedup {
     * hash-proven cross-engine by the `dedup_incremental_oracle` twin
     * whose DuckDB side computes the global rule in one pass.
     *
-    * Scale shape: the delta's bands shuffle once on (band_id, band_hash)
-    * — the within-batch min rides that window, the index probe is a
-    * left-semi join on the same keys (index side streams, never
-    * broadcast, never carries text); decisions are pinned eagerly
-    * (localCheckpoint) BEFORE the append so the returned frame cannot
-    * observe its own batch's writes. */
+    * Scale shape: the INDEX NEVER SHUFFLES AND NEVER BROADCASTS — it is
+    * the side that grows without bound, so the probe is an inner
+    * broadcast-hash join that streams the index once map-side against
+    * the broadcast DELTA bands (bounded by the batch, 16 longs per doc);
+    * a left-semi the other way around would hash-exchange the whole
+    * index every batch. The within-batch first-seen rule rides the
+    * delta's one (band_id, band_hash) window shuffle. Decisions are
+    * pinned eagerly (localCheckpoint) BEFORE the append so the returned
+    * frame cannot observe its own batch's writes. (A production index
+    * additionally lays files out by band-hash prefix so a batch probes
+    * only matching files; the join shape is already the streaming one.) */
   def dedupIncrementalBatch(docs: DataFrame, indexPath: String): DataFrame =
     dedupIncrementalFold(docs, bandSignatures(docs), indexPath)
 
@@ -326,9 +331,9 @@ object Dedup {
     val sigs = sigsRaw.localCheckpoint()
     val hitIndex =
       if (graft.serving.StorePaths.exists(spark, indexPath))
-        sigs.join(spark.read.parquet(indexPath),
-            Seq("band_id", "band_hash"), "left_semi")
-          .select(col("doc_id"))
+        spark.read.parquet(indexPath)
+          .join(broadcast(sigs), Seq("band_id", "band_hash"))
+          .select(col("doc_id")).distinct()
       else Seq.empty[Long].toDF("doc_id")
     val wMin = Window.partitionBy(col("band_id"), col("band_hash"))
     val hitBatch = sigs

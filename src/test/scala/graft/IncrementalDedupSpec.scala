@@ -32,10 +32,19 @@ class IncrementalDedupSpec extends SparkSpecBase {
     val out = keeps(Dedup.dedupIncrementalFold(docs, sigs, idx))
     assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true, 5L -> true))
     // the index now holds EVERY doc's bands: re-folding doc 4 alone drops it
-    val again = keeps(Dedup.dedupIncrementalFold(
+    val againDf = Dedup.dedupIncrementalFold(
       Seq(4L).toDF("doc_id"),
-      Seq((4L, 0, 400L)).toDF("doc_id", "band_id", "band_hash"), idx))
-    assert(again == Map(4L -> false))
+      Seq((4L, 0, 400L)).toDF("doc_id", "band_id", "band_hash"), idx)
+    assert(keeps(againDf) == Map(4L -> false))
+    // scale pin: the index probe streams the index against the BROADCAST
+    // delta — the unbounded side must never hash-exchange (the decisions
+    // frame is checkpointed, so inspect a freshly-built probe plan)
+    val probe = spark.read.parquet(idx)
+      .join(broadcast(Seq((0, 400L)).toDF("band_id", "band_hash")
+        .withColumn("doc_id", lit(4L))), Seq("band_id", "band_hash"))
+    val tree = probe.queryExecution.executedPlan.treeString
+    assert(tree.contains("BroadcastHashJoin"),
+      "index probe must be a broadcast-hash join of the delta")
   }
 
   test("keep-set is independent of batching (production signatures, real corpus)") {
