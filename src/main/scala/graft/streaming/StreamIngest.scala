@@ -311,6 +311,27 @@ object StreamIngest {
       }
   }
 
+  /** Streaming corpus dedup: each micro-batch of documents folds through
+    * the SAME incremental band-index pipeline as batch
+    * `dedup_incremental` (Dedup.dedupIncrementalBatch — first-seen wins,
+    * every seen doc indexed, index streamed / delta broadcast), and the
+    * per-doc keep decisions append to `decisionsPath`. Batch and stream
+    * ingestion therefore CANNOT diverge: the keep-set equals folding the
+    * same batches by hand, which the incremental contract makes equal to
+    * the global smaller-id rule under append-only ids (spec-proven). The
+    * stream's unit of progress is the micro-batch, which is exactly the
+    * bounded "delta" the index probe broadcasts. */
+  def dedupCorpusStream(stream: DataFrame, indexPath: String,
+                        decisionsPath: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Dedup.dedupIncrementalBatch(batch, indexPath)
+            .write.mode("append").parquet(decisionsPath)
+        }
+      }
+
   /** Input row for [[pathMineStream]]. */
   final case class PathEvent(user_id: Long, ts: java.sql.Timestamp,
                              event_id: Long, event_type: String)
