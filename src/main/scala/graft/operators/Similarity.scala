@@ -760,7 +760,10 @@ object Similarity {
     * rows, broadcast-sized by construction — and two single-row
     * aggregates. */
   def knnRecall(spark: SparkSession, dir: String): DataFrame = {
+    // the baseline feeds FOUR consumers (3 semi joins + the total); it is
+    // Q×K rows, so pin it once instead of re-running brute force per use
     val b = knnBrute(spark, dir).select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
     val bTot = b.agg(count(lit(1)).as("n_brute"))
     val methods: Seq[(String, DataFrame, Long)] = Seq(
       ("ivf",   knnIvf(spark, dir),   30L),

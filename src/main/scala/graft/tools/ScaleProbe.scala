@@ -101,6 +101,28 @@ object ScaleProbe {
     }
   }
 
+  /** Index-growth probe for incremental dedup: fold successive same-size
+    * delta batches through one persisted band index — per-batch time must
+    * stay near-flat as the index grows (the index streams map-side
+    * against the broadcast delta; a shape that re-shuffled the index
+    * would slow linearly with history). */
+  private def incrementalProbe(spark: SparkSession, batchRows: Int, batches: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory("probe-inc").toString + "/bands"
+    for (b <- 0 until batches) {
+      // every id ending in 9 repeats the text of its decade's first doc
+      val base = when(pmod(col("id"), lit(10)) === 9, col("id") - 9).otherwise(col("id"))
+      val docs = spark.range(b.toLong * batchRows, (b + 1).toLong * batchRows)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ",
+            (0 until 30).map(j => concat(lit(s"tok$j-"), base * 31 + j)): _*).as("text"))
+      val t0 = System.nanoTime()
+      val kept = graft.operators.Dedup.dedupIncrementalBatch(docs, idx)
+        .filter(col("keep")).count()
+      println(f"[scale] incremental batch=$b n=$batchRows ${(System.nanoTime() - t0) / 1e9}%7.2f s kept=$kept")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val k = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
@@ -122,6 +144,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("semantic")) {
       semanticProbe(spark, Seq(8000, 16000, 32000))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("incremental")) {
+      incrementalProbe(spark, batchRows = 20000, batches = 4)
       spark.stop()
       return
     }
