@@ -316,8 +316,117 @@ object Similarity {
       struct((-best.getField("neg_id")).as("cell"), best.getField("csim").as("csim"))
     }
 
+  /** Centroid count above which the two-level form wins. Measured
+    * (`ScaleProbe cells`, 200k×64-dim rows): flat 16.5 s vs two-level
+    * 5.7 s at k=1024, but flat 3.6 s vs 5.6 s at k=256 — the sort+probe
+    * overhead only amortizes once every row would otherwise pay many
+    * hundreds of cosines. */
+  private val TwoLevelK = 512
+
+  /** Production cell assignment: flat argmax for quantizers small enough
+    * that k cosines/row is cheap (every trained quantizer in this repo),
+    * two-level coarse probing past [[TwoLevelK]] — so callers keep the
+    * zero-shuffle shape at any centroid count. */
+  private[graft] def nearestCellStructAuto(vecCol: Column,
+      centroids: Seq[Seq[Double]]): Column =
+    if (centroids.length > TwoLevelK) nearestCellStructTwoLevel(vecCol, centroids)
+    else nearestCellStruct(vecCol, centroids)
+
   private def nearestCellExpr(vecCol: Column, centroids: Seq[Seq[Double]]): Column =
-    nearestCellStruct(vecCol, centroids).getField("cell")
+    nearestCellStructAuto(vecCol, centroids).getField("cell")
+
+  /** TWO-LEVEL per-row assignment — the large-k form of
+    * [[nearestCellStruct]]: driver-side Lloyd groups the k centroids into
+    * ~√k super-centroids (a k×d matrix — trivially driver-sized even at
+    * k=10⁵), the row ranks the √k super-centroids once, then argmaxes only
+    * over the TOP-2 groups' children (faiss's coarse-nprobe trade) —
+    * ~√k + 2k/√k cosines per row instead of k, still zero-shuffle.
+    * Approximate at group boundaries (a vector whose nearest cell sits
+    * outside both probed groups mis-assigns — recall probed/spec-pinned);
+    * exact whenever the true cell's group ranks top-2. Returns the same
+    * (cell, csim) struct with cell ids in the ORIGINAL centroid numbering.
+    *
+    * Expression shape matters here: the coarse ranking must be evaluated
+    * ONCE per row. A `when(superBest === g, …)` chain re-evaluates the
+    * whole √k-cosine argmax per branch condition (no CSE through lambda
+    * subtrees), degrading evaluation back to O(k). Instead the top-2
+    * (csim, g) structs are sliced from one sorted array and fed through
+    * `transform`, so each branch condition compares a cheap lambda
+    * variable and only the probed groups' child cosines ever evaluate. */
+  private[graft] def nearestCellStructTwoLevel(vecCol: Column,
+      centroids: Seq[Seq[Double]]): Column =
+    if (centroids.isEmpty)
+      struct(lit(null).cast("int").as("cell"), lit(null).cast("double").as("csim"))
+    else {
+      val k = centroids.length
+      val superK = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+      val (superCents, groups) = groupCentroids(centroids, superK)
+      // per group: argmax over that group's children, re-labelled to
+      // original ids via (csim, −orig_id) structs
+      val byGroup = groups.zipWithIndex.map { case (members, g) =>
+        val scored = members.map { orig =>
+          struct(cosine(asDouble(vecCol), typedLit(centroids(orig))).as("csim"),
+            lit(-orig).as("neg_id"))
+        }
+        (g, array_max(array(scored: _*)))
+      }
+      val superScored = superCents.zipWithIndex.map { case (sc, g) =>
+        struct(cosine(asDouble(vecCol), typedLit(sc)).as("csim"), lit(g).as("g"))
+      }
+      val top2 = slice(reverse(array_sort(array(superScored: _*))), 1, 2)
+      val perProbe = transform(top2, s => {
+        val g = s.getField("g")
+        byGroup.tail.foldLeft(when(g === byGroup.head._1, byGroup.head._2)) {
+          case (acc, (gid, e)) => acc.when(g === gid, e)
+        }
+      })
+      val best = array_max(perProbe)
+      struct((-best.getField("neg_id")).as("cell"), best.getField("csim").as("csim"))
+    }
+
+  /** Driver-side Lloyd over the centroid MATRIX (k rows of d doubles):
+    * deterministic spread seeding (every ⌈k/superK⌉-th centroid), 5
+    * rounds, empty groups re-seeded from the largest group's farthest
+    * member so every group is non-empty. Returns (super-centroids,
+    * members-per-group in original ids). */
+  private[graft] def groupCentroids(centroids: Seq[Seq[Double]], superK: Int)
+      : (Seq[Seq[Double]], Seq[Seq[Int]]) = {
+    val k = centroids.length
+    val d = centroids.head.length
+    def cosSim(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < d) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-12)
+    }
+    var sups: IndexedSeq[Seq[Double]] =
+      (0 until superK).map(s => centroids(math.min(s * math.max(1, k / superK), k - 1)))
+    var assign: IndexedSeq[Int] = IndexedSeq.empty
+    for (_ <- 0 until 5) {
+      assign = centroids.toIndexedSeq.map { c =>
+        (0 until sups.length).maxBy(s => (cosSim(c, sups(s)), -s))
+      }
+      sups = (0 until superK).map { s =>
+        val members = centroids.indices.filter(assign(_) == s)
+        if (members.isEmpty) sups(s)
+        else {
+          val sum = new Array[Double](d)
+          members.foreach(m => (0 until d).foreach(i => sum(i) += centroids(m)(i)))
+          sum.map(_ / members.length).toSeq
+        }
+      }
+    }
+    // re-seed empties so every super-cell routes somewhere
+    val grouped0 = (0 until superK).map(s => centroids.indices.filter(assign(_) == s).toSeq)
+    val (sups2, groups2) = grouped0.zipWithIndex.foldLeft((sups, grouped0)) {
+      case ((ss, gs), (members, s)) if members.isEmpty =>
+        val donor = gs.indices.maxBy(gs(_).length)
+        val moved = gs(donor).minBy(m => cosSim(centroids(m), ss(donor)))
+        (ss.updated(s, centroids(moved)),
+          gs.updated(donor, gs(donor).filterNot(_ == moved)).updated(s, IndexedSeq(moved)))
+      case (acc, _) => acc
+    }
+    (sups2, groups2)
+  }
 
   /** IVF search against a given centroid set (exposed so specs can compare
     * quantizers and query ranges; `knnIvf` is the trained production entry).
@@ -716,7 +825,7 @@ object Similarity {
   def dedupSemanticOf(emb0: DataFrame, centroids: Seq[Seq[Double]],
                       threshold: Double = 0.35,
                       maxBlock: Long = DefaultMaxBlock): DataFrame = {
-    val best = nearestCellStruct(col("embedding"), centroids)
+    val best = nearestCellStructAuto(col("embedding"), centroids)
     val assigned = emb0.select(col("vec_id"), col("embedding"))
       .select(best.getField("cell").cast("long").as("cell"),
         col("vec_id"), col("embedding"),

@@ -93,11 +93,14 @@ object ScaleProbe {
     for (k <- Seq(8, 64, 256, 1024)) {
       val rnd = new scala.util.Random(42)
       val cents = Seq.fill(k)(Seq.fill(64)(rnd.nextDouble() * 2 - 1))
-      val t0 = System.nanoTime()
-      val cells = emb.select(graft.operators.Similarity
-          .nearestCellStruct(col("embedding"), cents).getField("cell").as("cell"))
-        .groupBy(col("cell")).count().count()
-      println(f"[scale] cells k=$k%-5d n=$n ${(System.nanoTime() - t0) / 1e9}%7.2f s distinct=$cells")
+      for ((name, expr0) <- Seq(
+        "flat" -> graft.operators.Similarity.nearestCellStruct(col("embedding"), cents),
+        "2lvl" -> graft.operators.Similarity.nearestCellStructTwoLevel(col("embedding"), cents))) {
+        val t0 = System.nanoTime()
+        val cells = emb.select(expr0.getField("cell").as("cell"))
+          .groupBy(col("cell")).count().count()
+        println(f"[scale] cells $name k=$k%-5d n=$n ${(System.nanoTime() - t0) / 1e9}%7.2f s distinct=$cells")
+      }
     }
   }
 

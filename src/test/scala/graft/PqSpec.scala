@@ -88,6 +88,29 @@ class PqSpec extends SparkSpecBase {
     }
   }
 
+  test("two-level cell assignment approximates the flat argmax and never beats it") {
+    val tmpIvf = java.nio.file.Files.createTempDirectory("graft_2lvl_ivf").toString
+    spark.conf.set("graft.ivf.dir", tmpIvf)
+    try {
+      val cents = Similarity.loadOrTrainCentroids(spark, dir)
+      val both = graft.sources.Tables.embeddings(spark, dir).select(
+          Similarity.nearestCellStruct(col("embedding"), cents).as("flat"),
+          Similarity.nearestCellStructTwoLevel(col("embedding"), cents).as("two"))
+        .collect()
+      val agree = both.count(r =>
+        r.getStruct(0).getInt(0) == r.getStruct(1).getInt(0))
+      // boundary mis-assignments are the documented trade; on the trained
+      // 8-cell quantizer the overwhelming majority must agree
+      assert(agree.toDouble / both.length >= 0.85,
+        s"two-level agreement too low: $agree/${both.length}")
+      // the flat form is the exact argmax, so its winning similarity can
+      // never be below the two-level pick's
+      both.foreach { r =>
+        assert(r.getStruct(0).getDouble(1) >= r.getStruct(1).getDouble(1) - 1e-9)
+      }
+    } finally spark.conf.unset("graft.ivf.dir")
+  }
+
   test("knn_ivfpq bounds the scan by cells and degenerates to exact brute force") {
     val tmpPq = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec_pq").toString
     val tmpIvf = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec_ivf").toString
