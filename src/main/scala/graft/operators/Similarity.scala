@@ -489,13 +489,15 @@ object Similarity {
     transform(v, x => x / greatest(n, lit(1e-12)))
   }
 
-  /** Per-subspace L2 Lloyd on normalized sub-vectors: same driver-traffic
-    * discipline as [[lloyd]] — only the k×subdim centroid matrix is ever
-    * collected, assignment is a 16-row broadcast against the vector stream. */
-  private def lloydL2Sub(emb: DataFrame, sub: Int, iters: Int): Seq[Seq[Double]] = {
+  /** Per-subspace L2 Lloyd on sub-slices of `vec` (normalized vectors for
+    * plain PQ, coarse-cell residuals for the shipped index): same
+    * driver-traffic discipline as [[lloyd]] — only the k×subdim centroid
+    * matrix is ever collected, assignment is a 16-row broadcast against
+    * the vector stream. */
+  private def lloydL2Sub(emb: DataFrame, vec: Column, sub: Int, iters: Int): Seq[Seq[Double]] = {
     val spark = emb.sparkSession
     val sv = emb.select(col("vec_id"),
-      slice(l2norm(col("embedding")), sub * PqSubDim + 1, PqSubDim).as("v"))
+      slice(vec, sub * PqSubDim + 1, PqSubDim).as("v"))
     var cents: Seq[Seq[Double]] = sv
       .select(col("v"), xxhash64(col("vec_id")).as("r"))
       .orderBy(col("r")).limit(PqK)
@@ -527,25 +529,49 @@ object Similarity {
     base + "/" + corpusKey(dir) + "-" + corpusFingerprint(spark, dir)
   }
 
+  /** (cell, coarse-centroid) rows for residual encoding — the RAW Lloyd
+    * means (not re-normalized): the residual must subtract the same point
+    * the codes will reconstruct from. */
+  private def coarseCentsDf(spark: SparkSession, ivfCents: Seq[Seq[Double]]): DataFrame =
+    spark.createDataFrame(ivfCents.zipWithIndex.map { case (v, i) => (i, v) })
+      .toDF("cell", "ccvec")
+
+  /** Artifact layout version: 2 = residual-encoded codes (this build);
+    * anything older (or unmarked) retrains. */
+  private val PqVersion = 2
+
   /** Train the 4×16 codebook and encode the WHOLE corpus once, persisting
     * both (the model-artifact + compressed-representation discipline of
     * [[trainQuantizer]]): at scale the 4-byte codes ARE the stored index —
-    * the float vectors are only touched again to rerank shortlists. Encode
-    * is one pass: vectors × 64 broadcast centroids, min-distance code per
-    * (vector, subspace), written as 4 int columns PLUS the vector's coarse
-    * IVF cell ([[nearestCellStruct]] over the persisted coarse quantizer,
-    * zero extra shuffle) — persisting (cell, codes) side by side is what
-    * lets the composed IVF+PQ query run as a pure codes-scan with no
-    * float-vector read until rerank. Both quantizers are deterministic
-    * per-corpus, so the cell column can never go stale against the IVF
-    * store of the same fingerprint. Orphan fingerprints of the same
-    * corpus are GC'd like the IVF store. */
+    * the float vectors are only touched again to rerank shortlists.
+    *
+    * Codes are RESIDUAL-encoded (the faiss-IVFPQ scheme): each normalized
+    * vector subtracts its coarse cell's centroid before sub-quantization,
+    * so the 4×16 codebook only has to cover the within-cell spread instead
+    * of the whole sphere — measurably higher recall from the same 4 bytes.
+    * Encode is one pass: residuals × 64 broadcast centroids, min-distance
+    * code per (vector, subspace), written as 4 int columns PLUS the
+    * vector's coarse IVF cell ([[nearestCellStructAuto]] over the persisted
+    * coarse quantizer, zero extra shuffle) — the cell is both the
+    * candidate filter of the composed IVF+PQ query AND the decode key that
+    * picks the right ADC table, so (cell, codes) side by side is what
+    * lets the query run as a pure codes-scan with no float-vector read
+    * until rerank. Both quantizers are deterministic per-corpus, so the
+    * cell column can never go stale against the IVF store of the same
+    * fingerprint. Orphan fingerprints of the same corpus are GC'd like
+    * the IVF store. */
   def trainPq(spark: SparkSession, dir: String): Unit = {
     val emb = Tables.embeddings(spark, dir)
     val ivfCents = loadOrTrainCentroids(spark, dir)
+    val resid = emb.select(col("vec_id"),
+        nearestCellExpr(col("embedding"), ivfCents).as("cell"),
+        l2norm(col("embedding")).as("vn"))
+      .join(broadcast(coarseCentsDf(spark, ivfCents)), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("vn"), col("ccvec"), (x, y) => x - y).as("rv"))
     val cents: Seq[(Int, Int, Seq[Double])] =
       (0 until PqSub).flatMap { s =>
-        lloydL2Sub(emb, s, iters = 2).zipWithIndex.map { case (v, c) => (s, c, v) }
+        lloydL2Sub(resid, col("rv"), s, iters = 2).zipWithIndex.map { case (v, c) => (s, c, v) }
       }
     val path = pqStorePath(spark, dir)
     val centsDf = spark.createDataFrame(cents).toDF("s", "c", "cvec")
@@ -553,11 +579,9 @@ object Similarity {
     val centsB = broadcast(centsDf)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"), col("s")).orderBy(col("d").asc, col("c"))
-    val codesWide = emb.select(col("vec_id"),
-        nearestCellExpr(col("embedding"), ivfCents).as("cell"),
-        l2norm(col("embedding")).as("vn"))
+    val codesWide = resid
       .crossJoin(centsB)
-      .withColumn("d", sqdist(slice(col("vn"), col("s") * PqSubDim + 1, lit(PqSubDim)), col("cvec")))
+      .withColumn("d", sqdist(slice(col("rv"), col("s") * PqSubDim + 1, lit(PqSubDim)), col("cvec")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .groupBy(col("vec_id"), col("cell"))
@@ -565,6 +589,8 @@ object Similarity {
         (1 until PqSub).map(s =>
           max(when(col("s") === s, col("c"))).as(s"c$s")): _*)
     codesWide.write.mode("overwrite").parquet(path + "/codes")
+    spark.createDataFrame(Seq(Tuple1(PqVersion))).toDF("ver")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
     // GC superseded fingerprints of this corpus (corpusKey bans '-', so the
     // prefix can't match a sibling corpus whose dir extends this one)
     val cur = new org.apache.hadoop.fs.Path(path)
@@ -580,16 +606,22 @@ object Similarity {
 
   private def ensurePq(spark: SparkSession, dir: String): String = {
     val path = pqStorePath(spark, dir)
-    // an artifact from the pre-(cell, codes) layout lacks the cell column;
-    // retrain rather than serve a candidate side that can't cell-filter
+    // an artifact from an older layout (no cell column, or non-residual
+    // codes without the version marker) would silently decode garbage —
+    // retrain rather than serve it
     val ok = graft.serving.StorePaths.exists(spark, path + "/codes") &&
-      spark.read.parquet(path + "/codes").columns.contains("cell")
+      spark.read.parquet(path + "/codes").columns.contains("cell") &&
+      graft.serving.StorePaths.exists(spark, path + "/meta") &&
+      spark.read.parquet(path + "/meta").head().getInt(0) == PqVersion
     if (!ok) trainPq(spark, dir)
     path
   }
 
-  /** PQ/ADC approximate top-k: queries build a 4×16 distance table against
-    * the codebook (10×64 tiny rows), the corpus is scanned as CODES ONLY —
+  /** PQ/ADC approximate top-k: queries build a 4×16 distance table per
+    * coarse cell against the codebook (queries × cells × 64 tiny rows —
+    * the codes are residual-encoded, see [[trainPq]], so each candidate
+    * decodes through its own cell's table via a broadcast join on the
+    * stored cell), the corpus is scanned as CODES ONLY —
     * approx distance is four `element_at` array lookups per (candidate,
     * query), no per-pair float-vector math — and the top-`rerank` shortlist
     * is re-ranked with the exact native cosine against the float vectors.
@@ -609,12 +641,18 @@ object Similarity {
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         l2norm(col("embedding")).as("qn"))
-    // distance table: per (query, subspace) the 16 centroid distances,
-    // assembled into one array per subspace ordered by code
-    val dt = queries.crossJoin(broadcast(cents))
+    // distance table: per (query, CELL, subspace) the 16 centroid
+    // distances against the query's residual to that cell, assembled into
+    // one array per subspace ordered by code. Codes are residual-encoded,
+    // so decoding a candidate needs the table of ITS cell — the scan joins
+    // on the stored cell column (still a broadcast: queries × cells rows).
+    val dt = queries
+      .crossJoin(broadcast(coarseCentsDf(spark, loadOrTrainCentroids(spark, dir))))
+      .withColumn("qr", zip_with(col("qn"), col("ccvec"), (x, y) => x - y))
+      .crossJoin(broadcast(cents))
       .withColumn("d",
-        sqdist(slice(col("qn"), col("s") * PqSubDim + 1, lit(PqSubDim)), col("cvec")))
-    val dtab = dt.groupBy(col("query_id"))
+        sqdist(slice(col("qr"), col("s") * PqSubDim + 1, lit(PqSubDim)), col("cvec")))
+    val dtab = dt.groupBy(col("query_id"), col("cell"))
       .agg(first(col("qvec")).as("qvec"),
         (0 until PqSub).map { s =>
           transform(
@@ -624,7 +662,7 @@ object Similarity {
     val wA = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("adist").asc, col("neighbor_id"))
     val shortlist = codes.withColumnRenamed("vec_id", "neighbor_id")
-      .crossJoin(broadcast(dtab))
+      .join(broadcast(dtab), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("adist",
         (0 until PqSub).map(s => element_at(col(s"d$s"), col(s"c$s") + 1)).reduce(_ + _))
@@ -691,9 +729,15 @@ object Similarity {
         "embedding", nprobe, "cell")
       .select(col("cell"), col("vec_id").as("query_id"),
         col("embedding").as("qvec"), l2norm(col("embedding")).as("qn"))
-    val dtab = queries.crossJoin(broadcast(pqCents))
+    // ADC tables per (query, probed cell) against the query's residual to
+    // that cell — candidates in a cell were residual-encoded against the
+    // same centroid, so table and codes decode consistently
+    val dtab = queries
+      .join(broadcast(coarseCentsDf(spark, centroids)), Seq("cell"))
+      .withColumn("qr", zip_with(col("qn"), col("ccvec"), (x, y) => x - y))
+      .crossJoin(broadcast(pqCents))
       .withColumn("d",
-        sqdist(slice(col("qn"), col("s") * PqSubDim + 1, lit(PqSubDim)), col("cvec")))
+        sqdist(slice(col("qr"), col("s") * PqSubDim + 1, lit(PqSubDim)), col("cvec")))
       .groupBy(col("query_id"), col("cell"))
       .agg(first(col("qvec")).as("qvec"),
         (0 until PqSub).map { s =>

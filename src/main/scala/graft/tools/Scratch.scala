@@ -19,6 +19,7 @@ object Scratch {
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       if (explain) fn(spark, dir).explain("formatted")
+      if (sys.env.contains("SCRATCH_SHOW")) fn(spark, dir).show(50, truncate = false)
       val t0 = System.nanoTime()
       val n = fn(spark, dir).count()
       println(f"[scratch] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
