@@ -657,6 +657,68 @@ object TextAnalysis {
       |FROM tok JOIN freq USING (w) CROSS JOIN tot
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Bigram-LM fluency score per document (the KenLM-filter signal one
+    * rung up from [[textUnigramLogprob]]): Σ ln p(w₂|w₁) over the doc's
+    * adjacent token pairs, with p(w₂|w₁) = corpus bigram count / count of
+    * bigrams starting with w₁ — gibberish has plausible unigrams but
+    * improbable transitions, so this separates shuffled-word noise the
+    * unigram score cannot see. No smoothing: only observed bigrams are
+    * scored, so every ratio is a positive rational of two corpus counts
+    * (cross-engine exact before the ln; the per-element e4 rounding +
+    * LogGateMarginSpec margin discipline covers the ln itself).
+    *
+    * Shape: the classic two-pass LM scoring. Pass 1 builds the corpus
+    * bigram count table and PINS it (localCheckpoint — it is the "model"
+    * artifact of this query; left as lineage, the w₁-denominator branch
+    * and the scoring join would each rebuild it, and the plan would scan
+    * and re-window the token stream three times instead of two). The w₁
+    * denominators are then a cheap partial aggregate OF the pinned
+    * counts, and pass 2 rescans the documents once, joining both count
+    * sides (broadcast-able while the bigram vocabulary is small; Catalyst
+    * demotes to a shuffle join when it is not). Pairing is a lead(1)
+    * window per (doc_id, pos). Docs under 2 tokens have no bigrams and
+    * drop out in both engines. */
+  def textBigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .as(Seq("pos", "w")))
+      .withColumn("w2", lead(col("w"), 1).over(w))
+      .filter(col("w2").isNotNull)
+    val freq2 = bg.groupBy(col("w"), col("w2")).agg(count(lit(1)).as("cnt2"))
+      .localCheckpoint()
+    val freq1 = freq2.groupBy(col("w")).agg(sum(col("cnt2")).as("cnt1"))
+    bg.join(freq2, Seq("w", "w2")).join(freq1, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(round(log(col("cnt2").cast("double") / col("cnt1")) * 10000).cast("long"))
+          .as("sum_logprob_e4"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textBigramLogprobSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS b
+      |  FROM tok WHERE len(ws) >= 2
+      |), freq2 AS (
+      |  SELECT b, count(*) AS cnt2 FROM bg GROUP BY 1
+      |), freq1 AS (
+      |  SELECT split_part(b, ' ', 1) AS w1, CAST(sum(cnt2) AS BIGINT) AS cnt1
+      |  FROM freq2 GROUP BY 1
+      |)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(CAST(round(ln(cnt2::DOUBLE / cnt1) * 10000, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_logprob_e4
+      |FROM bg JOIN freq2 USING (b)
+      |JOIN freq1 ON split_part(b, ' ', 1) = w1
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Hashed-feature importance weight per document (DSIR-style data
     * selection): score(d) = Σ_tokens ln(p_target(bucket) / p_raw(bucket)),
     * where token buckets are a 512-bucket hash of the word and the two
@@ -974,6 +1036,7 @@ object TextAnalysis {
     "corpus_dedup_spans" -> (corpusDedupSpans _),
     "corpus_dsir"      -> (corpusDsir _),
     "text_unigram_logprob" -> (textUnigramLogprob _),
+    "text_bigram_logprob" -> (textBigramLogprob _),
     "corpus_sample"    -> (corpusSample _),
     "corpus_mix"       -> (corpusMix _),
     "corpus_mix_a3"    -> ((s, d) => corpusMixTempered(Tables.documents(s, d), 3)),
@@ -998,6 +1061,7 @@ object TextAnalysis {
     "corpus_dedup_spans" -> corpusDedupSpansSql,
     "corpus_dsir"      -> corpusDsirSql,
     "text_unigram_logprob" -> textUnigramLogprobSql,
+    "text_bigram_logprob" -> textBigramLogprobSql,
     "corpus_sample"    -> corpusSampleSql,
     "corpus_mix"       -> corpusMixSql,
     "corpus_mix_a3"    -> corpusMixTemperedSql(3),

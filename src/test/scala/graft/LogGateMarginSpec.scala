@@ -38,6 +38,29 @@ class LogGateMarginSpec extends SparkSpecBase {
     }
   }
 
+  test("bigram-logprob ln margins hold for every gate-corpus count pair") {
+    for (dir <- dirs) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bg = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          posexplode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+            .as(Seq("pos", "w")))
+        .withColumn("w2", lead(col("w"), 1).over(w))
+        .filter(col("w2").isNotNull)
+      val freq2 = bg.groupBy(col("w"), col("w2")).count()
+        .withColumnRenamed("count", "cnt2")
+      val pairs = freq2.groupBy(col("w")).agg(sum(col("cnt2")).as("cnt1"))
+        .join(freq2, "w")
+        .select(col("cnt2"), col("cnt1")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.nonEmpty)
+      pairs.foreach { case (c2, c1) =>
+        assertMargin(math.log(c2.toDouble / c1) * 10000.0, s"ln($c2/$c1)*1e4 ($dir)")
+      }
+    }
+  }
+
   test("dsir ln margins hold for every gate-corpus bucket ratio") {
     for (dir <- dirs) {
       val tok = Tables.documents(spark, dir).select(col("lang"),

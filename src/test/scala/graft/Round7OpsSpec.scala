@@ -14,6 +14,24 @@ class Round7OpsSpec extends SparkSpecBase {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("text_bigram_logprob: n_bigrams = n_toks - 1, scores non-positive, flags shuffled transitions") {
+    val dir = "/root/testdata/sf0.001"
+    val bi = graft.operators.TextAnalysis.textBigramLogprob(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_logprob_e4"))).toMap
+    val uni = graft.operators.TextAnalysis.textUnigramLogprob(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_toks")).toMap
+    // every doc with >=2 tokens appears, with exactly n_toks-1 adjacent pairs
+    val multi = uni.filter(_._2 >= 2)
+    assert(multi.nonEmpty && bi.keySet == multi.keySet)
+    multi.foreach { case (d, nt) => assert(bi(d)._1 == nt - 1, s"doc $d") }
+    // each element is round(ln(p)*1e4) with p <= 1, so every sum is <= 0
+    assert(bi.values.forall(_._2 <= 0L))
+    // a deterministic chain scores 0; real prose does not: at least one doc
+    // must have strictly negative transitions or the signal is vacuous
+    assert(bi.values.exists(_._2 < 0L))
+  }
+
   test("events_rfm buckets quartiles from broadcast thresholds, no analytic window") {
     // 8 users: user u has u events on 2024-01-(10+u), value u*10; only even
     // users purchase. Distinct r/f/m values per user make bucketing total.
