@@ -1,0 +1,256 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Corpus-level statistical signals beyond [[TextAnalysis]]: character
+  * entropy, TF-IDF term salience, PMI collocations and winnowing
+  * fingerprints. All ln-based gate columns follow the repo's e4 discipline
+  * — round each ln to integral 1e-4 units BEFORE any sum (integer sums are
+  * order-independent), with LogGateMarginSpec pinning a ≥1e-6 margin from
+  * every .5 rounding boundary the gate corpora actually evaluate. */
+object CorpusStats {
+
+  private val word = "[a-z0-9]+"
+
+  /** Per-doc character-level Shannon entropy over [a-z0-9] characters —
+    * the cheap gibberish/compressibility signal (base64 blobs and
+    * keyboard-mash score far from prose). Gate columns are exact integers:
+    * entropy_num_e4 = Σ_c cnt_c · round(ln(n/cnt_c)·1e4), so per-char
+    * entropy = entropy_num_e4 / n_alnum / 1e4.
+    *
+    * Plan shape: explode chars → groupBy(doc, char) with map-side combine
+    * (the heavy exchange moves ~36 rows per doc, not one per char), then
+    * the per-doc total as a window over the SAME aggregate — deliberately
+    * NOT a pre-shuffle repartition(doc_id): that would satisfy both keys
+    * with one exchange but ship every raw char row through it, trading a
+    * ~n_chars/36-fold combine for one saved exchange of tiny count rows. */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame =
+    textEntropyOf(Tables.documents(spark, dir))
+
+  def textEntropyOf(docs: DataFrame): DataFrame = {
+    val cnts = docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]"), lit(0))).as("c"))
+      .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("doc_id"))
+    cnts.withColumn("n", sum(col("cnt")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("cnt")).as("n_alnum"),
+        sum(col("cnt") *
+          round(log(col("n").cast("double") / col("cnt")) * 10000).cast("long"))
+          .as("entropy_num_e4"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textEntropySql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]')) AS c
+      |  FROM documents
+      |), cnts AS (
+      |  SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n FROM cnts GROUP BY 1
+      |)
+      |SELECT doc_id, count(*) AS n_distinct, CAST(sum(cnt) AS BIGINT) AS n_alnum,
+      |  CAST(sum(cnt * CAST(round(ln(n::DOUBLE / cnt) * 10000, 0) AS BIGINT)) AS BIGINT)
+      |    AS entropy_num_e4
+      |FROM cnts JOIN tot USING (doc_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Top-5 TF-IDF terms per document — the classic term-salience /
+    * keyword-extraction signal. score_e4 = tf · round(ln(N/df)·1e4) is
+    * exact integer math once the idf is e4-rounded (margin-pinned);
+    * ties break on the term itself, so the top-5 is total-ordered.
+    *
+    * Plan shape: tf = groupBy(doc, term) with map-side combine; df is a
+    * partial aggregate OF tf (never a second corpus scan); N is a
+    * single-row count broadcast under the scored rows. The tf ⋈ df join is
+    * vocabulary-sized on the right — broadcast-able while the vocab fits,
+    * and Catalyst demotes to shuffle when it does not. The final top-5 is
+    * a row_number over doc_id partitions of the already-aggregated tf
+    * relation (≪ token stream). */
+  def corpusTfidfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs.select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit(word), lit(0))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfr, "w").crossJoin(broadcast(nDocs))
+      .withColumn("idf_e4",
+        round(log(col("n_docs").cast("double") / col("df")) * 10000).cast("long"))
+      .withColumn("score_e4", col("tf") * col("idf_e4"))
+    val wTop = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_e4").desc, col("w"))
+    scored.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 5)
+      .select(col("doc_id"), col("rn").cast("long").as("rn"), col("w"),
+        col("tf"), col("df"), col("score_e4"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  val corpusTfidfTopkSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2
+      |), df AS (
+      |  SELECT w, count(*) AS df FROM tf GROUP BY 1
+      |), nd AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT doc_id, rn, w, tf, df, score_e4 FROM (
+      |  SELECT doc_id, w, tf, df,
+      |    tf * CAST(round(ln(n_docs::DOUBLE / df) * 10000, 0) AS BIGINT) AS score_e4,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY tf * CAST(round(ln(n_docs::DOUBLE / df) * 10000, 0) AS BIGINT) DESC, w) AS rn
+      |  FROM tf JOIN df USING (w) CROSS JOIN nd)
+      |WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin
+
+  /** Top-20 corpus collocations by pointwise mutual information over
+    * adjacent word pairs (c12 ≥ 3): pmi = ln(c12·N / (c1·c2)) with all
+    * four counts taken from the bigram table itself (c1/c2 = left/right
+    * marginals), so the ln argument is an exact rational of BIGINTs and
+    * the double products (< 2^53 at gate scale) evaluate identically in
+    * both engines. Every c12 ≥ 3 row's pmi is margin-pinned — a rounding
+    * flip anywhere in the filtered set could reorder the top-20 boundary,
+    * not just the 20 output rows.
+    *
+    * Plan shape: ONE bigram count aggregate, pinned (localCheckpoint) —
+    * the marginals and the total are partial aggregates OF it, never a
+    * token-stream rescan; the marginal joins are vocabulary-sized. The
+    * top-20 rides TakeOrdered (per-partition heap + driver merge), never
+    * a global sort. */
+  def corpusPmiTopk(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(lower(col("text")), lit(word), lit(0)))
+          .as(Seq("pos", "w")))
+      .withColumn("w2", lead(col("w"), 1).over(wOrd))
+      .filter(col("w2").isNotNull)
+      .select(col("w").as("w1"), col("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val left  = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val right = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val tot   = c12.agg(sum(col("c12")).as("n_bg"))
+    c12.filter(col("c12") >= 3)
+      .join(left, "w1").join(right, "w2").crossJoin(broadcast(tot))
+      .withColumn("pmi_e4",
+        round(log((col("c12").cast("double") * col("n_bg")) /
+          (col("c1").cast("double") * col("c2"))) * 10000).cast("long"))
+      .select(col("w1"), col("w2"), col("c12"), col("pmi_e4"))
+      .orderBy(col("pmi_e4").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  val corpusPmiTopkSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+      |), bg AS (
+      |  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS b
+      |  FROM tok WHERE len(ws) >= 2
+      |), c12 AS (
+      |  SELECT b, count(*) AS c12 FROM bg GROUP BY 1
+      |), sp AS (
+      |  SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2, c12 FROM c12
+      |), l AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM sp GROUP BY 1),
+      |r AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM sp GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c12) AS BIGINT) AS n_bg FROM c12)
+      |SELECT w1, w2, c12,
+      |  CAST(round(ln((c12::DOUBLE * n_bg) / (c1::DOUBLE * c2)) * 10000, 0) AS BIGINT)
+      |    AS pmi_e4
+      |FROM sp JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
+      |WHERE c12 >= 3
+      |ORDER BY pmi_e4 DESC, w1, w2 LIMIT 20""".stripMargin
+
+  /** Winnowing fingerprints per document (the MOSS scheme, Schleimer et
+    * al. SIGMOD'03): hash every word 5-gram, slide a 4-gram window, keep
+    * each window's minimum hash, dedupe — guaranteeing any shared run of
+    * ≥ 8 words contributes a shared fingerprint while storing ~2/(w+1) of
+    * the grams. The gram hash is md5 over the space-joined words (the
+    * cross-engine hash [[TextAnalysis.corpusDedupSpansOf]] established);
+    * min over fixed-width lowercase hex = numeric min, engine-exact.
+    *
+    * Plan shape: everything — gram build (lead), window min, full-window
+    * guard, distinct, per-doc aggregate — partitions by doc_id, so the
+    * exploded token stream is exchanged ONCE and every later step reuses
+    * the sort order the first window imposed. Output is one row per doc
+    * (n_fp + order-canonical set hash), never the fingerprint set itself. */
+  def textWinnow(spark: SparkSession, dir: String): DataFrame =
+    textWinnowOf(Tables.documents(spark, dir))
+
+  def textWinnowOf(docs: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tok = docs.select(col("doc_id"),
+      posexplode(regexp_extract_all(lower(col("text")), lit(word), lit(0)))
+        .as(Seq("pos", "w")))
+    val gramParts = col("w") +: (1 until 5).map(i => lead(col("w"), i).over(wOrd))
+    val grams = tok.withColumn("gram",
+        when(lead(col("w"), 4).over(wOrd).isNotNull,
+          md5(concat_ws(" ", gramParts: _*).cast("binary"))))
+      .filter(col("gram").isNotNull)
+    val sel = grams
+      .withColumn("fp", min(col("gram")).over(wOrd.rowsBetween(0, 3)))
+      .withColumn("g3", lead(col("gram"), 3).over(wOrd))
+      .filter(col("g3").isNotNull)
+      .select(col("doc_id"), col("fp")).distinct()
+    val agg = sel.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        md5(concat_ws(" ", array_sort(collect_list(col("fp")))).cast("binary"))
+          .as("fp_set_hash"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("fp_set_hash"), md5(lit("").cast("binary"))).as("fp_set_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textWinnowSql: String = {
+    val leads = (1 to 4).map(i => s"lead(w, $i) OVER wd").mkString(", ")
+    s"""WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+      |), tok AS (
+      |  SELECT doc_id, unnest(ws) AS w, unnest(range(0, len(ws))) AS pos FROM tk
+      |), gram AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN lead(w, 4) OVER wd IS NOT NULL
+      |         THEN md5(concat_ws(' ', w, $leads)) END AS gram
+      |  FROM tok WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)
+      |), g AS (
+      |  SELECT doc_id, pos, gram FROM gram WHERE gram IS NOT NULL
+      |), sel AS (
+      |  SELECT DISTINCT doc_id, fp FROM (
+      |    SELECT doc_id,
+      |      min(gram) OVER (PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+      |      lead(gram, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS g3
+      |    FROM g) WHERE g3 IS NOT NULL
+      |), agg AS (
+      |  SELECT doc_id, count(*) AS n_fp,
+      |    md5(string_agg(fp, ' ' ORDER BY fp)) AS fp_set_hash
+      |  FROM sel GROUP BY 1
+      |)
+      |SELECT d.doc_id, coalesce(a.n_fp, 0) AS n_fp,
+      |  coalesce(a.fp_set_hash, md5('')) AS fp_set_hash
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy"      -> (textEntropy _),
+    "corpus_tfidf_topk" -> (corpusTfidfTopk _),
+    "corpus_pmi_topk"   -> (corpusPmiTopk _),
+    "text_winnow"       -> (textWinnow _))
+
+  val oracle: Map[String, String] = Map(
+    "text_entropy"      -> textEntropySql,
+    "corpus_tfidf_topk" -> corpusTfidfTopkSql,
+    "corpus_pmi_topk"   -> corpusPmiTopkSql,
+    "text_winnow"       -> textWinnowSql)
+}

