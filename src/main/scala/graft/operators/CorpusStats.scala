@@ -74,8 +74,10 @@ object CorpusStats {
     * and Catalyst demotes to shuffle when it does not. The final top-5 is
     * a row_number over doc_id partitions of the already-aggregated tf
     * relation (≪ token stream). */
-  def corpusTfidfTopk(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def corpusTfidfTopk(spark: SparkSession, dir: String): DataFrame =
+    corpusTfidfTopkOf(Tables.documents(spark, dir))
+
+  def corpusTfidfTopkOf(docs: DataFrame): DataFrame = {
     val tf = docs.select(col("doc_id"),
         explode(regexp_extract_all(lower(col("text")), lit(word), lit(0))).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
@@ -125,9 +127,12 @@ object CorpusStats {
     * token-stream rescan; the marginal joins are vocabulary-sized. The
     * top-20 rides TakeOrdered (per-partition heap + driver merge), never
     * a global sort. */
-  def corpusPmiTopk(spark: SparkSession, dir: String): DataFrame = {
+  def corpusPmiTopk(spark: SparkSession, dir: String): DataFrame =
+    corpusPmiTopkOf(Tables.documents(spark, dir))
+
+  def corpusPmiTopkOf(docs: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bg = Tables.documents(spark, dir)
+    val bg = docs
       .select(col("doc_id"),
         posexplode(regexp_extract_all(lower(col("text")), lit(word), lit(0)))
           .as(Seq("pos", "w")))

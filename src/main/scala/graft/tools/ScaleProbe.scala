@@ -220,6 +220,18 @@ object ScaleProbe {
       graft.operators.Analytics.eventsActiveUsersOf(ev).count())
     time(s"events_inter_arrival x$k")(
       graft.operators.Analytics.eventsInterArrivalOf(ev).count())
+    // agg over the gate columns, not count(): a bare count() lets Catalyst
+    // prune the entropy sums / fingerprint hashes the probe exists to time
+    time(s"text_entropy x$k")(
+      graft.operators.CorpusStats.textEntropyOf(docs)
+        .agg(sum(col("entropy_num_e4"))).collect().head.getLong(0))
+    time(s"corpus_tfidf x$k")(
+      graft.operators.CorpusStats.corpusTfidfTopkOf(docs).count())
+    time(s"corpus_pmi x$k")(
+      graft.operators.CorpusStats.corpusPmiTopkOf(docs).count())
+    time(s"text_winnow x$k")(
+      graft.operators.CorpusStats.textWinnowOf(docs)
+        .agg(sum(col("n_fp"))).collect().head.getLong(0))
 
     spark.stop()
   }

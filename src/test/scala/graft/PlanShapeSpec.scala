@@ -302,6 +302,66 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("multi-join trio: single-scan facts, pushed filters, native anti-join") {
+    withoutAqe {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val nv = graft.operators.AnalyticsJoins.qNationVolume(spark, sfDir)
+        .queryExecution.executedPlan
+      val nvScans = nv.collect { case s: FileSourceScanExec => s }
+      // li + supp + nation(×2 roles) + orders + cust — each table read once
+      assert(nvScans.size == 6, s"expected 6 scans, got ${nvScans.size}")
+      val liScan = nvScans.find(_.schema.fieldNames.contains("l_extendedprice")).get
+      assert(liScan.schema.fieldNames.length == 5,
+        s"lineitem scan must prune to 5 columns, read ${liScan.schema.fieldNames.mkString(",")}")
+
+      val ca = graft.operators.AnalyticsJoins.qCorrelatedAgg(spark, sfDir)
+        .queryExecution.executedPlan
+      // the groupBy+join-back decorrelation scans lineitem twice; the
+      // window form must keep exactly one fact scan and one window
+      assert(ca.collect { case s: FileSourceScanExec => s }.size == 2,
+        "q_correlated_agg must scan lineitem once and part once")
+      assert(ca.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }.size == 1)
+
+      val aa = graft.operators.AnalyticsJoins.qAntiAgg(spark, sfDir)
+        .queryExecution.executedPlan
+      val anti = aa.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+      }
+      assert(anti.nonEmpty, "q_anti_agg must plan a native anti-join")
+      assert(aa.toString.contains("EqualTo(o_orderpriority,1-URGENT)"),
+        "the priority filter must push down to the orders scan")
+    }
+  }
+
+  test("corpus-stat plans: entropy two-phase combine, winnow one token exchange") {
+    withoutAqe {
+      val ent = graft.operators.CorpusStats.textEntropy(spark, sfDir)
+        .queryExecution.executedPlan
+      val entHash = ent.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }.filter(_.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+      // (doc,char) groupBy with map-side combine, then the doc_id window —
+      // a raw-char repartition(doc_id) would show one exchange but ship
+      // every char row through it
+      assert(entHash.size == 2, s"expected 2 hash exchanges, got ${entHash.size}")
+
+      val win = graft.operators.CorpusStats.textWinnow(spark, sfDir)
+        .queryExecution.executedPlan
+      val winHash = win.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }.filter(_.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+      // gram build, both windows, distinct and the per-doc aggregate must
+      // all ride the ONE doc_id exchange of the exploded token stream
+      assert(winHash.size == 1, s"expected 1 hash exchange, got ${winHash.size}")
+      assert(win.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }.size == 2)
+    }
+  }
+
   test("dedup_semantic assigns cells with zero shuffle (no window, no vec_id exchange)") {
     withoutAqe {
       val emb = (1L to 50L)
