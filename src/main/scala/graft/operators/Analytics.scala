@@ -1144,6 +1144,43 @@ object Analytics {
       |FROM g WHERE gap_s IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Cohort lifetime-value triangle: purchase revenue by (first-purchase
+    * cohort, age-since-first-purchase) — THE subscription/retention
+    * revenue report. Day grain here because the gate corpus spans one
+    * month (month-grain is the same plan with a different trunc). The
+    * cohort label is a min-over-user-partition window; the (cohort, age)
+    * rollup then re-groups what that one user_id exchange produced.
+    * Revenue is per-row integral cents (2-dp data contract), so every
+    * engine sums BIGINTs; the age is a whole-day difference of two DATE
+    * casts — exact integers. n_users is a per-(cohort, age) distinct
+    * count — the expand-based two-phase distinct, not a second scan. */
+  def eventsCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("v_e2"))
+      .withColumn("cohort_day", min(col("ts")).over(w).cast("date"))
+      .groupBy(col("cohort_day"),
+        datediff(col("ts").cast("date"), col("cohort_day"))
+          .cast("long").as("age_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_purchases"),
+        sum(col("v_e2")).as("revenue_e2"))
+      .orderBy(col("cohort_day"), col("age_days"))
+  }
+
+  val eventsCohortLtvSql: String =
+    """WITH p AS (
+      |  SELECT user_id, ts, CAST(round(value * 100, 0) AS BIGINT) AS v_e2,
+      |    CAST(min(ts) OVER (PARTITION BY user_id) AS DATE) AS cohort_day
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT cohort_day,
+      |  CAST(datediff('day', cohort_day, CAST(ts AS DATE)) AS BIGINT) AS age_days,
+      |  count(DISTINCT user_id) AS n_users, count(*) AS n_purchases,
+      |  CAST(sum(v_e2) AS BIGINT) AS revenue_e2
+      |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
     "q3_topk"           -> (q3Topk _),
@@ -1180,6 +1217,7 @@ object Analytics {
     "q_argmin_join"     -> (qArgminJoin _),
     "events_active_users" -> (eventsActiveUsers _),
     "events_inter_arrival" -> (eventsInterArrival _),
+    "events_cohort_ltv" -> (eventsCohortLtv _),
     "events_rfm"        -> (eventsRfm _),
     "q_rank_funcs"      -> (qRankFuncs _))
 
@@ -1217,6 +1255,7 @@ object Analytics {
     "q_argmin_join"     -> qArgminJoinSql,
     "events_active_users" -> eventsActiveUsersSql,
     "events_inter_arrival" -> eventsInterArrivalSql,
+    "events_cohort_ltv" -> eventsCohortLtvSql,
     "events_rfm"        -> eventsRfmSql,
     "q_rank_funcs"      -> qRankFuncsSql)
 }

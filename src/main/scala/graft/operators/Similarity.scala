@@ -1035,7 +1035,62 @@ object Similarity {
       |  CAST(round(CAST(sum(q) AS DOUBLE) / count(*), 0) AS BIGINT) AS mean_e3
       |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Upper-triangle covariance numerators of the embedding corpus — the
+    * one-pass distributed Gram/covariance computation that feeds PCA/OPQ
+    * rotation training and whitening. Embeddings are e3-quantized per
+    * element (the [[embedQuantize]] boundary-exact discipline), so every
+    * sum is BIGINT and cov_num = n·Σxy − Σx·Σy is exact integer algebra —
+    * cov(i,j) = cov_num / (n·(n−1)) / 1e6 up to the sample/population
+    * convention. (At n ≳ 1e8 vectors the n·Σxy product would need the
+    * centered double form; the quantized form is the cross-engine gate.)
+    *
+    * Plan shape: NO self-join — each vector explodes to its 2080
+    * upper-triangle pairs via two chained generators (the outer keeps the
+    * quantized array as a materialized attribute, so nothing re-derives
+    * per element), and the partial aggregate collapses each task to ≤2080
+    * rows BEFORE the only exchange. A vec_id self-join formulation would
+    * shuffle 64×|corpus| rows twice to produce the same pairs. */
+  def embedCovariance(spark: SparkSession, dir: String): DataFrame =
+    embedCovarianceOf(Tables.embeddings(spark, dir))
+
+  def embedCovarianceOf(emb: DataFrame): DataFrame = {
+    val q = emb.select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("q"))
+    val ei = q.select(col("q"), posexplode(col("q")).as(Seq("i", "xi")))
+    val pairs = ei.select(col("i"), col("xi"),
+        posexplode(slice(col("q"), col("i") + 1, size(col("q")) - col("i")))
+          .as(Seq("joff", "xj")))
+      .select(col("i").cast("long").as("i"),
+        (col("i") + col("joff")).cast("long").as("j"), col("xi"), col("xj"))
+    pairs.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("xi")).as("sum_i"),
+        sum(col("xj")).as("sum_j"), sum(col("xi") * col("xj")).as("sum_xy"))
+      .withColumn("cov_num",
+        col("n") * col("sum_xy") - col("sum_i") * col("sum_j"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val embedCovarianceSql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS q
+      |  FROM embeddings
+      |), e AS (
+      |  SELECT vec_id, q, i, q[i + 1] AS xi
+      |  FROM q, unnest(range(0, len(q))) AS t(i)
+      |), p AS (
+      |  SELECT CAST(i AS BIGINT) AS i, CAST(i + joff AS BIGINT) AS j,
+      |    xi, q[i + joff + 1] AS xj
+      |  FROM e, unnest(range(0, len(q) - i)) AS t2(joff)
+      |)
+      |SELECT i, j, count(*) AS n,
+      |  CAST(sum(xi) AS BIGINT) AS sum_i, CAST(sum(xj) AS BIGINT) AS sum_j,
+      |  CAST(sum(xi * xj) AS BIGINT) AS sum_xy,
+      |  CAST(count(*) * sum(xi * xj) - sum(xi) * sum(xj) AS BIGINT) AS cov_num
+      |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_covariance" -> (embedCovariance _),
     "embed_quantize"  -> (embedQuantize _),
     "embed_centroid_stats" -> (embedCentroidStats _),
     "knn_brute"       -> (knnBrute _),
@@ -1053,5 +1108,6 @@ object Similarity {
     * whose per-element arithmetic is boundary-exact in both engines. */
   val oracle: Map[String, String] = Map(
     "embed_quantize" -> embedQuantizeSql,
-    "embed_centroid_stats" -> embedCentroidStatsSql)
+    "embed_centroid_stats" -> embedCentroidStatsSql,
+    "embed_covariance" -> embedCovarianceSql)
 }

@@ -185,6 +185,40 @@ class Round7OpsSpec extends SparkSpecBase {
     assert(fps.distinct.length == 2)
   }
 
+  test("embed_covariance: hand-checked 2-d case, non-negative variances, full triangle") {
+    val emb = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.embedCovarianceOf(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getAs[Long]("sum_xy"), r.getAs[Long]("cov_num")))).toMap
+    // q = [1000,0] and [0,1000]: var(0)=var(1)=2e6-1e6=1e6, cov(0,1)=-1e6
+    assert(got == Map(
+      (0L, 0L) -> ((2L, 1000000L, 1000000L)),
+      (0L, 1L) -> ((2L, 0L, -1000000L)),
+      (1L, 1L) -> ((2L, 1000000L, 1000000L))))
+    val real = graft.operators.Similarity.embedCovariance(spark, sfDir).collect()
+    assert(real.length == 64 * 65 / 2, "full upper triangle")
+    assert(real.filter(r => r.getLong(0) == r.getLong(1))
+      .forall(_.getAs[Long]("cov_num") >= 0L), "variances must be non-negative")
+  }
+
+  test("events_cohort_ltv: age-0 users cover every purchaser, revenue reconciles") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Analytics.eventsCohortLtv(spark, dir).collect()
+    assert(out.forall(_.getAs[Long]("age_days") >= 0L))
+    val purchases = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+    val totUsers = purchases.select(col("user_id")).distinct().count()
+    val age0Users = out.filter(_.getAs[Long]("age_days") == 0L)
+      .map(_.getAs[Long]("n_users")).sum
+    // every purchaser's FIRST purchase is an age-0 row of its own cohort
+    assert(age0Users == totUsers)
+    val totRev = purchases
+      .agg(sum(round(col("value") * 100).cast("long"))).collect()(0).getLong(0)
+    assert(out.map(_.getAs[Long]("revenue_e2")).sum == totRev)
+    assert(out.map(_.getAs[Long]("n_purchases")).sum == purchases.count())
+  }
+
   test("events_rfm buckets quartiles from broadcast thresholds, no analytic window") {
     // 8 users: user u has u events on 2024-01-(10+u), value u*10; only even
     // users purchase. Distinct r/f/m values per user make bucketing total.
