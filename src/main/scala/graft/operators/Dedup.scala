@@ -72,6 +72,54 @@ object Dedup {
       |FROM corp c JOIN bench b ON c.s = b.s
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Bloom-filter decontamination — the 100 TB form of
+    * [[corpusDecontaminate]]: the benchmark's word 5-gram shingles fold
+    * into an m-bit Bloom filter (k=5 xxhash64 probes per shingle, bit
+    * words OR-combined by a distributed bit_or aggregate), and the corpus
+    * side probes that ~KB artifact as a BROADCAST LITERAL — a pure
+    * projection, no join, no shuffle of benchmark shingles at all. At
+    * scale this replaces the GB-sized benchmark shingle side of the exact
+    * inverted-index join with k array lookups per corpus shingle; the
+    * price is false positives, bounded by the classic (1−e^(−kn/m))^k and
+    * spec-pinned (BloomDecontaminateSpec): flagged ⊇ exact-contaminated
+    * ALWAYS (no false negatives — Bloom guarantee), observed doc-level
+    * FPR under 5%. m adapts to the benchmark (≥16 bits/shingle, pow-2).
+    *
+    * Rows-only gate: xxhash64 is not replayable in DuckDB; the exact
+    * sibling [[corpusDecontaminate]] (same shingle pipeline, same
+    * benchmark split) is the oracle-gated twin, and the superset spec
+    * ties this operator to it on every gate corpus. */
+  def corpusBloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val K = 5
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(hashedNgrams(col("text"), 5))).as("s"))
+    val bench = sh.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val nBench = bench.count()
+    val m = math.max(1 << 14, java.lang.Long.highestOneBit(16 * math.max(nBench, 1L)) << 1)
+    // build: k bit positions per benchmark shingle, OR-folded into m/64
+    // words by a distributed aggregate; the collect is the finished
+    // artifact (m/64 longs, KBs) — the centroid-training discipline
+    val posCols = (0 until K).map(i => pmod(xxhash64(col("s"), lit(i)), lit(m)))
+    val words = bench.select(explode(array(posCols: _*)).as("pos"))
+      .select(floor(col("pos") / 64).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), pmod(col("pos"), lit(64)).cast("int")).as("mask"))
+      .groupBy(col("w")).agg(bit_or(col("mask")).as("bits"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bloom = Array.tabulate((m / 64).toInt)(i => words.getOrElse(i, 0L))
+    val bloomLit = typedLit(bloom.toSeq)
+    // probe: all k bits set ⇒ flagged; a pure projection over the corpus
+    // scan — membership never joins, the only exchange is the doc_id agg
+    val hit = (0 until K).map { i =>
+      val pos = pmod(xxhash64(col("s"), lit(i)), lit(m))
+      (element_at(bloomLit, floor(pos / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), pmod(pos, lit(64)).cast("int")))) =!= 0L
+    }.reduce(_ && _)
+    sh.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .filter(hit)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_flagged_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact dedup: md5 groupBy, keep the smallest doc_id of each clone set. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -429,7 +477,8 @@ object Dedup {
     "dedup_simhash"  -> (dedupSimhash _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_incremental" -> (dedupIncremental _),
-    "corpus_decontaminate" -> (corpusDecontaminate _))
+    "corpus_decontaminate" -> (corpusDecontaminate _),
+    "corpus_bloom_decontaminate" -> (corpusBloomDecontaminate _))
 
   val oracle: Map[String, String] = Map(
     "dedup_exact"    -> dedupExactSql,
