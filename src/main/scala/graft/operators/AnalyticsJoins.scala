@@ -170,13 +170,410 @@ object AnalyticsJoins {
       |    WHERE o.o_custkey = cust.c_custkey AND o.o_orderpriority = '1-URGENT')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** TPC-H-Q14-shaped promo revenue share by ship month: what fraction of
+    * each month's revenue came from PROMO-type parts.
+    *
+    * Plan shape: the part dim carries only (partkey, is-promo bit) into a
+    * broadcast hash join — the conditional aggregate rides the ONE
+    * monthly groupBy exchange, so the whole query is scan → broadcast
+    * join → partial agg → final agg. Both gate sums are exact BIGINT
+    * (rev_e4 integrality per [[revE4]]); the ratio gate share_bp rounds
+    * an exact-integer quotient — IEEE division and HALF_UP rounding are
+    * bit-identical cross-engine for integer inputs (no pow/ln anywhere),
+    * and double-rounding keeps working past the 2^53 sum range where an
+    * integer ×10000 cross-multiplication would ANSI-overflow. */
+  def qPromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val promoBit = Tables.part(spark, dir)
+      .select(col("p_partkey"), (col("p_type") === "PROMO").cast("long").as("is_promo"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), revE4,
+        year(col("l_shipdate")).cast("long").as("ship_year"),
+        month(col("l_shipdate")).cast("long").as("ship_month"))
+      .join(broadcast(promoBit), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("ship_year"), col("ship_month"))
+      .agg(sum(col("rev_e4") * col("is_promo")).as("promo_e4"),
+        sum(col("rev_e4")).as("total_e4"))
+      .withColumn("share_bp",
+        round(col("promo_e4") * lit(10000.0) / col("total_e4"), 0).cast("long"))
+      .orderBy(col("ship_year"), col("ship_month"))
+  }
+
+  val qPromoShareSql: String =
+    """WITH li AS (
+      |  SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+      |    CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+      |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+      |      (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_e4,
+      |    CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |), m AS (
+      |  SELECT ship_year, ship_month,
+      |    CAST(sum(rev_e4 * is_promo) AS BIGINT) AS promo_e4,
+      |    CAST(sum(rev_e4) AS BIGINT) AS total_e4
+      |  FROM li GROUP BY 1, 2
+      |)
+      |SELECT ship_year, ship_month, promo_e4, total_e4,
+      |  CAST(round(promo_e4 * 10000.0 / total_e4, 0) AS BIGINT) AS share_bp
+      |FROM m ORDER BY 1, 2""".stripMargin
+
+  /** TPC-H-Q15-shaped top supplier: the supplier(s) with maximum revenue
+    * in a fixed quarter, ties kept.
+    *
+    * The revenue CTE aggregates once (the only fact exchange — the date
+    * filter is pushed to the scan and prunes ~96% of lineitem first);
+    * the scalar max re-enters as a one-row broadcast under every
+    * supplier total (crossJoin(broadcast) — same decorrelation as
+    * [[qAntiAgg]], NOT a single-partition window, which would funnel all
+    * totals through one task), and the name lookup broadcasts the
+    * supplier dim. At any scale the post-agg side is |suppliers| rows,
+    * never fact-sized. */
+  def qTopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) >= lit("1996-01-01"))
+      .filter(to_date(col("l_shipdate")) < lit("1996-04-01"))
+      // explicit so BOTH consumers of rev (totals and scalar max) see the
+      // byte-identical agg subtree: the name join would push this IsNotNull
+      // into only its own branch, splitting the subtrees and defeating
+      // ReuseExchange — with it shared, the fact is scanned ONCE
+      .filter(col("l_suppkey").isNotNull)
+      .select(col("l_suppkey"), revE4)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("rev_e4")).as("total_rev_e4"))
+    val mx = rev.agg(max(col("total_rev_e4")).as("max_rev_e4"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev_e4") === col("max_rev_e4"))
+      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_e4"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val qTopSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+      |      (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS total_rev_e4
+      |  FROM lineitem
+      |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+      |  GROUP BY 1
+      |)
+      |SELECT s.s_suppkey, s.s_name, r.total_rev_e4
+      |FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+      |WHERE r.total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+      |ORDER BY s.s_suppkey""".stripMargin
+
+  /** TPC-H-Q19-shaped disjunctive-predicate revenue: three OR'd
+    * (brand, size-range, quantity-range) branches, each tying a part
+    * attribute to a lineitem attribute, per brand.
+    *
+    * The interesting plan property is what Catalyst does with the OR:
+    * the part-only disjunction (brand ∈ {12,23,3} with its size range)
+    * is inferred and pushed to the part scan, shrinking the broadcast to
+    * the union of the three branches BEFORE the join; the mixed
+    * part×lineitem conjuncts stay as the post-join filter. A hand-rolled
+    * three-scan UNION would read the fact three times for the same
+    * answer. */
+  def qDisjunctFilter(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"), revE4)
+    val pt = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"), col("p_size"))
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("qty").between(1, 30)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(16, 30) && col("qty").between(10, 40)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(31, 50) && col("qty").between(20, 50)))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), sum(col("rev_e4")).as("rev_e4"))
+      .orderBy(col("p_brand"))
+  }
+
+  val qDisjunctFilterSql: String =
+    """SELECT p_brand, count(*) AS n_items,
+      |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+      |    (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS rev_e4
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |       AND CAST(l_quantity AS BIGINT) BETWEEN 1 AND 30)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 16 AND 30
+      |       AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 40)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 31 AND 50
+      |       AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 50)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H-Q18-shaped large-volume orders: orders whose total quantity
+    * exceeds 300 units, with their customer.
+    *
+    * The HAVING subquery is an aggregate on the SAME key the join-back
+    * consumes — groupBy(orderkey) then join orders on orderkey, so the
+    * agg output's hash partitioning is reused by the join (no second
+    * exchange of the filtered side). The >300 filter is ~0.1%-selective
+    * at every SF, so AQE sees a tiny build side and demotes the
+    * fact-fact join to broadcast at runtime — but the plan stays correct
+    * as SMJ when the survivor set outgrows the threshold at cluster
+    * scale. Customer lookup is dim-sized. 5/46/473 orders survive at
+    * sf 0.001/0.01/0.1. */
+  def qBigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("price_e2"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("price_e2"), col("sum_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qBigOrdersSql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+      |)
+      |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+      |  CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS price_e2, b.sum_qty
+      |FROM big b
+      |JOIN orders o ON b.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  /** TPC-H-Q16-shaped supplier variety: distinct suppliers per
+    * (brand, type) over selected sizes, excluding negative-balance
+    * suppliers (the "complaints" exclusion of Q16).
+    *
+    * Both dims broadcast (the size filter and the exclusion list are
+    * pushed/applied before anything fact-sized moves), so the fact scan
+    * flows join-free until the two-phase distinct aggregate — its
+    * (brand, type, suppkey) partial dedup runs map-side, which is what
+    * bounds the exchange at cluster scale: the shuffle carries unique
+    * triples, not lineitems. The anti-join is Spark's native left_anti
+    * over a broadcast keyset, never a NOT IN re-scan. */
+  def qSupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    val excl = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val pt = Tables.part(spark, dir)
+      .filter(col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"))
+    Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+  }
+
+  val qSupplierVarietySql: String =
+    """SELECT p_brand, p_type,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      |  AND l_suppkey NOT IN
+      |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2
+      |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin
+
+  /** TPC-H-Q21-shaped sole-blame supplier: on orders involving several
+    * suppliers, the one supplier whose lineitems came back flagged 'R'
+    * while every other supplier's did not — counted per supplier.
+    *
+    * Q21's EXISTS (another supplier on the order) / NOT EXISTS (another
+    * 'R' supplier) pair is the classic double correlated subquery; both
+    * decorrelate into window aggregates over the SAME orderkey partition
+    * ([[qCorrelatedAgg]]'s discipline, applied twice): per (order,
+    * supplier) pairs collapse first (map-side partial agg — the shuffle
+    * carries unique pairs, not lineitems), then ONE orderkey window
+    * derives n_supp and n_r, and the filter has_r=1 ∧ n_supp≥2 ∧ n_r=1
+    * IS the sole-blame predicate. Two bounded exchanges replace the
+    * textbook triple self-join of the fact table; the oracle deliberately
+    * keeps the EXISTS form, so the gate cross-proves the decorrelation. */
+  def qSoleBlame(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("has_r"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    pairs
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_r", sum(col("has_r")).over(w))
+      .filter(col("has_r") === 1 && col("n_supp") >= 2 && col("n_r") === 1)
+      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  val qSoleBlameSql: String =
+    """WITH r AS (
+      |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      |  WHERE l_returnflag = 'R'
+      |)
+      |SELECT s.s_name, count(*) AS numwait
+      |FROM r
+      |JOIN supplier s ON r.l_suppkey = s.s_suppkey
+      |WHERE EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = r.l_orderkey
+      |      AND l2.l_suppkey <> r.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = r.l_orderkey
+      |      AND l3.l_suppkey <> r.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY 1
+      |ORDER BY numwait DESC, s_name""".stripMargin
+
+  /** TPC-H-Q8-shaped market share: of the revenue one region's customers
+    * spent on one part type, the fraction supplied by one nation, by
+    * order year.
+    *
+    * The selective part-type filter prunes the fact FIRST through a
+    * keys-only broadcast — lineitems surviving ~1/6 selection enter the
+    * orderkey fact-fact join (the only real exchange; SMJ at scale), and
+    * the region restriction rides the customer dim join, never a
+    * post-hoc filter on joined fact rows. The share is the same
+    * exact-integer conditional-sum + IEEE-division gate as
+    * [[qPromoShare]] — numerator and denominator aggregate in ONE pass
+    * (a separate filtered aggregate would re-scan). */
+  def qMarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val asiaKey = Tables.region(spark, dir)
+      .filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+    val asiaCust = Tables.customer(spark, dir)
+      .join(broadcast(nations.join(asiaKey,
+          col("n_regionkey") === col("r_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val supN = Tables.supplier(spark, dir)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val stdParts = Tables.part(spark, dir)
+      .filter(col("p_type") === "STANDARD").select(col("p_partkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), revE4)
+      .join(broadcast(stdParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("order_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("order_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_7", col("rev_e4"))
+          .otherwise(0L)).as("nation_e4"),
+        sum(col("rev_e4")).as("total_e4"))
+      .withColumn("share_bp",
+        round(col("nation_e4") * lit(10000.0) / col("total_e4"), 0).cast("long"))
+      .orderBy(col("order_year"))
+  }
+
+  val qMarketShareSql: String =
+    """WITH f AS (
+      |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+      |    CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) *
+      |      (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)) AS rev_e4,
+      |    sn.n_name AS supp_nation
+      |  FROM lineitem l
+      |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_custkey IN (
+      |    SELECT c_custkey FROM customer c
+      |    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |    JOIN region r ON cn.n_regionkey = r.r_regionkey
+      |    WHERE r.r_name = 'ASIA')
+      |), y AS (
+      |  SELECT order_year,
+      |    CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev_e4 ELSE 0 END)
+      |      AS BIGINT) AS nation_e4,
+      |    CAST(sum(rev_e4) AS BIGINT) AS total_e4
+      |  FROM f GROUP BY 1
+      |)
+      |SELECT order_year, nation_e4, total_e4,
+      |  CAST(round(nation_e4 * 10000.0 / total_e4, 0) AS BIGINT) AS share_bp
+      |FROM y ORDER BY 1""".stripMargin
+
+  /** TPC-H-Q10-shaped returned-item reporting: the 20 customers who
+    * returned the most revenue in a quarter.
+    *
+    * Both scan filters (returnflag, order-date window) push to parquet,
+    * so the orderkey fact-fact join sees only the quarter's returned
+    * lines; revenue collapses to customer grain BEFORE any dim joins
+    * (|custkeys-with-returns| rows carry forward, never lineitems), and
+    * the top-20 is a TakeOrdered over that aggregate — no global sort.
+    * The LIMIT boundary is made deterministic by the (lost_e4 desc,
+    * custkey) total order; bal_e2/lost_e4 are exact integers. */
+  def qReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revE4)
+    val o = Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")) >= lit("1995-01-01"))
+      .filter(to_date(col("o_orderdate")) < lit("1995-04-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev_e4")).as("lost_e4"), count(lit(1)).as("n_items"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"),
+          col("c_nationkey"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_e2")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("bal_e2"),
+        col("lost_e4"), col("n_items"))
+      .orderBy(col("lost_e4").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val qReturnedItemsSql: String =
+    """WITH lost AS (
+      |  SELECT o.o_custkey,
+      |    CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) *
+      |      (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+      |      AS lost_e4,
+      |    count(*) AS n_items
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE l.l_returnflag = 'R'
+      |    AND CAST(o.o_orderdate AS DATE) >= DATE '1995-01-01'
+      |    AND CAST(o.o_orderdate AS DATE) < DATE '1995-04-01'
+      |  GROUP BY 1
+      |)
+      |SELECT c.c_custkey, c.c_name, n.n_name,
+      |  CAST(round(c.c_acctbal * 100, 0) AS BIGINT) AS bal_e2,
+      |  t.lost_e4, t.n_items
+      |FROM lost t
+      |JOIN customer c ON t.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |ORDER BY t.lost_e4 DESC, c.c_custkey LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_nation_volume"  -> (qNationVolume _),
-    "q_correlated_agg" -> (qCorrelatedAgg _),
-    "q_anti_agg"       -> (qAntiAgg _))
+    "q_nation_volume"   -> (qNationVolume _),
+    "q_correlated_agg"  -> (qCorrelatedAgg _),
+    "q_anti_agg"        -> (qAntiAgg _),
+    "q_promo_share"     -> (qPromoShare _),
+    "q_top_supplier"    -> (qTopSupplier _),
+    "q_disjunct_filter" -> (qDisjunctFilter _),
+    "q_big_orders"      -> (qBigOrders _),
+    "q_supplier_variety" -> (qSupplierVariety _),
+    "q_sole_blame"      -> (qSoleBlame _),
+    "q_market_share"    -> (qMarketShare _),
+    "q_returned_items"  -> (qReturnedItems _))
 
   val oracle: Map[String, String] = Map(
-    "q_nation_volume"  -> qNationVolumeSql,
-    "q_correlated_agg" -> qCorrelatedAggSql,
-    "q_anti_agg"       -> qAntiAggSql)
+    "q_nation_volume"   -> qNationVolumeSql,
+    "q_correlated_agg"  -> qCorrelatedAggSql,
+    "q_anti_agg"        -> qAntiAggSql,
+    "q_promo_share"     -> qPromoShareSql,
+    "q_top_supplier"    -> qTopSupplierSql,
+    "q_disjunct_filter" -> qDisjunctFilterSql,
+    "q_big_orders"      -> qBigOrdersSql,
+    "q_supplier_variety" -> qSupplierVarietySql,
+    "q_sole_blame"      -> qSoleBlameSql,
+    "q_market_share"    -> qMarketShareSql,
+    "q_returned_items"  -> qReturnedItemsSql)
 }

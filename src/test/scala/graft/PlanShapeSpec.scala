@@ -387,4 +387,137 @@ class PlanShapeSpec extends SparkSpecBase {
         "no exchange may repartition the corpus by vec_id before the (cell, sub) pair shuffle")
     }
   }
+
+  test("Q14/Q15/Q18/Q19 quartet: single fact passes, pushed disjunctions, broadcast dims") {
+    withoutAqe {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+      def hashEx(p: SparkPlan) = p.collect { case e: ShuffleExchangeLike => e }
+        .filter(_.outputPartitioning.isInstanceOf[HashPartitioning])
+      def scans(p: SparkPlan) = p.collect { case s: FileSourceScanExec => s }
+
+      // Q14: scan → broadcast promo-bit join → ONE month exchange
+      val ps = graft.operators.AnalyticsJoins.qPromoShare(spark, sfDir)
+        .queryExecution.executedPlan
+      assert(scans(ps).size == 2, s"expected 2 scans, got ${scans(ps).size}")
+      assert(ps.collect { case j: BroadcastHashJoinExec => j }.size == 1)
+      assert(hashEx(ps).size == 1,
+        s"only the ship-month groupBy may hash-shuffle, got ${hashEx(ps).size}")
+
+      // Q15: broadcast-only joins — the post-agg sides must never SMJ
+      val tsup = graft.operators.AnalyticsJoins.qTopSupplier(spark, sfDir)
+        .queryExecution.executedPlan
+      assert(tsup.collect { case j: BroadcastHashJoinExec => j }.size == 2)
+      assert(tsup.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.isEmpty, "Q15 must not sort-merge anything")
+
+      // Q19: the brand×size disjunction must reach the part parquet scan
+      val dj = graft.operators.AnalyticsJoins.qDisjunctFilter(spark, sfDir)
+        .queryExecution.executedPlan
+      val partScan = scans(dj).find(_.schema.fieldNames.contains("p_brand")).get
+      val pushed = partScan.metadata.getOrElse("PushedFilters", "")
+      assert(pushed.contains("Or(") && pushed.contains("Brand#12")
+          && pushed.contains("Brand#23"),
+        s"brand/size disjunction must push to the part scan, got $pushed")
+      assert(hashEx(dj).size == 1, "only the brand groupBy may hash-shuffle")
+      // the inferred quantity-range union prefilters the fact before the join
+      assert(dj.toString.contains("l_quantity"),
+        "fact-side inferred qty disjunction missing")
+
+      // Q18: the orderkey aggregate is the only hash exchange at dim-sized
+      // SFs (both joins broadcast); the agg side reuses its partitioning
+      val bo = graft.operators.AnalyticsJoins.qBigOrders(spark, sfDir)
+        .queryExecution.executedPlan
+      assert(scans(bo).size == 3)
+      assert(hashEx(bo).size == 1,
+        s"only the orderkey groupBy may hash-shuffle, got ${hashEx(bo).size}")
+    }
+  }
+
+  test("Q16/Q21 pair: map-side dedup, one fact scan, window decorrelation") {
+    withoutAqe {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.execution.window.WindowExec
+      import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+      def hashEx(p: SparkPlan) = p.collect { case e: ShuffleExchangeLike => e }
+        .filter(_.outputPartitioning.isInstanceOf[HashPartitioning])
+      def scans(p: SparkPlan) = p.collect { case s: FileSourceScanExec => s }
+
+      // Q16: size filter pushed to the part scan; both dims broadcast (no
+      // SMJ); the (brand, type, suppkey) dedup partial-aggregates BELOW its
+      // exchange so the shuffle carries unique triples, not lineitems
+      val sv = graft.operators.AnalyticsJoins.qSupplierVariety(spark, sfDir)
+        .queryExecution.executedPlan
+      val partScan = scans(sv).find(_.schema.fieldNames.contains("p_size")).get
+      assert(partScan.metadata.getOrElse("PushedFilters", "").contains("In(p_size"),
+        "size IN-list must push to the part scan")
+      assert(sv.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.isEmpty, "Q16 joins must all broadcast")
+      val firstEx = hashEx(sv).last // bottom-most exchange in collect order
+      assert(firstEx.collectFirst { case a: HashAggregateExec
+          if a.groupingExpressions.size == 3 => a }.nonEmpty,
+        "triple-key dedup must run map-side below the first exchange")
+
+      // Q21: the fact is scanned ONCE (the EXISTS/NOT-EXISTS pair became
+      // window aggregates, not self-joins) and the orderkey window rides
+      // its own bounded exchange over collapsed (order, supplier) pairs
+      val sb = graft.operators.AnalyticsJoins.qSoleBlame(spark, sfDir)
+        .queryExecution.executedPlan
+      assert(scans(sb).size == 2, s"lineitem + supplier only, got ${scans(sb).size}")
+      assert(sb.collect { case w: WindowExec => w }.size == 1)
+      assert(sb.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.isEmpty, "Q21 must not self-join the fact")
+      assert(hashEx(sb).size == 3,
+        s"pair-collapse + window + name groupBy only, got ${hashEx(sb).size}")
+    }
+  }
+
+  test("Q8/Q10 pair: pushed scan filters, fact rides broadcasts, top-k never global-sorts") {
+    withoutAqe {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+      def hashEx(p: SparkPlan) = p.collect { case e: ShuffleExchangeLike => e }
+        .filter(_.outputPartitioning.isInstanceOf[HashPartitioning])
+      def scans(p: SparkPlan) = p.collect { case s: FileSourceScanExec => s }
+
+      // Q8: lineitem scanned once, pruned through keys-only broadcasts;
+      // the only SMJ is the orders⋈region-customers LEFT SEMI (the shape
+      // that survives when region customers outgrow any broadcast); year
+      // grain is what crosses the groupBy exchange
+      val ms = graft.operators.AnalyticsJoins.qMarketShare(spark, sfDir)
+        .queryExecution.executedPlan
+      assert(scans(ms).count(_.schema.fieldNames.contains("l_partkey")) == 1,
+        "lineitem must be scanned exactly once")
+      val smjs = ms.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+      assert(smjs.forall(_.joinType.toString == "LeftSemi"),
+        s"only the customer-market semi join may SMJ, got ${smjs.map(_.joinType)}")
+      assert(hashEx(ms).size == 3,
+        s"semi-join sides + year groupBy only, got ${hashEx(ms).size}")
+
+      // Q10: returnflag and the date window must reach their scans; the
+      // custkey aggregate partial-aggregates below its ONE exchange and
+      // the top-20 is TakeOrdered, not a global sort
+      val ri = graft.operators.AnalyticsJoins.qReturnedItems(spark, sfDir)
+        .queryExecution.executedPlan
+      val liScan = scans(ri).find(_.schema.fieldNames.contains("l_returnflag")).get
+      assert(liScan.metadata.getOrElse("PushedFilters", "").contains("EqualTo(l_returnflag,R)"))
+      val oScan = scans(ri).find(_.schema.fieldNames.contains("o_orderdate")).get
+      assert(oScan.metadata.getOrElse("PushedFilters", "").contains("GreaterThanOrEqual(o_orderdate"))
+      assert(hashEx(ri).size == 1,
+        s"only the custkey groupBy may hash-shuffle, got ${hashEx(ri).size}")
+      assert(ri.collect { case t: TakeOrderedAndProjectExec => t }.size == 1,
+        "top-20 must plan as TakeOrderedAndProject")
+      assert(ri.collect { case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+        "no global sort anywhere in Q10")
+    }
+  }
 }

@@ -320,4 +320,230 @@ class Round7OpsSpec extends SparkSpecBase {
       assert(sizes.max - sizes.min <= 1)
     }
   }
+
+  test("q_promo_share: shares bounded, join loses no revenue, every ship month present") {
+    val dir = "/root/testdata/sf0.001"
+    val out = AnalyticsJoins.qPromoShare(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (p, t, bp) = (r.getAs[Long]("promo_e4"), r.getAs[Long]("total_e4"),
+        r.getAs[Long]("share_bp"))
+      assert(p >= 0 && p <= t, s"promo $p outside [0, $t]")
+      assert(bp >= 0 && bp <= 10000, s"share_bp $bp outside [0, 10000]")
+      // the rounded ratio stays within half a basis point of the exact one
+      assert(math.abs(bp - p.toDouble * 10000 / t) <= 0.5)
+    }
+    // the part join must drop nothing: month totals reconcile with a
+    // join-free sum over the raw fact
+    val direct = graft.sources.Tables.lineitem(spark, dir)
+      .agg(sum((round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long")))).as("t"))
+      .collect()(0).getAs[Long]("t")
+    assert(out.map(_.getAs[Long]("total_e4")).sum == direct)
+    // every month with any lineitem appears exactly once
+    val months = graft.sources.Tables.lineitem(spark, dir)
+      .select(year(col("l_shipdate")).cast("long"), month(col("l_shipdate")).cast("long"))
+      .distinct().count()
+    assert(out.length.toLong == months)
+  }
+
+  test("q_top_supplier: ties kept, winner matches a Scala-side argmax, rev stage reused (AQE)") {
+    val dir = "/root/testdata/sf0.001"
+    val df = AnalyticsJoins.qTopSupplier(spark, dir)
+    val out = df.collect()
+    assert(out.nonEmpty)
+    // independent argmax: fold the quarter's lineitems on the driver
+    val byS = graft.sources.Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) >= lit("1996-01-01"))
+      .filter(to_date(col("l_shipdate")) < lit("1996-04-01"))
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .collect()
+      .groupBy(_.getAs[Long]("l_suppkey"))
+      .map { case (s, rs) => s -> rs.map(r =>
+        math.round(r.getAs[Double]("l_extendedprice") * 100) *
+          (100L - math.round(r.getAs[Double]("l_discount") * 100))).sum }
+    val mx = byS.values.max
+    val winners = byS.filter(_._2 == mx).keySet
+    assert(out.map(_.getAs[Long]("s_suppkey")).toSet == winners)
+    assert(out.forall(_.getAs[Long]("total_rev_e4") == mx))
+    // one fact pass: the scalar-max branch reuses the per-supplier rev
+    // exchange at runtime (adaptive-tree assertion per the SURVEY §5 rule)
+    assert(df.queryExecution.executedPlan.treeString.contains("ReusedExchange"),
+      "scalar-max branch must reuse the per-supplier revenue exchange")
+  }
+
+  test("q_disjunct_filter: each row satisfies exactly its brand's branch, counts reconcile") {
+    val dir = "/root/testdata/sf0.001"
+    val out = AnalyticsJoins.qDisjunctFilter(spark, dir).collect()
+      .map(r => r.getAs[String]("p_brand") -> r.getAs[Long]("n_items")).toMap
+    assert(out.keySet == Set("Brand#12", "Brand#23", "Brand#3"), s"got ${out.keySet}")
+    // independent per-branch recount on the driver
+    val parts = graft.sources.Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size")).collect()
+      .map(r => r.getAs[Long]("p_partkey") ->
+        (r.getAs[String]("p_brand"), r.getAs[Int]("p_size"))).toMap
+    val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity")).collect().foreach { r =>
+        val (b, sz) = parts(r.getAs[Long]("l_partkey"))
+        val q = math.round(r.getAs[Double]("l_quantity"))
+        val in = (b == "Brand#12" && sz >= 1 && sz <= 15 && q >= 1 && q <= 30) ||
+          (b == "Brand#23" && sz >= 16 && sz <= 30 && q >= 10 && q <= 40) ||
+          (b == "Brand#3" && sz >= 31 && sz <= 50 && q >= 20 && q <= 50)
+        if (in) counts(b) += 1
+      }
+    assert(out == counts.toMap, s"spark $out vs direct $counts")
+  }
+
+  test("q_big_orders: threshold respected, survivor set matches a Scala-side recount") {
+    val dir = "/root/testdata/sf0.001"
+    val out = AnalyticsJoins.qBigOrders(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("sum_qty") > 300))
+    val direct = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity")).collect()
+      .groupBy(_.getAs[Long]("l_orderkey"))
+      .map { case (k, rs) => k -> rs.map(r => math.round(r.getAs[Double]("l_quantity"))).sum }
+      .filter(_._2 > 300)
+    assert(out.map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Long]("sum_qty")).toMap
+      == direct)
+    // output is ordered by orderkey (driver hash is order-sensitive per row set)
+    val keys = out.map(_.getAs[Long]("o_orderkey")).toSeq
+    assert(keys == keys.sorted)
+  }
+
+  test("q_supplier_variety: exclusion honored, counts match a Scala-side recount") {
+    // sf0.01: the smallest SF where the negative-balance exclusion is
+    // non-vacuous (6 of 81 suppliers; sf0.001's 10 suppliers are all >= 0)
+    val dir = "/root/testdata/sf0.01"
+    val out = AnalyticsJoins.qSupplierVariety(spark, dir).collect()
+      .map(r => (r.getAs[String]("p_brand"), r.getAs[String]("p_type")) ->
+        r.getAs[Long]("supplier_cnt")).toMap
+    assert(out.nonEmpty)
+    val excl = graft.sources.Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey")).collect()
+      .map(_.getAs[Long]("s_suppkey")).toSet
+    assert(excl.nonEmpty, "exclusion list vacuous at this SF — pick another rule")
+    val parts = graft.sources.Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")).collect()
+      .filter(r => Set(1, 5, 9, 13, 17, 21, 25, 29)(r.getAs[Int]("p_size")))
+      .map(r => r.getAs[Long]("p_partkey") ->
+        (r.getAs[String]("p_brand"), r.getAs[String]("p_type"))).toMap
+    val seen = scala.collection.mutable.Map[(String, String), Set[Long]]()
+      .withDefaultValue(Set.empty)
+    graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).collect().foreach { r =>
+        val s = r.getAs[Long]("l_suppkey")
+        parts.get(r.getAs[Long]("l_partkey")).foreach { bt =>
+          if (!excl(s)) seen(bt) = seen(bt) + s
+        }
+      }
+    assert(out == seen.map { case (bt, ss) => bt -> ss.size.toLong }.toMap)
+  }
+
+  test("q_sole_blame: counts exactly the single-R-supplier multi-supplier orders") {
+    val dir = "/root/testdata/sf0.001"
+    val out = AnalyticsJoins.qSoleBlame(spark, dir).collect()
+      .map(r => r.getAs[String]("s_name") -> r.getAs[Long]("numwait")).toMap
+    assert(out.nonEmpty)
+    val names = graft.sources.Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name")).collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[String]("s_name")).toMap
+    // per-order supplier sets and R-flagged supplier sets, folded on the driver
+    val byOrder = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag")).collect()
+      .groupBy(_.getAs[Long]("l_orderkey"))
+    val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    byOrder.foreach { case (_, rs) =>
+      val supps = rs.map(_.getAs[Long]("l_suppkey")).toSet
+      val rSupps = rs.filter(_.getAs[String]("l_returnflag") == "R")
+        .map(_.getAs[Long]("l_suppkey")).toSet
+      if (supps.size >= 2 && rSupps.size == 1)
+        counts(names(rSupps.head)) += 1
+    }
+    assert(out == counts.toMap, s"spark ${out.size} rows vs direct ${counts.size}")
+    // the blame predicate is non-vacuous both ways at this SF: some orders
+    // have several R suppliers (excluded), some exactly one (counted)
+    assert(byOrder.exists { case (_, rs) =>
+      rs.filter(_.getAs[String]("l_returnflag") == "R")
+        .map(_.getAs[Long]("l_suppkey")).toSet.size >= 2 })
+  }
+
+  test("q_market_share: shares bounded and non-vacuous, totals match a Scala-side fold") {
+    // sf0.01: the smallest SF where NATION_7 supplies any STANDARD part
+    // (sf0.001's 10 suppliers leave the numerator identically zero)
+    val dir = "/root/testdata/sf0.01"
+    val out = AnalyticsJoins.qMarketShare(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("nation_e4") >= 0)
+      assert(r.getAs[Long]("nation_e4") <= r.getAs[Long]("total_e4"))
+      val bp = r.getAs[Long]("share_bp")
+      assert(bp >= 0 && bp <= 10000)
+    }
+    assert(out.exists(_.getAs[Long]("nation_e4") > 0), "share vacuous at this SF")
+    // driver-side fold of the same market definition
+    def asL(r: org.apache.spark.sql.Row, c: String): Long =
+      r.getAs[Number](c).longValue()
+    val nations = graft.sources.Tables.nation(spark, dir).collect()
+      .map(r => asL(r, "n_nationkey") ->
+        (r.getAs[String]("n_name"), asL(r, "n_regionkey"))).toMap
+    val asiaKey = asL(graft.sources.Tables.region(spark, dir)
+      .filter(col("r_name") === "ASIA").collect()(0), "r_regionkey")
+    val asiaCust = graft.sources.Tables.customer(spark, dir).collect()
+      .filter(r => nations(asL(r, "c_nationkey"))._2 == asiaKey)
+      .map(asL(_, "c_custkey")).toSet
+    val suppNation = graft.sources.Tables.supplier(spark, dir).collect()
+      .map(r => asL(r, "s_suppkey") -> nations(asL(r, "s_nationkey"))._1).toMap
+    val stdParts = graft.sources.Tables.part(spark, dir)
+      .filter(col("p_type") === "STANDARD").collect()
+      .map(_.getAs[Long]("p_partkey")).toSet
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).cast("long").as("y"))
+      .collect().map(r => r.getAs[Long]("o_orderkey") ->
+        (r.getAs[Long]("o_custkey"), r.getAs[Long]("y"))).toMap
+    val agg = scala.collection.mutable.Map[Long, (Long, Long)]().withDefaultValue((0L, 0L))
+    graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount")).collect().foreach { r =>
+        val (ck, y) = orders(r.getAs[Long]("l_orderkey"))
+        if (stdParts(r.getAs[Long]("l_partkey")) && asiaCust(ck)) {
+          val rev = math.round(r.getAs[Double]("l_extendedprice") * 100) *
+            (100L - math.round(r.getAs[Double]("l_discount") * 100))
+          val n = if (suppNation(r.getAs[Long]("l_suppkey")) == "NATION_7") rev else 0L
+          val (a, b) = agg(y); agg(y) = (a + n, b + rev)
+        }
+      }
+    assert(out.map(r => r.getAs[Long]("order_year") ->
+      (r.getAs[Long]("nation_e4"), r.getAs[Long]("total_e4"))).toMap == agg.toMap)
+  }
+
+  test("q_returned_items: top-20 by lost revenue, limit binding, matches a Scala-side fold") {
+    val dir = "/root/testdata/sf0.001"
+    val out = AnalyticsJoins.qReturnedItems(spark, dir).collect()
+    assert(out.length == 20, s"limit must bind at this SF, got ${out.length}")
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")).collect()
+      .filter { r =>
+        val d = r.getAs[Timestamp]("o_orderdate").toLocalDateTime.toLocalDate
+        !d.isBefore(java.time.LocalDate.parse("1995-01-01")) &&
+          d.isBefore(java.time.LocalDate.parse("1995-04-01"))
+      }.map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Long]("o_custkey")).toMap
+    val lost = scala.collection.mutable.Map[Long, (Long, Long)]().withDefaultValue((0L, 0L))
+    graft.sources.Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .collect().foreach { r =>
+        orders.get(r.getAs[Long]("l_orderkey")).foreach { ck =>
+          val rev = math.round(r.getAs[Double]("l_extendedprice") * 100) *
+            (100L - math.round(r.getAs[Double]("l_discount") * 100))
+          val (s, n) = lost(ck); lost(ck) = (s + rev, n + 1)
+        }
+      }
+    val top = lost.toSeq.sortBy { case (ck, (s, _)) => (-s, ck) }.take(20)
+    assert(out.map(r => (r.getAs[Long]("c_custkey"),
+      r.getAs[Long]("lost_e4"), r.getAs[Long]("n_items"))).toSeq ==
+      top.map { case (ck, (s, n)) => (ck, s, n) },
+      "top-20 set, order and counts must match the driver fold")
+  }
 }
