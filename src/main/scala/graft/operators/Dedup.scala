@@ -120,6 +120,49 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The stand-in benchmark "extract": the first ⌈90%⌉ of a doc's word
+    * tokens re-joined — models an eval item excerpted from a web page
+    * whose full text remains in the training corpus (the contamination
+    * an exact n-gram test catches only if the excerpt is verbatim AND
+    * aligned; the fuzzy test below catches it whenever the set overlap
+    * stays high). Integer ceil((9n+9)/10) is identical in both engines. */
+  private[operators] def benchExtract(c: Column): Column = {
+    val ws = toks(c)
+    array_join(
+      slice(ws, lit(1), floor((size(ws) * 9 + 9) / lit(10.0)).cast("int")), " ")
+  }
+
+  /** Fuzzy (MinHash-band) benchmark decontamination — the similarity rung
+    * above [[corpusDecontaminate]]'s exact 5-gram test: corpus docs whose
+    * MinHash band signature collides with any benchmark extract's are
+    * flagged, catching paraphrased / partially-copied contamination whose
+    * individual 5-grams all differ. Benchmark side = the doc_id ≡ 0
+    * (mod 97) docs truncated by [[benchExtract]] (their sources stay in
+    * the corpus — swapping in a real benchmark table changes one select).
+    *
+    * Plan shape: the corpus runs the SAME 16-band signature pipeline as
+    * `dedup_minhash` (one doc_id exchange for the 64 min-aggregates); the
+    * benchmark side is benchmark-sized and joins as a BROADCAST on
+    * (band_id, band_hash), and the final per-doc rollup reuses the
+    * signature aggregate's doc_id partitioning — so the whole operator
+    * costs ONE data exchange regardless of corpus size, and the
+    * benchmark never shuffles anything corpus-sized. Rows-only gate
+    * (xxhash64); the neutral-family twin `corpus_fuzzy_decontaminate
+    * _oracle` hash-proves the identical pipeline in DuckDB. */
+  def corpusFuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = bandSignatures(
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+          .select(col("doc_id"), benchExtract(col("text")).as("text")))
+      .select(col("band_id"), col("band_hash"), col("doc_id").as("bench_doc"))
+    bandSignatures(docs)
+      .join(broadcast(bench), Seq("band_id", "band_hash"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("band_id")).as("n_bands_hit"),
+        count_distinct(col("bench_doc")).as("n_bench_docs"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact dedup: md5 groupBy, keep the smallest doc_id of each clone set. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -478,7 +521,8 @@ object Dedup {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_incremental" -> (dedupIncremental _),
     "corpus_decontaminate" -> (corpusDecontaminate _),
-    "corpus_bloom_decontaminate" -> (corpusBloomDecontaminate _))
+    "corpus_bloom_decontaminate" -> (corpusBloomDecontaminate _),
+    "corpus_fuzzy_decontaminate" -> (corpusFuzzyDecontaminate _))
 
   val oracle: Map[String, String] = Map(
     "dedup_exact"    -> dedupExactSql,

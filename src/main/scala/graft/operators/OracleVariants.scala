@@ -467,7 +467,63 @@ object OracleVariants {
       |FROM p GROUP BY 1, 2, 3 ORDER BY vec_id""".stripMargin
   }
 
+  // ------------------------------------------- fuzzy decontamination twin
+
+  /** Neutral-family twin of `corpus_fuzzy_decontaminate`: identical
+    * benchmark-extract split (doc_id ≡ 0 mod 97, first ⌈90%⌉ of tokens)
+    * and band-collision flagging, over the DuckDB-provable
+    * char-polynomial minhash family — the hash gate proves the whole
+    * fuzzy-decontamination pipeline (extract truncation, shingling,
+    * min-hash aggregation, banding, benchmark band join, per-doc rollup)
+    * with only the hash function swapped. */
+  def corpusFuzzyDecontaminateOracle(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = neutralBandSigs(
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+          .select(col("doc_id"), Dedup.benchExtract(col("text")).as("text")))
+      .select(col("band_id"), col("band_val"), col("doc_id").as("bench_doc"))
+    neutralBandSigs(docs)
+      .join(broadcast(bench), Seq("band_id", "band_val"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("band_id")).as("n_bands_hit"),
+        count_distinct(col("bench_doc")).as("n_bench_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The th→sh→ex→sig→band CTE chain over a (doc_id, ws) source, prefixed
+    * so the corpus and benchmark sides can coexist in one query. */
+  private def neutralBandChainSql(p: String, srcTk: String): String = {
+    val minSelects = (0 until NumPerms)
+      .map(i => s"min((${permA(i)}*h + ${permB(i)}) % $P) AS m$i").mkString(", ")
+    val bandExprs = (0 until Bands)
+      .map(b => bandCombineSql((0 until NumPerms / Bands).map(j => s"m${b * (NumPerms / Bands) + j}")))
+      .mkString(", ")
+    s"${p}th AS (SELECT doc_id, list_transform(ws, w -> $tokHashSql) AS hs FROM $srcTk), " +
+      s"${p}sh AS (SELECT doc_id, list_distinct(CASE WHEN len(hs) >= 3 " +
+      s"THEN list_transform(range(1, len(hs) - 1), " +
+      s"i -> ((hs[i]*8191 + hs[i+1]) % $P * 8191 + hs[i+2]) % $P) " +
+      s"ELSE [] END) AS shs FROM ${p}th), " +
+      s"${p}ex AS (SELECT doc_id, unnest(shs) AS h FROM ${p}sh), " +
+      s"${p}sig AS (SELECT doc_id, $minSelects FROM ${p}ex GROUP BY 1), " +
+      s"${p}band AS (SELECT doc_id, unnest([$bandExprs]) AS band_val, " +
+      s"unnest([${(0 until Bands).mkString(", ")}]) AS band_id FROM ${p}sig)"
+  }
+
+  val corpusFuzzyDecontaminateOracleSql: String =
+    s"""WITH tk0 AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+      |), btk AS (
+      |  SELECT doc_id, ws[1:(len(ws)*9+9)//10] AS ws FROM tk0 WHERE doc_id % 97 = 0
+      |), ${neutralBandChainSql("c", "tk0")},
+      |${neutralBandChainSql("b", "btk")}
+      |SELECT c.doc_id, count(DISTINCT c.band_id) AS n_bands_hit,
+      |  count(DISTINCT b.doc_id) AS n_bench_docs
+      |FROM cband c JOIN bband b
+      |  ON c.band_id = b.band_id AND c.band_val = b.band_val
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_fuzzy_decontaminate_oracle" -> (corpusFuzzyDecontaminateOracle _),
     "dedup_minhash_oracle"  -> (dedupMinhashOracle _),
     "dedup_incremental_oracle" -> (dedupIncrementalOracle _),
     "dedup_simhash_oracle"  -> (dedupSimhashOracle _),
@@ -476,6 +532,7 @@ object OracleVariants {
     "dedup_semantic_oracle" -> (dedupSemanticOracle _))
 
   val oracle: Map[String, String] = Map(
+    "corpus_fuzzy_decontaminate_oracle" -> corpusFuzzyDecontaminateOracleSql,
     "dedup_minhash_oracle"  -> dedupMinhashOracleSql,
     "dedup_incremental_oracle" -> dedupIncrementalOracleSql,
     "dedup_simhash_oracle"  -> dedupSimhashOracleSql,

@@ -126,6 +126,46 @@ object ScaleProbe {
     }
   }
 
+  /** Scale probe for the multi-join TPC-H shapes: replicate the FACT
+    * tables k× with CONSISTENT key shifts (lineitem+orders share the
+    * orderkey shift, orders+customer the custkey shift) into a temp dir,
+    * leave the dims fixed, and run the (spark, dir) queries unchanged.
+    * Every query is forced through sum(xxhash64(struct(*))) so Catalyst
+    * cannot prune the aggregate outputs being timed. */
+  private def tpchProbe(spark: SparkSession, k: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val src = "/root/testdata/sf0.1"
+    val out = java.nio.file.Files.createTempDirectory(s"probe-tpch-$k").toString
+    def rep(df: DataFrame, keyCols: Seq[String]): DataFrame =
+      (0 until k).map { i =>
+        keyCols.foldLeft(df)((d, c) =>
+          d.withColumn(c, col(c) + lit(i.toLong * 10000000L)))
+      }.reduce(_ unionByName _)
+    rep(graft.sources.Tables.lineitem(spark, src), Seq("l_orderkey"))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    rep(graft.sources.Tables.orders(spark, src), Seq("o_orderkey", "o_custkey"))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    rep(graft.sources.Tables.customer(spark, src), Seq("c_custkey"))
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    for (t <- Seq("part", "supplier", "nation", "region"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    for ((name, fn) <- Seq[(String, (SparkSession, String) => DataFrame)](
+      "q_nation_volume"   -> graft.operators.AnalyticsJoins.qNationVolume,
+      "q_promo_share"     -> graft.operators.AnalyticsJoins.qPromoShare,
+      "q_big_orders"      -> graft.operators.AnalyticsJoins.qBigOrders,
+      "q_supplier_variety" -> graft.operators.AnalyticsJoins.qSupplierVariety,
+      "q_sole_blame"      -> graft.operators.AnalyticsJoins.qSoleBlame,
+      "q_market_share"    -> graft.operators.AnalyticsJoins.qMarketShare,
+      "q_returned_items"  -> graft.operators.AnalyticsJoins.qReturnedItems)) {
+      val t0 = System.nanoTime()
+      // mod-p before summing: a raw sum of 2^63-range hashes ANSI-overflows
+      val h = fn(spark, out).agg(sum(pmod(xxhash64(struct(col("*"))), lit(1000000007L))))
+        .collect().head.getLong(0)
+      println(f"[scale] $name%-19s x$k%-3d ${(System.nanoTime() - t0) / 1e9}%7.2f s h=$h")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val k = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
@@ -152,6 +192,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("incremental")) {
       incrementalProbe(spark, batchRows = 20000, batches = 4)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("tpch")) {
+      tpchProbe(spark, args.drop(1).headOption.map(_.toInt).getOrElse(1))
       spark.stop()
       return
     }
