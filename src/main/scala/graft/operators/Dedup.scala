@@ -513,7 +513,89 @@ object Dedup {
       |SELECT doc_id, min(lbl) AS cluster_id, doc_id = min(lbl) AS keep
       |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Directed containment near-dup pairs: doc A is flagged as contained in
+    * doc B when ≥80% of A's distinct word 5-gram shingles also occur in B
+    * (|A∩B| / |A| — the asymmetric cousin of dedup_ngram's Jaccard).
+    * Jaccard misses the quote/subset case entirely: a paragraph pasted
+    * into a 100× longer page has tiny union-normalized similarity but
+    * containment ≈ 1, and dropping such contained docs is a standard
+    * dedup rung (Lee et al. §2 discuss substring containment as the case
+    * set-similarity misses). Small docs (<10 distinct shingles) are
+    * exempt — everything "contains" a one-line doc.
+    *
+    * Plan shape: the SAME capped inverted-index discipline as dedup_ngram
+    * — explode distinct shingles, window-df cap on the join's own
+    * (block, shingle) shuffle keys (exchange reused, one tokenization),
+    * equi-join materializes only shingle-sharing pairs, |A∩B| by count.
+    * Both directions derive from ONE unordered pair aggregate (two
+    * selects over the tiny pair table, not a second corpus pass).
+    * Threshold is the exact integer cross-multiply 5·inter ≥ 4·n, so the
+    * gate never touches a float. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    dedupContainmentCapped(spark, dir, DefaultMaxShingleDf)
+
+  def dedupContainmentCapped(spark: SparkSession, dir: String, maxDf: Int): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(hashedNgrams(col("text"), 5)).as("sh"))
+    val exAll = d.select(col("lang"), col("source"), col("doc_id"),
+      size(col("sh")).cast("long").as("n"), explode(col("sh")).as("h"))
+    val wDf = Window.partitionBy(col("lang"), col("source"), col("h"))
+    val ex = exAll
+      .withColumn("df", count(lit(1)).over(wDf))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+    val pairs = ex.as("a")
+      .join(ex.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+    val aInB = pairs.select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+      col("inter").as("n_shared"), col("n_a").as("n_contained"))
+    val bInA = pairs.select(col("id_b").as("contained_id"), col("id_a").as("container_id"),
+      col("inter").as("n_shared"), col("n_b").as("n_contained"))
+    aInB.unionByName(bInA)
+      .filter(col("n_contained") >= 10 &&
+        col("n_shared") * 5 >= col("n_contained") * 4)
+      .orderBy(col("contained_id"), col("container_id"))
+  }
+
+  val dedupContainmentSql: String =
+    s"""WITH tk AS (
+      |  SELECT doc_id, lang, source,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+      |), d AS (
+      |  SELECT doc_id, lang, source, list_distinct(CASE WHEN len(ws) >= 5
+      |    THEN list_transform(range(1, len(ws) - 3), i -> array_to_string(ws[i:i+4], ' '))
+      |    ELSE [] END) AS sh
+      |  FROM tk
+      |), ex AS (
+      |  SELECT doc_id, lang, source, len(sh) AS n, unnest(sh) AS s FROM d
+      |), capped AS (
+      |  SELECT * FROM (
+      |    SELECT *, count(*) OVER (PARTITION BY lang, source, s) AS df FROM ex
+      |  ) WHERE df <= $DefaultMaxShingleDf
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+      |    count(*) AS inter
+      |  FROM capped a JOIN capped b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.s = b.s
+      |       AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4
+      |), directed AS (
+      |  SELECT id_a AS contained_id, id_b AS container_id,
+      |    CAST(inter AS BIGINT) AS n_shared, n_a AS n_contained FROM pairs
+      |  UNION ALL
+      |  SELECT id_b, id_a, CAST(inter AS BIGINT), n_b FROM pairs
+      |)
+      |SELECT * FROM directed
+      |WHERE n_contained >= 10 AND n_shared * 5 >= n_contained * 4
+      |ORDER BY contained_id, container_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_containment" -> (dedupContainment _),
     "dedup_exact"    -> (dedupExact _),
     "dedup_ngram"    -> (dedupNgram _),
     "dedup_minhash"  -> (dedupMinhash _),
@@ -525,6 +607,7 @@ object Dedup {
     "corpus_fuzzy_decontaminate" -> (corpusFuzzyDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_exact"    -> dedupExactSql,
     "dedup_ngram"    -> dedupNgramSql,
     "dedup_clusters" -> dedupClustersSql,

@@ -561,7 +561,50 @@ object FeatureOps {
       |) AS t(project, table_name, entities, feature, value_type, max_age_sec, batch_source)
       |ORDER BY table_name, feature""".stripMargin
 
+  /** Feature freshness report: per entity key, the age of its latest
+    * feature value against a pinned serving "now" (max event ts — the same
+    * deterministic anchor serve_online uses) bucketed into the staleness
+    * classes the reference's serving path distinguishes (fresh within 1h /
+    * aging within the 4h serve_online max-age / OUTSIDE_MAX_AGE beyond) —
+    * the monitoring pass an operator runs to see how stale the online
+    * store is BEFORE requests start reading lapsed values
+    * (OnlineServingServiceV2.checkOutsideMaxAge is the read-time twin of
+    * this table-time audit).
+    *
+    * Plan: latest-per-key is the max_by single-pass aggregate
+    * (partial-aggregatable — one row per key per input partition crosses
+    * the network, LatestValue's 100 TB shape), "now" is a one-row
+    * broadcast. Age is exact integer seconds (µs div 1e6) so the gate
+    * hash is engine-exact. */
+  def ftFreshness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val latest = LatestValue.latest(ev, keys = Seq("user_id"),
+      orderCols = Seq("ts", "event_id"), valueCols = Seq("ts"))
+    val now = ev.agg(max(col("ts")).as("now_ts"))
+    latest.crossJoin(broadcast(now))
+      .withColumn("age_sec",
+        expr("(unix_micros(now_ts) - unix_micros(ts)) div 1000000"))
+      .select(
+        col("user_id"), col("age_sec"),
+        when(col("age_sec") < 3600L, lit("FRESH"))
+          .when(col("age_sec") < 14400L, lit("AGING"))
+          .otherwise(lit("OUTSIDE_MAX_AGE")).as("status"))
+      .orderBy(col("user_id"))
+  }
+
+  val ftFreshnessSql: String =
+    """WITH latest AS (
+      |  SELECT user_id, max(ts) AS ts FROM events GROUP BY 1
+      |), mx AS (SELECT max(ts) AS now_ts FROM events)
+      |SELECT l.user_id,
+      |  (epoch_us(m.now_ts) - epoch_us(l.ts)) // 1000000 AS age_sec,
+      |  CASE WHEN (epoch_us(m.now_ts) - epoch_us(l.ts)) // 1000000 < 3600 THEN 'FRESH'
+      |       WHEN (epoch_us(m.now_ts) - epoch_us(l.ts)) // 1000000 < 14400 THEN 'AGING'
+      |       ELSE 'OUTSIDE_MAX_AGE' END AS status
+      |FROM latest l CROSS JOIN mx m ORDER BY l.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ft_freshness"    -> (ftFreshness _),
     "ft_latest"       -> (ftLatest _),
     "ft_latest_range" -> (ftLatestRange _),
     "ft_ingest_dedup" -> (ftIngestDedup _),
@@ -581,6 +624,7 @@ object FeatureOps {
     "registry_dump"   -> (registryDump _))
 
   val oracle: Map[String, String] = Map(
+    "ft_freshness"    -> ftFreshnessSql,
     "ft_latest"       -> ftLatestSql,
     "ft_latest_range" -> ftLatestRangeSql,
     "ft_ingest_dedup" -> ftIngestDedupSql,

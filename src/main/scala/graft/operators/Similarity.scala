@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -897,6 +898,93 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Approximate k-NN GRAPH over the whole corpus: every vector's top-k
+    * most-similar neighbors, searched within its IVF cell — the
+    * all-vectors precursor that SemDeDup clustering, graph-based dedup
+    * and connectivity/coreset analyses consume (a per-query kNN answers
+    * "what matches x"; the graph answers "how does the corpus hang
+    * together"). Candidates are same-cell (sub-blocked past
+    * [[DefaultMaxBlock]] by the portable id hash, the dedup_embed guard),
+    * so edge volume is bounded by n·cap, never n².
+    *
+    * Plan shape: the CANDIDATE side indexes each vector in its home cell
+    * (zero-shuffle argmax, [[nearestCellStructAuto]]); the SOURCE side
+    * probes its top-`nprobe` cells ([[nearestCellsTopN]], the faiss
+    * nprobe trade — same-cell-only misses boundary neighbors: measured
+    * recall@3 0.24 at nprobe=1 vs 0.5+ at 2) — still a per-row
+    * expression, no assignment shuffle. The join exchanges each side
+    * once on (cell, sub). Top-k is TWO-STAGE: block-local rank windows
+    * on (cell, sub, src) — satisfied by the join's own partitioning, so
+    * no exchange — and only the ≤ nprobe·k survivors per src cross the
+    * one src-keyed exchange as (ids, score) triples for the global rank
+    * (plan-pinned: exactly one hashpartitioning(src_id), fed by the
+    * pre-reduced side; embeddings never shuffle after the join sides).
+    * Rows-only (float ANN like its knn_* parents); spec-pinned: recall
+    * vs the exact graph, rank density, no self/duplicate edges. */
+  val GraphK = 3
+  def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraphOf(Tables.embeddings(spark, dir), loadOrTrainCentroids(spark, dir))
+
+  /** Top-n nearest cells as a per-row expression — the multi-probe
+    * sibling of [[nearestCellStruct]] (same (csim, −id) struct-ordering
+    * tie rule, so element 1 always equals the argmax cell). k cosines
+    * per row like the argmax form; past [[TwoLevelK]] centroids the
+    * two-level coarse probe is the right shape — flat is fine for every
+    * trained quantizer in this repo. */
+  private[graft] def nearestCellsTopN(vecCol: Column,
+      centroids: Seq[Seq[Double]], n: Int): Column =
+    if (centroids.isEmpty) array_remove(array(lit(0)), 0)
+    else {
+      val scored = centroids.zipWithIndex.map { case (cvec, i) =>
+        struct(cosine(asDouble(vecCol), typedLit(cvec)).as("csim"),
+          lit(-i).as("neg_id"))
+      }
+      transform(slice(reverse(array_sort(array(scored: _*))), 1, n),
+        s => -s.getField("neg_id"))
+    }
+
+  def knnGraphOf(emb0: DataFrame, centroids: Seq[Seq[Double]],
+                 k: Int = GraphK, nprobe: Int = 2,
+                 maxBlock: Long = DefaultMaxBlock): DataFrame = {
+    val best = nearestCellStructAuto(col("embedding"), centroids)
+    val home = emb0.select(col("vec_id"), col("embedding"))
+      .select(best.getField("cell").cast("long").as("cell"),
+        col("vec_id"), col("embedding"))
+    val counts = home.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
+    def subbed(df: DataFrame): DataFrame = df.join(broadcast(counts), "cell")
+      .withColumn("nsub", floor((col("n_cell") - lit(1L)) / lit(maxBlock)) + lit(1L))
+      .withColumn("sub", pmod(TextAnalysis.idHash(col("vec_id")), col("nsub")))
+    val cand = subbed(home).select(col("cell"), col("sub"),
+      col("vec_id").as("dst_id"), col("embedding").as("vb"))
+    val probed = emb0.select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        explode(nearestCellsTopN(col("embedding"), centroids, nprobe)).as("cell0"))
+      .select(col("cell0").cast("long").as("cell"), col("vec_id"), col("embedding"))
+    val src = subbed(probed).select(col("cell"), col("sub"),
+      col("vec_id").as("src_id"), col("embedding").as("va"))
+    // a pair forms in exactly one block: dst's home cell is unique and
+    // src probes each cell under one deterministic sub — no dup edges
+    val pairs = src.join(cand, Seq("cell", "sub"))
+      .filter(col("src_id") =!= col("dst_id"))
+      .select(col("cell"), col("sub"), col("src_id"), col("dst_id"),
+        round(cosine(col("va"), col("vb")), 6).as("csim"))
+    // stage 1: block-local top-k — (cell, sub, src) is satisfied by the
+    // join's own distribution, so this window is exchange-free
+    val wBlock = Window.partitionBy(col("cell"), col("sub"), col("src_id"))
+      .orderBy(col("csim").desc, col("dst_id"))
+    val reduced = pairs.withColumn("r0", row_number().over(wBlock))
+      .filter(col("r0") <= k)
+      .select(col("src_id"), col("dst_id"), col("csim"))
+    // stage 2: merge the ≤ nprobe·k survivors per src — the only
+    // src-keyed exchange, moving (ids, score) triples
+    val w = Window.partitionBy(col("src_id")).orderBy(col("csim").desc, col("dst_id"))
+    reduced.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("src_id"), col("rank"), col("dst_id"),
+        round(col("csim") * 10000).cast("long").as("csim_e4"))
+      .orderBy(col("src_id"), col("rank"))
+  }
+
   // --------------------------------------------------------- recall gate
 
   /** Driver-visible ANN quality gate: recall@5 of each approximate method
@@ -1089,7 +1177,184 @@ object Similarity {
       |  CAST(count(*) * sum(xi * xj) - sum(xi) * sum(xj) AS BIGINT) AS cov_num
       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Cyclic Jacobi eigendecomposition of a small symmetric matrix —
+    * eigenvalues descending with matching eigenvectors (row per
+    * eigenvector), signs canonicalized so the largest-magnitude
+    * coordinate is positive (eigenvectors are only defined up to sign;
+    * without a canon the projection would flip between runs). Driver-side
+    * d×d math, the same traffic class as the Lloyd loop: only the d×d
+    * covariance ever reaches the driver, never corpus rows. */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { var j = i + 1; while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    var sweep = 0
+    while (sweep < 64 && off() > 1e-18) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else -1.0 / (-theta + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            val app = a(p)(p); val aqq = a(q)(q)
+            a(p)(p) = app - t * apq
+            a(q)(q) = aqq + t * apq
+            a(p)(q) = 0.0; a(q)(p) = 0.0
+            var r = 0
+            while (r < d) {
+              if (r != p && r != q) {
+                val arp = a(r)(p); val arq = a(r)(q)
+                a(r)(p) = c * arp - s * arq; a(p)(r) = a(r)(p)
+                a(r)(q) = s * arp + c * arq; a(q)(r) = a(r)(q)
+              }
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - s * vrq
+              v(r)(q) = s * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val idx = (0 until d).sortBy(i => -a(i)(i)).toArray
+    val evals = idx.map(i => a(i)(i))
+    val evecs = idx.map(i => Array.tabulate(d)(r => v(r)(i)))
+    evecs.foreach { e =>
+      val m = e.indices.maxBy(t => (math.abs(e(t)), -t))
+      if (e(m) < 0) { var t = 0; while (t < d) { e(t) = -e(t); t += 1 } }
+    }
+    (evals, evecs)
+  }
+
+  /** Number of principal components [[embedPca]] projects onto. */
+  val PcaK = 8
+
+  /** PCA model of the embedding corpus: per-dim means, eigenvalues
+    * (descending, raw-unit sample variance) and the top-[[PcaK]]
+    * eigenvectors of the sample covariance. The covariance rides
+    * [[embedCovarianceOf]]'s one-pass exact-integer aggregate (itself
+    * oracle-gated as `embed_covariance`), so the distributed part of PCA
+    * is already cross-engine-proven; only the d×d eigensolve runs on the
+    * driver. Cached per corpus fingerprint — the production shape persists
+    * the components next to the IVF centroids (same artifact discipline,
+    * centroidStorePath); the recompute here is one aggregate pass, and the
+    * JVM cache amortizes it across a session's queries. */
+  def pcaModel(spark: SparkSession, dir: String)
+      : (Array[Double], Array[Double], Array[Array[Double]]) =
+    pcaCache.getOrElseUpdate(centroidStorePath(spark, dir) + "#pca", {
+      val rows = embedCovarianceOf(Tables.embeddings(spark, dir))
+        .select(col("i"), col("j"), col("n"), col("sum_i"), col("cov_num"))
+        .collect()
+      if (rows.isEmpty) // empty corpus: no covariance, no components
+        (Array.empty[Double], Array.empty[Double], Array.empty[Array[Double]])
+      else {
+        val d = rows.map(_.getLong(1)).max.toInt + 1
+        val n = rows.head.getLong(2)
+        val cov = Array.ofDim[Double](d, d)
+        val mean = new Array[Double](d)
+        rows.foreach { r =>
+          val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
+          // cov_num is in e3² units over quantized ints; /1e6 restores raw units
+          val c = r.getLong(4).toDouble / (n.toDouble * (n - 1.0)) / 1e6
+          cov(i)(j) = c; cov(j)(i) = c
+          if (i == j) mean(i) = r.getLong(3).toDouble / n / 1e3
+        }
+        val (evals, evecs) = jacobiEigen(cov)
+        (mean, evals, evecs.take(PcaK))
+      }
+    })
+  private val pcaCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Double], Array[Double], Array[Array[Double]])]
+
+  /** PCA projection of every corpus vector onto the top-[[PcaK]]
+    * principal components — the dimensionality-reduction pass a vector
+    * pipeline runs before OPQ rotation, whitening, or cheap visual/drift
+    * maps (64 dims → 8 captures the bulk of the variance at 8× less ANN
+    * scan traffic). Mean-centered projection with the centering folded
+    * into a per-component scalar offset (proj = x·v − μ·v), so the per-row
+    * work is [[PcaK]] dot products against broadcast component literals —
+    * zero extra exchanges, no per-element subtraction pass. Rows-only:
+    * the eigensolve is not DuckDB-expressible; PcaSpec pins the residuals
+    * (‖Av−λv‖), orthonormality, eigenvalue order, trace preservation and
+    * variance-matches-eigenvalue on the projected output, and the
+    * projection plumbing itself is hash-proven by the
+    * `embed_project_oracle` twin (same transform/zip_with/aggregate
+    * pipeline, integer parameters). */
+  def embedPca(spark: SparkSession, dir: String): DataFrame = {
+    val (mean, _, comps) = pcaModel(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    if (comps.isEmpty) // empty corpus trains no components
+      return emb.select(col("vec_id"),
+        typedLit(Seq.empty[Long]).as("proj_e3"))
+    val compLit = array(comps.map(v => array(v.map(lit(_)): _*)): _*)
+    val offLit = array(comps.map(v =>
+      lit(v.indices.map(t => v(t) * mean(t)).sum)): _*)
+    emb.select(col("vec_id"),
+        transform(compLit, (v, j) =>
+          round((aggregate(zip_with(col("embedding"), v,
+            (x, w) => x.cast("double") * w), lit(0.0), (acc, z) => acc + z)
+            - element_at(offLit, j + 1)) * 1000).cast("long")).as("proj_e3"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB-provable twin of [[embedPca]]'s projection pipeline: the SAME
+    * transform-over-component-literals + zip_with/aggregate dot-product
+    * shape, but with a neutral ±1 basis derived from an integer hash both
+    * engines can replay, over e3-quantized coordinates — every dot is
+    * exact BIGINT algebra, so the hash match proves the projection
+    * plumbing (array zip, per-component fold, long-form explode) with no
+    * float-summation caveat. The [[OracleVariants]] twin discipline. */
+  val ProjOracleD = 4
+  private[graft] def projOracleSign(j: Int, t: Int): Long =
+    if ((2654435761L * (j * 64 + t) + 123456789L) % 1000000007L % 2L == 0L) 1L else -1L
+
+  def embedProjectOracle(spark: SparkSession, dir: String): DataFrame = {
+    val comps = Array.tabulate(ProjOracleD, 64)((j, t) => projOracleSign(j, t))
+    val compLit = array(comps.map(v => array(v.map(lit(_)): _*)): _*)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("q"))
+      .select(col("vec_id"),
+        posexplode(transform(compLit, v =>
+          aggregate(zip_with(col("q"), v, (x, w) => x * w), lit(0L), (a, z) => a + z)))
+          .as(Seq("comp", "dot_q")))
+      .select(col("vec_id"), col("comp").cast("long").as("comp"), col("dot_q"))
+      .orderBy(col("vec_id"), col("comp"))
+  }
+
+  val embedProjectOracleSql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS q
+      |  FROM embeddings
+      |), s AS (
+      |  SELECT vec_id, j.j AS comp,
+      |    q[t.t + 1] * (CASE WHEN ((2654435761 * (j.j * 64 + t.t) + 123456789)
+      |      % 1000000007) % 2 = 0 THEN 1 ELSE -1 END) AS term
+      |  FROM q, unnest(range(0, 4)) AS j(j), unnest(range(0, len(q))) AS t(t)
+      |)
+      |SELECT vec_id, CAST(comp AS BIGINT) AS comp, CAST(sum(term) AS BIGINT) AS dot_q
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_pca"        -> (embedPca _),
+    "knn_graph"        -> (knnGraph _),
+    "embed_project_oracle" -> (embedProjectOracle _),
     "embed_covariance" -> (embedCovariance _),
     "embed_quantize"  -> (embedQuantize _),
     "embed_centroid_stats" -> (embedCentroidStats _),
@@ -1107,6 +1372,7 @@ object Similarity {
     * make cross-engine hash equality meaningless) — except embed_quantize,
     * whose per-element arithmetic is boundary-exact in both engines. */
   val oracle: Map[String, String] = Map(
+    "embed_project_oracle" -> embedProjectOracleSql,
     "embed_quantize" -> embedQuantizeSql,
     "embed_centroid_stats" -> embedCentroidStatsSql,
     "embed_covariance" -> embedCovarianceSql)

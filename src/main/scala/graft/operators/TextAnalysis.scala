@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -37,6 +38,18 @@ object TextAnalysis {
     pmod(lit(HashA) * pmod(id, lit(HashP)) + lit(HashB), lit(HashP))
   /** DuckDB mirror of [[idHash]] over a column rendering `ref`. */
   def idHashSql(ref: String): String = s"(($HashA * ($ref % $HashP) + $HashB) % $HashP)"
+
+  /** Epoch-keyed variant of [[idHash]]: shifts the mod-p residue by
+    * epoch·K before the affine mix, so each epoch is an independent
+    * pseudo-random priority over the same ids. Same overflow discipline —
+    * the residue is reduced mod p FIRST, the shift keeps the operand
+    * < 2p + 2³¹·K ≪ 2⁶³, and the A·(p−1) product bound is unchanged. */
+  private val EpochK = 999983L
+  def epochHash(id: org.apache.spark.sql.Column, epoch: Int): org.apache.spark.sql.Column =
+    pmod(lit(HashA) * pmod(pmod(id, lit(HashP)) + lit(epoch * EpochK), lit(HashP)) + lit(HashB), lit(HashP))
+  /** DuckDB mirror of [[epochHash]]. */
+  def epochHashSql(ref: String, epoch: Int): String =
+    s"(($HashA * ((($ref % $HashP) + ${epoch * EpochK}) % $HashP) + $HashB) % $HashP)"
 
   /** Token counting: whitespace tokens + a BPE-ish segmentation. */
   def textTokens(spark: SparkSession, dir: String): DataFrame =
@@ -1027,7 +1040,125 @@ object TextAnalysis {
       |    sum(count(*)) OVER (PARTITION BY lang), 0) AS BIGINT) AS recall_e4
       |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Token-budgeted sampling: per language, keep documents in ascending
+    * [[idHash]]-priority order until a token budget (half the language's
+    * whitespace tokens) fills — the "give me exactly N tokens of X" cut a
+    * training-mix recipe specifies, where rate-based sampling
+    * (corpus_mix) only hits the budget in expectation. Greedy-prefix
+    * semantics: the doc whose cumulative count first exceeds the budget is
+    * dropped along with everything after it.
+    *
+    * Scale shape: the textbook formulation is one running-sum window
+    * PARTITION BY lang ORDER BY priority — a per-language global sort
+    * whose parallelism is |langs| (5 reducers for a 100 TB corpus). Here
+    * the priority space is range-bucketed (bucket = h·1024/p, monotone in
+    * h, so bucket order IS priority order), per-bucket token subtotals
+    * ride a tiny partial-aggregated groupBy, the cross-bucket running
+    * offset is a window over that ≤|langs|×1024-row aggregate, and each
+    * doc's exact global running sum = broadcast bucket offset + a
+    * within-bucket window — 1024-way parallelism per language, the same
+    * carry-in sharding discipline as PointInTimeJoin.asofBucketed. Docs
+    * with equal priority share a bucket (bucket is a function of h), so
+    * the sharded sum equals the naive window unconditionally; the DuckDB
+    * oracle deliberately computes the NAIVE form, cross-proving the
+    * sharding. All gate columns exact integers. */
+  def corpusTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    corpusTokenBudgetOf(Tables.documents(spark, dir))
+
+  def corpusTokenBudgetOf(docs: DataFrame): DataFrame = {
+    val t = docs.select(
+      col("doc_id"), col("lang"),
+      size(regexp_extract_all(col("text"), lit(wsTok), lit(0))).cast("long").as("n_toks"),
+      idHash(col("doc_id")).as("h"))
+      .withColumn("bucket", expr(s"(h * 1024) div $HashP"))
+    // per-(lang, bucket) subtotals: partial-aggregates map-side, ≤1024
+    // rows per language reach the exchange regardless of corpus size
+    val wLang = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("n_toks")).as("bsum"))
+      .withColumn("bstart", coalesce(sum(col("bsum")).over(wLang), lit(0L)))
+      .withColumn("budget",
+        call_function("shiftright",
+          sum(col("bsum")).over(Window.partitionBy(col("lang"))), lit(1)))
+      .select(col("lang"), col("bucket"), col("bstart"), col("budget"))
+    // fine pass: the ONLY corpus-sized exchange, keyed (lang, bucket) —
+    // 1024-way parallel cumsum with the broadcast carry-in offset
+    val wIn = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.join(broadcast(offsets), Seq("lang", "bucket"))
+      .withColumn("run", col("bstart") + sum(col("n_toks")).over(wIn))
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        (col("run") <= col("budget")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusTokenBudgetSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(regexp_extract_all(text, '$wsTok')) AS BIGINT) AS n_toks,
+      |    ${idHashSql("doc_id")} AS h
+      |  FROM documents
+      |), b AS (
+      |  SELECT lang, CAST(sum(n_toks) AS BIGINT) // 2 AS budget FROM t GROUP BY 1
+      |), r AS (
+      |  SELECT t.*, sum(n_toks) OVER (PARTITION BY lang ORDER BY h, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM t
+      |)
+      |SELECT r.doc_id, r.lang, r.n_toks, (r.run <= b.budget) AS keep
+      |FROM r JOIN b ON r.lang = b.lang ORDER BY r.doc_id""".stripMargin
+
+  /** Deterministic epoch shuffle: a reproducible pseudo-random global
+    * permutation of the corpus for training-order randomization — every
+    * doc gets (shard, pos) where pos is its 0-based position in the
+    * epoch's permutation, and re-running the same epoch on the same
+    * corpus yields the SAME order (restartable training jobs), while a
+    * different epoch yields an independent order (see [[epochHash]]).
+    *
+    * Scale shape: a global permutation cannot avoid ordering, but it can
+    * avoid a global sort. Shard = h·S/p is monotone in the hash, so
+    * shard-major + within-shard (h, doc_id) order IS the global hash
+    * order: per-shard counts ride a tiny S-row aggregate, the cross-shard
+    * offsets are a window over that aggregate (broadcast back), and the
+    * only corpus-sized exchange is the shard partitioning with a LOCAL
+    * within-shard sort — S-way parallelism, the corpus_token_budget
+    * carry-in discipline. The DuckDB oracle deliberately computes the
+    * naive single-window global row_number, cross-proving the sharding. */
+  val ShuffleShards = 64
+  def corpusEpochShuffle(spark: SparkSession, dir: String): DataFrame =
+    corpusEpochShuffleOf(Tables.documents(spark, dir), epoch = 1)
+
+  def corpusEpochShuffleOf(docs: DataFrame, epoch: Int): DataFrame = {
+    val t = docs.select(col("doc_id"), epochHash(col("doc_id"), epoch).as("h"))
+      .withColumn("shard", expr(s"(h * $ShuffleShards) div $HashP"))
+    val wOff = Window.orderBy(col("shard")).rowsBetween(Window.unboundedPreceding, -1)
+    val offs = t.groupBy(col("shard")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select(col("shard"), col("off"))
+    val wIn = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    t.join(broadcast(offs), Seq("shard"))
+      .withColumn("pos", col("off") + row_number().over(wIn).cast("long") - 1L)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusEpochShuffleSql: String = {
+    val eh = epochHashSql("doc_id", 1)
+    s"""WITH t AS (
+      |  SELECT doc_id, $eh AS h,
+      |    CAST(($eh * $ShuffleShards) // $HashP AS BIGINT) AS shard
+      |  FROM documents
+      |)
+      |SELECT doc_id, shard,
+      |  CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+      |FROM t ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_epoch_shuffle" -> (corpusEpochShuffle _),
+    "corpus_token_budget" -> (corpusTokenBudget _),
     "corpus_quality_sample" -> (corpusQualitySample _),
     "corpus_lang_confusion" -> (corpusLangConfusion _),
     "corpus_filter"    -> (corpusFilter _),
@@ -1053,6 +1184,8 @@ object TextAnalysis {
     "text_fingerprint" -> (textFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "corpus_epoch_shuffle" -> corpusEpochShuffleSql,
+    "corpus_token_budget" -> corpusTokenBudgetSql,
     "corpus_quality_sample" -> corpusQualitySampleSql,
     "corpus_lang_confusion" -> corpusLangConfusionSql,
     "corpus_filter"    -> corpusFilterSql,

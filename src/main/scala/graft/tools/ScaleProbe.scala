@@ -132,6 +132,36 @@ object ScaleProbe {
     * leave the dims fixed, and run the (spark, dir) queries unchanged.
     * Every query is forced through sum(xxhash64(struct(*))) so Catalyst
     * cannot prune the aggregate outputs being timed. */
+  /** Linearity probe for the round-7 sampling/graph operators: documents
+    * and embeddings replicated ×1/×10/×30 with shifted ids. token_budget
+    * and epoch_shuffle must grow near-linearly (their cumsum/permutation
+    * work is sharded — a super-linear step means a global sort crept
+    * back); knn_graph is candidate-bounded by n·cap per cell, so growth
+    * tracks cell population (near-linear while cells stay under the cap,
+    * and the sub-blocking guard bounds it past that). */
+  private def r7Probe(spark: SparkSession, reps: Seq[Int]): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.1"
+    val cents = graft.operators.Similarity.loadOrTrainCentroids(spark, dir)
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[scale] $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s rows=$n")
+    }
+    for (k <- reps) {
+      def repl(df: DataFrame, idCol: String): DataFrame =
+        (0 until k).map(i => df.withColumn(idCol, col(idCol) + lit(i.toLong * 10000000L)))
+          .reduce(_ unionByName _)
+      val docs = repl(graft.sources.Tables.documents(spark, dir), "doc_id")
+      val emb = repl(graft.sources.Tables.embeddings(spark, dir), "vec_id")
+      time(s"token_budget x$k")(
+        graft.operators.TextAnalysis.corpusTokenBudgetOf(docs).count())
+      time(s"epoch_shuffle x$k")(
+        graft.operators.TextAnalysis.corpusEpochShuffleOf(docs, 1).count())
+      time(s"knn_graph x$k")(
+        graft.operators.Similarity.knnGraphOf(emb, cents).count())
+    }
+  }
+
   private def tpchProbe(spark: SparkSession, k: Int): Unit = {
     import org.apache.spark.sql.functions._
     val src = "/root/testdata/sf0.1"
@@ -197,6 +227,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("tpch")) {
       tpchProbe(spark, args.drop(1).headOption.map(_.toInt).getOrElse(1))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("r7")) {
+      r7Probe(spark, Seq(1, 10, 30))
       spark.stop()
       return
     }

@@ -546,4 +546,221 @@ class Round7OpsSpec extends SparkSpecBase {
       top.map { case (ck, (s, n)) => (ck, s, n) },
       "top-20 set, order and counts must match the driver fold")
   }
+
+  test("corpus_token_budget: sharded cumsum equals the naive per-lang prefix rule") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.TextAnalysis.corpusTokenBudget(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("lang"), r.getAs[Long]("n_toks"), r.getAs[Boolean]("keep"))).toMap
+    // independent naive fold: priority order (idHash, doc_id), single cumsum,
+    // keep while run <= total//2 — no buckets, no carry-in sharding
+    val pri = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.operators.TextAnalysis.idHash(col("doc_id")).as("h"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("h")).toMap
+    val expected = out.toSeq.groupBy(_._2._1).flatMap { case (_, docs) =>
+      val ordered = docs.sortBy { case (id, _) => (pri(id), id) }
+      val budget = ordered.map(_._2._2).sum / 2
+      var run = 0L
+      ordered.map { case (id, (_, nt, _)) => run += nt; id -> (run <= budget) }
+    }
+    assert(out.map { case (id, (_, _, k)) => id -> k } == expected,
+      "bucket-sharded running sum must reproduce the naive greedy prefix")
+    // the budget binds: something kept, something dropped, per language
+    out.values.groupBy(_._1).foreach { case (lang, vs) =>
+      assert(vs.exists(_._3) && vs.exists(!_._3), s"budget vacuous for $lang")
+    }
+  }
+
+  test("dedup_containment: quote-in-page flagged one-way; small docs and cross-lang exempt") {
+    import spark.implicits._
+    val quote = (1 to 20).map(i => s"quoteword$i").mkString(" ")     // 16 shingles
+    val page = quote + " " + (1 to 40).map(i => s"pagefill$i").mkString(" ")
+    val tiny = "tinya tinyb tinyc tinyd tinye tinyf tinyg tinyh"     // 4 shingles < 10
+    val docs = Seq(
+      (1L, "en", "web", quote),                 // contained in 2
+      (2L, "en", "web", page + " " + tiny),     // the container
+      (3L, "en", "web", (1 to 30).map(i => s"other$i").mkString(" ")), // unrelated
+      (4L, "en", "web", tiny),                  // contained but under the 10-shingle floor
+      (5L, "de", "web", quote))                 // same text, different lang block
+      .toDF("doc_id", "lang", "source", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-contain").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Dedup.dedupContainment(spark, dir).collect()
+      .map(r => (r.getAs[Long]("contained_id"), r.getAs[Long]("container_id"),
+        r.getAs[Long]("n_shared"), r.getAs[Long]("n_contained")))
+    assert(out.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"exactly quote⊂page must flag, got ${out.toSeq}")
+    val (_, _, shared, n) = out.head
+    assert(shared == n, "verbatim quote: every contained shingle must be shared")
+    assert(n == 16L, "20 words → 16 distinct 5-gram shingles")
+  }
+
+  test("embed_pca: eigen residuals, orthonormality, trace, and projected variance = eigenvalue") {
+    val dir = "/root/testdata/sf0.001"
+    // known 2x2: [[2,1],[1,2]] -> evals (3,1), evecs (1,1)/sqrt2, (1,-1)/sqrt2 canon-signed
+    val (ev2, evec2) = graft.operators.Similarity.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(ev2(0) - 3.0) < 1e-12 && math.abs(ev2(1) - 1.0) < 1e-12)
+    val r2 = 1.0 / math.sqrt(2.0)
+    assert(evec2(0).zip(Array(r2, r2)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+
+    val (mean, evals, comps) = graft.operators.Similarity.pcaModel(spark, dir)
+    val d = mean.length
+    // rebuild the SAME covariance the model eigensolved, independently
+    val rows = graft.operators.Similarity
+      .embedCovarianceOf(graft.sources.Tables.embeddings(spark, dir))
+      .collect()
+    val n = rows.head.getAs[Long]("n")
+    val cov = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val i = r.getAs[Long]("i").toInt; val j = r.getAs[Long]("j").toInt
+      val c = r.getAs[Long]("cov_num").toDouble / (n.toDouble * (n - 1.0)) / 1e6
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    val (allEv, allVec) = graft.operators.Similarity.jacobiEigen(cov)
+    assert(math.abs(allEv.sum - trace) < 1e-9 * math.max(1.0, math.abs(trace)),
+      "eigenvalue sum must preserve the trace")
+    assert(allEv.zip(allEv.tail).forall { case (a, b) => a >= b - 1e-12 }, "descending")
+    assert(allEv.forall(_ > -1e-9), "covariance is PSD")
+    // residual ‖Av − λv‖∞ per returned eigenpair
+    allEv.zip(allVec).foreach { case (l, v) =>
+      val av = (0 until d).map(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val res = av.zip(v).map { case (a, x) => math.abs(a - l * x) }.max
+      assert(res < 1e-9 * math.max(1.0, math.abs(l)), s"residual $res for eval $l")
+    }
+    // orthonormality of the top-k the model kept
+    for (a <- comps.indices; b <- comps.indices) {
+      val dot = comps(a).zip(comps(b)).map { case (x, y) => x * y }.sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"comp $a · comp $b = $dot")
+    }
+    // the projected output: per-component mean ~ 0, sample variance ~ eigenvalue
+    val proj = graft.operators.Similarity.embedPca(spark, dir).collect()
+      .map(_.getAs[scala.collection.Seq[Long]]("proj_e3").map(_.toDouble / 1000.0))
+    assert(proj.nonEmpty && proj.head.length == graft.operators.Similarity.PcaK)
+    val m = proj.length
+    for (j <- 0 until graft.operators.Similarity.PcaK) {
+      val xs = proj.map(_(j))
+      val mu = xs.sum / m
+      // e3 output rounding (≤5e-4/coord) + the quantized-mean offset can
+      // drift the mean by up to Σ|v_t|·5e-4 ≤ √d·5e-4 ≈ 4e-3
+      assert(math.abs(mu) < 5e-3, s"centered projection, comp $j mean $mu")
+      val va = xs.map(x => (x - mu) * (x - mu)).sum / (m - 1)
+      assert(math.abs(va - evals(j)) < 0.02 * evals(0) + 1e-4,
+        s"comp $j: projected variance $va vs eigenvalue ${evals(j)}")
+    }
+  }
+
+  test("embed_project_oracle: exact integer dots against a driver-side replay") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.Similarity.embedProjectOracle(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("comp")) -> r.getAs[Long]("dot_q"))
+      .toMap
+    val emb = graft.sources.Tables.embeddings(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[scala.collection.Seq[Float]]("embedding")).toMap
+    assert(out.size == emb.size * graft.operators.Similarity.ProjOracleD)
+    emb.foreach { case (id, v) =>
+      // Spark round() is HALF_UP away from zero; math.round is toward +∞
+      val q = v.map { x =>
+        val y = x.toDouble * 1000
+        if (y < 0) -math.round(-y) else math.round(y)
+      }
+      for (j <- 0 until graft.operators.Similarity.ProjOracleD) {
+        val want = q.indices.map(t =>
+          q(t) * graft.operators.Similarity.projOracleSign(j, t)).sum
+        assert(out((id, j.toLong)) == want, s"vec $id comp $j")
+      }
+    }
+  }
+
+  test("corpus_epoch_shuffle: valid permutation, equals the naive hash order, epochs independent") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    def run(epoch: Int) = graft.operators.TextAnalysis
+      .corpusEpochShuffleOf(docs, epoch).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    val e1 = run(1)
+    val n = e1.length
+    assert(e1.map(_._3).sorted.toSeq == (0L until n.toLong), "pos is a 0..n-1 bijection")
+    // sharded carry-in order equals the naive global (hash, doc_id) sort
+    val hs = docs.select(col("doc_id"),
+        graft.operators.TextAnalysis.epochHash(col("doc_id"), 1).as("h")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("h")).toMap
+    val naive = e1.map(_._1).sortBy(id => (hs(id), id)).zipWithIndex
+      .map { case (id, p) => id -> p.toLong }.toMap
+    e1.foreach { case (id, shard, pos) =>
+      assert(pos == naive(id), s"doc $id")
+      assert(shard == hs(id) * 64L / 1000000007L, s"shard of $id")
+    }
+    // a different epoch is a materially different permutation of the same ids
+    val e2 = run(2)
+    assert(e2.map(_._1).sorted.toSeq == e1.map(_._1).sorted.toSeq)
+    val p2 = e2.map(t => t._1 -> t._3).toMap
+    val moved = e1.count { case (id, _, pos) => p2(id) != pos }
+    assert(moved > n / 2, s"epoch 2 must reorder most docs (moved $moved of $n)")
+  }
+
+  test("knn_graph: structure, recall vs the exact graph, and no src_id re-shuffle") {
+    val dir = "/root/testdata/sf0.001"
+    val df = graft.operators.Similarity.knnGraph(spark, dir)
+    // block-local top-k must reuse the join's (cell, sub) partitioning:
+    // the ONLY src-keyed exchange is the stage-2 merge over the ≤
+    // nprobe·k pre-reduced survivors
+    val plan = df.queryExecution.executedPlan.treeString
+    assert("hashpartitioning\\(src_id".r.findAllIn(plan).length == 1,
+      "exactly one src_id exchange (the pre-reduced stage-2 merge)")
+    val out = df.collect().map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("rank"),
+      r.getAs[Long]("dst_id"), r.getAs[Long]("csim_e4")))
+    assert(out.nonEmpty)
+    assert(out.forall { case (s, _, d, _) => s != d }, "no self edges")
+    val bySrc = out.groupBy(_._1)
+    bySrc.foreach { case (s, es) =>
+      assert(es.map(_._2).sorted.sameElements(1L to es.length.toLong), s"ranks dense for $s")
+      assert(es.length <= graft.operators.Similarity.GraphK)
+      assert(es.map(_._3).distinct.length == es.length, s"duplicate edge from $s")
+      val sims = es.sortBy(_._2).map(_._4)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, s"rank order for $s")
+    }
+    // recall vs the exact top-k graph, computed driver-side
+    val emb = graft.sources.Tables.embeddings(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val k = graft.operators.Similarity.GraphK
+    var hit = 0; var tot = 0
+    emb.foreach { case (s, va) =>
+      val exact = emb.toSeq.filter(_._1 != s)
+        .map { case (d, vb) => (d, cos(va, vb)) }
+        .sortBy { case (d, c) => (-c, d) }.take(k).map(_._1).toSet
+      val approx = bySrc.getOrElse(s, Array.empty).map(_._3).toSet
+      hit += (exact & approx).size; tot += k
+    }
+    val recall = hit.toDouble / tot
+    assert(recall >= 0.4, s"graph recall@$k $recall below floor")
+  }
+
+  test("ft_freshness: ages and staleness buckets match a driver-side fold") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.FeatureOps.ftFreshness(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("age_sec"), r.getAs[String]("status"))).toMap
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us")))
+    val latest = ev.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).max }
+    val now = ev.map(_._2).max
+    val expected = latest.map { case (u, us) =>
+      val age = (now - us) / 1000000L
+      u -> (age, if (age < 3600L) "FRESH" else if (age < 14400L) "AGING"
+        else "OUTSIDE_MAX_AGE")
+    }
+    assert(out == expected)
+    assert(out.values.map(_._2).toSet.size >= 2, "bucket boundaries must bind")
+  }
 }
