@@ -1181,7 +1181,52 @@ object Analytics {
       |  CAST(sum(v_e2) AS BIGINT) AS revenue_e2
       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Activity streaks per user — the gaps-and-islands shape (longest run
+    * of consecutive active days): island id = day number minus the
+    * per-user day rank, constant exactly while days are consecutive.
+    * The product-analytics "streak" metric next to DAU/retention, all
+    * exact integer math.
+    *
+    * Scale shape: everything runs at the deduplicated (user, day) grain —
+    * the distinct is the only pass over raw events. After it, ONE
+    * user-keyed exchange serves the rank window AND both downstream
+    * aggregates: hashpartitioning(user) satisfies the (user, grp) and
+    * (user) clusterings (partition keys ⊆ grouping keys), so neither
+    * groupBy re-shuffles. Day-grain rows per user are bounded by the
+    * calendar, so no window partition can go quadratic. */
+  def eventsStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val wd = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val isl = days.withColumn("grp",
+      datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
+        - row_number().over(wd))
+    isl.groupBy(col("user_id"), col("grp")).agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventsStreaksSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |), i AS (
+      |  SELECT user_id, day,
+      |    datediff('day', DATE '1970-01-01', day)
+      |      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM d
+      |), s AS (
+      |  SELECT user_id, grp, count(*) AS len FROM i GROUP BY 1, 2
+      |)
+      |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+      |  CAST(count(*) AS BIGINT) AS n_streaks,
+      |  CAST(max(len) AS BIGINT) AS longest_streak
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_streaks"    -> (eventsStreaks _),
     "q1_agg"            -> (q1Agg _),
     "q3_topk"           -> (q3Topk _),
     "q5_join"           -> (q5Join _),
@@ -1222,6 +1267,7 @@ object Analytics {
     "q_rank_funcs"      -> (qRankFuncs _))
 
   val oracle: Map[String, String] = Map(
+    "events_streaks"    -> eventsStreaksSql,
     "q1_agg"            -> q1AggSql,
     "q3_topk"           -> q3TopkSql,
     "q5_join"           -> q5JoinSql,

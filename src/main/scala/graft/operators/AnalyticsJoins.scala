@@ -551,7 +551,81 @@ object AnalyticsJoins {
       |JOIN nation n ON c.c_nationkey = n.n_nationkey
       |ORDER BY t.lost_e4 DESC, c.c_custkey LIMIT 20""".stripMargin
 
+  /** Market-basket part affinity: top-20 part pairs by lift among parts
+    * co-purchased in the same order (min support 3 co-occurrences) — the
+    * association-rules staple. Lift = n·c12/(c1·c2), emitted e4 via
+    * EXACT integer half-up division — (2·num + den) div (2·den) — because
+    * ratios of small counts land on .5 boundaries routinely (measured:
+    * 55237.5 at sf0.001), so a float round() would be engine-lottery
+    * there; integer division has no boundary. The BIGINT products bound
+    * the basket count at ~3·10⁷ under ANSI; past that a production run
+    * emits the raw counts and leaves the ratio to the consumer (or
+    * 128-bit math). Ordering is total (lift, part_a, part_b) so LIMIT is
+    * deterministic.
+    *
+    * Scale shape: everything runs at the distinct (order, part) grain.
+    * The basket-size cap (≤100 distinct parts) rides a count window on
+    * the pair join's own orderkey exchange — a pathological basket can't
+    * go quadratic, the dedup_ngram df-cap discipline. Pair counts
+    * partial-aggregate; supports and the order count join back as
+    * broadcasts of part-grain aggregates. */
+  def qBasketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val wB = Window.partitionBy(col("l_orderkey"))
+    val capped = items.withColumn("bs", count(lit(1)).over(wB))
+      .filter(col("bs") <= 100).drop("bs")
+    val supp = capped.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    val nOrders = capped.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 3)
+    val s1 = supp.select(col("l_partkey").as("part_a"), col("c").as("c1"))
+    val s2 = supp.select(col("l_partkey").as("part_b"), col("c").as("c2"))
+    pairs.join(broadcast(s1), "part_a").join(broadcast(s2), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .withColumn("lift_e4",
+        expr("(2 * c12 * n_orders * 10000 + c1 * c2) div (2 * c1 * c2)"))
+      .select(col("part_a"), col("part_b"), col("c12"), col("c1"),
+        col("c2"), col("lift_e4"))
+      .orderBy(col("lift_e4").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  val qBasketPairsSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), capped AS (
+      |  SELECT l_orderkey, l_partkey FROM (
+      |    SELECT *, count(*) OVER (PARTITION BY l_orderkey) AS bs FROM items
+      |  ) WHERE bs <= 100
+      |), supp AS (
+      |  SELECT l_partkey, count(*) AS c FROM capped GROUP BY 1
+      |), n AS (
+      |  SELECT count(DISTINCT l_orderkey) AS n_orders FROM capped
+      |), pairs AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS c12
+      |  FROM capped a JOIN capped b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 3
+      |)
+      |SELECT p.part_a, p.part_b, CAST(p.c12 AS BIGINT) AS c12,
+      |  CAST(s1.c AS BIGINT) AS c1, CAST(s2.c AS BIGINT) AS c2,
+      |  CAST((2 * p.c12 * n.n_orders * 10000 + s1.c * s2.c)
+      |    // (2 * s1.c * s2.c) AS BIGINT) AS lift_e4
+      |FROM pairs p
+      |JOIN supp s1 ON p.part_a = s1.l_partkey
+      |JOIN supp s2 ON p.part_b = s2.l_partkey
+      |CROSS JOIN n
+      |ORDER BY lift_e4 DESC, part_a, part_b LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_basket_pairs"    -> (qBasketPairs _),
     "q_nation_volume"   -> (qNationVolume _),
     "q_correlated_agg"  -> (qCorrelatedAgg _),
     "q_anti_agg"        -> (qAntiAgg _),
@@ -565,6 +639,7 @@ object AnalyticsJoins {
     "q_returned_items"  -> (qReturnedItems _))
 
   val oracle: Map[String, String] = Map(
+    "q_basket_pairs"    -> qBasketPairsSql,
     "q_nation_volume"   -> qNationVolumeSql,
     "q_correlated_agg"  -> qCorrelatedAggSql,
     "q_anti_agg"        -> qAntiAggSql,

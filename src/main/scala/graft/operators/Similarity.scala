@@ -1295,21 +1295,43 @@ object Similarity {
     * projection plumbing itself is hash-proven by the
     * `embed_project_oracle` twin (same transform/zip_with/aggregate
     * pipeline, integer parameters). */
-  def embedPca(spark: SparkSession, dir: String): DataFrame = {
-    val (mean, _, comps) = pcaModel(spark, dir)
-    val emb = Tables.embeddings(spark, dir)
+  /** Shared mean-centered projection: per row, one dot per component
+    * against broadcast literals, centering folded into scalar offsets. */
+  private def projectOnto(emb: DataFrame, comps: Array[Array[Double]],
+      mean: Array[Double], scales: Array[Double], outName: String): DataFrame = {
     if (comps.isEmpty) // empty corpus trains no components
-      return emb.select(col("vec_id"),
-        typedLit(Seq.empty[Long]).as("proj_e3"))
-    val compLit = array(comps.map(v => array(v.map(lit(_)): _*)): _*)
-    val offLit = array(comps.map(v =>
+      return emb.select(col("vec_id"), typedLit(Seq.empty[Long]).as(outName))
+    // fold the per-component scale into the literals — scaling is free
+    val scaled = comps.zip(scales).map { case (v, s) => v.map(_ * s) }
+    val compLit = array(scaled.map(v => array(v.map(lit(_)): _*)): _*)
+    val offLit = array(scaled.map(v =>
       lit(v.indices.map(t => v(t) * mean(t)).sum)): _*)
     emb.select(col("vec_id"),
         transform(compLit, (v, j) =>
           round((aggregate(zip_with(col("embedding"), v,
             (x, w) => x.cast("double") * w), lit(0.0), (acc, z) => acc + z)
-            - element_at(offLit, j + 1)) * 1000).cast("long")).as("proj_e3"))
+            - element_at(offLit, j + 1)) * 1000).cast("long")).as(outName))
       .orderBy(col("vec_id"))
+  }
+
+  def embedPca(spark: SparkSession, dir: String): DataFrame = {
+    val (mean, _, comps) = pcaModel(spark, dir)
+    projectOnto(Tables.embeddings(spark, dir), comps, mean,
+      comps.map(_ => 1.0), "proj_e3")
+  }
+
+  /** PCA whitening: the projection scaled per component by 1/√λ so every
+    * output coordinate has unit variance — the standard preconditioning
+    * before OPQ rotation or Mahalanobis-ish similarity. The scale folds
+    * into the SAME broadcast component literals as [[embedPca]] (zero
+    * extra per-row work, one expression tree); components with λ ≤ 1e-12
+    * are dropped rather than amplified into noise. Rows-only like its
+    * parent; spec pins unit variance and near-zero mean per coordinate. */
+  def embedWhiten(spark: SparkSession, dir: String): DataFrame = {
+    val (mean, evals, comps) = pcaModel(spark, dir)
+    val kept = comps.zip(evals).filter(_._2 > 1e-12)
+    projectOnto(Tables.embeddings(spark, dir), kept.map(_._1), mean,
+      kept.map(p => 1.0 / math.sqrt(p._2)), "white_e3")
   }
 
   /** DuckDB-provable twin of [[embedPca]]'s projection pipeline: the SAME
@@ -1353,6 +1375,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_pca"        -> (embedPca _),
+    "embed_whiten"     -> (embedWhiten _),
     "knn_graph"        -> (knnGraph _),
     "embed_project_oracle" -> (embedProjectOracle _),
     "embed_covariance" -> (embedCovariance _),

@@ -653,6 +653,22 @@ class Round7OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("embed_whiten: unit variance and near-zero mean per coordinate") {
+    val dir = "/root/testdata/sf0.001"
+    val w = graft.operators.Similarity.embedWhiten(spark, dir).collect()
+      .map(_.getAs[scala.collection.Seq[Long]]("white_e3").map(_.toDouble / 1000.0))
+    assert(w.nonEmpty && w.head.nonEmpty)
+    val m = w.length
+    for (j <- w.head.indices) {
+      val xs = w.map(_(j))
+      val mu = xs.sum / m
+      val va = xs.map(x => (x - mu) * (x - mu)).sum / (m - 1)
+      // e3 output rounding is amplified by the 1/√λ scale; 5% absorbs it
+      assert(math.abs(mu) < 0.05, s"comp $j mean $mu")
+      assert(math.abs(va - 1.0) < 0.05, s"comp $j variance $va not unit")
+    }
+  }
+
   test("embed_project_oracle: exact integer dots against a driver-side replay") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.operators.Similarity.embedProjectOracle(spark, dir).collect()
@@ -743,6 +759,63 @@ class Round7OpsSpec extends SparkSpecBase {
     }
     val recall = hit.toDouble / tot
     assert(recall >= 0.4, s"graph recall@$k $recall below floor")
+  }
+
+  test("events_streaks: islands match a driver-side fold over (user, day)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.Analytics.eventsStreaks(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_active_days"), r.getAs[Long]("n_streaks"),
+          r.getAs[Long]("longest_streak"))).toMap
+    val days = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[java.sql.Date]("day").toLocalDate)
+    // fold islands directly: consecutive epoch-days extend a run
+    val exp2 = days.groupBy(_._1).map { case (u, ds) =>
+      val sorted = ds.map(_._2.toEpochDay).distinct.sorted
+      val lens = scala.collection.mutable.ListBuffer.empty[Long]
+      var run = 0L; var prev = Long.MinValue
+      sorted.foreach { d =>
+        if (d == prev + 1) run += 1 else { if (run > 0) lens += run; run = 1 }
+        prev = d
+      }
+      if (run > 0) lens += run
+      u -> ((sorted.length.toLong, lens.length.toLong, lens.max))
+    }
+    assert(out == exp2)
+    assert(out.values.exists(_._3 >= 2L), "at least one multi-day streak or the islands are vacuous")
+  }
+
+  test("q_basket_pairs: matches a driver-side fold with exact integer half-up lifts") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val items = graft.sources.Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+        .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_partkey")))
+      val byOrder = items.groupBy(_._1).filter(_._2.length <= 100)
+      val capped = byOrder.values.flatten.toSeq
+      val supp = capped.groupBy(_._2).map { case (p, rs) => p -> rs.size.toLong }
+      val n = byOrder.size.toLong
+      val pairCounts = byOrder.values.flatMap { rs =>
+        val ps = rs.map(_._2).sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        .filter(_._2 >= 3L)
+      assert(pairCounts.nonEmpty, s"min-support pairs must exist in $dir")
+      // exact integer half-up: (2·num + den) / (2·den) — no float anywhere
+      val lifts = pairCounts.map { case ((pa, pb), c12) =>
+        val den = supp(pa) * supp(pb)
+        val l = (2L * c12 * n * 10000L + den) / (2L * den)
+        (pa, pb) -> ((c12, supp(pa), supp(pb), l))
+      }
+      val top = lifts.toSeq
+        .sortBy { case ((pa, pb), (_, _, _, l)) => (-l, pa, pb) }.take(20)
+        .map { case ((pa, pb), (c12, c1, c2, l)) => (pa, pb, c12, c1, c2, l) }
+      val got = graft.operators.AnalyticsJoins.qBasketPairs(spark, dir).collect()
+        .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+          r.getAs[Long]("c12"), r.getAs[Long]("c1"), r.getAs[Long]("c2"),
+          r.getAs[Long]("lift_e4"))).toSeq
+      assert(got == top, s"top-20 mismatch in $dir")
+    }
   }
 
   test("ft_freshness: ages and staleness buckets match a driver-side fold") {
