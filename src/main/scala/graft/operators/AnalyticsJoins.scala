@@ -573,8 +573,12 @@ object AnalyticsJoins {
     val items = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val wB = Window.partitionBy(col("l_orderkey"))
+    // capped feeds FOUR consumers (both pair sides, supports, the order
+    // count): materialize the 2-long-column grain once instead of four
+    // fact scans — the knn_recall baseline discipline
     val capped = items.withColumn("bs", count(lit(1)).over(wB))
       .filter(col("bs") <= 100).drop("bs")
+      .localCheckpoint()
     val supp = capped.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
     val nOrders = capped.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("n_orders"))
