@@ -293,44 +293,12 @@ object Dedup {
       .filter(col("doc_id") =!= col("root"))
       .select(col("doc_id").as("a"), col("root").as("b"))
     val ngramEdges = dedupNgram(spark, dir).select(col("id_a").as("a"), col("id_b").as("b"))
-    val directed = exactEdges.unionByName(ngramEdges)
-    val edges = directed
-      .unionByName(directed.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
-    // propagate only over docs that HAVE an edge — a singleton's label can
-    // never change, so keeping the (usually huge) non-duplicate majority
-    // out of the loop makes each round O(|dup subgraph|), not O(corpus)
-    val edgeDocs = edges.select(col("a").as("doc_id")).distinct().localCheckpoint()
-    var labels = edgeDocs.select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
-    // convergence check: labels are min-propagated, so they only ever
-    // DECREASE — Σ lbl is strictly monotone and stalls exactly at the
-    // fixpoint. One tiny aggregate per round replaces a prev↔next join +
-    // count (halves the per-round job count; at cluster scale the saved
-    // pass is a full labels shuffle per iteration). Summed as
-    // decimal(38,0): 64-bit id schemes (snowflake-style ~1e18 doc_ids)
-    // overflow a Long sum within a handful of rows, which ANSI turns into
-    // a mid-loop abort.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)")))
-        .head().getDecimal(0)
-    var prevSum = labelSum(labels)
-    var converged = false
-    while (!converged) {
-      val viaNeighbors = edges.join(labels, edges("b") === labels("doc_id"))
-        .select(edges("a").as("doc_id"), labels("lbl"))
-      val next = labels.unionByName(viaNeighbors)
-        .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      labels = next
-    }
+    // min-label fixpoint over docs that HAVE an edge — see [[Components]]
+    val labels = Components.minLabel(exactEdges.unionByName(ngramEdges))
     val clustered = labels.select(col("doc_id"), col("lbl").as("cluster_id"),
       (col("doc_id") === col("lbl")).as("keep"))
     val singletons = docs.select(col("doc_id"))
-      .join(edgeDocs, Seq("doc_id"), "left_anti")
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster_id"), lit(true).as("keep"))
     clustered.unionByName(singletons).orderBy(col("doc_id"))
   }
@@ -488,6 +456,39 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Driver-visible dedup quality gate — the knn_recall sibling for the
+    * fingerprint family: candidate-pair recall of the minhash-band and
+    * simhash-band pipelines against the exact n-gram Jaccard pairs at
+    * the strong-duplicate threshold (jaccard ≥ 0.5, the region LSH
+    * banding is tuned for). One row per method meeting its spec floor —
+    * a healthy pipeline reports 2 rows; a recall regression DROPS its
+    * row in the driver's rows count. rows-only: it scores xxhash64
+    * pipelines that are themselves deliberately rows-only.
+    *
+    * Scale shape: the truth pairs are pinned once (they feed both semi
+    * joins and the total — the knn_recall baseline discipline), then per
+    * method one pair-keyed left-semi join and single-row aggregates. */
+  def dedupRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = dedupNgram(spark, dir).filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val tTot = truth.agg(count(lit(1)).as("n_truth"))
+    val methods: Seq[(String, DataFrame, Long)] = Seq(
+      ("minhash", dedupMinhash(spark, dir), 70L),
+      ("simhash", dedupSimhash(spark, dir), 40L))
+    methods.map { case (nm, df, floor) =>
+      df.select(col("id_a"), col("id_b"))
+        .join(truth, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(broadcast(tTot))
+        .select(lit(nm).as("method"),
+          when(col("n_truth") > 0,
+            round(col("n_hit") * 100.0 / col("n_truth")).cast("long"))
+            .as("recall_e2"),
+          lit(floor).as("floor_e2"))
+        .filter(col("recall_e2") >= col("floor_e2"))
+    }.reduce(_ unionByName _).orderBy(col("method"))
+  }
+
   /** Oracle for dedup_clusters: same edge set (md5-root stars + the ngram
     * oracle's pair formulation), connected components via a recursive
     * closure — min reachable doc_id per doc. Components are tiny (dup
@@ -595,6 +596,7 @@ object Dedup {
       |ORDER BY contained_id, container_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_recall"   -> (dedupRecall _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_exact"    -> (dedupExact _),
     "dedup_ngram"    -> (dedupNgram _),

@@ -985,6 +985,30 @@ object Similarity {
       .orderBy(col("src_id"), col("rank"))
   }
 
+  /** Semantic duplicate clusters: connected components over the
+    * mutual-similarity edges of [[knnGraph]] (csim ≥ 0.35, the
+    * dedup_semantic threshold), keep = the component-min member — the
+    * group-resolution step that turns pairwise semantic dedup into
+    * keep-one-per-cluster (SemDeDup's final act). Every vector appears:
+    * singletons keep themselves.
+    *
+    * Plan: edges are the kNN graph's (ids, score) triples — no
+    * embeddings enter the fixpoint; the [[Components]] min-label loop is
+    * O(|dup subgraph|) per round with bounded lineage. Rows-only (float
+    * ANN ancestry); spec-proven equal to a driver-side union-find over
+    * the same edge set. */
+  def embedClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = knnGraph(spark, dir).filter(col("csim_e4") >= 3500)
+      .select(col("src_id").as("a"), col("dst_id").as("b"))
+    val labels = Components.minLabel(edges)
+    val clustered = labels.select(col("doc_id").as("vec_id"),
+      col("lbl").as("cluster_id"), (col("doc_id") === col("lbl")).as("keep"))
+    val singles = Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(labels.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("vec_id").as("cluster_id"), lit(true).as("keep"))
+    clustered.unionByName(singles).orderBy(col("vec_id"))
+  }
+
   // --------------------------------------------------------- recall gate
 
   /** Driver-visible ANN quality gate: recall@5 of each approximate method
@@ -1377,6 +1401,7 @@ object Similarity {
     "embed_pca"        -> (embedPca _),
     "embed_whiten"     -> (embedWhiten _),
     "knn_graph"        -> (knnGraph _),
+    "embed_clusters"   -> (embedClusters _),
     "embed_project_oracle" -> (embedProjectOracle _),
     "embed_covariance" -> (embedCovariance _),
     "embed_quantize"  -> (embedQuantize _),

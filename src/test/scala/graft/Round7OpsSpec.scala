@@ -818,6 +818,50 @@ class Round7OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("dedup_recall: both fingerprint methods clear their floors; truth non-vacuous") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val truth = graft.operators.Dedup.dedupNgram(spark, dir)
+        .filter(col("jaccard") >= 0.5).count()
+      assert(truth > 0, s"no strong-duplicate truth pairs in $dir — the gate is vacuous")
+      val rows = graft.operators.Dedup.dedupRecall(spark, dir).collect()
+        .map(r => r.getAs[String]("method") ->
+          (r.getAs[Long]("recall_e2"), r.getAs[Long]("floor_e2"))).toMap
+      assert(rows.keySet == Set("minhash", "simhash"),
+        s"a method dropped below its floor in $dir: $rows")
+      rows.foreach { case (m, (rec, fl)) => assert(rec >= fl, s"$m in $dir") }
+    }
+  }
+
+  test("embed_clusters: equals a driver-side union-find over the same edges") {
+    val dir = "/root/testdata/sf0.001"
+    val edges = graft.operators.Similarity.knnGraph(spark, dir)
+      .filter(col("csim_e4") >= 3500)
+      .select(col("src_id"), col("dst_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val out = graft.operators.Similarity.embedClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep"))).toMap
+    // union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val allIds = out.keySet
+    val expected = allIds.map(v => v -> find(v)).toMap
+    assert(allIds.nonEmpty && edges.nonEmpty)
+    out.foreach { case (v, (cid, keep)) =>
+      assert(cid == expected(v), s"vec $v cluster $cid != ${expected(v)}")
+      assert(keep == (v == cid), s"keep rule for $v")
+    }
+    // clusters must be non-trivial somewhere or the threshold is vacuous
+    assert(out.values.exists(!_._2), "no vector was clustered under another")
+  }
+
   test("ft_freshness: ages and staleness buckets match a driver-side fold") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.operators.FeatureOps.ftFreshness(spark, dir).collect()
