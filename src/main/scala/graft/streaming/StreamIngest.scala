@@ -395,6 +395,51 @@ object StreamIngest {
       }
   }
 
+  final case class DayEvent(user_id: Long, ts: java.sql.Timestamp)
+  /** Disjoint, ascending, non-adjacent [start, end] epoch-day islands. */
+  final case class StreakState(intervals: List[(Long, Long)])
+  final case class StreakRow(user_id: Long, n_active_days: Long,
+                             n_streaks: Long, longest_streak: Long)
+
+  /** Streaming twin of the batch `events_streaks` gaps-and-islands
+    * operator: per-user consecutive-day activity runs maintained as
+    * disjoint day-interval state — the SAME interval algebra the
+    * sessionizeStateful rework proved out, at day granularity with
+    * adjacency (gap = 1 day) as the merge rule. Because a late day can
+    * BRIDGE two islands, intervals (not scalar counters) are the only
+    * state shape that stays batch-exact under out-of-order arrival;
+    * state size is bounded by the user's island count (calendar-bounded),
+    * the flatMapGroupsWithState analogue of the batch operator's
+    * day-grain window. Emits each touched user's refreshed
+    * (n_active_days, n_streaks, longest_streak) per micro-batch; the
+    * LAST row per user equals the batch answer on the same events
+    * (spec-proven, including a cross-batch island bridge). */
+  def streaksStream(events: Dataset[DayEvent], watermark: String = "1 hour")
+      : Dataset[StreakRow] = {
+    import events.sparkSession.implicits._
+    def insert(ivs: List[(Long, Long)], d: Long): List[(Long, Long)] = {
+      val (lo, rest) = ivs.partition(_._2 < d - 1)
+      val (touch, hi) = rest.partition(_._1 <= d + 1)
+      val merged =
+        if (touch.isEmpty) (d, d)
+        else (math.min(touch.head._1, d), math.max(touch.last._2, d))
+      lo ::: merged :: hi
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[StreakState, StreakRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[DayEvent], state: GroupState[StreakState]) =>
+          val days = rows.map(e => Math.floorDiv(micros(e.ts), 86400000000L)).toSet
+          var ivs = state.getOption.map(_.intervals).getOrElse(Nil)
+          days.foreach(d => ivs = insert(ivs, d))
+          state.update(StreakState(ivs))
+          val lens = ivs.map(i => i._2 - i._1 + 1L)
+          Iterator.single(StreakRow(user, lens.sum, lens.length.toLong, lens.max))
+      }
+  }
+
   /** Convenience: run a writer until all currently-available data is
     * processed (test/demo helper; production would use its own trigger). */
   def runOnce(w: DataStreamWriter[Row], checkpoint: String): StreamingQuery =

@@ -613,4 +613,37 @@ class StreamIngestSpec extends SparkSpecBase {
         col("step1"), col("step2")))
     assert(rowSet2(spark.table("path_rnd_out")) == batch)
   }
+
+  test("streaksStream: interval state survives batches and a late day bridges islands") {
+    val dir = Files.createTempDirectory("graft-stream-streaks").toString
+    val input = MemoryStream[StreamIngest.DayEvent](spark)
+    val q = StreamIngest.streaksStream(input.toDS())
+      .writeStream.format("memory").queryName("streaks_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    // batch A: user 5 active Jan 1 and Jan 3 — two 1-day islands
+    input.addData(
+      StreamIngest.DayEvent(5L, ts("2024-01-01 09:00:00")),
+      StreamIngest.DayEvent(5L, ts("2024-01-01 17:30:00")), // same-day dup collapses
+      StreamIngest.DayEvent(5L, ts("2024-01-03 12:00:00")),
+      StreamIngest.DayEvent(6L, ts("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    val afterA = spark.table("streaks_out").filter(col("user_id") === 5L).collect()
+      .map(r => (r.getAs[Long]("n_active_days"), r.getAs[Long]("n_streaks"),
+        r.getAs[Long]("longest_streak")))
+    assert(afterA.toSeq == Seq((2L, 2L, 1L)))
+    // batch B: Jan 2 arrives LATE — it must bridge the two islands into one
+    // 3-day streak (the scalar-counter formulation cannot represent this)
+    input.addData(StreamIngest.DayEvent(5L, ts("2024-01-02 23:59:59")))
+    q.processAllAvailable()
+    q.stop()
+    val rows5 = spark.table("streaks_out").filter(col("user_id") === 5L).collect()
+      .map(r => (r.getAs[Long]("n_active_days"), r.getAs[Long]("n_streaks"),
+        r.getAs[Long]("longest_streak"))).toSet
+    assert(rows5 == Set((2L, 2L, 1L), (3L, 1L, 3L)),
+      s"bridged stats must match the batch gaps-and-islands answer, got $rows5")
+    // untouched user 6 emitted once, in batch A only
+    assert(spark.table("streaks_out").filter(col("user_id") === 6L).count() == 1)
+  }
 }
