@@ -53,6 +53,12 @@ object Bench {
         case (f, s) if s < 0          => f
         case (f, s)                   => math.min(f, s)
       }
+      // localCheckpoint-based queries (clusters, recall gates, baskets) pin
+      // their checkpoint blocks in the block manager until RDD GC; across a
+      // 139-query suite that accumulates into memory/GC pressure that taxes
+      // every LATER query (~25% suite-wide, measured). Safe between queries:
+      // each run builds fresh DataFrames.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> best
     }
     // The harness that collects this line keeps only the LAST ~2000 chars of

@@ -520,4 +520,47 @@ class PlanShapeSpec extends SparkSpecBase {
         "no global sort anywhere in Q10")
     }
   }
+
+  test("r7 sampling/ordering ops: sharded cumsums, no corpus-sized single partition") {
+    withoutAqe {
+      val sfDir = "/root/testdata/sf0.001"
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      def exchanges(p: SparkPlan) = p.collect { case e: ShuffleExchangeLike => e }
+      def single(p: SparkPlan) = exchanges(p)
+        .filter(_.outputPartitioning.numPartitions == 1)
+
+      // epoch shuffle: the ONLY single-partition segment is the ≤64-row
+      // shard-offset cumsum, which must sit ABOVE an aggregate (tiny), and
+      // the permutation window itself partitions by shard
+      val es = graft.operators.TextAnalysis.corpusEpochShuffle(spark, sfDir)
+        .queryExecution.executedPlan
+      val esSingles = single(es)
+      assert(esSingles.size == 1,
+        s"exactly one single-partition exchange (the offset cumsum), got ${esSingles.size}")
+      assert(esSingles.head.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }.nonEmpty,
+        "the single-partition segment must consume the per-shard aggregate, not corpus rows")
+      assert(es.treeString.contains("hashpartitioning(shard"),
+        "the permutation window must partition by shard")
+
+      // token budget: offsets window partitions by lang — NO single
+      // partition anywhere; the fine cumsum partitions by (lang, bucket)
+      val tb = graft.operators.TextAnalysis.corpusTokenBudget(spark, sfDir)
+        .queryExecution.executedPlan
+      assert(single(tb).isEmpty,
+        "token budget must never collapse to a single partition")
+      assert(tb.treeString.contains("hashpartitioning(lang"),
+        "the bucket cumsum must partition by lang/bucket")
+
+      // streaks: distinct + ONE user-keyed exchange serving window and both
+      // aggregates (partition keys ⊆ grouping keys ⇒ no re-shuffle)
+      val st = graft.operators.Analytics.eventsStreaks(spark, sfDir)
+        .queryExecution.executedPlan
+      val stHash = exchanges(st).filter(_.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+      assert(stHash.size == 2,
+        s"distinct + one user exchange only (gate sort excluded), got ${stHash.size}")
+    }
+  }
 }
