@@ -427,6 +427,58 @@ object OracleVariants {
       .orderBy(col("vec_id"))
   }
 
+  /** DuckDB-provable twin of `corpus_semantic_sample`: the SAME
+    * documents↔embeddings id join and exact-integer balanced keep rule,
+    * with the float-argmax quantizer swapped for the sign-bit cell (first
+    * 4 quantized dims — [[dedupSemanticOracle]]'s replayable cell) so the
+    * hash match proves the cross-table join + per-cell rate sampling. */
+  def corpusSemanticSampleOracle(spark: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quant(col("embedding")).as("v"))
+      .withColumn("cell", (0 until 4).map(i =>
+        when(element_at(col("v"), i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _))
+      .select(col("vec_id"), col("cell"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val joined = docs.join(qv, docs("doc_id") === qv("vec_id"))
+      .select(col("doc_id"), col("lang"), col("cell"))
+    val counts = joined.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
+    val minCnt = counts.agg(min(col("n_cell")).as("min_docs"))
+    val bucket = pmod(TextAnalysis.idHash(col("doc_id")), lit(1000000L))
+    joined.join(broadcast(counts), "cell")
+      .crossJoin(broadcast(minCnt))
+      .withColumn("keep",
+        bucket < col("min_docs") * lit(1000000L) / col("n_cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+        count_distinct(col("lang")).as("n_langs"))
+      .orderBy(col("cell"))
+  }
+
+  val corpusSemanticSampleOracleSql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id, $quantSql AS v FROM embeddings
+      |), c AS (
+      |  SELECT vec_id, CAST(
+      |    CASE WHEN v[1] > 0 THEN 1 ELSE 0 END + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+      |    + CASE WHEN v[3] > 0 THEN 4 ELSE 0 END + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END
+      |    AS BIGINT) AS cell
+      |  FROM q
+      |), j AS (
+      |  SELECT d.doc_id, d.lang, c.cell
+      |  FROM documents d JOIN c ON d.doc_id = c.vec_id
+      |), counts AS (
+      |  SELECT cell, count(*) AS n_cell FROM j GROUP BY 1
+      |), mn AS (SELECT min(n_cell) AS min_docs FROM counts)
+      |SELECT j.cell, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN ${TextAnalysis.idHashSql("j.doc_id")} % 1000000
+      |             < mn.min_docs * 1000000 / c2.n_cell
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  CAST(count(DISTINCT j.lang) AS BIGINT) AS n_langs
+      |FROM j JOIN counts c2 ON j.cell = c2.cell CROSS JOIN mn
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val dedupSemanticOracleSql: String = {
     val cosSql = (l: String, r: String) =>
       s"""round(list_sum(list_transform(range(1, len($l) + 1), i -> $l[i]*$r[i]))::DOUBLE
@@ -529,9 +581,11 @@ object OracleVariants {
     "dedup_simhash_oracle"  -> (dedupSimhashOracle _),
     "knn_brute_oracle"      -> (knnBruteOracle _),
     "dedup_embed_oracle"    -> (dedupEmbedOracle _),
-    "dedup_semantic_oracle" -> (dedupSemanticOracle _))
+    "dedup_semantic_oracle" -> (dedupSemanticOracle _),
+    "corpus_semantic_sample_oracle" -> (corpusSemanticSampleOracle _))
 
   val oracle: Map[String, String] = Map(
+    "corpus_semantic_sample_oracle" -> corpusSemanticSampleOracleSql,
     "corpus_fuzzy_decontaminate_oracle" -> corpusFuzzyDecontaminateOracleSql,
     "dedup_minhash_oracle"  -> dedupMinhashOracleSql,
     "dedup_incremental_oracle" -> dedupIncrementalOracleSql,

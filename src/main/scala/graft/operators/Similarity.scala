@@ -1009,6 +1009,49 @@ object Similarity {
     clustered.unionByName(singles).orderBy(col("vec_id"))
   }
 
+  /** Cluster-balanced corpus curation: every semantic cell of the trained
+    * quantizer downsampled to the smallest cell's document count — the
+    * diversity-preserving cut a curation pipeline runs so over-represented
+    * semantic neighborhoods (boilerplate clusters, template families)
+    * don't dominate the training mix (the cluster-then-sample step
+    * SemDeDup-style pipelines apply after dedup). This is also the
+    * repo's documents↔embeddings CROSS-TABLE op: text rows join their
+    * vectors 1:1 on id, and the per-cell language spread rides along as
+    * the join-proof signal.
+    *
+    * Plan: cell assignment is the zero-shuffle argmax; the id equi-join
+    * is the only corpus×corpus exchange (bucketed/sorted co-location at
+    * cluster scale); the keep rule is corpus_sample's exact-integer hash
+    * bucket vs per-cell broadcast rates — doc-local, no sort, no window.
+    * Rows-only (float quantizer); the sign-bit-cell twin
+    * `corpus_semantic_sample_oracle` hash-proves the join + balanced
+    * sampling plumbing cross-engine. */
+  def corpusSemanticSample(spark: SparkSession, dir: String): DataFrame =
+    corpusSemanticSampleOf(spark, dir, loadOrTrainCentroids(spark, dir))
+
+  def corpusSemanticSampleOf(spark: SparkSession, dir: String,
+                             centroids: Seq[Seq[Double]]): DataFrame = {
+    val cells = Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      nearestCellStructAuto(col("embedding"), centroids)
+        .getField("cell").cast("long").as("cell"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val joined = docs.join(cells, docs("doc_id") === cells("vec_id"))
+      .select(col("doc_id"), col("lang"), col("cell"))
+    val counts = joined.groupBy(col("cell")).agg(count(lit(1)).as("n_docs"))
+    val minCnt = counts.agg(min(col("n_docs")).as("min_docs"))
+    val bucket = pmod(TextAnalysis.idHash(col("doc_id")), lit(1000000L))
+    joined.join(broadcast(counts.withColumnRenamed("n_docs", "n_cell")), "cell")
+      .crossJoin(broadcast(minCnt))
+      .withColumn("keep",
+        bucket < col("min_docs") * lit(1000000L) / col("n_cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+        count_distinct(col("lang")).as("n_langs"))
+      .orderBy(col("cell"))
+  }
+
   // --------------------------------------------------------- recall gate
 
   /** Driver-visible ANN quality gate: recall@5 of each approximate method
@@ -1402,6 +1445,7 @@ object Similarity {
     "embed_whiten"     -> (embedWhiten _),
     "knn_graph"        -> (knnGraph _),
     "embed_clusters"   -> (embedClusters _),
+    "corpus_semantic_sample" -> (corpusSemanticSample _),
     "embed_project_oracle" -> (embedProjectOracle _),
     "embed_covariance" -> (embedCovariance _),
     "embed_quantize"  -> (embedQuantize _),

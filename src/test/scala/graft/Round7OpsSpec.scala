@@ -862,6 +862,30 @@ class Round7OpsSpec extends SparkSpecBase {
     assert(out.values.exists(!_._2), "no vector was clustered under another")
   }
 
+  test("corpus_semantic_sample: balanced rule exact — min cell keeps all, others capped") {
+    for (fn <- Seq(
+      (s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.operators.Similarity.corpusSemanticSample(s, d),
+      (s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.operators.OracleVariants.corpusSemanticSampleOracle(s, d))) {
+      val out = fn(spark, "/root/testdata/sf0.001").collect()
+        .map(r => (r.getAs[Long]("cell"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_sampled"), r.getAs[Long]("n_langs")))
+      assert(out.length >= 2, "needs at least two cells to balance")
+      val minDocs = out.map(_._2).min
+      out.foreach { case (cell, n, s, l) =>
+        assert(s <= n && l >= 1, s"cell $cell")
+        // the keep rate for the smallest cell is exactly 1 (bucket < 1e6
+        // always holds), so the min cell keeps every doc — exact, not
+        // probabilistic
+        if (n == minDocs) assert(s == n, s"min cell $cell must keep all docs")
+      }
+      // balancing must bind somewhere: some larger cell sampled below its size
+      assert(out.exists { case (_, n, s, _) => n > minDocs && s < n },
+        "no cell was downsampled — balancing vacuous")
+    }
+  }
+
   test("ft_freshness: ages and staleness buckets match a driver-side fold") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.operators.FeatureOps.ftFreshness(spark, dir).collect()
