@@ -413,7 +413,16 @@ object StreamIngest {
     * day-grain window. Emits each touched user's refreshed
     * (n_active_days, n_streaks, longest_streak) per micro-batch; the
     * LAST row per user equals the batch answer on the same events
-    * (spec-proven, including a cross-batch island bridge). */
+    * (spec-proven, including a cross-batch island bridge).
+    *
+    * Watermark caveat: under `GroupStateTimeout.NoTimeout` Spark does NOT
+    * drop watermark-late rows before `flatMapGroupsWithState`, so the
+    * watermark here only bounds DOWNSTREAM composition (windowed aggs
+    * over the emitted stream) — arbitrarily-late days still merge into
+    * state, which is exactly what keeps the operator batch-exact (the
+    * spec's bridge case relies on it). Switching to EventTimeTimeout
+    * would make the watermark real and break batch parity for late
+    * arrivals — don't, without revisiting the spec. */
   def streaksStream(events: Dataset[DayEvent], watermark: String = "1 hour")
       : Dataset[StreakRow] = {
     import events.sparkSession.implicits._

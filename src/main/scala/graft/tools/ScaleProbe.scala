@@ -126,12 +126,6 @@ object ScaleProbe {
     }
   }
 
-  /** Scale probe for the multi-join TPC-H shapes: replicate the FACT
-    * tables k× with CONSISTENT key shifts (lineitem+orders share the
-    * orderkey shift, orders+customer the custkey shift) into a temp dir,
-    * leave the dims fixed, and run the (spark, dir) queries unchanged.
-    * Every query is forced through sum(xxhash64(struct(*))) so Catalyst
-    * cannot prune the aggregate outputs being timed. */
   /** Linearity probe for the round-7 sampling/graph operators: documents
     * and embeddings replicated ×1/×10/×30 with shifted ids. token_budget
     * and epoch_shuffle must grow near-linearly (their cumsum/permutation
@@ -162,6 +156,12 @@ object ScaleProbe {
     }
   }
 
+  /** Scale probe for the multi-join TPC-H shapes: replicate the FACT
+    * tables k× with CONSISTENT key shifts (lineitem+orders share the
+    * orderkey shift, orders+customer the custkey shift) into a temp dir,
+    * leave the dims fixed, and run the (spark, dir) queries unchanged.
+    * Every query is forced through sum(xxhash64(struct(*))) so Catalyst
+    * cannot prune the aggregate outputs being timed. */
   private def tpchProbe(spark: SparkSession, k: Int): Unit = {
     import org.apache.spark.sql.functions._
     val src = "/root/testdata/sf0.1"
