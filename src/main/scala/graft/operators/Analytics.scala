@@ -1225,7 +1225,48 @@ object Analytics {
       |  CAST(max(len) AS BIGINT) AS longest_streak
       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Schema-on-read JSON property extraction — the semi-structured
+    * column every event pipeline carries (`props` holds JSON payloads):
+    * `from_json` with an explicit schema parses once per row into a
+    * typed struct (malformed documents become NULL, counted as the
+    * parse-health signal `n_parsed`), then ordinary integer aggregates
+    * roll up per event type. The declared-schema form beats
+    * get_json_object-per-field (one parse, N fields) and beats schema
+    * inference (deterministic plan, no sampling pass).
+    *
+    * Scale: projection narrows to (event_type, props) at the scan; the
+    * parse is row-local; the only exchange is the partial-aggregated
+    * ≤|event_types| rollup. The DuckDB oracle extracts the same field by
+    * anchored regex — engine-independent ground truth for the JSON
+    * path. */
+  def eventsPropsAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("from_json(props, 'k BIGINT').k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_parsed"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsPropsAggSql: String =
+    """WITH p AS (
+      |  SELECT event_type,
+      |    TRY_CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k
+      |  FROM events
+      |)
+      |SELECT event_type, count(*) AS n_events,
+      |  CAST(count(k) AS BIGINT) AS n_parsed,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  CAST(min(k) AS BIGINT) AS min_k,
+      |  CAST(max(k) AS BIGINT) AS max_k
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_props_agg"  -> (eventsPropsAgg _),
     "events_streaks"    -> (eventsStreaks _),
     "q1_agg"            -> (q1Agg _),
     "q3_topk"           -> (q3Topk _),
@@ -1267,6 +1308,7 @@ object Analytics {
     "q_rank_funcs"      -> (qRankFuncs _))
 
   val oracle: Map[String, String] = Map(
+    "events_props_agg"  -> eventsPropsAggSql,
     "events_streaks"    -> eventsStreaksSql,
     "q1_agg"            -> q1AggSql,
     "q3_topk"           -> q3TopkSql,

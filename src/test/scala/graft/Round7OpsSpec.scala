@@ -886,6 +886,33 @@ class Round7OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("events_props_agg: JSON extraction matches a driver fold; malformed docs count as unparsed") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.Analytics.eventsPropsAgg(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_parsed"),
+          r.getAs[Long]("sum_k"), r.getAs[Long]("min_k"), r.getAs[Long]("max_k"))).toMap
+    val raw = graft.sources.Tables.events(spark, dir)
+      .select(col("event_type"), col("props")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val kRe = """"k":\s*(-?\d+)""".r
+    val expected = raw.groupBy(_._1).map { case (t, rs) =>
+      val ks = rs.flatMap(r => kRe.findFirstMatchIn(r._2).map(_.group(1).toLong))
+      t -> ((rs.length.toLong, ks.length.toLong, ks.sum, ks.min, ks.max))
+    }
+    assert(out == expected && out.nonEmpty)
+    // malformed / missing-key JSON parses to NULL, never throws or zeros
+    import spark.implicits._
+    val bad = Seq(("click", """{"k": 3}"""), ("click", "not json"),
+      ("click", """{"other": 1}"""), ("view", """{"k": -7}"""))
+      .toDF("event_type", "props")
+      .select(col("event_type"), expr("from_json(props, 'k BIGINT').k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("k")).as("p"), sum(col("k")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(bad("click") == ((3L, 1L, 3L)) && bad("view") == ((1L, 1L, -7L)))
+  }
+
   test("ft_freshness: ages and staleness buckets match a driver-side fold") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.operators.FeatureOps.ftFreshness(spark, dir).collect()
