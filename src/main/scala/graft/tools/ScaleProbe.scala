@@ -153,6 +153,13 @@ object ScaleProbe {
         graft.operators.TextAnalysis.corpusEpochShuffleOf(docs, 1).count())
       time(s"knn_graph x$k")(
         graft.operators.Similarity.knnGraphOf(emb, cents).count())
+      // cross-table balanced sampling: docs and embeddings replicated with
+      // the SAME id shift so the 1:1 join keys stay aligned
+      val tmp = java.nio.file.Files.createTempDirectory(s"probe-sem-$k").toString
+      docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      emb.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      time(s"semantic_sample x$k")(
+        graft.operators.Similarity.corpusSemanticSampleOf(spark, tmp, cents).count())
     }
   }
 
