@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify collectors keep only the last ~2000 chars of the sbt
+// command's output and json-parse the LAST non-empty line, so the forked
+// program must own the tail: no "[success] Total time" footer after it,
+// and no "[info] " prefix wrapping its stdout (both broke BENCH_r06/r07).
+Global / showSuccess := false
+run / connectInput := false
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -638,7 +638,10 @@ class Round7OpsSpec extends SparkSpecBase {
     }
     // the projected output: per-component mean ~ 0, sample variance ~ eigenvalue
     val proj = graft.operators.Similarity.embedPca(spark, dir).collect()
-      .map(_.getAs[scala.collection.Seq[Long]]("proj_e3").map(_.toDouble / 1000.0))
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("component"),
+        r.getAs[Long]("proj_e3")))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toDouble / 1000.0))
     assert(proj.nonEmpty && proj.head.length == graft.operators.Similarity.PcaK)
     val m = proj.length
     for (j <- 0 until graft.operators.Similarity.PcaK) {
@@ -656,7 +659,10 @@ class Round7OpsSpec extends SparkSpecBase {
   test("embed_whiten: unit variance and near-zero mean per coordinate") {
     val dir = "/root/testdata/sf0.001"
     val w = graft.operators.Similarity.embedWhiten(spark, dir).collect()
-      .map(_.getAs[scala.collection.Seq[Long]]("white_e3").map(_.toDouble / 1000.0))
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("component"),
+        r.getAs[Long]("white_e3")))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toDouble / 1000.0))
     assert(w.nonEmpty && w.head.nonEmpty)
     val m = w.length
     for (j <- w.head.indices) {
