@@ -3,16 +3,81 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Distributed connected components by iterative min-label propagation —
-  * the shared fixpoint behind `dedup_clusters` (text near-dup edges) and
-  * `embed_clusters` (semantic kNN-graph edges).
+/** Distributed connected components — the shared resolution step behind
+  * `dedup_clusters` (text near-dup edges) and `embed_clusters` (semantic
+  * kNN-graph edges).
   *
   * Reference semantics: duplicate-group resolution, the cluster step of
   * every keep-one-per-group dedup (Lee et al. §3 resolve pair sets the
-  * same way). Expressed Spark-first: per round one join + one min
-  * aggregate, bounded lineage via localCheckpoint, convergence detected
-  * by a single tiny aggregate. */
+  * same way).
+  *
+  * [[minLabel]] (production) is a HYBRID of two forms behind one contract:
+  *  - phase 1: up to [[PropRoundBudget]] one-hop min-label rounds — the
+  *    cheapest possible round (one join + one min aggregate), and dup
+  *    graphs are near-cliques in practice (exact-dup groups, banded
+  *    near-dup families), so almost every real input converges here at
+  *    the r1–r7 cost.
+  *  - phase 2 (only if phase 1 didn't converge): contract the graph by
+  *    the partial labels — cliques collapse to single nodes, so the
+  *    contracted graph is no bigger and usually far smaller — and finish
+  *    with alternating large-star / small-star (Kiveris et al.,
+  *    "Connected Components in MapReduce and Beyond", SoCC'14), which
+  *    converges in O(log n) rounds REGARDLESS of component diameter. A
+  *    chain-shaped duplicate family at corpus scale would otherwise mean
+  *    hundreds of driver-synchronized propagation rounds, each a full
+  *    labels shuffle — the round count, not per-round data volume, is
+  *    the structural 100 TB risk.
+  * Star-phase soundness: the loop stops only when BOTH star operators are
+  * the identity — their common fixpoints are exactly disjoint stars
+  * centered at component minima. Spec-pinned equal to union-find and to
+  * the pure propagation form on randomized graphs (Round8OpsSpec);
+  * round counts probe-measured log-vs-linear on chains (ScaleProbe cc).
+  */
 object Components {
+
+  /** One-hop propagation rounds before the star phase takes over. Covers
+    * the measured convergence of every gate-corpus dup graph (≤ ~5) with
+    * one round to spare; a high-diameter component wastes at most this
+    * many cheap rounds before the log-round algorithm finishes the job. */
+  val PropRoundBudget = 6
+
+  /** Canonical undirected form: (a, b) with a > b, self-loops dropped,
+    * deduped — the shape both star steps emit and consume. */
+  private def canon(e: DataFrame): DataFrame =
+    e.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+
+  /** Large-star: every node connects its STRICTLY LARGER neighbors to the
+    * minimum of its closed neighborhood. Operates on the symmetrized edge
+    * list; output is canonical (larger → min, and min ≤ node < neighbor).
+    * No vertex is lost: each edge's larger endpoint is re-emitted from the
+    * smaller side's neighborhood, and the smaller endpoint either is its
+    * own neighborhood min (so it stays as a target) or has a smaller
+    * neighbor whose neighborhood re-emits it. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val mins = sym.groupBy(col("a"))
+      .agg(least(min(col("b")), first(col("a"))).as("m"))
+    sym.join(mins, "a")
+      .filter(col("b") > col("a"))
+      .select(col("b").as("a"), col("m").as("b"))
+      .distinct()
+  }
+
+  /** Small-star: every node connects its smaller-or-equal neighbors (and
+    * itself) to the minimum of that set. Consumes canonical (a > b) edges,
+    * so the group min over b IS the closed-neighborhood min. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("a")).agg(min(col("b")).as("m"))
+    e.join(mins, "a")
+      .select(col("b").as("n"), col("m"))
+      .filter(col("n") =!= col("m"))
+      .select(col("n").as("a"), col("m").as("b"))
+      .unionByName(mins.select(col("a"), col("m").as("b")))
+      .distinct()
+  }
 
   /** Labels every vertex incident to an edge with the minimum vertex id
     * reachable from it: input is a DIRECTED edge list (a, b); output is
@@ -20,7 +85,100 @@ object Components {
     * (their label can never change, so keeping the usually-huge
     * singleton majority out of the loop makes each round O(|dup
     * subgraph|), not O(corpus)). */
-  def minLabel(directed: DataFrame): DataFrame = {
+  def minLabel(directed: DataFrame): DataFrame = minLabelWithRounds(directed)._1
+
+  /** [[minLabel]] plus the total round count (propagation + star) the
+    * fixpoint took — the quantity the O(log n) claim is about; ScaleProbe
+    * reads it. */
+  def minLabelWithRounds(directed: DataFrame): (DataFrame, Int) = {
+    val edges = directed
+      .unionByName(directed.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val edgeDocs = edges.select(col("a").as("doc_id")).distinct().localCheckpoint()
+    var labels = edgeDocs.select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < PropRoundBudget) {
+      val viaNeighbors = edges.join(labels, edges("b") === labels("doc_id"))
+        .select(edges("a").as("doc_id"), labels("lbl"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      rounds += 1
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels = next
+    }
+    if (converged) return (labels, rounds)
+    // phase 2: the graph has a component deeper than the budget — contract
+    // every edge through the partial labels (a component's true minimum
+    // ALWAYS survives contraction: it is its own label) and finish with
+    // the log-round star fixpoint on the contracted graph, then compose.
+    val la = labels.select(col("doc_id").as("ka"), col("lbl").as("la"))
+    val lb = labels.select(col("doc_id").as("kb"), col("lbl").as("lb"))
+    val contracted = edges
+      .join(la, col("a") === col("ka"))
+      .join(lb, col("b") === col("kb"))
+      .select(col("la").as("a"), col("lb").as("b"))
+    val (roots, starRounds) = starFixpoint(contracted)
+    val rootsR = roots.select(col("doc_id").as("rk"), col("lbl").as("root"))
+    val composed = labels.join(rootsR, col("lbl") === col("rk"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("lbl")).as("lbl"))
+    (composed, rounds + starRounds)
+  }
+
+  /** Alternating large-star/small-star to the common fixpoint; labels
+    * every vertex of `directed` (including self-loop-only ones) with its
+    * component minimum. O(log n) rounds in component size, independent of
+    * diameter. */
+  private[graft] def starFixpoint(directed: DataFrame): (DataFrame, Int) = {
+    var edges = canon(directed).localCheckpoint()
+    var cnt = edges.count()
+    var rounds = 0
+    var converged = cnt == 0L
+    while (!converged) {
+      val afterLarge = largeStar(edges).localCheckpoint()
+      val next = smallStar(afterLarge).localCheckpoint()
+      rounds += 1
+      val largeCnt = afterLarge.count()
+      val nextCnt = next.count()
+      // stop when BOTH operators were the identity this round — the common
+      // fixpoints of large-star and small-star are exactly disjoint stars
+      // centered at component minima (Kiveris et al. §3), so this is the
+      // sound stop; a fixpoint of only the composition would not be. All
+      // sets are canonical + distinct, so equal counts plus one empty
+      // one-sided difference IS set equality.
+      converged = largeCnt == cnt && nextCnt == largeCnt &&
+        afterLarge.exceptAll(edges).isEmpty &&
+        next.exceptAll(afterLarge).isEmpty
+      cnt = nextCnt
+      edges = next
+    }
+    // at the fixpoint every component is a star centered at its min id:
+    // each non-center carries exactly one (node → center) edge, centers
+    // label themselves. The left join picks up degenerate inputs whose
+    // only edges were self-loops (canon drops those rows, but the contract
+    // still owes the vertex a self label).
+    val star = edges.select(col("a").as("doc_id"), col("b").as("lbl"))
+      .unionByName(edges.select(col("b").as("doc_id"), col("b").as("lbl")).distinct())
+    val docs = directed.select(col("a").as("doc_id"))
+      .unionByName(directed.select(col("b").as("doc_id")))
+      .distinct()
+    val labels = docs.join(star, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("lbl"))
+    (labels, rounds)
+  }
+
+  /** The pre-r8 one-hop min-label propagation loop, kept as the
+    * differential reference for the star form (and as the textbook
+    * baseline the probe measures against). O(component diameter) rounds. */
+  private[graft] def minLabelPropagation(directed: DataFrame): DataFrame = {
     val edges = directed
       .unionByName(directed.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()

@@ -8,6 +8,43 @@ import org.apache.spark.sql.functions._
   * scaling exponent rather than guess it. Dev tool, not library surface. */
 object ScaleProbe {
 
+  /** Recursive delete for probe temp data — repeated probe runs were
+    * accumulating multi-GB replicated-parquet dirs under /tmp. */
+  private def rmrf(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  /** Round-count probe for connected components on a CHAIN — the
+    * diameter-shaped graph where the r1-r7 one-hop propagation loop needs
+    * n−1 driver-synchronized rounds. The large/small-star form must stay
+    * log-bounded in rounds (and therefore in wall clock) as the chain
+    * grows; the propagation lines at small n show the linear round count
+    * the star form replaces. */
+  private def ccProbe(spark: SparkSession): Unit = {
+    def chain(n: Long): DataFrame =
+      spark.range(0, n - 1).select(col("id").as("a"), (col("id") + 1).as("b"))
+    for (n <- Seq(64L, 256L)) {
+      val t0 = System.nanoTime()
+      val rows = graft.operators.Components.minLabelPropagation(chain(n)).count()
+      // propagation rounds = chain diameter (n-1) + 1 convergence check
+      println(f"[scale] cc propagation n=$n%-7d ${(System.nanoTime() - t0) / 1e9}%7.2f s rounds~${n - 1} labeled=$rows")
+    }
+    for (n <- Seq(1024L, 10240L, 102400L)) {
+      val t0 = System.nanoTime()
+      val (slabels, srounds) = graft.operators.Components.starFixpoint(chain(n))
+      val srows = slabels.count()
+      println(f"[scale] cc star        n=$n%-7d ${(System.nanoTime() - t0) / 1e9}%7.2f s rounds=$srounds labeled=$srows")
+      val t1 = System.nanoTime()
+      val (labels, rounds) = graft.operators.Components.minLabelWithRounds(chain(n))
+      val rows = labels.count()
+      println(f"[scale] cc hybrid      n=$n%-7d ${(System.nanoTime() - t1) / 1e9}%7.2f s rounds=$rounds labeled=$rows")
+    }
+  }
+
   /** Quadratic-vs-capped probe for the dedup_ngram hot-shingle cap: a
     * corpus where EVERY doc shares one boilerplate sentence (single
     * block), doubled in size per step. Uncapped, the shared shingles emit
@@ -30,6 +67,7 @@ object ScaleProbe {
         val rows = graft.operators.Dedup.dedupNgramCapped(spark, dir, maxDf).count()
         println(f"[scale] ngram $name%-9s n=$n%-6d ${(System.nanoTime() - t0) / 1e9}%7.2f s pairs=$rows")
       }
+      rmrf(dir)
     }
   }
 
@@ -111,7 +149,8 @@ object ScaleProbe {
     * would slow linearly with history). */
   private def incrementalProbe(spark: SparkSession, batchRows: Int, batches: Int): Unit = {
     import org.apache.spark.sql.functions._
-    val idx = java.nio.file.Files.createTempDirectory("probe-inc").toString + "/bands"
+    val root = java.nio.file.Files.createTempDirectory("probe-inc").toString
+    val idx = root + "/bands"
     for (b <- 0 until batches) {
       // every id ending in 9 repeats the text of its decade's first doc
       val base = when(pmod(col("id"), lit(10)) === 9, col("id") - 9).otherwise(col("id"))
@@ -124,6 +163,7 @@ object ScaleProbe {
         .filter(col("keep")).count()
       println(f"[scale] incremental batch=$b n=$batchRows ${(System.nanoTime() - t0) / 1e9}%7.2f s kept=$kept")
     }
+    rmrf(root)
   }
 
   /** Linearity probe for the round-7 sampling/graph operators: documents
@@ -160,6 +200,7 @@ object ScaleProbe {
       emb.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
       time(s"semantic_sample x$k")(
         graft.operators.Similarity.corpusSemanticSampleOf(spark, tmp, cents).count())
+      rmrf(tmp) // replicated parquet + per-dir quantizer artifacts: GBs per run
     }
   }
 
@@ -201,6 +242,7 @@ object ScaleProbe {
         .collect().head.getLong(0)
       println(f"[scale] $name%-19s x$k%-3d ${(System.nanoTime() - t0) / 1e9}%7.2f s h=$h")
     }
+    rmrf(out)
   }
 
   def main(args: Array[String]): Unit = {
@@ -239,6 +281,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("r7")) {
       r7Probe(spark, Seq(1, 10, 30))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("cc")) {
+      ccProbe(spark)
       spark.stop()
       return
     }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-8 operator semantics, pinned. */
+class Round8OpsSpec extends SparkSpecBase {
+  import graft.operators.Components
+
+  private def edgeDf(pairs: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    pairs.toDF("a", "b")
+  }
+
+  private def labelsOf(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("lbl")).toMap
+
+  /** Driver-side ground truth: union-find over the same edges. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("minLabel (large/small-star): equals union-find on randomized graphs") {
+    val rnd = new scala.util.Random(8)
+    for (trial <- 1 to 8) {
+      // a mix of shapes: sparse random pairs over a sparse id space (wide
+      // 64-bit-ish ids included), plus a planted chain so every trial has a
+      // high-diameter component the one-hop form would crawl
+      val n = 30 + rnd.nextInt(50)
+      val ids = Seq.fill(n)(rnd.nextLong().abs % 1000000007L + 3L).distinct
+      val pairs = Seq.fill(n)((ids(rnd.nextInt(ids.size)), ids(rnd.nextInt(ids.size))))
+        .filter(p => p._1 != p._2) ++
+        ids.sorted.sliding(2).collect { case Seq(x, y) if rnd.nextBoolean() => (x, y) }
+      val want = unionFind(pairs)
+      val got = labelsOf(Components.minLabel(edgeDf(pairs)))
+      assert(got == want, s"trial $trial: hybrid labels diverge from union-find")
+      // the pure star fixpoint and the pre-r8 propagation form must land
+      // on the same contract — the hybrid is only ever gluing those two
+      val star = labelsOf(Components.starFixpoint(edgeDf(pairs))._1)
+      assert(star == want, s"trial $trial: star vs union-find")
+      val prop = labelsOf(Components.minLabelPropagation(edgeDf(pairs)))
+      assert(got == prop, s"trial $trial: hybrid vs propagation")
+    }
+  }
+
+  test("minLabel: log-bounded rounds on a chain (the diameter case)") {
+    // a 1024-vertex chain has diameter 1023: the pure propagation form
+    // needs ~1023 rounds; the hybrid must land in budget + O(log n) — the
+    // entire point of the r8 change. PropRoundBudget + 2·log2(n) + 2 is a
+    // generous ceiling (measured: 6 + 9 rounds at n=1024).
+    val n = 1024
+    val pairs = (0L until n.toLong).sliding(2).map { case Seq(x, y) => (x, y) }.toSeq
+    val (labels, rounds) = Components.minLabelWithRounds(edgeDf(pairs))
+    assert(rounds <= Components.PropRoundBudget
+        + 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt + 2,
+      s"chain of $n took $rounds rounds — not log-bounded")
+    val got = labelsOf(labels)
+    assert(got.size == n && got.values.forall(_ == 0L), "chain collapses to min id 0")
+  }
+
+  test("minLabel: degenerate inputs (empty, self-loops, two nodes)") {
+    import spark.implicits._
+    assert(Components.minLabel(Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0L)
+    // self-loop-only vertices still get a self label (the contract owes
+    // every edge-incident vertex a row)
+    val selfy = labelsOf(Components.minLabel(edgeDf(Seq((7L, 7L), (9L, 3L)))))
+    assert(selfy == Map(7L -> 7L, 9L -> 3L, 3L -> 3L))
+    assert(labelsOf(Components.minLabel(edgeDf(Seq((5L, 2L))))) == Map(5L -> 2L, 2L -> 2L))
+  }
+}
