@@ -170,6 +170,44 @@ final class FeatureStore(val registry: Registry, spark: SparkSession,
     }
   }
 
+  /** SCD2-style validity-interval timeline of a registered table: every
+    * ingested value of the requested features, valid [event_ts, next
+    * event_ts) per entity key with an open `valid_to` on the current
+    * value — the registry-driven form of the `ft_timeline` audit/backfill
+    * pass (same single-exchange plan; dedup within (entities, event_ts)
+    * keeps the greatest created_ts when the table declares one). Output:
+    * entities, valid_from, valid_to, features (registry-typed). */
+  def getFeatureTimeline(tableName: String, featureNames: Seq[String]): DataFrame = {
+    val t = table(tableName)
+    val declared = t.features.map(f => f.name -> f).toMap
+    val unknown = featureNames.filterNot(declared.contains)
+    require(unknown.isEmpty,
+      s"Feature(s) ${unknown.mkString(", ")} not found in table ${t.name}")
+    val raw = BatchSource.read(spark, sourceOf(t))
+      .select((t.entities ++ Seq(t.eventTsCol) ++ t.createdTsCol).map(col) ++
+        featureNames.map(n => col(n).cast(declared(n).valueType.sparkType).as(n)): _*)
+    graft.operators.FeatureOps.ftTimelineOf(raw, keys = t.entities,
+      tsCol = t.eventTsCol, tiebreak = t.createdTsCol.toSeq,
+      valueCols = featureNames)
+  }
+
+  /** Feature-freshness audit of a registered table: per entity key, the
+    * age of the latest ingested value at `nowTs`, bucketed FRESH / AGING /
+    * OUTSIDE_MAX_AGE by the table's REGISTERED max_age (the same boundary
+    * getOnlineFeatures' checkOutsideMaxAge applies at read time; a table
+    * with no max_age has no staleness contract and reports FRESH). The
+    * registry-driven form of the `ft_freshness` monitoring pass:
+    * latest-per-key is one partial-aggregatable max_by pass, the "now"
+    * anchor a literal. */
+  def getFreshness(tableName: String, nowTs: java.sql.Timestamp): DataFrame = {
+    val t = table(tableName)
+    val latest = LatestValue.latest(BatchSource.read(spark, sourceOf(t)),
+      keys = t.entities, orderCols = Seq(t.eventTsCol) ++ t.createdTsCol,
+      valueCols = Seq(t.eventTsCol))
+    graft.operators.FeatureOps.ftFreshnessOf(latest, keys = t.entities,
+      tsCol = t.eventTsCol, nowCol = lit(nowTs), maxAgeSec = t.maxAgeSec)
+  }
+
   /** Materialize a table's ingestion window [start, end) into a store:
     * latest row per entity key wins, merged against existing contents. */
   def materialize(tableName: String, store: OnlineStore,

@@ -469,15 +469,12 @@ object Dedup {
     * joins and the total — the knn_recall baseline discipline), then per
     * method one pair-keyed left-semi join and single-row aggregates. */
   def dedupRecall(spark: SparkSession, dir: String): DataFrame = {
-    val truth = dedupNgram(spark, dir).filter(col("jaccard") >= 0.5)
-      .select(col("id_a"), col("id_b")).localCheckpoint()
-    val tTot = truth.agg(count(lit(1)).as("n_truth"))
-    val methods: Seq[(String, DataFrame, Long)] = Seq(
-      ("minhash", dedupMinhash(spark, dir), 70L),
-      ("simhash", dedupSimhash(spark, dir), 40L))
-    methods.map { case (nm, df, floor) =>
-      df.select(col("id_a"), col("id_b"))
-        .join(truth, Seq("id_a", "id_b"), "left_semi")
+    // shared row shape: recall of `got` vs `truth` on `keys`, floor-gated —
+    // a healthy pipeline emits the row, a regression drops it
+    def recallRow(nm: String, truth: DataFrame, got: DataFrame,
+        keys: Seq[String], floor: Long): DataFrame = {
+      val tTot = truth.agg(count(lit(1)).as("n_truth"))
+      got.join(truth, keys, "left_semi")
         .agg(count(lit(1)).as("n_hit"))
         .crossJoin(broadcast(tTot))
         .select(lit(nm).as("method"),
@@ -486,7 +483,50 @@ object Dedup {
             .as("recall_e2"),
           lit(floor).as("floor_e2"))
         .filter(col("recall_e2") >= col("floor_e2"))
-    }.reduce(_ unionByName _).orderBy(col("method"))
+    }
+    val truth = dedupNgram(spark, dir).filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val bandRows = Seq(
+      ("minhash", dedupMinhash(spark, dir), 70L),
+      ("simhash", dedupSimhash(spark, dir), 40L)).map { case (nm, df, floor) =>
+      recallRow(nm, truth, df.select(col("id_a"), col("id_b")),
+        Seq("id_a", "id_b"), floor)
+    }
+    // containment's only approximation is the hot-shingle df cap — its
+    // floor is pair recall vs the UNCAPPED (definitionally exact) form.
+    // The uncapped pass is gate-corpus-sized by construction, the same
+    // in-gate exact-baseline discipline as knn_recall's brute force.
+    val contRow = recallRow("containment",
+      dedupContainmentCapped(spark, dir, Int.MaxValue)
+        .select(col("contained_id"), col("container_id")).localCheckpoint(),
+      dedupContainment(spark, dir).select(col("contained_id"), col("container_id")),
+      Seq("contained_id", "container_id"), 70L)
+    // fuzzy decontamination's approximation is the band collision — its
+    // floor is flagged-DOC recall vs the exact shingle-set Jaccard ≥ 0.5
+    // (the banding's design threshold) between each corpus doc and the
+    // benchmark extracts, over the SAME 3-gram shingle family the bands
+    // hash. 3·inter ≥ n_c + n_b is the exact integer form of J ≥ 1/2.
+    val docs = Tables.documents(spark, dir)
+    val corpEx = docs
+      .select(col("doc_id"), array_distinct(hashedNgrams(col("text"), 3)).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_c"),
+        explode(col("sh")).as("h"))
+    val benchEx = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id").as("bench_doc"),
+        array_distinct(hashedNgrams(benchExtract(col("text")), 3)).as("bsh"))
+      .select(col("bench_doc"), size(col("bsh")).cast("long").as("n_b"),
+        explode(col("bsh")).as("h"))
+    val fuzzyTruth = corpEx.join(broadcast(benchEx), "h")
+      .groupBy(col("doc_id"), col("bench_doc"), col("n_c"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * 3 >= col("n_c") + col("n_b"))
+      .select(col("doc_id")).distinct()
+    val fuzzyRow = recallRow("fuzzy_decon",
+      fuzzyTruth.localCheckpoint(),
+      corpusFuzzyDecontaminate(spark, dir).select(col("doc_id")),
+      Seq("doc_id"), 70L)
+    (bandRows :+ contRow :+ fuzzyRow)
+      .reduce(_ unionByName _).orderBy(col("method"))
   }
 
   /** Oracle for dedup_clusters: same edge set (md5-root stars + the ngram

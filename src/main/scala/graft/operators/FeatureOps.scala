@@ -85,16 +85,29 @@ object FeatureOps {
     * in ascending event_id order = the greatest-sequence ingest-dedup
     * rule), and that same next ts IS the keeper's valid_to (plan-pinned
     * to a single data exchange). */
-  def ftTimeline(spark: SparkSession, dir: String): DataFrame = {
+  def ftTimeline(spark: SparkSession, dir: String): DataFrame =
+    ftTimelineOf(
+      Tables.events(spark, dir).select(col("user_id"), col("ts"),
+        col("event_id"), col("value")),
+      keys = Seq("user_id"), tsCol = "ts", tiebreak = Seq("event_id"),
+      valueCols = Seq("event_id", "value"))
+
+  /** Generalized timeline form over any keyed, timestamped frame — the
+    * registry-driven facade path (`FeatureStore.getFeatureTimeline`) calls
+    * this with a table's declared entities / event-ts / created-ts.
+    * Output: keys, valid_from, valid_to, valueCols; same single-exchange
+    * plan as the gate query (the ONE (keys) window yields both the
+    * (keys, ts) dedup keeper and the interval bound). */
+  def ftTimelineOf(df: DataFrame, keys: Seq[String], tsCol: String,
+      tiebreak: Seq[String], valueCols: Seq[String]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      .withColumn("next_ts", lead(col("ts"), 1).over(w))
-      .filter(col("next_ts").isNull || col("next_ts") =!= col("ts"))
-      .select(col("user_id"), col("ts").as("valid_from"),
-        col("next_ts").as("valid_to"), col("event_id"), col("value"))
-      .orderBy(col("user_id"), col("valid_from"))
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol) +: tiebreak.map(col): _*)
+    df.withColumn("__next_ts", lead(col(tsCol), 1).over(w))
+      .filter(col("__next_ts").isNull || col("__next_ts") =!= col(tsCol))
+      .select(keys.map(col) ++ Seq(col(tsCol).as("valid_from"),
+        col("__next_ts").as("valid_to")) ++ valueCols.map(col): _*)
+      .orderBy(keys.map(col) :+ col("valid_from"): _*)
   }
 
   val ftTimelineSql: String =
@@ -581,15 +594,31 @@ object FeatureOps {
     val latest = LatestValue.latest(ev, keys = Seq("user_id"),
       orderCols = Seq("ts", "event_id"), valueCols = Seq("ts"))
     val now = ev.agg(max(col("ts")).as("now_ts"))
-    latest.crossJoin(broadcast(now))
+    ftFreshnessOf(latest.crossJoin(broadcast(now)), keys = Seq("user_id"),
+      tsCol = "ts", nowCol = col("now_ts"), maxAgeSec = Some(14400L))
+  }
+
+  /** Generalized freshness form over a latest-per-key frame — the
+    * registry-driven facade path (`FeatureStore.getFreshness`) calls this
+    * with a table's declared max_age. Buckets follow the serve_online
+    * ratio the gate query pins: FRESH inside a quarter of the max_age
+    * (4·age < max_age, exact integers), AGING inside it, OUTSIDE_MAX_AGE
+    * beyond — the read-time checkOutsideMaxAge boundary. A table with no
+    * max_age has no staleness contract: everything reports FRESH. */
+  def ftFreshnessOf(latest: DataFrame, keys: Seq[String], tsCol: String,
+      nowCol: org.apache.spark.sql.Column, maxAgeSec: Option[Long]): DataFrame = {
+    val aged = latest.withColumn("__now", nowCol)
       .withColumn("age_sec",
-        expr("(unix_micros(now_ts) - unix_micros(ts)) div 1000000"))
-      .select(
-        col("user_id"), col("age_sec"),
-        when(col("age_sec") < 3600L, lit("FRESH"))
-          .when(col("age_sec") < 14400L, lit("AGING"))
-          .otherwise(lit("OUTSIDE_MAX_AGE")).as("status"))
-      .orderBy(col("user_id"))
+        expr(s"(unix_micros(__now) - unix_micros($tsCol)) div 1000000"))
+    val status = maxAgeSec match {
+      case Some(m) =>
+        when(col("age_sec") * 4 < m, lit("FRESH"))
+          .when(col("age_sec") < m, lit("AGING"))
+          .otherwise(lit("OUTSIDE_MAX_AGE"))
+      case None => lit("FRESH")
+    }
+    aged.select(keys.map(col) ++ Seq(col("age_sec"), status.as("status")): _*)
+      .orderBy(keys.map(col): _*)
   }
 
   val ftFreshnessSql: String =

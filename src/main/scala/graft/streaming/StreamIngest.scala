@@ -449,6 +449,82 @@ object StreamIngest {
       }
   }
 
+  final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+                               event_type: String)
+  /** Stage-chained funnel state (µs times; Long.MaxValue = unset): the
+    * first-view minimum, the current stage-2/3 minima, and the PENDING
+    * candidates — stage events seen before their gate opened (a click
+    * before any view, a purchase before any qualifying click) that a late
+    * earlier-stage arrival could still promote. Pending lists are pruned
+    * against the current minima (anything ≥ the stage minimum can never
+    * become it: stage minima only decrease), so in-order traffic keeps
+    * them at the user's pre-first-view event count, not their history. */
+  final case class FunnelState(minView: Long, bestClick: Long, bestPurch: Long,
+                               pendClicks: List[Long], pendPurch: List[Long])
+  final case class FunnelRow(user_id: Long, t1_us: java.lang.Long,
+                             t2_us: java.lang.Long, t3_us: java.lang.Long)
+
+  /** Streaming twin of batch `events_funnel`: per user the stage-chained
+    * minima t1 = min(view), t2 = min(click ≥ t1), t3 = min(purchase ≥ t2)
+    * as `flatMapGroupsWithState` — each micro-batch emits every touched
+    * user's refreshed stage times; the funnel COUNTS are one aggregation
+    * over the latest row per user (the fields are monotone non-increasing
+    * and fill-only, so "latest" = field-wise min, which is how the spec
+    * folds the emitted stream).
+    *
+    * Unlike the lag/lead substrate ([[pathMineStream]]'s documented
+    * append-mode divergence), funnel state is EXACTLY recoverable under
+    * arbitrary cross-batch lateness: a late view can re-open stage 2, so
+    * the state keeps not-yet-admissible stage events as pending
+    * candidates and re-resolves the chain each batch — spec-proven equal
+    * to batch semantics under fully shuffled batching. NoTimeout keeps
+    * late rows flowing into state (the [[streaksStream]] caveat); the
+    * watermark only bounds downstream composition. */
+  def funnelStream(events: Dataset[FunnelEvent],
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      watermark: String = "1 hour"): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    require(stages.length == 3, "funnelStream chains exactly three stages")
+    val Seq(s1, s2, s3) = stages
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val st = state.getOption.getOrElse(
+            FunnelState(Long.MaxValue, Long.MaxValue, Long.MaxValue, Nil, Nil))
+          var mv = st.minView
+          var pc = st.pendClicks
+          var pp = st.pendPurch
+          rows.foreach { e =>
+            val us = micros(e.ts)
+            if (e.event_type == s1) mv = math.min(mv, us)
+            // a candidate ≥ the current stage minimum can never become it
+            else if (e.event_type == s2) { if (us < st.bestClick) pc ::= us }
+            else if (e.event_type == s3) { if (us < st.bestPurch) pp ::= us }
+          }
+          // re-resolve the chain: a lowered t1 can admit pending clicks,
+          // and a lowered t2 can admit pending purchases
+          var bc = st.bestClick
+          if (mv != Long.MaxValue) {
+            val adm = pc.filter(_ >= mv)
+            if (adm.nonEmpty) bc = math.min(bc, adm.min)
+            pc = pc.filter(_ < bc)
+          }
+          var bp = st.bestPurch
+          if (bc != Long.MaxValue) {
+            val adm = pp.filter(_ >= bc)
+            if (adm.nonEmpty) bp = math.min(bp, adm.min)
+            pp = pp.filter(_ < bp)
+          }
+          state.update(FunnelState(mv, bc, bp, pc, pp))
+          def opt(v: Long): java.lang.Long =
+            if (v == Long.MaxValue) null else java.lang.Long.valueOf(v)
+          Iterator.single(FunnelRow(user, opt(mv), opt(bc), opt(bp)))
+      }
+  }
+
   /** Convenience: run a writer until all currently-available data is
     * processed (test/demo helper; production would use its own trigger). */
   def runOnce(w: DataStreamWriter[Row], checkpoint: String): StreamingQuery =

@@ -75,6 +75,44 @@ class FeatureStoreSpec extends SparkSpecBase {
       store.getOnlineFeatures(online, req, Seq(FeatureRef("activity", "")), now))
   }
 
+  test("getFeatureTimeline: registry-driven SCD2 validity intervals") {
+    val rows = store.getFeatureTimeline("activity", Seq("value"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("valid_from"),
+        Option(r.getAs[Timestamp]("valid_to")), r.getAs[Double]("value")))
+    assert(rows.toSeq == Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(ts("2024-01-05 10:00:00")), 10.0),
+      (1L, ts("2024-01-05 10:00:00"), None, 11.0), // current value: open interval
+      (2L, ts("2024-01-02 10:00:00"), None, 20.0)))
+    assertThrows[IllegalArgumentException](
+      store.getFeatureTimeline("activity", Seq("no_such_feature")))
+  }
+
+  test("getFreshness: registry max_age drives the staleness buckets") {
+    def statuses(now: String): Map[Long, (Long, String)] =
+      store.getFreshness("activity", ts(now)).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("age_sec"), r.getAs[String]("status"))).toMap
+    // activity's registered max_age is 10 days; FRESH inside a quarter of it
+    val jan6 = statuses("2024-01-06 10:00:00")
+    assert(jan6(1L) == (86400L, "FRESH"))          // 1d  < 2.5d
+    assert(jan6(2L) == (4L * 86400L, "AGING"))     // 4d  in (2.5d, 10d)
+    val jan13 = statuses("2024-01-13 10:00:00")
+    assert(jan13(1L)._2 == "AGING")                // 8d
+    assert(jan13(2L)._2 == "OUTSIDE_MAX_AGE")      // 11d > max_age
+    // a table with no max_age has no staleness contract
+    val r2 = new Registry
+    r2.applyEntity(Entity("user_id", ValueKind.Int64K))
+    r2.applyTable(FeatureTable(
+      name = "activity_nottl", entities = Seq("user_id"),
+      features = Seq(Feature("value", ValueKind.DoubleK)),
+      maxAgeSec = None, eventTsCol = "ts",
+      batchSourcePath = Some(s"$workDir/activity")))
+    val noTtl = new FeatureStore(r2, spark)
+      .getFreshness("activity_nottl", ts("2030-01-01 00:00:00"))
+      .collect().map(_.getAs[String]("status")).toSet
+    assert(noTtl == Set("FRESH"))
+  }
+
   test("on-demand views derive features from retrieved columns") {
     val r = store.registry
     r.applyOnDemandView(OnDemandView("derived",

@@ -824,7 +824,7 @@ class Round7OpsSpec extends SparkSpecBase {
     }
   }
 
-  test("dedup_recall: both fingerprint methods clear their floors; truth non-vacuous") {
+  test("dedup_recall: all methods clear their floors at both gate SFs; truth non-vacuous") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val truth = graft.operators.Dedup.dedupNgram(spark, dir)
         .filter(col("jaccard") >= 0.5).count()
@@ -832,7 +832,9 @@ class Round7OpsSpec extends SparkSpecBase {
       val rows = graft.operators.Dedup.dedupRecall(spark, dir).collect()
         .map(r => r.getAs[String]("method") ->
           (r.getAs[Long]("recall_e2"), r.getAs[Long]("floor_e2"))).toMap
-      assert(rows.keySet == Set("minhash", "simhash"),
+      // r8: containment (cap recall) and fuzzy decontamination (band
+      // recall vs exact extract Jaccard) joined the floor-row gate
+      assert(rows.keySet == Set("minhash", "simhash", "containment", "fuzzy_decon"),
         s"a method dropped below its floor in $dir: $rows")
       rows.foreach { case (m, (rec, fl)) => assert(rec >= fl, s"$m in $dir") }
     }

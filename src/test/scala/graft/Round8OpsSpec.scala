@@ -67,6 +67,23 @@ class Round8OpsSpec extends SparkSpecBase {
     assert(got.size == n && got.values.forall(_ == 0L), "chain collapses to min id 0")
   }
 
+  test("dedup_recall: all four methods emit healthy floor rows") {
+    // r8 extension: containment (capped-vs-uncapped pair recall) and fuzzy
+    // decontamination (flagged-doc recall vs exact extract Jaccard ≥ 0.5)
+    // join minhash/simhash behind the same floor-row discipline — a recall
+    // regression in ANY of the four drops its row in the driver's count
+    val rows = graft.operators.Dedup.dedupRecall(spark, sfDir).collect()
+      .map(r => r.getAs[String]("method") ->
+        (r.getAs[Long]("recall_e2"), r.getAs[Long]("floor_e2"))).toMap
+    assert(rows.keySet == Set("minhash", "simhash", "containment", "fuzzy_decon"))
+    rows.foreach { case (m, (rec, floor)) =>
+      assert(rec >= floor, s"$m recall $rec below floor $floor")
+    }
+    // the fuzzy truth is non-vacuous on the gate corpus: every benchmark
+    // extract's source doc shares ≥ 90% of its tokens, so truth ≥ 1 doc
+    assert(rows("fuzzy_decon")._1 > 0L)
+  }
+
   test("minLabel: degenerate inputs (empty, self-loops, two nodes)") {
     import spark.implicits._
     assert(Components.minLabel(Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0L)

@@ -646,4 +646,87 @@ class StreamIngestSpec extends SparkSpecBase {
     // untouched user 6 emitted once, in batch A only
     assert(spark.table("streaks_out").filter(col("user_id") === 6L).count() == 1)
   }
+
+  test("funnelStream: exact batch-funnel parity under fully shuffled batching") {
+    val rnd = new scala.util.Random(21)
+    val typeNames = Seq("view", "click", "purchase", "scroll")
+    val baseMs = ts("2024-04-01 00:00:00").getTime
+    val all = (1L to 15L).flatMap { u =>
+      (0 until (3 + rnd.nextInt(10))).map { _ =>
+        StreamIngest.FunnelEvent(u,
+          new Timestamp(baseMs + rnd.nextInt(72 * 3600) * 1000L),
+          typeNames(rnd.nextInt(typeNames.length)))
+      }
+    }
+    // batch reference: the events_funnel stage chain per user
+    def chain(evs: Seq[StreamIngest.FunnelEvent]): (Option[Long], Option[Long], Option[Long]) = {
+      def us(e: StreamIngest.FunnelEvent) = e.ts.getTime * 1000L
+      val t1 = evs.filter(_.event_type == "view").map(us).minOption
+      val t2 = t1.flatMap(t => evs.filter(e => e.event_type == "click" && us(e) >= t).map(us).minOption)
+      val t3 = t2.flatMap(t => evs.filter(e => e.event_type == "purchase" && us(e) >= t).map(us).minOption)
+      (t1, t2, t3)
+    }
+    val want = all.groupBy(_.user_id).map { case (u, evs) => u -> chain(evs) }
+    // stream the SAME events in a fully shuffled order over three arbitrary
+    // micro-batches — the exactness claim is stronger than the path-mining
+    // substrate's in-order contract, because pending candidates re-resolve
+    val shuffled = rnd.shuffle(all)
+    val chunks = Seq(shuffled.take(all.size / 3),
+      shuffled.slice(all.size / 3, 2 * all.size / 3),
+      shuffled.drop(2 * all.size / 3))
+    val dir = Files.createTempDirectory("graft-stream-funnel").toString
+    val input = MemoryStream[StreamIngest.FunnelEvent](spark)
+    val q = StreamIngest.funnelStream(input.toDS(), watermark = "720 hours")
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    chunks.filter(_.nonEmpty).foreach { c => input.addData(c: _*); q.processAllAvailable() }
+    q.stop()
+    // latest state per user = field-wise min over its emitted rows (stage
+    // times are monotone non-increasing and fill-only; min skips nulls)
+    val got = spark.table("funnel_out")
+      .groupBy(col("user_id"))
+      .agg(min(col("t1_us")).as("t1"), min(col("t2_us")).as("t2"), min(col("t3_us")).as("t3"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((Option(r.getAs[java.lang.Long]("t1")).map(_.longValue),
+          Option(r.getAs[java.lang.Long]("t2")).map(_.longValue),
+          Option(r.getAs[java.lang.Long]("t3")).map(_.longValue)))).toMap
+    assert(got == want, "streamed funnel stage times diverge from the batch chain")
+    // and the headline funnel counts — the events_funnel output shape
+    val (nV, nVC, nVCP) = (want.values.count(_._1.isDefined),
+      want.values.count(_._2.isDefined), want.values.count(_._3.isDefined))
+    assert(nV >= nVC && nVC >= nVCP && nV > 0, "non-vacuous funnel")
+  }
+
+  test("funnelStream: a late view re-opens stage 2 (pending candidates promote)") {
+    val dir = Files.createTempDirectory("graft-stream-funnel-late").toString
+    val input = MemoryStream[StreamIngest.FunnelEvent](spark)
+    val q = StreamIngest.funnelStream(input.toDS(), watermark = "720 hours")
+      .writeStream.format("memory").queryName("funnel_late_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    // batch A: click at 09:00 precedes the only view (10:00) — not admissible
+    input.addData(
+      StreamIngest.FunnelEvent(1L, ts("2024-01-01 10:00:00"), "view"),
+      StreamIngest.FunnelEvent(1L, ts("2024-01-01 09:00:00"), "click"),
+      StreamIngest.FunnelEvent(1L, ts("2024-01-01 09:30:00"), "purchase"))
+    q.processAllAvailable()
+    val a = spark.table("funnel_late_out").collect()
+    assert(a.length == 1 && a.head.getAs[java.lang.Long]("t2_us") == null,
+      "pre-view click must stay pending")
+    // batch B: an EARLIER view arrives late — the pending click (and then
+    // the pending purchase) must promote, exactly as batch would compute
+    input.addData(StreamIngest.FunnelEvent(1L, ts("2024-01-01 08:00:00"), "view"))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("funnel_late_out")
+      .agg(min(col("t1_us")).as("t1"), min(col("t2_us")).as("t2"), min(col("t3_us")).as("t3"))
+      .collect().head
+    def usOf(s: String) = ts(s).getTime * 1000L
+    assert(last.getAs[Long]("t1") == usOf("2024-01-01 08:00:00"))
+    assert(last.getAs[Long]("t2") == usOf("2024-01-01 09:00:00"))
+    assert(last.getAs[Long]("t3") == usOf("2024-01-01 09:30:00"))
+  }
 }
