@@ -1255,7 +1255,12 @@ object Analytics {
   val eventsPropsAggSql: String =
     """WITH p AS (
       |  SELECT event_type,
-      |    TRY_CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k
+      |    -- whitespace-tolerant, anchored to a member position ([{,]) and
+      |    -- to the member terminator ([,}]): a '"k":' inside a nested
+      |    -- string value cannot match, and the whole-unquoted-integer
+      |    -- requirement mirrors from_json's k BIGINT (quoted "12" and
+      |    -- fractional 2.5 both parse to NULL in BOTH engines)
+      |    TRY_CAST(regexp_extract(props, '[{,]\s*"k":\s*(-?[0-9]+)\s*[,}]', 1) AS BIGINT) AS k
       |  FROM events
       |)
       |SELECT event_type, count(*) AS n_events,
