@@ -456,6 +456,63 @@ object OracleVariants {
       .orderBy(col("cell"))
   }
 
+  /** DuckDB-provable twin of `corpus_semantic_mix`: the identical tempered
+    * rate algebra ([[Similarity.semanticMixRates]] — shared code, not a
+    * re-implementation) over the sign-bit replayable cell; √-weights are
+    * correctly-rounded in both engines, so the hash match proves the
+    * cross-table join + the whole α = 0.5 mixing arithmetic. */
+  def corpusSemanticMixOracle(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticMixRates(signCellMembers(spark, dir))
+
+  private def signCellMembers(spark: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quant(col("embedding")).as("v"))
+      .withColumn("cell", (0 until 4).map(i =>
+        when(element_at(col("v"), i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _))
+      .select(col("vec_id"), col("cell"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    docs.join(qv, docs("doc_id") === qv("vec_id"))
+      .select(col("doc_id"), col("lang"), col("cell"))
+  }
+
+  /** Spec helper: the twin's (doc_id, cell) membership plus the keep-rule
+    * hash, for driver-side replay of the tempered rate algebra. */
+  private[graft] def corpusSemanticMixMembers(spark: SparkSession, dir: String): DataFrame =
+    signCellMembers(spark, dir).select(col("doc_id"), col("cell"),
+      TextAnalysis.idHash(col("doc_id")).as("h"))
+
+  val corpusSemanticMixOracleSql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id, $quantSql AS v FROM embeddings
+      |), c AS (
+      |  SELECT vec_id, CAST(
+      |    CASE WHEN v[1] > 0 THEN 1 ELSE 0 END + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+      |    + CASE WHEN v[3] > 0 THEN 4 ELSE 0 END + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END
+      |    AS BIGINT) AS cell
+      |  FROM q
+      |), j AS (
+      |  SELECT d.doc_id, d.lang, c.cell
+      |  FROM documents d JOIN c ON d.doc_id = c.vec_id
+      |), counts AS (
+      |  SELECT cell, count(*) AS n_cell,
+      |    CAST(round(sqrt(count(*)::DOUBLE) * 1000, 0) AS BIGINT) AS w
+      |  FROM j GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(n_cell) AS BIGINT) AS n_total,
+      |         CAST(sum(w) AS BIGINT) AS w_total
+      |  FROM counts
+      |)
+      |SELECT j.cell, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN ${TextAnalysis.idHashSql("j.doc_id")} % 1000000
+      |         < least(1.0, c2.w::DOUBLE / t.w_total::DOUBLE
+      |                      * (t.n_total::DOUBLE / 2.0) / c2.n_cell::DOUBLE)
+      |           * 1000000.0
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  CAST(count(DISTINCT j.lang) AS BIGINT) AS n_langs
+      |FROM j JOIN counts c2 ON j.cell = c2.cell CROSS JOIN tot t
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val corpusSemanticSampleOracleSql: String =
     s"""WITH q AS (
       |  SELECT vec_id, $quantSql AS v FROM embeddings
@@ -582,10 +639,12 @@ object OracleVariants {
     "knn_brute_oracle"      -> (knnBruteOracle _),
     "dedup_embed_oracle"    -> (dedupEmbedOracle _),
     "dedup_semantic_oracle" -> (dedupSemanticOracle _),
-    "corpus_semantic_sample_oracle" -> (corpusSemanticSampleOracle _))
+    "corpus_semantic_sample_oracle" -> (corpusSemanticSampleOracle _),
+    "corpus_semantic_mix_oracle" -> (corpusSemanticMixOracle _))
 
   val oracle: Map[String, String] = Map(
     "corpus_semantic_sample_oracle" -> corpusSemanticSampleOracleSql,
+    "corpus_semantic_mix_oracle" -> corpusSemanticMixOracleSql,
     "corpus_fuzzy_decontaminate_oracle" -> corpusFuzzyDecontaminateOracleSql,
     "dedup_minhash_oracle"  -> dedupMinhashOracleSql,
     "dedup_incremental_oracle" -> dedupIncrementalOracleSql,

@@ -1052,6 +1052,59 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
+  /** Semantic-aware TEMPERED mixture (r8): rebalance the corpus across the
+    * trained quantizer's semantic cells with temperature α = 0.5 instead
+    * of [[corpusSemanticSample]]'s hard least-cell cut — cell shares ∝
+    * √n_g toward a half-corpus target, rates capped at availability. The
+    * production curation knob: hard balancing throws away almost all of a
+    * large (genuinely common) semantic neighborhood; tempering shrinks
+    * its dominance while keeping its absolute depth (the multilingual-mix
+    * rule of Conneau et al.-style α-sampling, applied to semantic cells).
+    *
+    * Same rate algebra as `corpus_mix` (integral √-weights — sqrt is
+    * correctly-rounded so the weight is cross-engine exact, unlike pow;
+    * exact-integer hash-bucket keep rule, doc-local, incremental-safe)
+    * over the same zero-shuffle cell assignment + one id equi-join as
+    * `corpus_semantic_sample`. Rows-only (float quantizer); the sign-bit
+    * twin `corpus_semantic_mix_oracle` hash-proves join + rate algebra. */
+  def corpusSemanticMix(spark: SparkSession, dir: String): DataFrame =
+    corpusSemanticMixOf(spark, dir, loadOrTrainCentroids(spark, dir))
+
+  def corpusSemanticMixOf(spark: SparkSession, dir: String,
+                          centroids: Seq[Seq[Double]]): DataFrame = {
+    val cells = Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      nearestCellStructAuto(col("embedding"), centroids)
+        .getField("cell").cast("long").as("cell"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val joined = docs.join(cells, docs("doc_id") === cells("vec_id"))
+      .select(col("doc_id"), col("lang"), col("cell"))
+    semanticMixRates(joined)
+  }
+
+  /** The shared tempered keep rule over (doc_id, lang, cell) rows — also
+    * the body of the sign-bit oracle twin, so the DuckDB hash gate proves
+    * exactly this algebra. */
+  private[operators] def semanticMixRates(joined: DataFrame): DataFrame = {
+    val counts = joined.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
+      .withColumn("w",
+        round(sqrt(col("n_cell").cast("double")) * 1000).cast("long"))
+    val tot = counts.agg(sum(col("n_cell")).as("n_total"), sum(col("w")).as("w_total"))
+    val rate = least(lit(1.0),
+      col("w").cast("double") / col("w_total").cast("double") *
+        (col("n_total").cast("double") / lit(2.0)) / col("n_cell").cast("double"))
+    joined.join(broadcast(counts), "cell")
+      .crossJoin(broadcast(tot))
+      .withColumn("keep",
+        pmod(TextAnalysis.idHash(col("doc_id")), lit(1000000L)).cast("double")
+          < rate * lit(1000000.0))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+        count_distinct(col("lang")).as("n_langs"))
+      .orderBy(col("cell"))
+  }
+
   // --------------------------------------------------------- recall gate
 
   /** Driver-visible ANN quality gate: recall@5 of each approximate method
@@ -1518,6 +1571,7 @@ object Similarity {
     "knn_graph"        -> (knnGraph _),
     "embed_clusters"   -> (embedClusters _),
     "corpus_semantic_sample" -> (corpusSemanticSample _),
+    "corpus_semantic_mix" -> (corpusSemanticMix _),
     "embed_project_oracle" -> (embedProjectOracle _),
     "embed_covariance" -> (embedCovariance _),
     "embed_quantize"  -> (embedQuantize _),

@@ -84,6 +84,50 @@ class Round8OpsSpec extends SparkSpecBase {
     assert(rows("fuzzy_decon")._1 > 0L)
   }
 
+  test("corpus_semantic_mix: rate algebra replays exactly; tempering is monotone") {
+    import org.apache.spark.sql.functions._
+    val dir = sfDir
+    // replay the twin's keep rule driver-side from (doc_id, cell, idHash)
+    // using the SAME IEEE expression order — the oracle-gate arithmetic
+    // must be a property of the algebra, not of one engine's planner
+    val twin = graft.operators.OracleVariants.corpusSemanticMixOracle(spark, dir)
+      .collect().map(r => r.getAs[Long]("cell") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_sampled"))).toMap
+    val rows = graft.operators.OracleVariants.corpusSemanticMixMembers(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cell"),
+        r.getAs[Long]("h")))
+    val nCell = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val w = nCell.view.mapValues(n => math.round(math.sqrt(n.toDouble) * 1000)).toMap
+    val nTot = nCell.values.sum
+    val wTot = w.values.sum
+    def rate(c: Long): Double = math.min(1.0,
+      w(c).toDouble / wTot.toDouble * (nTot.toDouble / 2.0) / nCell(c).toDouble)
+    val sampled = rows.groupBy(_._2).map { case (c, rs) =>
+      c -> rs.count { case (_, _, h) => (h % 1000000L).toDouble < rate(c) * 1000000.0 }.toLong
+    }
+    assert(twin.view.mapValues(_._2).toMap == sampled,
+      "driver replay of the tempered keep rule diverges from the twin")
+    assert(twin.view.mapValues(_._1).toMap == nCell)
+    // tempering: rates are non-increasing in cell size (∝ n^{-1/2}), and
+    // every cell keeps at least the hard least-cell rule's share
+    val byN = nCell.toSeq.sortBy(_._2).map { case (c, n) => (n, rate(c)) }
+    byN.sliding(2).foreach {
+      case Seq((n1, r1), (n2, r2)) if n1 < n2 =>
+        assert(r1 >= r2 - 1e-12, s"rate must not increase with cell size ($n1→$n2)")
+      case _ => ()
+    }
+    // sqrt-weight rounding margins at all three SFs (the TemperedMixSpec
+    // discipline): a weight flip anywhere would silently shift every rate
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      graft.operators.OracleVariants.corpusSemanticMixOracle(spark, d)
+        .select(col("n_docs")).collect().map(_.getLong(0)).foreach { n =>
+        val x = math.sqrt(n.toDouble) * 1000
+        val frac = x - math.floor(x)
+        assert(math.abs(frac - 0.5) > 1e-6, s"weight for n=$n sits on a .5 boundary in $d")
+      }
+    }
+  }
+
   test("minLabel: degenerate inputs (empty, self-loops, two nodes)") {
     import spark.implicits._
     assert(Components.minLabel(Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0L)
