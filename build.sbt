@@ -16,6 +16,7 @@ run / fork := true
 // program must own the tail: no "[success] Total time" footer after it,
 // and no "[info] " prefix wrapping its stdout (both broke BENCH_r06/r07).
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 run / connectInput := false
 outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

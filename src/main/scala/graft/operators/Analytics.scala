@@ -1099,6 +1099,53 @@ object Analytics {
       |FROM dau d JOIN wau w ON d.day = w.day
       |ORDER BY d.day""".stripMargin
 
+  /** DAU/MAU stickiness: per active day, the distinct users that day, the
+    * distinct users over the trailing 30 days, and their ratio in basis
+    * points — the engagement-health headline next to `events_active_users`'
+    * DAU/WAU. Same contribution-days expansion (count-distinct cannot ride
+    * a window frame): each deduped (user, day) posts to its 30 trailing
+    * contribution days, one distinct-agg per day — grain×30, never raw
+    * events×30. The ratio is exact integer basis points (dau·10⁴ div mau;
+    * mau ≥ dau > 0 on every reported day, so no div-by-zero and no float
+    * in the gate). */
+  def eventsStickiness(spark: SparkSession, dir: String): DataFrame =
+    eventsStickinessOf(Tables.events(spark, dir))
+
+  def eventsStickinessOf(ev: DataFrame): DataFrame = {
+    val userDays = ev
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"))
+      .distinct()
+    val dau = userDays.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau")) // distinct at (user, day) already
+    val mau = userDays
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 29)).as("day"))
+      .groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).as("mau"))
+    dau.join(mau, "day") // inner: only days with activity report
+      .select(col("day"), col("dau"), col("mau"),
+        expr("dau * 10000 DIV mau").as("stickiness_bp"))
+      .orderBy(col("day"))
+  }
+
+  val eventsStickinessSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+      |  FROM events
+      |), dau AS (
+      |  SELECT day, count(*) AS dau FROM ud GROUP BY 1
+      |), contrib AS (
+      |  SELECT user_id, day + i AS day
+      |  FROM ud, unnest(range(0, 30)) AS t(i)
+      |), mau AS (
+      |  SELECT day, count(DISTINCT user_id) AS mau FROM contrib GROUP BY 1
+      |)
+      |SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(m.mau AS BIGINT) AS mau,
+      |  CAST(d.dau * 10000 // m.mau AS BIGINT) AS stickiness_bp
+      |FROM dau d JOIN mau m ON d.day = m.day
+      |ORDER BY d.day""".stripMargin
+
   /** Inter-arrival-time statistics per event type: the latency/health scan
     * of every event pipeline (is the click stream stalling?). One user_id
     * shuffle orders each user's timeline (lag over the sessionize family's
@@ -1307,6 +1354,7 @@ object Analytics {
     "events_top_paths"  -> (eventsTopPaths _),
     "q_argmin_join"     -> (qArgminJoin _),
     "events_active_users" -> (eventsActiveUsers _),
+    "events_stickiness" -> (eventsStickiness _),
     "events_inter_arrival" -> (eventsInterArrival _),
     "events_cohort_ltv" -> (eventsCohortLtv _),
     "events_rfm"        -> (eventsRfm _),
@@ -1347,6 +1395,7 @@ object Analytics {
     "events_top_paths"  -> eventsTopPathsSql,
     "q_argmin_join"     -> qArgminJoinSql,
     "events_active_users" -> eventsActiveUsersSql,
+    "events_stickiness" -> eventsStickinessSql,
     "events_inter_arrival" -> eventsInterArrivalSql,
     "events_cohort_ltv" -> eventsCohortLtvSql,
     "events_rfm"        -> eventsRfmSql,

@@ -249,7 +249,9 @@ object Multimodal {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  val multimodalNearDupSql: String =
+  /** The near-dup pair derivation as a reusable CTE body (shared with the
+    * [[multimodalClusters]] recursive-closure oracle). */
+  private val nearDupPairsSqlCte: String =
     """WITH f AS (
       |  SELECT doc_id, text,
       |    greatest(1, strlen(text)::BIGINT // 8) AS flen,
@@ -271,25 +273,79 @@ object Multimodal {
       |      (PARTITION BY frame_idx, frame_len, checksum_cp) AS n_bkt
       |    FROM fx)
       |  WHERE n_bkt <= 1000
+      |), npairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(count(*) AS BIGINT) AS n_match
+      |  FROM capped a JOIN capped b
+      |    ON a.frame_idx = b.frame_idx AND a.frame_len = b.frame_len
+      |   AND a.checksum_cp = b.checksum_cp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 2
+      |)""".stripMargin
+
+  val multimodalNearDupSql: String =
+    nearDupPairsSqlCte +
+    """
+      |SELECT id_a, id_b, n_match FROM npairs ORDER BY 1, 2""".stripMargin
+
+  /** Duplicate-group resolution for the media corpus: connected components
+    * over (exact blob-digest) ∪ (frame-signature near-dup) edges, keep =
+    * component min — the same pairs-alone-don't-resolve-chains step
+    * `dedup_clusters` runs for text (a re-encoded copy A≈B and B's exact
+    * clone C are ONE group even though A and C share no band). Edges are
+    * (doc_id, doc_id) pairs only — blob bytes never enter the fixpoint —
+    * and the shared [[Components]] hybrid loop bounds rounds at
+    * budget + O(log n). The oracle recomputes the closure recursively over
+    * the same two edge families. */
+  def multimodalClusters(spark: SparkSession, dir: String): DataFrame = {
+    val blobs = mediaTable(spark, dir).toDF()
+    val withHash = blobs.select(col("doc_id"), md5(col("blob")).as("h"))
+    val roots = withHash.groupBy(col("h")).agg(min(col("doc_id")).as("root"))
+    val exactEdges = withHash.join(roots, "h")
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("doc_id").as("a"), col("root").as("b"))
+    val nearEdges = multimodalNearDup(spark, dir)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val labels = Components.minLabel(exactEdges.unionByName(nearEdges))
+    val clustered = labels.select(col("doc_id"), col("lbl").as("cluster_id"),
+      (col("doc_id") === col("lbl")).as("keep"))
+    val singletons = blobs.select(col("doc_id"))
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"), lit(true).as("keep"))
+    clustered.unionByName(singletons).orderBy(col("doc_id"))
+  }
+
+  val multimodalClustersSql: String =
+    nearDupPairsSqlCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+    """, eh AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents
+      |), eroots AS (
+      |  SELECT h, min(doc_id) AS root FROM eh GROUP BY 1
+      |), eedges AS (
+      |  SELECT eh.doc_id AS a, er.root AS b FROM eh JOIN eroots er USING (h)
+      |  WHERE eh.doc_id <> er.root
+      |), edges AS (
+      |  SELECT a, b FROM eedges UNION SELECT b, a FROM eedges
+      |  UNION SELECT id_a, id_b FROM npairs UNION SELECT id_b, id_a FROM npairs
+      |), reach(doc_id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.b
       |)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  CAST(count(*) AS BIGINT) AS n_match
-      |FROM capped a JOIN capped b
-      |  ON a.frame_idx = b.frame_idx AND a.frame_len = b.frame_len
-      | AND a.checksum_cp = b.checksum_cp AND a.doc_id < b.doc_id
-      |GROUP BY 1, 2 HAVING count(*) >= 2
-      |ORDER BY 1, 2""".stripMargin
+      |SELECT doc_id, min(lbl) AS cluster_id, doc_id = min(lbl) AS keep
+      |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta"        -> (multimodalMeta _),
     "multimodal_meta_oracle" -> (multimodalMetaOracle _),
     "multimodal_frames"      -> (multimodalFrames _),
     "multimodal_dedup"       -> (multimodalDedup _),
-    "multimodal_near_dup"    -> (multimodalNearDup _))
+    "multimodal_near_dup"    -> (multimodalNearDup _),
+    "multimodal_clusters"    -> (multimodalClusters _))
 
   val oracle: Map[String, String] = Map(
     "multimodal_meta_oracle" -> multimodalMetaOracleSql,
     "multimodal_frames"      -> multimodalFramesSql,
     "multimodal_dedup"       -> multimodalDedupSql,
-    "multimodal_near_dup"    -> multimodalNearDupSql)
+    "multimodal_near_dup"    -> multimodalNearDupSql,
+    "multimodal_clusters"    -> multimodalClustersSql)
 }

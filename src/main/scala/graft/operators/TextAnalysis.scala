@@ -537,6 +537,99 @@ object TextAnalysis {
       |  FROM documents
       |) ORDER BY doc_id""".stripMargin
 
+  /** Per-doc readability signals — the cheap fluency-complexity rung next
+    * to text_quality's surface ratios (corpus curation mixes by reading
+    * level; boilerplate and keyword-stuffed spam score degenerate here):
+    * sentence count (terminator runs), word count, long-word count (≥7
+    * chars, the LIX convention), vowel-group count (the classic syllable
+    * proxy), and the LIX readability index in exact integer centi-units —
+    * words/sentence + 100·longwords/words, both terms integer-divided so
+    * the gate never touches a float. All regexes in the Java∩RE2 common
+    * subset; one narrow no-shuffle pass. */
+  def textReadability(spark: SparkSession, dir: String): DataFrame =
+    textReadabilityOf(Tables.documents(spark, dir))
+
+  def textReadabilityOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long").as("n_sentences"),
+        size(regexp_extract_all(col("text"), lit(wsTok), lit(0))).cast("long").as("n_words"),
+        size(regexp_extract_all(col("text"), lit("\\S{7,}"), lit(0))).cast("long").as("n_long_words"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiou]+"), lit(0))).cast("long").as("n_vowel_groups"))
+      .withColumn("lix_e2",
+        expr("n_words * 100 DIV greatest(1L, n_sentences) " +
+          "+ n_long_words * 10000 DIV greatest(1L, n_words)"))
+      .orderBy(col("doc_id"))
+
+  val textReadabilitySql: String =
+    s"""SELECT doc_id,
+      |  len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS n_sentences,
+      |  len(regexp_extract_all(text, '$wsTok'))::BIGINT AS n_words,
+      |  len(regexp_extract_all(text, '\\S{7,}'))::BIGINT AS n_long_words,
+      |  len(regexp_extract_all(lower(text), '[aeiou]+'))::BIGINT AS n_vowel_groups,
+      |  CAST(len(regexp_extract_all(text, '$wsTok')) * 100
+      |       // greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+      |     + len(regexp_extract_all(text, '\\S{7,}')) * 10000
+      |       // greatest(1, len(regexp_extract_all(text, '$wsTok'))) AS BIGINT) AS lix_e2
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Token-window document chunking — the pass that turns documents into
+    * model-sized pieces for pretraining ingestion or retrieval indexing:
+    * sliding windows of `window` tokens at `stride` (overlap = window −
+    * stride, so no boundary context is lost), short docs one whole-doc
+    * chunk, every doc covered end-to-end (chunk i covers [i·stride,
+    * i·stride + window); the last chunk is the first to reach the end).
+    * Emits (doc_id, chunk_id, start_tok, n_chunk_toks, chunk_hash) — the
+    * md5 of the re-joined token slice hash-gates the actual chunk CONTENT
+    * cross-engine, not just the arithmetic (the corpus_dedup_spans
+    * kept-hash discipline).
+    *
+    * Scale shape: one narrow corpus scan, chunk fan-out bounded by
+    * n_toks/stride per doc, no shuffle until the gate ORDER BY (which
+    * production drops) — chunking is embarrassingly doc-local, which is
+    * why it belongs BEFORE any exchange in an ingestion DAG. */
+  def corpusChunk(spark: SparkSession, dir: String): DataFrame =
+    corpusChunkOf(Tables.documents(spark, dir), window = 512L, stride = 384L)
+
+  def corpusChunkOf(docs: DataFrame, window: Long, stride: Long): DataFrame = {
+    require(stride > 0 && stride <= window, "0 < stride <= window")
+    docs
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit(wsTok), lit(0)).as("ws"))
+      .withColumn("n_toks", size(col("ws")).cast("long"))
+      .withColumn("n_chunks", expr(
+        s"CASE WHEN n_toks <= $window THEN 1L " +
+        s"ELSE (n_toks - $window + ${stride - 1}L) DIV ${stride}L + 1L END"))
+      .select(col("doc_id"), col("ws"), col("n_toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * lit(stride))
+      .withColumn("n_chunk_toks", least(lit(window), col("n_toks") - col("start_tok")))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("n_chunk_toks"),
+        md5(array_join(
+          slice(col("ws"), (col("start_tok") + 1L).cast("int"),
+            col("n_chunk_toks").cast("int")), " ").cast("binary")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val corpusChunkSql: String =
+    s"""WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(text, '$wsTok') AS ws FROM documents
+      |), b AS (
+      |  SELECT doc_id, ws, len(ws)::BIGINT AS n_toks,
+      |    CASE WHEN len(ws) <= 512 THEN 1
+      |         ELSE (len(ws)::BIGINT - 512 + 383) // 384 + 1 END AS n_chunks
+      |  FROM tk
+      |), c AS (
+      |  SELECT doc_id, ws, n_toks, unnest(range(0, n_chunks)) AS chunk_id FROM b
+      |)
+      |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  CAST(chunk_id * 384 AS BIGINT) AS start_tok,
+      |  CAST(least(512, n_toks - chunk_id * 384) AS BIGINT) AS n_chunk_toks,
+      |  md5(array_to_string(
+      |    ws[(chunk_id * 384 + 1):(chunk_id * 384 + least(512, n_toks - chunk_id * 384))],
+      |    ' ')) AS chunk_hash
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   /** Cross-document duplicated-span removal: every token position covered
     * by a word 8-gram that also appears in ANOTHER document is removed —
     * the fixed-granularity distributed form of exact-substring train-data
@@ -1175,6 +1268,8 @@ object TextAnalysis {
     "corpus_mix_a7"    -> ((s, d) => corpusMixTempered(Tables.documents(s, d), 7)),
     "corpus_stats"     -> (corpusStats _),
     "corpus_pack"      -> (corpusPack _),
+    "corpus_chunk"     -> (corpusChunk _),
+    "text_readability" -> (textReadability _),
     "corpus_clean"     -> (corpusClean _),
     "corpus_split"     -> (corpusSplit _),
     "corpus_redact"    -> (corpusRedact _),
@@ -1202,6 +1297,8 @@ object TextAnalysis {
     "corpus_mix_a7"    -> corpusMixTemperedSql(7),
     "corpus_stats"     -> corpusStatsSql,
     "corpus_pack"      -> corpusPackSql,
+    "corpus_chunk"     -> corpusChunkSql,
+    "text_readability" -> textReadabilitySql,
     "corpus_clean"     -> corpusCleanSql,
     "corpus_split"     -> corpusSplitSql,
     "corpus_redact"    -> corpusRedactSql,

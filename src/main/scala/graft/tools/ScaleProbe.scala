@@ -366,6 +366,14 @@ object ScaleProbe {
     time(s"text_winnow x$k")(
       graft.operators.CorpusStats.textWinnowOf(docs)
         .agg(sum(col("n_fp"))).collect().head.getLong(0))
+    time(s"corpus_chunk x$k")(
+      graft.operators.TextAnalysis.corpusChunkOf(docs, 512L, 384L).count())
+    time(s"events_stickiness x$k")(
+      graft.operators.Analytics.eventsStickinessOf(ev).count())
+    // agg over the gate column so Catalyst cannot prune the regex passes
+    time(s"text_readability x$k")(
+      graft.operators.TextAnalysis.textReadabilityOf(docs)
+        .agg(sum(col("lix_e2"))).collect().head.getLong(0))
 
     spark.stop()
   }

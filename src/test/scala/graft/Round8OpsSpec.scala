@@ -128,6 +128,129 @@ class Round8OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("corpus_chunk: exact window arithmetic and end-to-end coverage on long docs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the gate corpus is short-doc (1 chunk/doc), so the multi-chunk path
+    // is pinned here: known token counts across the boundary cases
+    val docs = Seq(
+      (1L, (0 until 1500).map(i => s"w$i").mkString(" ")), // 4 chunks
+      (2L, (0 until 512).map(i => s"x$i").mkString(" ")),  // exactly window
+      (3L, (0 until 513).map(i => s"y$i").mkString(" ")),  // window+1 → 2 chunks
+      (4L, "solo"),                                        // 1 token
+      (5L, ""))                                            // empty doc
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.corpusChunkOf(docs, 512L, 384L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("n_chunk_toks"),
+        r.getAs[String]("chunk_hash")))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def expected(id: Long, toks: Seq[String]) = {
+      val n = toks.length
+      val nc = if (n <= 512) 1L else (n - 512 + 383) / 384 + 1L
+      (0L until nc).map { c =>
+        val start = c * 384
+        val len = math.min(512L, n - start)
+        (id, c, start, len, md5hex(toks.slice(start.toInt, (start + len).toInt).mkString(" ")))
+      }
+    }
+    val want = Seq(
+      expected(1L, (0 until 1500).map(i => s"w$i")),
+      expected(2L, (0 until 512).map(i => s"x$i")),
+      expected(3L, (0 until 513).map(i => s"y$i")),
+      expected(4L, Seq("solo")),
+      expected(5L, Seq.empty)).flatten
+    assert(out.toSeq == want)
+    // coverage invariant: per doc, the last chunk reaches the end and
+    // consecutive starts differ by exactly the stride
+    out.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.toSeq.sortBy(_._2)
+      assert(sorted.last._3 + sorted.last._4 >= sorted.map(c => c._3 + c._4).max, s"doc $id")
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(b._3 - a._3 == 384L, s"doc $id stride")
+        case _ => ()
+      }
+    }
+  }
+
+  test("events_stickiness: driver replay of dau/mau/ratio on the gate corpus") {
+    import org.apache.spark.sql.functions._
+    val ud = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day"))).toSet
+    val dau = ud.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val mau = ud.toSeq.flatMap { case (u, d) => (d until d + 30).map(u -> _) }
+      .groupBy(_._2).view.mapValues(_.map(_._1).distinct.size.toLong).toMap
+    val want = dau.keys.map { d =>
+      d -> ((dau(d), mau(d), dau(d) * 10000 / mau(d)))
+    }.toMap
+    val got = graft.operators.Analytics.eventsStickiness(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("day") -> ((r.getAs[Long]("dau"), r.getAs[Long]("mau"),
+        r.getAs[Long]("stickiness_bp")))).toMap
+    assert(got == want)
+    got.values.foreach { case (d, m, bp) =>
+      assert(m >= d && bp >= 0 && bp <= 10000)
+    }
+  }
+
+  test("multimodal_clusters: equals union-find over digest + frame-band edges") {
+    val dir = sfDir
+    val exact = graft.operators.Multimodal.multimodalDedup(spark, dir).collect()
+      .filter(_.getAs[Long]("n_copies") > 1)
+    // rebuild the digest-star edges driver-side from the blob table
+    val byHash = graft.sources.Tables.documents(spark, dir)
+      .selectExpr("doc_id", "md5(cast(text as binary)) as h").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("h"))
+      .groupBy(_._2).values.map(_.map(_._1).sorted)
+    val exactEdges = byHash.filter(_.size > 1)
+      .flatMap(g => g.tail.map(d => (d, g.head))).toSeq
+    val nearEdges = graft.operators.Multimodal.multimodalNearDup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSeq
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    (exactEdges ++ nearEdges).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = graft.operators.Multimodal.multimodalClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep"))).toMap
+    got.foreach { case (d, (c, keep)) =>
+      val want = find(d)
+      assert(c == want, s"doc $d cluster $c != $want")
+      assert(keep == (c == d))
+    }
+    assert(got.values.exists(!_._2), "gate corpus has at least one dropped duplicate blob")
+  }
+
+  test("text_readability: exact signal replay through Java regex") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "The quick brown fox jumps. Over the lazy dog! Yes?"),
+      (2L, "unbroken stream of extremely lengthy vocabulary items"),
+      (3L, ""),
+      (4L, "a e i o u aeiou xyz."))
+    val out = graft.operators.TextAnalysis.textReadabilityOf(
+      texts.toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_sentences"),
+        r.getAs[Long]("n_words"), r.getAs[Long]("n_long_words"),
+        r.getAs[Long]("n_vowel_groups"), r.getAs[Long]("lix_e2")))).toMap
+    texts.foreach { case (id, t) =>
+      val nS = "[.!?]+".r.findAllIn(t).size.toLong
+      val nW = "\\S+".r.findAllIn(t).size.toLong
+      val nL = "\\S{7,}".r.findAllIn(t).size.toLong
+      val nV = "[aeiou]+".r.findAllIn(t.toLowerCase).size.toLong
+      val lix = nW * 100 / math.max(1L, nS) + nL * 10000 / math.max(1L, nW)
+      assert(out(id) == ((nS, nW, nL, nV, lix)), s"doc $id")
+    }
+  }
+
   test("minLabel: degenerate inputs (empty, self-loops, two nodes)") {
     import spark.implicits._
     assert(Components.minLabel(Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0L)
