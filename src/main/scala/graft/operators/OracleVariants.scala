@@ -456,6 +456,116 @@ object OracleVariants {
       .orderBy(col("cell"))
   }
 
+  /** DuckDB-provable twin of `embed_outliers`: self-cell centroid affinity
+    * over the sign-bit replayable cell and exact-integer ×1000-scaled cell
+    * means (the [[dedupSemanticOracle]] centroid arithmetic) — csim_e4 is
+    * one round of an IEEE-identical double, so the hash match proves the
+    * centroid-affinity plumbing (cell grouping, coordinate-wise mean,
+    * per-vector cosine, flagging) end to end. */
+  def embedOutliersOracle(spark: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quant(col("embedding")).as("v"))
+      .withColumn("cell", (0 until 4).map(i =>
+        when(element_at(col("v"), i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _))
+    val means = qv
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"),
+          round(col("s") * 1000.0 / col("n")).cast("long").as("m")))),
+        s => s.getField("m")).as("m"))
+    qv.join(broadcast(means), "cell")
+      .select(col("vec_id"), col("cell"),
+        round(call_function("quantized_cosine", col("v"), col("m")) * 10000)
+          .cast("long").as("csim_e4"))
+      .withColumn("is_outlier", col("csim_e4") < 1500L)
+      .orderBy(col("vec_id"))
+  }
+
+  val embedOutliersOracleSql: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, $quantSql AS v FROM embeddings
+      |), ec AS (
+      |  SELECT vec_id, v,
+      |    (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+      |     + CASE WHEN v[3] > 0 THEN 4 ELSE 0 END
+      |     + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)::BIGINT AS cell
+      |  FROM e
+      |), ex AS (
+      |  SELECT cell, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM ec
+      |), pp AS (
+      |  SELECT cell, pos, CAST(sum(x) AS BIGINT) AS s, count(*) AS n
+      |  FROM ex GROUP BY 1, 2
+      |), mv AS (
+      |  SELECT cell, list(CAST(round(s * 1000.0 / n) AS BIGINT) ORDER BY pos) AS m
+      |  FROM pp GROUP BY 1
+      |)
+      |SELECT vec_id, cell,
+      |  CAST(round(
+      |    list_sum(list_transform(range(1, len(v) + 1), i -> v[i]*m[i]))::DOUBLE
+      |      / sqrt(greatest(list_sum(list_transform(v, x -> x*x))::DOUBLE
+      |        * list_sum(list_transform(m, x -> x*x))::DOUBLE, 1.0)) * 10000)
+      |    AS BIGINT) AS csim_e4,
+      |  CAST(round(
+      |    list_sum(list_transform(range(1, len(v) + 1), i -> v[i]*m[i]))::DOUBLE
+      |      / sqrt(greatest(list_sum(list_transform(v, x -> x*x))::DOUBLE
+      |        * list_sum(list_transform(m, x -> x*x))::DOUBLE, 1.0)) * 10000)
+      |    AS BIGINT) < 1500 AS is_outlier
+      |FROM ec JOIN mv USING (cell)
+      |ORDER BY vec_id""".stripMargin
+
+  /** Exact filtered brute-force top-k over quantized vectors — the
+    * DuckDB-provable twin of `knn_filtered` (same candidate keep-set
+    * semi-join against the documents predicate, same quantized-cosine
+    * per-pair arithmetic as [[knnBruteOracle]]). */
+  def knnFilteredOracle(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val keep = Tables.documents(spark, dir)
+      .filter(col("lang") === "en").select(col("doc_id"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), quant(col("embedding")).as("qv"))
+    val cands = emb
+      .join(keep, emb("vec_id") === keep("doc_id"), "left_semi")
+      .select(col("vec_id").as("neighbor_id"), quant(col("embedding")).as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    cands.crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        round(call_function("quantized_cosine", col("cv"), col("qv")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val knnFilteredOracleSql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id AS query_id, $quantSql AS qv FROM embeddings WHERE vec_id < 10
+      |), c AS (
+      |  SELECT vec_id AS neighbor_id, $quantSql AS cv FROM embeddings e
+      |  WHERE EXISTS (SELECT 1 FROM documents d
+      |                WHERE d.doc_id = e.vec_id AND d.lang = 'en')
+      |), p AS (
+      |  SELECT query_id, neighbor_id,
+      |    list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i]*cv[i]))::BIGINT AS dot,
+      |    list_sum(list_transform(qv, x -> x*x))::BIGINT AS nq,
+      |    list_sum(list_transform(cv, x -> x*x))::BIGINT AS nc
+      |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id
+      |), r AS (
+      |  SELECT query_id, neighbor_id,
+      |    round(dot::DOUBLE / sqrt(greatest(nq::DOUBLE * nc::DOUBLE, 1.0)), 4) AS cos
+      |  FROM p
+      |), rk AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS "rank"
+      |  FROM r
+      |)
+      |SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id, cos
+      |FROM rk WHERE "rank" <= $K ORDER BY query_id, "rank"""".stripMargin
+
   /** DuckDB-provable twin of `corpus_semantic_mix`: the identical tempered
     * rate algebra ([[Similarity.semanticMixRates]] — shared code, not a
     * re-implementation) over the sign-bit replayable cell; √-weights are
@@ -640,11 +750,15 @@ object OracleVariants {
     "dedup_embed_oracle"    -> (dedupEmbedOracle _),
     "dedup_semantic_oracle" -> (dedupSemanticOracle _),
     "corpus_semantic_sample_oracle" -> (corpusSemanticSampleOracle _),
-    "corpus_semantic_mix_oracle" -> (corpusSemanticMixOracle _))
+    "corpus_semantic_mix_oracle" -> (corpusSemanticMixOracle _),
+    "embed_outliers_oracle" -> (embedOutliersOracle _),
+    "knn_filtered_oracle" -> (knnFilteredOracle _))
 
   val oracle: Map[String, String] = Map(
     "corpus_semantic_sample_oracle" -> corpusSemanticSampleOracleSql,
     "corpus_semantic_mix_oracle" -> corpusSemanticMixOracleSql,
+    "embed_outliers_oracle" -> embedOutliersOracleSql,
+    "knn_filtered_oracle" -> knnFilteredOracleSql,
     "corpus_fuzzy_decontaminate_oracle" -> corpusFuzzyDecontaminateOracleSql,
     "dedup_minhash_oracle"  -> dedupMinhashOracleSql,
     "dedup_incremental_oracle" -> dedupIncrementalOracleSql,

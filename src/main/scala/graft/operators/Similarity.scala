@@ -469,6 +469,60 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** FILTERED approximate search — the production shape of "top-k among
+    * vectors satisfying a predicate" (search only English docs, only
+    * licensed sources, only one tenant): the IVF scan with the keep-set
+    * applied to the candidate side BEFORE ranking, and nprobe doubled
+    * (2 → 4) because filtering thins every probed cell — the standard
+    * filtered-ANN recall recovery (post-filtering a k-deep unfiltered
+    * result instead can return < k or even 0 rows for selective
+    * predicates; a 100 TB index cannot re-run misses).
+    *
+    * Scale shape: the predicate lives on the documents table, so the
+    * keep-set is a left-semi join of the embedding scan against the
+    * filtered id set — the same 1:1 id equi-join as
+    * `corpus_semantic_sample` (bucketed co-location at cluster scale),
+    * after which the plan IS knnIvf's: zero-shuffle cell argmax,
+    * broadcast queries, per-query top-k as the only wide op. Rows-only
+    * (float ANN); `knn_filtered_oracle` is the exact filtered brute-force
+    * twin, and Round8OpsSpec pins recall vs the float exact baseline. */
+  def knnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val keep = Tables.documents(spark, dir)
+      .filter(col("lang") === "en").select(col("doc_id"))
+    knnIvfFilteredWith(spark, dir, loadOrTrainCentroids(spark, dir),
+      nprobe = 4, keepIds = keep)
+  }
+
+  def knnIvfFilteredWith(spark: SparkSession, dir: String,
+      centroids: Seq[Seq[Double]], nprobe: Int, keepIds: DataFrame): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = broadcast(
+      spark.createDataFrame(centroids.zipWithIndex.map { case (v, i) => (i, v) })
+        .toDF("cent_id", "cvec"))
+    val cands = emb
+      .join(keepIds, emb("vec_id") === keepIds("doc_id"), "left_semi")
+      .withColumn("cell", nearestCellExpr(col("embedding"), centroids))
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .crossJoin(cents)
+      .withColumn("csim", cosine(asDouble(col("embedding")), col("cvec")))
+      .withColumn("crn", row_number().over(wq))
+      .filter(col("crn") <= nprobe)
+      .select(col("cent_id").as("cell"), col("vec_id").as("query_id"),
+        col("embedding").as("qvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    cands.join(broadcast(queries), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("embedding"), col("qvec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---------------------------------------------------------------- PQ / ADC
 
   /** Product-quantization geometry: 64 dims → 4 subspaces × 16 dims, 16
@@ -1144,6 +1198,30 @@ object Similarity {
     }.reduce(_ unionByName _).orderBy(col("method"))
   }
 
+  /** Embedding outlier audit: each vector's cosine to its OWN cell's
+    * centroid under the trained quantizer, flagged when it falls below
+    * τ — the embedding-space quality filter (mis-embedded docs, garbage
+    * inputs, distribution drift all surface as low self-cell affinity;
+    * SemDeDup-adjacent pipelines drop or re-embed them). Rides the
+    * zero-shuffle (cell, csim) argmax — the csim the assignment already
+    * computed IS the audit statistic, so the whole operator is one narrow
+    * corpus scan. Rows-only (float quantizer); the sign-bit exact-integer
+    * twin `embed_outliers_oracle` hash-proves the centroid-affinity
+    * plumbing cross-engine. */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame =
+    embedOutliersOf(Tables.embeddings(spark, dir),
+      loadOrTrainCentroids(spark, dir), tauE4 = 2000L)
+
+  def embedOutliersOf(emb: DataFrame, centroids: Seq[Seq[Double]],
+                      tauE4: Long): DataFrame =
+    emb
+      .select(col("vec_id"),
+        nearestCellStructAuto(col("embedding"), centroids).as("nc"))
+      .select(col("vec_id"), col("nc").getField("cell").cast("long").as("cell"),
+        round(col("nc").getField("csim") * 10000).cast("long").as("csim_e4"))
+      .withColumn("is_outlier", col("csim_e4") < tauE4)
+      .orderBy(col("vec_id"))
+
   // ------------------------------------------------------- int8 quantize
 
   /** Symmetric int8 embedding quantization — the storage-compression op a
@@ -1577,6 +1655,8 @@ object Similarity {
     "embed_quantize"  -> (embedQuantize _),
     "embed_centroid_stats" -> (embedCentroidStats _),
     "knn_brute"       -> (knnBrute _),
+    "knn_filtered"    -> (knnFiltered _),
+    "embed_outliers"  -> (embedOutliers _),
     "knn_lsh"         -> (knnLsh _),
     "knn_ivf"         -> (knnIvf _),
     "knn_pq"          -> (knnPq _),

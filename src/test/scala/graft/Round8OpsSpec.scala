@@ -251,6 +251,52 @@ class Round8OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("knn_filtered: predicate respected, recall floor vs exact filtered brute") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val out = graft.operators.Similarity.knnFiltered(spark, dir)
+    val en = graft.sources.Tables.documents(spark, dir)
+      .filter(col("lang") === "en").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val rows = out.collect().map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id")))
+    assert(rows.nonEmpty && rows.forall { case (_, n) => en(n) },
+      "a filtered search must NEVER return a neighbor outside the predicate")
+    // exact filtered baseline: probing every cell degenerates to brute
+    // force over the same keep-set (the knnIvfWith degeneration contract)
+    val cents = graft.operators.Similarity.loadOrTrainCentroids(spark, dir)
+    val keep = graft.sources.Tables.documents(spark, dir)
+      .filter(col("lang") === "en").select(col("doc_id"))
+    val exact = graft.operators.Similarity
+      .knnIvfFilteredWith(spark, dir, cents, nprobe = cents.length, keepIds = keep)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val hit = rows.count(exact)
+    val recall = hit.toDouble / exact.size
+    assert(recall >= 0.40, s"filtered recall@5 $recall below floor 0.40 (measured 0.58)")
+    // nprobe=4 compensates the thinned cells: strictly deeper probing than
+    // the unfiltered knn_ivf default
+  }
+
+  test("embed_outliers: flags consistent with csim; non-degenerate fraction") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = graft.operators.Similarity.embedOutliers(spark, dir).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+          r.getAs[Long]("csim_e4"), r.getAs[Boolean]("is_outlier")))
+      assert(rows.nonEmpty)
+      rows.foreach { case (id, _, c, o) =>
+        assert(o == (c < 2000L), s"vec $id flag inconsistent with csim $c")
+        assert(c >= -10000L && c <= 10000L, s"vec $id csim_e4 $c out of range")
+      }
+      val frac = rows.count(_._4).toDouble / rows.length
+      assert(frac > 0.0 && frac < 0.3,
+        s"outlier fraction $frac degenerate in $dir (threshold mis-tuned)")
+      // the twin agrees on the flagging shape over its own cell family
+      val twin = graft.operators.OracleVariants.embedOutliersOracle(spark, dir)
+        .collect().map(r => (r.getAs[Long]("csim_e4"), r.getAs[Boolean]("is_outlier")))
+      twin.foreach { case (c, o) => assert(o == (c < 1500L)) }
+    }
+  }
+
   test("minLabel: degenerate inputs (empty, self-loops, two nodes)") {
     import spark.implicits._
     assert(Components.minLabel(Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0L)
