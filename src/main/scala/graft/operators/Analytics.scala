@@ -467,6 +467,55 @@ object Analytics {
       .orderBy(col("event_id"))
   }
 
+  /** FIRST-touch attribution — the campaign-credit twin of
+    * [[eventsAttribution]]: each purchase credits the same user's EARLIEST
+    * click within the trailing hour (last-touch credits the latest; both
+    * models ship in every analytics suite and they answer different
+    * questions: discovery vs closing). Expressed as a FORWARD as-of join
+    * from the window start: earliest click ≥ ts−1h bounded 1h ahead IS
+    * "earliest in [ts−1h, ts]" — so the one-shuffle union-sort machinery
+    * is reused with the window direction flipped, and the range-join +
+    * row_number explosion stays in the oracle where it belongs. */
+  def eventsAttributionFirst(spark: SparkSession, dir: String): DataFrame =
+    eventsAttributionFirstOf(Tables.events(spark, dir))
+
+  def eventsAttributionFirstOf(ev: DataFrame): DataFrame = {
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 10000).cast("long").as("value_e4"))
+      .withColumn("win_start", col("ts") - expr("INTERVAL 1 HOUR"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("cid"))
+    PointInTimeJoin.asofForward(purch, clicks,
+        keys = Seq("user_id"), entityTs = "win_start", featureTs = "ts",
+        featureCols = Seq("cid"), maxAgeSec = Some(3600L), outPrefix = "click_")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value_e4"),
+        col("click_ts"), col("click_cid").as("click_event_id"),
+        when(col("click_ts").isNotNull, 1).otherwise(0).as("attributed"))
+      .orderBy(col("event_id"))
+  }
+
+  val eventsAttributionFirstSql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, ts, max(event_id) AS click_event_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+      |), purch AS (
+      |  SELECT event_id, user_id, ts,
+      |    CAST(round(value * 10000, 0) AS BIGINT) AS value_e4
+      |  FROM events WHERE event_type = 'purchase'
+      |), j AS (
+      |  SELECT p.event_id, p.user_id, p.ts, p.value_e4,
+      |    c.ts AS click_ts, c.click_event_id,
+      |    row_number() OVER (PARTITION BY p.event_id
+      |      ORDER BY c.ts ASC NULLS LAST) AS rn
+      |  FROM purch p LEFT JOIN clicks c
+      |    ON c.user_id = p.user_id AND c.ts <= p.ts
+      |   AND c.ts >= p.ts - INTERVAL 1 HOUR
+      |)
+      |SELECT event_id, user_id, ts, value_e4, click_ts, click_event_id,
+      |  CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END AS attributed
+      |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
+
   val eventsAttributionSql: String =
     """WITH clicks AS (
       |  SELECT user_id, ts, max(event_id) AS click_event_id
@@ -1343,6 +1392,7 @@ object Analytics {
     "q_full_outer"      -> (qFullOuter _),
     "events_hop"        -> (eventsHop _),
     "events_attribution" -> (eventsAttribution _),
+    "events_attribution_first" -> (eventsAttributionFirst _),
     "q_custdist"        -> (qCustdist _),
     "q_histogram"       -> (qHistogram _),
     "events_transitions" -> (eventsTransitions _),
@@ -1384,6 +1434,7 @@ object Analytics {
     "q_full_outer"      -> qFullOuterSql,
     "events_hop"        -> eventsHopSql,
     "events_attribution" -> eventsAttributionSql,
+    "events_attribution_first" -> eventsAttributionFirstSql,
     "q_custdist"        -> qCustdistSql,
     "q_histogram"       -> qHistogramSql,
     "events_transitions" -> eventsTransitionsSql,

@@ -229,6 +229,77 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Cross-SOURCE near-dup pairs — syndication/mirror detection: the same
+    * Jaccard test as [[dedupNgram]] but blocked by language ONLY and
+    * restricted to pairs from DIFFERENT sources. dedup_ngram can never
+    * surface these (its (lang, source) blocking is exactly what keeps its
+    * join fan-out down, and exactly what hides a wire story republished
+    * across ten domains — the highest-volume duplication class in web
+    * corpora). The wider lang-only block pays a broader join, so the
+    * df cap rides the (lang, shingle) keys the join shuffles on — same
+    * exchange-reuse discipline, one tokenization; a shingle hot across
+    * many sources (boilerplate) is precisely what the cap drops. */
+  def dedupCrossSource(spark: SparkSession, dir: String): DataFrame =
+    dedupCrossSourceCapped(spark, dir, DefaultMaxShingleDf)
+
+  def dedupCrossSourceCapped(spark: SparkSession, dir: String, maxDf: Int): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(hashedShingles(col("text"))).as("sh"))
+    val exAll = d.select(col("lang"), col("source"), col("doc_id"),
+      size(col("sh")).as("n"), explode(col("sh")).as("h"))
+    val wDf = Window.partitionBy(col("lang"), col("h"))
+    val ex = exAll
+      .withColumn("df", count(lit(1)).over(wDf))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+    ex.as("a")
+      .join(ex.as("b"),
+        col("a.lang") === col("b.lang") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.source") =!= col("b.source"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          greatest(col("n_a") + col("n_b") - col("inter"), lit(1)).cast("double"), 4))
+      .filter(col("jaccard") > 0.2)
+      .select(col("id_a"), col("id_b"), col("source_a"), col("source_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dedupCrossSourceSql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 3
+      |      THEN list_transform(
+      |        range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 1),
+      |        i -> array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+')[i:i+2], ' '))
+      |      ELSE [] END) AS sh
+      |  FROM documents
+      |), ex AS (
+      |  SELECT doc_id, lang, source, len(sh) AS n, unnest(sh) AS s FROM d
+      |), capped AS (
+      |  SELECT * FROM (
+      |    SELECT *, count(*) OVER (PARTITION BY lang, s) AS df FROM ex
+      |  ) WHERE df <= $DefaultMaxShingleDf
+      |), ipairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.source AS source_a, b.source AS source_b,
+      |    a.n AS n_a, b.n AS n_b, count(*) AS inter
+      |  FROM capped a JOIN capped b
+      |    ON a.lang = b.lang AND a.s = b.s
+      |       AND a.doc_id < b.doc_id AND a.source <> b.source
+      |  GROUP BY 1, 2, 3, 4, 5, 6
+      |)
+      |SELECT id_a, id_b, source_a, source_b,
+      |  round(inter::DOUBLE / greatest(n_a + n_b - inter, 1)::DOUBLE, 4) AS jaccard
+      |FROM ipairs
+      |WHERE round(inter::DOUBLE / greatest(n_a + n_b - inter, 1)::DOUBLE, 4) > 0.2
+      |ORDER BY 1, 2""".stripMargin
+
   /** Mirrors the SHIPPED semantics including the df≤1000 hot-shingle cap:
     * same inverted-index formulation (explode → window df filter → equi-join
     * → |A∩B| count) with the PRE-cap set size in the union denominator, so
@@ -640,6 +711,7 @@ object Dedup {
     "dedup_containment" -> (dedupContainment _),
     "dedup_exact"    -> (dedupExact _),
     "dedup_ngram"    -> (dedupNgram _),
+    "dedup_cross_source" -> (dedupCrossSource _),
     "dedup_minhash"  -> (dedupMinhash _),
     "dedup_simhash"  -> (dedupSimhash _),
     "dedup_clusters" -> (dedupClusters _),
@@ -652,6 +724,7 @@ object Dedup {
     "dedup_containment" -> dedupContainmentSql,
     "dedup_exact"    -> dedupExactSql,
     "dedup_ngram"    -> dedupNgramSql,
+    "dedup_cross_source" -> dedupCrossSourceSql,
     "dedup_clusters" -> dedupClustersSql,
     "corpus_decontaminate" -> corpusDecontaminateSql)
 }

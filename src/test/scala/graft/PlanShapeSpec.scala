@@ -563,4 +563,61 @@ class PlanShapeSpec extends SparkSpecBase {
         s"distinct + one user exchange only (gate sort excluded), got ${stHash.size}")
     }
   }
+
+  test("r8 ops keep their scale shapes: chunk/outliers doc-local, stickiness grain-sized") {
+    withoutAqe {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+      def exchanges(p: SparkPlan) = p.collect { case e: ShuffleExchangeLike => e }
+
+      // corpus_chunk: embarrassingly doc-local — the ONLY exchange is the
+      // gate ORDER BY's range partitioning (production drops the sort and
+      // pays zero shuffles)
+      val ch = graft.operators.TextAnalysis.corpusChunk(spark, sfDir)
+        .queryExecution.executedPlan
+      val chSh = exchanges(ch)
+      assert(chSh.size <= 1 &&
+        chSh.forall(_.outputPartitioning.isInstanceOf[RangePartitioning]),
+        s"corpus_chunk must shuffle only for the gate sort, got ${chSh.size}")
+
+      // text_readability: same no-shuffle class (narrow regex projection)
+      val rd = graft.operators.TextAnalysis.textReadability(spark, sfDir)
+        .queryExecution.executedPlan
+      assert(exchanges(rd).forall(_.outputPartitioning.isInstanceOf[RangePartitioning]),
+        "text_readability must not hash-shuffle anything")
+
+      // embed_outliers: the cell assignment is the zero-shuffle argmax —
+      // no window, no hash exchange; only the gate sort remains
+      val out = graft.operators.Similarity.embedOutliers(spark, sfDir)
+        .queryExecution.executedPlan
+      assert(out.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, "outlier csim must come from the argmax, never a window")
+      assert(exchanges(out).forall(_.outputPartitioning.isInstanceOf[RangePartitioning]),
+        "embed_outliers must not hash-shuffle the corpus")
+
+      // events_stickiness: both distinct-aggs plan partial+final, so grain
+      // rows cross the network, never raw events
+      val st = graft.operators.Analytics.eventsStickiness(spark, sfDir)
+      val aggs = st.queryExecution.executedPlan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(aggs.size >= 4, "dau/mau must plan partial+final aggregate pairs")
+      assert(st.count() > 0)
+
+      // knn_filtered: the predicate reaches the candidate side as a
+      // LEFT-SEMI keep-set join, and candidates meet queries on a
+      // broadcast of the query side (the knn_ivf shape)
+      val kf = graft.operators.Similarity.knnFiltered(spark, sfDir)
+        .queryExecution.executedPlan
+      val semis = kf.collect {
+        case j: BroadcastHashJoinExec if j.joinType == LeftSemi => j
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.joinType == LeftSemi => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+          if j.joinType == LeftSemi => j
+      }
+      assert(semis.nonEmpty, "filtered search must semi-join the keep-set")
+    }
+  }
 }

@@ -297,6 +297,72 @@ class Round8OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("dedup_cross_source: finds planted syndication; disjoint from same-source pairs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // planted: the same article on two sources (syndication), a same-source
+    // near-dup (dedup_ngram's case, must NOT appear here), and an unrelated doc
+    val article = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-xsource").toString
+    Seq(
+      (1L, "en", "siteA", article),
+      (2L, "en", "siteB", article + " extra trailing line"),
+      (3L, "en", "siteA", article + " tiny edit"),
+      (4L, "en", "siteC", (100 until 170).map(i => s"other$i").mkString(" ")),
+      (5L, "fr", "siteB", article)) // different lang: blocked apart
+      .toDF("doc_id", "lang", "source", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = graft.operators.Dedup.dedupCrossSource(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[String]("source_a"), r.getAs[String]("source_b")))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L), "planted syndication pair missed")
+    pairs.foreach { case (_, _, sa, sb) => assert(sa != sb, "same-source pair leaked") }
+    assert(!pairs.exists(p => p._1 == 1L && p._2 == 3L), "1-3 share a source")
+    assert(!pairs.exists(p => p._2 == 5L || p._1 == 5L), "cross-lang pair leaked")
+    // on the gate corpus: cross-source and same-source pair sets are
+    // provably disjoint (complementary source predicates)
+    val cross = graft.operators.Dedup.dedupCrossSource(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val same = graft.operators.Dedup.dedupNgram(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert((cross & same).isEmpty)
+  }
+
+  test("events_attribution_first: earliest-click credit, consistent with last-touch") {
+    import org.apache.spark.sql.functions._
+    val first = graft.operators.Analytics.eventsAttributionFirst(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.sql.Timestamp]("click_ts")), r.getAs[Int]("attributed"))).toMap
+    val last = graft.operators.Analytics.eventsAttribution(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.sql.Timestamp]("click_ts")), r.getAs[Int]("attributed"))).toMap
+    assert(first.keySet == last.keySet)
+    // same window ⇒ identical attribution EXISTENCE; first ≤ last in time
+    first.foreach { case (id, (fts, fat)) =>
+      val (lts, lat) = last(id)
+      assert(fat == lat, s"purchase $id attribution existence diverges")
+      (fts, lts) match {
+        case (Some(f), Some(l)) => assert(!f.after(l), s"purchase $id first > last")
+        case (None, None) => ()
+        case other => fail(s"purchase $id: $other")
+      }
+    }
+    assert(first.values.exists(_._2 == 1), "non-vacuous: some purchase attributes")
+    // driver fold: the earliest qualifying click really is the credit
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type")).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[String]("event_type")))
+    val clicksByUser = ev.filter(_._4 == "click").groupBy(_._2)
+    ev.filter(_._4 == "purchase").foreach { case (pid, u, pts, _) =>
+      val want = clicksByUser.getOrElse(u, Array.empty)
+        .filter(c => !c._3.after(pts) && c._3.getTime >= pts.getTime - 3600L * 1000L)
+        .sortBy(c => (c._3.getTime, -c._1)).headOption.map(_._3)
+      assert(first(pid)._1 == want, s"purchase $pid earliest-click mismatch")
+    }
+  }
+
   test("minLabel: degenerate inputs (empty, self-loops, two nodes)") {
     import spark.implicits._
     assert(Components.minLabel(Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0L)
