@@ -208,6 +208,60 @@ final class FeatureStore(val registry: Registry, spark: SparkSession,
       tsCol = t.eventTsCol, nowCol = lit(nowTs), maxAgeSec = t.maxAgeSec)
   }
 
+  /** Online-store consistency audit: recompute the expected latest row per
+    * entity key from the table's BATCH source (events up to
+    * `upToExclusive`) and reconcile it against what the store actually
+    * serves — the did-materialization-drift check an operator runs before
+    * trusting an online store after incidents, backfills, or partial
+    * materializations (the warehouse is the source of truth; the store is
+    * a cache of it). Per entity key, one of:
+    *  - MATCH      — store serves exactly the expected latest row;
+    *  - STALE      — store row exists but carries an older event_ts
+    *                 (a materialization window was missed);
+    *  - AHEAD      — store row carries a NEWER event_ts than the audit
+    *                 bound expects (normal when auditing as-of an earlier
+    *                 timestamp than the last materialization);
+    *  - DIVERGENT  — same event_ts, different feature values (corruption,
+    *                 or a non-deterministic ingest tiebreak);
+    *  - MISSING    — key in the source but absent from the store;
+    *  - ORPHANED   — key in the store but absent from the source (leaked
+    *                 from another window, or source rows were deleted).
+    * Scale shape: expected side is the max_by single-pass latest (one
+    * partial-aggregated exchange), the reconcile is one full-outer join on
+    * the entity keys; feature comparison is null-safe equality. */
+  def auditStore(tableName: String, store: OnlineStore,
+                 upToExclusive: String): DataFrame = {
+    val t = table(tableName)
+    val featureNames = t.features.map(_.name)
+    val rows = BatchSource.readRange(spark, sourceOf(t),
+      "1970-01-01 00:00:00", upToExclusive)
+    val expected = LatestValue.latest(rows, keys = t.entities,
+        orderCols = Seq(t.eventTsCol) ++ t.createdTsCol,
+        valueCols = (Seq(t.eventTsCol) ++ featureNames).distinct)
+      .select(t.entities.map(col) ++
+        (col(t.eventTsCol).as("__exp_ts") +:
+          featureNames.map(n => col(n).as(s"__exp_$n"))): _*)
+    val served = store.snapshot(spark)
+      .filter(col(ProjectCol) === project)
+      .select(t.entities.map(col) ++
+        (col(t.eventTsCol).as("__got_ts") +:
+          featureNames.map(n => col(n).as(s"__got_$n"))): _*)
+    val valuesMatch = featureNames
+      .map(n => col(s"__exp_$n") <=> col(s"__got_$n"))
+      .foldLeft(lit(true))(_ && _)
+    expected.join(served, t.entities, "full_outer")
+      .withColumn("status",
+        when(col("__got_ts").isNull, lit("MISSING"))
+          .when(col("__exp_ts").isNull, lit("ORPHANED"))
+          .when(col("__got_ts") < col("__exp_ts"), lit("STALE"))
+          .when(col("__got_ts") > col("__exp_ts"), lit("AHEAD"))
+          .when(!valuesMatch, lit("DIVERGENT"))
+          .otherwise(lit("MATCH")))
+      .select(t.entities.map(col) ++ Seq(col("__exp_ts").as("expected_ts"),
+        col("__got_ts").as("served_ts"), col("status")): _*)
+      .orderBy(t.entities.map(col): _*)
+  }
+
   /** Materialize a table's ingestion window [start, end) into a store:
     * latest row per entity key wins, merged against existing contents. */
   def materialize(tableName: String, store: OnlineStore,

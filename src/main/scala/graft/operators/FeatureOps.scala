@@ -632,7 +632,66 @@ object FeatureOps {
       |       ELSE 'OUTSIDE_MAX_AGE' END AS status
       |FROM latest l CROSS JOIN mx m ORDER BY l.user_id""".stripMargin
 
+  /** Online-store consistency audit end-to-end through the facade
+    * (`FeatureStore.auditStore`): the "store" is a read-only view holding
+    * the latest row per key over only the EVEN event_ids (a deterministic
+    * stand-in for a store that missed half the ingest stream — the
+    * serve_online view-store gate discipline), audited against the full
+    * source: a key whose latest row happens to be even audits MATCH, an
+    * odd-latest key STALE, an all-odd key MISSING — all three healthy
+    * branches exercised by the gate corpus. Both sides dedup ties by
+    * (ts, event_id) — the table registers event_id as its created-ts
+    * column — so every status and both timestamps are deterministic and
+    * the DuckDB oracle replays the whole reconciliation. */
+  def storeAudit(spark: SparkSession, dir: String): DataFrame = {
+    val r = new graft.model.Registry
+    r.applyEntity(graft.model.Entity("user_id", graft.model.ValueKind.Int64K))
+    r.applyTable(graft.model.FeatureTable(
+      name = "user_activity_audit", entities = Seq("user_id"),
+      features = Seq(graft.model.Feature("value", graft.model.ValueKind.DoubleK)),
+      maxAgeSec = None, eventTsCol = "ts", createdTsCol = Some("event_id"),
+      batchSourcePath = Some(s"$dir/events.parquet"),
+      labels = Map("graft.ts_unit" -> "nanos")))
+    val fs = new graft.FeatureStore(r, spark)
+    val ev = Tables.events(spark, dir)
+    val partial = LatestValue.latest(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        keys = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+        valueCols = Seq("ts", "value"))
+      .withColumn("__project", lit("default"))
+    val viewStore = new graft.serving.OnlineStore {
+      override def upsert(rows: DataFrame, keys: Seq[String],
+                          orderCols: Seq[String], valueCols: Seq[String]): Unit =
+        throw new UnsupportedOperationException("read-only view store")
+      override def snapshot(s: SparkSession): DataFrame = partial
+    }
+    fs.auditStore("user_activity_audit", viewStore, "2100-01-01 00:00:00")
+  }
+
+  val storeAuditSql: String =
+    """WITH expected AS (
+      |  SELECT user_id, ts, value FROM (
+      |    SELECT user_id, ts, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events) WHERE rn = 1
+      |), served AS (
+      |  SELECT user_id, ts, value FROM (
+      |    SELECT user_id, ts, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE event_id % 2 = 0) WHERE rn = 1
+      |)
+      |SELECT coalesce(e.user_id, s.user_id) AS user_id,
+      |  e.ts AS expected_ts, s.ts AS served_ts,
+      |  CASE WHEN s.user_id IS NULL THEN 'MISSING'
+      |       WHEN e.user_id IS NULL THEN 'ORPHANED'
+      |       WHEN s.ts < e.ts THEN 'STALE'
+      |       WHEN s.ts > e.ts THEN 'AHEAD'
+      |       WHEN e.value IS DISTINCT FROM s.value THEN 'DIVERGENT'
+      |       ELSE 'MATCH' END AS status
+      |FROM expected e FULL OUTER JOIN served s ON e.user_id = s.user_id
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "store_audit"     -> (storeAudit _),
     "ft_freshness"    -> (ftFreshness _),
     "ft_latest"       -> (ftLatest _),
     "ft_latest_range" -> (ftLatestRange _),
@@ -653,6 +712,7 @@ object FeatureOps {
     "registry_dump"   -> (registryDump _))
 
   val oracle: Map[String, String] = Map(
+    "store_audit"     -> storeAuditSql,
     "ft_freshness"    -> ftFreshnessSql,
     "ft_latest"       -> ftLatestSql,
     "ft_latest_range" -> ftLatestRangeSql,

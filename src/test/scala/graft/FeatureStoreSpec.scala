@@ -113,6 +113,40 @@ class FeatureStoreSpec extends SparkSpecBase {
     assert(noTtl == Set("FRESH"))
   }
 
+  test("auditStore: MATCH / STALE / MISSING / ORPHANED / DIVERGENT reconciliation") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val online = new ParquetOnlineStore(s"$workDir/online-audit")
+    // materialize only January 1-3: user 1's Jan 5 row is missed → STALE
+    store.materialize("activity", online, "2024-01-01 00:00:00", "2024-01-04 00:00:00")
+    val a1 = store.auditStore("activity", online, "2024-02-01 00:00:00")
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[String]("status")).toMap
+    assert(a1 == Map(1L -> "STALE", 2L -> "MATCH"))
+    // full materialization → everything matches
+    store.materialize("activity", online, "2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    val a2 = store.auditStore("activity", online, "2024-02-01 00:00:00")
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[String]("status")).toMap
+    assert(a2 == Map(1L -> "MATCH", 2L -> "MATCH"))
+    // audit bounded BEFORE user 2's only row: its store key is ORPHANED,
+    // and user 1's fully-materialized row is AHEAD of the bound
+    val a3 = store.auditStore("activity", online, "2024-01-02 00:00:00")
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[String]("status")).toMap
+    assert(a3(2L) == "ORPHANED" && a3(1L) == "AHEAD")
+    // tamper a served value at the right ts → DIVERGENT; add a key the
+    // source never had → ORPHANED; drop user 2 → MISSING
+    val snap = online.snapshot(spark)
+    val tampered = snap.filter(col("user_id") === 1L)
+      .withColumn("value", lit(999.0))
+      .unionByName(snap.filter(col("user_id") === 1L)
+        .withColumn("user_id", lit(77L)))
+    val online2 = new ParquetOnlineStore(s"$workDir/online-audit2")
+    online2.upsert(tampered, keys = Seq("__project", "user_id"),
+      orderCols = Seq("ts"), valueCols = Seq("event_type", "value"))
+    val a4 = store.auditStore("activity", online2, "2024-02-01 00:00:00")
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[String]("status")).toMap
+    assert(a4 == Map(1L -> "DIVERGENT", 2L -> "MISSING", 77L -> "ORPHANED"))
+  }
+
   test("on-demand views derive features from retrieved columns") {
     val r = store.registry
     r.applyOnDemandView(OnDemandView("derived",
