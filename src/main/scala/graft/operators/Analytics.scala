@@ -1195,6 +1195,86 @@ object Analytics {
       |FROM dau d JOIN mau m ON d.day = m.day
       |ORDER BY d.day""".stripMargin
 
+  /** Per-event-type daily-volume trend: closed-form OLS of daily event
+    * counts over the day index — the capacity-forecast / traffic-health
+    * headline ("is checkout volume growing or decaying, and how fast").
+    * Zero days COUNT: the grid is densified to the corpus' full [min, max]
+    * day span per type (a type that stops firing must trend down, which
+    * per-active-day aggregation would hide).
+    *
+    * All gate columns are exact integers: with x = day − min_day and
+    * y = count, the normal equations need only the five partial-
+    * aggregatable sums (n, Σx, Σy, Σxy, Σx²); slope and intercept come
+    * out as integer micro-units via the cross-engine-safe truncating
+    * division (`DIV` ≡ DuckDB `//`, both toward zero — verified on
+    * negatives, and slopes DO go negative). den > 0 whenever the span has
+    * ≥2 days (x values distinct); a 1-day span yields NULL in both
+    * engines. Overflow headroom: num ≤ n·Σxy ~ span²·total; at a 10-year
+    * span with 1e10 events/day that is ~1e20 — past BIGINT, so the
+    * production form for decade-scale backfills centers x first (halves
+    * the exponent); at any realistic gate/rollout span the raw form is
+    * exact and cheaper.
+    *
+    * Plan: one (event_type, day) partial-aggregated count (the only
+    * fact-sized exchange), a 2-value span broadcast, grid explode at
+    * types×days grain, then a per-type scalar fold. */
+  def eventsTrend(spark: SparkSession, dir: String): DataFrame =
+    eventsTrendOf(Tables.events(spark, dir))
+
+  def eventsTrendOf(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("y"))
+    val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val dense = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), col("d0"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), (col("day") - col("d0")).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    dense.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+        sum(col("y")).as("total_events"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_days"), col("total_events"),
+        expr("(n_days * sxy - sx * total_events) * 1000000 DIV " +
+          "(n_days * sxx - sx * sx)").as("slope_e6"),
+        expr("(total_events * 1000000 - ((n_days * sxy - sx * total_events) " +
+          "* 1000000 DIV (n_days * sxx - sx * sx)) * sx) DIV n_days")
+          .as("icept_e6"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsTrendSql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2
+      |), span AS (
+      |  SELECT min(day) AS d0, max(day) AS d1 FROM daily
+      |), dense AS (
+      |  SELECT t.event_type, g.day - s.d0 AS x, coalesce(d.y, 0) AS y
+      |  FROM (SELECT DISTINCT event_type FROM daily) t
+      |  CROSS JOIN span s
+      |  CROSS JOIN LATERAL (SELECT unnest(range(s.d0, s.d1 + 1)) AS day) g
+      |  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = g.day
+      |), sums AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS total_events,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM dense GROUP BY 1
+      |)
+      |SELECT event_type, n_days, total_events,
+      |  CAST((n_days * sxy - sx * total_events) * 1000000 //
+      |    (n_days * sxx - sx * sx) AS BIGINT) AS slope_e6,
+      |  CAST((total_events * 1000000 - ((n_days * sxy - sx * total_events)
+      |    * 1000000 // (n_days * sxx - sx * sx)) * sx) // n_days AS BIGINT)
+      |    AS icept_e6
+      |FROM sums ORDER BY event_type""".stripMargin
+
   /** Inter-arrival-time statistics per event type: the latency/health scan
     * of every event pipeline (is the click stream stalling?). One user_id
     * shuffle orders each user's timeline (lag over the sessionize family's
@@ -1405,6 +1485,7 @@ object Analytics {
     "q_argmin_join"     -> (qArgminJoin _),
     "events_active_users" -> (eventsActiveUsers _),
     "events_stickiness" -> (eventsStickiness _),
+    "events_trend"      -> (eventsTrend _),
     "events_inter_arrival" -> (eventsInterArrival _),
     "events_cohort_ltv" -> (eventsCohortLtv _),
     "events_rfm"        -> (eventsRfm _),
@@ -1447,6 +1528,7 @@ object Analytics {
     "q_argmin_join"     -> qArgminJoinSql,
     "events_active_users" -> eventsActiveUsersSql,
     "events_stickiness" -> eventsStickinessSql,
+    "events_trend"      -> eventsTrendSql,
     "events_inter_arrival" -> eventsInterArrivalSql,
     "events_cohort_ltv" -> eventsCohortLtvSql,
     "events_rfm"        -> eventsRfmSql,

@@ -247,15 +247,174 @@ object CorpusStats {
       |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Per-document memorization-risk report (Lee et al. ACL'22, "Deduplicating
+    * Training Data Makes Language Models Better" §5: duplicated substrings
+    * are what models memorize): for every doc, how many of its distinct
+    * word trigram shingles also occur in at least one OTHER document, and
+    * that count in basis points of the doc's shingle set. High dup_bp with
+    * no near-dup pair is exactly the boilerplate/template class — risky to
+    * memorize, invisible to whole-doc dedup. Same trigram universe as
+    * [[Dedup.dedupNgram]], so a flagged doc can be traced to its pairs.
+    *
+    * Plan shape: distinct (doc, gram) once, then the cross-corpus
+    * occurrence count as a WINDOW over the gram partitions — one gram-keyed
+    * exchange that a groupBy+join-back formulation would pay twice (and
+    * rebuild the tokenize subtree for). Count rows per gram = docs
+    * containing it, since (doc, gram) is distinct. The per-doc rollup is
+    * the only other exchange. Hot grams skew the gram partitions, but a
+    * count-only window is a streaming aggregate over each key — no
+    * materialized pair fan-out (this is the df-side of dedup_ngram WITHOUT
+    * its self-join, which is why no df cap is needed). */
+  def textMemorization(spark: SparkSession, dir: String): DataFrame =
+    textMemorizationOf(Tables.documents(spark, dir))
+
+  def textMemorizationOf(docs: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tri = docs
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(lower(col("text")), lit(word), lit(0)))
+          .as(Seq("pos", "w")))
+      .withColumn("gram",
+        when(lead(col("w"), 2).over(wOrd).isNotNull,
+          concat_ws(" ", col("w"), lead(col("w"), 1).over(wOrd),
+            lead(col("w"), 2).over(wOrd))))
+      .filter(col("gram").isNotNull)
+      .select(col("doc_id"), col("gram")).distinct()
+    val agg = tri
+      .withColumn("docs_with", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("docs_with") >= 2, 1L).otherwise(0L)).as("dup_shingles"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("dup_shingles"), lit(0L)).as("dup_shingles"))
+      .withColumn("dup_bp",
+        when(col("n_shingles") > 0,
+          expr("dup_shingles * 10000 DIV n_shingles")).otherwise(lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
+  val textMemorizationSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+      |), tri AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(ws) - 1),
+      |      i -> array_to_string(ws[i:i+2], ' '))) AS gram
+      |  FROM tk WHERE len(ws) >= 3
+      |), cnt AS (
+      |  SELECT doc_id, count(*) OVER (PARTITION BY gram) AS docs_with FROM tri
+      |), agg AS (
+      |  SELECT doc_id, count(*) AS n_shingles,
+      |    CAST(sum(CASE WHEN docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS dup_shingles
+      |  FROM cnt GROUP BY 1
+      |)
+      |SELECT d.doc_id, coalesce(a.n_shingles, 0) AS n_shingles,
+      |  coalesce(a.dup_shingles, 0) AS dup_shingles,
+      |  CAST(CASE WHEN coalesce(a.n_shingles, 0) > 0
+      |    THEN a.dup_shingles * 10000 // a.n_shingles ELSE 0 END AS BIGINT)
+      |    AS dup_bp
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. LREC'20): split each
+    * language's documents into head / middle / tail terciles by LM score —
+    * the standard quality-stratified curation cut (train on head+middle,
+    * hold tail for filtering). The score is the per-token unigram logprob
+    * in e4 units ([[TextAnalysis.textUnigramLogprob]]'s sum, integer-
+    * divided by the token count), higher = more fluent = head.
+    *
+    * Tercile boundaries are HISTOGRAM-GRAIN, deliberately: a per-doc
+    * row_number per language is a single-partition-per-language window —
+    * the formulation that dies when one language is most of a 100 TB
+    * corpus. Instead docs aggregate to their integer score value (bin
+    * cardinality is bounded by the e4 VALUE RANGE, not the corpus), the
+    * cumulative count runs over those bins, and a bin's bucket is decided
+    * by the tercile of its FIRST doc — whole bins share a bucket, ties
+    * share fate, and both engines replay the same rule exactly. */
+  def corpusPplBucket(spark: SparkSession, dir: String): DataFrame =
+    corpusPplBucketOf(Tables.documents(spark, dir))
+
+  def corpusPplBucketOf(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit(word), lit(0))).as("w"))
+    val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).cast("double").as("total"))
+    val scored = tok.join(freq, "w")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(round(log(col("cnt") / col("total")) * 10000).cast("long"))
+          .as("sum_lp_e4"))
+      .withColumn("avg_lp_e4", expr("sum_lp_e4 DIV n_toks"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      // consumed twice (bin histogram + final join-back); pinned so the
+      // token-stream scoring join runs once — the artifact is doc-grain
+      // scalars (~32 B/doc), not the token stream
+      .localCheckpoint()
+    val bins = scored.groupBy(col("lang"), col("avg_lp_e4"))
+      .agg(count(lit(1)).as("bin_cnt"))
+    val wLang = Window.partitionBy(col("lang")).orderBy(col("avg_lp_e4").desc)
+    val bucketed = bins
+      .withColumn("cum_before",
+        coalesce(sum(col("bin_cnt")).over(
+          wLang.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_lang", sum(col("bin_cnt")).over(Window.partitionBy(col("lang"))))
+      .withColumn("bucket",
+        when(expr("cum_before * 3 DIV n_lang") === 0, lit("head"))
+          .when(expr("cum_before * 3 DIV n_lang") === 1, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("lang"), col("avg_lp_e4"), col("bucket"))
+    scored.select(col("doc_id"), col("lang"), col("avg_lp_e4"))
+      .join(broadcast(bucketed), Seq("lang", "avg_lp_e4"))
+      .select(col("doc_id"), col("lang"), col("avg_lp_e4"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusPplBucketSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents
+      |), freq AS (
+      |  SELECT w, count(*) AS cnt FROM tok GROUP BY 1
+      |), tot AS (SELECT sum(cnt)::DOUBLE AS total FROM freq),
+      |scored AS (
+      |  SELECT t.doc_id, d.lang,
+      |    CAST(sum(CAST(round(ln(cnt / total) * 10000, 0) AS BIGINT)) AS BIGINT)
+      |      // count(*) AS avg_lp_e4
+      |  FROM tok t JOIN freq USING (w) CROSS JOIN tot
+      |  JOIN documents d ON d.doc_id = t.doc_id
+      |  GROUP BY 1, 2
+      |), bins AS (
+      |  SELECT lang, avg_lp_e4, count(*) AS bin_cnt FROM scored GROUP BY 1, 2
+      |), bk AS (
+      |  SELECT lang, avg_lp_e4,
+      |    CASE (coalesce(sum(bin_cnt) OVER (PARTITION BY lang ORDER BY avg_lp_e4 DESC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 3)
+      |         // (sum(bin_cnt) OVER (PARTITION BY lang))
+      |      WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+      |  FROM bins
+      |)
+      |SELECT s.doc_id, s.lang, CAST(s.avg_lp_e4 AS BIGINT) AS avg_lp_e4, b.bucket
+      |FROM scored s JOIN bk b ON s.lang = b.lang AND s.avg_lp_e4 = b.avg_lp_e4
+      |ORDER BY s.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_entropy"      -> (textEntropy _),
     "corpus_tfidf_topk" -> (corpusTfidfTopk _),
     "corpus_pmi_topk"   -> (corpusPmiTopk _),
+    "text_memorization" -> (textMemorization _),
+    "corpus_ppl_bucket" -> (corpusPplBucket _),
     "text_winnow"       -> (textWinnow _))
 
   val oracle: Map[String, String] = Map(
     "text_entropy"      -> textEntropySql,
     "corpus_tfidf_topk" -> corpusTfidfTopkSql,
     "corpus_pmi_topk"   -> corpusPmiTopkSql,
+    "text_memorization" -> textMemorizationSql,
+    "corpus_ppl_bucket" -> corpusPplBucketSql,
     "text_winnow"       -> textWinnowSql)
 }

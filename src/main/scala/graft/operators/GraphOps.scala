@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Iterative graph analytics over graphs DERIVED from the fact tables —
+  * the rank/influence layer on top of [[Components]]' connectivity layer.
+  *
+  * The scale split is deliberate and is the whole design: deriving the
+  * edge list (weighted joins over the 100 TB fact side) is the distributed
+  * work and runs as ordinary declarative plans Catalyst optimizes; the
+  * iteration then runs over the AGGREGATED graph, whose size is bounded by
+  * the entity domain (here nation×nation ≤ 625 edges), not the corpus. A
+  * formulation that iterated over the fact-sized edge expansion would pay
+  * the fact shuffle once per round — this one pays it once, total.
+  *
+  * Reference semantics: the reference keeps per-entity statistics and
+  * serving tables, never graph ranks (feast-java-old
+  * core/src/main/java/feast/core/model is registry + stores only) —
+  * this module is part of the training-data-pipeline surface the build
+  * adds beyond the reference.
+  */
+object GraphOps {
+
+  /** Exact integral revenue in 1e-4 dollar units — same contract as
+    * [[AnalyticsJoins]]: cents × (100 − discount hundredths), both exact
+    * 2-dp by data contract, so edge weights are plain BIGINT. */
+  private def revE4: org.apache.spark.sql.Column =
+    (round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4")
+
+  val PageRankIters = 6
+
+  /** Weighted PageRank over the nation→nation trade graph: nodes are
+    * nations, a directed edge cust_nation → supp_nation carries the total
+    * lineitem revenue that flowed that way, and rank answers "which
+    * nations does trade volume concentrate toward" — the
+    * influence/centrality headline of any entity-relationship warehouse
+    * (works identically for supplier→customer, page→page, repo→dependency).
+    *
+    * Everything is exact BIGINT so both engines replay bit-for-bit:
+    * out-going edge shares are e9-scaled truncating divisions of the
+    * node's total out-weight; ranks are e6-scaled starting at 1e6 per
+    * node; one step is r'(v) = 150000 + 85% of Σ_u r(u)·share_e9(u,v)/1e9
+    * with every division the cross-engine truncating DIV. A nation with
+    * no out-edges is a dangling node: its rank leaks (contributes
+    * nothing), identically in both engines. [[PageRankIters]] fixed
+    * iterations, unrolled in the oracle as CTE chain.
+    *
+    * Plan: the edge derivation is [[AnalyticsJoins.qNationVolume]]'s join
+    * tree (broadcast dims, one fact-fact orderkey exchange) collapsed to
+    * the 625-row edge table and PINNED (localCheckpoint) — iterating on
+    * lineage would re-run the fact join once per round. Each round is a
+    * broadcast of the ≤25-row rank vector onto the edges and a dst-keyed
+    * partial aggregate; at a million-node entity domain the same loop
+    * holds with ranks shuffle-joined instead (Catalyst demotes the
+    * broadcast automatically), which is the standard Spark PageRank shape. */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    val supN = Tables.supplier(spark, dir)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custN = Tables.customer(spark, dir)
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"), revE4)
+    val edges = li
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custN, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("cust_nation").as("src"), col("supp_nation").as("dst"))
+      .agg(sum(col("rev_e4")).as("w"))
+    graphPagerankOf(nations.select(col("n_name").as("node")), edges)
+      .orderBy(col("rank_e6").desc, col("nation"))
+  }
+
+  /** The iteration core over an explicit (node) / (src, dst, w) graph —
+    * [[graphPagerank]] with the edge derivation factored out so specs can
+    * drive hand-built graphs through the exact production arithmetic. */
+  def graphPagerankOf(nodes0: DataFrame, edges0: DataFrame): DataFrame = {
+    val edges = edges0
+      .localCheckpoint() // the graph artifact; iterations must not re-run the fact join
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("w_out"))
+    // share_e9 = w·1e9 / w_out with BOTH operands pre-divided by a common
+    // scale s = max(1, w_out div 1e8), so the ×1e9 multiplicand stays
+    // ≤ ~2e8 and the product ≤ ~2e17 — raw w·1e9 ANSI-overflows the
+    // moment an edge carries ≥ ~9.2e9 revenue units (sf0.01 already
+    // does). The scaled form is part of the DEFINITION, replayed
+    // identically by the oracle: all values positive, every division the
+    // common truncating DIV, so this is exact cross-engine arithmetic,
+    // not an approximation that could drift.
+    val shares = edges.join(outW, "src")
+      .withColumn("s", expr("greatest(1, w_out DIV 100000000)"))
+      .select(col("src"), col("dst"),
+        expr("(w DIV s) * 1000000000 DIV (w_out DIV s)").as("share_e9"))
+      .localCheckpoint()
+    val nodes = nodes0.select(col("node"))
+    var ranks = nodes.select(col("node"), lit(1000000L).as("rank_e6"))
+    for (_ <- 1 to PageRankIters) {
+      val contribs = shares
+        .join(broadcast(ranks), col("src") === col("node"))
+        .select(col("dst"), expr("rank_e6 * share_e9 DIV 1000000000").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      ranks = nodes
+        .join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("85 * coalesce(in_mass, 0) DIV 100")).as("rank_e6"))
+    }
+    ranks.select(col("node").as("nation"), col("rank_e6"))
+  }
+
+  val graphPagerankSql: String = {
+    val iters = (1 to PageRankIters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    150000 + 85 * coalesce(m.in_mass, 0) // 100 AS rank_e6
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT s.dst, CAST(sum(r.rank_e6 * s.share_e9 // 1000000000) AS BIGINT)
+         |      AS in_mass
+         |    FROM shares s JOIN r${i - 1} r ON s.src = r.node GROUP BY 1
+         |  ) m ON n.node = m.dst
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_suppkey,
+       |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+       |      (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_e4
+       |  FROM lineitem
+       |), edges AS (
+       |  SELECT cn.n_name AS src, sn.n_name AS dst, CAST(sum(rev_e4) AS BIGINT) AS w
+       |  FROM li
+       |  JOIN supplier s ON li.l_suppkey = s.s_suppkey
+       |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       |  JOIN orders o ON li.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       |  GROUP BY 1, 2
+       |), ow AS (
+       |  SELECT src, CAST(sum(w) AS BIGINT) AS w_out,
+       |    greatest(1, CAST(sum(w) AS BIGINT) // 100000000) AS s
+       |  FROM edges GROUP BY 1
+       |), shares AS (
+       |  SELECT e.src, e.dst,
+       |    CAST((e.w // o.s) * 1000000000 // (o.w_out // o.s) AS BIGINT) AS share_e9
+       |  FROM edges e JOIN ow o USING (src)
+       |), nodes AS (
+       |  SELECT n_name AS node FROM nation
+       |), r0 AS (
+       |  SELECT node, CAST(1000000 AS BIGINT) AS rank_e6 FROM nodes
+       |),
+       |$iters
+       |SELECT node AS nation, CAST(rank_e6 AS BIGINT) AS rank_e6
+       |FROM r$PageRankIters
+       |ORDER BY rank_e6 DESC, nation""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> (graphPagerank _))
+
+  val oracle: Map[String, String] = Map(
+    "graph_pagerank" -> graphPagerankSql)
+}

@@ -620,4 +620,52 @@ class PlanShapeSpec extends SparkSpecBase {
       assert(semis.nonEmpty, "filtered search must semi-join the keep-set")
     }
   }
+
+  test("r8b ops: trend grid-sized, memorization one gram exchange, pagerank never rescans facts") {
+    withoutAqe {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+      def hashEx(p: SparkPlan) = p.collect { case e: ShuffleExchangeLike
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] => e }
+
+      // events_trend: the only fact-sized exchange is the (type, day)
+      // partial+final count; span broadcasts; the per-type fold is
+      // grid-sized. ≤3 hash exchanges total ((type,day) agg, type distinct,
+      // type fold — all partial-aggregated), no window anywhere.
+      val tr = graft.operators.Analytics.eventsTrend(spark, sfDir)
+        .queryExecution.executedPlan
+      assert(hashEx(tr).size <= 3, s"events_trend exchanges: ${hashEx(tr).size}")
+      assert(tr.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+        "trend must not window")
+      val aggsTr = tr.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }
+      assert(aggsTr.size >= 4, "daily count + OLS fold must plan partial+final")
+
+      // text_memorization: the cross-corpus occurrence count rides ONE
+      // gram-keyed exchange (window over gram partitions — the df-cap
+      // discipline), the doc rollup one more, the join-back is doc-grain.
+      // Crucially NO self-join: a join of two token-stream subtrees would
+      // double the tokenization.
+      val mem = graft.operators.CorpusStats.textMemorization(spark, sfDir)
+        .queryExecution.executedPlan
+      val gramEx = hashEx(mem).filter(_.outputPartitioning
+        .asInstanceOf[HashPartitioning].expressions.exists(_.toString.contains("gram")))
+      assert(gramEx.size == 1, s"gram must be exchanged exactly once, got ${gramEx.size}")
+
+      // graph_pagerank: the fact join runs once into the checkpointed edge
+      // artifact — the 6-round iteration lineage must contain NO lineitem/
+      // orders/customer/supplier scan (nation rescans are dim-sized)
+      val pr = graft.operators.GraphOps.graphPagerank(spark, sfDir)
+        .queryExecution.executedPlan
+      val factScans = pr.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if Seq("lineitem", "orders", "customer", "supplier")
+            .exists(t => s.tableIdentifier.toString.contains(t) ||
+              s.metadata.get("Location").exists(_.contains(t))) => s
+      }
+      assert(factScans.isEmpty,
+        s"iteration lineage rescans fact tables: ${factScans.size}")
+    }
+  }
 }

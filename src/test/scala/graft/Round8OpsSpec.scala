@@ -372,4 +372,120 @@ class Round8OpsSpec extends SparkSpecBase {
     assert(selfy == Map(7L -> 7L, 9L -> 3L, 3L -> 3L))
     assert(labelsOf(Components.minLabel(edgeDf(Seq((5L, 2L))))) == Map(5L -> 2L, 2L -> 2L))
   }
+
+  test("events_trend: driver OLS replay over the dense day grid") {
+    val daily = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((t, d), xs) => (t, d, xs.size.toLong) }.toSeq
+    val d0 = daily.map(_._2).min
+    val d1 = daily.map(_._2).max
+    val got = graft.operators.Analytics.eventsTrend(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("total_events"),
+          r.getAs[Long]("slope_e6"), r.getAs[Long]("icept_e6"))).toMap
+    val types = daily.map(_._1).distinct
+    assert(got.keySet == types.toSet)
+    types.foreach { t =>
+      val byDay = daily.filter(_._1 == t).map(c => c._2 -> c._3).toMap
+      // zero days COUNT: the dense grid spans the CORPUS range
+      val ys = (d0 to d1).map(d => byDay.getOrElse(d, 0L))
+      val xs = ys.indices.map(_.toLong)
+      val (n, sx, sy) = (xs.size.toLong, xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val sxx = xs.map(x => x * x).sum
+      val slope = (n * sxy - sx * sy) * 1000000L / (n * sxx - sx * sx)
+      val icept = (sy * 1000000L - slope * sx) / n // Long / = trunc-to-zero = DIV
+      assert(got(t) == ((n, sy, slope, icept)), s"$t OLS mismatch")
+    }
+    // non-vacuous: the gate corpus has both rising and falling types
+    assert(got.values.exists(_._3 > 0) && got.values.exists(_._3 < 0))
+  }
+
+  test("text_memorization: planted duplication is counted, unique text is not") {
+    import spark.implicits._
+    // doc 1 and 2 share an 8-word run (6 shared trigrams), doc 3 is unique,
+    // doc 4 repeats doc 1 verbatim (every trigram dup), doc 5 is too short
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"unique one lead $shared trail one"),
+      (2L, s"other two start $shared finish two"),
+      (3L, "completely different words nothing shared here at all"),
+      (4L, s"unique one lead $shared trail one"),
+      (5L, "too short")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.CorpusStats.textMemorizationOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // docs 1/4 are clones: all trigrams dup
+    assert(got(1L)._1 == got(1L)._2 && got(1L)._3 == 10000L, s"clone pair: ${got(1L)}")
+    assert(got(4L) == got(1L))
+    // doc 2 shares exactly the trigrams inside the planted run with 1/4:
+    // 8 shared words ⇒ 6 shared trigrams of its 11 total (13 tokens);
+    // boundary trigrams straddling the run differ by construction
+    assert(got(2L) == ((11L, 6L, 6L * 10000L / 11L)), s"partial overlap: ${got(2L)}")
+    assert(got(3L)._2 == 0L && got(3L)._3 == 0L)
+    assert(got(5L) == ((0L, 0L, 0L)), "sub-trigram doc reports zeros")
+  }
+
+  test("corpus_ppl_bucket: terciles are score-ordered and histogram-balanced") {
+    val rows = graft.operators.CorpusStats.corpusPplBucket(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("avg_lp_e4"),
+        r.getAs[String]("bucket")))
+    assert(rows.nonEmpty && rows.map(_._3).toSet == Set("head", "middle", "tail"))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      // ORDER property: min(head) ≥ max(middle) ≥ ... at bin granularity
+      // (equal scores always share a bucket, so boundaries cannot interleave)
+      def scores(b: String) = rs.filter(_._3 == b).map(_._2)
+      Seq("head" -> "middle", "middle" -> "tail").foreach { case (hi, lo) =>
+        if (scores(hi).nonEmpty && scores(lo).nonEmpty)
+          assert(scores(hi).min >= scores(lo).max, s"$lang: $hi below $lo")
+      }
+      // BALANCE property: each bucket within bin-grain slack of n/3 — the
+      // largest boundary bin is the worst-case imbalance by construction
+      val n = rs.size
+      val maxBin = rs.groupBy(r => r._2).values.map(_.size).max
+      Seq("head", "middle", "tail").foreach { b =>
+        val cnt = scores(b).size
+        assert(math.abs(cnt - n / 3) <= maxBin + 1,
+          s"$lang/$b: $cnt docs vs n/3=${n / 3} (maxBin $maxBin)")
+      }
+      // equal scores share fate (whole-bin buckets — the tie rule)
+      rs.groupBy(_._2).values.foreach(g => assert(g.map(_._3).distinct.size == 1))
+    }
+  }
+
+  test("graph_pagerank: exact integer replay on a hand-built graph + gate invariants") {
+    import spark.implicits._
+    // 3-node weighted digraph with a dangling node (c has no out-edges)
+    val nodes = Seq("a", "b", "c").toDF("node")
+    val edges = Seq(("a", "b", 300L), ("a", "c", 100L), ("b", "c", 500L))
+      .toDF("src", "dst", "w")
+    val got = graft.operators.GraphOps.graphPagerankOf(nodes, edges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // driver replay of the EXACT production arithmetic (trunc-to-zero divs)
+    val sharesByDst = Map(
+      ("a", "b") -> (300L * 1000000000L / 400L),
+      ("a", "c") -> (100L * 1000000000L / 400L),
+      ("b", "c") -> (500L * 1000000000L / 500L))
+    var r = Map("a" -> 1000000L, "b" -> 1000000L, "c" -> 1000000L)
+    for (_ <- 1 to graft.operators.GraphOps.PageRankIters) {
+      val in = Seq("a", "b", "c").map { v =>
+        v -> sharesByDst.collect { case ((s, d), sh) if d == v => r(s) * sh / 1000000000L }.sum
+      }.toMap
+      r = in.map { case (v, m) => v -> (150000L + 85L * m / 100L) }
+    }
+    assert(got == r, s"replay mismatch: $got vs $r")
+    // rank orders by influence: c (fed by everyone) > b > a (teleport only)
+    assert(got("c") > got("b") && got("b") > got("a") && got("a") == 150000L)
+
+    // gate graph invariants: teleport floor, conservation ceiling, 25 rows
+    val gate = graft.operators.GraphOps.graphPagerank(spark, sfDir).collect()
+      .map(r2 => r2.getString(0) -> r2.getLong(1))
+    assert(gate.length == 25 && gate.map(_._1).distinct.length == 25)
+    assert(gate.forall(_._2 >= 150000L), "teleport floor violated")
+    assert(gate.map(_._2).sum <= 25L * 1000000L, "rank mass grew")
+    assert(gate.sortBy(r2 => (-r2._2, r2._1)).toSeq == gate.toSeq, "gate order")
+    assert(gate.map(_._2).distinct.length > 5, "degenerate rank vector")
+  }
 }
