@@ -525,6 +525,60 @@ object StreamIngest {
       }
   }
 
+  /** Sorted distinct epoch days this user has been active. */
+  final case class ActiveDaysState(srcDays: List[Long])
+  /** One exactly-once contribution: `kind` = "dau" (first sight of this
+    * user on `day`) or "wau" (`day` newly covered by the user's trailing
+    * 7-day windows). */
+  final case class ActiveContrib(user_id: Long, day: Long, kind: String)
+
+  /** Streaming twin of batch `events_active_users` (DAU/WAU): the batch
+    * form's blocker in a stream is count-DISTINCT, which streaming
+    * aggregation cannot do. This operator dissolves the distinct instead
+    * of fighting it: per-user state remembers which (user, day) sightings
+    * and which trailing-window contribution days have ALREADY been
+    * emitted, and emits each exactly once stream-wide — after which
+    * DAU(d) / WAU(d) are plain (non-distinct) counts of "dau"/"wau" rows
+    * any stateless sink or windowed count can fold, in any order, across
+    * any batching.
+    *
+    * Exactly-once is order-independent because coverage is a union: a
+    * contribution day t is owed iff some src day lands in [t−6, t], and
+    * whichever src day FIRST covers t emits it — late or shuffled arrival
+    * moves which day emits, never whether or how often. State is the
+    * user's distinct active-day list (calendar-bounded, the
+    * [[streaksStream]] state class). NoTimeout keeps watermark-late days
+    * merging into state (same caveat as streaksStream: the watermark
+    * bounds downstream composition only). */
+  def activeUsersStream(events: Dataset[DayEvent], watermark: String = "1 hour")
+      : Dataset[ActiveContrib] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ActiveDaysState, ActiveContrib](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[DayEvent], state: GroupState[ActiveDaysState]) =>
+          var seen = state.getOption.map(_.srcDays.toSet).getOrElse(Set.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer.empty[ActiveContrib]
+          val days = rows.map(e => Math.floorDiv(micros(e.ts), 86400000000L))
+            .toSet.diff(seen).toArray.sorted
+          days.foreach { d =>
+            out += ActiveContrib(user, d, "dau")
+            var t = d
+            while (t <= d + 6) {
+              // t already covered iff an existing src day lies in [t-6, t]
+              if (!seen.exists(s => s >= t - 6 && s <= t))
+                out += ActiveContrib(user, t, "wau")
+              t += 1
+            }
+            seen += d
+          }
+          state.update(ActiveDaysState(seen.toList.sorted))
+          out.iterator
+      }
+  }
+
   /** Convenience: run a writer until all currently-available data is
     * processed (test/demo helper; production would use its own trigger). */
   def runOnce(w: DataStreamWriter[Row], checkpoint: String): StreamingQuery =

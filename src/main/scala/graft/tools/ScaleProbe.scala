@@ -204,6 +204,38 @@ object ScaleProbe {
     }
   }
 
+  /** r8b additions: memorization / ppl-bucket / trend at ×1/×10/×30.
+    * Documents and events replicate with id shifts; the Of-forms take the
+    * DataFrames directly so no temp parquet is needed. Note memorization
+    * under replication is the WORST case for the gram window (every gram's
+    * df multiplies by k), which is exactly the hot-key behavior to probe. */
+  private def r8bProbe(spark: SparkSession, reps: Seq[Int]): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.1"
+    // forced through the hash fold (not count()) so column pruning cannot
+    // drop the windows/sums being timed — the tpchProbe discipline. df is
+    // BY-NAME: ppl_bucket's eager localCheckpoint runs at construction
+    // time and must land inside the timer.
+    def time(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val h = df.agg(sum(pmod(xxhash64(struct(col("*"))), lit(1000000007L))))
+        .collect().head.getLong(0)
+      println(f"[scale] $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s h=$h")
+    }
+    for (k <- reps) {
+      def repl(df: DataFrame, idCols: Seq[String]): DataFrame =
+        (0 until k).map { i =>
+          idCols.foldLeft(df)((d, c) =>
+            d.withColumn(c, col(c) + lit(i.toLong * 10000000L)))
+        }.reduce(_ unionByName _)
+      val docs = repl(graft.sources.Tables.documents(spark, dir), Seq("doc_id"))
+      val ev = repl(graft.sources.Tables.events(spark, dir), Seq("event_id", "user_id"))
+      time(s"memorization x$k")(graft.operators.CorpusStats.textMemorizationOf(docs))
+      time(s"ppl_bucket x$k")(graft.operators.CorpusStats.corpusPplBucketOf(docs))
+      time(s"events_trend x$k")(graft.operators.Analytics.eventsTrendOf(ev))
+    }
+  }
+
   /** Scale probe for the multi-join TPC-H shapes: replicate the FACT
     * tables k× with CONSISTENT key shifts (lineitem+orders share the
     * orderkey shift, orders+customer the custkey shift) into a temp dir,
@@ -235,7 +267,8 @@ object ScaleProbe {
       "q_supplier_variety" -> graft.operators.AnalyticsJoins.qSupplierVariety,
       "q_sole_blame"      -> graft.operators.AnalyticsJoins.qSoleBlame,
       "q_market_share"    -> graft.operators.AnalyticsJoins.qMarketShare,
-      "q_returned_items"  -> graft.operators.AnalyticsJoins.qReturnedItems)) {
+      "q_returned_items"  -> graft.operators.AnalyticsJoins.qReturnedItems,
+      "graph_pagerank"    -> graft.operators.GraphOps.graphPagerank)) {
       val t0 = System.nanoTime()
       // mod-p before summing: a raw sum of 2^63-range hashes ANSI-overflows
       val h = fn(spark, out).agg(sum(pmod(xxhash64(struct(col("*"))), lit(1000000007L))))
@@ -281,6 +314,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("r7")) {
       r7Probe(spark, Seq(1, 10, 30))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("r8b")) {
+      r8bProbe(spark, Seq(1, 10, 30))
       spark.stop()
       return
     }

@@ -729,4 +729,46 @@ class StreamIngestSpec extends SparkSpecBase {
     assert(last.getAs[Long]("t2") == usOf("2024-01-01 09:00:00"))
     assert(last.getAs[Long]("t3") == usOf("2024-01-01 09:30:00"))
   }
+
+  test("activeUsersStream: folded contributions equal batch DAU/WAU under shuffled batching") {
+    val rnd = new scala.util.Random(23)
+    val baseMs = ts("2024-05-01 00:00:00").getTime
+    // 12 users over ~20 days with repeats (same user+day across batches)
+    val all = (1L to 12L).flatMap { u =>
+      (0 until (4 + rnd.nextInt(12))).map { _ =>
+        StreamIngest.DayEvent(u,
+          new Timestamp(baseMs + rnd.nextInt(20 * 24) * 3600L * 1000L))
+      }
+    }
+    val shuffled = rnd.shuffle(all)
+    val dir = Files.createTempDirectory("graft-stream-active").toString
+    val input = MemoryStream[StreamIngest.DayEvent](spark)
+    val q = StreamIngest.activeUsersStream(input.toDS(), watermark = "720 hours")
+      .writeStream.format("memory").queryName("active_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    // arbitrary batching of an arbitrary order — exactly-once emission must
+    // make the fold invariant to both
+    shuffled.grouped(1 + shuffled.size / 4).foreach { b =>
+      input.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val contribs = spark.table("active_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day"), r.getAs[String]("kind")))
+    // exactly-once: no (user, day, kind) appears twice
+    assert(contribs.distinct.length == contribs.length, "duplicate contribution emitted")
+    val dauS = contribs.filter(_._3 == "dau").groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val wauS = contribs.filter(_._3 == "wau").groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // batch reference on the same events
+    import spark.implicits._
+    val batch = graft.operators.Analytics.eventsActiveUsersOf(
+        all.toDF("user_id", "ts")).collect()
+      .map(r => r.getAs[Long]("day") -> (r.getAs[Long]("dau"), r.getAs[Long]("wau")))
+    assert(batch.nonEmpty)
+    batch.foreach { case (day, (dau, wau)) =>
+      assert(dauS.get(day).contains(dau), s"day $day dau: ${dauS.get(day)} vs $dau")
+      assert(wauS.get(day).contains(wau), s"day $day wau: ${wauS.get(day)} vs $wau")
+    }
+  }
 }
