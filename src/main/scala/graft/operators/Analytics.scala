@@ -1221,19 +1221,26 @@ object Analytics {
   def eventsTrend(spark: SparkSession, dir: String): DataFrame =
     eventsTrendOf(Tables.events(spark, dir))
 
-  def eventsTrendOf(ev: DataFrame): DataFrame = {
+  /** The densified (event_type, day, x, y) grid both trend ops fold:
+    * per-(type, day) counts (the one fact exchange), zero-filled over the
+    * corpus-wide [min, max] span. */
+  private def trendDense(ev: DataFrame): DataFrame = {
     val daily = ev
       .select(col("event_type"),
         floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"))
       .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("y"))
     val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-    val dense = daily.select(col("event_type")).distinct()
+    daily.select(col("event_type")).distinct()
       .crossJoin(broadcast(span))
       .select(col("event_type"), col("d0"),
         explode(sequence(col("d0"), col("d1"))).as("day"))
       .join(daily, Seq("event_type", "day"), "left")
-      .select(col("event_type"), (col("day") - col("d0")).as("x"),
+      .select(col("event_type"), col("day"), (col("day") - col("d0")).as("x"),
         coalesce(col("y"), lit(0L)).as("y"))
+  }
+
+  /** OLS coefficients per type over the dense grid (grid-sized fold). */
+  private def trendCoefs(dense: DataFrame): DataFrame =
     dense.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
         sum(col("y")).as("total_events"), sum(col("x") * col("y")).as("sxy"),
@@ -1244,8 +1251,9 @@ object Analytics {
         expr("(total_events * 1000000 - ((n_days * sxy - sx * total_events) " +
           "* 1000000 DIV (n_days * sxx - sx * sx)) * sx) DIV n_days")
           .as("icept_e6"))
-      .orderBy(col("event_type"))
-  }
+
+  def eventsTrendOf(ev: DataFrame): DataFrame =
+    trendCoefs(trendDense(ev)).orderBy(col("event_type"))
 
   val eventsTrendSql: String =
     """WITH daily AS (
@@ -1255,11 +1263,12 @@ object Analytics {
       |  FROM events GROUP BY 1, 2
       |), span AS (
       |  SELECT min(day) AS d0, max(day) AS d1 FROM daily
+      |), grid AS (
+      |  SELECT d0, unnest(range(d0, d1 + 1)) AS day FROM span
       |), dense AS (
-      |  SELECT t.event_type, g.day - s.d0 AS x, coalesce(d.y, 0) AS y
+      |  SELECT t.event_type, g.day - g.d0 AS x, coalesce(d.y, 0) AS y
       |  FROM (SELECT DISTINCT event_type FROM daily) t
-      |  CROSS JOIN span s
-      |  CROSS JOIN LATERAL (SELECT unnest(range(s.d0, s.d1 + 1)) AS day) g
+      |  CROSS JOIN grid g
       |  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = g.day
       |), sums AS (
       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
@@ -1274,6 +1283,85 @@ object Analytics {
       |    * 1000000 // (n_days * sxx - sx * sx)) * sx) // n_days AS BIGINT)
       |    AS icept_e6
       |FROM sums ORDER BY event_type""".stripMargin
+
+  /** Trend-adjusted anomaly days: the days whose event volume sits far off
+    * the type's own OLS fit — [[eventsTrend]]'s residual consumer, and the
+    * answer to why plain z-scores ([[eventsAnomaly]]) mis-flag trending
+    * series (under steady growth every recent day is a "high" outlier
+    * against the flat mean; against the fitted line only genuine spikes
+    * and outages remain). Flag rule: n·r² > 4·SSE, i.e. |residual| above
+    * 2× the root-mean-square residual (the reporting threshold; 3× flags
+    * almost nothing on a 30-day gate series), as an exact integer
+    * cross-multiplication — no division, no float, no σ rounding:
+    * predicted counts are (icept_e6 + slope_e6·x) DIV 1e6 (the
+    * cross-engine truncating div) so residuals are exact BIGINTs.
+    * Overflow headroom: n·r² at count scale y caps at span·y² — fine
+    * through ~1e6 events/day·10-year spans; beyond that the production
+    * form folds residuals in 1e3 units.
+    *
+    * Plan: ONE extra grid-sized pass over [[eventsTrend]]'s machinery —
+    * the dense grid is pinned (grid-grain, types×span rows — tiny), the
+    * coefficient and SSE folds are partial aggregates OF it, and both
+    * join back broadcast. */
+  def eventsTrendAnomaly(spark: SparkSession, dir: String): DataFrame =
+    eventsTrendAnomalyOf(Tables.events(spark, dir))
+
+  def eventsTrendAnomalyOf(ev: DataFrame): DataFrame = {
+    val dense = trendDense(ev)
+      .localCheckpoint() // consumed by coef fold + residual scan; grid-grain
+    val coefs = trendCoefs(dense).select(
+      col("event_type"), col("slope_e6"), col("icept_e6"))
+    val resid = dense.join(broadcast(coefs), "event_type")
+      .withColumn("pred", expr("(icept_e6 + slope_e6 * x) DIV 1000000"))
+      .withColumn("r", col("y") - col("pred"))
+    val sse = resid.groupBy(col("event_type"))
+      .agg(sum(col("r") * col("r")).as("sse"), count(lit(1)).as("n"))
+    resid.join(broadcast(sse), "event_type")
+      .filter(col("n") * col("r") * col("r") > lit(4L) * col("sse"))
+      .select(col("event_type"), col("day"), col("y"), col("pred"), col("r"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val eventsTrendAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2
+      |), span AS (
+      |  SELECT min(day) AS d0, max(day) AS d1 FROM daily
+      |), grid AS (
+      |  SELECT d0, unnest(range(d0, d1 + 1)) AS day FROM span
+      |), dense AS (
+      |  SELECT t.event_type, g.day, g.day - g.d0 AS x, coalesce(d.y, 0) AS y
+      |  FROM (SELECT DISTINCT event_type FROM daily) t
+      |  CROSS JOIN grid g
+      |  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = g.day
+      |), sums AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM dense GROUP BY 1
+      |), coefs AS (
+      |  SELECT event_type,
+      |    (n_days * sxy - sx * sy) * 1000000 // (n_days * sxx - sx * sx) AS slope_e6,
+      |    (sy * 1000000 - ((n_days * sxy - sx * sy) * 1000000 //
+      |      (n_days * sxx - sx * sx)) * sx) // n_days AS icept_e6
+      |  FROM sums
+      |), resid AS (
+      |  SELECT d.event_type, d.day, d.y,
+      |    CAST((c.icept_e6 + c.slope_e6 * d.x) // 1000000 AS BIGINT) AS pred,
+      |    d.y - CAST((c.icept_e6 + c.slope_e6 * d.x) // 1000000 AS BIGINT) AS r
+      |  FROM dense d JOIN coefs c USING (event_type)
+      |), sse AS (
+      |  SELECT event_type, CAST(sum(r * r) AS BIGINT) AS sse,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM resid GROUP BY 1
+      |)
+      |SELECT r.event_type, r.day, r.y, r.pred, CAST(r.r AS BIGINT) AS r
+      |FROM resid r JOIN sse s USING (event_type)
+      |WHERE s.n * r.r * r.r > 4 * s.sse
+      |ORDER BY r.event_type, r.day""".stripMargin
 
   /** Inter-arrival-time statistics per event type: the latency/health scan
     * of every event pipeline (is the click stream stalling?). One user_id
@@ -1486,6 +1574,7 @@ object Analytics {
     "events_active_users" -> (eventsActiveUsers _),
     "events_stickiness" -> (eventsStickiness _),
     "events_trend"      -> (eventsTrend _),
+    "events_trend_anomaly" -> (eventsTrendAnomaly _),
     "events_inter_arrival" -> (eventsInterArrival _),
     "events_cohort_ltv" -> (eventsCohortLtv _),
     "events_rfm"        -> (eventsRfm _),
@@ -1529,6 +1618,7 @@ object Analytics {
     "events_active_users" -> eventsActiveUsersSql,
     "events_stickiness" -> eventsStickinessSql,
     "events_trend"      -> eventsTrendSql,
+    "events_trend_anomaly" -> eventsTrendAnomalySql,
     "events_inter_arrival" -> eventsInterArrivalSql,
     "events_cohort_ltv" -> eventsCohortLtvSql,
     "events_rfm"        -> eventsRfmSql,

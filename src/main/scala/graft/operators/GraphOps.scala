@@ -33,6 +33,28 @@ object GraphOps {
 
   val PageRankIters = 6
 
+  /** The nation→nation revenue-weighted edge list (cust_nation → supp_nation,
+    * w = Σ rev_e4) — the [[AnalyticsJoins.qNationVolume]] join tree collapsed
+    * to entity-domain grain; shared by [[graphPagerank]] and [[graphHits]]. */
+  private def tradeGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val nations = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    val supN = Tables.supplier(spark, dir)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custN = Tables.customer(spark, dir)
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"), revE4)
+    val edges = li
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custN, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("cust_nation").as("src"), col("supp_nation").as("dst"))
+      .agg(sum(col("rev_e4")).as("w"))
+    (nations.select(col("n_name").as("node")), edges)
+  }
+
   /** Weighted PageRank over the nation→nation trade graph: nodes are
     * nations, a directed edge cust_nation → supp_nation carries the total
     * lineitem revenue that flowed that way, and rank answers "which
@@ -58,22 +80,8 @@ object GraphOps {
     * holds with ranks shuffle-joined instead (Catalyst demotes the
     * broadcast automatically), which is the standard Spark PageRank shape. */
   def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val nations = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
-    val supN = Tables.supplier(spark, dir)
-      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
-    val custN = Tables.customer(spark, dir)
-      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey"), col("n_name").as("cust_nation"))
-    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"), revE4)
-    val edges = li
-      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
-      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(custN, col("o_custkey") === col("c_custkey"))
-      .groupBy(col("cust_nation").as("src"), col("supp_nation").as("dst"))
-      .agg(sum(col("rev_e4")).as("w"))
-    graphPagerankOf(nations.select(col("n_name").as("node")), edges)
+    val (nodes, edges) = tradeGraph(spark, dir)
+    graphPagerankOf(nodes, edges)
       .orderBy(col("rank_e6").desc, col("nation"))
   }
 
@@ -129,7 +137,7 @@ object GraphOps {
        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
        |      (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_e4
        |  FROM lineitem
-       |), edges AS (
+       |), edges AS MATERIALIZED (
        |  SELECT cn.n_name AS src, sn.n_name AS dst, CAST(sum(rev_e4) AS BIGINT) AS w
        |  FROM li
        |  JOIN supplier s ON li.l_suppkey = s.s_suppkey
@@ -142,11 +150,11 @@ object GraphOps {
        |  SELECT src, CAST(sum(w) AS BIGINT) AS w_out,
        |    greatest(1, CAST(sum(w) AS BIGINT) // 100000000) AS s
        |  FROM edges GROUP BY 1
-       |), shares AS (
+       |), shares AS MATERIALIZED (
        |  SELECT e.src, e.dst,
        |    CAST((e.w // o.s) * 1000000000 // (o.w_out // o.s) AS BIGINT) AS share_e9
        |  FROM edges e JOIN ow o USING (src)
-       |), nodes AS (
+       |), nodes AS MATERIALIZED (
        |  SELECT n_name AS node FROM nation
        |), r0 AS (
        |  SELECT node, CAST(1000000 AS BIGINT) AS rank_e6 FROM nodes
@@ -157,9 +165,132 @@ object GraphOps {
        |ORDER BY rank_e6 DESC, nation""".stripMargin
   }
 
+  val HitsIters = 6
+
+  /** HITS hubs & authorities (Kleinberg, JACM'99) over the same trade
+    * graph: a nation is a strong HUB when its purchases flow to strong
+    * authorities, a strong AUTHORITY when strong hubs buy from it — the
+    * directional complement of [[graphPagerank]]'s single score (a pure
+    * importer can be a top hub yet rank low as an authority; PageRank
+    * conflates the two roles).
+    *
+    * All BIGINT, both engines bit-equal: edge weights normalize ONCE by
+    * the global max (common-scale-reduced truncating division, the
+    * pagerank overflow discipline — wn_e6 ≤ 1e6), and each half-step
+    * max-normalizes its score vector back to ≤ 1e6 (the classic HITS
+    * normalization, in integers), so every product in the iteration is
+    * ≤ 1e12 and every sum ≤ degree·1e6·1e6. Nodes without edges in a
+    * direction score 0 there. [[HitsIters]] fixed iterations; the oracle
+    * unrolls hub/auth half-steps as a CTE chain. */
+  def graphHits(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = tradeGraph(spark, dir)
+    graphHitsOf(nodes, edges)
+      .orderBy(col("auth_e6").desc, col("hub_e6").desc, col("nation"))
+  }
+
+  def graphHitsOf(nodes0: DataFrame, edges0: DataFrame): DataFrame = {
+    val edges = edges0.localCheckpoint() // iterations must not re-run the fact join
+    val wmax = edges.agg(max(col("w")).as("wmax"))
+    val wn = edges.crossJoin(broadcast(wmax))
+      .withColumn("s", expr("greatest(1, wmax DIV 1000000000)"))
+      .select(col("src"), col("dst"),
+        expr("(w DIV s) * 1000000 DIV (wmax DIV s)").as("wn_e6"))
+      .localCheckpoint()
+    val nodes = nodes0.select(col("node"))
+    def normalize(raw0: DataFrame, cName: String): DataFrame = {
+      // raw feeds BOTH the max and the join — pinned (25-row artifact), or
+      // each of the 12 half-steps would double its subtree and the final
+      // plan would carry 2^12 copies of the fact lineage
+      val raw = raw0.localCheckpoint()
+      val m = raw.agg(max(col("raw")).as("m"))
+      nodes.join(raw, nodes("node") === raw("rnode"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("node"),
+          expr(s"CASE WHEN m > 0 THEN coalesce(raw, 0) * 1000000 DIV m " +
+            s"ELSE 0 END").as(cName))
+    }
+    var auth = nodes.select(col("node"), lit(1000000L).as("auth_e6"))
+    var hub  = nodes.select(col("node"), lit(1000000L).as("hub_e6"))
+    for (_ <- 1 to HitsIters) {
+      val hubRaw = wn.join(broadcast(auth), col("dst") === col("node"))
+        .select(col("src"), expr("auth_e6 * wn_e6 DIV 1000000").as("c"))
+        .groupBy(col("src")).agg(sum(col("c")).as("raw"))
+        .select(col("src").as("rnode"), col("raw"))
+      hub = normalize(hubRaw, "hub_e6")
+      val authRaw = wn.join(broadcast(hub), col("src") === col("node"))
+        .select(col("dst"), expr("hub_e6 * wn_e6 DIV 1000000").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("raw"))
+        .select(col("dst").as("rnode"), col("raw"))
+      auth = normalize(authRaw, "auth_e6")
+    }
+    hub.join(auth, "node")
+      .select(col("node").as("nation"), col("hub_e6"), col("auth_e6"))
+  }
+
+  val graphHitsSql: String = {
+    val steps = (1 to HitsIters).map { i =>
+      s"""hr$i AS MATERIALIZED (
+         |  SELECT w.src AS node,
+         |    CAST(sum(a.auth_e6 * w.wn_e6 // 1000000) AS BIGINT) AS raw
+         |  FROM wn w JOIN a${i - 1} a ON w.dst = a.node GROUP BY 1
+         |),
+         |h$i AS MATERIALIZED (
+         |  SELECT n.node, CASE WHEN m.m > 0
+         |    THEN coalesce(r.raw, 0) * 1000000 // m.m ELSE 0 END AS hub_e6
+         |  FROM nodes n
+         |  LEFT JOIN hr$i r ON n.node = r.node
+         |  CROSS JOIN (SELECT max(raw) AS m FROM hr$i) m
+         |),
+         |ar$i AS MATERIALIZED (
+         |  SELECT w.dst AS node,
+         |    CAST(sum(h.hub_e6 * w.wn_e6 // 1000000) AS BIGINT) AS raw
+         |  FROM wn w JOIN h$i h ON w.src = h.node GROUP BY 1
+         |),
+         |a$i AS MATERIALIZED (
+         |  SELECT n.node, CASE WHEN m.m > 0
+         |    THEN coalesce(r.raw, 0) * 1000000 // m.m ELSE 0 END AS auth_e6
+         |  FROM nodes n
+         |  LEFT JOIN ar$i r ON n.node = r.node
+         |  CROSS JOIN (SELECT max(raw) AS m FROM ar$i) m
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_suppkey,
+       |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+       |      (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_e4
+       |  FROM lineitem
+       |), edges AS MATERIALIZED (
+       |  SELECT cn.n_name AS src, sn.n_name AS dst, CAST(sum(rev_e4) AS BIGINT) AS w
+       |  FROM li
+       |  JOIN supplier s ON li.l_suppkey = s.s_suppkey
+       |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       |  JOIN orders o ON li.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       |  GROUP BY 1, 2
+       |), wm AS (
+       |  SELECT max(w) AS wmax, greatest(1, max(w) // 1000000000) AS s FROM edges
+       |), wn AS MATERIALIZED (
+       |  SELECT e.src, e.dst,
+       |    CAST((e.w // m.s) * 1000000 // (m.wmax // m.s) AS BIGINT) AS wn_e6
+       |  FROM edges e CROSS JOIN wm m
+       |), nodes AS MATERIALIZED (
+       |  SELECT n_name AS node FROM nation
+       |), a0 AS MATERIALIZED (
+       |  SELECT node, CAST(1000000 AS BIGINT) AS auth_e6 FROM nodes
+       |),
+       |$steps
+       |SELECT h.node AS nation, CAST(h.hub_e6 AS BIGINT) AS hub_e6,
+       |  CAST(a.auth_e6 AS BIGINT) AS auth_e6
+       |FROM h$HitsIters h JOIN a$HitsIters a USING (node)
+       |ORDER BY auth_e6 DESC, hub_e6 DESC, nation""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> (graphPagerank _))
+    "graph_pagerank" -> (graphPagerank _),
+    "graph_hits"     -> (graphHits _))
 
   val oracle: Map[String, String] = Map(
-    "graph_pagerank" -> graphPagerankSql)
+    "graph_pagerank" -> graphPagerankSql,
+    "graph_hits"     -> graphHitsSql)
 }

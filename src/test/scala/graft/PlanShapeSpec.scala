@@ -653,19 +653,36 @@ class PlanShapeSpec extends SparkSpecBase {
         .asInstanceOf[HashPartitioning].expressions.exists(_.toString.contains("gram")))
       assert(gramEx.size == 1, s"gram must be exchanged exactly once, got ${gramEx.size}")
 
-      // graph_pagerank: the fact join runs once into the checkpointed edge
-      // artifact — the 6-round iteration lineage must contain NO lineitem/
-      // orders/customer/supplier scan (nation rescans are dim-sized)
-      val pr = graft.operators.GraphOps.graphPagerank(spark, sfDir)
-        .queryExecution.executedPlan
-      val factScans = pr.collect {
+      // graph_pagerank / graph_hits: the fact join runs once into the
+      // checkpointed edge artifact — the iteration lineage must contain NO
+      // lineitem/orders/customer/supplier scan (nation rescans are
+      // dim-sized)
+      def factScans(p: SparkPlan) = p.collect {
         case s: org.apache.spark.sql.execution.FileSourceScanExec
           if Seq("lineitem", "orders", "customer", "supplier")
             .exists(t => s.tableIdentifier.toString.contains(t) ||
               s.metadata.get("Location").exists(_.contains(t))) => s
       }
-      assert(factScans.isEmpty,
-        s"iteration lineage rescans fact tables: ${factScans.size}")
+      val pr = graft.operators.GraphOps.graphPagerank(spark, sfDir)
+        .queryExecution.executedPlan
+      assert(factScans(pr).isEmpty,
+        s"pagerank iteration lineage rescans fact tables: ${factScans(pr).size}")
+      val ht = graft.operators.GraphOps.graphHits(spark, sfDir)
+        .queryExecution.executedPlan
+      assert(factScans(ht).isEmpty,
+        s"hits iteration lineage rescans fact tables: ${factScans(ht).size}")
+
+      // events_trend_anomaly: the dense grid is pinned — the coefficient,
+      // SSE and residual consumers read the checkpoint, never the events
+      // parquet (zero events scans in the executed plan)
+      val ta = graft.operators.Analytics.eventsTrendAnomaly(spark, sfDir)
+        .queryExecution.executedPlan
+      val evScans = ta.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("events")) => s
+      }
+      assert(evScans.isEmpty,
+        s"trend-anomaly rescans events ${evScans.size}x past the pinned grid")
     }
   }
 }

@@ -455,6 +455,81 @@ class Round8OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("events_trend_anomaly: driver replay of the residual flag rule") {
+    val daily = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((t, d), xs) => (t, d, xs.size.toLong) }.toSeq
+    val d0 = daily.map(_._2).min
+    val d1 = daily.map(_._2).max
+    val want = daily.map(_._1).distinct.flatMap { t =>
+      val byDay = daily.filter(_._1 == t).map(c => c._2 -> c._3).toMap
+      val ys = (d0 to d1).map(d => byDay.getOrElse(d, 0L))
+      val xs = ys.indices.map(_.toLong)
+      val (n, sx, sy) = (xs.size.toLong, xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val sxx = xs.map(x => x * x).sum
+      val slope = (n * sxy - sx * sy) * 1000000L / (n * sxx - sx * sx)
+      val icept = (sy * 1000000L - slope * sx) / n
+      val resid = xs.map(x => (x, ys(x.toInt), ys(x.toInt) - (icept + slope * x) / 1000000L))
+      val sse = resid.map(r => r._3 * r._3).sum
+      resid.filter(r => n * r._3 * r._3 > 4L * sse)
+        .map(r => (t, d0 + r._1, r._2, r._2 - r._3, r._3))
+    }.toSet
+    val got = graft.operators.Analytics.eventsTrendAnomaly(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day"),
+        r.getAs[Long]("y"), r.getAs[Long]("pred"), r.getAs[Long]("r"))).toSet
+    assert(got == want, s"flag sets diverge: got ${got.size}, want ${want.size}")
+    assert(got.nonEmpty, "gate corpus must flag at least one day")
+  }
+
+  test("graph_hits: replay on a hand-built graph; roles separate; gate invariants") {
+    import spark.implicits._
+    // a buys from b and c; b buys from c. c sells only (pure authority),
+    // a buys only (pure hub).
+    val nodes = Seq("a", "b", "c").toDF("node")
+    val edges = Seq(("a", "b", 400L), ("a", "c", 600L), ("b", "c", 1000L))
+      .toDF("src", "dst", "w")
+    val got = graft.operators.GraphOps.graphHitsOf(nodes, edges).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // driver replay of the exact integer arithmetic
+    val wmax = 1000L
+    val wn = Map(("a", "b") -> 400L * 1000000L / wmax, ("a", "c") -> 600L * 1000000L / wmax,
+      ("b", "c") -> 1000L * 1000000L / wmax)
+    var auth = Map("a" -> 1000000L, "b" -> 1000000L, "c" -> 1000000L)
+    var hub = auth
+    def norm(raw: Map[String, Long]): Map[String, Long] = {
+      val m = raw.values.max
+      Seq("a", "b", "c").map(v =>
+        v -> (if (m > 0) raw.getOrElse(v, 0L) * 1000000L / m else 0L)).toMap
+    }
+    for (_ <- 1 to graft.operators.GraphOps.HitsIters) {
+      hub = norm(wn.groupBy(_._1._1).view.mapValues(
+        _.map { case ((_, d), w) => auth(d) * w / 1000000L }.sum).toMap)
+      auth = norm(wn.groupBy(_._1._2).view.mapValues(
+        _.map { case ((s, _), w) => hub(s) * w / 1000000L }.sum).toMap)
+    }
+    Seq("a", "b", "c").foreach { v =>
+      assert(got(v) == ((hub(v), auth(v))), s"$v: ${got(v)} vs ${(hub(v), auth(v))}")
+    }
+    // role separation: the pure buyer scores ONLY as hub, the pure seller
+    // ONLY as authority — exactly what PageRank's single score conflates
+    assert(got("a")._1 > 0L && got("a")._2 == 0L, s"a: ${got("a")}")
+    assert(got("c")._1 == 0L && got("c")._2 == 1000000L, s"c: ${got("c")}")
+
+    // gate graph: 25 nations, scores in [0, 1e6], each vector max-normalized
+    val gate = graft.operators.GraphOps.graphHits(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(gate.length == 25)
+    assert(gate.forall(g => g._2 >= 0 && g._2 <= 1000000L &&
+      g._3 >= 0 && g._3 <= 1000000L))
+    assert(gate.map(_._2).max == 1000000L && gate.map(_._3).max == 1000000L,
+      "each half-step max-normalizes to exactly 1e6")
+    assert(gate.map(_._2).distinct.length > 5 && gate.map(_._3).distinct.length > 5,
+      "degenerate score vectors")
+  }
+
   test("graph_pagerank: exact integer replay on a hand-built graph + gate invariants") {
     import spark.implicits._
     // 3-node weighted digraph with a dangling node (c has no out-edges)
