@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, AnalyticsJoins, CorpusStats, Dedup, FeatureOps, GraphOps, JoinUtils, Multimodal, OracleVariants, Similarity, TextAnalysis}
+import graft.operators.{Analytics, AnalyticsJoins, CorpusStats, Dedup, FeatureOps, GraphOps, Growth, JoinUtils, Multimodal, OracleVariants, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,7 +15,8 @@ object SparkEntry {
     Analytics.queries ++ FeatureOps.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       OracleVariants.queries ++ JoinUtils.queries ++
-      AnalyticsJoins.queries ++ CorpusStats.queries ++ GraphOps.queries
+      AnalyticsJoins.queries ++ CorpusStats.queries ++ GraphOps.queries ++
+      Growth.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +24,6 @@ object SparkEntry {
     Analytics.oracle ++ FeatureOps.oracle ++ TextAnalysis.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ OracleVariants.oracle ++
       Multimodal.oracle ++ JoinUtils.oracle ++
-      AnalyticsJoins.oracle ++ CorpusStats.oracle ++ GraphOps.oracle
+      AnalyticsJoins.oracle ++ CorpusStats.oracle ++ GraphOps.oracle ++
+      Growth.oracle
 }

@@ -402,7 +402,169 @@ object CorpusStats {
       |FROM scored s JOIN bk b ON s.lang = b.lang AND s.avg_lp_e4 = b.avg_lp_e4
       |ORDER BY s.doc_id""".stripMargin
 
+  /** Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", Appendix A —
+    * the published rule set most production pretraining filters start
+    * from; distinct from [[TextAnalysis.textQuality]]'s generic ratio
+    * score: these are the seven named accept/reject RULES, each emitted
+    * as its measured signal so a curator can see WHY a doc fails):
+    * word count ∈ [50, 100k]; mean word length ∈ [3, 10]; symbol-to-word
+    * ratio (#/ellipsis) ≤ 0.1; ≤ 90% of lines bullet-started; ≤ 30% of
+    * lines ellipsis-ended; ≥ 80% of words contain an alphabetic char;
+    * ≥ 2 distinct words of the 8-stopword set.
+    *
+    * Every gate column is an exact integer — counts, and ratios as
+    * truncating-DIV basis points (denominators clamped ≥ 1; a 0-word doc
+    * reads 0 everywhere and fails the word-count rule) — so the keep bit
+    * is engine-exact with no float or margin discipline. Words are
+    * whitespace tokens (the [[TextAnalysis.textTokens]] convention);
+    * lines split on \n KEEPING trailing empties (Spark needs the
+    * explicit limit=-1 — its default split drops them, DuckDB's keeps
+    * them, and the line-count denominator must agree).
+    *
+    * Plan: one narrow (doc_id, text) scan, everything doc-local (the
+    * array folds are once-per-row higher-order aggregates, never
+    * per-pair), zero shuffles before the gate sort. */
+  def corpusGopherFilter(spark: SparkSession, dir: String): DataFrame =
+    corpusGopherFilterOf(Tables.documents(spark, dir))
+
+  private val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def corpusGopherFilterOf(docs: DataFrame): DataFrame = {
+    val words   = org.apache.spark.sql.functions.expr("regexp_extract_all(text, '\\\\S+', 0)")
+    val lines   = split(col("text"), "\n", -1)
+    val nWords  = size(words).cast("long")
+    val nLines  = size(lines).cast("long")
+    val sumWlen = org.apache.spark.sql.functions.expr(
+      "aggregate(regexp_extract_all(text, '\\\\S+', 0), 0L, (a, x) -> a + length(x))")
+    val nSym    = size(regexp_extract_all(col("text"), lit("#|\\.\\.\\.|…"), lit(0))).cast("long")
+    val nBullet = org.apache.spark.sql.functions.expr(
+      "size(filter(split(text, '\\n', -1), x -> x rlike '^\\\\s*[-*•‣▪]'))").cast("long")
+    val nEllip  = org.apache.spark.sql.functions.expr(
+      "size(filter(split(text, '\\n', -1), x -> x rlike '(\\\\.\\\\.\\\\.|…)\\\\s*$'))").cast("long")
+    val nAlpha  = org.apache.spark.sql.functions.expr(
+      "size(filter(regexp_extract_all(text, '\\\\S+', 0), x -> x rlike '[A-Za-z]'))").cast("long")
+    val nStop   = gopherStops.map(s =>
+      when(lower(col("text")).rlike(s"\\b$s\\b"), 1L).otherwise(0L)).reduce(_ + _)
+    docs
+      .select(col("doc_id"), nWords.as("n_words"), nLines.as("n_lines"),
+        sumWlen.cast("long").as("sum_wlen"), nSym.as("n_sym"),
+        nBullet.as("n_bullet"), nEllip.as("n_ellipsis"),
+        nAlpha.as("n_alpha"), nStop.as("n_stop"))
+      .select(col("doc_id"), col("n_words"), col("n_lines"), col("n_stop"),
+        expr("sum_wlen * 100 DIV greatest(n_words, 1)").as("mwl_e2"),
+        expr("n_sym * 10000 DIV greatest(n_words, 1)").as("sym_bp"),
+        expr("n_bullet * 10000 DIV n_lines").as("bullet_bp"),
+        expr("n_ellipsis * 10000 DIV n_lines").as("ellipsis_bp"),
+        expr("n_alpha * 10000 DIV greatest(n_words, 1)").as("alpha_bp"))
+      .withColumn("keep",
+        (col("n_words").between(50L, 100000L) &&
+          col("mwl_e2").between(300L, 1000L) &&
+          col("sym_bp") <= 1000L && col("bullet_bp") <= 9000L &&
+          col("ellipsis_bp") <= 3000L && col("alpha_bp") >= 8000L &&
+          col("n_stop") >= 2L).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusGopherFilterSql: String = {
+    val words = "regexp_extract_all(text, '\\S+')"
+    val lines = "string_split(text, chr(10))"
+    val stops = gopherStops.map(s =>
+      s"CASE WHEN regexp_matches(lower(text), '\\b$s\\b') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sig AS (
+      |  SELECT doc_id,
+      |    CAST(len($words) AS BIGINT) AS n_words,
+      |    CAST(len($lines) AS BIGINT) AS n_lines,
+      |    CAST(coalesce(list_sum(list_transform($words, x -> length(x))), 0)
+      |      AS BIGINT) AS sum_wlen,
+      |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS BIGINT) AS n_sym,
+      |    CAST(len(list_filter($lines,
+      |      x -> regexp_matches(x, '^\\s*[-*•‣▪]'))) AS BIGINT) AS n_bullet,
+      |    CAST(len(list_filter($lines,
+      |      x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$$'))) AS BIGINT) AS n_ellipsis,
+      |    CAST(len(list_filter($words,
+      |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+      |    CAST($stops AS BIGINT) AS n_stop
+      |  FROM documents
+      |), bp AS (
+      |  SELECT doc_id, n_words, n_lines, n_stop,
+      |    CAST(sum_wlen * 100 // greatest(n_words, 1) AS BIGINT) AS mwl_e2,
+      |    CAST(n_sym * 10000 // greatest(n_words, 1) AS BIGINT) AS sym_bp,
+      |    CAST(n_bullet * 10000 // n_lines AS BIGINT) AS bullet_bp,
+      |    CAST(n_ellipsis * 10000 // n_lines AS BIGINT) AS ellipsis_bp,
+      |    CAST(n_alpha * 10000 // greatest(n_words, 1) AS BIGINT) AS alpha_bp
+      |  FROM sig
+      |)
+      |SELECT doc_id, n_words, n_lines, n_stop, mwl_e2, sym_bp, bullet_bp,
+      |  ellipsis_bp, alpha_bp,
+      |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+      |    AND mwl_e2 BETWEEN 300 AND 1000 AND sym_bp <= 1000
+      |    AND bullet_bp <= 9000 AND ellipsis_bp <= 3000
+      |    AND alpha_bp >= 8000 AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS keep
+      |FROM bp ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-doc lexical diversity: type-token ratio and hapax fraction —
+    * the cheap templated-text / boilerplate detector (machine-generated
+    * spam repeats a tiny vocabulary; natural prose at gate lengths keeps
+    * TTR high and a large once-only tail, Zipf's law). Tokens are the
+    * [a-z0-9]+ word alphabet shared with the TF-IDF/PMI family.
+    *
+    * Plan: the heavy exchange is the (doc_id, token) partial-aggregated
+    * count — combine-heavy (a doc's repeated tokens collapse map-side),
+    * never the raw token stream — then a doc-grain rollup and a left
+    * join back to documents so token-free docs emit zeros (DIV guards
+    * clamp their denominators). Ratios are truncating-DIV basis points,
+    * engine-exact. */
+  def textTtr(spark: SparkSession, dir: String): DataFrame =
+    textTtrOf(Tables.documents(spark, dir))
+
+  def textTtrOf(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit(word), lit(0))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val per = tf.groupBy(col("doc_id")).agg(
+      sum(col("cnt")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("n_types * 10000 DIV greatest(n_tokens, 1)").as("ttr_bp"),
+        expr("n_hapax * 10000 DIV greatest(n_types, 1)").as("hapax_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textTtrSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$word')) AS tok
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2
+      |), per AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS n_types,
+      |    CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      |  FROM tf GROUP BY 1
+      |)
+      |SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+      |  coalesce(p.n_types, 0) AS n_types, coalesce(p.n_hapax, 0) AS n_hapax,
+      |  CAST(coalesce(p.n_types, 0) * 10000
+      |    // greatest(coalesce(p.n_tokens, 0), 1) AS BIGINT) AS ttr_bp,
+      |  CAST(coalesce(p.n_hapax, 0) * 10000
+      |    // greatest(coalesce(p.n_types, 0), 1) AS BIGINT) AS hapax_bp
+      |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_gopher_filter" -> (corpusGopherFilter _),
+    "text_ttr"             -> (textTtr _),
     "text_entropy"      -> (textEntropy _),
     "corpus_tfidf_topk" -> (corpusTfidfTopk _),
     "corpus_pmi_topk"   -> (corpusPmiTopk _),
@@ -411,6 +573,8 @@ object CorpusStats {
     "text_winnow"       -> (textWinnow _))
 
   val oracle: Map[String, String] = Map(
+    "corpus_gopher_filter" -> corpusGopherFilterSql,
+    "text_ttr"             -> textTtrSql,
     "text_entropy"      -> textEntropySql,
     "corpus_tfidf_topk" -> corpusTfidfTopkSql,
     "corpus_pmi_topk"   -> corpusPmiTopkSql,

@@ -690,7 +690,74 @@ object FeatureOps {
       |FROM expected e FULL OUTER JOIN served s ON e.user_id = s.user_id
       |ORDER BY 1""".stripMargin
 
+  /** Training-set label construction — the FORWARD-window complement of
+    * the point-in-time feature join (features must come from BEFORE the
+    * observation; labels from a bounded window AFTER it — the two halves
+    * of leakage-free dataset assembly; reference: the historical-retrieval
+    * semantics of serving/src/main/java/feast/serving keep features
+    * backward-only, label windows are the pipeline side this build adds):
+    * each `view` observation is labeled with whether the same user
+    * purchased within the next 24 h ([ts, ts+24h], inclusive ends — the
+    * as-of machinery attaches a same-instant purchase, documented), plus
+    * the first qualifying purchase's ts / value / latency.
+    *
+    * Label columns are exact: label ∈ {0,1}, label_value_e4 integral by
+    * the 2-dp money contract, secs_to_label a truncating µs→s DIV (both
+    * engines toward zero on the nonnegative latency). Tiebreaks at an
+    * equal purchase ts resolve to the max (event_id, value) struct in the
+    * as-of window and to `max(event_id)` in the oracle, the
+    * [[Analytics.eventsAttributionFirst]] convention.
+    *
+    * Plan: ONE user_id exchange — [[PointInTimeJoin.asofForward]]'s
+    * union-sort — versus the oracle's range-join + per-observation
+    * row_number explosion (a purchase-heavy user multiplies every view
+    * against every purchase there; the union-sort form is linear in the
+    * partition). */
+  def ftLabelJoin(spark: SparkSession, dir: String): DataFrame =
+    ftLabelJoinOf(Tables.events(spark, dir))
+
+  def ftLabelJoinOf(ev: DataFrame): DataFrame = {
+    val obs = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("pid"),
+        round(col("value") * 10000).cast("long").as("value_e4"))
+    PointInTimeJoin.asofForward(obs, purch,
+        keys = Seq("user_id"), entityTs = "ts", featureTs = "ts",
+        featureCols = Seq("pid", "value_e4"), maxAgeSec = Some(86400L),
+        outPrefix = "label_")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("label_ts").isNotNull, 1L).otherwise(0L).as("label"),
+        col("label_ts"), col("label_value_e4"),
+        expr("(unix_micros(label_ts) - unix_micros(ts)) DIV 1000000")
+          .as("secs_to_label"))
+      .orderBy(col("event_id"))
+  }
+
+  val ftLabelJoinSql: String =
+    """WITH obs AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+      |), purch AS (
+      |  SELECT user_id, ts, max(event_id) AS pid,
+      |    max_by(CAST(round(value * 10000, 0) AS BIGINT), event_id) AS value_e4
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+      |), j AS (
+      |  SELECT o.event_id, o.user_id, o.ts, p.ts AS label_ts, p.value_e4,
+      |    row_number() OVER (PARTITION BY o.event_id
+      |      ORDER BY p.ts ASC NULLS LAST) AS rn
+      |  FROM obs o LEFT JOIN purch p
+      |    ON p.user_id = o.user_id AND p.ts >= o.ts
+      |   AND p.ts <= o.ts + INTERVAL 24 HOUR
+      |)
+      |SELECT event_id, user_id, ts,
+      |  CAST(CASE WHEN label_ts IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS label,
+      |  label_ts, value_e4 AS label_value_e4,
+      |  CAST((epoch_us(label_ts) - epoch_us(ts)) // 1000000 AS BIGINT)
+      |    AS secs_to_label
+      |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ft_label_join"   -> (ftLabelJoin _),
     "store_audit"     -> (storeAudit _),
     "ft_freshness"    -> (ftFreshness _),
     "ft_latest"       -> (ftLatest _),
@@ -712,6 +779,7 @@ object FeatureOps {
     "registry_dump"   -> (registryDump _))
 
   val oracle: Map[String, String] = Map(
+    "ft_label_join"   -> ftLabelJoinSql,
     "store_audit"     -> storeAuditSql,
     "ft_freshness"    -> ftFreshnessSql,
     "ft_latest"       -> ftLatestSql,

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Growth-accounting analytics over the events stream — the user-state
+  * ledger every product-analytics suite keeps next to the volume metrics
+  * ([[Analytics.eventsActiveUsers]] counts heads; this module explains the
+  * DELTA: which heads are new, which came back, which left). Reference
+  * semantics: feast-java-old keeps per-entity serving stats only
+  * (core/src/main/java/feast/core/model); the growth ledger is part of the
+  * pipeline-analytics surface this build adds beyond the reference.
+  *
+  * Everything is exact integers on the epoch-day grid (day =
+  * epoch_us DIV 86.4e9, the repo's cross-engine day bucketing), so both
+  * engines replay bit-for-bit with no calendar or float discipline.
+  */
+object Growth {
+
+  private val DayUs = 86400000000L
+
+  /** Growth accounting (the new / retained / resurrected / churned ledger):
+    * classify every (user, active-day) against the user's PREVIOUS active
+    * day — first day ever = new, yesterday active = retained, active before
+    * but not yesterday = resurrected — and count churn on day d as users
+    * active on d−1 with no activity on d (derived from the same window via
+    * lead, charged to d). Identity n_active = n_new + n_retained +
+    * n_resurrected holds by construction and ships as a free cross-check;
+    * net_growth = n_new + n_resurrected − n_churned is the number the
+    * growth team actually watches.
+    *
+    * Plan: raw events collapse to the distinct (user, day) grain FIRST
+    * (partial-aggregatable — the only fact-sized exchange, combine-heavy
+    * since a user's day has many events), the lag/lead window rides that
+    * grain's user_id partitioning, per-day counts are a second
+    * entity-day-sized exchange, and the dense [min,max] day grid (zero
+    * days must show: an all-churn day has no active rows) joins against a
+    * 2-value span broadcast. No events rescan past the first aggregate. */
+  def eventsLifecycle(spark: SparkSession, dir: String): DataFrame =
+    eventsLifecycleOf(Tables.events(spark, dir))
+
+  def eventsLifecycleOf(ev: DataFrame): DataFrame = {
+    val days = ev
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(DayUs)).cast("long").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val classified = days
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .withColumn("next_day", lead(col("day"), 1).over(w))
+    val span = classified.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+
+    val perDay = classified.groupBy(col("day")).agg(
+      count(lit(1)).as("n_active"),
+      sum(when(col("prev_day").isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("prev_day") === col("day") - 1, 1L).otherwise(0L)).as("n_retained"),
+      sum(when(col("prev_day").isNotNull && col("prev_day") < col("day") - 1, 1L)
+        .otherwise(0L)).as("n_resurrected"))
+    // A user active on d churns on d+1 iff the next active day is absent or
+    // beyond d+1; charge it to day d+1 (grid-clipped: churn past the last
+    // observed day is unobservable and both engines exclude it alike).
+    val churn = classified
+      .filter(col("next_day").isNull || col("next_day") > col("day") + 1)
+      .groupBy((col("day") + 1).as("day")).agg(count(lit(1)).as("n_churned"))
+
+    span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(perDay, Seq("day"), "left")
+      .join(churn, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .withColumn("net_growth",
+        col("n_new") + col("n_resurrected") - col("n_churned"))
+      .orderBy(col("day"))
+  }
+
+  val eventsLifecycleSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      |  FROM events
+      |), cls AS (
+      |  SELECT user_id, day,
+      |    lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+      |    lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+      |  FROM ud
+      |), span AS (
+      |  SELECT min(day) AS d0, max(day) AS d1 FROM cls
+      |), grid AS (
+      |  SELECT unnest(range(d0, d1 + 1)) AS day FROM span
+      |), per_day AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+      |    CAST(sum(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |    CAST(sum(CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+      |    CAST(sum(CASE WHEN prev_day IS NOT NULL AND prev_day < day - 1
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      |  FROM cls GROUP BY 1
+      |), churn AS (
+      |  SELECT day + 1 AS day, CAST(count(*) AS BIGINT) AS n_churned
+      |  FROM cls WHERE next_day IS NULL OR next_day > day + 1 GROUP BY 1
+      |)
+      |SELECT g.day, coalesce(p.n_active, 0) AS n_active,
+      |  coalesce(p.n_new, 0) AS n_new,
+      |  coalesce(p.n_retained, 0) AS n_retained,
+      |  coalesce(p.n_resurrected, 0) AS n_resurrected,
+      |  coalesce(c.n_churned, 0) AS n_churned,
+      |  coalesce(p.n_new, 0) + coalesce(p.n_resurrected, 0)
+      |    - coalesce(c.n_churned, 0) AS net_growth
+      |FROM grid g LEFT JOIN per_day p ON g.day = p.day
+      |LEFT JOIN churn c ON g.day = c.day
+      |ORDER BY g.day""".stripMargin
+
+  /** Day-of-week seasonality profile per event type — the weekly-rhythm
+    * complement of [[Analytics.eventsTrend]]'s secular slope (a capacity
+    * plan needs both: growth says how much, seasonality says when).
+    * dow is computed arithmetically on the epoch-day index
+    * ((day + 3) mod 7, 0 = Monday — 1970-01-01 was a Thursday), NOT via
+    * calendar functions, so both engines agree by construction; shares are
+    * exact integer basis points of the type's total (share_bp), and idx_bp
+    * rescales so a perfectly flat week reads 10000 per dow (n·7·10⁴ DIV
+    * total) — the over/under-index number a dashboard shows. All 7 dows
+    * emit per type (zero-filled): a type that never fires on weekends must
+    * show its zeros.
+    *
+    * Plan: one partial-aggregated (event_type, dow) count — the only
+    * fact-sized exchange, ≤ types×7 output rows — then a broadcast-sized
+    * dense cross with the dow grid and a per-type window total. */
+  def eventsSeasonality(spark: SparkSession, dir: String): DataFrame =
+    eventsSeasonalityOf(Tables.events(spark, dir))
+
+  def eventsSeasonalityOf(ev: DataFrame): DataFrame = {
+    val counts = ev
+      .select(col("event_type"),
+        pmod(floor(unix_micros(col("ts")) / lit(DayUs)) + 3, lit(7))
+          .cast("long").as("dow"))
+      .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("n"))
+    val dense = counts.select(col("event_type")).distinct()
+      .crossJoin(dowGrid(counts))
+      .join(counts, Seq("event_type", "dow"), "left")
+      .select(col("event_type"), col("dow"), coalesce(col("n"), lit(0L)).as("n"))
+    val w = Window.partitionBy(col("event_type"))
+    dense
+      .withColumn("total", sum(col("n")).over(w))
+      .select(col("event_type"), col("dow"), col("n"),
+        expr("n * 10000 DIV total").as("share_bp"),
+        expr("n * 70000 DIV total").as("idx_bp"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  /** The 7-row dow grid (0..6) as a cross-joinable constant. */
+  private def dowGrid(df: DataFrame): DataFrame =
+    df.sparkSession.range(0, 7).select(col("id").cast("long").as("dow"))
+
+  val eventsSeasonalitySql: String =
+    """WITH counts AS (
+      |  SELECT event_type,
+      |    CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS BIGINT) AS dow,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2
+      |), dense AS (
+      |  SELECT t.event_type, g.dow, coalesce(c.n, 0) AS n
+      |  FROM (SELECT DISTINCT event_type FROM counts) t
+      |  CROSS JOIN (SELECT unnest(range(0, 7)) AS dow) g
+      |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.dow = g.dow
+      |), tot AS (
+      |  SELECT event_type, dow, n,
+      |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      |  FROM dense
+      |)
+      |SELECT event_type, dow, n,
+      |  CAST(n * 10000 // total AS BIGINT) AS share_bp,
+      |  CAST(n * 70000 // total AS BIGINT) AS idx_bp
+      |FROM tot ORDER BY event_type, dow""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_lifecycle"   -> (eventsLifecycle _),
+    "events_seasonality" -> (eventsSeasonality _))
+
+  val oracle: Map[String, String] = Map(
+    "events_lifecycle"   -> eventsLifecycleSql,
+    "events_seasonality" -> eventsSeasonalitySql)
+}

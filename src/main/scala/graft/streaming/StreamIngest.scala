@@ -579,6 +579,78 @@ object StreamIngest {
       }
   }
 
+  final case class LifecycleContrib(user_id: Long, day: Long, cls: String,
+    delta: Long)
+
+  /** Streaming twin of the batch growth-accounting ledger
+    * ([[graft.operators.Growth.eventsLifecycle]]): per-user DELTA
+    * contributions (day, class, ±1) such that summing deltas per
+    * (day, class) — then clipping churn to the observed day grid, the
+    * batch presentation rule — reproduces the batch ledger under ANY
+    * batching of the same events, including late days that land BETWEEN
+    * already-seen days.
+    *
+    * Exactly-once with retraction: each user's state is the sorted set of
+    * known active days; a new day d with floor-neighbor p and
+    * ceiling-neighbor n (1) emits d's own class from p (none → new,
+    * p = d−1 → retained, else resurrected), (2) RE-classifies n if d
+    * changed its predecessor (the old class — new when p was absent,
+    * resurrected otherwise — flips to retained when d = n−1, to
+    * resurrected when p was absent and d < n−1; a −1/+1 pair), and
+    * (3) maintains churn: p's standing churn-at-(p+1) retracts iff
+    * d = p+1, and d adds churn at d+1 unless n = d+1. n's own churn is
+    * untouched (its successor didn't change). Every emission is O(1) per
+    * arriving day against a per-user state bounded by the activity
+    * horizon — the flatMapGroupsWithState shape that scales to
+    * 100 TB streams (state is per-user days, not per-event).
+    *
+    * Parity contract (spec-proven under shuffled batching): classes sum
+    * exactly; churn sums exactly on every day ≤ the batch grid's max —
+    * the stream also carries each current-max day's open churn at max+1,
+    * which the batch grid clip discards and a consumer joining to the
+    * dense grid discards identically. */
+  def lifecycleStream(events: Dataset[DayEvent], watermark: String = "1 hour")
+      : Dataset[LifecycleContrib] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ActiveDaysState, LifecycleContrib](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[DayEvent], state: GroupState[ActiveDaysState]) =>
+          var seen = state.getOption.map(_.srcDays.toSet).getOrElse(Set.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer.empty[LifecycleContrib]
+          def classOf(prev: Option[Long], d: Long): String = prev match {
+            case None                  => "new"
+            case Some(p) if p == d - 1 => "retained"
+            case Some(_)               => "resurrected"
+          }
+          val days = rows.map(e => Math.floorDiv(micros(e.ts), 86400000000L))
+            .toSet.diff(seen).toArray.sorted
+          days.foreach { d =>
+            val p = seen.filter(_ < d) match { case s if s.isEmpty => None; case s => Some(s.max) }
+            val n = seen.filter(_ > d) match { case s if s.isEmpty => None; case s => Some(s.min) }
+            out += LifecycleContrib(user, d, classOf(p, d), 1L)
+            n.foreach { nd =>
+              val oldCls = classOf(p, nd)
+              val newCls = classOf(Some(d), nd)
+              if (oldCls != newCls) {
+                out += LifecycleContrib(user, nd, oldCls, -1L)
+                out += LifecycleContrib(user, nd, newCls, 1L)
+              }
+            }
+            p.foreach { pd =>
+              if (d == pd + 1) out += LifecycleContrib(user, pd + 1, "churned", -1L)
+            }
+            if (!n.contains(d + 1))
+              out += LifecycleContrib(user, d + 1, "churned", 1L)
+            seen += d
+          }
+          state.update(ActiveDaysState(seen.toList.sorted))
+          out.iterator
+      }
+  }
+
   /** Convenience: run a writer until all currently-available data is
     * processed (test/demo helper; production would use its own trigger). */
   def runOnce(w: DataStreamWriter[Row], checkpoint: String): StreamingQuery =

@@ -685,4 +685,66 @@ class PlanShapeSpec extends SparkSpecBase {
         s"trend-anomaly rescans events ${evScans.size}x past the pinned grid")
     }
   }
+
+  test("r8b session ops: label join one exchange, ledger windows the grain, gopher shuffle-free, census never rescans facts") {
+    withoutAqe {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      import org.apache.spark.sql.execution.window.WindowExec
+      def hashEx(p: SparkPlan) = p.collect { case e: ShuffleExchangeLike
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] => e }
+      def joins(p: SparkPlan) = p.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+
+      // ft_label_join: the union-sort as-of — exactly ONE user_id hash
+      // exchange feeding one window, and NO join operator anywhere (the
+      // range-join + row_number explosion stays in the oracle).
+      val lj = FeatureOps.ftLabelJoin(spark, sfDir).queryExecution.executedPlan
+      assert(hashEx(lj).size == 1, s"label join exchanges: ${hashEx(lj).size}")
+      assert(lj.collect { case w: WindowExec => w }.size == 1)
+      assert(joins(lj).isEmpty, "label join must not plan a join")
+
+      // events_lifecycle / events_seasonality: every window runs OVER the
+      // aggregated grain — each WindowExec subtree must contain a
+      // HashAggregate (the distinct / dense fold) so raw event rows never
+      // enter a window frame.
+      for ((name, plan) <- Seq(
+          "lifecycle" -> graft.operators.Growth.eventsLifecycle(spark, sfDir)
+            .queryExecution.executedPlan,
+          "seasonality" -> graft.operators.Growth.eventsSeasonality(spark, sfDir)
+            .queryExecution.executedPlan)) {
+        val ws = plan.collect { case w: WindowExec => w }
+        ws.foreach { w =>
+          // the grain exchange is shared by several consumers, so under
+          // ReuseExchange a window's child may be the REUSED reference to
+          // it — that still proves the window reads the aggregated grain
+          val ok = w.child.collect { case a: BaseAggregateExec => a }.nonEmpty ||
+            w.child.collect {
+              case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+                if r.child.collect { case a: BaseAggregateExec => a }.nonEmpty => r
+            }.nonEmpty
+          assert(ok, s"$name: a window runs over raw events, not the aggregated grain")
+        }
+      }
+
+      // corpus_gopher_filter: doc-local — zero hash exchanges (the only
+      // exchange in the whole plan is the gate sort's range partitioning).
+      val gf = graft.operators.CorpusStats.corpusGopherFilter(spark, sfDir)
+        .queryExecution.executedPlan
+      assert(hashEx(gf).isEmpty, s"gopher filter shuffles: ${hashEx(gf).size}")
+
+      // graph_triangles: the census (degree + wedge + closing joins) runs
+      // over the checkpointed kept-edge artifact — no fact-table scan may
+      // appear past the collapse.
+      val tc = graft.operators.GraphOps.graphTriangles(spark, sfDir)
+        .queryExecution.executedPlan
+      val facts = tc.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if Seq("lineitem", "orders", "customer", "supplier")
+            .exists(t => s.metadata.get("Location").exists(_.contains(t))) => s
+      }
+      assert(facts.isEmpty, s"triangle census rescans fact tables: ${facts.size}")
+    }
+  }
 }

@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-8b operator semantics, pinned: label join, growth accounting,
+  * seasonality, Gopher rules, lexical diversity, triangle census. */
+class Round8bOpsSpec extends SparkSpecBase {
+  import graft.operators.{CorpusStats, FeatureOps, GraphOps, Growth}
+
+  private def evDf(rows: Seq[(Long, Long, Long, String, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("event_id", "sec", "user_id", "event_type", "value")
+      .select(col("event_id"), col("sec").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+  }
+
+  test("ft_label_join: forward window, inclusive ends, first-purchase pick, equal-ts tiebreak") {
+    val ev = evDf(Seq(
+      // user 1: view@1000; purchase@500 (before, ignored), purchase@80000
+      // (within 24 h) and a later one @81000 that must NOT be picked
+      (1L, 1000L, 1L, "view", 0.0),
+      (10L, 500L, 1L, "purchase", 5.0),
+      (11L, 80000L, 1L, "purchase", 2.5),
+      (12L, 81000L, 1L, "purchase", 7.0),
+      // user 2: purchase at the SAME instant as the view — inclusive start
+      (2L, 1000L, 2L, "view", 0.0),
+      (20L, 1000L, 2L, "purchase", 3.0),
+      // user 3: purchase just past the 24 h bound — excluded
+      (3L, 1000L, 3L, "view", 0.0),
+      (30L, 1000L + 86401L, 3L, "purchase", 1.0),
+      // user 4: two purchases at the same qualifying ts — max event_id wins
+      (4L, 1000L, 4L, "view", 0.0),
+      (40L, 2000L, 4L, "purchase", 1.0),
+      (41L, 2000L, 4L, "purchase", 9.99),
+      // user 5: purchase at exactly ts + 24 h — inclusive end
+      (5L, 1000L, 5L, "view", 0.0),
+      (50L, 1000L + 86400L, 5L, "purchase", 4.0)))
+    val got = FeatureOps.ftLabelJoinOf(ev).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("label"), Option(r.getAs[java.lang.Long]("label_value_e4")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("secs_to_label")).map(_.toLong)))).toMap
+    assert(got(1L) == ((1L, Some(25000L), Some(79000L))))
+    assert(got(2L) == ((1L, Some(30000L), Some(0L))))
+    assert(got(3L) == ((0L, None, None)))
+    assert(got(4L) == ((1L, Some(99900L), Some(1000L))), "equal-ts tiebreak must pick max event_id")
+    assert(got(5L) == ((1L, Some(40000L), Some(86400L))), "window end is inclusive")
+    assert(got.size == 5)
+  }
+
+  test("events_lifecycle: new/retained/resurrected/churned ledger with dense zero days") {
+    def at(day: Long, uid: Long, id: Long) = (id, day * 86400L + 10L, uid, "click", 0.0)
+    // user 1 active days {0, 1, 3}; user 2 active day {1} only
+    val ev = evDf(Seq(at(0, 1, 1), at(1, 1, 2), at(3, 1, 3), at(1, 2, 4),
+      at(1, 1, 5))) // a second event on an active day must not double-count
+    val base = ev.select(min(floor(unix_micros(col("ts")) / 86400000000L)).cast("long")).head.getLong(0)
+    val got = Growth.eventsLifecycleOf(ev).collect().map(r =>
+      (r.getAs[Long]("day") - base) ->
+        ((r.getAs[Long]("n_active"), r.getAs[Long]("n_new"), r.getAs[Long]("n_retained"),
+          r.getAs[Long]("n_resurrected"), r.getAs[Long]("n_churned"),
+          r.getAs[Long]("net_growth")))).toMap
+    assert(got(0L) == ((1L, 1L, 0L, 0L, 0L, 1L)))
+    assert(got(1L) == ((2L, 1L, 1L, 0L, 0L, 1L)))
+    assert(got(2L) == ((0L, 0L, 0L, 0L, 2L, -2L)), "a zero-activity day must still emit, carrying the churn")
+    assert(got(3L) == ((1L, 0L, 0L, 1L, 0L, 1L)))
+    assert(got.size == 4, "grid is exactly [min, max] active day")
+    // the ledger identity holds on every row
+    got.values.foreach { case (a, n, r, s, _, _) => assert(a == n + r + s) }
+  }
+
+  test("events_seasonality: arithmetic dow agrees with the calendar; dense zero dows") {
+    // 2024-01-01 is a Monday; epoch day (d+3)%7 must read 0
+    val mon = java.time.LocalDate.of(2024, 1, 1).toEpochDay * 86400L
+    val ev = evDf(Seq(
+      (1L, mon + 100L, 1L, "click", 0.0),
+      (2L, mon + 200L, 2L, "click", 0.0),
+      (3L, mon + 2 * 86400L, 3L, "click", 0.0), // Wednesday
+      (4L, mon + 6 * 86400L, 4L, "view", 0.0))) // Sunday
+    val rows = Growth.eventsSeasonalityOf(ev).collect()
+    val click = rows.filter(_.getAs[String]("event_type") == "click")
+      .map(r => r.getAs[Long]("dow") -> ((r.getAs[Long]("n"), r.getAs[Long]("share_bp"),
+        r.getAs[Long]("idx_bp")))).toMap
+    assert(click.size == 7, "all 7 dows emit per type")
+    assert(click(0L) == ((2L, 6666L, 46666L)), "Monday is dow 0")
+    assert(click(2L) == ((1L, 3333L, 23333L)))
+    assert((1L to 6L).filter(_ != 2L).forall(d => click(d)._1 == 0L))
+    val view = rows.filter(_.getAs[String]("event_type") == "view")
+      .map(r => r.getAs[Long]("dow") -> r.getAs[Long]("n")).toMap
+    assert(view(6L) == 1L, "Sunday is dow 6")
+    // cross-check vs java.time on a spread of dates
+    for (off <- 0 to 20) {
+      val d = java.time.LocalDate.of(2024, 3, 1).plusDays(off)
+      val expect = (d.getDayOfWeek.getValue - 1).toLong // java: Monday=1
+      assert((d.toEpochDay + 3) % 7 == expect, s"dow arithmetic at $d")
+    }
+  }
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("corpus_gopher_filter: each rule trips on its own crafted doc") {
+    val prose = (("the cat and the dog that have been with " * 7).trim + " ok")
+    val bullets = (1 to 10).map(i => s"- item $i of the list and that have with").mkString("\n")
+    val ell = (1 to 10).map(i => s"the line $i goes on and that have with...").mkString("\n")
+    val docs = docsDf(Seq(
+      1L -> prose,                        // 71 words, prose: keep
+      2L -> "too short to pass the rule", // < 50 words
+      3L -> bullets,                      // every line bullet-started
+      4L -> ell,                          // every line ellipsis-ended
+      5L -> (("12 345 678 " * 20).trim + " the and"), // numeric words: alpha rule
+      6L -> ("lorem ipsum dolor sit amet " * 12).trim)) // no gopher stopwords
+    val out = CorpusStats.corpusGopherFilterOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("keep") == 1L, "plain prose must pass all seven rules")
+    assert(out(2L).getAs[Long]("n_words") == 6L && out(2L).getAs[Long]("keep") == 0L)
+    assert(out(3L).getAs[Long]("bullet_bp") == 10000L && out(3L).getAs[Long]("keep") == 0L)
+    assert(out(4L).getAs[Long]("ellipsis_bp") == 10000L && out(4L).getAs[Long]("keep") == 0L)
+    assert(out(5L).getAs[Long]("alpha_bp") < 8000L && out(5L).getAs[Long]("keep") == 0L)
+    assert(out(6L).getAs[Long]("n_stop") < 2L && out(6L).getAs[Long]("keep") == 0L)
+  }
+
+  test("corpus_gopher_filter: signal arithmetic replays by hand") {
+    val text = "aa bbb- cccc\n- x ...\nwww..."
+    val out = CorpusStats.corpusGopherFilterOf(docsDf(Seq(7L -> text))).head()
+    // words: aa bbb- cccc - x ... www...  → 7 whitespace tokens
+    assert(out.getAs[Long]("n_words") == 7L)
+    assert(out.getAs[Long]("n_lines") == 3L)
+    // sum of word lengths = 2+4+4+1+1+3+6 = 21 → 21·100 DIV 7 = 300
+    assert(out.getAs[Long]("mwl_e2") == 300L)
+    // symbols: two '...' occurrences → 2·10⁴ DIV 7 = 2857
+    assert(out.getAs[Long]("sym_bp") == 2857L)
+    // bullet lines: "- x ..." (and NOT "aa bbb- cccc") → 1 of 3
+    assert(out.getAs[Long]("bullet_bp") == 3333L)
+    // ellipsis-ended: lines 2 and 3 → 2 of 3
+    assert(out.getAs[Long]("ellipsis_bp") == 6666L)
+    // words with a letter: all but "-" and "..." → 5 of 7
+    assert(out.getAs[Long]("alpha_bp") == 7142L)
+  }
+
+  test("text_ttr: type/token/hapax arithmetic, zero-token docs survive") {
+    val out = CorpusStats.textTtrOf(docsDf(Seq(
+        1L -> "a a a b", 2L -> "x y z", 3L -> "", 4L -> "A a", 5L -> "..!!.."))).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"), r.getAs[Long]("n_hapax"),
+          r.getAs[Long]("ttr_bp"), r.getAs[Long]("hapax_bp")))).toMap
+    assert(out(1L) == ((4L, 2L, 1L, 5000L, 5000L)))
+    assert(out(2L) == ((3L, 3L, 3L, 10000L, 10000L)))
+    assert(out(3L) == ((0L, 0L, 0L, 0L, 0L)), "empty doc emits zeros, not a crash or a dropped row")
+    assert(out(4L) == ((2L, 1L, 0L, 5000L, 0L)), "tokens are lowercased before typing")
+    assert(out(5L) == ((0L, 0L, 0L, 0L, 0L)), "no [a-z0-9] alphabet tokens")
+    assert(out.size == 5)
+  }
+
+  private def graphDf(nodes: Seq[String], edges: Seq[(String, String, Long)]): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    (nodes.toDF("node"), edges.toDF("src", "dst", "w"))
+  }
+
+  test("graph_triangles: census on a hand graph — K4 plus pendant, threshold drop") {
+    // K4 on a..d (w=100 each way is irrelevant — undirected collapse), a
+    // pendant a–e at the same weight, and a weak d–e edge the mean
+    // threshold must drop (7 strong pairs ·100 + 1 ·1 → mean 87)
+    val und = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+      ("c", "d"), ("a", "e"))
+    val (nodes, edges) = graphDf(Seq("a", "b", "c", "d", "e"),
+      und.map { case (x, y) => (x, y, 100L) } :+ (("d", "e", 1L)))
+    val got = GraphOps.graphTrianglesOf(nodes, edges).collect()
+      .map(r => r.getAs[String]("nation") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("n_tri"), r.getAs[Long]("tri_possible"),
+          r.getAs[Long]("clust_bp")))).toMap
+    assert(got("a") == ((4L, 3L, 6L, 5000L)))
+    assert(got("b") == ((3L, 3L, 3L, 10000L)))
+    assert(got("c") == ((3L, 3L, 3L, 10000L)))
+    assert(got("d") == ((3L, 3L, 3L, 10000L)), "weak d-e edge must be thresholded out")
+    assert(got("e") == ((1L, 0L, 0L, 0L)))
+  }
+
+  test("graph_triangles: degree-oriented enumeration equals brute force on random graphs") {
+    val rnd = new scala.util.Random(88)
+    for (trial <- 1 to 6) {
+      val n = 6 + rnd.nextInt(8)
+      val names = (0 until n).map(i => f"n$i%02d")
+      // every undirected pair sums to exactly 10 (reverse edges carry 0) so
+      // the mean threshold keeps ALL edges while the both-direction
+      // collapse still gets exercised
+      val pairs = (for {
+        i <- 0 until n; j <- i + 1 until n
+        if rnd.nextInt(100) < 35
+        e <- if (rnd.nextBoolean()) Seq((names(i), names(j), 10L))
+             else Seq((names(i), names(j), 4L), (names(j), names(i), 6L))
+      } yield e).toSeq
+      val undSet = pairs.map { case (x, y, _) =>
+        if (x < y) (x, y) else (y, x) }.toSet
+      val adj = undSet.flatMap { case (x, y) => Seq(x -> y, y -> x) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      def triOf(v: String): Long = {
+        val nb = adj.getOrElse(v, Set.empty).toSeq
+        (for { i <- nb.indices; j <- i + 1 until nb.size
+          if undSet.contains(if (nb(i) < nb(j)) (nb(i), nb(j)) else (nb(j), nb(i)))
+        } yield 1).size.toLong
+      }
+      val (nodes, edges) = graphDf(names, pairs)
+      val got = GraphOps.graphTrianglesOf(nodes, edges).collect()
+        .map(r => r.getAs[String]("nation") -> r.getAs[Long]("n_tri")).toMap
+      names.foreach { v =>
+        assert(got(v) == triOf(v), s"trial $trial node $v")
+      }
+    }
+  }
+}

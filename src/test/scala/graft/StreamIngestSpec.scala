@@ -771,4 +771,78 @@ class StreamIngestSpec extends SparkSpecBase {
       assert(wauS.get(day).contains(wau), s"day $day wau: ${wauS.get(day)} vs $wau")
     }
   }
+
+  test("lifecycleStream: late island-bridging day retracts class and churn exactly") {
+    val dir = Files.createTempDirectory("graft-stream-lc1").toString
+    val input = MemoryStream[StreamIngest.DayEvent](spark)
+    val q = StreamIngest.lifecycleStream(input.toDS(), watermark = "720 hours")
+      .writeStream.format("memory").queryName("lc_bridge")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    val baseMs = ts("2024-05-01 00:00:00").getTime
+    def ev(day: Long) = StreamIngest.DayEvent(7L,
+      new Timestamp(baseMs + day * 86400000L + 1000L))
+    // day 0, then day 2 (a gap), then the LATE day 1 that bridges them
+    Seq(Seq(ev(0)), Seq(ev(2)), Seq(ev(1))).foreach { b =>
+      input.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val folded = spark.table("lc_bridge").collect()
+      .groupBy(r => (r.getAs[Long]("day"), r.getAs[String]("cls")))
+      .view.mapValues(_.map(_.getAs[Long]("delta")).sum)
+      .filter(_._2 != 0L).toMap
+    val base = baseMs / 86400000L
+    assert(folded == Map(
+      (base + 0, "new") -> 1L,
+      (base + 1, "retained") -> 1L,   // late day lands as retained…
+      (base + 2, "retained") -> 1L,   // …and flips day 2 from resurrected
+      (base + 3, "churned") -> 1L),   // open churn past the last day
+      s"got $folded")
+  }
+
+  test("lifecycleStream: folded deltas equal the batch ledger under shuffled batching") {
+    val rnd = new scala.util.Random(41)
+    val baseMs = ts("2024-06-01 00:00:00").getTime
+    val all = (1L to 14L).flatMap { u =>
+      (0 until (3 + rnd.nextInt(14))).map { _ =>
+        StreamIngest.DayEvent(u,
+          new Timestamp(baseMs + rnd.nextInt(18 * 24) * 3600L * 1000L))
+      }
+    }
+    val shuffled = rnd.shuffle(all)
+    val dir = Files.createTempDirectory("graft-stream-lc2").toString
+    val input = MemoryStream[StreamIngest.DayEvent](spark)
+    val q = StreamIngest.lifecycleStream(input.toDS(), watermark = "720 hours")
+      .writeStream.format("memory").queryName("lc_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    shuffled.grouped(1 + shuffled.size / 5).foreach { b =>
+      input.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val folded = spark.table("lc_out").collect()
+      .groupBy(r => (r.getAs[Long]("day"), r.getAs[String]("cls")))
+      .view.mapValues(_.map(_.getAs[Long]("delta")).sum).toMap
+      .withDefaultValue(0L)
+    import spark.implicits._
+    val batch = graft.operators.Growth.eventsLifecycleOf(
+      all.toDF("user_id", "ts")).collect()
+    assert(batch.nonEmpty)
+    batch.foreach { r =>
+      val day = r.getAs[Long]("day")
+      assert(folded((day, "new")) == r.getAs[Long]("n_new"), s"day $day new")
+      assert(folded((day, "retained")) == r.getAs[Long]("n_retained"), s"day $day retained")
+      assert(folded((day, "resurrected")) == r.getAs[Long]("n_resurrected"), s"day $day resurrected")
+      // churn parity holds on every grid day; the stream's extra open-churn
+      // rows all sit past the grid max (the batch clip) — checked below
+      assert(folded((day, "churned")) == r.getAs[Long]("n_churned"), s"day $day churned")
+    }
+    val gridMax = batch.map(_.getAs[Long]("day")).max
+    val offGrid = spark.table("lc_out").collect()
+      .filter(r => r.getAs[Long]("day") > gridMax)
+    assert(offGrid.forall(_.getAs[String]("cls") == "churned"),
+      "only churn contributions may fall past the grid")
+  }
 }
