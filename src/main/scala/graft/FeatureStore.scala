@@ -120,6 +120,33 @@ final class FeatureStore(val registry: Registry, spark: SparkSession,
     derived.drop(helperCols: _*)
   }
 
+  /** Leakage-free training-set assembly — the registry-driven composition
+    * of the two halves of dataset building: point-in-time-correct FEATURES
+    * (backward as-of with each table's max_age, exactly
+    * [[getHistoricalFeatures]]) plus a bounded FORWARD-window LABEL from a
+    * registered table (did any `labelRef` row land within
+    * [ts, ts+labelWindowSec], inclusive ends — the `ft_label_join`
+    * semantics, with the label table's entities/event-ts/typing resolved
+    * from the registry instead of hand-wired). Appends the first
+    * qualifying label row's value as `table__feature`, its timestamp as
+    * `table__label_ts`, and a 0/1 `label`. Plan: one additional
+    * entity-keyed union-sort exchange on top of the feature joins — the
+    * label side never range-joins. */
+  def getTrainingSet(entityDf: DataFrame, entityTsCol: String,
+                     refs: Seq[FeatureRef], labelRef: FeatureRef,
+                     labelWindowSec: Long): DataFrame = {
+    val withFeats = getHistoricalFeatures(entityDf, entityTsCol, refs)
+    val t = table(labelRef.table)
+    val labelSrc = loadFeatures(t, Seq(labelRef.feature))
+    val pfx = s"${labelRef.table}__"
+    PointInTimeJoin.asofForward(
+        withFeats, labelSrc, keys = t.entities, entityTs = entityTsCol,
+        featureTs = t.eventTsCol, featureCols = Seq(labelRef.feature),
+        maxAgeSec = Some(labelWindowSec), outPrefix = pfx)
+      .withColumn("label", when(col(s"${pfx}ts").isNotNull, 1L).otherwise(0L))
+      .withColumnRenamed(s"${pfx}ts", s"${pfx}label_ts")
+  }
+
   private def joinHistorical(entityDf: DataFrame, entityTsCol: String,
                              refs: Seq[FeatureRef],
                              asofMode: FeatureStore.AsofMode): DataFrame =

@@ -411,13 +411,82 @@ object GraphOps {
       |LEFT JOIN tc t ON n.n_name = t.v
       |ORDER BY nation""".stripMargin
 
+  /** Directed-edge reciprocity per nation — the flow-balance audit next
+    * to [[graphHits]]' role split (HITS says who imports and who exports;
+    * reciprocity says whether a nation's trade relationships flow BOTH
+    * ways or are one-sided): out/in degree over the distinct directed
+    * edge set (self-loops dropped), n_recip = out-edges whose reverse
+    * edge also exists, recip_bp = n_recip·10⁴ DIV out_deg. The mutual
+    * test is ONE self-semi-join of the entity-domain-sized edge list on
+    * the swapped key — never a fact-side operation; all nations emit
+    * (zero-filled isolates). */
+  def graphReciprocity(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = tradeGraph(spark, dir)
+    graphReciprocityOf(nodes, edges).orderBy(col("nation"))
+  }
+
+  def graphReciprocityOf(nodes0: DataFrame, edges0: DataFrame): DataFrame = {
+    val e = edges0.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+      .localCheckpoint() // one collapse; degree + mutual joins reuse it
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val inDeg = e.groupBy(col("dst")).agg(count(lit(1)).as("in_deg"))
+    val recip = e.join(e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .groupBy(col("src")).agg(count(lit(1)).as("n_recip"))
+    nodes0.select(col("node"))
+      .join(outDeg, col("node") === outDeg("src"), "left").drop("src")
+      .join(inDeg, col("node") === inDeg("dst"), "left").drop("dst")
+      .join(recip, col("node") === recip("src"), "left").drop("src")
+      .select(col("node").as("nation"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("n_recip"), lit(0L)).as("n_recip"))
+      .withColumn("recip_bp",
+        expr("n_recip * 10000 DIV greatest(out_deg, 1)"))
+  }
+
+  val graphReciprocitySql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_suppkey FROM lineitem
+      |), e AS MATERIALIZED (
+      |  SELECT DISTINCT cn.n_name AS src, sn.n_name AS dst
+      |  FROM li
+      |  JOIN supplier s ON li.l_suppkey = s.s_suppkey
+      |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |  JOIN orders o ON li.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |  WHERE cn.n_name <> sn.n_name
+      |), od AS (
+      |  SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY 1
+      |), id AS (
+      |  SELECT dst, CAST(count(*) AS BIGINT) AS in_deg FROM e GROUP BY 1
+      |), rc AS (
+      |  SELECT e1.src, CAST(count(*) AS BIGINT) AS n_recip
+      |  FROM e e1 WHERE EXISTS (
+      |    SELECT 1 FROM e e2 WHERE e2.src = e1.dst AND e2.dst = e1.src)
+      |  GROUP BY 1
+      |)
+      |SELECT n.n_name AS nation, coalesce(od.out_deg, 0) AS out_deg,
+      |  coalesce(id.in_deg, 0) AS in_deg, coalesce(rc.n_recip, 0) AS n_recip,
+      |  CAST(coalesce(rc.n_recip, 0) * 10000
+      |    // greatest(coalesce(od.out_deg, 0), 1) AS BIGINT) AS recip_bp
+      |FROM nation n
+      |LEFT JOIN od ON n.n_name = od.src
+      |LEFT JOIN id ON n.n_name = id.dst
+      |LEFT JOIN rc ON n.n_name = rc.src
+      |ORDER BY nation""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank"  -> (graphPagerank _),
-    "graph_hits"      -> (graphHits _),
-    "graph_triangles" -> (graphTriangles _))
+    "graph_pagerank"    -> (graphPagerank _),
+    "graph_hits"        -> (graphHits _),
+    "graph_triangles"   -> (graphTriangles _),
+    "graph_reciprocity" -> (graphReciprocity _))
 
   val oracle: Map[String, String] = Map(
-    "graph_pagerank"  -> graphPagerankSql,
-    "graph_hits"      -> graphHitsSql,
-    "graph_triangles" -> graphTrianglesSql)
+    "graph_pagerank"    -> graphPagerankSql,
+    "graph_hits"        -> graphHitsSql,
+    "graph_triangles"   -> graphTrianglesSql,
+    "graph_reciprocity" -> graphReciprocitySql)
 }

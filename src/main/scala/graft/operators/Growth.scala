@@ -178,11 +178,93 @@ object Growth {
       |  CAST(n * 70000 // total AS BIGINT) AS idx_bp
       |FROM tot ORDER BY event_type, dow""".stripMargin
 
+  /** Next-day volume forecast per event type — the op the trend and
+    * seasonality signals exist FOR, composed: the OLS fit
+    * ([[Analytics.eventsTrend]]) extrapolated one day past the observed
+    * span (x = n_days on the same 0-based day index), then scaled by the
+    * next day's dow index from [[eventsSeasonality]] (a Monday-peaked
+    * type forecast for a Sunday must come in under its trend line).
+    * pred_trend = max(0, (icept_e6 + slope_e6·n_days) DIV 1e6) — the
+    * clamp because a decaying fit extrapolates negative; pred_adj =
+    * pred_trend·idx_bp DIV 1e4. Exact integer end to end: both inputs
+    * are already engine-exact integer gates, and the composition is two
+    * truncating DIVs, so the forecast needs no margin discipline.
+    *
+    * Plan: the trend fold and the dow profile each pay their one
+    * fact-sized partial-aggregated exchange (no new fact pass — these ARE
+    * the two upstream ops), then everything joins at types-sized grain
+    * with the 2-value span broadcast. */
+  def eventsForecast(spark: SparkSession, dir: String): DataFrame =
+    eventsForecastOf(Tables.events(spark, dir))
+
+  def eventsForecastOf(ev: DataFrame): DataFrame = {
+    val coefs = Analytics.eventsTrendOf(ev)
+      .select(col("event_type"), col("n_days"), col("slope_e6"), col("icept_e6"))
+    val span = ev
+      .agg(max(floor(unix_micros(col("ts")) / lit(DayUs)).cast("long")).as("d1"))
+    val season = eventsSeasonalityOf(ev)
+      .select(col("event_type"), col("dow"), col("idx_bp"))
+    coefs.crossJoin(broadcast(span))
+      .withColumn("next_day", col("d1") + 1)
+      .withColumn("dow", pmod(col("next_day") + 3, lit(7)).cast("long"))
+      .join(season, Seq("event_type", "dow"))
+      .select(col("event_type"), col("next_day"), col("dow"), col("slope_e6"),
+        expr("greatest(0, (icept_e6 + slope_e6 * n_days) DIV 1000000)")
+          .as("pred_trend"),
+        expr("greatest(0, (icept_e6 + slope_e6 * n_days) DIV 1000000) " +
+          "* idx_bp DIV 10000").as("pred_adj"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsForecastSql: String = {
+    // the trend and seasonality CTE chains verbatim, composed at the end
+    val trendCtes = Analytics.eventsTrendSql
+      .replaceFirst("(?s)^WITH ", "").replaceFirst("(?s)\\)\\s*SELECT.*$", ")")
+    s"""WITH $trendCtes, coefs AS (
+      |  SELECT event_type, n_days,
+      |    CAST((n_days * sxy - sx * total_events) * 1000000 //
+      |      (n_days * sxx - sx * sx) AS BIGINT) AS slope_e6,
+      |    CAST((total_events * 1000000 - ((n_days * sxy - sx * total_events)
+      |      * 1000000 // (n_days * sxx - sx * sx)) * sx) // n_days AS BIGINT)
+      |      AS icept_e6
+      |  FROM sums
+      |), scounts AS (
+      |  SELECT event_type,
+      |    CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS BIGINT) AS dow,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2
+      |), sdense AS (
+      |  SELECT t.event_type, g.dow, coalesce(c.n, 0) AS n
+      |  FROM (SELECT DISTINCT event_type FROM scounts) t
+      |  CROSS JOIN (SELECT unnest(range(0, 7)) AS dow) g
+      |  LEFT JOIN scounts c ON c.event_type = t.event_type AND c.dow = g.dow
+      |), season AS (
+      |  SELECT event_type, dow,
+      |    CAST(n * 70000 // (sum(n) OVER (PARTITION BY event_type)) AS BIGINT)
+      |      AS idx_bp
+      |  FROM sdense
+      |), sp AS (
+      |  SELECT CAST(max(epoch_us(ts) // 86400000000) AS BIGINT) AS d1 FROM events
+      |)
+      |SELECT c.event_type, sp.d1 + 1 AS next_day,
+      |  CAST((sp.d1 + 1 + 3) % 7 AS BIGINT) AS dow, c.slope_e6,
+      |  CAST(greatest(0, (c.icept_e6 + c.slope_e6 * c.n_days) // 1000000)
+      |    AS BIGINT) AS pred_trend,
+      |  CAST(greatest(0, (c.icept_e6 + c.slope_e6 * c.n_days) // 1000000)
+      |    * s.idx_bp // 10000 AS BIGINT) AS pred_adj
+      |FROM coefs c CROSS JOIN sp
+      |JOIN season s ON s.event_type = c.event_type
+      |  AND s.dow = (sp.d1 + 1 + 3) % 7
+      |ORDER BY c.event_type""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_lifecycle"   -> (eventsLifecycle _),
-    "events_seasonality" -> (eventsSeasonality _))
+    "events_seasonality" -> (eventsSeasonality _),
+    "events_forecast"    -> (eventsForecast _))
 
   val oracle: Map[String, String] = Map(
     "events_lifecycle"   -> eventsLifecycleSql,
-    "events_seasonality" -> eventsSeasonalitySql)
+    "events_seasonality" -> eventsSeasonalitySql,
+    "events_forecast"    -> eventsForecastSql)
 }

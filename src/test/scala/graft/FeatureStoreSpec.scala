@@ -617,4 +617,39 @@ class FeatureStoreSpec extends SparkSpecBase {
     }
     assert(ex.getMessage.contains("not found in on-demand view odx"))
   }
+
+  test("getTrainingSet: backward features + forward bounded label, leakage-free") {
+    val labels = Seq(
+      (1L, ts("2024-01-03 12:00:00"), 42.0),   // within 2 d of row 100's ts
+      (1L, ts("2024-01-04 00:00:00"), 43.0),   // later — must NOT be picked
+      (2L, ts("2024-01-09 00:00:00"), 50.0))   // > 2 d after row 103's ts
+      .toDF("user_id", "ts", "amount")
+    labels.write.mode("overwrite").parquet(s"$workDir/purchases")
+    store.registry.applyTable(FeatureTable(
+      name = "purchases", entities = Seq("user_id"),
+      features = Seq(Feature("amount", ValueKind.DoubleK)),
+      maxAgeSec = None, eventTsCol = "ts",
+      batchSourcePath = Some(s"$workDir/purchases")))
+    val entities = Seq(
+      (1L, ts("2024-01-03 00:00:00"), 100L),
+      (2L, ts("2024-01-03 00:00:00"), 103L),
+      (3L, ts("2024-01-03 00:00:00"), 104L))
+      .toDF("user_id", "event_timestamp", "row_id")
+    val out = store.getTrainingSet(entities, "event_timestamp",
+        Seq(FeatureRef("activity", "value")),
+        FeatureRef("purchases", "amount"), labelWindowSec = 2L * 86400)
+      .collect().map(r => r.getAs[Long]("row_id") ->
+        ((Option(r.getAs[java.lang.Double]("activity__value")),
+          r.getAs[Long]("label"),
+          Option(r.getAs[java.lang.Double]("purchases__amount")),
+          Option(r.getAs[Timestamp]("purchases__label_ts"))))).toMap
+    // row 100: feature is the value BEFORE ts (10.0, not the 01-05 one);
+    // label is the FIRST purchase within the 2-day window (42.0, not 43.0)
+    assert(out(100L) == ((Some(10.0), 1L, Some(42.0),
+      Some(ts("2024-01-03 12:00:00")))))
+    // row 103: user 2's only purchase falls outside the window → unlabeled
+    assert(out(103L) == ((Some(20.0), 0L, None, None)))
+    // row 104: unknown entity — no features, no label
+    assert(out(104L) == ((None, 0L, None, None)))
+  }
 }

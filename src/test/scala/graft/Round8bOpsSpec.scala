@@ -177,6 +177,62 @@ class Round8bOpsSpec extends SparkSpecBase {
     assert(got("e") == ((1L, 0L, 0L, 0L)))
   }
 
+  test("events_forecast: exactly the trend × seasonality composition, slope replay on a linear series") {
+    // type "lin": a clean linear ramp 10+2d events on days 0..6 → the OLS
+    // fit is exact (slope 2e6, icept 10e6) and the day-7 trend forecast is
+    // 10+2·7 = 24 before dow adjustment
+    val mon = java.time.LocalDate.of(2024, 1, 1).toEpochDay * 86400L // Monday
+    var id = 0L
+    val lin = (0 to 6).flatMap { d =>
+      (1 to (10 + 2 * d)).map { _ =>
+        id += 1; (id, mon + d * 86400L + id % 3600, (id % 50) + 1, "lin", 0.0)
+      }
+    }
+    val noise = (0 to 6).flatMap { d =>
+      (1 to (1 + (d * 3) % 5)).map { _ =>
+        id += 1; (id, mon + d * 86400L + id % 3600, (id % 50) + 1, "noisy", 0.0)
+      }
+    }
+    val ev = evDf(lin ++ noise)
+    val fc = graft.operators.Growth.eventsForecastOf(ev).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val linRow = fc("lin")
+    assert(linRow.getAs[Long]("slope_e6") == 2000000L)
+    assert(linRow.getAs[Long]("pred_trend") == 24L)
+    assert(linRow.getAs[Long]("dow") == 0L, "day 7 after a Monday start is a Monday")
+    // composition pin: every row equals the formula over the two component
+    // ops' own outputs (no independent arithmetic path)
+    val trend = graft.operators.Analytics.eventsTrendOf(ev).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("slope_e6"), r.getAs[Long]("icept_e6")))).toMap
+    val season = graft.operators.Growth.eventsSeasonalityOf(ev).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("dow")) ->
+        r.getAs[Long]("idx_bp")).toMap
+    fc.values.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val (nDays, slope, icept) = trend(t)
+      val predTrend = math.max(0L, Math.floorDiv(icept + slope * nDays, 1000000L))
+      assert(r.getAs[Long]("pred_trend") == predTrend, s"$t pred_trend")
+      val idx = season((t, r.getAs[Long]("dow")))
+      assert(r.getAs[Long]("pred_adj") == Math.floorDiv(predTrend * idx, 10000L), s"$t pred_adj")
+    }
+  }
+
+  test("graph_reciprocity: mutual, one-way and isolated nodes") {
+    val (nodes, edges) = graphDf(Seq("a", "b", "c", "d", "e"), Seq(
+      ("a", "b", 5L), ("b", "a", 5L), ("a", "c", 5L),
+      ("c", "d", 5L), ("d", "c", 5L), ("a", "a", 9L))) // self-loop dropped
+    val got = GraphOps.graphReciprocityOf(nodes, edges).collect()
+      .map(r => r.getAs[String]("nation") ->
+        ((r.getAs[Long]("out_deg"), r.getAs[Long]("in_deg"),
+          r.getAs[Long]("n_recip"), r.getAs[Long]("recip_bp")))).toMap
+    assert(got("a") == ((2L, 1L, 1L, 5000L)))
+    assert(got("b") == ((1L, 1L, 1L, 10000L)))
+    assert(got("c") == ((1L, 2L, 1L, 10000L)))
+    assert(got("d") == ((1L, 1L, 1L, 10000L)))
+    assert(got("e") == ((0L, 0L, 0L, 0L)))
+  }
+
   test("graph_triangles: degree-oriented enumeration equals brute force on random graphs") {
     val rnd = new scala.util.Random(88)
     for (trial <- 1 to 6) {
