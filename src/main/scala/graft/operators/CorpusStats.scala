@@ -562,9 +562,92 @@ object CorpusStats {
       |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Code-vs-prose detection — the routing signal a mixed web corpus needs
+    * before language-specific pipelines (code wants its own dedup
+    * granularity, quality rules and mixing weight; prose filters mangle
+    * it): per doc, exact-integer code signals — code-symbol density
+    * ({}();=<>[] per char), indented-line fraction (≥2 spaces or tab),
+    * distinct programming keywords present (15-word set), and
+    * camelCase/snake_case identifier fraction — plus an is_code flag from
+    * a documented rule (symbols+keywords, or heavy indentation, or
+    * identifiers+a keyword). A heuristic by construction (like langid's
+    * stopword votes), but an engine-exact one: every signal is a count or
+    * truncating-DIV bp, so the flag needs no margin discipline.
+    *
+    * Plan: doc-local narrow scan, zero shuffles before the gate sort. */
+  def textCodeDetect(spark: SparkSession, dir: String): DataFrame =
+    textCodeDetectOf(Tables.documents(spark, dir))
+
+  private val codeKeywords = Seq("def", "return", "import", "class", "function",
+    "const", "var", "void", "int", "for", "while", "if", "else", "public", "static")
+
+  def textCodeDetectOf(docs: DataFrame): DataFrame = {
+    val nChars = greatest(length(col("text")).cast("long"), lit(1L))
+    val nWords = size(org.apache.spark.sql.functions.expr(
+      "regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
+    val nLines = size(split(col("text"), "\n", -1)).cast("long")
+    val nSym = size(regexp_extract_all(col("text"),
+      lit("[{}();=<>\\[\\]]"), lit(0))).cast("long")
+    val nIndent = org.apache.spark.sql.functions.expr(
+      "size(filter(split(text, '\\n', -1), x -> x rlike '^(  |\\t)'))").cast("long")
+    // camelCase bump or an inner underscore between alphanumerics —
+    // deliberately unanchored: identifiers arrive wrapped in call syntax
+    // ("parse_args(argv);" is one \S+ token)
+    val nIdent = org.apache.spark.sql.functions.expr(
+      "size(filter(regexp_extract_all(text, '\\\\S+', 0), " +
+        "x -> x rlike '[a-z][A-Z]|[A-Za-z0-9]_[A-Za-z0-9]'))").cast("long")
+    val nKw = codeKeywords.map(k =>
+      when(col("text").rlike(s"\\b$k\\b"), 1L).otherwise(0L)).reduce(_ + _)
+    docs
+      .select(col("doc_id"), nChars.as("nc"), greatest(nWords, lit(1L)).as("nw"),
+        nLines.as("nl"), nSym.as("n_sym"), nIndent.as("n_indent"),
+        nIdent.as("n_ident"), nKw.as("n_kw"))
+      .select(col("doc_id"), col("n_kw"),
+        expr("n_sym * 10000 DIV nc").as("sym_bp"),
+        expr("n_indent * 10000 DIV nl").as("indent_bp"),
+        expr("n_ident * 10000 DIV nw").as("ident_bp"))
+      .withColumn("is_code",
+        ((col("sym_bp") >= 250L && col("n_kw") >= 2L) ||
+          col("indent_bp") >= 3000L ||
+          (col("ident_bp") >= 1000L && col("n_kw") >= 1L)).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textCodeDetectSql: String = {
+    val kws = codeKeywords.map(k =>
+      s"CASE WHEN regexp_matches(text, '\\b$k\\b') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sig AS (
+      |  SELECT doc_id,
+      |    greatest(CAST(length(text) AS BIGINT), 1) AS nc,
+      |    greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT), 1) AS nw,
+      |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS nl,
+      |    CAST(len(regexp_extract_all(text, '[{}();=<>\\[\\]]')) AS BIGINT) AS n_sym,
+      |    CAST(len(list_filter(string_split(text, chr(10)),
+      |      x -> regexp_matches(x, '^(  |\\t)'))) AS BIGINT) AS n_indent,
+      |    CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+      |      x -> regexp_matches(x, '[a-z][A-Z]|[A-Za-z0-9]_[A-Za-z0-9]')))
+      |      AS BIGINT) AS n_ident,
+      |    CAST($kws AS BIGINT) AS n_kw
+      |  FROM documents
+      |), bp AS (
+      |  SELECT doc_id, n_kw,
+      |    CAST(n_sym * 10000 // nc AS BIGINT) AS sym_bp,
+      |    CAST(n_indent * 10000 // nl AS BIGINT) AS indent_bp,
+      |    CAST(n_ident * 10000 // nw AS BIGINT) AS ident_bp
+      |  FROM sig
+      |)
+      |SELECT doc_id, n_kw, sym_bp, indent_bp, ident_bp,
+      |  CAST(CASE WHEN (sym_bp >= 250 AND n_kw >= 2) OR indent_bp >= 3000
+      |    OR (ident_bp >= 1000 AND n_kw >= 1) THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_code
+      |FROM bp ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_gopher_filter" -> (corpusGopherFilter _),
     "text_ttr"             -> (textTtr _),
+    "text_code_detect"     -> (textCodeDetect _),
     "text_entropy"      -> (textEntropy _),
     "corpus_tfidf_topk" -> (corpusTfidfTopk _),
     "corpus_pmi_topk"   -> (corpusPmiTopk _),
@@ -575,6 +658,7 @@ object CorpusStats {
   val oracle: Map[String, String] = Map(
     "corpus_gopher_filter" -> corpusGopherFilterSql,
     "text_ttr"             -> textTtrSql,
+    "text_code_detect"     -> textCodeDetectSql,
     "text_entropy"      -> textEntropySql,
     "corpus_tfidf_topk" -> corpusTfidfTopkSql,
     "corpus_pmi_topk"   -> corpusPmiTopkSql,

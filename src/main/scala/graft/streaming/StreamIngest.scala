@@ -651,6 +651,63 @@ object StreamIngest {
       }
   }
 
+  final case class RetentionContrib(user_id: Long, cohort_wk: Long,
+    week_offset: Long, delta: Long)
+
+  /** Streaming twin of weekly cohort retention
+    * ([[graft.operators.Analytics.eventsRetention]]): per-user DELTA
+    * contributions (cohort_week, week_offset, ±1) whose per-(cohort,
+    * offset) fold equals the batch triangle's distinct-user counts under
+    * any batching. Weeks are the Monday-truncated epoch-week index
+    * (floorDiv(epoch_day + 3, 7) — 1970-01-01 was a Thursday), the same
+    * buckets `date_trunc('week')` yields.
+    *
+    * The hard case is COHORT REASSIGNMENT: a user's cohort is their
+    * earliest active week, and a late event from an earlier week moves it
+    * — every previously emitted (cohort, offset) pair for that user is
+    * then wrong, because offsets are relative to the cohort. State is the
+    * user's sorted active-week set; when the minimum drops, the user's
+    * whole triangle row retracts (−1 per old pair) and re-emits against
+    * the new cohort — O(weeks-per-user) work, bounded by the calendar
+    * horizon, only on the rare reassignment. Otherwise each new active
+    * week costs exactly one (cohort, w − cohort, +1) row. Distinct-count
+    * over users dissolves into a plain delta sum, the
+    * [[activeUsersStream]] discipline. */
+  def retentionStream(events: Dataset[DayEvent], watermark: String = "1 hour")
+      : Dataset[RetentionContrib] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ActiveDaysState, RetentionContrib](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[DayEvent], state: GroupState[ActiveDaysState]) =>
+          // state reuses ActiveDaysState, holding WEEK indexes
+          val seen = state.getOption.map(_.srcDays.toSet).getOrElse(Set.empty[Long])
+          val fresh = rows
+            .map(e => Math.floorDiv(Math.floorDiv(micros(e.ts), 86400000000L) + 3, 7L))
+            .toSet.diff(seen)
+          val out = scala.collection.mutable.ArrayBuffer.empty[RetentionContrib]
+          if (fresh.nonEmpty) {
+            val all = seen ++ fresh
+            val oldMin = if (seen.isEmpty) Long.MaxValue else seen.min
+            val newMin = all.min
+            if (newMin < oldMin) {
+              // cohort reassignment: retract the old triangle row, emit new
+              seen.foreach(w =>
+                out += RetentionContrib(user, oldMin, w - oldMin, -1L))
+              all.foreach(w =>
+                out += RetentionContrib(user, newMin, w - newMin, 1L))
+            } else {
+              fresh.foreach(w =>
+                out += RetentionContrib(user, oldMin, w - oldMin, 1L))
+            }
+            state.update(ActiveDaysState(all.toList.sorted))
+          }
+          out.iterator
+      }
+  }
+
   /** Convenience: run a writer until all currently-available data is
     * processed (test/demo helper; production would use its own trigger). */
   def runOnce(w: DataStreamWriter[Row], checkpoint: String): StreamingQuery =

@@ -236,6 +236,37 @@ object ScaleProbe {
     }
   }
 
+  /** Round-8c probe: the session's event-ledger and doc-local ops over
+    * events/documents replicated ×k. Expectation: lifecycle/label_join/
+    * seasonality/forecast scale with the one fact-sized exchange each
+    * (user-day grain for the ledgers); gopher/ttr are doc-local (ttr pays
+    * its combine-heavy token count). */
+  private def r8cProbe(spark: SparkSession, reps: Seq[Int]): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.1"
+    def time(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val h = df.agg(sum(pmod(xxhash64(struct(col("*"))), lit(1000000007L))))
+        .collect().head.getLong(0)
+      println(f"[scale] $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s h=$h")
+    }
+    for (k <- reps) {
+      def repl(df: DataFrame, idCols: Seq[String]): DataFrame =
+        (0 until k).map { i =>
+          idCols.foldLeft(df)((d, c) =>
+            d.withColumn(c, col(c) + lit(i.toLong * 10000000L)))
+        }.reduce(_ unionByName _)
+      val docs = repl(graft.sources.Tables.documents(spark, dir), Seq("doc_id"))
+      val ev = repl(graft.sources.Tables.events(spark, dir), Seq("event_id", "user_id"))
+      time(s"lifecycle x$k")(graft.operators.Growth.eventsLifecycleOf(ev))
+      time(s"seasonality x$k")(graft.operators.Growth.eventsSeasonalityOf(ev))
+      time(s"forecast x$k")(graft.operators.Growth.eventsForecastOf(ev))
+      time(s"label_join x$k")(graft.operators.FeatureOps.ftLabelJoinOf(ev))
+      time(s"gopher x$k")(graft.operators.CorpusStats.corpusGopherFilterOf(docs))
+      time(s"ttr x$k")(graft.operators.CorpusStats.textTtrOf(docs))
+    }
+  }
+
   /** Scale probe for the multi-join TPC-H shapes: replicate the FACT
     * tables k× with CONSISTENT key shifts (lineitem+orders share the
     * orderkey shift, orders+customer the custkey shift) into a temp dir,
@@ -319,6 +350,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("r8b")) {
       r8bProbe(spark, Seq(1, 10, 30))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("r8c")) {
+      r8cProbe(spark, Seq(1, 10, 30))
       spark.stop()
       return
     }

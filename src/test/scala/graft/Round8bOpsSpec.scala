@@ -218,6 +218,25 @@ class Round8bOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("text_code_detect: code, prose and indented docs route correctly") {
+    val code =
+      "import os\ndef main(argv):\n    return parse_args(argv);\n" +
+      "class Runner:\n    def run(self):\n        for x in self.items:\n" +
+      "            self.handle(x);"
+    val prose = "the quick brown fox jumps over the lazy dog and " * 8
+    val indented = (1 to 10).map(i => s"    step $i of the recipe").mkString("\n")
+    val out = CorpusStats.textCodeDetectOf(docsDf(Seq(
+        1L -> code, 2L -> prose.trim, 3L -> indented))).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("is_code") == 1L, "python-ish doc must flag")
+    assert(out(1L).getAs[Long]("n_kw") >= 4L)  // import, def, return, class, for
+    assert(out(1L).getAs[Long]("ident_bp") > 0L) // parse_args
+    assert(out(2L).getAs[Long]("is_code") == 0L, "prose must not flag")
+    assert(out(2L).getAs[Long]("sym_bp") == 0L)
+    assert(out(3L).getAs[Long]("is_code") == 1L, "heavy indentation flags")
+    assert(out(3L).getAs[Long]("indent_bp") == 10000L)
+  }
+
   test("graph_reciprocity: mutual, one-way and isolated nodes") {
     val (nodes, edges) = graphDf(Seq("a", "b", "c", "d", "e"), Seq(
       ("a", "b", 5L), ("b", "a", 5L), ("a", "c", 5L),

@@ -772,6 +772,70 @@ class StreamIngestSpec extends SparkSpecBase {
     }
   }
 
+  test("retentionStream: a late earlier week reassigns the cohort with exact retraction") {
+    val dir = Files.createTempDirectory("graft-stream-rt1").toString
+    val input = MemoryStream[StreamIngest.DayEvent](spark)
+    val q = StreamIngest.retentionStream(input.toDS(), watermark = "720 hours")
+      .writeStream.format("memory").queryName("rt_bridge")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    // weeks are Monday-anchored; 2024-05-06 is a Monday
+    val monMs = ts("2024-05-06 00:00:00").getTime
+    def ev(week: Long) = StreamIngest.DayEvent(3L,
+      new Timestamp(monMs + week * 7 * 86400000L + 3600000L))
+    // weeks 2 and 4 first (cohort 2), then the LATE week 0 event
+    Seq(Seq(ev(2)), Seq(ev(4)), Seq(ev(0))).foreach { b =>
+      input.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val wk0 = Math.floorDiv(monMs / 86400000L + 3, 7)
+    val folded = spark.table("rt_bridge").collect()
+      .groupBy(r => (r.getAs[Long]("cohort_wk"), r.getAs[Long]("week_offset")))
+      .view.mapValues(_.map(_.getAs[Long]("delta")).sum)
+      .filter(_._2 != 0L).toMap
+    assert(folded == Map(
+      (wk0, 0L) -> 1L, (wk0, 2L) -> 1L, (wk0, 4L) -> 1L), s"got $folded")
+  }
+
+  test("retentionStream: folded deltas equal the batch retention triangle under shuffled batching") {
+    val rnd = new scala.util.Random(59)
+    val baseMs = ts("2024-04-01 00:00:00").getTime
+    val all = (1L to 12L).flatMap { u =>
+      (0 until (2 + rnd.nextInt(10))).map { _ =>
+        StreamIngest.DayEvent(u,
+          new Timestamp(baseMs + rnd.nextInt(9 * 7 * 24) * 3600L * 1000L))
+      }
+    }
+    val shuffled = rnd.shuffle(all)
+    val dir = Files.createTempDirectory("graft-stream-rt2").toString
+    val input = MemoryStream[StreamIngest.DayEvent](spark)
+    val q = StreamIngest.retentionStream(input.toDS(), watermark = "2160 hours")
+      .writeStream.format("memory").queryName("rt_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    shuffled.grouped(1 + shuffled.size / 5).foreach { b =>
+      input.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val folded = spark.table("rt_out").collect()
+      .groupBy(r => (r.getAs[Long]("cohort_wk"), r.getAs[Long]("week_offset")))
+      .view.mapValues(_.map(_.getAs[Long]("delta")).sum)
+      .filter(_._2 != 0L).toMap
+    import spark.implicits._
+    val batch = graft.operators.Analytics.eventsRetentionOf(
+        all.toDF("user_id", "ts")).collect()
+      .map { r =>
+        val cw = r.getAs[Timestamp]("cohort_week")
+        val wkIdx = Math.floorDiv(cw.getTime / 86400000L + 3, 7)
+        (wkIdx, r.getAs[Long]("week_offset")) -> r.getAs[Long]("n_users")
+      }.toMap
+    assert(batch.nonEmpty)
+    assert(folded == batch,
+      s"stream fold diverges: extra=${folded.keySet -- batch.keySet} missing=${batch.keySet -- folded.keySet}")
+  }
+
   test("lifecycleStream: late island-bridging day retracts class and churn exactly") {
     val dir = Files.createTempDirectory("graft-stream-lc1").toString
     val input = MemoryStream[StreamIngest.DayEvent](spark)
