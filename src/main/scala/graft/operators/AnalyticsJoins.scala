@@ -628,7 +628,72 @@ object AnalyticsJoins {
       |CROSS JOIN n
       |ORDER BY lift_e4 DESC, part_a, part_b LIMIT 20""".stripMargin
 
+  /** Customer revenue deciles — the wallet-segmentation report, done with
+    * the SCALABLE ntile: a naive `ntile(10) OVER (ORDER BY rev)` is a
+    * single global sort partition holding every customer (the
+    * corpus_ppl_bucket problem on the customer domain). Instead customers
+    * aggregate to $100 revenue BINS (cardinality bounded by the VALUE
+    * RANGE, not the customer count), cumulative counts run over bins, a
+    * bin's decile = cum_before·10 DIV n_total, and equal-revenue-bin
+    * customers share fate by construction (a tie-split ntile is
+    * nondeterministic across engines anyway). Customers without orders
+    * count at revenue 0 — decile 0 must hold the inactive mass, or the
+    * report overstates the low deciles' spend.
+    *
+    * All money exact integer cents (2-dp contract); per-decile avg is the
+    * truncating DIV. Plan: one custkey exchange for the revenue rollup,
+    * then everything is bin/decile-grain. */
+  def qRevenueDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(Tables.orders(spark, dir).select(col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(coalesce(sum(col("cents")), lit(0L)).as("rev_c"))
+      .withColumn("bin", expr("rev_c DIV 10000"))
+    val bins = rev.groupBy(col("bin"))
+      .agg(count(lit(1)).as("bin_n"), sum(col("rev_c")).as("bin_rev"))
+    val w = Window.orderBy(col("bin")) // bin-grain rows only: value-range bounded
+    bins
+      .withColumn("cum_before",
+        coalesce(sum(col("bin_n")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_total", sum(col("bin_n")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("decile", expr("cum_before * 10 DIV n_total"))
+      .groupBy(col("decile"))
+      .agg(sum(col("bin_n")).as("n_customers"), sum(col("bin_rev")).as("sum_rev_c"))
+      .withColumn("avg_rev_c", expr("sum_rev_c DIV n_customers"))
+      .orderBy(col("decile"))
+  }
+
+  val qRevenueDecilesSql: String =
+    """WITH rev AS (
+      |  SELECT c.c_custkey,
+      |    CAST(coalesce(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)), 0)
+      |      AS BIGINT) AS rev_c
+      |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1
+      |), bins AS (
+      |  SELECT rev_c // 10000 AS bin, CAST(count(*) AS BIGINT) AS bin_n,
+      |    CAST(sum(rev_c) AS BIGINT) AS bin_rev
+      |  FROM rev GROUP BY 1
+      |), cum AS (
+      |  SELECT bin, bin_n, bin_rev,
+      |    CAST(coalesce(sum(bin_n) OVER (ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cum_before,
+      |    CAST(sum(bin_n) OVER () AS BIGINT) AS n_total
+      |  FROM bins
+      |)
+      |SELECT CAST(cum_before * 10 // n_total AS BIGINT) AS decile,
+      |  CAST(sum(bin_n) AS BIGINT) AS n_customers,
+      |  CAST(sum(bin_rev) AS BIGINT) AS sum_rev_c,
+      |  CAST(sum(bin_rev) // sum(bin_n) AS BIGINT) AS avg_rev_c
+      |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_revenue_deciles" -> (qRevenueDeciles _),
     "q_basket_pairs"    -> (qBasketPairs _),
     "q_nation_volume"   -> (qNationVolume _),
     "q_correlated_agg"  -> (qCorrelatedAgg _),
@@ -643,6 +708,7 @@ object AnalyticsJoins {
     "q_returned_items"  -> (qReturnedItems _))
 
   val oracle: Map[String, String] = Map(
+    "q_revenue_deciles" -> qRevenueDecilesSql,
     "q_basket_pairs"    -> qBasketPairsSql,
     "q_nation_volume"   -> qNationVolumeSql,
     "q_correlated_agg"  -> qCorrelatedAggSql,

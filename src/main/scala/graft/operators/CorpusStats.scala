@@ -644,10 +644,61 @@ object CorpusStats {
       |FROM bp ORDER BY doc_id""".stripMargin
   }
 
+  /** Residual-markup detection — the boilerplate-extraction audit (a web
+    * corpus whose HTML stripper missed a subtree ships tag soup into
+    * training; distinct from [[textCodeDetect]]: markup is structure that
+    * should have been REMOVED, code is content that should be ROUTED):
+    * per doc, counts of HTML-ish tags (<...>), character entity
+    * references (&amp;-style, numeric included), and http(s) URLs, plus
+    * tag density per char and an is_markup flag from a documented rule
+    * (tag density, or repeated entities, or tags alongside links). Exact
+    * integers throughout; one doc-local narrow pass, zero shuffles. */
+  def textMarkupDetect(spark: SparkSession, dir: String): DataFrame =
+    textMarkupDetectOf(Tables.documents(spark, dir))
+
+  def textMarkupDetectOf(docs: DataFrame): DataFrame = {
+    val nChars = greatest(length(col("text")).cast("long"), lit(1L))
+    val nTags = size(regexp_extract_all(col("text"),
+      lit("</?[A-Za-z][^>]*>"), lit(0))).cast("long")
+    val nEnts = size(regexp_extract_all(col("text"),
+      lit("&[A-Za-z]+;|&#[0-9]+;"), lit(0))).cast("long")
+    val nLinks = size(regexp_extract_all(col("text"),
+      lit("https?://[^\\s]+"), lit(0))).cast("long")
+    docs
+      .select(col("doc_id"), nChars.as("nc"), nTags.as("n_tags"),
+        nEnts.as("n_entities"), nLinks.as("n_links"))
+      .select(col("doc_id"), col("n_tags"), col("n_entities"), col("n_links"),
+        expr("n_tags * 10000 DIV nc").as("tag_bp"))
+      .withColumn("is_markup",
+        (col("tag_bp") >= 100L || col("n_entities") >= 3L ||
+          (col("n_tags") >= 2L && col("n_links") >= 1L)).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textMarkupDetectSql: String =
+    """WITH sig AS (
+      |  SELECT doc_id,
+      |    greatest(CAST(length(text) AS BIGINT), 1) AS nc,
+      |    CAST(len(regexp_extract_all(text, '</?[A-Za-z][^>]*>')) AS BIGINT)
+      |      AS n_tags,
+      |    CAST(len(regexp_extract_all(text, '&[A-Za-z]+;|&#[0-9]+;')) AS BIGINT)
+      |      AS n_entities,
+      |    CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT)
+      |      AS n_links
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_tags, n_entities, n_links,
+      |  CAST(n_tags * 10000 // nc AS BIGINT) AS tag_bp,
+      |  CAST(CASE WHEN n_tags * 10000 // nc >= 100 OR n_entities >= 3
+      |    OR (n_tags >= 2 AND n_links >= 1) THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_markup
+      |FROM sig ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_gopher_filter" -> (corpusGopherFilter _),
     "text_ttr"             -> (textTtr _),
     "text_code_detect"     -> (textCodeDetect _),
+    "text_markup_detect"   -> (textMarkupDetect _),
     "text_entropy"      -> (textEntropy _),
     "corpus_tfidf_topk" -> (corpusTfidfTopk _),
     "corpus_pmi_topk"   -> (corpusPmiTopk _),
@@ -659,6 +710,7 @@ object CorpusStats {
     "corpus_gopher_filter" -> corpusGopherFilterSql,
     "text_ttr"             -> textTtrSql,
     "text_code_detect"     -> textCodeDetectSql,
+    "text_markup_detect"   -> textMarkupDetectSql,
     "text_entropy"      -> textEntropySql,
     "corpus_tfidf_topk" -> corpusTfidfTopkSql,
     "corpus_pmi_topk"   -> corpusPmiTopkSql,

@@ -258,13 +258,68 @@ object Growth {
       |ORDER BY c.event_type""".stripMargin
   }
 
+  /** A/B experiment readout over a DETERMINISTIC hash split — the
+    * experimentation primitive (assignment must be a pure function of the
+    * user id so every pipeline, engine and re-run lands each user in the
+    * same arm; random assignment is unjoinable and unauditable): arm =
+    * [[TextAnalysis.idHash]](user_id) mod 2 (the overflow-free mod-p
+    * affine mix, one-line DuckDB mirror), conversion = the user had ≥1
+    * purchase. One summary row: per-arm user/converter counts, conversion
+    * in exact bp, and the A−B lift in bp (negative when B wins —
+    * differences of truncating-DIV bps, engine-exact; significance
+    * testing needs only these four cells and stays in the consumer's
+    * hands). Plan: one user_id partial-aggregated rollup (the only
+    * fact-sized exchange), then a 2-row conditional-aggregate pivot. */
+  def eventsAbLift(spark: SparkSession, dir: String): DataFrame =
+    eventsAbLiftOf(Tables.events(spark, dir))
+
+  def eventsAbLiftOf(ev: DataFrame): DataFrame = {
+    val users = ev
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .withColumn("arm", pmod(TextAnalysis.idHash(col("user_id")), lit(2)).cast("long"))
+    users.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        expr("conv_a * 10000 DIV greatest(n_a, 1)").as("conv_a_bp"),
+        expr("conv_b * 10000 DIV greatest(n_b, 1)").as("conv_b_bp"))
+      .withColumn("lift_bp", col("conv_a_bp") - col("conv_b_bp"))
+  }
+
+  val eventsAbLiftSql: String = {
+    val arm = s"(${TextAnalysis.idHashSql("user_id")} % 2)"
+    s"""WITH u AS (
+      |  SELECT user_id, CAST($arm AS BIGINT) AS arm,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY 1, 2
+      |), cells AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+      |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM u
+      |)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |  CAST(conv_a * 10000 // greatest(n_a, 1) AS BIGINT) AS conv_a_bp,
+      |  CAST(conv_b * 10000 // greatest(n_b, 1) AS BIGINT) AS conv_b_bp,
+      |  CAST(conv_a * 10000 // greatest(n_a, 1)
+      |    - conv_b * 10000 // greatest(n_b, 1) AS BIGINT) AS lift_bp
+      |FROM cells""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_lifecycle"   -> (eventsLifecycle _),
     "events_seasonality" -> (eventsSeasonality _),
-    "events_forecast"    -> (eventsForecast _))
+    "events_forecast"    -> (eventsForecast _),
+    "events_ab_lift"     -> (eventsAbLift _))
 
   val oracle: Map[String, String] = Map(
     "events_lifecycle"   -> eventsLifecycleSql,
     "events_seasonality" -> eventsSeasonalitySql,
-    "events_forecast"    -> eventsForecastSql)
+    "events_forecast"    -> eventsForecastSql,
+    "events_ab_lift"     -> eventsAbLiftSql)
 }

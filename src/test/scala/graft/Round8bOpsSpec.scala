@@ -237,6 +237,67 @@ class Round8bOpsSpec extends SparkSpecBase {
     assert(out(3L).getAs[Long]("indent_bp") == 10000L)
   }
 
+  test("text_markup_detect: tag soup flags, clean prose and bare links don't") {
+    val soup = "<div class=\"x\"><p>Hello &amp; welcome</p>&nbsp;&nbsp;" +
+      "<a href=\"http://e.com\">here</a></div>"
+    val clean = "a perfectly ordinary paragraph about nothing much at all " * 4
+    val linky = "read this: https://example.com/post and move on " * 3
+    val out = CorpusStats.textMarkupDetectOf(docsDf(Seq(
+        1L -> soup, 2L -> clean.trim, 3L -> linky.trim))).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("is_markup") == 1L)
+    assert(out(1L).getAs[Long]("n_tags") == 6L)      // div p /p a /a /div
+    assert(out(1L).getAs[Long]("n_entities") == 3L)  // &amp; &nbsp; &nbsp;
+    assert(out(1L).getAs[Long]("n_links") == 1L)
+    assert(out(2L).getAs[Long]("is_markup") == 0L)
+    assert(out(2L).getAs[Long]("n_tags") == 0L)
+    assert(out(3L).getAs[Long]("is_markup") == 0L, "links alone are not markup")
+    assert(out(3L).getAs[Long]("n_links") == 3L)
+  }
+
+  test("events_ab_lift: cells replay from the assignment hash, user-grain conversion") {
+    val ev = evDf((1L to 40L).flatMap { u =>
+      // every user clicks; users with u % 3 == 0 also purchase
+      Seq((u * 10, 1000L + u, u, "click", 0.0)) ++
+        (if (u % 3 == 0) Seq((u * 10 + 1, 2000L + u, u, "purchase", 1.0)) else Nil)
+    })
+    val row = graft.operators.Growth.eventsAbLiftOf(ev).head()
+    // replay assignment through the production hash column itself
+    import spark.implicits._
+    val arms = (1L to 40L).toDF("user_id")
+      .select(col("user_id"),
+        pmod(graft.operators.TextAnalysis.idHash(col("user_id")), lit(2))
+          .cast("long").as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aUsers = (1L to 40L).filter(arms(_) == 0L)
+    val bUsers = (1L to 40L).filter(arms(_) == 1L)
+    assert(row.getAs[Long]("n_a") == aUsers.size.toLong)
+    assert(row.getAs[Long]("n_b") == bUsers.size.toLong)
+    assert(row.getAs[Long]("conv_a") == aUsers.count(_ % 3 == 0).toLong)
+    assert(row.getAs[Long]("conv_b") == bUsers.count(_ % 3 == 0).toLong)
+    val expBp = (u: Seq[Long]) =>
+      u.count(_ % 3 == 0).toLong * 10000 / math.max(u.size.toLong, 1L)
+    assert(row.getAs[Long]("conv_a_bp") == expBp(aUsers))
+    assert(row.getAs[Long]("lift_bp") == expBp(aUsers) - expBp(bUsers))
+    assert(row.getAs[Long]("n_a") + row.getAs[Long]("n_b") == 40L)
+  }
+
+  test("q_revenue_deciles: partition of the customer base, monotone spend") {
+    val rows = graft.operators.AnalyticsJoins.qRevenueDeciles(spark, sfDir).collect()
+    val nCust = spark.read.parquet(s"$sfDir/customer.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust,
+      "deciles must partition the whole customer base, inactive included")
+    assert(rows.forall(r => r.getAs[Long]("decile") >= 0 && r.getAs[Long]("decile") <= 9))
+    val byDecile = rows.sortBy(_.getAs[Long]("decile"))
+    val avgs = byDecile.map(_.getAs[Long]("avg_rev_c"))
+    assert(avgs.zip(avgs.tail).forall { case (a, b) => a <= b },
+      "average spend must be nondecreasing across deciles")
+    byDecile.foreach { r =>
+      assert(r.getAs[Long]("sum_rev_c") / r.getAs[Long]("n_customers")
+        == r.getAs[Long]("avg_rev_c"))
+    }
+  }
+
   test("graph_reciprocity: mutual, one-way and isolated nodes") {
     val (nodes, edges) = graphDf(Seq("a", "b", "c", "d", "e"), Seq(
       ("a", "b", 5L), ("b", "a", 5L), ("a", "c", 5L),
