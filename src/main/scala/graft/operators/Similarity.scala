@@ -1643,7 +1643,72 @@ object Similarity {
       |SELECT vec_id, CAST(comp AS BIGINT) AS comp, CAST(sum(term) AS BIGINT) AS dot_q
       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Embedding distribution drift between two vector cohorts — the
+    * model-rollout monitoring pass ([[embedCentroidStats]] says where each
+    * label's centroid IS; this says how far it MOVED between cohorts —
+    * a re-embedded corpus half, a new encoder version, this week vs
+    * last): cohort = vec_id parity (the deterministic stand-in for the
+    * production snapshot pair; the operator body takes any 0/1 cohort
+    * column). Per label: per-dimension mean shift in e3 units
+    * (sum_q DIV n per cohort, truncating — engine-exact on the
+    * e3-quantized sums, the [[embedCovariance]] discipline), rolled up to
+    * the squared-L2 shift and the worst single dimension. A drift
+    * threshold stays in the consumer's hands; the gate ships the exact
+    * statistics.
+    *
+    * Plan: ONE posexplode pass partial-aggregates to (label, dim) rows
+    * with both cohorts' sums as conditional aggregates — no self-join of
+    * the embedding table, no second scan — then a labels-sized rollup. */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame =
+    embedDriftOf(Tables.embeddings(spark, dir))
+
+  def embedDriftOf(emb: DataFrame): DataFrame = {
+    val perDim = emb
+      .select(col("label"), pmod(col("vec_id"), lit(2)).cast("long").as("half"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("q", round(col("x").cast("double") * 1000).cast("long"))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("half") === 0, col("q")).otherwise(0L)).as("sum_a"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("half") === 1, col("q")).otherwise(0L)).as("sum_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("d_e3", expr("sum_a DIV n_a - sum_b DIV n_b"))
+    perDim.groupBy(col("label"))
+      .agg(
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(col("d_e3") * col("d_e3")).as("shift_sq_e6"),
+        max(abs(col("d_e3"))).as("max_abs_e3"))
+      .select(col("label").cast("long").as("label"), col("n_a"), col("n_b"),
+        col("shift_sq_e6"), col("max_abs_e3"))
+      .orderBy(col("label"))
+  }
+
+  val embedDriftSql: String =
+    """WITH q AS (
+      |  SELECT label, CAST(vec_id % 2 AS BIGINT) AS half, i::INT - 1 AS dim,
+      |    round(embedding[i]::DOUBLE * 1000)::BIGINT AS q
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+      |), per_dim AS (
+      |  SELECT label, dim,
+      |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN half = 0 THEN q ELSE 0 END) AS BIGINT) AS sum_a,
+      |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN half = 1 THEN q ELSE 0 END) AS BIGINT) AS sum_b
+      |  FROM q GROUP BY 1, 2
+      |), d AS (
+      |  SELECT label, n_a, n_b, sum_a // n_a - sum_b // n_b AS d_e3
+      |  FROM per_dim WHERE n_a > 0 AND n_b > 0
+      |)
+      |SELECT CAST(label AS BIGINT) AS label,
+      |  CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+      |  CAST(sum(d_e3 * d_e3) AS BIGINT) AS shift_sq_e6,
+      |  CAST(max(abs(d_e3)) AS BIGINT) AS max_abs_e3
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_drift"      -> (embedDrift _),
     "embed_pca"        -> (embedPca _),
     "embed_whiten"     -> (embedWhiten _),
     "knn_graph"        -> (knnGraph _),
@@ -1670,6 +1735,7 @@ object Similarity {
     * make cross-engine hash equality meaningless) — except embed_quantize,
     * whose per-element arithmetic is boundary-exact in both engines. */
   val oracle: Map[String, String] = Map(
+    "embed_drift" -> embedDriftSql,
     "embed_project_oracle" -> embedProjectOracleSql,
     "embed_quantize" -> embedQuantizeSql,
     "embed_centroid_stats" -> embedCentroidStatsSql,

@@ -298,6 +298,25 @@ class Round8bOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("embed_drift: planted centroid shift lands exactly; one-cohort labels drop") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(0.1f, 0.2f), 0),  // cohort A (even ids)
+      (2L, Array(0.1f, 0.2f), 0),
+      (1L, Array(0.1f, 0.25f), 0), // cohort B: dim-1 shifted by +0.05
+      (3L, Array(0.1f, 0.25f), 0),
+      (4L, Array(0.9f, 0.9f), 1))  // label 1 has no cohort-B vectors
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity.embedDriftOf(emb).collect()
+    assert(got.length == 1, "a label present in only one cohort has no drift row")
+    val r = got.head
+    assert(r.getAs[Long]("label") == 0L)
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    // d_e3 per dim: (100-100)=0 and (200-250)=-50 → Σd² = 2500, max |d| = 50
+    assert(r.getAs[Long]("shift_sq_e6") == 2500L)
+    assert(r.getAs[Long]("max_abs_e3") == 50L)
+  }
+
   test("graph_reciprocity: mutual, one-way and isolated nodes") {
     val (nodes, edges) = graphDf(Seq("a", "b", "c", "d", "e"), Seq(
       ("a", "b", 5L), ("b", "a", 5L), ("a", "c", 5L),
