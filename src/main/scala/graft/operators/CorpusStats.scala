@@ -694,7 +694,79 @@ object CorpusStats {
       |    AS is_markup
       |FROM sig ORDER BY doc_id""".stripMargin
 
+  /** Cluster labeling — "what IS semantic cell 0x5b": top-3 TF-IDF terms
+    * per embedding cell, the report a curator reads next to
+    * [[Similarity.corpusSemanticSample]]'s per-cell keep decisions (a
+    * balanced sample of unlabeled clusters is unreviewable). Cells here
+    * are the 8-bit SIGN-BIT code of the first 8 embedding dims — an
+    * engine-exact cell function (raw float sign comparisons, no
+    * arithmetic), the same role the sign-bit quantizer plays for the
+    * corpus_semantic_mix twin: the trained-quantizer variant is this op
+    * with the cell column swapped for the zero-shuffle argmax assignment.
+    * IDF is at CELL grain (ln(n_cells/df_cells)·1e4, the corpus_tfidf
+    * rounding discipline — margins pinned in LogGateMarginSpec), so a
+    * term scores high when frequent in this cell and absent from others.
+    *
+    * Plan: one doc↔cell equi-join (id-keyed), token explode
+    * partial-aggregates to (cell, word) — the fact exchange,
+    * combine-heavy — df/n_cells ride that aggregate (cells×vocab grain),
+    * top-3 window partitions by cell. */
+  def corpusCellTopics(spark: SparkSession, dir: String): DataFrame =
+    corpusCellTopicsOf(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+
+  def corpusCellTopicsOf(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val cellCol = (0 until 8).map(b =>
+      when(element_at(col("embedding"), b + 1) >= 0, 1L << b).otherwise(0L))
+      .reduce(_ + _)
+    val cells = emb.select(col("vec_id"), cellCol.as("cell"))
+    val toks = docs.join(cells, docs("doc_id") === cells("vec_id"))
+      .select(col("cell"),
+        explode(regexp_extract_all(lower(col("text")), lit(word), lit(0))).as("w"))
+    val ctf = toks.groupBy(col("cell"), col("w")).agg(count(lit(1)).as("ctf"))
+    val dfc = ctf.groupBy(col("w")).agg(count(lit(1)).as("df_cells"))
+    val nCells = ctf.select(col("cell")).distinct().agg(count(lit(1)).as("n_cells"))
+    val scored = ctf.join(dfc, "w").crossJoin(broadcast(nCells))
+      .withColumn("idf_e4",
+        round(log(col("n_cells").cast("double") / col("df_cells")) * 10000).cast("long"))
+      .withColumn("score_e4", col("ctf") * col("idf_e4"))
+    val wTop = Window.partitionBy(col("cell"))
+      .orderBy(col("score_e4").desc, col("w"))
+    scored.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select(col("cell"), col("rn").cast("long").as("rn"), col("w"),
+        col("ctf"), col("df_cells"), col("score_e4"))
+      .orderBy(col("cell"), col("rn"))
+  }
+
+  val corpusCellTopicsSql: String = {
+    val cell = (0 until 8).map(b =>
+      s"(CASE WHEN embedding[${b + 1}] >= 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH cells AS (
+      |  SELECT vec_id, CAST($cell AS BIGINT) AS cell FROM embeddings
+      |), tok AS (
+      |  SELECT c.cell, unnest(regexp_extract_all(lower(d.text), '$word')) AS w
+      |  FROM documents d JOIN cells c ON d.doc_id = c.vec_id
+      |), ctf AS (
+      |  SELECT cell, w, CAST(count(*) AS BIGINT) AS ctf FROM tok GROUP BY 1, 2
+      |), dfc AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS df_cells FROM ctf GROUP BY 1
+      |), nc AS (
+      |  SELECT CAST(count(DISTINCT cell) AS BIGINT) AS n_cells FROM ctf
+      |)
+      |SELECT cell, rn, w, ctf, df_cells, score_e4 FROM (
+      |  SELECT c.cell, c.w, c.ctf, d.df_cells,
+      |    c.ctf * CAST(round(ln(n.n_cells::DOUBLE / d.df_cells) * 10000, 0)
+      |      AS BIGINT) AS score_e4,
+      |    row_number() OVER (PARTITION BY c.cell ORDER BY
+      |      c.ctf * CAST(round(ln(n.n_cells::DOUBLE / d.df_cells) * 10000, 0)
+      |        AS BIGINT) DESC, c.w) AS rn
+      |  FROM ctf c JOIN dfc d USING (w) CROSS JOIN nc n)
+      |WHERE rn <= 3 ORDER BY cell, rn""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_cell_topics"   -> (corpusCellTopics _),
     "corpus_gopher_filter" -> (corpusGopherFilter _),
     "text_ttr"             -> (textTtr _),
     "text_code_detect"     -> (textCodeDetect _),
@@ -707,6 +779,7 @@ object CorpusStats {
     "text_winnow"       -> (textWinnow _))
 
   val oracle: Map[String, String] = Map(
+    "corpus_cell_topics"   -> corpusCellTopicsSql,
     "corpus_gopher_filter" -> corpusGopherFilterSql,
     "text_ttr"             -> textTtrSql,
     "text_code_detect"     -> textCodeDetectSql,

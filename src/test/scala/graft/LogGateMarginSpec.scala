@@ -94,6 +94,28 @@ class LogGateMarginSpec extends SparkSpecBase {
     }
   }
 
+  test("cell-topics ln margins hold for every gate-corpus cell frequency") {
+    for (dir <- dirs) {
+      val cellCol = (0 until 8).map(b =>
+        when(element_at(col("embedding"), b + 1) >= 0, 1L << b).otherwise(0L))
+        .reduce(_ + _)
+      val cells = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), cellCol.as("cell"))
+      val ctf = Tables.documents(spark, dir)
+        .join(cells, col("doc_id") === col("vec_id"))
+        .select(col("cell"),
+          explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+        .groupBy(col("cell"), col("w")).count()
+      val nCells = ctf.select(col("cell")).distinct().count().toDouble
+      val dfs = ctf.groupBy(col("w")).count()
+        .select(col("count")).distinct().collect().map(_.getLong(0))
+      assert(dfs.nonEmpty)
+      dfs.foreach { df =>
+        assertMargin(math.log(nCells / df) * 10000.0, s"ln($nCells/$df)*1e4 ($dir)")
+      }
+    }
+  }
+
   test("pmi ln margins hold for every filtered gate-corpus bigram") {
     for (dir <- dirs) {
       val w = org.apache.spark.sql.expressions.Window

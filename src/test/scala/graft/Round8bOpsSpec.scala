@@ -317,6 +317,31 @@ class Round8bOpsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("max_abs_e3") == 50L)
   }
 
+  test("corpus_cell_topics: planted topic words label their sign-bit cell") {
+    import spark.implicits._
+    // two cells: docs 1-2 in cell 1 (dim0 ≥ 0), docs 3-4 in cell 0
+    val emb = Seq(
+      (1L, Array(0.5f, -1f, -1f, -1f, -1f, -1f, -1f, -1f)),
+      (2L, Array(0.5f, -1f, -1f, -1f, -1f, -1f, -1f, -1f)),
+      (3L, Array(-0.5f, -1f, -1f, -1f, -1f, -1f, -1f, -1f)),
+      (4L, Array(-0.5f, -1f, -1f, -1f, -1f, -1f, -1f, -1f)))
+      .toDF("vec_id", "embedding")
+    val docs = docsDf(Seq(
+      1L -> "quantum quantum flux common word",
+      2L -> "quantum entangle common word",
+      3L -> "recipe recipe butter common word",
+      4L -> "recipe flour common word"))
+    val got = CorpusStats.corpusCellTopicsOf(docs, emb).collect()
+    val top1 = got.filter(_.getAs[Long]("rn") == 1L)
+      .map(r => r.getAs[Long]("cell") -> r.getAs[String]("w")).toMap
+    assert(top1(1L) == "quantum", s"cell 1 top term: $top1")
+    assert(top1(0L) == "recipe")
+    // cell-universal words carry zero idf and can never outrank topics
+    got.filter(r => Set("common", "word")(r.getAs[String]("w")))
+      .foreach(r => assert(r.getAs[Long]("score_e4") == 0L))
+    assert(got.forall(r => r.getAs[Long]("rn") <= 3L))
+  }
+
   test("graph_reciprocity: mutual, one-way and isolated nodes") {
     val (nodes, edges) = graphDf(Seq("a", "b", "c", "d", "e"), Seq(
       ("a", "b", 5L), ("b", "a", 5L), ("a", "c", 5L),
