@@ -718,7 +718,11 @@ object CorpusStats {
     val cellCol = (0 until 8).map(b =>
       when(element_at(col("embedding"), b + 1) >= 0, 1L << b).otherwise(0L))
       .reduce(_ + _)
-    val cells = emb.select(col("vec_id"), cellCol.as("cell"))
+    cellTopicsOf(docs, emb.select(col("vec_id"), cellCol.as("cell")))
+  }
+
+  /** The shared labeling pipeline over ANY (vec_id, cell) assignment. */
+  def cellTopicsOf(docs: DataFrame, cells: DataFrame): DataFrame = {
     val toks = docs.join(cells, docs("doc_id") === cells("vec_id"))
       .select(col("cell"),
         explode(regexp_extract_all(lower(col("text")), lit(word), lit(0))).as("w"))
@@ -765,7 +769,24 @@ object CorpusStats {
       |WHERE rn <= 3 ORDER BY cell, rn""".stripMargin
   }
 
+  /** [[corpusCellTopics]] over the TRAINED quantizer's cells — the
+    * production cluster-labeling pass (the cells a curator actually
+    * samples/mixes by, via [[Similarity.corpusSemanticSample]]'s
+    * zero-shuffle argmax assignment). Same downstream pipeline to the
+    * letter — only the cell column differs — so the oracle-gated
+    * sign-bit sibling hash-proves the TF-IDF/top-k machinery and this
+    * stays rows-only solely for the float argmax (the corpus_semantic_mix
+    * twin discipline, inverted: here the TWIN is the gated one). */
+  def corpusClusterTopics(spark: SparkSession, dir: String): DataFrame = {
+    val centroids = Similarity.loadOrTrainCentroids(spark, dir)
+    val best = Similarity.nearestCellStructAuto(col("embedding"), centroids)
+    val cells = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), best.getField("cell").cast("long").as("cell"))
+    cellTopicsOf(Tables.documents(spark, dir), cells)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_cluster_topics" -> (corpusClusterTopics _),
     "corpus_cell_topics"   -> (corpusCellTopics _),
     "corpus_gopher_filter" -> (corpusGopherFilter _),
     "text_ttr"             -> (textTtr _),

@@ -342,6 +342,21 @@ class Round8bOpsSpec extends SparkSpecBase {
     assert(got.forall(r => r.getAs[Long]("rn") <= 3L))
   }
 
+  test("corpus_cluster_topics: trained-quantizer cells label with the same pipeline") {
+    val got = CorpusStats.corpusClusterTopics(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => r.getAs[Long]("rn") >= 1L && r.getAs[Long]("rn") <= 3L))
+    val cells = got.map(_.getAs[Long]("cell")).distinct
+    assert(cells.length >= 2, "gate corpus must occupy several trained cells")
+    // every cell's terms are distinct and rank-ordered by (score desc, w)
+    got.groupBy(_.getAs[Long]("cell")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rn"))
+      val scores = sorted.map(_.getAs[Long]("score_e4"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(sorted.map(_.getAs[String]("w")).distinct.length == sorted.length)
+    }
+  }
+
   test("graph_reciprocity: mutual, one-way and isolated nodes") {
     val (nodes, edges) = graphDf(Seq("a", "b", "c", "d", "e"), Seq(
       ("a", "b", 5L), ("b", "a", 5L), ("a", "c", 5L),
