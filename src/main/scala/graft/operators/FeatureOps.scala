@@ -756,7 +756,63 @@ object FeatureOps {
       |    AS secs_to_label
       |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  /** Conversion-latency distribution — [[ftLabelJoin]]'s aggregate
+    * consumer (the label window is a modeling choice; THIS is the report
+    * that justifies it: if 95% of conversions land inside 6 h, a 24 h
+    * window only adds label noise): labeled views bucket by hour of
+    * view→purchase latency (secs DIV 3600, exact), plus an unlabeled
+    * bucket (-1) so the conversion rate is readable from the same table.
+    * share_bp of total views per bucket, cumulative share over labeled
+    * buckets — all truncating-DIV integers over the one union-sort
+    * exchange the label join already pays; the histogram fold is
+    * bucket-grain. */
+  def ftTimeToConvert(spark: SparkSession, dir: String): DataFrame =
+    ftTimeToConvertOf(Tables.events(spark, dir))
+
+  def ftTimeToConvertOf(ev: DataFrame): DataFrame = {
+    val labeled = ftLabelJoinOf(ev)
+      .select(when(col("label") === 1L, expr("secs_to_label DIV 3600"))
+        .otherwise(-1L).cast("long").as("bucket_h"))
+    val counts = labeled.groupBy(col("bucket_h")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket_h"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, org.apache.spark.sql.expressions.Window.currentRow)
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share_bp", expr("n * 10000 DIV n_total"))
+      .withColumn("cum_labeled",
+        sum(when(col("bucket_h") >= 0, col("n")).otherwise(0L)).over(w))
+      .select(col("bucket_h"), col("n"), col("share_bp"), col("cum_labeled"))
+      .orderBy(col("bucket_h"))
+  }
+
+  val ftTimeToConvertSql: String =
+    """WITH obs AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+      |), purch AS (
+      |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+      |), j AS (
+      |  SELECT o.event_id,
+      |    min(epoch_us(p.ts) - epoch_us(o.ts)) AS lat_us
+      |  FROM obs o LEFT JOIN purch p
+      |    ON p.user_id = o.user_id AND p.ts >= o.ts
+      |   AND p.ts <= o.ts + INTERVAL 24 HOUR
+      |  GROUP BY 1
+      |), b AS (
+      |  SELECT CASE WHEN lat_us IS NULL THEN -1
+      |    ELSE (lat_us // 1000000) // 3600 END AS bucket_h,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM j GROUP BY 1
+      |), t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM b)
+      |SELECT CAST(bucket_h AS BIGINT) AS bucket_h, n,
+      |  CAST(n * 10000 // n_total AS BIGINT) AS share_bp,
+      |  CAST(sum(CASE WHEN bucket_h >= 0 THEN n ELSE 0 END)
+      |    OVER (ORDER BY bucket_h
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_labeled
+      |FROM b CROSS JOIN t ORDER BY bucket_h""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ft_time_to_convert" -> (ftTimeToConvert _),
     "ft_label_join"   -> (ftLabelJoin _),
     "store_audit"     -> (storeAudit _),
     "ft_freshness"    -> (ftFreshness _),
@@ -779,6 +835,7 @@ object FeatureOps {
     "registry_dump"   -> (registryDump _))
 
   val oracle: Map[String, String] = Map(
+    "ft_time_to_convert" -> ftTimeToConvertSql,
     "ft_label_join"   -> ftLabelJoinSql,
     "store_audit"     -> storeAuditSql,
     "ft_freshness"    -> ftFreshnessSql,

@@ -48,6 +48,21 @@ class Round8bOpsSpec extends SparkSpecBase {
     assert(got.size == 5)
   }
 
+  test("ft_time_to_convert: hour buckets, unlabeled bucket, cumulative labeled count") {
+    val ev = evDf(Seq(
+      (1L, 1000L, 1L, "view", 0.0), (10L, 1000L + 1800, 1L, "purchase", 1.0),   // 0.5 h → bucket 0
+      (2L, 1000L, 2L, "view", 0.0), (20L, 1000L + 7300, 2L, "purchase", 1.0),   // ~2 h → bucket 2
+      (3L, 1000L, 3L, "view", 0.0), (30L, 1000L + 7300, 3L, "purchase", 1.0),   // bucket 2
+      (4L, 1000L, 4L, "view", 0.0)))                                            // unlabeled
+    val rows = FeatureOps.ftTimeToConvertOf(ev).collect()
+      .map(r => r.getAs[Long]("bucket_h") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("share_bp"), r.getAs[Long]("cum_labeled")))).toMap
+    assert(rows(-1L) == ((1L, 2500L, 0L)))
+    assert(rows(0L) == ((1L, 2500L, 1L)))
+    assert(rows(2L) == ((2L, 5000L, 3L)))
+    assert(rows.size == 3)
+  }
+
   test("events_lifecycle: new/retained/resurrected/churned ledger with dense zero days") {
     def at(day: Long, uid: Long, id: Long) = (id, day * 86400L + 10L, uid, "click", 0.0)
     // user 1 active days {0, 1, 3}; user 2 active day {1} only
