@@ -56,6 +56,8 @@ final class FeatureStore(val registry: Registry, spark: SparkSession,
     val fmt =
       if (path.endsWith(".csv")) "csv"
       else if (path.endsWith(".json")) "json"
+      else if (path.endsWith(".orc")) "orc"
+      else if (path.endsWith(".avro")) "avro"
       else "parquet"
     BatchSource(path, fmt, eventTsCol = t.eventTsCol, createdTsCol = t.createdTsCol,
       eventTsUnit = t.labels.getOrElse("graft.ts_unit", "micros"))

@@ -811,7 +811,72 @@ object FeatureOps {
       |    AS cum_labeled
       |FROM b CROSS JOIN t ORDER BY bucket_h""".stripMargin
 
+  /** Registry schema-evolution diff — the change review an operator reads
+    * before promoting a registry edit (the reference mutates its registry
+    * through apply-RPCs with no diffable record; here the registry IS a
+    * dataframe, so the diff is a full-outer join): per (project, table,
+    * feature), ADDED / REMOVED / TYPE_CHANGED / MAX_AGE_CHANGED /
+    * UNCHANGED, with old/new type and max_age side by side. Type changes
+    * outrank max-age changes (a retype forces a backfill regardless of
+    * TTL). The operator body takes ANY two registry dumps (prod
+    * snapshots); the gate drives it with the demo registry vs an evolved
+    * copy exercising every status. */
+  def registryDiff(spark: SparkSession, dir: String): DataFrame = {
+    val old = Registry.demo(dir)
+    val evolved = {
+      val r = new Registry
+      r.applyEntity(graft.model.Entity("user_id", graft.model.ValueKind.Int64K))
+      r.applyEntity(graft.model.Entity("c_custkey", graft.model.ValueKind.Int64K))
+      r.applyTable(old.getTable("user_activity").get.copy(
+        features = Seq(
+          graft.model.Feature("value", graft.model.ValueKind.DoubleK),
+          graft.model.Feature("session_len", graft.model.ValueKind.Int64K)),
+        maxAgeSec = Some(3L * 86400)))
+      r.applyTable(old.getTable("customer_profile").get.copy(
+        features = Seq(
+          graft.model.Feature("c_acctbal", graft.model.ValueKind.FloatK),
+          graft.model.Feature("c_mktsegment", graft.model.ValueKind.StringK))))
+      r
+    }
+    registryDiffOf(old.toDF(spark), evolved.toDF(spark))
+  }
+
+  def registryDiffOf(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val keys = Seq("project", "table_name", "feature")
+    val o = oldDf.select(keys.map(col) :+ col("value_type").as("old_type")
+      :+ col("max_age_sec").as("old_max_age"): _*)
+    val n = newDf.select(keys.map(col) :+ col("value_type").as("new_type")
+      :+ col("max_age_sec").as("new_max_age"): _*)
+    o.join(n, keys, "full_outer")
+      .withColumn("status",
+        when(col("old_type").isNull, lit("ADDED"))
+          .when(col("new_type").isNull, lit("REMOVED"))
+          .when(col("old_type") =!= col("new_type"), lit("TYPE_CHANGED"))
+          .when(col("old_max_age") =!= col("new_max_age"), lit("MAX_AGE_CHANGED"))
+          .otherwise(lit("UNCHANGED")))
+      .select(col("project"), col("table_name"), col("feature"), col("status"),
+        col("old_type"), col("new_type"), col("old_max_age"), col("new_max_age"))
+      .orderBy(col("project"), col("table_name"), col("feature"))
+  }
+
+  val registryDiffSql: String =
+    """SELECT * FROM (VALUES
+      |  ('default', 'customer_profile', 'c_acctbal', 'TYPE_CHANGED',
+      |   'DOUBLE', 'FLOAT', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('default', 'customer_profile', 'c_mktsegment', 'UNCHANGED',
+      |   'STRING', 'STRING', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('default', 'user_activity', 'event_type', 'REMOVED',
+      |   'STRING', NULL, CAST(604800 AS BIGINT), CAST(NULL AS BIGINT)),
+      |  ('default', 'user_activity', 'session_len', 'ADDED',
+      |   NULL, 'INT64', CAST(NULL AS BIGINT), CAST(259200 AS BIGINT)),
+      |  ('default', 'user_activity', 'value', 'MAX_AGE_CHANGED',
+      |   'DOUBLE', 'DOUBLE', CAST(604800 AS BIGINT), CAST(259200 AS BIGINT))
+      |) AS t(project, table_name, feature, status, old_type, new_type,
+      |       old_max_age, new_max_age)
+      |ORDER BY project, table_name, feature""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "registry_diff"      -> (registryDiff _),
     "ft_time_to_convert" -> (ftTimeToConvert _),
     "ft_label_join"   -> (ftLabelJoin _),
     "store_audit"     -> (storeAudit _),
@@ -835,6 +900,7 @@ object FeatureOps {
     "registry_dump"   -> (registryDump _))
 
   val oracle: Map[String, String] = Map(
+    "registry_diff"      -> registryDiffSql,
     "ft_time_to_convert" -> ftTimeToConvertSql,
     "ft_label_join"   -> ftLabelJoinSql,
     "store_audit"     -> storeAuditSql,

@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   */
 final case class BatchSource(
     path: String,
-    format: String = "parquet", // parquet | csv | json
+    format: String = "parquet", // parquet | csv | json | orc | avro*
+                                // (*avro needs the spark-avro module on
+                                // the cluster classpath; error is eager)
     fieldMapping: Map[String, String] = Map.empty,
     eventTsCol: String = "event_timestamp",
     createdTsCol: Option[String] = None,
@@ -35,6 +37,8 @@ object BatchSource {
       case "csv"     => spark.read.option("header", "true")
         .option("inferSchema", "true").csv(src.path)
       case "json"    => spark.read.json(src.path)
+      case "orc"     => spark.read.orc(src.path)
+      case "avro"    => spark.read.format("avro").load(src.path)
       case other     => throw new IllegalArgumentException(s"unknown format: $other")
     }
     val mapped = src.fieldMapping.foldLeft(raw) { case (df, (from, to)) =>

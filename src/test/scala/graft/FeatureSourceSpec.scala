@@ -30,6 +30,27 @@ class FeatureSourceSpec extends SparkSpecBase {
     }
   }
 
+  test("orc sources round-trip exactly; avro fails eagerly without the module") {
+    val dir = Files.createTempDirectory("graft-src-orc").toString
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    ev.withColumnRenamed("ts", "event_time")
+      .write.mode("overwrite").orc(s"$dir/orc")
+    val back = BatchSource.read(spark, BatchSource(s"$dir/orc", "orc",
+      fieldMapping = Map("event_time" -> "ts"), eventTsCol = "ts"))
+    assert(back.count() == ev.count())
+    // orc keeps full timestamp precision — exact equality, unlike csv/json
+    val joined = back.select(col("event_id"), col("ts").as("ts2"))
+      .join(ev, "event_id")
+      .filter(col("ts2") =!= col("ts"))
+    assert(joined.count() == 0, "orc timestamps must round-trip exactly")
+    // avro needs the external spark-avro module; absent here, the error
+    // must surface at read() time, not as a mid-job task failure
+    intercept[Throwable] {
+      BatchSource.read(spark, BatchSource(s"$dir/orc", "avro", eventTsCol = "ts"))
+    }
+  }
+
   test("stream source specs render/parse round-trip (incl. field mapping)") {
     import graft.model._
     val specs: Seq[StreamSourceSpec] = Seq(

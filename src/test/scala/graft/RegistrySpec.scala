@@ -340,4 +340,27 @@ class RegistrySpec extends SparkSpecBase {
     assert(df.columns.head == "project")
     assert(df.select("project").distinct().collect().map(_.getString(0)).toSeq == Seq("default"))
   }
+
+  test("registryDiffOf: whole-table adds/removes and cross-project isolation") {
+    import spark.implicits._
+    def dump(rows: Seq[(String, String, String, String, Long)]) =
+      rows.toDF("project", "table_name", "feature", "value_type", "max_age_sec")
+    val old = dump(Seq(
+      ("default", "t1", "f1", "DOUBLE", 0L),
+      ("default", "gone", "g1", "STRING", 10L),
+      ("other", "t1", "f1", "DOUBLE", 0L))) // same table name, other project
+    val neu = dump(Seq(
+      ("default", "t1", "f1", "DOUBLE", 0L),
+      ("default", "born", "b1", "INT64", 0L),
+      ("other", "t1", "f1", "STRING", 0L))) // retyped ONLY in `other`
+    val got = graft.operators.FeatureOps.registryDiffOf(old, neu).collect()
+      .map(r => (r.getAs[String]("project"), r.getAs[String]("table_name"),
+        r.getAs[String]("feature")) -> r.getAs[String]("status")).toMap
+    assert(got(("default", "t1", "f1")) == "UNCHANGED")
+    assert(got(("default", "gone", "g1")) == "REMOVED")
+    assert(got(("default", "born", "b1")) == "ADDED")
+    assert(got(("other", "t1", "f1")) == "TYPE_CHANGED",
+      "a retype in one project must not leak into its namesake")
+    assert(got.size == 4)
+  }
 }
