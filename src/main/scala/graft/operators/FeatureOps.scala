@@ -875,7 +875,75 @@ object FeatureOps {
       |       old_max_age, new_max_age)
       |ORDER BY project, table_name, feature""".stripMargin
 
+  /** Daily feature-snapshot backfill — the offline-store materialization
+    * feast-era batch jobs run nightly (reference: the 0.9 batch ingestion
+    * path materializes latest-per-key per window; this is that op over a
+    * RANGE of windows at once): for every (user, day) grid point, the
+    * latest feature row as of that day's END, plus its age in days —
+    * the table a training pipeline reads when it wants features "as of
+    * midnight" without running the as-of join per query. Days before a
+    * user's first event emit no row (the user didn't exist yet); after,
+    * values carry forward.
+    *
+    * Plan: the grid is users × the corpus day span (entity-domain ×
+    * calendar — the SNAPSHOT's size, not an implementation artifact), and
+    * the whole backfill is ONE [[PointInTimeJoin.asof]] union-sort
+    * exchange on user_id: grid markers and events co-sort, each marker
+    * takes the running latest — never a per-day scan or a range join
+    * (the oracle's form: grid × events row_number explosion). */
+  def ftDailySnapshot(spark: SparkSession, dir: String): DataFrame =
+    ftDailySnapshotOf(Tables.events(spark, dir))
+
+  def ftDailySnapshotOf(ev: DataFrame): DataFrame = {
+    val feats = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"),
+        round(col("value") * 10000).cast("long").as("value_e4"))
+    val span = feats.agg(
+      floor(unix_micros(min(col("ts"))) / lit(86400000000L)).cast("long").as("d0"),
+      floor(unix_micros(max(col("ts"))) / lit(86400000000L)).cast("long").as("d1"))
+    val grid = feats.select(col("user_id")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      // snapshot instant = day end (exclusive): last µs of the day
+      .withColumn("snap_ts",
+        timestamp_micros((col("day") + 1) * lit(86400000000L) - 1))
+    PointInTimeJoin.asof(grid, feats,
+        keys = Seq("user_id"), entityTs = "snap_ts", featureTs = "ts",
+        featureCols = Seq("value_e4"), maxAgeSec = None, outPrefix = "f_")
+      .filter(col("f_ts").isNotNull) // not-yet-existing users emit nothing
+      .select(col("user_id"), col("day"), col("f_value_e4").as("value_e4"),
+        col("f_ts").as("value_ts"),
+        (col("day") - floor(unix_micros(col("f_ts")) / lit(86400000000L))
+          .cast("long")).as("age_days"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val ftDailySnapshotSql: String =
+    """WITH feats AS (
+      |  SELECT user_id, ts, max(CAST(round(value * 10000, 0) AS BIGINT)) AS value_e4
+      |  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+      |), span AS (
+      |  SELECT CAST(epoch_us(min(ts)) // 86400000000 AS BIGINT) AS d0,
+      |         CAST(epoch_us(max(ts)) // 86400000000 AS BIGINT) AS d1
+      |  FROM feats
+      |), grid AS (
+      |  SELECT u.user_id, g.day FROM
+      |    (SELECT DISTINCT user_id FROM feats) u,
+      |    (SELECT unnest(range(d0, d1 + 1)) AS day FROM span) g
+      |), j AS (
+      |  SELECT g.user_id, g.day, f.value_e4, f.ts,
+      |    row_number() OVER (PARTITION BY g.user_id, g.day
+      |      ORDER BY f.ts DESC) AS rn
+      |  FROM grid g JOIN feats f
+      |    ON f.user_id = g.user_id
+      |   AND epoch_us(f.ts) <= (g.day + 1) * 86400000000 - 1
+      |)
+      |SELECT user_id, day, value_e4, ts AS value_ts,
+      |  CAST(day - epoch_us(ts) // 86400000000 AS BIGINT) AS age_days
+      |FROM j WHERE rn = 1 ORDER BY user_id, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ft_daily_snapshot"  -> (ftDailySnapshot _),
     "registry_diff"      -> (registryDiff _),
     "ft_time_to_convert" -> (ftTimeToConvert _),
     "ft_label_join"   -> (ftLabelJoin _),
@@ -900,6 +968,7 @@ object FeatureOps {
     "registry_dump"   -> (registryDump _))
 
   val oracle: Map[String, String] = Map(
+    "ft_daily_snapshot"  -> ftDailySnapshotSql,
     "registry_diff"      -> registryDiffSql,
     "ft_time_to_convert" -> ftTimeToConvertSql,
     "ft_label_join"   -> ftLabelJoinSql,

@@ -478,13 +478,113 @@ object GraphOps {
       |LEFT JOIN rc ON n.n_name = rc.src
       |ORDER BY nation""".stripMargin
 
+  /** Hop-distance BFS over the significant trade graph — the reachability
+    * layer completing the graph story (Components: are they connected;
+    * PageRank/HITS: who matters; triangles: how cohesive; THIS: how far):
+    * shortest hop count from the alphabetically-first connected nation
+    * (a deterministic source both engines derive identically) over the
+    * mean-thresholded undirected edges [[graphTriangles]] uses;
+    * unreachable or isolated nations read −1.
+    *
+    * Plan: frontier expansion over the checkpoint-pinned bidirectional
+    * edge list — one entity-domain join per round, rounds = graph
+    * diameter (the [[Components]] propagation regime; on an entity
+    * DOMAIN this is the right loop — the log-round star trick matters
+    * for corpus-sized vertex sets, not ≤10³-node dimension graphs). The
+    * oracle walks the same edges with a recursive CTE dedup'd on
+    * (node, dist) so cycles can't blow up the recursion. */
+  def graphBfs(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = tradeGraph(spark, dir)
+    graphBfsOf(nodes, edges).orderBy(col("nation"))
+  }
+
+  def graphBfsOf(nodes0: DataFrame, edges0: DataFrame): DataFrame = {
+    val spark = nodes0.sparkSession
+    import spark.implicits._
+    val und = edges0.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("uw"))
+    val stats = und.agg(count(lit(1)).as("n_pairs"), sum(col("uw")).as("tot"))
+    val kept = und.crossJoin(broadcast(stats))
+      .filter(col("uw") >= expr("tot DIV n_pairs"))
+      .select(col("a"), col("b"))
+    val bi = kept.select(col("a").as("n1"), col("b").as("n2"))
+      .unionAll(kept.select(col("b").as("n1"), col("a").as("n2")))
+      .localCheckpoint() // graph artifact: every round joins it
+    val srcRow = kept.agg(min(col("a"))).collect().head
+    if (srcRow.isNullAt(0)) {
+      nodes0.select(col("node").as("nation"), lit(-1L).as("dist"))
+    } else {
+      val src = srcRow.getString(0)
+      var dist = Seq((src, 0L)).toDF("node", "dist").localCheckpoint()
+      var frontier = dist
+      var d = 0L
+      val cap = nodes0.count() // hop distance < |V| always
+      while (d < cap && !frontier.isEmpty) {
+        val next = bi.join(frontier, col("n1") === col("node"))
+          .select(col("n2").as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .withColumn("dist", lit(d + 1L))
+          .localCheckpoint()
+        dist = dist.unionAll(next).localCheckpoint()
+        frontier = next
+        d += 1
+      }
+      nodes0.join(dist, nodes0("node") === dist("node"), "left")
+        .select(nodes0("node").as("nation"),
+          coalesce(col("dist"), lit(-1L)).as("dist"))
+    }
+  }
+
+  val graphBfsSql: String =
+    """WITH RECURSIVE li AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+      |      (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_e4
+      |  FROM lineitem
+      |), edges AS (
+      |  SELECT cn.n_name AS src, sn.n_name AS dst, CAST(sum(rev_e4) AS BIGINT) AS w
+      |  FROM li
+      |  JOIN supplier s ON li.l_suppkey = s.s_suppkey
+      |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |  JOIN orders o ON li.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |  GROUP BY 1, 2
+      |), und AS (
+      |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+      |    CAST(sum(w) AS BIGINT) AS uw
+      |  FROM edges WHERE src <> dst GROUP BY 1, 2
+      |), stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(uw) AS BIGINT) AS tot
+      |  FROM und
+      |), kept AS MATERIALIZED (
+      |  SELECT a, b FROM und CROSS JOIN stats WHERE uw >= tot // n_pairs
+      |), bi AS MATERIALIZED (
+      |  SELECT a AS n1, b AS n2 FROM kept
+      |  UNION ALL SELECT b AS n1, a AS n2 FROM kept
+      |), walk(node, dist) AS (
+      |  SELECT min(a), CAST(0 AS BIGINT) FROM kept
+      |  UNION
+      |  SELECT e.n2, w.dist + 1
+      |  FROM walk w JOIN bi e ON e.n1 = w.node
+      |  WHERE w.dist < (SELECT count(*) FROM nation)
+      |)
+      |SELECT n.n_name AS nation,
+      |  coalesce((SELECT min(dist) FROM walk w WHERE w.node = n.n_name),
+      |    CAST(-1 AS BIGINT)) AS dist
+      |FROM nation n ORDER BY nation""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bfs"         -> (graphBfs _),
     "graph_pagerank"    -> (graphPagerank _),
     "graph_hits"        -> (graphHits _),
     "graph_triangles"   -> (graphTriangles _),
     "graph_reciprocity" -> (graphReciprocity _))
 
   val oracle: Map[String, String] = Map(
+    "graph_bfs"         -> graphBfsSql,
     "graph_pagerank"    -> graphPagerankSql,
     "graph_hits"        -> graphHitsSql,
     "graph_triangles"   -> graphTrianglesSql,

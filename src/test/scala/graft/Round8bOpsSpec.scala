@@ -372,6 +372,34 @@ class Round8bOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("ft_daily_snapshot: carry-forward, ages, and no rows before a user exists") {
+    def at(day: Long, hour: Long, uid: Long, id: Long, v: Double) =
+      (id, day * 86400L + hour * 3600L, uid, "click", v)
+    val ev = evDf(Seq(
+      at(0, 12, 1L, 1L, 1.0), at(2, 6, 1L, 2L, 2.0), // user 1: days 0 and 2
+      at(1, 1, 2L, 3L, 5.0),                          // user 2 appears on day 1
+      (9L, 2L * 86400L, 9L, "purchase", 9.0)))        // purchases are not features
+    val got = graft.operators.FeatureOps.ftDailySnapshotOf(ev).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day")) ->
+        ((r.getAs[Long]("value_e4"), r.getAs[Long]("age_days")))).toMap
+    assert(got((1L, 0L)) == ((10000L, 0L)))
+    assert(got((1L, 1L)) == ((10000L, 1L)), "day 1 carries day 0's value forward")
+    assert(got((1L, 2L)) == ((20000L, 0L)))
+    assert(!got.contains((2L, 0L)), "no snapshot before the user's first event")
+    assert(got((2L, 1L)) == ((50000L, 0L)))
+    assert(got((2L, 2L)) == ((50000L, 1L)))
+    assert(!got.contains((9L, 2L)), "purchase-only users are not feature entities")
+    assert(got.size == 5)
+  }
+
+  test("graph_bfs: hop distances on a path graph, isolated node reads -1") {
+    val (nodes, edges) = graphDf(Seq("a", "b", "c", "d"), Seq(
+      ("a", "b", 10L), ("b", "c", 10L)))
+    val got = GraphOps.graphBfsOf(nodes, edges).collect()
+      .map(r => r.getAs[String]("nation") -> r.getAs[Long]("dist")).toMap
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> -1L))
+  }
+
   test("graph_reciprocity: mutual, one-way and isolated nodes") {
     val (nodes, edges) = graphDf(Seq("a", "b", "c", "d", "e"), Seq(
       ("a", "b", 5L), ("b", "a", 5L), ("a", "c", 5L),
