@@ -706,7 +706,67 @@ object Dedup {
       |WHERE n_contained >= 10 AND n_shared * 5 >= n_contained * 4
       |ORDER BY contained_id, container_id""".stripMargin
 
+  /** Cross-document repeated-LINE removal — the CCNet/RefinedWeb
+    * line-dedup pass (Wenzek et al. LREC'20 §3.1; Penedo et al. 2023):
+    * navigation chrome, cookie banners and footer boilerplate repeat
+    * VERBATIM as lines across pages, and removing them beats any
+    * doc-level quality score at cleaning web text. A line occurrence is
+    * removed when the exact line appears in ≥ 3 DISTINCT docs and is ≥ 10
+    * chars (short separators always keep — removing every "" would glue
+    * paragraphs). Gate: per doc, line/removed counts and the md5 of the
+    * kept text reassembled in original order (the corpus_chunk /
+    * dedup_spans kept-hash discipline — content-exact cross-engine
+    * without shipping the text).
+    *
+    * Plan: the distinct-doc line count is a (line, doc) distinct +
+    * line-keyed rollup, joined back onto occurrences on the SAME line
+    * key (position-preserving reassembly plus a DISTINCT-doc count can't
+    * ride one window the way text_memorization's count-only pass does);
+    * per-doc reassembly is a sort-within-group aggregate. Hot boilerplate
+    * lines concentrate on their line-hash partitions exactly as their
+    * occurrence mass demands — no pair fan-out anywhere. */
+  def corpusLineDedup(spark: SparkSession, dir: String): DataFrame =
+    corpusLineDedupOf(Tables.documents(spark, dir))
+
+  def corpusLineDedupOf(docs: DataFrame): DataFrame = {
+    val occ = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n", -1)).as(Seq("pos", "line")))
+    val dcount = occ.select(col("line"), col("doc_id")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("docs_with"))
+    occ.join(dcount, "line")
+      .withColumn("removed",
+        (col("docs_with") >= 3L && length(col("line")) >= 10).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("removed")).as("n_removed"),
+        md5(array_join(transform(
+          array_sort(collect_list(
+            when(col("removed") === 0L, struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n")).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusLineDedupSql: String =
+    """WITH l AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ls[i] AS line
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+      |    unnest(range(1, len(ls) + 1)) AS t(i)
+      |), dcount AS (
+      |  SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_with
+      |  FROM l GROUP BY 1
+      |), m AS (
+      |  SELECT l.doc_id, l.pos, l.line,
+      |    CASE WHEN d.docs_with >= 3 AND length(l.line) >= 10
+      |      THEN 1 ELSE 0 END AS removed
+      |  FROM l JOIN dcount d ON l.line = d.line
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(removed) AS BIGINT) AS n_removed,
+      |  md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+      |    FILTER (WHERE removed = 0), '')) AS kept_md5
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_line_dedup" -> (corpusLineDedup _),
     "dedup_recall"   -> (dedupRecall _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_exact"    -> (dedupExact _),
@@ -721,6 +781,7 @@ object Dedup {
     "corpus_fuzzy_decontaminate" -> (corpusFuzzyDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "corpus_line_dedup" -> corpusLineDedupSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_exact"    -> dedupExactSql,
     "dedup_ngram"    -> dedupNgramSql,

@@ -267,6 +267,36 @@ object ScaleProbe {
     }
   }
 
+  /** Round-8d probe: the line-dedup / cell-topics / snapshot / decile
+    * wave. corpus_line_dedup is the interesting one — replicated docs
+    * make EVERY line cross the ≥3-docs threshold (×10 ⇒ 10 copies), so
+    * the probe exercises the hot-line join at its worst. */
+  private def r8dProbe(spark: SparkSession, reps: Seq[Int]): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.1"
+    def time(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val h = df.agg(sum(pmod(xxhash64(struct(col("*"))), lit(1000000007L))))
+        .collect().head.getLong(0)
+      println(f"[scale] $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s h=$h")
+    }
+    for (k <- reps) {
+      def repl(df: DataFrame, idCols: Seq[String]): DataFrame =
+        (0 until k).map { i =>
+          idCols.foldLeft(df)((d, c) =>
+            d.withColumn(c, col(c) + lit(i.toLong * 10000000L)))
+        }.reduce(_ unionByName _)
+      val docs = repl(graft.sources.Tables.documents(spark, dir), Seq("doc_id"))
+      val ev = repl(graft.sources.Tables.events(spark, dir), Seq("event_id", "user_id"))
+      val emb = repl(graft.sources.Tables.embeddings(spark, dir), Seq("vec_id"))
+      time(s"line_dedup x$k")(graft.operators.Dedup.corpusLineDedupOf(docs))
+      time(s"cell_topics x$k")(graft.operators.CorpusStats.corpusCellTopicsOf(docs, emb))
+      time(s"snapshot x$k")(graft.operators.FeatureOps.ftDailySnapshotOf(ev))
+      time(s"embed_drift x$k")(graft.operators.Similarity.embedDriftOf(emb))
+      time(s"ab_lift x$k")(graft.operators.Growth.eventsAbLiftOf(ev))
+    }
+  }
+
   /** Scale probe for the multi-join TPC-H shapes: replicate the FACT
     * tables k× with CONSISTENT key shifts (lineitem+orders share the
     * orderkey shift, orders+customer the custkey shift) into a temp dir,
@@ -355,6 +385,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("r8c")) {
       r8cProbe(spark, Seq(1, 10, 30))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("r8d")) {
+      r8dProbe(spark, Seq(1, 10, 30))
       spark.stop()
       return
     }

@@ -400,6 +400,27 @@ class Round8bOpsSpec extends SparkSpecBase {
     assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> -1L))
   }
 
+  test("corpus_line_dedup: planted boilerplate removed, short separators survive, kept-hash replays") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val banner = "COOKIE BANNER TEXT"
+    val docs = docsDf(Seq(
+      1L -> s"$banner\nunique alpha\n--",
+      2L -> s"$banner\nunique beta",
+      3L -> s"$banner\nunique gamma\n--",
+      4L -> "just a lonely doc"))
+    val got = graft.operators.Dedup.corpusLineDedupOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("kept_md5")))).toMap
+    assert(got(1L) == ((3L, 1L, md5hex("unique alpha\n--"))),
+      "banner removed (3 docs, ≥10 chars); '--' kept (short)")
+    assert(got(2L) == ((2L, 1L, md5hex("unique beta"))))
+    assert(got(3L) == ((3L, 1L, md5hex("unique gamma\n--"))))
+    assert(got(4L) == ((1L, 0L, md5hex("just a lonely doc"))))
+  }
+
   test("graph_reciprocity: mutual, one-way and isolated nodes") {
     val (nodes, edges) = graphDf(Seq("a", "b", "c", "d", "e"), Seq(
       ("a", "b", 5L), ("b", "a", 5L), ("a", "c", 5L),
