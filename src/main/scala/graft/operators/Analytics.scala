@@ -1534,7 +1534,69 @@ object Analytics {
       |  CAST(max(k) AS BIGINT) AS max_k
       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** STRICT-window funnel — [[eventsFunnel]] with per-stage deadlines
+    * (the unbounded chain answers "did they ever"; marketing funnels ask
+    * "did they within the window": click within 1 h of the FIRST view,
+    * purchase within 24 h of that click — late conversions don't count).
+    * Each stage is one [[PointInTimeJoin.asofForward]] union-sort pass
+    * (earliest qualifying event ≥ the previous stage's instant, bounded
+    * by the stage window), so the whole strict funnel is two user_id
+    * exchanges on top of the first-view aggregate — the oracle's
+    * range-join + min formulation stays in DuckDB. One summary row with
+    * exact-integer stage counts and conversion bps. */
+  def eventsFunnelStrict(spark: SparkSession, dir: String): DataFrame =
+    eventsFunnelStrictOf(Tables.events(spark, dir))
+
+  def eventsFunnelStrictOf(ev: DataFrame): DataFrame = {
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("cid"))
+    val s2 = graft.operators.PointInTimeJoin.asofForward(v, clicks,
+        keys = Seq("user_id"), entityTs = "t1", featureTs = "ts",
+        featureCols = Seq("cid"), maxAgeSec = Some(3600L), outPrefix = "c_")
+      .withColumn("t2", col("c_ts"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("pid"))
+    val s3 = graft.operators.PointInTimeJoin.asofForward(
+        s2.filter(col("t2").isNotNull), purch,
+        keys = Seq("user_id"), entityTs = "t2", featureTs = "ts",
+        featureCols = Seq("pid"), maxAgeSec = Some(86400L), outPrefix = "p_")
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(s2.agg(sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("n_click_1h")))
+      .crossJoin(s3.agg(sum(when(col("p_ts").isNotNull, 1L).otherwise(0L)).as("n_purchase_24h")))
+      .select(col("n_view"), col("n_click_1h"), col("n_purchase_24h"),
+        expr("n_click_1h * 10000 DIV greatest(n_view, 1)").as("click_bp"),
+        expr("n_purchase_24h * 10000 DIV greatest(n_click_1h, 1)").as("purchase_bp"))
+  }
+
+  val eventsFunnelStrictSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1
+      |), s2 AS (
+      |  SELECT v.user_id, min(e.ts) AS t2
+      |  FROM v JOIN events e ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts >= v.t1
+      |    AND epoch_us(e.ts) <= epoch_us(v.t1) + 3600000000
+      |  GROUP BY 1
+      |), s3 AS (
+      |  SELECT s2.user_id, min(e.ts) AS t3
+      |  FROM s2 JOIN events e ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+      |    AND epoch_us(e.ts) <= epoch_us(s2.t2) + 86400000000
+      |  GROUP BY 1
+      |)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click_1h,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase_24h,
+      |  CAST((SELECT count(*) FROM s2) * 10000
+      |    // greatest((SELECT count(*) FROM v), 1) AS BIGINT) AS click_bp,
+      |  CAST((SELECT count(*) FROM s3) * 10000
+      |    // greatest((SELECT count(*) FROM s2), 1) AS BIGINT) AS purchase_bp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel_strict" -> (eventsFunnelStrict _),
     "events_props_agg"  -> (eventsPropsAgg _),
     "events_streaks"    -> (eventsStreaks _),
     "q1_agg"            -> (q1Agg _),
@@ -1581,6 +1643,7 @@ object Analytics {
     "q_rank_funcs"      -> (qRankFuncs _))
 
   val oracle: Map[String, String] = Map(
+    "events_funnel_strict" -> eventsFunnelStrictSql,
     "events_props_agg"  -> eventsPropsAggSql,
     "events_streaks"    -> eventsStreaksSql,
     "q1_agg"            -> q1AggSql,

@@ -785,7 +785,69 @@ object CorpusStats {
     cellTopicsOf(Tables.documents(spark, dir), cells)
   }
 
+  /** Curation cross-tab — quality × duplication per language, the
+    * diagnostics table a curator reads before ordering the pipeline
+    * (dedup-then-filter and filter-then-dedup keep different corpora;
+    * the off-diagonal cells say how much): quality = the
+    * [[corpusGopherFilter]] keep bit, duplication = exact-md5 duplicate
+    * (any doc whose text hash already appeared on a smaller doc_id — the
+    * dedup_exact keeper rule). Emits (lang, quality_keep, is_dup, n_docs,
+    * share_bp of the language) — exact integers.
+    *
+    * Plan: the gopher signals are doc-local; the dup bit is one md5
+    * window over hash partitions (count-only — no pair fan-out, the
+    * text_memorization discipline); one (lang, bits) rollup. */
+  def corpusCurationMatrix(spark: SparkSession, dir: String): DataFrame =
+    corpusCurationMatrixOf(Tables.documents(spark, dir))
+
+  def corpusCurationMatrixOf(docs: DataFrame): DataFrame = {
+    val keep = corpusGopherFilterOf(docs).select(col("doc_id"), col("keep"))
+    val dup = docs
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+      .withColumn("min_id", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") =!= col("min_id")).cast("long").as("is_dup"))
+    val cells = dup.join(keep, "doc_id")
+      .groupBy(col("lang"), col("keep").as("quality_keep"), col("is_dup"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("lang"))
+    cells
+      .withColumn("n_lang", sum(col("n_docs")).over(w))
+      .select(col("lang"), col("quality_keep"), col("is_dup"), col("n_docs"),
+        expr("n_docs * 10000 DIV n_lang").as("share_bp"))
+      .orderBy(col("lang"), col("quality_keep"), col("is_dup"))
+  }
+
+  val corpusCurationMatrixSql: String = {
+    val gopher = corpusGopherFilterSql
+      .replaceFirst("(?s)^WITH ", "").replaceFirst("(?s)\\n\\)\\nSELECT.*$", "\n)")
+    s"""WITH $gopher, keepbit AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+      |      AND mwl_e2 BETWEEN 300 AND 1000 AND sym_bp <= 1000
+      |      AND bullet_bp <= 9000 AND ellipsis_bp <= 3000
+      |      AND alpha_bp >= 8000 AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT)
+      |      AS quality_keep
+      |  FROM bp
+      |), dup AS (
+      |  SELECT doc_id, lang,
+      |    CAST(CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY md5(text))
+      |      THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+      |  FROM documents
+      |), cells AS (
+      |  SELECT d.lang, k.quality_keep, d.is_dup,
+      |    CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM dup d JOIN keepbit k USING (doc_id)
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT lang, quality_keep, is_dup, n_docs,
+      |  CAST(n_docs * 10000 //
+      |    (sum(n_docs) OVER (PARTITION BY lang)) AS BIGINT) AS share_bp
+      |FROM cells ORDER BY lang, quality_keep, is_dup""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_curation_matrix" -> (corpusCurationMatrix _),
     "corpus_cluster_topics" -> (corpusClusterTopics _),
     "corpus_cell_topics"   -> (corpusCellTopics _),
     "corpus_gopher_filter" -> (corpusGopherFilter _),
@@ -800,6 +862,7 @@ object CorpusStats {
     "text_winnow"       -> (textWinnow _))
 
   val oracle: Map[String, String] = Map(
+    "corpus_curation_matrix" -> corpusCurationMatrixSql,
     "corpus_cell_topics"   -> corpusCellTopicsSql,
     "corpus_gopher_filter" -> corpusGopherFilterSql,
     "text_ttr"             -> textTtrSql,

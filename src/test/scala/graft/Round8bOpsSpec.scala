@@ -421,6 +421,44 @@ class Round8bOpsSpec extends SparkSpecBase {
     assert(got(4L) == ((1L, 0L, md5hex("just a lonely doc"))))
   }
 
+  test("events_funnel_strict: per-stage deadlines, inclusive bounds") {
+    val ev = evDf(Seq(
+      // user 1: clean strict funnel; purchase at exactly click+24h (inclusive)
+      (1L, 1000L, 1L, "view", 0.0), (2L, 2800L, 1L, "click", 0.0),
+      (3L, 2800L + 86400L, 1L, "purchase", 1.0),
+      // user 2: click 4000 s after the first view — past the 1 h deadline
+      (4L, 1000L, 2L, "view", 0.0), (5L, 5100L, 2L, "click", 0.0),
+      // user 3: click in time, purchase 1 s past the 24 h deadline
+      (6L, 1000L, 3L, "view", 0.0), (7L, 1100L, 3L, "click", 0.0),
+      (8L, 1100L + 86401L, 3L, "purchase", 1.0)))
+    val r = graft.operators.Analytics.eventsFunnelStrictOf(ev).head()
+    assert(r.getAs[Long]("n_view") == 3L)
+    assert(r.getAs[Long]("n_click_1h") == 2L, "user 2's late click must not count")
+    assert(r.getAs[Long]("n_purchase_24h") == 1L, "user 3's late purchase must not count")
+    assert(r.getAs[Long]("click_bp") == 6666L)
+    assert(r.getAs[Long]("purchase_bp") == 5000L)
+  }
+
+  test("corpus_curation_matrix: quality × duplication cells with per-language shares") {
+    import spark.implicits._
+    val prose = (("the cat and the dog that have been with " * 7).trim + " ok")
+    val docs = Seq(
+      (1L, prose, "en"),            // quality pass, original
+      (2L, prose, "en"),            // exact dup of 1 (larger id → is_dup)
+      (3L, "too short", "en"),      // quality fail, unique
+      (4L, prose + " x", "fr"))     // quality pass, unique, other language
+      .toDF("doc_id", "text", "lang")
+    val got = CorpusStats.corpusCurationMatrixOf(docs).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("quality_keep"),
+        r.getAs[Long]("is_dup")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("share_bp")))).toMap
+    assert(got(("en", 1L, 0L)) == ((1L, 3333L)))
+    assert(got(("en", 1L, 1L)) == ((1L, 3333L)), "the md5 twin lands in the dup cell")
+    assert(got(("en", 0L, 0L)) == ((1L, 3333L)))
+    assert(got(("fr", 1L, 0L)) == ((1L, 10000L)))
+    assert(got.size == 4)
+  }
+
   test("graph_reciprocity: mutual, one-way and isolated nodes") {
     val (nodes, edges) = graphDf(Seq("a", "b", "c", "d", "e"), Seq(
       ("a", "b", 5L), ("b", "a", 5L), ("a", "c", 5L),
