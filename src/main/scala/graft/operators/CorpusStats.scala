@@ -846,7 +846,91 @@ object CorpusStats {
       |FROM cells ORDER BY lang, quality_keep, is_dup""".stripMargin
   }
 
+  /** One-call data card — the long-form (metric, value) summary a corpus
+    * release ships (Datasheets for Datasets, Gebru et al. CACM'21;
+    * every HF dataset card carries exactly these counts): corpus sizes,
+    * per-language doc counts, exact-duplicate mass, Gopher-quality pass
+    * mass, and char-length extremes, in ONE table a release pipeline can
+    * diff between versions. Long-form scalar rows by design (the gate
+    * discipline), every value an exact BIGINT.
+    *
+    * Plan: three independent partial-aggregated passes (global sums,
+    * per-lang counts, md5-window dup count) union entity-grain rows —
+    * no pass depends on another, Catalyst runs them as parallel
+    * subtrees. */
+  def corpusDatacard(spark: SparkSession, dir: String): DataFrame =
+    corpusDatacardOf(Tables.documents(spark, dir))
+
+  def corpusDatacardOf(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"), col("text"),
+      length(col("text")).cast("long").as("nc"),
+      size(org.apache.spark.sql.functions.expr(
+        "regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("nw"))
+    val global = base.agg(
+        count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
+        sum(col("nw")).as("n_ws_tokens"),
+        count_distinct(col("lang")).as("n_langs"),
+        min(col("nc")).as("min_chars"), max(col("nc")).as("max_chars"))
+      .select(org.apache.spark.sql.functions.explode(org.apache.spark.sql.functions.map(
+        lit("n_docs"), col("n_docs"), lit("n_chars"), col("n_chars"),
+        lit("n_ws_tokens"), col("n_ws_tokens"), lit("n_langs"), col("n_langs"),
+        lit("min_chars"), col("min_chars"), lit("max_chars"), col("max_chars")))
+        .as(Seq("metric", "value")))
+    val perLang = base.groupBy(col("lang")).agg(count(lit(1)).as("value"))
+      .select(concat(lit("docs_lang_"), col("lang")).as("metric"), col("value"))
+    val dups = base
+      .withColumn("min_id",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .agg(sum(when(col("doc_id") =!= col("min_id"), 1L).otherwise(0L))
+        .as("value"))
+      .select(lit("exact_dup_docs").as("metric"), col("value"))
+    val keep = corpusGopherFilterOf(docs)
+      .agg(sum(col("keep")).as("value"))
+      .select(lit("gopher_keep_docs").as("metric"), col("value"))
+    global.unionByName(perLang).unionByName(dups).unionByName(keep)
+      .orderBy(col("metric"))
+  }
+
+  val corpusDatacardSql: String = {
+    val gopher = corpusGopherFilterSql
+      .replaceFirst("(?s)^WITH ", "").replaceFirst("(?s)\\n\\)\\nSELECT.*$", "\n)")
+    s"""WITH $gopher, base AS (
+      |  SELECT doc_id, lang, text, CAST(length(text) AS BIGINT) AS nc,
+      |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nw
+      |  FROM documents
+      |), g AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(nc) AS BIGINT) AS n_chars,
+      |    CAST(sum(nw) AS BIGINT) AS n_ws_tokens,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |    CAST(min(nc) AS BIGINT) AS min_chars,
+      |    CAST(max(nc) AS BIGINT) AS max_chars
+      |  FROM base
+      |)
+      |SELECT metric, value FROM (
+      |  SELECT 'n_docs' AS metric, n_docs AS value FROM g
+      |  UNION ALL SELECT 'n_chars', n_chars FROM g
+      |  UNION ALL SELECT 'n_ws_tokens', n_ws_tokens FROM g
+      |  UNION ALL SELECT 'n_langs', n_langs FROM g
+      |  UNION ALL SELECT 'min_chars', min_chars FROM g
+      |  UNION ALL SELECT 'max_chars', max_chars FROM g
+      |  UNION ALL SELECT 'docs_lang_' || lang, CAST(count(*) AS BIGINT)
+      |    FROM base GROUP BY lang
+      |  UNION ALL SELECT 'exact_dup_docs', CAST(sum(d) AS BIGINT) FROM (
+      |    SELECT CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY md5(text))
+      |      THEN 1 ELSE 0 END AS d FROM base)
+      |  UNION ALL SELECT 'gopher_keep_docs',
+      |    CAST(sum(CASE WHEN n_words BETWEEN 50 AND 100000
+      |      AND mwl_e2 BETWEEN 300 AND 1000 AND sym_bp <= 1000
+      |      AND bullet_bp <= 9000 AND ellipsis_bp <= 3000
+      |      AND alpha_bp >= 8000 AND n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    FROM bp
+      |)
+      |ORDER BY metric""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_datacard"        -> (corpusDatacard _),
     "corpus_curation_matrix" -> (corpusCurationMatrix _),
     "corpus_cluster_topics" -> (corpusClusterTopics _),
     "corpus_cell_topics"   -> (corpusCellTopics _),
@@ -862,6 +946,7 @@ object CorpusStats {
     "text_winnow"       -> (textWinnow _))
 
   val oracle: Map[String, String] = Map(
+    "corpus_datacard"        -> corpusDatacardSql,
     "corpus_curation_matrix" -> corpusCurationMatrixSql,
     "corpus_cell_topics"   -> corpusCellTopicsSql,
     "corpus_gopher_filter" -> corpusGopherFilterSql,

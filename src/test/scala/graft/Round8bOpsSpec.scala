@@ -459,6 +459,24 @@ class Round8bOpsSpec extends SparkSpecBase {
     assert(got.size == 4)
   }
 
+  test("corpus_datacard: long-form metrics replay on a hand corpus") {
+    import spark.implicits._
+    val prose = (("the cat and the dog that have been with " * 7).trim + " ok")
+    val docs = Seq(
+      (1L, prose, "en"), (2L, prose, "en"), (3L, "tiny", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = CorpusStats.corpusDatacardOf(docs).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Long]("value")).toMap
+    assert(got("n_docs") == 3L)
+    assert(got("n_langs") == 2L)
+    assert(got("docs_lang_en") == 2L && got("docs_lang_fr") == 1L)
+    assert(got("exact_dup_docs") == 1L)
+    assert(got("gopher_keep_docs") == 2L, "both prose copies pass quality")
+    assert(got("min_chars") == 4L)
+    assert(got("n_chars") == prose.length * 2L + 4L)
+    assert(got("n_ws_tokens") == 64L * 2 + 1) // 9 words × 7 + "ok", twice, + "tiny"
+  }
+
   test("graph_reciprocity: mutual, one-way and isolated nodes") {
     val (nodes, edges) = graphDf(Seq("a", "b", "c", "d", "e"), Seq(
       ("a", "b", 5L), ("b", "a", 5L), ("a", "c", 5L),
