@@ -329,7 +329,9 @@ object ScaleProbe {
       "q_sole_blame"      -> graft.operators.AnalyticsJoins.qSoleBlame,
       "q_market_share"    -> graft.operators.AnalyticsJoins.qMarketShare,
       "q_returned_items"  -> graft.operators.AnalyticsJoins.qReturnedItems,
-      "graph_pagerank"    -> graft.operators.GraphOps.graphPagerank)) {
+      "graph_pagerank"    -> graft.operators.GraphOps.graphPagerank,
+      "graph_triangles"   -> graft.operators.GraphOps.graphTriangles,
+      "graph_bfs"         -> graft.operators.GraphOps.graphBfs)) {
       val t0 = System.nanoTime()
       // mod-p before summing: a raw sum of 2^63-range hashes ANSI-overflows
       val h = fn(spark, out).agg(sum(pmod(xxhash64(struct(col("*"))), lit(1000000007L))))
