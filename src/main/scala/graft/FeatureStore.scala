@@ -237,6 +237,20 @@ final class FeatureStore(val registry: Registry, spark: SparkSession,
       tsCol = t.eventTsCol, nowCol = lit(nowTs), maxAgeSec = t.maxAgeSec)
   }
 
+  /** Daily feature-snapshot backfill of a registered table — the
+    * registry-driven form of `ft_daily_snapshot` (the feast-0.9 nightly
+    * materialization over a range of windows at once): per (entities,
+    * day), the registry-TYPED latest values as of day end, with their
+    * source timestamp and age in days; days before a key's first event
+    * emit nothing, values carry forward. One as-of union-sort exchange
+    * regardless of the day-range width. */
+  def getDailySnapshots(tableName: String, featureNames: Seq[String]): DataFrame = {
+    val t = table(tableName)
+    graft.operators.FeatureOps.ftDailySnapshotGeneric(
+      loadFeatures(t, featureNames), keys = t.entities, tsCol = t.eventTsCol,
+      valueCols = featureNames)
+  }
+
   /** Online-store consistency audit: recompute the expected latest row per
     * entity key from the table's BATCH source (events up to
     * `upToExclusive`) and reconcile it against what the store actually

@@ -894,28 +894,40 @@ object FeatureOps {
   def ftDailySnapshot(spark: SparkSession, dir: String): DataFrame =
     ftDailySnapshotOf(Tables.events(spark, dir))
 
-  def ftDailySnapshotOf(ev: DataFrame): DataFrame = {
-    val feats = ev.filter(col("event_type") =!= "purchase")
-      .select(col("user_id"), col("ts"),
-        round(col("value") * 10000).cast("long").as("value_e4"))
-    val span = feats.agg(
-      floor(unix_micros(min(col("ts"))) / lit(86400000000L)).cast("long").as("d0"),
-      floor(unix_micros(max(col("ts"))) / lit(86400000000L)).cast("long").as("d1"))
-    val grid = feats.select(col("user_id")).distinct()
+  def ftDailySnapshotOf(ev: DataFrame): DataFrame =
+    ftDailySnapshotGeneric(
+      ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts"),
+          round(col("value") * 10000).cast("long").as("value_e4")),
+      keys = Seq("user_id"), tsCol = "ts", valueCols = Seq("value_e4"))
+      .orderBy(col("user_id"), col("day"))
+
+  /** Generalized snapshot form over any keyed, timestamped frame — the
+    * registry-driven facade path (`FeatureStore.getDailySnapshots`) calls
+    * this with a table's declared entities / event-ts / typed features.
+    * Equal-ts ingest ties resolve to the greatest value struct (the asof
+    * tiebreak; the gate's oracle mirrors it with max()). Output: keys,
+    * day, valueCols, value_ts, age_days. */
+  def ftDailySnapshotGeneric(df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val span = df.agg(
+      floor(unix_micros(min(col(tsCol))) / lit(86400000000L)).cast("long").as("d0"),
+      floor(unix_micros(max(col(tsCol))) / lit(86400000000L)).cast("long").as("d1"))
+    val grid = df.select(keys.map(col): _*).distinct()
       .crossJoin(broadcast(span))
-      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .select(keys.map(col) :+ explode(sequence(col("d0"), col("d1"))).as("day"): _*)
       // snapshot instant = day end (exclusive): last µs of the day
       .withColumn("snap_ts",
         timestamp_micros((col("day") + 1) * lit(86400000000L) - 1))
-    PointInTimeJoin.asof(grid, feats,
-        keys = Seq("user_id"), entityTs = "snap_ts", featureTs = "ts",
-        featureCols = Seq("value_e4"), maxAgeSec = None, outPrefix = "f_")
-      .filter(col("f_ts").isNotNull) // not-yet-existing users emit nothing
-      .select(col("user_id"), col("day"), col("f_value_e4").as("value_e4"),
-        col("f_ts").as("value_ts"),
-        (col("day") - floor(unix_micros(col("f_ts")) / lit(86400000000L))
-          .cast("long")).as("age_days"))
-      .orderBy(col("user_id"), col("day"))
+    PointInTimeJoin.asof(grid, df,
+        keys = keys, entityTs = "snap_ts", featureTs = tsCol,
+        featureCols = valueCols, maxAgeSec = None, outPrefix = "f_")
+      .filter(col("f_ts").isNotNull) // not-yet-existing keys emit nothing
+      .select(keys.map(col) ++ Seq(col("day")) ++
+        valueCols.map(c => col(s"f_$c").as(c)) ++ Seq(
+          col("f_ts").as("value_ts"),
+          (col("day") - floor(unix_micros(col("f_ts")) / lit(86400000000L))
+            .cast("long")).as("age_days")): _*)
   }
 
   val ftDailySnapshotSql: String =

@@ -618,6 +618,22 @@ class FeatureStoreSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("not found in on-demand view odx"))
   }
 
+  test("getDailySnapshots: registry-driven per-day carry-forward with typed values") {
+    // activity fixture: user 1 @ 01-01 (10.0) and 01-05 (11.0), user 2 @ 01-02
+    val out = store.getDailySnapshots("activity", Seq("value")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day")) ->
+        ((r.getAs[Double]("value"), r.getAs[Long]("age_days")))).toMap
+    val d0 = ts("2024-01-01 00:00:00").getTime / 86400000L
+    assert(out((1L, d0)) == ((10.0, 0L)))
+    assert(out((1L, d0 + 2)) == ((10.0, 2L)), "value carries forward with growing age")
+    assert(out((1L, d0 + 4)) == ((11.0, 0L)), "the 01-05 ingest replaces it")
+    assert(!out.contains((2L, d0)), "user 2 does not exist before 01-02")
+    assert(out((2L, d0 + 1)) == ((20.0, 0L)))
+    // grid spans [first, last] event day for every existing key
+    assert(out.keys.count(_._1 == 1L) == 5L)
+    assert(out.keys.count(_._1 == 2L) == 4L)
+  }
+
   test("getTrainingSet: backward features + forward bounded label, leakage-free") {
     val labels = Seq(
       (1L, ts("2024-01-03 12:00:00"), 42.0),   // within 2 d of row 100's ts
