@@ -35,8 +35,67 @@ object GraphOps {
 
   /** The nation→nation revenue-weighted edge list (cust_nation → supp_nation,
     * w = Σ rev_e4) — the [[AnalyticsJoins.qNationVolume]] join tree collapsed
-    * to entity-domain grain; shared by [[graphPagerank]] and [[graphHits]]. */
+    * to entity-domain grain; shared by every graph operator here, THROUGH
+    * the persisted artifact: five analytics over one graph must not run
+    * the 100 TB fact collapse five times. [[tradeGraph]] loads the edge
+    * parquet when a fingerprint-matched artifact exists and derives+
+    * persists it otherwise (the IVF-centroid artifact discipline:
+    * fingerprint = fact-file names/sizes/mtimes, same-corpus orphan GC,
+    * Hadoop-FS path probes). */
   private def tradeGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val nodes = Tables.nation(spark, dir).select(col("n_name").as("node"))
+    val path = edgesStorePath(spark, dir)
+    if (graft.serving.StorePaths.exists(spark, path))
+      (nodes, spark.read.parquet(path))
+    else {
+      val edges = tradeGraphDerive(spark, dir)._2
+      edges.write.mode("overwrite").parquet(path)
+      // same-corpus orphan GC (the trainQuantizer discipline)
+      val cur = new org.apache.hadoop.fs.Path(path)
+      val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val prefix = graphCorpusKey(dir) + "-"
+      if (fs.exists(cur.getParent)) {
+        fs.listStatus(cur.getParent)
+          .filter(s => s.getPath.getName.startsWith(prefix) &&
+            s.getPath.getName != cur.getName)
+          .foreach(s => fs.delete(s.getPath, true))
+      }
+      (nodes, spark.read.parquet(path))
+    }
+  }
+
+  /** Warm the persisted edge artifact (bench/offline hook — the first
+    * graph query in a fresh environment otherwise pays the derivation). */
+  def warmTradeGraph(spark: SparkSession, dir: String): Unit =
+    tradeGraph(spark, dir)._2.count(): Unit
+
+  private def edgesStorePath(spark: SparkSession, dir: String): String = {
+    val base = spark.conf.getOption("graft.graph.dir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_graph")
+    base + "/" + graphCorpusKey(dir) + "-" + graphFingerprint(spark, dir)
+  }
+
+  private def graphCorpusKey(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9._]", "_")
+
+  /** Fingerprint over the FOUR fact/dim inputs of the collapse — any
+    * refreshed file (name/size/mtime) forces a re-derivation. */
+  private def graphFingerprint(spark: SparkSession, dir: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sig = Seq("lineitem", "orders", "customer", "nation", "supplier").map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+      val fs = p.getFileSystem(conf)
+      try fs.listStatus(p).sortBy(_.getPath.getName)
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .mkString("|")
+      catch { case _: java.io.FileNotFoundException => s"$t:absent" }
+    }.mkString("||")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
+  private def tradeGraphDerive(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val nations = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
     val supN = Tables.supplier(spark, dir)
       .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
