@@ -692,7 +692,53 @@ object AnalyticsJoins {
       |  CAST(sum(bin_rev) // sum(bin_n) AS BIGINT) AS avg_rev_c
       |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Year-over-year revenue growth per customer nation — the BI growth
+    * report (which markets grow, which shrink): per (nation, year) exact
+    * revenue cents from the order grain, YoY delta via lag over the
+    * nation's year series, growth in bp of the PRIOR year (the sign
+    * convention finance reads; first year has no prior → NULL in both
+    * engines). The window runs over (nation, year) aggregate rows —
+    * nations × years grain, never facts. */
+  def qYearlyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .select(col("o_custkey"), year(col("o_orderdate")).cast("long").as("yr"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("yr"))
+      .agg(sum(col("cents")).as("rev_c"), count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(col("nation")).orderBy(col("yr"))
+    rev.withColumn("prev_rev_c", lag(col("rev_c"), 1).over(w))
+      .select(col("nation"), col("yr"), col("rev_c"), col("n_orders"),
+        col("prev_rev_c"),
+        expr("(rev_c - prev_rev_c) * 10000 DIV prev_rev_c").as("growth_bp"))
+      .orderBy(col("nation"), col("yr"))
+  }
+
+  val qYearlyGrowthSql: String =
+    """WITH rev AS (
+      |  SELECT n.n_name AS nation,
+      |    CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+      |    CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |      AS rev_c,
+      |    CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2
+      |)
+      |SELECT nation, yr, rev_c, n_orders,
+      |  lag(rev_c) OVER (PARTITION BY nation ORDER BY yr) AS prev_rev_c,
+      |  CAST((rev_c - lag(rev_c) OVER (PARTITION BY nation ORDER BY yr))
+      |    * 10000 // lag(rev_c) OVER (PARTITION BY nation ORDER BY yr)
+      |    AS BIGINT) AS growth_bp
+      |FROM rev ORDER BY nation, yr""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_yearly_growth"   -> (qYearlyGrowth _),
     "q_revenue_deciles" -> (qRevenueDeciles _),
     "q_basket_pairs"    -> (qBasketPairs _),
     "q_nation_volume"   -> (qNationVolume _),
@@ -708,6 +754,7 @@ object AnalyticsJoins {
     "q_returned_items"  -> (qReturnedItems _))
 
   val oracle: Map[String, String] = Map(
+    "q_yearly_growth"   -> qYearlyGrowthSql,
     "q_revenue_deciles" -> qRevenueDecilesSql,
     "q_basket_pairs"    -> qBasketPairsSql,
     "q_nation_volume"   -> qNationVolumeSql,

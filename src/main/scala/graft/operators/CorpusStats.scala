@@ -929,7 +929,71 @@ object CorpusStats {
       |ORDER BY metric""".stripMargin
   }
 
+  /** Vocabulary coverage curve — the tokenizer-sizing statistic (what
+    * fraction of token OCCURRENCES do the top-k types cover; the answer
+    * decides vocab size and the UNK budget): coverage at k ∈ {100, 1000,
+    * 10000} in exact basis points. Computed at FREQUENCY-BIN grain — all
+    * types in a bin share one frequency, so "which k types" never needs a
+    * global (freq, token) sort over the vocabulary (single-partition at
+    * corpus scale): covered(k) = Σ_bins f · clamp(k − cum_types_before,
+    * 0, bin_types), a per-k aggregate over bins whose cardinality is
+    * bounded by the distinct-frequency VALUE range. Boundary-bin types
+    * are interchangeable by construction — the tie needs no order. */
+  def corpusVocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    corpusVocabCoverageOf(Tables.documents(spark, dir))
+
+  private val CoverageKs = Seq(100L, 1000L, 10000L)
+
+  def corpusVocabCoverageOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val freq = docs
+      .select(explode(regexp_extract_all(lower(col("text")), lit(word), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val bins = freq.groupBy(col("f")).agg(count(lit(1)).as("n_types"))
+    val wdesc = Window.orderBy(col("f").desc) // bin-grain rows only
+    val cum = bins.withColumn("cum_before",
+      coalesce(sum(col("n_types")).over(
+        wdesc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val ks = CoverageKs.toDF("k")
+    cum.crossJoin(broadcast(ks))
+      .groupBy(col("k"))
+      .agg(
+        sum(col("f") * col("n_types")).as("total_occ"),
+        sum(col("n_types")).as("n_types_total"),
+        sum(col("f") * greatest(lit(0L),
+          least(col("n_types"), col("k") - col("cum_before")))).as("covered_occ"))
+      .select(col("k"), col("n_types_total"), col("total_occ"), col("covered_occ"),
+        expr("covered_occ * 10000 DIV greatest(total_occ, 1)").as("covered_bp"))
+      .orderBy(col("k"))
+  }
+
+  val corpusVocabCoverageSql: String =
+    s"""WITH tok AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '$word')) AS w
+      |  FROM documents
+      |), freq AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY 1
+      |), bins AS (
+      |  SELECT f, CAST(count(*) AS BIGINT) AS n_types FROM freq GROUP BY 1
+      |), cum AS (
+      |  SELECT f, n_types,
+      |    CAST(coalesce(sum(n_types) OVER (ORDER BY f DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cum_before
+      |  FROM bins
+      |)
+      |SELECT k, CAST(sum(n_types) AS BIGINT) AS n_types_total,
+      |  CAST(sum(f * n_types) AS BIGINT) AS total_occ,
+      |  CAST(sum(f * greatest(0, least(n_types, k - cum_before))) AS BIGINT)
+      |    AS covered_occ,
+      |  CAST(sum(f * greatest(0, least(n_types, k - cum_before))) * 10000
+      |    // greatest(sum(f * n_types), 1) AS BIGINT) AS covered_bp
+      |FROM cum CROSS JOIN (VALUES (CAST(100 AS BIGINT)), (1000), (10000)) AS t(k)
+      |GROUP BY k ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_vocab_coverage"  -> (corpusVocabCoverage _),
     "corpus_datacard"        -> (corpusDatacard _),
     "corpus_curation_matrix" -> (corpusCurationMatrix _),
     "corpus_cluster_topics" -> (corpusClusterTopics _),
@@ -946,6 +1010,7 @@ object CorpusStats {
     "text_winnow"       -> (textWinnow _))
 
   val oracle: Map[String, String] = Map(
+    "corpus_vocab_coverage"  -> corpusVocabCoverageSql,
     "corpus_datacard"        -> corpusDatacardSql,
     "corpus_curation_matrix" -> corpusCurationMatrixSql,
     "corpus_cell_topics"   -> corpusCellTopicsSql,

@@ -477,6 +477,38 @@ class Round8bOpsSpec extends SparkSpecBase {
     assert(got("n_ws_tokens") == 64L * 2 + 1) // 9 words × 7 + "ok", twice, + "tiny"
   }
 
+  test("corpus_vocab_coverage: bin-grain coverage equals the brute-force top-k cut") {
+    // 151 types: "the" × 300 plus 150 singletons — k=100 must take "the"
+    // and 99 interchangeable singletons
+    val text = (Seq.fill(300)("the") ++ (1 to 150).map(i => f"t$i%03d")).mkString(" ")
+    val got = CorpusStats.corpusVocabCoverageOf(docsDf(Seq(1L -> text))).collect()
+      .map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Long]("n_types_total"), r.getAs[Long]("total_occ"),
+          r.getAs[Long]("covered_occ"), r.getAs[Long]("covered_bp")))).toMap
+    assert(got(100L) == ((151L, 450L, 399L, 8866L))) // 300 + 99 singles
+    assert(got(1000L) == ((151L, 450L, 450L, 10000L)))
+    assert(got(10000L) == ((151L, 450L, 450L, 10000L)))
+  }
+
+  test("q_yearly_growth: lag wiring and growth formula replay on the gate corpus") {
+    val rows = graft.operators.AnalyticsJoins.qYearlyGrowth(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byNation = rows.groupBy(_.getAs[String]("nation"))
+    byNation.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("yr"))
+      assert(sorted.head.isNullAt(sorted.head.fieldIndex("prev_rev_c")),
+        "first year has no prior")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("prev_rev_c") == a.getAs[Long]("rev_c"))
+          val expect = (b.getAs[Long]("rev_c") - a.getAs[Long]("rev_c")) * 10000 /
+            a.getAs[Long]("rev_c")
+          assert(b.getAs[Long]("growth_bp") == expect)
+        case _ =>
+      }
+    }
+  }
+
   test("graph_reciprocity: mutual, one-way and isolated nodes") {
     val (nodes, edges) = graphDf(Seq("a", "b", "c", "d", "e"), Seq(
       ("a", "b", 5L), ("b", "a", 5L), ("a", "c", 5L),
