@@ -311,13 +311,74 @@ object Growth {
       |FROM cells""".stripMargin
   }
 
+  /** Error-budget burn — the SRE view of the event stream (error share
+    * per day and over the trailing 7-day window; the trailing form is
+    * what pages: a single bad hour hides in a daily ratio): per day on
+    * the DENSE [min,max] grid, error/total counts, err_bp, and the
+    * 7-day trailing err7_bp — the frame is calendar-true because the
+    * grid is dense (a zero-traffic day still occupies its frame slot;
+    * over sparse day rows a ROWS frame would silently span months).
+    * Exact integers; one (day) partial-aggregated fact exchange, then
+    * day-grain frames. */
+  def eventsErrorBudget(spark: SparkSession, dir: String): DataFrame =
+    eventsErrorBudgetOf(Tables.events(spark, dir))
+
+  def eventsErrorBudgetOf(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .select(floor(unix_micros(col("ts")) / lit(DayUs)).cast("long").as("day"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("is_err"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("is_err")).as("n_errors"))
+    val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val dense = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    dense
+      .withColumn("ev7", sum(col("n_events")).over(w7))
+      .withColumn("er7", sum(col("n_errors")).over(w7))
+      .select(col("day"), col("n_events"), col("n_errors"),
+        expr("n_errors * 10000 DIV greatest(n_events, 1)").as("err_bp"),
+        expr("er7 * 10000 DIV greatest(ev7, 1)").as("err7_bp"))
+      .orderBy(col("day"))
+  }
+
+  val eventsErrorBudgetSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |    CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_errors
+      |  FROM events GROUP BY 1
+      |), span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily
+      |), dense AS (
+      |  SELECT g.day, coalesce(d.n_events, 0) AS n_events,
+      |    coalesce(d.n_errors, 0) AS n_errors
+      |  FROM (SELECT unnest(range(d0, d1 + 1)) AS day FROM span) g
+      |  LEFT JOIN daily d ON g.day = d.day
+      |), f AS (
+      |  SELECT day, n_events, n_errors,
+      |    CAST(sum(n_events) OVER (ORDER BY day
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS ev7,
+      |    CAST(sum(n_errors) OVER (ORDER BY day
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS er7
+      |  FROM dense
+      |)
+      |SELECT day, n_events, n_errors,
+      |  CAST(n_errors * 10000 // greatest(n_events, 1) AS BIGINT) AS err_bp,
+      |  CAST(er7 * 10000 // greatest(ev7, 1) AS BIGINT) AS err7_bp
+      |FROM f ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_error_budget" -> (eventsErrorBudget _),
     "events_lifecycle"   -> (eventsLifecycle _),
     "events_seasonality" -> (eventsSeasonality _),
     "events_forecast"    -> (eventsForecast _),
     "events_ab_lift"     -> (eventsAbLift _))
 
   val oracle: Map[String, String] = Map(
+    "events_error_budget" -> eventsErrorBudgetSql,
     "events_lifecycle"   -> eventsLifecycleSql,
     "events_seasonality" -> eventsSeasonalitySql,
     "events_forecast"    -> eventsForecastSql,

@@ -509,6 +509,22 @@ class Round8bOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("events_error_budget: dense-grid trailing window stays calendar-true") {
+    def at(day: Long, typ: String, id: Long) = (id, day * 86400L + 60L, 1L, typ, 0.0)
+    // day 0: 1 error of 2; day 1: quiet (zero traffic); day 8: 1 of 1 ok
+    val ev = evDf(Seq(at(0, "error", 1), at(0, "click", 2), at(8, "click", 3)))
+    val got = graft.operators.Growth.eventsErrorBudgetOf(ev).collect()
+      .map(r => r.getAs[Long]("day") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_errors"),
+          r.getAs[Long]("err_bp"), r.getAs[Long]("err7_bp")))).toMap
+    assert(got(0L) == ((2L, 1L, 5000L, 5000L)))
+    assert(got(1L) == ((0L, 0L, 0L, 5000L)), "a zero-traffic day still burns the window")
+    assert(got(6L) == ((0L, 0L, 0L, 5000L)), "day 0's error is still inside [0..6]")
+    assert(got(7L) == ((0L, 0L, 0L, 0L)), "the error ages out of the 7-day frame on day 7")
+    assert(got(8L) == ((1L, 0L, 0L, 0L)))
+    assert(got.size == 9, "dense [0, 8] grid")
+  }
+
   test("graph_reciprocity: mutual, one-way and isolated nodes") {
     val (nodes, edges) = graphDf(Seq("a", "b", "c", "d", "e"), Seq(
       ("a", "b", 5L), ("b", "a", 5L), ("a", "c", 5L),
