@@ -737,7 +737,42 @@ object AnalyticsJoins {
       |    AS BIGINT) AS growth_bp
       |FROM rev ORDER BY nation, yr""".stripMargin
 
+  /** Order-priority mix per year (the TPC-H Q4 FAMILY's reporting shape
+    * on the columns this dataset carries — commitdate is absent, the
+    * priority×year mix is the expressible member): per (year, priority)
+    * order count, exact revenue cents, and the share of the year's
+    * orders in bp; one (yr, priority) partial-aggregated exchange, the
+    * share window at years×priorities grain. */
+  def qPriorityMix(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_orderpriority").as("priority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("yr"), col("priority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_c"))
+    val w = Window.partitionBy(col("yr"))
+    agg.withColumn("yr_orders", sum(col("n_orders")).over(w))
+      .select(col("yr"), col("priority"), col("n_orders"), col("rev_c"),
+        expr("n_orders * 10000 DIV yr_orders").as("share_bp"))
+      .orderBy(col("yr"), col("priority"))
+  }
+
+  val qPriorityMixSql: String =
+    """WITH agg AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    o_orderpriority AS priority,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM orders GROUP BY 1, 2
+      |)
+      |SELECT yr, priority, n_orders, rev_c,
+      |  CAST(n_orders * 10000 //
+      |    (sum(n_orders) OVER (PARTITION BY yr)) AS BIGINT) AS share_bp
+      |FROM agg ORDER BY yr, priority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_priority_mix"    -> (qPriorityMix _),
     "q_yearly_growth"   -> (qYearlyGrowth _),
     "q_revenue_deciles" -> (qRevenueDeciles _),
     "q_basket_pairs"    -> (qBasketPairs _),
@@ -754,6 +789,7 @@ object AnalyticsJoins {
     "q_returned_items"  -> (qReturnedItems _))
 
   val oracle: Map[String, String] = Map(
+    "q_priority_mix"    -> qPriorityMixSql,
     "q_yearly_growth"   -> qYearlyGrowthSql,
     "q_revenue_deciles" -> qRevenueDecilesSql,
     "q_basket_pairs"    -> qBasketPairsSql,

@@ -525,6 +525,18 @@ class Round8bOpsSpec extends SparkSpecBase {
     assert(got.size == 9, "dense [0, 8] grid")
   }
 
+  test("q_priority_mix: shares partition each year, counts cover all orders") {
+    val rows = graft.operators.AnalyticsJoins.qPriorityMix(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nOrders = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == nOrders)
+    rows.groupBy(_.getAs[Long]("yr")).values.foreach { ys =>
+      val bp = ys.map(_.getAs[Long]("share_bp")).sum
+      assert(bp >= 10000L - ys.length && bp <= 10000L,
+        s"truncating shares must sum to within one ulp per row of 10000, got $bp")
+    }
+  }
+
   test("graph_reciprocity: mutual, one-way and isolated nodes") {
     val (nodes, edges) = graphDf(Seq("a", "b", "c", "d", "e"), Seq(
       ("a", "b", 5L), ("b", "a", 5L), ("a", "c", 5L),
