@@ -370,7 +370,66 @@ object Growth {
       |  CAST(er7 * 10000 // greatest(ev7, 1) AS BIGINT) AS err7_bp
       |FROM f ORDER BY day""".stripMargin
 
+  /** Session conversion rate per day — the session-grain product metric
+    * ([[Analytics.eventsFunnel]] is user-grain; product teams report "what
+    * fraction of SESSIONS converted today"): sessions are the 30-min-gap
+    * ordinal windows ([[Analytics.eventsSessionize]]'s rule verbatim),
+    * a session converts when it contains a purchase, the day is the
+    * session START's epoch day (a session straddling midnight counts
+    * once, where it began). Exact truncating-DIV bp; one user_id window
+    * exchange for sessionization, then day-grain counts. */
+  def eventsSessionConversion(spark: SparkSession, dir: String): DataFrame =
+    eventsSessionConversionOf(Tables.events(spark, dir))
+
+  def eventsSessionConversionOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+    sess
+      .select(floor(unix_micros(col("session_start")) / lit(DayUs)).cast("long").as("day"),
+        col("converted"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("converted")).as("n_converted"))
+      .withColumn("conv_bp", expr("n_converted * 10000 DIV n_sessions"))
+      .orderBy(col("day"))
+  }
+
+  val eventsSessionConversionSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged
+      |), per_sess AS (
+      |  SELECT user_id, session_id, min(ts) AS session_start,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      |  FROM sess GROUP BY 1, 2
+      |), daily AS (
+      |  SELECT CAST(epoch_us(session_start) // 86400000000 AS BIGINT) AS day,
+      |    CAST(count(*) AS BIGINT) AS n_sessions,
+      |    CAST(sum(converted) AS BIGINT) AS n_converted
+      |  FROM per_sess GROUP BY 1
+      |)
+      |SELECT day, n_sessions, n_converted,
+      |  CAST(n_converted * 10000 // n_sessions AS BIGINT) AS conv_bp
+      |FROM daily ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_session_conversion" -> (eventsSessionConversion _),
     "events_error_budget" -> (eventsErrorBudget _),
     "events_lifecycle"   -> (eventsLifecycle _),
     "events_seasonality" -> (eventsSeasonality _),
@@ -378,6 +437,7 @@ object Growth {
     "events_ab_lift"     -> (eventsAbLift _))
 
   val oracle: Map[String, String] = Map(
+    "events_session_conversion" -> eventsSessionConversionSql,
     "events_error_budget" -> eventsErrorBudgetSql,
     "events_lifecycle"   -> eventsLifecycleSql,
     "events_seasonality" -> eventsSeasonalitySql,

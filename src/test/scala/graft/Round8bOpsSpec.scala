@@ -537,6 +537,20 @@ class Round8bOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("events_session_conversion: session grain, start-day attribution") {
+    val ev = evDf(Seq(
+      (1L, 1000L, 1L, "view", 0.0), (2L, 1100L, 1L, "purchase", 1.0), // session 1: converts
+      (3L, 9000L, 1L, "view", 0.0),                                   // session 2 (gap > 30 min): no
+      (4L, 86400L + 500L, 2L, "purchase", 1.0)))                      // next day, converts
+    val got = graft.operators.Growth.eventsSessionConversionOf(ev).collect()
+      .map(r => r.getAs[Long]("day") ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Long]("n_converted"),
+          r.getAs[Long]("conv_bp")))).toMap
+    assert(got(0L) == ((2L, 1L, 5000L)))
+    assert(got(1L) == ((1L, 1L, 10000L)))
+    assert(got.size == 2)
+  }
+
   test("graph_reciprocity: mutual, one-way and isolated nodes") {
     val (nodes, edges) = graphDf(Seq("a", "b", "c", "d", "e"), Seq(
       ("a", "b", 5L), ("b", "a", 5L), ("a", "c", 5L),
