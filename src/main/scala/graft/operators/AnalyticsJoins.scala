@@ -771,7 +771,53 @@ object AnalyticsJoins {
       |    (sum(n_orders) OVER (PARTITION BY yr)) AS BIGINT) AS share_bp
       |FROM agg ORDER BY yr, priority""".stripMargin
 
+  /** Repeat- and returning-customer rates per year — the loyalty report
+    * beside [[qYearlyGrowth]]'s volume view (growth from NEW wallets vs
+    * the same wallets buying again are different businesses): per year,
+    * active customers, repeat customers (≥2 orders that year) and
+    * returning customers (also active the PRIOR year — via lag over each
+    * customer's active-year series, the events_lifecycle rule on the
+    * customer×year grain), with both rates in exact bp. One (custkey,
+    * year) partial-aggregated exchange; the lag window rides the
+    * customer-grain rows. */
+  def qRepeatCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cy = Tables.orders(spark, dir)
+      .select(col("o_custkey"), year(col("o_orderdate")).cast("long").as("yr"))
+      .groupBy(col("o_custkey"), col("yr")).agg(count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("yr"))
+    cy.withColumn("prev_yr", lag(col("yr"), 1).over(w))
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).as("n_repeat"),
+        sum(when(col("prev_yr") === col("yr") - 1, 1L).otherwise(0L)).as("n_returning"))
+      .select(col("yr"), col("n_active"), col("n_repeat"), col("n_returning"),
+        expr("n_repeat * 10000 DIV n_active").as("repeat_bp"),
+        expr("n_returning * 10000 DIV n_active").as("returning_bp"))
+      .orderBy(col("yr"))
+  }
+
+  val qRepeatCustomersSql: String =
+    """WITH cy AS (
+      |  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY 1, 2
+      |), lagged AS (
+      |  SELECT yr, n_orders,
+      |    lag(yr) OVER (PARTITION BY o_custkey ORDER BY yr) AS prev_yr
+      |  FROM cy
+      |)
+      |SELECT yr, CAST(count(*) AS BIGINT) AS n_active,
+      |  CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+      |  CAST(sum(CASE WHEN prev_yr = yr - 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_returning,
+      |  CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 10000
+      |    // count(*) AS BIGINT) AS repeat_bp,
+      |  CAST(sum(CASE WHEN prev_yr = yr - 1 THEN 1 ELSE 0 END) * 10000
+      |    // count(*) AS BIGINT) AS returning_bp
+      |FROM lagged GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_repeat_customers" -> (qRepeatCustomers _),
     "q_priority_mix"    -> (qPriorityMix _),
     "q_yearly_growth"   -> (qYearlyGrowth _),
     "q_revenue_deciles" -> (qRevenueDeciles _),
@@ -789,6 +835,7 @@ object AnalyticsJoins {
     "q_returned_items"  -> (qReturnedItems _))
 
   val oracle: Map[String, String] = Map(
+    "q_repeat_customers" -> qRepeatCustomersSql,
     "q_priority_mix"    -> qPriorityMixSql,
     "q_yearly_growth"   -> qYearlyGrowthSql,
     "q_revenue_deciles" -> qRevenueDecilesSql,

@@ -551,6 +551,21 @@ class Round8bOpsSpec extends SparkSpecBase {
     assert(got.size == 2)
   }
 
+  test("q_repeat_customers: counts bounded by actives, first year has no returners") {
+    val rows = graft.operators.AnalyticsJoins.qRepeatCustomers(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("yr"))
+    assert(rows.nonEmpty)
+    assert(rows.head.getAs[Long]("n_returning") == 0L,
+      "nobody can return in the corpus' first year")
+    rows.foreach { r =>
+      val (a, rep, ret) = (r.getAs[Long]("n_active"),
+        r.getAs[Long]("n_repeat"), r.getAs[Long]("n_returning"))
+      assert(rep <= a && ret <= a)
+      assert(r.getAs[Long]("repeat_bp") == rep * 10000 / a)
+      assert(r.getAs[Long]("returning_bp") == ret * 10000 / a)
+    }
+  }
+
   test("graph_reciprocity: mutual, one-way and isolated nodes") {
     val (nodes, edges) = graphDf(Seq("a", "b", "c", "d", "e"), Seq(
       ("a", "b", 5L), ("b", "a", 5L), ("a", "c", 5L),
