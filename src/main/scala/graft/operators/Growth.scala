@@ -428,7 +428,53 @@ object Growth {
       |  CAST(n_converted * 10000 // n_sessions AS BIGINT) AS conv_bp
       |FROM daily ORDER BY day""".stripMargin
 
+  /** Activity heatmap — the (dow × hour) matrix every analytics dashboard
+    * opens with ([[eventsSeasonality]] is its dow marginal; the hour axis
+    * is what capacity planning and on-call staffing actually read): per
+    * (dow, hour) cell, event count and share bp of the corpus, dense over
+    * all 168 cells. Both axes are ARITHMETIC on the epoch microsecond
+    * (dow = (day+3) mod 7 with 0=Monday, hour = µs-of-day DIV 3.6e9) —
+    * no calendar functions, engine-exact. One partial-aggregated
+    * fact exchange to ≤168 rows. */
+  def eventsHeatmap(spark: SparkSession, dir: String): DataFrame =
+    eventsHeatmapOf(Tables.events(spark, dir))
+
+  def eventsHeatmapOf(ev: DataFrame): DataFrame = {
+    val counts = ev
+      .select(pmod(floor(unix_micros(col("ts")) / lit(DayUs)) + 3, lit(7))
+          .cast("long").as("dow"),
+        expr(s"pmod(unix_micros(ts), ${DayUs}L) DIV 3600000000").as("hour"))
+      .groupBy(col("dow"), col("hour")).agg(count(lit(1)).as("n"))
+    val spark = ev.sparkSession
+    val grid = spark.range(0, 7).selectExpr("id AS dow")
+      .crossJoin(spark.range(0, 24).selectExpr("id AS hour"))
+    val tot = counts.agg(sum(col("n")).as("total"))
+    grid.join(counts, Seq("dow", "hour"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("dow"), col("hour"), coalesce(col("n"), lit(0L)).as("n"),
+        expr("coalesce(n, 0) * 10000 DIV greatest(total, 1)").as("share_bp"))
+      .orderBy(col("dow"), col("hour"))
+  }
+
+  val eventsHeatmapSql: String =
+    """WITH counts AS (
+      |  SELECT CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS BIGINT) AS dow,
+      |    CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS hour,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT d.dow, h.hour
+      |  FROM (SELECT unnest(range(0, 7)) AS dow) d,
+      |       (SELECT unnest(range(0, 24)) AS hour) h
+      |), tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+      |SELECT g.dow, g.hour, coalesce(c.n, 0) AS n,
+      |  CAST(coalesce(c.n, 0) * 10000 // greatest(t.total, 1) AS BIGINT)
+      |    AS share_bp
+      |FROM grid g LEFT JOIN counts c ON g.dow = c.dow AND g.hour = c.hour
+      |CROSS JOIN tot t ORDER BY g.dow, g.hour""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_heatmap" -> (eventsHeatmap _),
     "events_session_conversion" -> (eventsSessionConversion _),
     "events_error_budget" -> (eventsErrorBudget _),
     "events_lifecycle"   -> (eventsLifecycle _),
@@ -437,6 +483,7 @@ object Growth {
     "events_ab_lift"     -> (eventsAbLift _))
 
   val oracle: Map[String, String] = Map(
+    "events_heatmap" -> eventsHeatmapSql,
     "events_session_conversion" -> eventsSessionConversionSql,
     "events_error_budget" -> eventsErrorBudgetSql,
     "events_lifecycle"   -> eventsLifecycleSql,

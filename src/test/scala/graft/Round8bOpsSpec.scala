@@ -566,6 +566,21 @@ class Round8bOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("events_heatmap: arithmetic hour/dow cells on known instants, dense 168 grid") {
+    val mon = java.time.LocalDate.of(2024, 1, 1).toEpochDay * 86400L // Monday
+    val ev = evDf(Seq(
+      (1L, mon + 2 * 3600L + 59L, 1L, "click", 0.0),     // Monday 02:00
+      (2L, mon + 2 * 3600L + 3599L, 2L, "click", 0.0),   // Monday 02:59 (same cell)
+      (3L, mon + 86400L + 23 * 3600L, 3L, "view", 0.0))) // Tuesday 23:00
+    val got = graft.operators.Growth.eventsHeatmapOf(ev).collect()
+      .map(r => (r.getAs[Long]("dow"), r.getAs[Long]("hour")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("share_bp")))).toMap
+    assert(got.size == 168, "dense dow×hour grid")
+    assert(got((0L, 2L)) == ((2L, 6666L)))
+    assert(got((1L, 23L)) == ((1L, 3333L)))
+    assert(got.values.map(_._1).sum == 3L)
+  }
+
   test("graph_reciprocity: mutual, one-way and isolated nodes") {
     val (nodes, edges) = graphDf(Seq("a", "b", "c", "d", "e"), Seq(
       ("a", "b", 5L), ("b", "a", 5L), ("a", "c", 5L),
