@@ -816,7 +816,64 @@ object AnalyticsJoins {
       |    // count(*) AS BIGINT) AS returning_bp
       |FROM lagged GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Purchase-cadence distribution — days between a customer's
+    * consecutive orders, bucketed (≤7 / ≤30 / ≤90 / 90+) with exact
+    * per-bucket counts, share bp and mean gap days — the replenishment
+    * report behind reorder nudges and churn thresholds (the order-grain
+    * sibling of events_inter_arrival). Gaps via lag over each customer's
+    * order dates (one custkey exchange); the histogram fold is
+    * bucket-grain; day arithmetic on the epoch-day index, engine-exact. */
+  def qOrderGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        floor(unix_micros(col("o_orderdate")) / lit(86400000000L))
+          .cast("long").as("day"))
+      .withColumn("gap", col("day") - lag(col("day"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    val bucket = when(col("gap") <= 7, "a_week")
+      .when(col("gap") <= 30, "b_month")
+      .when(col("gap") <= 90, "c_quarter")
+      .otherwise("d_longer")
+    val agg = gaps.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("sum_days"))
+    val tot = agg.agg(sum(col("n_gaps")).as("total"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_gaps"),
+        expr("sum_days DIV n_gaps").as("mean_gap_days"),
+        expr("n_gaps * 10000 DIV total").as("share_bp"))
+      .orderBy(col("bucket"))
+  }
+
+  val qOrderGapsSql: String =
+    """WITH g AS (
+      |  SELECT o_custkey,
+      |    CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+      |    CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+      |      - lag(CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT))
+      |        OVER (PARTITION BY o_custkey ORDER BY
+      |          CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT),
+      |          o_orderkey) AS gap
+      |  FROM orders
+      |), b AS (
+      |  SELECT CASE WHEN gap <= 7 THEN 'a_week'
+      |    WHEN gap <= 30 THEN 'b_month'
+      |    WHEN gap <= 90 THEN 'c_quarter' ELSE 'd_longer' END AS bucket,
+      |    gap
+      |  FROM g WHERE gap IS NOT NULL
+      |), agg AS (
+      |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_gaps,
+      |    CAST(sum(gap) AS BIGINT) AS sum_days
+      |  FROM b GROUP BY 1
+      |), tot AS (SELECT CAST(sum(n_gaps) AS BIGINT) AS total FROM agg)
+      |SELECT bucket, n_gaps,
+      |  CAST(sum_days // n_gaps AS BIGINT) AS mean_gap_days,
+      |  CAST(n_gaps * 10000 // total AS BIGINT) AS share_bp
+      |FROM agg CROSS JOIN tot ORDER BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_order_gaps"      -> (qOrderGaps _),
     "q_repeat_customers" -> (qRepeatCustomers _),
     "q_priority_mix"    -> (qPriorityMix _),
     "q_yearly_growth"   -> (qYearlyGrowth _),
@@ -835,6 +892,7 @@ object AnalyticsJoins {
     "q_returned_items"  -> (qReturnedItems _))
 
   val oracle: Map[String, String] = Map(
+    "q_order_gaps"      -> qOrderGapsSql,
     "q_repeat_customers" -> qRepeatCustomersSql,
     "q_priority_mix"    -> qPriorityMixSql,
     "q_yearly_growth"   -> qYearlyGrowthSql,

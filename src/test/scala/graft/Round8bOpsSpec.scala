@@ -581,6 +581,20 @@ class Round8bOpsSpec extends SparkSpecBase {
     assert(got.values.map(_._1).sum == 3L)
   }
 
+  test("q_order_gaps: buckets partition the gap set, means replay") {
+    val rows = graft.operators.AnalyticsJoins.qOrderGaps(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("share_bp")).sum <= 10000L)
+    val bounds = Map("a_week" -> (1L, 7L), "b_month" -> (8L, 30L),
+      "c_quarter" -> (31L, 90L), "d_longer" -> (91L, Long.MaxValue))
+    rows.foreach { r =>
+      val (lo, hi) = bounds(r.getAs[String]("bucket"))
+      val m = r.getAs[Long]("mean_gap_days")
+      assert(m >= (lo - 1).max(0) && m <= hi,
+        s"${r.getAs[String]("bucket")} mean $m outside its bucket range")
+    }
+  }
+
   test("graph_reciprocity: mutual, one-way and isolated nodes") {
     val (nodes, edges) = graphDf(Seq("a", "b", "c", "d", "e"), Seq(
       ("a", "b", 5L), ("b", "a", 5L), ("a", "c", 5L),
