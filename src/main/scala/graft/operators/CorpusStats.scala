@@ -992,7 +992,73 @@ object CorpusStats {
       |FROM cum CROSS JOIN (VALUES (CAST(100 AS BIGINT)), (1000), (10000)) AS t(k)
       |GROUP BY k ORDER BY k""".stripMargin
 
+  /** Per-doc unicode-script profile — the mixed-script signal (spam and
+    * encoding mojibake mix scripts; genuine text is script-coherent, and
+    * a latin doc suddenly 30% cyrillic is a classic homoglyph attack):
+    * counts per script class (latin / cyrillic / cjk / arabic / greek /
+    * digit / other-letter) over the SCRIPT-BEARING chars (whitespace and
+    * punctuation are script-neutral and excluded from the base), the
+    * dominant script's share in bp, and a mixed flag when the runner-up
+    * class holds ≥ 10% of script chars. Exact integers; Java∩RE2 unicode
+    * ranges (explicit code-point classes, no \\p{Script=} — DuckDB's RE2
+    * spells those differently); doc-local, zero shuffles. */
+  def textScriptMix(spark: SparkSession, dir: String): DataFrame =
+    textScriptMixOf(Tables.documents(spark, dir))
+
+  private val scriptClasses: Seq[(String, String)] = Seq(
+    "latin"    -> "[A-Za-z\\x{00C0}-\\x{024F}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "cjk"      -> "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]",
+    "arabic"   -> "[\\x{0600}-\\x{06FF}]",
+    "greek"    -> "[\\x{0370}-\\x{03FF}]",
+    "digit"    -> "[0-9]")
+
+  def textScriptMixOf(docs: DataFrame): DataFrame = {
+    val counts = scriptClasses.map { case (nm, re) =>
+      size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long").as(s"n_$nm")
+    }
+    val names = scriptClasses.map(c => s"n_${c._1}")
+    docs.select(col("doc_id") +: counts: _*)
+      .withColumn("n_script", names.map(col).reduce(_ + _))
+      // runner-up via the sorted count vector; the array is dropped below
+      // (scalar-only gate rule)
+      .withColumn("sorted_arr",
+        sort_array(array(names.map(col): _*), asc = false))
+      .select(col("doc_id") +: names.map(col) :+ col("n_script") :+
+        expr("element_at(sorted_arr, 1) * 10000 DIV greatest(n_script, 1)")
+          .as("dom_share_bp") :+
+        ((element_at(col("sorted_arr"), 2) * lit(10L) >= col("n_script")) &&
+          col("n_script") > 0L).cast("long").as("mixed"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val textScriptMixSql: String = {
+    val cols = scriptClasses.map { case (nm, re) =>
+      s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_$nm"
+    }.mkString(",\n      |    ")
+    val names = scriptClasses.map(c => s"n_${c._1}")
+    val total = names.mkString(" + ")
+    val arr = s"list_reverse_sort([${names.mkString(", ")}])"
+    s"""WITH sig AS (
+      |  SELECT doc_id,
+      |    $cols
+      |  FROM documents
+      |), t AS (
+      |  SELECT doc_id, ${names.mkString(", ")},
+      |    CAST($total AS BIGINT) AS n_script,
+      |    $arr AS sorted_arr
+      |  FROM sig
+      |)
+      |SELECT doc_id, ${names.mkString(", ")}, n_script,
+      |  CAST(sorted_arr[1] * 10000 // greatest(n_script, 1) AS BIGINT)
+      |    AS dom_share_bp,
+      |  CAST(CASE WHEN sorted_arr[2] * 10 >= n_script AND n_script > 0
+      |    THEN 1 ELSE 0 END AS BIGINT) AS mixed
+      |FROM t ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_script_mix"        -> (textScriptMix _),
     "corpus_vocab_coverage"  -> (corpusVocabCoverage _),
     "corpus_datacard"        -> (corpusDatacard _),
     "corpus_curation_matrix" -> (corpusCurationMatrix _),
@@ -1010,6 +1076,7 @@ object CorpusStats {
     "text_winnow"       -> (textWinnow _))
 
   val oracle: Map[String, String] = Map(
+    "text_script_mix"        -> textScriptMixSql,
     "corpus_vocab_coverage"  -> corpusVocabCoverageSql,
     "corpus_datacard"        -> corpusDatacardSql,
     "corpus_curation_matrix" -> corpusCurationMatrixSql,

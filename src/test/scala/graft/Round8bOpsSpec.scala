@@ -595,6 +595,25 @@ class Round8bOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("text_script_mix: script classes, dominance and the homoglyph flag") {
+    val docs = docsDf(Seq(
+      1L -> "plain latin text only here",
+      2L -> "pаypаl sеcurity аlert",  // cyrillic а/е homoglyphs inside latin
+      3L -> "日本語のテキストです",
+      4L -> "12345 67890",
+      5L -> "...!!!???"))               // no script-bearing chars at all
+    val got = CorpusStats.textScriptMixOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("mixed") == 0L)
+    assert(got(1L).getAs[Long]("dom_share_bp") == 10000L)
+    assert(got(2L).getAs[Long]("mixed") == 1L, "homoglyph doc must flag as mixed")
+    assert(got(2L).getAs[Long]("n_cyrillic") == 4L)
+    assert(got(3L).getAs[Long]("n_cjk") > 0L && got(3L).getAs[Long]("mixed") == 0L)
+    assert(got(4L).getAs[Long]("n_digit") == 10L && got(4L).getAs[Long]("mixed") == 0L)
+    assert(got(5L).getAs[Long]("n_script") == 0L && got(5L).getAs[Long]("mixed") == 0L)
+    assert(got(5L).getAs[Long]("dom_share_bp") == 0L)
+  }
+
   test("graph_reciprocity: mutual, one-way and isolated nodes") {
     val (nodes, edges) = graphDf(Seq("a", "b", "c", "d", "e"), Seq(
       ("a", "b", 5L), ("b", "a", 5L), ("a", "c", 5L),
