@@ -130,8 +130,12 @@ final class FeatureStore(val registry: Registry, spark: SparkSession,
     * [ts, ts+labelWindowSec], inclusive ends — the `ft_label_join`
     * semantics, with the label table's entities/event-ts/typing resolved
     * from the registry instead of hand-wired). Appends the first
-    * qualifying label row's value as `table__feature`, its timestamp as
-    * `table__label_ts`, and a 0/1 `label`. Plan: one additional
+    * qualifying label row's value as `table__label_<feature>`, its
+    * timestamp as `table__label_ts`, and a 0/1 `label`. All label columns
+    * carry the `__label_` prefix so a table may serve as BOTH feature and
+    * label source (past purchases as feature, future purchase as label)
+    * without colliding with the `table__<feature>`/`table__ts` names
+    * [[getHistoricalFeatures]] already emitted. Plan: one additional
     * entity-keyed union-sort exchange on top of the feature joins — the
     * label side never range-joins. */
   def getTrainingSet(entityDf: DataFrame, entityTsCol: String,
@@ -140,13 +144,12 @@ final class FeatureStore(val registry: Registry, spark: SparkSession,
     val withFeats = getHistoricalFeatures(entityDf, entityTsCol, refs)
     val t = table(labelRef.table)
     val labelSrc = loadFeatures(t, Seq(labelRef.feature))
-    val pfx = s"${labelRef.table}__"
+    val pfx = s"${labelRef.table}__label_"
     PointInTimeJoin.asofForward(
         withFeats, labelSrc, keys = t.entities, entityTs = entityTsCol,
         featureTs = t.eventTsCol, featureCols = Seq(labelRef.feature),
         maxAgeSec = Some(labelWindowSec), outPrefix = pfx)
       .withColumn("label", when(col(s"${pfx}ts").isNotNull, 1L).otherwise(0L))
-      .withColumnRenamed(s"${pfx}ts", s"${pfx}label_ts")
   }
 
   private def joinHistorical(entityDf: DataFrame, entityTsCol: String,

@@ -1042,11 +1042,20 @@ object Analytics {
 
   /** TPC-H-Q2-shaped argmin join: the cheapest observed supplier per part
     * (ties → lowest suppkey), parts filtered to p_size ≤ 15. The plan
-    * shape is the point — pre-aggregate offers to (part, supp) grain, take
-    * the per-part min, and join the min BACK to the offers at aggregate
-    * grain. The naive window-rank over the raw fact table sorts |lineitem|
-    * rows; this sorts nothing and shuffles the fact table once into a
-    * partial-aggregated (part, supp) relation that is strictly smaller.
+    * shape is the point, twice over:
+    *  1. the FACT side is pruned before any aggregate — only ~30% of
+    *     parts survive p_size ≤ 15, so a keys-only broadcast semi-join at
+    *     the lineitem scan cuts the aggregate's input ~3× (the
+    *     q_market_share discipline; at 100× the unpruned aggregate
+    *     carries 3× the rows the query keeps);
+    *  2. the argmin-with-tie-break is ONE lexicographic struct-min —
+    *     min(struct(price, suppkey)) per part — NOT a (part, supp)
+    *     aggregate + per-part window: the per-part minimum price over raw
+    *     rows equals the minimum of per-supplier minima, and among rows
+    *     at that price the struct order picks the lowest suppkey, so the
+    *     whole query is one map-side-combining exchange with no sort and
+    *     no window (the window form paid a second exchange + sort to
+    *     re-cluster (part, supp) rows by part — measured 2× slower).
     * Dimension joins broadcast; prices ride the gate as per-row integral
     * cents so min() is exact integer math in both engines. */
   def qArgminJoin(spark: SparkSession, dir: String): DataFrame =
@@ -1055,21 +1064,16 @@ object Analytics {
 
   def qArgminJoinOf(lineitem: DataFrame, part: DataFrame,
                     supplier: DataFrame): DataFrame = {
-    val li = lineitem.select(col("l_partkey"), col("l_suppkey"),
-      round(col("l_extendedprice") * 100).cast("long").as("price_e2"))
-    val offers = li.groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(col("price_e2")).as("offer_e2"))
-    // per-part min as a window over the ALREADY-AGGREGATED offers: a
-    // groupBy+join-back formulation re-scans the fact table for the min
-    // side (verified: two parquet scans in the physical plan) — the window
-    // reuses the one aggregate, so lineitem is read exactly once and the
-    // only extra exchange moves (part, supp) rows, not facts
-    val wBest = Window.partitionBy(col("l_partkey"))
-    val chosen = offers
-      .withColumn("best_e2", min(col("offer_e2")).over(wBest))
-      .filter(col("offer_e2") === col("best_e2"))
-      .groupBy(col("l_partkey"), col("best_e2"))
-      .agg(min(col("l_suppkey")).as("s_suppkey"))
+    val wantedParts = part.filter(col("p_size") <= 15).select(col("p_partkey"))
+    val li = lineitem
+      .join(broadcast(wantedParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_e2"))
+    val chosen = li
+      .groupBy(col("l_partkey"))
+      .agg(min(struct(col("price_e2"), col("l_suppkey"))).as("b"))
+      .select(col("l_partkey"), col("b.price_e2").as("best_e2"),
+        col("b.l_suppkey").as("s_suppkey"))
     chosen
       .join(broadcast(part.filter(col("p_size") <= 15)),
         col("l_partkey") === col("p_partkey"))
@@ -1255,8 +1259,12 @@ object Analytics {
   def eventsTrendOf(ev: DataFrame): DataFrame =
     trendCoefs(trendDense(ev)).orderBy(col("event_type"))
 
-  val eventsTrendSql: String =
-    """WITH daily AS (
+  /** The trend CTE chain (daily → span → grid → dense → sums) and the
+    * OLS coefficient arithmetic as composable constants — consumers
+    * (eventsForecastSql) embed THESE instead of regex-stripping the
+    * finished query, so a threshold/formula edit propagates everywhere. */
+  private[operators] val trendSumsCtesSql: String =
+    """daily AS (
       |  SELECT event_type,
       |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
       |    CAST(count(*) AS BIGINT) AS y
@@ -1275,13 +1283,19 @@ object Analytics {
       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS total_events,
       |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
       |  FROM dense GROUP BY 1
-      |)
+      |)""".stripMargin
+
+  private[operators] val trendSlopeE6Sql: String =
+    "(n_days * sxy - sx * total_events) * 1000000 // (n_days * sxx - sx * sx)"
+
+  private[operators] val trendIceptE6Sql: String =
+    s"(total_events * 1000000 - ($trendSlopeE6Sql) * sx) // n_days"
+
+  val eventsTrendSql: String =
+    s"""WITH $trendSumsCtesSql
       |SELECT event_type, n_days, total_events,
-      |  CAST((n_days * sxy - sx * total_events) * 1000000 //
-      |    (n_days * sxx - sx * sx) AS BIGINT) AS slope_e6,
-      |  CAST((total_events * 1000000 - ((n_days * sxy - sx * total_events)
-      |    * 1000000 // (n_days * sxx - sx * sx)) * sx) // n_days AS BIGINT)
-      |    AS icept_e6
+      |  CAST($trendSlopeE6Sql AS BIGINT) AS slope_e6,
+      |  CAST($trendIceptE6Sql AS BIGINT) AS icept_e6
       |FROM sums ORDER BY event_type""".stripMargin
 
   /** Trend-adjusted anomaly days: the days whose event volume sits far off

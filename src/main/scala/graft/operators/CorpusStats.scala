@@ -466,13 +466,17 @@ object CorpusStats {
       .orderBy(col("doc_id"))
   }
 
-  val corpusGopherFilterSql: String = {
+  /** The gopher signal CTE chain (sig → bp, from `documents`) and the
+    * seven-rule keep predicate as composable constants — the datacard and
+    * curation-matrix oracles embed THESE instead of regex-stripping the
+    * finished query, so a threshold edit propagates to every consumer. */
+  private val gopherCtesSql: String = {
     val words = "regexp_extract_all(text, '\\S+')"
     val lines = "string_split(text, chr(10))"
     val stops = gopherStops.map(s =>
       s"CASE WHEN regexp_matches(lower(text), '\\b$s\\b') THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH sig AS (
+    s"""sig AS (
       |  SELECT doc_id,
       |    CAST(len($words) AS BIGINT) AS n_words,
       |    CAST(len($lines) AS BIGINT) AS n_lines,
@@ -495,16 +499,20 @@ object CorpusStats {
       |    CAST(n_ellipsis * 10000 // n_lines AS BIGINT) AS ellipsis_bp,
       |    CAST(n_alpha * 10000 // greatest(n_words, 1) AS BIGINT) AS alpha_bp
       |  FROM sig
-      |)
+      |)""".stripMargin
+  }
+
+  private val gopherKeepPredSql: String =
+    "n_words BETWEEN 50 AND 100000 AND mwl_e2 BETWEEN 300 AND 1000 " +
+      "AND sym_bp <= 1000 AND bullet_bp <= 9000 AND ellipsis_bp <= 3000 " +
+      "AND alpha_bp >= 8000 AND n_stop >= 2"
+
+  val corpusGopherFilterSql: String =
+    s"""WITH $gopherCtesSql
       |SELECT doc_id, n_words, n_lines, n_stop, mwl_e2, sym_bp, bullet_bp,
       |  ellipsis_bp, alpha_bp,
-      |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
-      |    AND mwl_e2 BETWEEN 300 AND 1000 AND sym_bp <= 1000
-      |    AND bullet_bp <= 9000 AND ellipsis_bp <= 3000
-      |    AND alpha_bp >= 8000 AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT)
-      |    AS keep
+      |  CAST(CASE WHEN $gopherKeepPredSql THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM bp ORDER BY doc_id""".stripMargin
-  }
 
   /** Per-doc lexical diversity: type-token ratio and hapax fraction —
     * the cheap templated-text / boilerplate detector (machine-generated
@@ -819,14 +827,9 @@ object CorpusStats {
   }
 
   val corpusCurationMatrixSql: String = {
-    val gopher = corpusGopherFilterSql
-      .replaceFirst("(?s)^WITH ", "").replaceFirst("(?s)\\n\\)\\nSELECT.*$", "\n)")
-    s"""WITH $gopher, keepbit AS (
+    s"""WITH $gopherCtesSql, keepbit AS (
       |  SELECT doc_id,
-      |    CAST(CASE WHEN n_words BETWEEN 50 AND 100000
-      |      AND mwl_e2 BETWEEN 300 AND 1000 AND sym_bp <= 1000
-      |      AND bullet_bp <= 9000 AND ellipsis_bp <= 3000
-      |      AND alpha_bp >= 8000 AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT)
+      |    CAST(CASE WHEN $gopherKeepPredSql THEN 1 ELSE 0 END AS BIGINT)
       |      AS quality_keep
       |  FROM bp
       |), dup AS (
@@ -892,9 +895,7 @@ object CorpusStats {
   }
 
   val corpusDatacardSql: String = {
-    val gopher = corpusGopherFilterSql
-      .replaceFirst("(?s)^WITH ", "").replaceFirst("(?s)\\n\\)\\nSELECT.*$", "\n)")
-    s"""WITH $gopher, base AS (
+    s"""WITH $gopherCtesSql, base AS (
       |  SELECT doc_id, lang, text, CAST(length(text) AS BIGINT) AS nc,
       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nw
       |  FROM documents
@@ -920,10 +921,7 @@ object CorpusStats {
       |    SELECT CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY md5(text))
       |      THEN 1 ELSE 0 END AS d FROM base)
       |  UNION ALL SELECT 'gopher_keep_docs',
-      |    CAST(sum(CASE WHEN n_words BETWEEN 50 AND 100000
-      |      AND mwl_e2 BETWEEN 300 AND 1000 AND sym_bp <= 1000
-      |      AND bullet_bp <= 9000 AND ellipsis_bp <= 3000
-      |      AND alpha_bp >= 8000 AND n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    CAST(sum(CASE WHEN $gopherKeepPredSql THEN 1 ELSE 0 END) AS BIGINT)
       |    FROM bp
       |)
       |ORDER BY metric""".stripMargin
@@ -999,11 +997,23 @@ object CorpusStats {
     * digit / other-letter) over the SCRIPT-BEARING chars (whitespace and
     * punctuation are script-neutral and excluded from the base), the
     * dominant script's share in bp, and a mixed flag when the runner-up
-    * class holds ≥ 10% of script chars. Exact integers; Java∩RE2 unicode
-    * ranges (explicit code-point classes, no \\p{Script=} — DuckDB's RE2
-    * spells those differently); doc-local, zero shuffles. */
+    * class holds ≥ 10% of script chars. The `other` class is the true
+    * complement — any LETTER outside the six named ranges (Hebrew, Thai,
+    * Devanagari, …) — via a negated class `[^\\P{L}<named>]` ("not a
+    * non-letter and not in a named range"), so homoglyph mixes in
+    * unlisted scripts still read as mixed. Exact integers; Java∩RE2
+    * unicode ranges (explicit code-point classes plus the \\p{L}
+    * category both engines share, no \\p{Script=} — DuckDB's RE2 spells
+    * those differently); doc-local, zero shuffles. */
   def textScriptMix(spark: SparkSession, dir: String): DataFrame =
     textScriptMixOf(Tables.documents(spark, dir))
+
+  private val namedLetterRanges: String =
+    "A-Za-z\\x{00C0}-\\x{024F}" +           // latin
+      "\\x{0400}-\\x{04FF}" +               // cyrillic
+      "\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}" + // cjk
+      "\\x{0600}-\\x{06FF}" +               // arabic
+      "\\x{0370}-\\x{03FF}"                 // greek
 
   private val scriptClasses: Seq[(String, String)] = Seq(
     "latin"    -> "[A-Za-z\\x{00C0}-\\x{024F}]",
@@ -1011,7 +1021,10 @@ object CorpusStats {
     "cjk"      -> "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]",
     "arabic"   -> "[\\x{0600}-\\x{06FF}]",
     "greek"    -> "[\\x{0370}-\\x{03FF}]",
-    "digit"    -> "[0-9]")
+    "digit"    -> "[0-9]",
+    // letters NOT in any named range: negated union of "non-letter" and
+    // the named ranges — RE2 and Java agree on \P{L} inside a class
+    "other"    -> s"[^\\P{L}$namedLetterRanges]")
 
   def textScriptMixOf(docs: DataFrame): DataFrame = {
     val counts = scriptClasses.map { case (nm, re) =>

@@ -449,13 +449,22 @@ object Dedup {
     * additionally lays files out by band-hash prefix so a batch probes
     * only matching files; the join shape is already the streaming one.) */
   def dedupIncrementalBatch(docs: DataFrame, indexPath: String): DataFrame =
-    dedupIncrementalFold(docs, bandSignatures(docs), indexPath)
+    dedupIncrementalBatch(docs, indexPath, appendIndex = true)
+
+  def dedupIncrementalBatch(docs: DataFrame, indexPath: String,
+                            appendIndex: Boolean): DataFrame =
+    dedupIncrementalFold(docs, bandSignatures(docs), indexPath, appendIndex)
 
   /** The fold body, generic in the signature source so the engine-neutral
     * `dedup_incremental_oracle` twin runs the IDENTICAL pipeline over its
-    * own hash family. `sigsRaw` must be (doc_id, band_id, band_hash). */
+    * own hash family. `sigsRaw` must be (doc_id, band_id, band_hash).
+    * `appendIndex = false` skips the index write — a batch's DECISIONS
+    * never read its own append, so the terminal batch of a bounded fold
+    * (gate/backfill runs, not the open-ended crawler) can drop the write
+    * and halve the run's index write amplification. */
   private[graft] def dedupIncrementalFold(docs: DataFrame, sigsRaw: DataFrame,
-                                          indexPath: String): DataFrame = {
+                                          indexPath: String,
+                                          appendIndex: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val sigs = sigsRaw.localCheckpoint()
@@ -476,8 +485,12 @@ object Dedup {
       .join(dropped, Seq("doc_id"), "left")
       .select(col("doc_id"), col("hit").isNull.as("keep"))
       .localCheckpoint()
-    sigs.select(col("band_id"), col("band_hash"))
-      .write.mode("append").parquet(indexPath)
+    if (appendIndex)
+      // few-file layout: a batch's bands are ≤16 longs/doc — 32 shuffle-
+      // partition shards of that are footer-dominated; the production
+      // index additionally lays files out by band-hash prefix
+      sigs.select(col("band_id"), col("band_hash"))
+        .coalesce(4).write.mode("append").parquet(indexPath)
     decisions
   }
 
@@ -491,7 +504,8 @@ object Dedup {
     val idx = java.nio.file.Files.createTempDirectory("graft_dedup_idx")
       .toString + "/bands"
     val r1 = dedupIncrementalBatch(docs.filter(col("doc_id") <= mid), idx)
-    val r2 = dedupIncrementalBatch(docs.filter(col("doc_id") > mid), idx)
+    val r2 = dedupIncrementalBatch(docs.filter(col("doc_id") > mid), idx,
+      appendIndex = false) // terminal batch: nothing reads its append
     r1.unionByName(r2).orderBy(col("doc_id"))
   }
 

@@ -852,7 +852,9 @@ object FeatureOps {
         when(col("old_type").isNull, lit("ADDED"))
           .when(col("new_type").isNull, lit("REMOVED"))
           .when(col("old_type") =!= col("new_type"), lit("TYPE_CHANGED"))
-          .when(col("old_max_age") =!= col("new_max_age"), lit("MAX_AGE_CHANGED"))
+          // null-safe: a None↔Some max-age change must not read as
+          // UNCHANGED when one side's dump carries a null max_age_sec
+          .when(!(col("old_max_age") <=> col("new_max_age")), lit("MAX_AGE_CHANGED"))
           .otherwise(lit("UNCHANGED")))
       .select(col("project"), col("table_name"), col("feature"), col("status"),
         col("old_type"), col("new_type"), col("old_max_age"), col("new_max_age"))

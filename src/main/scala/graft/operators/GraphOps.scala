@@ -45,11 +45,13 @@ object GraphOps {
   private def tradeGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val nodes = Tables.nation(spark, dir).select(col("n_name").as("node"))
     val path = edgesStorePath(spark, dir)
-    if (graft.serving.StorePaths.exists(spark, path))
+    // _SUCCESS-gated probe: a partial dir left by a crashed writer must
+    // re-derive, not be read as a truncated edge list
+    if (graft.serving.StorePaths.existsComplete(spark, path))
       (nodes, spark.read.parquet(path))
     else {
       val edges = tradeGraphDerive(spark, dir)._2
-      edges.write.mode("overwrite").parquet(path)
+      graft.serving.StorePaths.writeParquetAtomic(edges, path)
       // same-corpus orphan GC (the trainQuantizer discipline)
       val cur = new org.apache.hadoop.fs.Path(path)
       val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -75,8 +77,19 @@ object GraphOps {
     base + "/" + graphCorpusKey(dir) + "-" + graphFingerprint(spark, dir)
   }
 
-  private def graphCorpusKey(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9._]", "_")
+  /** Collision-proof corpus key: the sanitized dir is readable but lossy
+    * (`/a/b` and `/a_b` collide, and colliding corpora GC each other's
+    * artifacts into perpetual re-derivation), so a short hash of the RAW
+    * dir string disambiguates. */
+  private def graphCorpusKey(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(8)
+    // "g" prefix: the sanitized form of an absolute path starts with "_",
+    // which Hadoop path filters treat as hidden (spark.read warns "all
+    // paths were ignored" and _-prefixed dirs vanish from parent listings)
+    "g" + dir.replaceAll("[^A-Za-z0-9._]", "_") + "." + h
+  }
 
   /** Fingerprint over the FOUR fact/dim inputs of the collapse — any
     * refreshed file (name/size/mtime) forces a re-derivation. */

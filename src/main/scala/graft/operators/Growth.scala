@@ -217,16 +217,13 @@ object Growth {
   }
 
   val eventsForecastSql: String = {
-    // the trend and seasonality CTE chains verbatim, composed at the end
-    val trendCtes = Analytics.eventsTrendSql
-      .replaceFirst("(?s)^WITH ", "").replaceFirst("(?s)\\)\\s*SELECT.*$", ")")
-    s"""WITH $trendCtes, coefs AS (
+    // the trend CTE chain and coefficient arithmetic are the SHARED
+    // constants Analytics owns — composed, not regex-stripped, so a
+    // formula edit there cannot silently leave this copy stale
+    s"""WITH ${Analytics.trendSumsCtesSql}, coefs AS (
       |  SELECT event_type, n_days,
-      |    CAST((n_days * sxy - sx * total_events) * 1000000 //
-      |      (n_days * sxx - sx * sx) AS BIGINT) AS slope_e6,
-      |    CAST((total_events * 1000000 - ((n_days * sxy - sx * total_events)
-      |      * 1000000 // (n_days * sxx - sx * sx)) * sx) // n_days AS BIGINT)
-      |      AS icept_e6
+      |    CAST(${Analytics.trendSlopeE6Sql} AS BIGINT) AS slope_e6,
+      |    CAST(${Analytics.trendIceptE6Sql} AS BIGINT) AS icept_e6
       |  FROM sums
       |), scounts AS (
       |  SELECT event_type,

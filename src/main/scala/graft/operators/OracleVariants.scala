@@ -156,12 +156,17 @@ object OracleVariants {
     val mid = docs.agg(coalesce(max(col("doc_id")), lit(0L))).head().getLong(0) / 2
     val idx = java.nio.file.Files.createTempDirectory("graft_dedup_idx_orc")
       .toString + "/bands"
-    def sigsOf(batch: DataFrame) =
-      neutralBandSigs(batch).withColumnRenamed("band_val", "band_hash")
-    def half(batch: DataFrame) =
-      Dedup.dedupIncrementalFold(batch, sigsOf(batch), idx)
-    half(docs.filter(col("doc_id") <= mid))
-      .unionByName(half(docs.filter(col("doc_id") > mid)))
+    // sigs are per-doc, so one full-corpus hash pass sliced by doc_id
+    // feeds both batches the EXACT frames per-batch hashing would — the
+    // fold still runs per batch; only the text hashing runs once
+    val sigs = neutralBandSigs(docs).withColumnRenamed("band_val", "band_hash")
+      .localCheckpoint()
+    def half(batch: DataFrame, batchSigs: DataFrame, last: Boolean) =
+      Dedup.dedupIncrementalFold(batch, batchSigs, idx, appendIndex = !last)
+    half(docs.filter(col("doc_id") <= mid),
+        sigs.filter(col("doc_id") <= mid), last = false)
+      .unionByName(half(docs.filter(col("doc_id") > mid),
+        sigs.filter(col("doc_id") > mid), last = true))
       .orderBy(col("doc_id"))
   }
 

@@ -199,9 +199,17 @@ object Similarity {
     * through: it is the corpus↔fingerprint delimiter, and a dir that kept
     * it (e.g. `/data/sf0.1-v2`) would make one corpus's artifact name a
     * prefix of another's — the orphan GC in [[trainQuantizer]] would then
-    * delete a LIVE sibling corpus's centroids, forcing spurious retrains. */
-  private def corpusKey(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9._]", "_")
+    * delete a LIVE sibling corpus's centroids, forcing spurious retrains.
+    * A short hash of the RAW dir disambiguates corpora the lossy
+    * sanitizer collides (`/a/b` vs `/a_b` — colliding corpora GC each
+    * other into perpetual retrain thrash), and the "g" prefix keeps the
+    * name from starting with "_" (hidden to Hadoop path filters). */
+  private def corpusKey(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(8)
+    "g" + dir.replaceAll("[^A-Za-z0-9._]", "_") + "." + h
+  }
 
   private def corpusFingerprint(spark: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
@@ -232,10 +240,10 @@ object Similarity {
                      k: Int = 16, iters: Int = 2): Seq[Seq[Double]] = {
     val cents = kmeansCentroids(Tables.embeddings(spark, dir), k, iters)
     val path = centroidStorePath(spark, dir)
-    spark.createDataFrame(cents.zipWithIndex.map { case (v, i) => (i, v) })
-      .toDF("cent_id", "cvec")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(path)
+    graft.serving.StorePaths.writeParquetAtomic(
+      spark.createDataFrame(cents.zipWithIndex.map { case (v, i) => (i, v) })
+        .toDF("cent_id", "cvec")
+        .coalesce(1), path)
     centroidCache.put(path, cents)
     // retraining supersedes every older fingerprint of the SAME corpus —
     // drop the orphans so a long-lived shared artifact dir doesn't grow
@@ -266,7 +274,8 @@ object Similarity {
   def loadOrTrainCentroids(spark: SparkSession, dir: String): Seq[Seq[Double]] = {
     val path = centroidStorePath(spark, dir)
     centroidCache.getOrElseUpdate(path, {
-      if (graft.serving.StorePaths.exists(spark, path))
+      // _SUCCESS-gated: a crashed writer's partial dir must retrain
+      if (graft.serving.StorePaths.existsComplete(spark, path))
         spark.read.parquet(path)
           .orderBy(col("cent_id"))
           .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
@@ -664,9 +673,12 @@ object Similarity {
     // an artifact from an older layout (no cell column, or non-residual
     // codes without the version marker) would silently decode garbage —
     // retrain rather than serve it
+    // meta is written LAST and probed _SUCCESS-complete, so a writer that
+    // crashed anywhere mid-train reads as absent → retrain (never a
+    // partial-read error or silently truncated codes)
     val ok = graft.serving.StorePaths.exists(spark, path + "/codes") &&
       spark.read.parquet(path + "/codes").columns.contains("cell") &&
-      graft.serving.StorePaths.exists(spark, path + "/meta") &&
+      graft.serving.StorePaths.existsComplete(spark, path + "/meta") &&
       spark.read.parquet(path + "/meta").head().getInt(0) == PqVersion
     if (!ok) trainPq(spark, dir)
     path
@@ -1469,7 +1481,7 @@ object Similarity {
       : (Array[Double], Array[Double], Array[Array[Double]]) =
     pcaCache.getOrElseUpdate(pcaStorePath(spark, dir), {
       val path = pcaStorePath(spark, dir)
-      if (graft.serving.StorePaths.exists(spark, path)) {
+      if (graft.serving.StorePaths.existsComplete(spark, path)) {
         val rows = spark.read.parquet(path).collect()
           .map(r => (r.getAs[String]("kind"), r.getAs[Int]("i"),
             r.getAs[Int]("j"), r.getAs[Double]("v")))
@@ -1488,8 +1500,9 @@ object Similarity {
             evals.zipWithIndex.map { case (v, i) => ("eval", i, 0, v) } ++
             comps.zipWithIndex.flatMap { case (vec, c) =>
               vec.zipWithIndex.map { case (v, t) => ("evec", c, t, v) } }
-          spark.createDataFrame(rows.toIndexedSeq).toDF("kind", "i", "j", "v")
-            .coalesce(1).write.mode("overwrite").parquet(path)
+          graft.serving.StorePaths.writeParquetAtomic(
+            spark.createDataFrame(rows.toIndexedSeq).toDF("kind", "i", "j", "v")
+              .coalesce(1), path)
           // GC superseded fingerprints of the same corpus (corpusKey bans
           // '-', so the prefix can't match a sibling corpus)
           val cur = new org.apache.hadoop.fs.Path(path)

@@ -61,6 +61,29 @@ private[graft] object StorePaths {
   def exists(spark: SparkSession, path: String): Boolean = {
     val (f, p) = fs(spark, path); f.exists(p)
   }
+
+  /** True iff the path holds a COMPLETED write — the Hadoop committer's
+    * `_SUCCESS` marker, not mere directory existence: a partially-written
+    * artifact dir left by a crashed writer must not satisfy a probe (it
+    * would be read as a truncated artifact forever). */
+  def existsComplete(spark: SparkSession, path: String): Boolean = {
+    val (f, p) = fs(spark, path)
+    f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+  }
+
+  /** Write a parquet artifact atomically: write to a sibling temp dir,
+    * then rename onto the final path — readers either see the previous
+    * complete artifact or the new complete one, never a partial dir. */
+  def writeParquetAtomic(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val (f, p) = fs(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, p.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (f.exists(p)) f.delete(p, true)
+    if (!f.rename(tmp, p))
+      throw new java.io.IOException(s"atomic artifact rename failed: $tmp -> $p")
+  }
 }
 
 /** Materialization bookkeeping (reference: core's JobService tracks

@@ -657,7 +657,7 @@ class FeatureStoreSpec extends SparkSpecBase {
       .collect().map(r => r.getAs[Long]("row_id") ->
         ((Option(r.getAs[java.lang.Double]("activity__value")),
           r.getAs[Long]("label"),
-          Option(r.getAs[java.lang.Double]("purchases__amount")),
+          Option(r.getAs[java.lang.Double]("purchases__label_amount")),
           Option(r.getAs[Timestamp]("purchases__label_ts"))))).toMap
     // row 100: feature is the value BEFORE ts (10.0, not the 01-05 one);
     // label is the FIRST purchase within the 2-day window (42.0, not 43.0)
@@ -667,5 +667,25 @@ class FeatureStoreSpec extends SparkSpecBase {
     assert(out(103L) == ((Some(20.0), 0L, None, None)))
     // row 104: unknown entity — no features, no label
     assert(out(104L) == ((None, 0L, None, None)))
+  }
+
+  test("getTrainingSet: label table may also appear in the feature refs") {
+    // the natural call — past activity value as feature, future activity
+    // value as label — used to collide on activity__ts/activity__value;
+    // the __label_ prefix keeps both column families distinct
+    val entities = Seq((1L, ts("2024-01-02 00:00:00"), 200L))
+      .toDF("user_id", "event_timestamp", "row_id")
+    val out = store.getTrainingSet(entities, "event_timestamp",
+        Seq(FeatureRef("activity", "value")),
+        FeatureRef("activity", "value"), labelWindowSec = 5L * 86400)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Double]("activity__value") == 10.0,
+      "backward feature: the 01-01 value")
+    assert(r.getAs[Long]("label") == 1L)
+    assert(r.getAs[Double]("activity__label_value") == 11.0,
+      "forward label: the 01-05 value within the 5-day window")
+    assert(r.getAs[Timestamp]("activity__label_ts") == ts("2024-01-05 10:00:00"))
   }
 }

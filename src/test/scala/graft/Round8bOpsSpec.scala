@@ -601,7 +601,9 @@ class Round8bOpsSpec extends SparkSpecBase {
       2L -> "pаypаl sеcurity аlert",  // cyrillic а/е homoglyphs inside latin
       3L -> "日本語のテキストです",
       4L -> "12345 67890",
-      5L -> "...!!!???"))               // no script-bearing chars at all
+      5L -> "...!!!???",                 // no script-bearing chars at all
+      6L -> "shalom שלום today", // latin + Hebrew mix
+      7L -> "สวัสดี")) // pure Thai
     val got = CorpusStats.textScriptMixOf(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(got(1L).getAs[Long]("mixed") == 0L)
@@ -612,6 +614,15 @@ class Round8bOpsSpec extends SparkSpecBase {
     assert(got(4L).getAs[Long]("n_digit") == 10L && got(4L).getAs[Long]("mixed") == 0L)
     assert(got(5L).getAs[Long]("n_script") == 0L && got(5L).getAs[Long]("mixed") == 0L)
     assert(got(5L).getAs[Long]("dom_share_bp") == 0L)
+    // unlisted-script letters land in `other`, so the mix is visible
+    assert(got(6L).getAs[Long]("n_other") == 4L, "Hebrew letters counted as other")
+    assert(got(6L).getAs[Long]("mixed") == 1L,
+      "latin+Hebrew mix must flag — the class the op exists to catch")
+    assert(got(6L).getAs[Long]("dom_share_bp") < 10000L)
+    // 4 Lo letters — the two combining vowel marks are Mn, not \p{L}
+    assert(got(7L).getAs[Long]("n_other") == 4L &&
+      got(7L).getAs[Long]("mixed") == 0L && got(7L).getAs[Long]("dom_share_bp") == 10000L,
+      "pure Thai is other-dominant, coherent, unmixed")
   }
 
   test("graph_reciprocity: mutual, one-way and isolated nodes") {
