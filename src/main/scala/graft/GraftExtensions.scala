@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharPolyHash, CosineSimilarity, QuantizedCosine, WordShingleHash}
+import graft.functions.{CharPolyHash, CosineSimilarity, MatVec, QuantizedCosine, WordShingleHash}
 
 /** Session extensions: registers graft's native Catalyst expressions so they
   * are callable from SQL and `functions.call_function`. Install with
@@ -33,6 +33,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "char_poly_hash takes exactly 1 argument")
         CharPolyHash(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("mat_vec"),
+      new ExpressionInfo(classOf[MatVec].getName, "mat_vec"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "mat_vec takes exactly 2 arguments")
+        MatVec(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("word_shingle_hash"),

@@ -600,9 +600,79 @@ object Similarity {
     spark.createDataFrame(ivfCents.zipWithIndex.map { case (v, i) => (i, v) })
       .toDF("cell", "ccvec")
 
-  /** Artifact layout version: 2 = residual-encoded codes (this build);
-    * anything older (or unmarked) retrains. */
-  private val PqVersion = 2
+  /** Artifact layout version: 3 = OPQ-rotated residual codes (this build);
+    * 2 = unrotated residuals; anything older (or unmarked) retrains —
+    * codes from a different layout would silently decode garbage. */
+  private val PqVersion = 3
+
+  /** Eigenvalue allocation for parametric OPQ (Ge et al., CVPR 2013,
+    * "Optimized Product Quantization"): deal the principal dimensions
+    * across `nSub` subspaces of `subDim` each so the PRODUCT of
+    * eigenvalues per subspace balances (equivalently the sum of logs) —
+    * under the Gaussian model that equalizes each sub-quantizer's share
+    * of the distortion, which is exactly what a fixed per-subspace code
+    * budget (16 codes here) wants. Greedy descending assignment to the
+    * open bucket with the smallest log-product is the paper's algorithm.
+    * Returns the eigen-index permutation as bucket-major row order. */
+  private[graft] def opqAllocate(evals: Array[Double], nSub: Int, subDim: Int): Array[Int] = {
+    val buckets = Array.fill(nSub)(List.empty[Int])
+    val logSum = Array.fill(nSub)(0.0)
+    evals.indices.foreach { e =>
+      val open = (0 until nSub).filter(b => buckets(b).size < subDim)
+      val b = open.minBy(logSum)
+      buckets(b) = e :: buckets(b)
+      logSum(b) += math.log(math.max(evals(e), 1e-12))
+    }
+    buckets.flatMap(_.reverse)
+  }
+
+  /** Train the OPQ rotation from the coarse residuals: PCA basis (the
+    * exact-integer covariance pass + driver-side Jacobi eigensolve the
+    * `embed_pca` family already gates) with rows permuted by
+    * [[opqAllocate]]. R is orthonormal (rows are eigenvectors of a
+    * symmetric matrix), so ‖R(x−c)‖ = ‖x−c‖ — ADC distances in the
+    * rotated space are the true residual distances; only the
+    * SUBSPACE SPLIT changes, from arbitrary coordinate blocks to
+    * variance-balanced principal blocks. Falls back to identity for a
+    * degenerate (empty) corpus. */
+  private def trainOpqRotation(resid: DataFrame): Array[Array[Double]] = {
+    val d = PqSub * PqSubDim
+    val rows = embedCovarianceOf(resid.select(col("vec_id"), col("rv").as("embedding")))
+      .select(col("i"), col("j"), col("n"), col("cov_num")).collect()
+    if (rows.isEmpty) return Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val n = rows.head.getLong(2)
+    val cov = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
+      val c = r.getLong(3).toDouble / (n.toDouble * math.max(n - 1.0, 1.0)) / 1e6
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (evals, evecs) = jacobiEigen(cov)
+    opqAllocate(evals, PqSub, PqSubDim).map(evecs)
+  }
+
+  /** The rotation as a broadcast-literal matrix×vector Column — graft's
+    * native `mat_vec` expression: the matrix folds once into a reference
+    * object and the vector child is referenced exactly ONCE, so the
+    * per-row cost is the fused d² multiply-add loop even after
+    * CollapseProject inlines an expensive residual expression underneath
+    * (the higher-order `transform(rows, r -> dot(r, v))` form re-evaluates
+    * an inlined `v` once per output element — the O(n²) lambda trap). */
+  private def matVecCol(m: Array[Array[Double]], v: Column): Column =
+    call_function("mat_vec", typedlit(m.map(_.toSeq).toSeq), v)
+
+  private val rotationCache = scala.collection.concurrent.TrieMap
+    .empty[String, Array[Array[Double]]]
+
+  private def loadRotation(spark: SparkSession, path: String): Array[Array[Double]] =
+    rotationCache.getOrElseUpdate(path, {
+      val rows = spark.read.parquet(path + "/rotation").collect()
+        .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j"), r.getAs[Double]("v")))
+      val d = rows.map(_._1).max + 1
+      val m = Array.ofDim[Double](d, rows.map(_._2).max + 1)
+      rows.foreach { case (i, j, v) => m(i)(j) = v }
+      m
+    })
 
   /** Train the 4×16 codebook and encode the WHOLE corpus once, persisting
     * both (the model-artifact + compressed-representation discipline of
@@ -613,6 +683,11 @@ object Similarity {
     * vector subtracts its coarse cell's centroid before sub-quantization,
     * so the 4×16 codebook only has to cover the within-cell spread instead
     * of the whole sphere — measurably higher recall from the same 4 bytes.
+    * Residuals are additionally OPQ-ROTATED ([[trainOpqRotation]] — the
+    * faiss OPQ rung, parametric form): an orthonormal PCA-permuted basis
+    * balances variance across the four subspaces before sub-quantization,
+    * persisted beside the codebook under the same fingerprint, so code
+    * layout and rotation can never drift apart (layout version 3).
     * Encode is one pass: residuals × 64 broadcast centroids, min-distance
     * code per (vector, subspace), written as 4 int columns PLUS the
     * vector's coarse IVF cell ([[nearestCellStructAuto]] over the persisted
@@ -627,17 +702,27 @@ object Similarity {
   def trainPq(spark: SparkSession, dir: String): Unit = {
     val emb = Tables.embeddings(spark, dir)
     val ivfCents = loadOrTrainCentroids(spark, dir)
-    val resid = emb.select(col("vec_id"),
+    val rawResid = emb.select(col("vec_id"),
         nearestCellExpr(col("embedding"), ivfCents).as("cell"),
         l2norm(col("embedding")).as("vn"))
       .join(broadcast(coarseCentsDf(spark, ivfCents)), Seq("cell"))
       .select(col("vec_id"), col("cell"),
         zip_with(col("vn"), col("ccvec"), (x, y) => x - y).as("rv"))
+    // OPQ: train the variance-balancing rotation on the residuals, then
+    // encode ROTATED residuals — the codebook lives in rotated space
+    val rot = trainOpqRotation(rawResid)
+    val path = pqStorePath(spark, dir)
+    graft.serving.StorePaths.writeParquetAtomic(
+      spark.createDataFrame(rot.zipWithIndex.flatMap { case (row, i) =>
+        row.zipWithIndex.map { case (v, j) => (i, j, v) } }.toIndexedSeq)
+        .toDF("i", "j", "v").coalesce(1), path + "/rotation")
+    rotationCache.put(path, rot)
+    val resid = rawResid.select(col("vec_id"), col("cell"),
+      matVecCol(rot, col("rv")).as("rv"))
     val cents: Seq[(Int, Int, Seq[Double])] =
       (0 until PqSub).flatMap { s =>
         lloydL2Sub(resid, col("rv"), s, iters = 2).zipWithIndex.map { case (v, c) => (s, c, v) }
       }
-    val path = pqStorePath(spark, dir)
     val centsDf = spark.createDataFrame(cents).toDF("s", "c", "cvec")
     centsDf.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
     val centsB = broadcast(centsDf)
@@ -678,6 +763,7 @@ object Similarity {
     // partial-read error or silently truncated codes)
     val ok = graft.serving.StorePaths.exists(spark, path + "/codes") &&
       spark.read.parquet(path + "/codes").columns.contains("cell") &&
+      graft.serving.StorePaths.existsComplete(spark, path + "/rotation") &&
       graft.serving.StorePaths.existsComplete(spark, path + "/meta") &&
       spark.read.parquet(path + "/meta").head().getInt(0) == PqVersion
     if (!ok) trainPq(spark, dir)
@@ -713,9 +799,12 @@ object Similarity {
     // one array per subspace ordered by code. Codes are residual-encoded,
     // so decoding a candidate needs the table of ITS cell — the scan joins
     // on the stored cell column (still a broadcast: queries × cells rows).
+    // query residuals rotate through the SAME persisted OPQ rotation the
+    // codes were encoded under — table and codes decode consistently
+    val rot = loadRotation(spark, path)
     val dt = queries
       .crossJoin(broadcast(coarseCentsDf(spark, loadOrTrainCentroids(spark, dir))))
-      .withColumn("qr", zip_with(col("qn"), col("ccvec"), (x, y) => x - y))
+      .withColumn("qr", matVecCol(rot, zip_with(col("qn"), col("ccvec"), (x, y) => x - y)))
       .crossJoin(broadcast(cents))
       .withColumn("d",
         sqdist(slice(col("qr"), col("s") * PqSubDim + 1, lit(PqSubDim)), col("cvec")))
@@ -799,9 +888,10 @@ object Similarity {
     // ADC tables per (query, probed cell) against the query's residual to
     // that cell — candidates in a cell were residual-encoded against the
     // same centroid, so table and codes decode consistently
+    val rot = loadRotation(spark, path)
     val dtab = queries
       .join(broadcast(coarseCentsDf(spark, centroids)), Seq("cell"))
-      .withColumn("qr", zip_with(col("qn"), col("ccvec"), (x, y) => x - y))
+      .withColumn("qr", matVecCol(rot, zip_with(col("qn"), col("ccvec"), (x, y) => x - y)))
       .crossJoin(broadcast(pqCents))
       .withColumn("d",
         sqdist(slice(col("qr"), col("s") * PqSubDim + 1, lit(PqSubDim)), col("cvec")))
@@ -1192,10 +1282,15 @@ object Similarity {
     val b = knnBrute(spark, dir).select(col("query_id"), col("neighbor_id"))
       .localCheckpoint()
     val bTot = b.agg(count(lit(1)).as("n_brute"))
+    // floors re-pinned after the OPQ rotation landed (r9): pq measured
+    // 0.68 (was 0.50 unrotated), ivfpq 0.40 — the latter is the nprobe=2
+    // cell-filter ceiling, not code quality (nprobe 2/3/4 sweep at sf0.01
+    // measures 0.40/0.44/0.48: near-random vectors don't cluster, so
+    // probing half the cells still misses spread-out true neighbors)
     val methods: Seq[(String, DataFrame, Long)] = Seq(
       ("ivf",   knnIvf(spark, dir),   30L),
-      ("ivfpq", knnIvfPq(spark, dir), 30L),
-      ("pq",    knnPq(spark, dir),    40L))
+      ("ivfpq", knnIvfPq(spark, dir), 38L),
+      ("pq",    knnPq(spark, dir),    55L))
     methods.map { case (nm, df, floor) =>
       df.select(col("query_id"), col("neighbor_id"))
         .join(b, Seq("query_id", "neighbor_id"), "left_semi")

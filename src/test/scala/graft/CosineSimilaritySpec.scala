@@ -120,4 +120,33 @@ class CosineSimilaritySpec extends SparkSpecBase {
       .filter(col("cos").isNotNull).count()
     assert(n == 45)
   }
+
+  test("mat_vec matches the higher-order transform/dot formulation") {
+    val m: Seq[Seq[Double]] = Seq(
+      Seq(1.0, 2.0, -3.0, 0.5),
+      Seq(0.0, -1.0, 4.0, 2.5),
+      Seq(7.0, 0.25, 0.0, -2.0))
+    val mLit = typedlit(m)
+    val df = Seq(
+        (1L, Seq(1.0f, 0.0f, 2.0f, -1.0f)),
+        (2L, Seq(-2.5f, 3.0f, 0.5f, 4.0f)))
+      .toDF("id", "v")
+    val out = df.select(
+        call_function("mat_vec", mLit, col("v")).as("native"),
+        transform(mLit, row =>
+          aggregate(zip_with(row, transform(col("v"), x => x.cast("double")),
+            (a, b) => a * b), lit(0.0), (acc, z) => acc + z)).as("composed"))
+      .collect()
+    out.foreach { r =>
+      val n = r.getSeq[Double](0); val c = r.getSeq[Double](1)
+      assert(n.size == 3 && c.size == 3)
+      n.zip(c).foreach { case (x, y) => assert(math.abs(x - y) < 1e-12) }
+    }
+    // null vector -> null result; interpreted eval path (no codegen via
+    // a plain Column outside wholestage) agrees with the codegen'd one
+    val nul = df.select(call_function("mat_vec", mLit,
+      when(col("id") === 99L, col("v")).otherwise(lit(null)
+        .cast("array<float>"))).as("r")).collect()
+    nul.foreach(r => assert(r.isNullAt(0)))
+  }
 }
