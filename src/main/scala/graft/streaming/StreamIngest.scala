@@ -710,6 +710,106 @@ object StreamIngest {
 
   /** Convenience: run a writer until all currently-available data is
     * processed (test/demo helper; production would use its own trigger). */
+  final case class ErrEvent(ts: java.sql.Timestamp, event_type: String)
+
+  /** Streaming twin of the daily error-budget table
+    * ([[graft.operators.Growth.eventsErrorBudgetOf]]): a watermarked
+    * tumbling-day aggregate in UPDATE mode — running (day, n_events,
+    * n_errors) totals whose last-update-per-day fold feeds the SAME
+    * dense-grid/trailing-frame finisher the batch gate uses
+    * ([[graft.operators.Growth.errorBudgetFrame]]). Day counting is
+    * purely additive, so the streaming state is Spark's own windowed-agg
+    * accumulator (no custom state); exactly-once accumulation across
+    * arbitrary batching is the engine's contract, and the ZERO-DAY rows
+    * a stream can never emit (a silent day produces no update) are
+    * restored by the shared finisher's calendar grid — the reason the
+    * finisher, not the stream, owns the grid. Compose [[dedupStream]]
+    * upstream for at-least-once transports. */
+  def errorBudgetStream(events: Dataset[ErrEvent], watermark: String = "1 hour")
+      : DataFrame =
+    events.toDF()
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+      .select(
+        floor(unix_micros(col("window.start")) / 86400000000L).cast("long").as("day"),
+        col("n_events"), col("n_errors"))
+
+  final case class ConvEvent(user_id: Long, ts: java.sql.Timestamp,
+    event_type: String)
+  /** One live session interval: event-time bounds in micros + how many
+    * purchase events it absorbed (the conversion flag is nPurch > 0;
+    * the COUNT makes merges associative). */
+  final case class ConvIv(startUs: Long, endUs: Long, nPurch: Long)
+  final case class ConvState(ivs: List[ConvIv])
+  final case class ConvContrib(user_id: Long, day: Long, sess_delta: Long,
+    conv_delta: Long)
+
+  /** Streaming twin of per-day session conversion
+    * ([[graft.operators.Growth.eventsSessionConversionOf]]): per-user
+    * DELTA contributions (day-of-session-START, ±sessions, ±conversions)
+    * whose per-day fold equals the batch table under ANY batching —
+    * the retraction discipline of [[retentionStream]] applied to
+    * gap-sessionization's three late-event hazards:
+    *  - a late event can BRIDGE two existing sessions (two sessions
+    *    retract, one merged session emits),
+    *  - PREPEND before a session's start (its day attribution moves),
+    *  - add the first purchase to an already-emitted session (its
+    *    conversion flag flips).
+    * State per user is the session INTERVAL list — (start, end,
+    * purchase-count) only, never the events (bounded by sessions, not
+    * activity; the count keeps merges associative where a boolean would
+    * lose how many purchases each side carried). Sessions are connected
+    * components of the ≤gap adjacency over event times — order-
+    * independent, so arrival order cannot change the converged result.
+    * Contributions are suppressed when an absorbed event changes neither
+    * the session's start DAY nor its conversion flag (also what makes a
+    * re-delivered duplicate event contribution-neutral: it always lands
+    * inside its own session). The gap compares SECOND-truncated times
+    * ("> 1800 s starts a session"), exactly the batch rule's
+    * `cast(ts as long)` arithmetic; day attribution keeps full micros. */
+  def sessionConversionStream(events: Dataset[ConvEvent],
+                              gapSec: Long = 1800L,
+                              watermark: String = "1 hour")
+      : Dataset[ConvContrib] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ConvState, ConvContrib](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[ConvEvent], state: GroupState[ConvState]) =>
+          var ivs = state.getOption.map(_.ivs).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[ConvContrib]
+          def dayOf(iv: ConvIv): Long = Math.floorDiv(iv.startUs, 86400000000L)
+          def convOf(iv: ConvIv): Long = if (iv.nPurch > 0) 1L else 0L
+          def sec(us: Long): Long = Math.floorDiv(us, 1000000L)
+          rows.foreach { e =>
+            val tUs = micros(e.ts)
+            val p = if (e.event_type == "purchase") 1L else 0L
+            val (touch, rest) = ivs.partition(iv =>
+              sec(tUs) >= sec(iv.startUs) - gapSec && sec(tUs) <= sec(iv.endUs) + gapSec)
+            val merged = ConvIv(
+              (tUs +: touch.map(_.startUs)).min,
+              (tUs +: touch.map(_.endUs)).max,
+              touch.map(_.nPurch).sum + p)
+            val unchanged = touch match {
+              case old :: Nil => dayOf(old) == dayOf(merged) && convOf(old) == convOf(merged)
+              case _          => false
+            }
+            if (!unchanged) {
+              touch.foreach(old =>
+                out += ConvContrib(user, dayOf(old), -1L, -convOf(old)))
+              out += ConvContrib(user, dayOf(merged), 1L, convOf(merged))
+            }
+            ivs = (merged :: rest).sortBy(_.startUs)
+          }
+          state.update(ConvState(ivs))
+          out.iterator
+      }
+  }
+
   def runOnce(w: DataStreamWriter[Row], checkpoint: String): StreamingQuery =
     w.option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

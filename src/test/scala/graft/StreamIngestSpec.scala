@@ -909,4 +909,137 @@ class StreamIngestSpec extends SparkSpecBase {
     assert(offGrid.forall(_.getAs[String]("cls") == "churned"),
       "only churn contributions may fall past the grid")
   }
+
+  test("errorBudgetStream: folded updates through the shared finisher equal batch") {
+    val rnd = new scala.util.Random(31)
+    val baseMs = ts("2024-06-01 00:00:00").getTime
+    // ~10 days of events with a silent day in the middle (day 4 is empty):
+    // the stream can never emit it; the shared finisher's grid must
+    val all = (0 until 300).map { _ =>
+      val d = { val x = rnd.nextInt(10); if (x == 4) 5 else x }
+      StreamIngest.ErrEvent(
+        new Timestamp(baseMs + d * 86400000L + rnd.nextInt(86400) * 1000L),
+        if (rnd.nextInt(5) == 0) "error" else "view")
+    }
+    val shuffled = rnd.shuffle(all)
+    val dir = Files.createTempDirectory("graft-stream-errbudget").toString
+    val input = MemoryStream[StreamIngest.ErrEvent](spark)
+    val q = StreamIngest.errorBudgetStream(input.toDS(), watermark = "720 hours")
+      .writeStream.format("memory").queryName("errb_out")
+      .outputMode("update")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    shuffled.grouped(1 + shuffled.size / 5).foreach { b =>
+      input.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    // update mode re-emits a day's RUNNING totals; totals are monotone, so
+    // the converged value per day is the max
+    import spark.implicits._
+    val folded = spark.table("errb_out").collect()
+      .groupBy(_.getAs[Long]("day"))
+      .map { case (d, rs) =>
+        (d, rs.map(_.getAs[Long]("n_events")).max, rs.map(_.getAs[Long]("n_errors")).max)
+      }.toSeq.toDF("day", "n_events", "n_errors")
+    val got = graft.operators.Growth.errorBudgetFrame(folded).collect().map(_.toSeq)
+    val want = graft.operators.Growth.eventsErrorBudgetOf(
+      all.map(e => (e.ts, e.event_type)).toDF("ts", "event_type")).collect().map(_.toSeq)
+    assert(want.exists(r => r(1) == 0L), "fixture must include a zero-day row")
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("sessionConversionStream: folded deltas equal batch conversion under shuffled batching") {
+    val rnd = new scala.util.Random(47)
+    val baseMs = ts("2024-07-01 00:00:00").getTime
+    val all = (1L to 10L).flatMap { u =>
+      (0 until (3 + rnd.nextInt(10))).map { _ =>
+        StreamIngest.ConvEvent(u,
+          new Timestamp(baseMs + rnd.nextInt(5 * 86400) * 1000L),
+          if (rnd.nextInt(6) == 0) "purchase" else "view")
+      }
+    }
+    val shuffled = rnd.shuffle(all)
+    val dir = Files.createTempDirectory("graft-stream-sessconv").toString
+    val input = MemoryStream[StreamIngest.ConvEvent](spark)
+    val q = StreamIngest.sessionConversionStream(input.toDS(), watermark = "720 hours")
+      .writeStream.format("memory").queryName("sconv_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    shuffled.grouped(1 + shuffled.size / 5).foreach { b =>
+      input.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    import spark.implicits._
+    val folded = spark.table("sconv_out").collect()
+      .groupBy(_.getAs[Long]("day"))
+      .map { case (d, rs) =>
+        (d, rs.map(_.getAs[Long]("sess_delta")).sum, rs.map(_.getAs[Long]("conv_delta")).sum)
+      }
+      .filter(_._2 > 0)
+      .map { case (d, s, c) => (d, s, c, c * 10000 / s) }
+      .toSeq.sortBy(_._1)
+    val batch = graft.operators.Growth.eventsSessionConversionOf(
+        all.zipWithIndex.map { case (e, i) => (e.user_id, e.ts, i.toLong, e.event_type) }
+          .toDF("user_id", "ts", "event_id", "event_type"))
+      .collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_sessions"),
+        r.getAs[Long]("n_converted"), r.getAs[Long]("conv_bp")))
+      .toSeq
+    assert(batch.nonEmpty)
+    assert(folded == batch, s"\n got  $folded\n want $batch")
+  }
+
+  test("sessionConversionStream: bridge, conversion-flip and day-move all retract exactly") {
+    val dir = Files.createTempDirectory("graft-stream-sessconv2").toString
+    val input = MemoryStream[StreamIngest.ConvEvent](spark)
+    val q = StreamIngest.sessionConversionStream(input.toDS(), watermark = "720 hours")
+      .writeStream.format("memory").queryName("sconv2_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    def contribs() = spark.table("sconv2_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day"),
+        r.getAs[Long]("sess_delta"), r.getAs[Long]("conv_delta"))).toSeq
+    val d0 = ts("2024-07-01 00:00:00").getTime // a Monday, day 19905
+    val day0 = d0 / 86400000L
+    // user 1: two separate sessions on day0 (view at 00:00, purchase at 01:00)
+    input.addData(
+      StreamIngest.ConvEvent(1L, new Timestamp(d0), "view"),
+      StreamIngest.ConvEvent(1L, new Timestamp(d0 + 3600000L), "purchase"))
+    q.processAllAvailable()
+    assert(contribs().sorted == Seq(
+      (1L, day0, 1L, 0L), (1L, day0, 1L, 1L)).sorted)
+    // late BRIDGE at 00:30: both sessions retract, one converted merge emits
+    input.addData(StreamIngest.ConvEvent(1L, new Timestamp(d0 + 1800000L), "view"))
+    q.processAllAvailable()
+    assert(contribs().sorted == Seq(
+      (1L, day0, 1L, 0L), (1L, day0, 1L, 1L),
+      (1L, day0, -1L, 0L), (1L, day0, -1L, -1L), (1L, day0, 1L, 1L)).sorted)
+    // user 2: session opens just after midnight day1; a late day0-23:59
+    // event PREPENDS and moves the session's day attribution back
+    val d1 = d0 + 86400000L
+    input.addData(StreamIngest.ConvEvent(2L, new Timestamp(d1 + 10000L), "view"))
+    q.processAllAvailable()
+    input.addData(StreamIngest.ConvEvent(2L, new Timestamp(d1 - 60000L), "view"))
+    q.processAllAvailable()
+    val u2 = contribs().filter(_._1 == 2L)
+    assert(u2.sorted == Seq(
+      (2L, day0 + 1, 1L, 0L), (2L, day0 + 1, -1L, 0L), (2L, day0, 1L, 0L)).sorted)
+    // user 3: a late purchase INSIDE an existing unconverted session flips
+    // its flag with a retraction pair on the same day
+    input.addData(StreamIngest.ConvEvent(3L, new Timestamp(d0), "view"))
+    q.processAllAvailable()
+    input.addData(StreamIngest.ConvEvent(3L, new Timestamp(d0 + 600000L), "purchase"))
+    q.processAllAvailable()
+    val u3 = contribs().filter(_._1 == 3L)
+    assert(u3.sorted == Seq(
+      (3L, day0, 1L, 0L), (3L, day0, -1L, 0L), (3L, day0, 1L, 1L)).sorted)
+    // a re-delivered duplicate of that purchase is contribution-neutral
+    input.addData(StreamIngest.ConvEvent(3L, new Timestamp(d0 + 600000L), "purchase"))
+    q.processAllAvailable()
+    assert(contribs().filter(_._1 == 3L).sorted == u3.sorted,
+      "duplicate event must not emit")
+    q.stop()
+  }
 }
