@@ -36,11 +36,26 @@ object FeatureStore {
   case object Backward extends AsofMode
   case object Forward extends AsofMode
   case object Nearest extends AsofMode
+
+  /** Open a store over a PERSISTED registry (the durability path — the
+    * reference's registry lives behind JPA; here it round-trips through
+    * [[graft.model.Registry.save]]/load as engine-native datasets). A
+    * loaded store is interchangeable with one over the live registry:
+    * the round-trip is field-level lossless (RegistrySpec), and the
+    * ft_historical gate runs against a reloaded registry every round. */
+  def load(spark: SparkSession, registryDir: String,
+           project: String = Project.Default,
+           asofBucketSec: Option[Long] = None): FeatureStore =
+    new FeatureStore(Registry.load(spark, registryDir), spark, project, asofBucketSec)
 }
 
 final class FeatureStore(val registry: Registry, spark: SparkSession,
                          val project: String = Project.Default,
                          val asofBucketSec: Option[Long] = None) {
+
+  /** Persist this store's registry — the inverse of [[FeatureStore.load]]. */
+  def saveRegistry(registryDir: String): Unit =
+    Registry.save(registry, spark, registryDir)
 
   /** Online-store key column carrying the project namespace (the Spark
     * analog of RedisKeyV2.project). */

@@ -669,6 +669,41 @@ class FeatureStoreSpec extends SparkSpecBase {
     assert(out(104L) == ((None, 0L, None, None)))
   }
 
+  test("a store reloaded from its persisted registry serves identical retrieval") {
+    val regDir = Files.createTempDirectory("graft-fs-reg").toString
+    store.saveRegistry(regDir)
+    val reloaded = FeatureStore.load(spark, regDir)
+    // the loaded registry is field-level equal where retrieval cares
+    val t0 = store.registry.getTable("activity").get
+    val t1 = reloaded.registry.getTable("activity").get
+    assert(t1 == t0, "persisted table spec must round-trip exactly")
+    val entities = Seq(
+      (1L, ts("2024-01-03 00:00:00"), 100L),
+      (1L, ts("2024-01-06 00:00:00"), 101L),
+      (3L, ts("2024-01-03 00:00:00"), 102L))
+      .toDF("user_id", "event_timestamp", "row_id")
+    val live = store.getHistoricalFeatures(entities, "event_timestamp",
+      Seq(FeatureRef("activity", "value"))).orderBy(col("row_id")).collect().map(_.toSeq)
+    val loaded = reloaded.getHistoricalFeatures(entities, "event_timestamp",
+      Seq(FeatureRef("activity", "value"))).orderBy(col("row_id")).collect().map(_.toSeq)
+    assert(loaded.toSeq == live.toSeq,
+      "retrieval through the reloaded registry must match the live store")
+  }
+
+  test("ft_historical gate runs against the RELOADED demo registry, losslessly") {
+    val dir = "/root/testdata/sf0.001"
+    // the gate path (persisted round-trip inside) vs the in-memory registry
+    val gate = graft.operators.FeatureOps.ftHistorical(spark, dir)
+      .collect().map(_.toSeq)
+    val mem = new FeatureStore(Registry.demo(dir), spark)
+      .getHistoricalFeatures(
+        graft.sources.Tables.events(spark, dir).filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("entity_ts"), col("event_id").as("row_id")),
+        "entity_ts", Seq(FeatureRef("user_activity", "value")))
+      .orderBy(col("row_id")).collect().map(_.toSeq)
+    assert(gate.nonEmpty && gate.toSeq == mem.toSeq)
+  }
+
   test("getTrainingSet: label table may also appear in the feature refs") {
     // the natural call — past activity value as feature, future activity
     // value as label — used to collide on activity__ts/activity__value;
