@@ -648,6 +648,48 @@ object GraphOps {
       |    CAST(-1 AS BIGINT)) AS dist
       |FROM nation n ORDER BY nation""".stripMargin
 
+  /** User×user co-activity graph — the CORPUS-scale graph domain (the five
+    * gate analytics run over the ≤625-edge nation graph, an entity-domain
+    * table; this derives a graph whose vertex set grows with the data).
+    * Two users share an edge when both were active in the same hour
+    * bucket, weighted by the number of co-active hours.
+    *
+    * Bounded BY CONSTRUCTION at every step — the q_basket_pairs capped-
+    * pair discipline:
+    *  1. (hour, user) activity collapses on the hour exchange (one
+    *     corpus-sized shuffle, partial-aggregated);
+    *  2. each hour keeps only its top-`topPerHour` users by activity
+    *     (deterministic tie-break), so the within-hour pair join emits
+    *     ≤ C²/2 rows per hour and RIDES the same hour-keyed shuffle —
+    *     never a user×user cross product;
+    *  3. each user keeps only its top-`topNeighbors` co-occurrers, so
+    *     downstream iteration (pagerank/components) sees bounded degree.
+    * Hours are calendar-bounded and users entity-bounded, so every
+    * intermediate is min(calendar×C², users×topNeighbors) rows. Probed
+    * at ×1/×10/×30 in ScaleProbe r9 (SURVEY §5). */
+  def userCoSessionGraphOf(ev: DataFrame, topPerHour: Int = 20,
+                           topNeighbors: Int = 8): DataFrame = {
+    val hours = ev
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(3600L * 1000000L)).cast("long").as("hr"))
+      .groupBy(col("hr"), col("user_id")).agg(count(lit(1)).as("n"))
+    val wH = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hr")).orderBy(col("n").desc, col("user_id"))
+    val capped = hours
+      .withColumn("rn", row_number().over(wH)).filter(col("rn") <= topPerHour)
+      .select(col("hr"), col("user_id"))
+    val pairs = capped.as("x")
+      .join(capped.as("y"), Seq("hr"))
+      .filter(col("x.user_id") < col("y.user_id"))
+      .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+    val wN = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a")).orderBy(col("w").desc, col("b"))
+    pairs
+      .withColumn("rn", row_number().over(wN)).filter(col("rn") <= topNeighbors)
+      .select(col("a"), col("b"), col("w"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_bfs"         -> (graphBfs _),
     "graph_pagerank"    -> (graphPagerank _),

@@ -341,6 +341,50 @@ object ScaleProbe {
     rmrf(out)
   }
 
+  /** Round-9 probe: the five graph gate analytics run over the ≤625-edge
+    * nation graph; this proves the CORPUS-scale graph story executable —
+    * derive the capped user×user co-activity graph and run pagerank +
+    * connected components on it at ×1/×10/×30 event replication.
+    * Replicated users are active at the SAME hours, so the per-hour user
+    * count grows k× — the worst case for the pair join, which the
+    * top-per-hour cap must absorb (edges stay bounded while input grows).
+    * Components' round count is printed: flat rounds = the O(log n)
+    * star fixpoint claim on a second domain. */
+  private def r9Probe(spark: SparkSession, reps: Seq[Int]): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.1"
+    for (k <- reps) {
+      def repl(df: DataFrame, idCols: Seq[String]): DataFrame =
+        (0 until k).map { i =>
+          idCols.foldLeft(df)((d, c) =>
+            d.withColumn(c, col(c) + lit(i.toLong * 10000000L)))
+        }.reduce(_ unionByName _)
+      val ev = repl(graft.sources.Tables.events(spark, dir), Seq("event_id", "user_id"))
+      val t0 = System.nanoTime()
+      val edges = graft.operators.GraphOps.userCoSessionGraphOf(ev).localCheckpoint()
+      val nEdges = edges.count()
+      val tDerive = (System.nanoTime() - t0) / 1e9
+      val nodes = edges.select(col("a").as("node"))
+        .unionByName(edges.select(col("b").as("node"))).distinct().localCheckpoint()
+      val nNodes = nodes.count()
+      val t1 = System.nanoTime()
+      // undirected pagerank: both edge directions carry mass
+      val directed = edges.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionByName(edges.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      val prH = graft.operators.GraphOps.graphPagerankOf(nodes, directed)
+        .agg(sum(pmod(xxhash64(struct(col("*"))), lit(1000000007L))))
+        .collect().head.getLong(0)
+      val tPr = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val (labels, rounds) = graft.operators.Components.minLabelWithRounds(
+        edges.select(col("a"), col("b")))
+      val nComps = labels.select(col("lbl")).distinct().count()
+      val tCc = (System.nanoTime() - t2) / 1e9
+      println(f"[scale] cosession x$k%-3d derive $tDerive%6.2f s edges=$nEdges nodes=$nNodes | " +
+        f"pagerank $tPr%6.2f s h=$prH | cc $tCc%6.2f s rounds=$rounds comps=$nComps")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val k = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
@@ -392,6 +436,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("r8d")) {
       r8dProbe(spark, Seq(1, 10, 30))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("r9")) {
+      r9Probe(spark, Seq(1, 10, 30))
       spark.stop()
       return
     }

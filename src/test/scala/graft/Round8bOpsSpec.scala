@@ -672,4 +672,29 @@ class Round8bOpsSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("userCoSessionGraphOf: co-active-hour weights with both caps binding") {
+    import spark.implicits._
+    def t(hr: Long, m: Int) = new java.sql.Timestamp(hr * 3600000L + m * 60000L)
+    // hour 0: users 1,2,3 active (u1 3 events, u2 2, u3 1); hour 1: users 1,2
+    val ev = Seq(
+      (1L, t(0, 1)), (1L, t(0, 2)), (1L, t(0, 3)),
+      (2L, t(0, 10)), (2L, t(0, 11)),
+      (3L, t(0, 20)),
+      (1L, t(1, 5)), (2L, t(1, 6))).toDF("user_id", "ts")
+    // uncapped: all three co-occur in hour 0, (1,2) also in hour 1
+    val full = GraphOps.userCoSessionGraphOf(ev, topPerHour = 20, topNeighbors = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(full == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
+    // per-hour cap 2: hour 0 keeps the top-2 by activity (u1, u2); u3's
+    // pairs vanish — the bound that keeps the pair join C²-per-hour
+    val capped = GraphOps.userCoSessionGraphOf(ev, topPerHour = 2, topNeighbors = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped == Map((1L, 2L) -> 2L))
+    // neighbor cap 1: user 1 keeps only its heaviest co-occurrer (u2,
+    // weight 2 beats u3's 1) — bounded degree for downstream iteration
+    val nb = GraphOps.userCoSessionGraphOf(ev, topPerHour = 20, topNeighbors = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(nb == Map((1L, 2L) -> 2L, (2L, 3L) -> 1L))
+  }
 }
