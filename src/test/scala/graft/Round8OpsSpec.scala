@@ -272,7 +272,7 @@ class Round8OpsSpec extends SparkSpecBase {
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val hit = rows.count(exact)
     val recall = hit.toDouble / exact.size
-    assert(recall >= 0.40, s"filtered recall@5 $recall below floor 0.40 (measured 0.58)")
+    assert(recall >= 0.50, s"filtered recall@5 $recall below floor 0.50 (measured 0.58; floor raised r9 per the r8 verdict's stretch item)")
     // nprobe=4 compensates the thinned cells: strictly deeper probing than
     // the unfiltered knn_ivf default
   }
