@@ -133,19 +133,59 @@ object Bpe {
   def corpusBpeApply(spark: SparkSession, dir: String): DataFrame =
     corpusBpeApplyOf(Tables.documents(spark, dir), learnedMerges(spark, dir))
 
-  def corpusBpeApplyOf(docs: DataFrame, merges: Seq[(String, String, Long)]): DataFrame = {
-    // letters-only stream: non-letters become word boundaries, and a
-    // literal '|'/'~' in the raw text can neither corrupt a merge nor
-    // inflate the token count
+  /** The doc's text encoded + all merges applied, as one expression —
+    * letters-only stream: non-letters become word boundaries, and a
+    * literal '|'/'~' in the raw text can neither corrupt a merge nor
+    * inflate the token count. */
+  private def appliedCol(merges: Seq[(String, String, Long)]): Column = {
     val lettersOnly = regexp_replace(lower(col("text")), "[^a-z]", " ")
-    val applied = merges.foldLeft(encodeChars(lettersOnly)) { case (s, (l, r, _)) =>
+    merges.foldLeft(encodeChars(lettersOnly)) { case (s, (l, r, _)) =>
       replace(s, lit(s"|$l~|$r~"), lit(s"|$l$r~"))
     }
+  }
+
+  def corpusBpeApplyOf(docs: DataFrame, merges: Seq[(String, String, Long)]): DataFrame = {
+    val applied = appliedCol(merges)
     docs.select(col("doc_id"),
         length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long").as("n_chars"),
         (length(applied) - length(replace(applied, lit("|"), lit("")))).cast("long")
           .as("n_tokens"))
       .orderBy(col("doc_id"))
+  }
+
+  /** How many vocabulary entries [[corpusBpeVocab]] reports. */
+  val VocabTopK = 64
+
+  /** Gate: the corpus vocabulary UNDER the learned tokenizer — the
+    * top-[[VocabTopK]] symbols by occurrence after all merges apply
+    * (rank, symbol, occurrence count). This is the table a tokenizer
+    * release ships beside its merge list, and the statistic
+    * `corpus_vocab_coverage` sizes budgets against, now at SUBWORD
+    * grain. Plan: the apply chain is the same map-side expression as
+    * [[corpusBpeApply]]; symbols explode once and collapse on the
+    * symbol exchange (partial-aggregated), so the only wide ops are one
+    * combine-heavy count and the final top-K sort of a vocabulary-sized
+    * table. Deterministic ties (count DESC, symbol). */
+  def corpusBpeVocab(spark: SparkSession, dir: String): DataFrame =
+    corpusBpeVocabOf(Tables.documents(spark, dir), learnedMerges(spark, dir))
+
+  def corpusBpeVocabOf(docs: DataFrame, merges: Seq[(String, String, Long)]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_tokens").desc, col("symbol"))
+    docs
+      .select(explode(
+        // extract each |sym~ run's group-1; the applied string contains
+        // only [a-z], ' ', '|', '~', so the class is exact
+        regexp_extract_all(appliedCol(merges), lit("\\|([a-z]+)~"), lit(1)))
+        .as("symbol"))
+      .groupBy(col("symbol")).agg(count(lit(1)).as("n_tokens"))
+      // vocabulary-sized input: the single-partition rank window is the
+      // final top-K presentation sort, not a corpus-scale operation
+      .withColumn("vrank", row_number().over(w))
+      .filter(col("vrank") <= VocabTopK)
+      .select(col("vrank").cast("long").as("vrank"), col("symbol"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .orderBy(col("vrank"))
   }
 
   // ------------------------------------------------------------- oracles
@@ -195,13 +235,14 @@ object Bpe {
        |) ORDER BY merge_rank""".stripMargin
   }
 
-  val corpusBpeApplySql: String = {
+  /** The encode + full apply chain as SQL CTEs (enc → ap), shared by the
+    * apply and vocab oracles. */
+  private def applyCtesSql: String = {
     val applied = (1 to NMerges).foldLeft("s") { (inner, k) =>
       s"replace($inner, '|' || (SELECT l FROM m$k) || '~|' || (SELECT r FROM m$k) || '~', " +
         s"'|' || (SELECT l FROM m$k) || (SELECT r FROM m$k) || '~')"
     }
-    s"""WITH ${learnCtesSql(NMerges)},
-       |enc AS (
+    s"""enc AS (
        |  SELECT doc_id,
        |    regexp_replace(regexp_replace(lower(text), '[^a-z]', ' ', 'g'),
        |      '([a-z])', '|\\1~', 'g') AS s,
@@ -209,17 +250,39 @@ object Bpe {
        |      AS n_chars
        |  FROM documents
        |),
-       |ap AS (SELECT doc_id, n_chars, $applied AS s FROM enc)
+       |ap AS (SELECT doc_id, n_chars, $applied AS s FROM enc)""".stripMargin
+  }
+
+  val corpusBpeApplySql: String =
+    s"""WITH ${learnCtesSql(NMerges)},
+       |$applyCtesSql
        |SELECT doc_id, n_chars,
        |  CAST(length(s) - length(replace(s, '|', '')) AS BIGINT) AS n_tokens
        |FROM ap ORDER BY doc_id""".stripMargin
-  }
+
+  val corpusBpeVocabSql: String =
+    s"""WITH ${learnCtesSql(NMerges)},
+       |$applyCtesSql,
+       |sym AS (
+       |  SELECT unnest(regexp_extract_all(s, '\\|([a-z]+)~', 1)) AS symbol
+       |  FROM ap
+       |), counts AS (
+       |  SELECT symbol, CAST(count(*) AS BIGINT) AS n_tokens
+       |  FROM sym GROUP BY 1
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY n_tokens DESC, symbol) AS BIGINT)
+       |    AS vrank, symbol, n_tokens
+       |FROM counts
+       |ORDER BY n_tokens DESC, symbol
+       |LIMIT $VocabTopK""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_bpe_merges" -> (corpusBpeMerges _),
-    "corpus_bpe_apply"  -> (corpusBpeApply _))
+    "corpus_bpe_apply"  -> (corpusBpeApply _),
+    "corpus_bpe_vocab"  -> (corpusBpeVocab _))
 
   val oracle: Map[String, String] = Map(
     "corpus_bpe_merges" -> corpusBpeMergesSql,
-    "corpus_bpe_apply"  -> corpusBpeApplySql)
+    "corpus_bpe_apply"  -> corpusBpeApplySql,
+    "corpus_bpe_vocab"  -> corpusBpeVocabSql)
 }

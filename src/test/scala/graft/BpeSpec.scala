@@ -108,6 +108,27 @@ class BpeSpec extends SparkSpecBase {
     assert(got == wantTok)
   }
 
+  test("corpusBpeVocabOf matches the reference symbol census with deterministic ranks") {
+    val texts = Seq(
+      "the cat sat on the mat",
+      "the cats chatter that the hat is flat",
+      "banana bandana banana")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, 8)
+    val got = Bpe.corpusBpeVocabOf(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // reference census: apply merges per word occurrence, count symbols
+    val refCounts = texts.flatMap(t => "[a-z]+".r.findAllIn(t.toLowerCase))
+      .flatMap { w =>
+        merges.foldLeft(w.map(_.toString).toVector) { case (syms, (l, r, _)) =>
+          refMergeWord(syms, l, r)
+        }
+      }.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    val want = refCounts.toSeq.sortBy { case (s, n) => (-n, s) }.take(Bpe.VocabTopK)
+      .zipWithIndex.map { case ((s, n), i) => (i + 1L, s, n) }
+    assert(got == want, s"\n got  $got\n want $want")
+  }
+
   test("learning stops early when the corpus is fully merged") {
     val docs = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
     // one word type of 2 chars: round 1 merges (a,b); round 2 has no
