@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** PassJoin edit-distance near-dup: exactness against brute force (the
+  * property the segment-blocking lemma guarantees), plus the adversarial
+  * pair geometries a cheaper blocking scheme would miss. */
+class DedupEditSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  /** Driver-side reference levenshtein. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = d(0); d(0) = j
+      for (i <- 1 to a.length) {
+        val t = d(i)
+        d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = t
+      }
+    }
+    d(a.length)
+  }
+
+  test("segment blocking finds EVERY pair brute force finds on the gate corpus") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val got = pairsOf(Dedup.dedupEditOf(docs, tau = 2))
+    // brute force over the same normalized keys, driver-side
+    val titles = docs.select(col("doc_id"),
+        substring(trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", ""), "\\s+", " ")), 1, 40).as("t"))
+      .filter(length(col("t")) >= 9)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val want = (for {
+      (ia, ta) <- titles; (ib, tb) <- titles
+      if ia < ib && math.abs(ta.length - tb.length) <= 2
+      d = lev(ta, tb) if d <= 2
+    } yield (ia, ib, d.toLong)).toSet
+    assert(want.nonEmpty && got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("adversarial geometries: boundary distances, head edits, indels") {
+    val docs = Seq(
+      // base ~20-char title
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),     // dist 0
+      (3L, "alpha beta gamma delts"),     // 1 substitution (tail)
+      (4L, "blpha beta gamma delta"),     // 1 substitution in the FIRST char —
+                                          // any shared-prefix blocking misses this
+      (5L, "xlpha beta gamma deltx"),     // 2 substitutions, both ends
+      (6L, "ylphz beta gamma deltx"),     // 3 substitutions: past τ, must drop
+      (7L, "alpha beta gamma deltaxy"),   // 2 insertions at tail
+      (8L, "phabeta gamma delta"),        // 3 deletions at head: past τ
+      (9L, "Alpha,  Beta GAMMA   delta"), // normalizes to the base: dist 0
+      (10L, "totally different title here")).toDF("doc_id", "text")
+    val got = pairsOf(Dedup.dedupEditOf(docs, tau = 2))
+    // reference: brute force over the same normalization
+    val norm = Map(
+      1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
+      3L -> "alpha beta gamma delts", 4L -> "blpha beta gamma delta",
+      5L -> "xlpha beta gamma deltx", 6L -> "ylphz beta gamma deltx",
+      7L -> "alpha beta gamma deltaxy", 8L -> "phabeta gamma delta",
+      9L -> "alpha beta gamma delta", 10L -> "totally different title here")
+    val want = (for {
+      (ia, ta) <- norm.toSeq; (ib, tb) <- norm.toSeq
+      if ia < ib
+      d = lev(ta, tb) if d <= 2
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).toSeq.sorted} extra=${(got -- want).toSeq.sorted}")
+    // the cases the fixture exists to pin
+    assert(got.contains((1L, 4L, 1L)), "head-edited pair must be found")
+    assert(got.contains((1L, 5L, 2L)), "both-ends pair at exactly tau must be found")
+    assert(got.contains((1L, 7L, 2L)), "tail-insertion pair must be found")
+    assert(!got.exists(p => p._1 == 1L && p._2 == 6L), "distance 3 must drop")
+    assert(got.contains((1L, 9L, 0L)), "normalization must equate case/punct forms")
+  }
+
+  test("short titles are out of domain; empty corpus yields empty output") {
+    val docs = Seq((1L, "tiny"), (2L, "tiny"), (3L, "also &&&& !!"))
+      .toDF("doc_id", "text")
+    assert(Dedup.dedupEditOf(docs, tau = 2).count() == 0)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.dedupEditOf(empty, tau = 2).count() == 0)
+  }
+
+  test("randomized differential: fuzzed edits vs brute force") {
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdef "
+    val bases = (0 until 15).map(_ =>
+      (0 until (12 + rnd.nextInt(20))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    def mutate(s: String): String = {
+      val ops = rnd.nextInt(4)
+      (0 until ops).foldLeft(s) { (cur, _) =>
+        if (cur.isEmpty) cur
+        else rnd.nextInt(3) match {
+          case 0 => val i = rnd.nextInt(cur.length) // substitute
+            cur.updated(i, alpha(rnd.nextInt(alpha.length)))
+          case 1 => val i = rnd.nextInt(cur.length) // delete
+            cur.take(i) + cur.drop(i + 1)
+          case _ => val i = rnd.nextInt(cur.length + 1) // insert
+            cur.take(i) + alpha(rnd.nextInt(alpha.length)) + cur.drop(i)
+        }
+      }
+    }
+    val texts = bases.flatMap(b => Seq(b, mutate(b), mutate(b)))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = pairsOf(Dedup.dedupEditOf(docs, tau = 2))
+    val norm = texts.zipWithIndex.map { case (t, i) =>
+      i.toLong -> t.toLowerCase.replaceAll("[^a-z0-9 ]", "")
+        .replaceAll("\\s+", " ").trim.take(40)
+    }.filter(_._2.length >= 9)
+    val want = (for {
+      (ia, ta) <- norm; (ib, tb) <- norm
+      if ia < ib && math.abs(ta.length - tb.length) <= 2
+      d = lev(ta, tb) if d <= 2
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+}
