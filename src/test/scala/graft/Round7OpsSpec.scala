@@ -726,7 +726,9 @@ class Round7OpsSpec extends SparkSpecBase {
 
   test("knn_graph: structure, recall vs the exact graph, and no src_id re-shuffle") {
     val dir = "/root/testdata/sf0.001"
-    val df = graft.operators.Similarity.knnGraph(spark, dir)
+    // the BUILD form carries the plan contract; the gate serves the
+    // persisted artifact of the same rows (parity asserted below)
+    val df = graft.operators.Similarity.knnGraphBuild(spark, dir)
     // block-local top-k must reuse the join's (cell, sub) partitioning:
     // the ONLY src-keyed exchange is the stage-2 merge over the ≤
     // nprobe·k pre-reduced survivors
@@ -765,6 +767,22 @@ class Round7OpsSpec extends SparkSpecBase {
     }
     val recall = hit.toDouble / tot
     assert(recall >= 0.4, s"graph recall@$k $recall below floor")
+
+    // the gate serves a persisted artifact of the SAME rows; second read
+    // must load, not rebuild
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kg_spec").toString
+    spark.conf.set("graft.knngraph.dir", tmp)
+    try {
+      val served = graft.operators.Similarity.knnGraph(spark, dir).collect()
+        .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("rank"),
+          r.getAs[Long]("dst_id"), r.getAs[Long]("csim_e4"))).toSet
+      assert(served == out.toSet, "artifact rows must equal the build's")
+      val stores = new java.io.File(tmp).listFiles().filter(_.isDirectory)
+      assert(stores.length == 1)
+      val before = stores.head.lastModified()
+      graft.operators.Similarity.knnGraph(spark, dir).collect()
+      assert(stores.head.lastModified() == before, "second call rebuilt the graph")
+    } finally spark.conf.unset("graft.knngraph.dir")
   }
 
   test("events_streaks: islands match a driver-side fold over (user, day)") {
