@@ -385,6 +385,37 @@ object ScaleProbe {
     }
   }
 
+  /** Round-9b probe: BPE learning (word-TYPE grain — replication grows
+    * occurrence counts, NOT the vocabulary, so rounds should be
+    * corpus-size-flat) and edit-distance dedup (segment blocking —
+    * replicated docs multiply every title k×, the candidate join's worst
+    * case since every copy collides with every other). */
+  private def r9bProbe(spark: SparkSession, reps: Seq[Int]): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.1"
+    for (k <- reps) {
+      def repl(df: DataFrame, idCols: Seq[String]): DataFrame =
+        (0 until k).map { i =>
+          idCols.foldLeft(df)((d, c) =>
+            d.withColumn(c, col(c) + lit(i.toLong * 10000000L)))
+        }.reduce(_ unionByName _)
+      val docs = repl(graft.sources.Tables.documents(spark, dir), Seq("doc_id"))
+      val t0 = System.nanoTime()
+      val merges = graft.operators.Bpe.learnMerges(docs, 16)
+      val tLearn = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val apH = graft.operators.Bpe.corpusBpeApplyOf(docs, merges)
+        .agg(sum(pmod(xxhash64(struct(col("*"))), lit(1000000007L))))
+        .collect().head.getLong(0)
+      val tApply = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val nPairs = graft.operators.Dedup.dedupEditOf(docs, tau = 2).count()
+      val tEdit = (System.nanoTime() - t2) / 1e9
+      println(f"[scale] bpe x$k%-3d learn $tLearn%6.2f s (${merges.size} merges) | " +
+        f"apply $tApply%6.2f s h=$apH | edit_dedup $tEdit%6.2f s pairs=$nPairs")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val k = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
@@ -441,6 +472,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("r9")) {
       r9Probe(spark, Seq(1, 10, 30))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("r9b")) {
+      r9bProbe(spark, Seq(1, 10, 30))
       spark.stop()
       return
     }

@@ -769,4 +769,31 @@ class PlanShapeSpec extends SparkSpecBase {
       assert(facts.isEmpty, s"triangle census rescans fact tables: ${facts.size}")
     }
   }
+
+  test("r9 ops: bpe apply map-side, edit-dedup equi-join only (never all-pairs)") {
+    withoutAqe {
+      // corpus_bpe_apply: encode + 16 replaces + counts is a pure per-doc
+      // expression chain — NO exchange at all before the presentation
+      // range-sort, and everything in one codegen'd stage
+      val ap = graft.operators.Bpe.corpusBpeApply(spark, sfDir)
+        .queryExecution.executedPlan
+      val hashEx = ap.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+      }
+      assert(hashEx.isEmpty, s"bpe apply must not shuffle, got ${hashEx.size} hash exchanges")
+
+      // dedup_edit: candidates come from the (m, j, seg) EQUI-join — the
+      // plan may contain no cartesian/nested-loop join anywhere (the
+      // all-pairs shape the segment blocking exists to avoid)
+      val de = graft.operators.Dedup.dedupEdit(spark, sfDir)
+        .queryExecution.executedPlan
+      val loops = de.collect {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }
+      assert(loops.isEmpty, s"edit dedup must never all-pairs: ${loops.map(_.nodeName)}")
+    }
+  }
 }
