@@ -188,6 +188,51 @@ object Bpe {
       .orderBy(col("vrank"))
   }
 
+  /** Gate: tokenizer FERTILITY per language — tokens-per-word under the
+    * learned merge table (×100, truncating DIV), the standard
+    * tokenizer-evaluation statistic (a tokenizer trained on one language
+    * mix "spends" more subwords per word on under-represented
+    * languages; this table is how that bias is measured and reported).
+    * Here the training sample is hash-drawn from the whole corpus, so
+    * the gate shows the per-language spread of one shared tokenizer.
+    * Same map-side apply chain; one lang-grain aggregate. */
+  def corpusTokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    corpusTokenizerFertilityOf(Tables.documents(spark, dir), learnedMerges(spark, dir))
+
+  def corpusTokenizerFertilityOf(docs: DataFrame,
+                                 merges: Seq[(String, String, Long)]): DataFrame = {
+    val applied = appliedCol(merges)
+    docs
+      .select(col("lang"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).cast("long").as("nw"),
+        (length(applied) - length(replace(applied, lit("|"), lit("")))).cast("long").as("nt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"), sum(col("nt")).as("n_tokens"))
+      .withColumn("fert_e2",
+        expr("n_tokens * 100 DIV greatest(n_words, 1)"))
+      .orderBy(col("lang"))
+  }
+
+  val corpusTokenizerFertilitySql: String =
+    s"""WITH ${learnCtesSql(NMerges)},
+       |$applyCtesSql,
+       |d AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS nw,
+       |    lang
+       |  FROM documents
+       |), j AS (
+       |  SELECT d.lang, d.nw,
+       |    CAST(length(ap.s) - length(replace(ap.s, '|', '')) AS BIGINT) AS nt
+       |  FROM d JOIN ap ON d.doc_id = ap.doc_id
+       |)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(nw) AS BIGINT) AS n_words,
+       |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |  CAST(sum(nt) * 100 // greatest(sum(nw), 1) AS BIGINT) AS fert_e2
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------- oracles
 
   /** The 16-round learning as chained DuckDB CTEs — an INDEPENDENT
@@ -279,10 +324,12 @@ object Bpe {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_bpe_merges" -> (corpusBpeMerges _),
     "corpus_bpe_apply"  -> (corpusBpeApply _),
-    "corpus_bpe_vocab"  -> (corpusBpeVocab _))
+    "corpus_bpe_vocab"  -> (corpusBpeVocab _),
+    "corpus_tokenizer_fertility" -> (corpusTokenizerFertility _))
 
   val oracle: Map[String, String] = Map(
     "corpus_bpe_merges" -> corpusBpeMergesSql,
     "corpus_bpe_apply"  -> corpusBpeApplySql,
-    "corpus_bpe_vocab"  -> corpusBpeVocabSql)
+    "corpus_bpe_vocab"  -> corpusBpeVocabSql,
+    "corpus_tokenizer_fertility" -> corpusTokenizerFertilitySql)
 }

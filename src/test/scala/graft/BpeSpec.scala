@@ -129,6 +129,26 @@ class BpeSpec extends SparkSpecBase {
     assert(got == want, s"\n got  $got\n want $want")
   }
 
+  test("corpusTokenizerFertilityOf matches the reference per-language sums") {
+    val rows = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the cats chatter that the hat is flat"),
+      (3L, "de", "banana bandana banana"),
+      (4L, "de", ""))
+    val docs = rows.toDF("doc_id", "lang", "text")
+    val merges = Bpe.learnMerges(docs.select(col("doc_id"), col("text")), 8)
+    val got = Bpe.corpusTokenizerFertilityOf(docs, merges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val words = rs.flatMap(r => "[a-z]+".r.findAllIn(r._3.toLowerCase))
+      val nw = words.size.toLong
+      val nt = words.map(w => refTokens(w, merges)).sum.toLong
+      val fert = nt * 100 / math.max(nw, 1L)
+      assert(got(lang) == ((rs.size.toLong, nw, nt, fert)), s"$lang: ${got(lang)}")
+    }
+  }
+
   test("learning stops early when the corpus is fully merged") {
     val docs = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
     // one word type of 2 chars: round 1 merges (a,b); round 2 has no

@@ -33,6 +33,8 @@ class HostileInputSpec extends SparkSpecBase {
       "code" -> CorpusStats.textCodeDetectOf(docs),
       "markup" -> CorpusStats.textMarkupDetectOf(docs),
       "line_dedup" -> Dedup.corpusLineDedupOf(docs),
+      "bpe_apply" -> graft.operators.Bpe.corpusBpeApplyOf(docs,
+        graft.operators.Bpe.learnMerges(docs, 4)),
       "datacard" -> CorpusStats.corpusDatacardOf(
         docs.withColumn("lang", org.apache.spark.sql.functions.lit("en"))))
     passes.foreach { case (name, df) =>
