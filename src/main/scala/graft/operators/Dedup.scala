@@ -861,8 +861,53 @@ object Dedup {
       |WHERE levenshtein(a.title, b.title) <= 2
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Cluster/keep-rule form of [[dedupEdit]] — the massive-duplication
+    * scale path the pair form is the wrong shape for (k copies of a
+    * title are k(k−1)/2 pairs but ONE cluster row each; ScaleProbe r9b):
+    * connected components over the edit-pair edges, keep = component-min,
+    * every doc labeled (out-of-domain/unique titles keep themselves).
+    * Fully hash-gated: exact pairs (PassJoin) + exact components vs the
+    * oracle's brute-force pairs + recursive-CTE reachability. */
+  def dedupEditClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val edges = dedupEditOf(docs, tau = 2)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val labels = Components.minLabel(edges)
+    val clustered = labels.select(col("doc_id"), col("lbl").as("cluster_id"),
+      (col("doc_id") === col("lbl")).as("keep"))
+    val singles = docs.select(col("doc_id"))
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"), lit(true).as("keep"))
+    clustered.unionByName(singles).orderBy(col("doc_id"))
+  }
+
+  val dedupEditClustersSql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id,
+      |    substring(trim(regexp_replace(
+      |      regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |      '\s+', ' ', 'g')), 1, 40) AS title
+      |  FROM documents
+      |), k AS (SELECT doc_id, title FROM t WHERE length(title) >= 9
+      |), p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM k a JOIN k b
+      |    ON a.doc_id < b.doc_id
+      |    AND abs(length(a.title) - length(b.title)) <= 2
+      |  WHERE levenshtein(a.title, b.title) <= 2
+      |), edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p
+      |), reach(doc_id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.b
+      |)
+      |SELECT doc_id, min(lbl) AS cluster_id, doc_id = min(lbl) AS keep
+      |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_edit"     -> (dedupEdit _),
+    "dedup_edit_clusters" -> (dedupEditClusters _),
     "corpus_line_dedup" -> (corpusLineDedup _),
     "dedup_recall"   -> (dedupRecall _),
     "dedup_containment" -> (dedupContainment _),
@@ -879,6 +924,7 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "dedup_edit"     -> dedupEditSql,
+    "dedup_edit_clusters" -> dedupEditClustersSql,
     "corpus_line_dedup" -> corpusLineDedupSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_exact"    -> dedupExactSql,

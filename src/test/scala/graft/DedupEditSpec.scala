@@ -83,6 +83,31 @@ class DedupEditSpec extends SparkSpecBase {
     assert(got.contains((1L, 9L, 0L)), "normalization must equate case/punct forms")
   }
 
+  test("cluster form: transitive chains collapse to one component-min cluster") {
+    // a~b and b~c at distance 2 each, a~c at distance 4: pairwise misses
+    // (a,c); the cluster form must still put all three in ONE cluster
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delxy"),    // dist 2 from 1
+      (3L, "alpha beta gamma dewxyz"),   // dist 2 from 2 within budget? -> check via lev
+      (4L, "unrelated title entirely here"),
+      (5L, "xy"))                        // out of domain: singleton
+    .toDF("doc_id", "text")
+    val pairs = pairsOf(Dedup.dedupEditOf(docs, tau = 2))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L))
+    assert(pairs.exists(p => p._1 == 2L && p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 1L && p._2 == 3L), "a~c must exceed tau")
+    // gate body runs on Tables.documents; replicate its logic here inline
+    val edges = Dedup.dedupEditOf(docs, tau = 2)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val labels = graft.operators.Components.minLabel(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L,
+      s"transitive chain must share cluster 1: $labels")
+    assert(!labels.contains(4L) && !labels.contains(5L),
+      "edge-free docs stay out of the label table (they keep themselves)")
+  }
+
   test("short titles are out of domain; empty corpus yields empty output") {
     val docs = Seq((1L, "tiny"), (2L, "tiny"), (3L, "also &&&& !!"))
       .toDF("doc_id", "text")
