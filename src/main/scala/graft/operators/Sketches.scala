@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Mergeable distinct-count sketches (Flajolet et al., AofA 2007 —
+  * HyperLogLog) in ENGINE-EXACT integer arithmetic: the one aggregate a
+  * 100 TB pipeline cannot run exactly (distinct tokens/users per slice
+  * needs a corpus-sized shuffle per query) becomes 64 small integers per
+  * slice that merge by element-wise MAX — shards sketch independently,
+  * partial aggregation is the merge, and historical sketches fold with
+  * new ones without re-reading anything.
+  *
+  * Everything the gate emits is exact BIGINT algebra both engines
+  * replay bit-for-bit (unlike `q_percentiles_approx`'s rows-only
+  * sketches): the token hash is graft's portable char-polynomial
+  * (native `char_poly_hash` ↔ DuckDB list_reduce), bucket = h mod 64,
+  * rank ρ = 1 + trailing-zeros(h div 64) expressed as Σ [v mod 2^k = 0]
+  * (v = 0 saturates to the cap automatically), the register sum rides
+  * the dyadic scaling S = Σ 2^(cap − M_b) as a plain integer, and the
+  * raw HLL estimate α·m²/Σ2^(−M) becomes the exact integer division
+  * (709·m²·2^cap) DIV (1000·S). The bias-corrected small/large-range
+  * forms need ln(), which is NOT cross-engine-reproducible — the gate
+  * ships the raw statistics (v_zero makes the linear-counting
+  * correction a consumer-side one-liner), and the spec applies the
+  * correction driver-side to pin accuracy against the exact count. */
+object Sketches {
+
+  /** Register count (m = 2^6). */
+  val M = 64
+  /** Rank cap: h div 64 < p/64 ≈ 2^24, so 20 trailing-zero tests saturate
+    * every value; empty/zero registers read cap = 21. */
+  val RMax = 21
+  private val P = 1000000007L
+
+  private def tokHash(w: Column): Column = mix(call_function("char_poly_hash", w))
+
+  /** Quadratic scramble on top of the polynomial hash: the poly hash is
+    * LINEAR in the last characters, so a numbered vocabulary ("w0".."w799")
+    * lands on arithmetic progressions whose trailing-zero profile is the
+    * ruler sequence — bounded, no geometric tail, and HLL's estimator
+    * reads ~half the true cardinality (measured). Squaring mod p breaks
+    * the linearity (h < p ≈ 2³⁰ so h² < 2⁶⁰ — exact BIGINT in both
+    * engines); the +h term keeps the map injective-ish in practice and
+    * the spec pins estimator accuracy across cardinality regimes. */
+  private def mix(h: Column): Column =
+    pmod(pmod(h * h, lit(P)) * lit(31L) + h, lit(P))
+
+  private def mixSql(h: String): String =
+    s"((($h) * ($h)) % $P * 31 + ($h)) % $P"
+
+  /** ρ(v) = 1 + Σ_{k=1..20} [v mod 2^k = 0] — trailing-zero rank with the
+    * v = 0 case saturating to [[RMax]] with no special-casing. */
+  private def rho(v: Column): Column =
+    lit(1L) + (1 until RMax).map(k =>
+      when(pmod(v, lit(1L << k)) === 0L, 1L).otherwise(0L)).reduce(_ + _)
+
+  private def rhoSql(v: String): String =
+    "1 + " + (1 until RMax).map(k =>
+      s"(CASE WHEN ($v) % ${1L << k} = 0 THEN 1 ELSE 0 END)").mkString(" + ")
+
+  /** Per-group (`keys`) HLL registers over a token column: one row per
+    * (keys, bucket) with the max rank. Exposed at register grain so
+    * consumers can MERGE sketches (element-wise max) before estimating. */
+  def registersOf(df: DataFrame, keys: Seq[String], tok: Column): DataFrame = {
+    val h = tokHash(tok)
+    // h ∈ [0, p): bucket = low 6 bits, v = the remaining ~24 — integer
+    // ops only (Column `/` is DOUBLE division; shiftright keeps it exact)
+    df.select(keys.map(col) :+ pmod(h, lit(M.toLong)).as("bucket")
+        :+ rho(shiftright(h, 6)).as("rho"): _*)
+      .groupBy((keys :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("m_reg"))
+  }
+
+  /** Gate: per-language distinct-token sketch over `documents` — built at
+    * (lang, SOURCE) grain first and max-MERGED to lang (the property that
+    * makes the sketch an artifact: per-shard/per-day sketches fold), then
+    * densified over all 64 buckets and reduced to the exact-integer
+    * summary plus the exact distinct count for comparison (gate-scale
+    * only; at 100 TB the exact column is precisely what you no longer
+    * compute). */
+  def corpusDistinctSketch(spark: SparkSession, dir: String): DataFrame =
+    corpusDistinctSketchOf(Tables.documents(spark, dir))
+
+  def corpusDistinctSketchOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("lang"), col("source"),
+      explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+    // per-(lang, source) sketches, merged to lang by element-wise max —
+    // the merge IS an aggregate, so it rides one exchange
+    val perSource = registersOf(toks, Seq("lang", "source"), col("w"))
+    val merged = perSource.groupBy(col("lang"), col("bucket"))
+      .agg(max(col("m_reg")).as("m_reg"))
+    // densify: empty buckets are REAL zeros in the estimator
+    val langs = docs.select(col("lang")).distinct()
+    val grid = langs.select(col("lang"),
+      explode(sequence(lit(0L), lit(M - 1L))).as("bucket"))
+    val dense = grid.join(merged, Seq("lang", "bucket"), "left")
+      .select(col("lang"), col("bucket"),
+        coalesce(col("m_reg"), lit(0L)).as("m_reg"))
+    val summary = dense.groupBy(col("lang"))
+      .agg(sum(when(col("m_reg") === 0L, 1L).otherwise(0L)).as("v_zero"),
+        // dyadic scaling as a SHIFT — pow() is not cross-engine territory
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($RMax - m_reg AS INT))"))
+          .as("s_scaled"))
+      .withColumn("est_raw",
+        expr(s"${709L * M * M * (1L << RMax)}L DIV (1000 * s_scaled)"))
+    val exact = toks.groupBy(col("lang"))
+      .agg(countDistinct(col("w")).as("n_exact"))
+    summary.join(exact, Seq("lang"), "left")
+      .select(col("lang"), lit(M.toLong).as("m"), col("v_zero"),
+        col("s_scaled"), col("est_raw"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+      .orderBy(col("lang"))
+  }
+
+  private val tokHashSqlW: String =
+    s"list_reduce(list_prepend(7::BIGINT, list_transform(string_split_regex(w, ''), c -> ascii(c)::BIGINT)), (acc, x) -> (acc*31 + x) % $P)"
+
+  val corpusDistinctSketchSql: String =
+    s"""WITH tok AS (
+       |  SELECT lang, source,
+       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |  FROM documents
+       |), h0 AS (
+       |  SELECT lang, source, $tokHashSqlW AS hp FROM tok
+       |), h AS (
+       |  SELECT lang, source, ${mixSql("hp")} AS hv FROM h0
+       |), regs AS (
+       |  SELECT lang, source, hv % $M AS bucket,
+       |    CAST(max(${rhoSql(s"hv // $M")}) AS BIGINT) AS m_reg
+       |  FROM h GROUP BY 1, 2, 3
+       |), merged AS (
+       |  SELECT lang, bucket, max(m_reg) AS m_reg FROM regs GROUP BY 1, 2
+       |), grid AS (
+       |  SELECT l.lang, g.bucket
+       |  FROM (SELECT DISTINCT lang FROM documents) l,
+       |       (SELECT unnest(range(0, $M)) AS bucket) g
+       |), dense AS (
+       |  SELECT grid.lang, grid.bucket, coalesce(m.m_reg, 0) AS m_reg
+       |  FROM grid LEFT JOIN merged m
+       |    ON grid.lang = m.lang AND grid.bucket = m.bucket
+       |), summary AS (
+       |  SELECT lang,
+       |    CAST(sum(CASE WHEN m_reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+       |    CAST(sum(1::BIGINT << ($RMax - m_reg)) AS BIGINT) AS s_scaled
+       |  FROM dense GROUP BY 1
+       |), exact AS (
+       |  SELECT lang, CAST(count(DISTINCT w) AS BIGINT) AS n_exact FROM tok GROUP BY 1
+       |)
+       |SELECT s.lang, CAST($M AS BIGINT) AS m, s.v_zero, s.s_scaled,
+       |  CAST(${709L * M * M * (1L << RMax)} // (1000 * s.s_scaled) AS BIGINT)
+       |    AS est_raw,
+       |  coalesce(e.n_exact, 0) AS n_exact
+       |FROM summary s LEFT JOIN exact e ON s.lang = e.lang
+       |ORDER BY s.lang""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_distinct_sketch" -> (corpusDistinctSketch _))
+
+  val oracle: Map[String, String] = Map(
+    "corpus_distinct_sketch" -> corpusDistinctSketchSql)
+}

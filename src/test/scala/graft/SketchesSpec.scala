@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+
+/** HLL distinct sketches: merge associativity (the artifact property),
+  * estimator accuracy across cardinality regimes, and the gate summary's
+  * consumer-side correction. */
+class SketchesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def randomDocs(nDocs: Int, vocab: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until nDocs).map { i =>
+      val words = (0 until 30).map(_ => s"w${rnd.nextInt(vocab)}")
+      (i.toLong, s"s${i % 7}", "en", words.mkString(" "))
+    }.toDF("doc_id", "source", "lang", "text")
+  }
+
+  /** The consumer-side corrected estimate the scaladoc promises:
+    * linear counting below the small-range threshold, raw HLL above. */
+  private def corrected(vZero: Long, sScaled: Long): Double = {
+    val m = Sketches.M.toDouble
+    val raw = 0.709 * m * m * (1L << Sketches.RMax) / (1000.0 * sScaled) * 1000.0
+    if (raw <= 2.5 * m && vZero > 0) m * math.log(m / vZero.toDouble) else raw
+  }
+
+  test("per-source sketches max-merge to exactly the direct sketch") {
+    val docs = randomDocs(200, 3000, seed = 11)
+    val toks = docs.select(col("lang"), col("source"),
+      explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+    val direct = Sketches.registersOf(toks, Seq("lang"), col("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = Sketches.registersOf(toks, Seq("lang", "source"), col("w"))
+      .groupBy(col("lang"), col("bucket")).agg(max(col("m_reg")).as("m_reg"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(direct.nonEmpty && merged == direct,
+      "element-wise max of per-source registers must equal the direct sketch")
+  }
+
+  test("corrected estimate stays within 30% across cardinality regimes") {
+    for ((vocab, seed) <- Seq((60, 1), (800, 2), (6000, 3))) {
+      val docs = randomDocs(300, vocab, seed)
+      val out = Sketches.corpusDistinctSketchOf(docs).collect().head
+      val exact = out.getAs[Long]("n_exact").toDouble
+      val est = corrected(out.getAs[Long]("v_zero"), out.getAs[Long]("s_scaled"))
+      val err = math.abs(est - exact) / exact
+      assert(err <= 0.30, f"vocab=$vocab exact=$exact est=$est%.1f err=$err%.3f")
+    }
+  }
+
+  test("gate summary on the test corpus corrects to near the exact count") {
+    val out = Sketches.corpusDistinctSketch(spark, "/root/testdata/sf0.01").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = corrected(r.getAs[Long]("v_zero"), r.getAs[Long]("s_scaled"))
+      assert(math.abs(est - exact) / exact <= 0.30,
+        s"${r.getAs[String]("lang")}: exact=$exact corrected=$est")
+    }
+  }
+}
