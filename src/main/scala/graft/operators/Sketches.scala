@@ -156,9 +156,103 @@ object Sketches {
        |FROM summary s LEFT JOIN exact e ON s.lang = e.lang
        |ORDER BY s.lang""".stripMargin
 
+  /** Gate: trailing-7-day distinct users (WAU) BY SKETCH MERGE — the
+    * demonstration of why the registers are the artifact: count-distinct
+    * does NOT decompose over sliding windows (every window re-scans its
+    * events; `events_active_users` pays a coverage trick to avoid it),
+    * but registers do — per-DAY registers merge into any window by
+    * element-wise max, so the whole WAU curve is one window-max over a
+    * (days × 64)-row grid after one event-grain aggregate. The exact WAU
+    * ships beside the estimate for comparison (gate-scale only — at
+    * 100 TB the exact column is the thing the sketch replaces). */
+  def eventsWauSketch(spark: SparkSession, dir: String): DataFrame =
+    eventsWauSketchOf(Tables.events(spark, dir))
+
+  def eventsWauSketchOf(ev: DataFrame): DataFrame = {
+    val h = mix(TextAnalysis.idHash(col("user_id")))
+    val perDay = ev
+      .select(floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+        pmod(h, lit(M.toLong)).as("bucket"), rho(shiftright(h, 6)).as("rho"))
+      .groupBy(col("day"), col("bucket")).agg(max(col("rho")).as("m_reg"))
+    // dense (day grid × 64 buckets): a silent day contributes REAL zero
+    // registers to every window that covers it
+    val span = perDay.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .select(col("day"), explode(sequence(lit(0L), lit(M - 1L))).as("bucket"))
+    val dense = grid.join(perDay, Seq("day", "bucket"), "left")
+      .select(col("day"), col("bucket"), coalesce(col("m_reg"), lit(0L)).as("m_reg"))
+    // the sketch merge: window-max per bucket over the trailing 7 days —
+    // calendar × 64 rows, the bounded-grain window class
+    val w7 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("day")).rangeBetween(-6, 0)
+    val summary = dense.withColumn("m7", max(col("m_reg")).over(w7))
+      .groupBy(col("day"))
+      .agg(sum(when(col("m7") === 0L, 1L).otherwise(0L)).as("v_zero"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($RMax - m7 AS INT))"))
+          .as("s_scaled"))
+      .withColumn("est_raw",
+        expr(s"${709L * M * M * (1L << RMax)}L DIV (1000 * s_scaled)"))
+    // exact trailing distinct for comparison: each (user, day) sighting
+    // covers the 7 windows it falls in
+    val exact = ev
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"))
+      .distinct()
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("wday"))
+      .groupBy(col("wday")).agg(countDistinct(col("user_id")).as("exact_wau"))
+    summary.join(exact, summary("day") === exact("wday"), "left")
+      .select(col("day"), col("v_zero"), col("s_scaled"), col("est_raw"),
+        coalesce(col("exact_wau"), lit(0L)).as("exact_wau"))
+      .orderBy(col("day"))
+  }
+
+  val eventsWauSketchSql: String =
+    s"""WITH pd AS (
+       |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+       |    ${mixSql(TextAnalysis.idHashSql("user_id"))} AS hv
+       |  FROM events
+       |), regs AS (
+       |  SELECT day, hv % $M AS bucket,
+       |    CAST(max(${rhoSql(s"hv // $M")}) AS BIGINT) AS m_reg
+       |  FROM pd GROUP BY 1, 2
+       |), span AS (SELECT min(day) AS d0, max(day) AS d1 FROM regs
+       |), grid AS (
+       |  SELECT d.day, b.bucket
+       |  FROM (SELECT unnest(range(d0, d1 + 1)) AS day FROM span) d,
+       |       (SELECT unnest(range(0, $M)) AS bucket) b
+       |), dense AS (
+       |  SELECT grid.day, grid.bucket, coalesce(r.m_reg, 0) AS m_reg
+       |  FROM grid LEFT JOIN regs r ON grid.day = r.day AND grid.bucket = r.bucket
+       |), w AS (
+       |  SELECT day, bucket,
+       |    max(m_reg) OVER (PARTITION BY bucket ORDER BY day
+       |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS m7
+       |  FROM dense
+       |), summary AS (
+       |  SELECT day,
+       |    CAST(sum(CASE WHEN m7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+       |    CAST(sum(1::BIGINT << ($RMax - m7)) AS BIGINT) AS s_scaled
+       |  FROM w GROUP BY 1
+       |), ud AS (
+       |  SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+       |  FROM events
+       |), exact AS (
+       |  SELECT t.wday, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_wau
+       |  FROM ud, unnest(range(ud.day, ud.day + 7)) AS t(wday)
+       |  GROUP BY 1
+       |)
+       |SELECT s.day, s.v_zero, s.s_scaled,
+       |  CAST(${709L * M * M * (1L << RMax)} // (1000 * s.s_scaled) AS BIGINT)
+       |    AS est_raw,
+       |  coalesce(e.exact_wau, 0) AS exact_wau
+       |FROM summary s LEFT JOIN exact e ON s.day = e.wday
+       |ORDER BY s.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corpus_distinct_sketch" -> (corpusDistinctSketch _))
+    "corpus_distinct_sketch" -> (corpusDistinctSketch _),
+    "events_wau_sketch"      -> (eventsWauSketch _))
 
   val oracle: Map[String, String] = Map(
-    "corpus_distinct_sketch" -> corpusDistinctSketchSql)
+    "corpus_distinct_sketch" -> corpusDistinctSketchSql,
+    "events_wau_sketch"      -> eventsWauSketchSql)
 }

@@ -50,6 +50,42 @@ class SketchesSpec extends SparkSpecBase {
     }
   }
 
+  test("wau sketch: window-merged registers equal sketching the window directly") {
+    // the decomposition claim itself: for a chosen day, the trailing-7-day
+    // estimate from merged PER-DAY registers must equal the estimate from
+    // sketching that window's events in one pass — exact register algebra,
+    // not an accuracy bound
+    val rnd = new scala.util.Random(5)
+    val baseMs = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val ev = (0 until 4000).map { _ =>
+      (rnd.nextInt(900).toLong,
+        new java.sql.Timestamp(baseMs + rnd.nextInt(20 * 86400) * 1000L))
+    }.toDF("user_id", "ts")
+    val out = Sketches.eventsWauSketchOf(ev).collect()
+      .map(r => r.getAs[Long]("day") ->
+        ((r.getAs[Long]("v_zero"), r.getAs[Long]("s_scaled"), r.getAs[Long]("exact_wau"))))
+      .toMap
+    val d1 = out.keys.max
+    // direct one-window sketch: restrict events to [d1-6, d1] and treat the
+    // whole slice as one "day" — same registers the merge must produce
+    val windowEv = ev.filter(
+      floor(unix_micros(col("ts")) / lit(86400000000L)).between(d1 - 6, d1))
+    val direct = Sketches.eventsWauSketchOf(
+        windowEv.withColumn("ts", lit(new java.sql.Timestamp(baseMs))))
+      .collect().head
+    assert((direct.getAs[Long]("v_zero"), direct.getAs[Long]("s_scaled")) ==
+      ((out(d1)._1, out(d1)._2)),
+      "merged per-day registers must equal the direct window sketch")
+    // accuracy across the curve: raw estimate within 35% of exact WAU
+    out.foreach { case (d, (vz, ss, exact)) =>
+      if (exact >= 50) {
+        val est = corrected(vz, ss)
+        assert(math.abs(est - exact) / exact.toDouble <= 0.35,
+          s"day $d exact=$exact est=$est")
+      }
+    }
+  }
+
   test("gate summary on the test corpus corrects to near the exact count") {
     val out = Sketches.corpusDistinctSketch(spark, "/root/testdata/sf0.01").collect()
     assert(out.nonEmpty)
