@@ -51,6 +51,11 @@ object Sketches {
   private def mixSql(h: String): String =
     s"((($h) * ($h)) % $P * 31 + ($h)) % $P"
 
+  /** Scrambled portable id hash / rank, shared with the streaming twin
+    * ([[graft.streaming.StreamIngest.registerSketchStream]]). */
+  private[graft] def mixedIdHash(id: Column): Column = mix(TextAnalysis.idHash(id))
+  private[graft] def rhoCol(v: Column): Column = rho(v)
+
   /** ρ(v) = 1 + Σ_{k=1..20} [v mod 2^k = 0] — trailing-zero rank with the
     * v = 0 case saturating to [[RMax]] with no special-casing. */
   private def rho(v: Column): Column =
@@ -169,7 +174,7 @@ object Sketches {
     eventsWauSketchOf(Tables.events(spark, dir))
 
   def eventsWauSketchOf(ev: DataFrame): DataFrame = {
-    val h = mix(TextAnalysis.idHash(col("user_id")))
+    val h = mixedIdHash(col("user_id"))
     val perDay = ev
       .select(floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
         pmod(h, lit(M.toLong)).as("bucket"), rho(shiftright(h, 6)).as("rho"))

@@ -736,6 +736,31 @@ object StreamIngest {
         floor(unix_micros(col("window.start")) / 86400000000L).cast("long").as("day"),
         col("n_events"), col("n_errors"))
 
+  /** Streaming twin of the per-day HLL registers behind
+    * [[graft.operators.Sketches.eventsWauSketchOf]]: a watermarked
+    * UPDATE-mode max aggregate on (day, bucket). Registers are the
+    * canonical stream-friendly statistic — element-wise MAX is
+    * idempotent, commutative and monotone, so arbitrary batching,
+    * re-delivery and late events all fold to the same converged
+    * registers with Spark's own windowed accumulator as the only state
+    * (contrast count-distinct, which [[activeUsersStream]] had to
+    * dissolve with custom exactly-once state). Downstream, the batch
+    * summary/estimate pipeline reads the converged registers unchanged. */
+  def registerSketchStream(events: Dataset[DayEvent], watermark: String = "1 hour")
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{floor => ffloor}
+    val h = graft.operators.Sketches.mixedIdHash(col("user_id"))
+    events.toDF()
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        ffloor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+        pmod(h, lit(graft.operators.Sketches.M.toLong)).as("bucket"),
+        graft.operators.Sketches.rhoCol(shiftright(h, 6)).as("rho"))
+      .groupBy(window(col("ts"), "1 day"), col("day"), col("bucket"))
+      .agg(max(col("rho")).as("m_reg"))
+      .select(col("day"), col("bucket"), col("m_reg"))
+  }
+
   final case class ConvEvent(user_id: Long, ts: java.sql.Timestamp,
     event_type: String)
   /** One live session interval: event-time bounds in micros + how many

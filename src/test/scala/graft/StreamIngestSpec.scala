@@ -990,6 +990,46 @@ class StreamIngestSpec extends SparkSpecBase {
     assert(folded == batch, s"\n got  $folded\n want $batch")
   }
 
+  test("registerSketchStream: converged registers equal batch under shuffled re-delivery") {
+    val rnd = new scala.util.Random(61)
+    val baseMs = ts("2024-08-01 00:00:00").getTime
+    val all = (0 until 800).map { _ =>
+      StreamIngest.DayEvent(rnd.nextInt(300).toLong,
+        new Timestamp(baseMs + rnd.nextInt(10 * 86400) * 1000L))
+    }
+    // re-deliver a third of the events: max is idempotent, the fold must
+    // not care
+    val feed = rnd.shuffle(all ++ all.take(all.size / 3))
+    val dir = Files.createTempDirectory("graft-stream-sketch").toString
+    val input = MemoryStream[StreamIngest.DayEvent](spark)
+    val q = StreamIngest.registerSketchStream(input.toDS(), watermark = "720 hours")
+      .writeStream.format("memory").queryName("sk_out")
+      .outputMode("update")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    feed.grouped(1 + feed.size / 5).foreach { b =>
+      input.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    // update mode re-emits running maxima; converged value = max per key
+    val folded = spark.table("sk_out").collect()
+      .groupBy(r => (r.getAs[Long]("day"), r.getAs[Long]("bucket")))
+      .view.mapValues(_.map(_.getAs[Long]("m_reg")).max).toMap
+    import spark.implicits._
+    val ev = all.map(e => (e.user_id, e.ts)).toDF("user_id", "ts")
+    val h = graft.operators.Sketches.mixedIdHash(col("user_id"))
+    val batch = ev.select(
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+        pmod(h, lit(graft.operators.Sketches.M.toLong)).as("bucket"),
+        graft.operators.Sketches.rhoCol(shiftright(h, 6)).as("rho"))
+      .groupBy(col("day"), col("bucket")).agg(max(col("rho")).as("m_reg"))
+      .collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("bucket")) -> r.getAs[Long]("m_reg"))
+      .toMap
+    assert(batch.nonEmpty && folded == batch,
+      s"register mismatch: ${(batch.toSet -- folded.toSet).take(3)}")
+  }
+
   test("sessionConversionStream: bridge, conversion-flip and day-move all retract exactly") {
     val dir = Files.createTempDirectory("graft-stream-sessconv2").toString
     val input = MemoryStream[StreamIngest.ConvEvent](spark)
