@@ -253,11 +253,126 @@ object Sketches {
        |FROM summary s LEFT JOIN exact e ON s.day = e.wday
        |ORDER BY s.day""".stripMargin
 
+  /** Gate: pairwise SOURCE vocabulary overlap by sketch set-algebra —
+    * the cross-corpus contamination/similarity estimator that runs
+    * without ever joining token sets: |A∩B| ≈ est(A) + est(B) −
+    * est(A∪B), where est(A∪B) comes from max-merging the two sources'
+    * registers (unions are exact on registers; only the cardinality
+    * estimate is approximate). Per-source registers build once and
+    * every pair is 64-row arithmetic — S sources cost S sketches +
+    * S²/2 tiny merges, never S²/2 token-set joins. Estimates are the
+    * raw integer form (the [[corpusDistinctSketch]] contract); the
+    * exact overlap ships beside them at gate scale. Inclusion-exclusion
+    * can go negative on near-disjoint sets — clamped at 0, the standard
+    * reading — and compounds three ±1.04/√m estimators, so at m = 64 it
+    * resolves DOMINANT overlaps (mirrored dumps, syndicated feeds), not
+    * slivers; the spec pins exactly that contract. Production tuning is
+    * one knob (m), at 8 bytes a register. */
+  def corpusSourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    corpusSourceOverlapOf(Tables.documents(spark, dir))
+
+  def corpusSourceOverlapOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"),
+      explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+    val regs = registersOf(toks, Seq("source"), col("w")).localCheckpoint()
+    // densify per source over all 64 buckets
+    val grid = docs.select(col("source")).distinct()
+      .select(col("source"), explode(sequence(lit(0L), lit(M - 1L))).as("bucket"))
+    val dense = grid.join(regs, Seq("source", "bucket"), "left")
+      .select(col("source"), col("bucket"),
+        coalesce(col("m_reg"), lit(0L)).as("m_reg"))
+      .localCheckpoint()
+    def estOf(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+              keys: Seq[String], out: String): DataFrame =
+      grouped
+        .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($RMax - m_reg AS INT))"))
+          .as("s"))
+        .select(keys.map(col) :+
+          expr(s"${709L * M * M * (1L << RMax)}L DIV (1000 * s)").as(out): _*)
+    val single = estOf(dense.groupBy(col("source")), Seq("source"), "est")
+    // every unordered pair: registers of the union = element-wise max
+    val a = dense.select(col("source").as("src_a"), col("bucket"), col("m_reg").as("ra"))
+    val b = dense.select(col("source").as("src_b"), col("bucket"), col("m_reg").as("rb"))
+    val unionRegs = a.join(b, Seq("bucket")).filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), col("bucket"),
+        greatest(col("ra"), col("rb")).as("m_reg"))
+    val unionEst = estOf(unionRegs.groupBy(col("src_a"), col("src_b")),
+      Seq("src_a", "src_b"), "est_union")
+    // exact overlap at gate scale: distinct tokens present in both
+    val tset = toks.distinct()
+    val exact = tset.select(col("source").as("src_a"), col("w"))
+      .join(tset.select(col("source").as("src_b"), col("w")), Seq("w"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(countDistinct(col("w")).as("exact_overlap"))
+    unionEst
+      .join(single.select(col("source").as("src_a"), col("est").as("est_a")), "src_a")
+      .join(single.select(col("source").as("src_b"), col("est").as("est_b")), "src_b")
+      .join(exact, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L))
+          .as("est_overlap"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val corpusSourceOverlapSql: String = {
+    val estNum = 709L * M * M * (1L << RMax)
+    s"""WITH tok AS (
+       |  SELECT source,
+       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |  FROM documents
+       |), h AS (
+       |  SELECT source, ${mixSql(tokHashSqlW)} AS hv FROM tok
+       |), regs AS (
+       |  SELECT source, hv % $M AS bucket,
+       |    CAST(max(${rhoSql(s"hv // $M")}) AS BIGINT) AS m_reg
+       |  FROM h GROUP BY 1, 2
+       |), grid AS (
+       |  SELECT s.source, g.bucket
+       |  FROM (SELECT DISTINCT source FROM documents) s,
+       |       (SELECT unnest(range(0, $M)) AS bucket) g
+       |), dense AS MATERIALIZED (
+       |  SELECT grid.source, grid.bucket, coalesce(r.m_reg, 0) AS m_reg
+       |  FROM grid LEFT JOIN regs r
+       |    ON grid.source = r.source AND grid.bucket = r.bucket
+       |), single AS (
+       |  SELECT source,
+       |    CAST($estNum // (1000 * sum(1::BIGINT << ($RMax - m_reg))) AS BIGINT)
+       |      AS est
+       |  FROM dense GROUP BY 1
+       |), uni AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST($estNum // (1000 * sum(1::BIGINT <<
+       |      ($RMax - greatest(a.m_reg, b.m_reg)))) AS BIGINT) AS est_union
+       |  FROM dense a JOIN dense b
+       |    ON a.bucket = b.bucket AND a.source < b.source
+       |  GROUP BY 1, 2
+       |), tset AS (SELECT DISTINCT source, w FROM tok
+       |), exact AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(count(DISTINCT a.w) AS BIGINT) AS exact_overlap
+       |  FROM tset a JOIN tset b ON a.w = b.w AND a.source < b.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT u.src_a, u.src_b, sa.est AS est_a, sb.est AS est_b, u.est_union,
+       |  greatest(sa.est + sb.est - u.est_union, 0) AS est_overlap,
+       |  coalesce(e.exact_overlap, 0) AS exact_overlap
+       |FROM uni u
+       |JOIN single sa ON u.src_a = sa.source
+       |JOIN single sb ON u.src_b = sb.source
+       |LEFT JOIN exact e ON u.src_a = e.src_a AND u.src_b = e.src_b
+       |ORDER BY u.src_a, u.src_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_distinct_sketch" -> (corpusDistinctSketch _),
+    "corpus_source_overlap"  -> (corpusSourceOverlap _),
     "events_wau_sketch"      -> (eventsWauSketch _))
 
   val oracle: Map[String, String] = Map(
     "corpus_distinct_sketch" -> corpusDistinctSketchSql,
+    "corpus_source_overlap"  -> corpusSourceOverlapSql,
     "events_wau_sketch"      -> eventsWauSketchSql)
 }

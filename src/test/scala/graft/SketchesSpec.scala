@@ -86,6 +86,31 @@ class SketchesSpec extends SparkSpecBase {
     }
   }
 
+  test("source overlap: inclusion-exclusion tracks planted overlaps, disjoint clamps low") {
+    val rnd = new scala.util.Random(17)
+    // inclusion-exclusion compounds THREE ±13% (m=64) estimators, so its
+    // absolute noise is ~1/4 of the cardinality scale — the op resolves
+    // DOMINANT overlaps (near-dup mirrors, syndication), not slivers.
+    // Fixture: A = [0, 2000), B = [200, 2200) (90% shared), C disjoint.
+    def docsFor(src: String, lo: Int, hi: Int) = (0 until 100).map { i =>
+      val ws = (0 until 50).map(_ => s"t${lo + rnd.nextInt(hi - lo)}")
+      (src.hashCode.toLong * 1000 + i, src, "en", ws.mkString(" "))
+    }
+    val docs = (docsFor("a", 0, 2000) ++ docsFor("b", 200, 2200) ++
+      docsFor("c", 5000, 7000)).toDF("doc_id", "source", "lang", "text")
+    val out = Sketches.corpusSourceOverlapOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("est_overlap"), r.getAs[Long]("exact_overlap")))).toMap
+    val (estAb, exactAb) = out(("a", "b"))
+    assert(exactAb > 1200, s"fixture must plant a dominant overlap, got $exactAb")
+    assert(estAb >= exactAb / 3 && estAb <= exactAb * 3,
+      s"a~b overlap estimate $estAb vs exact $exactAb out of band")
+    val (estAc, exactAc) = out(("a", "c"))
+    assert(exactAc == 0)
+    assert(estAc <= estAb / 2,
+      s"disjoint pair must read clearly lower: $estAc vs overlapping $estAb")
+  }
+
   test("gate summary on the test corpus corrects to near the exact count") {
     val out = Sketches.corpusDistinctSketch(spark, "/root/testdata/sf0.01").collect()
     assert(out.nonEmpty)
