@@ -58,4 +58,18 @@ class WideIdSpec extends SparkSpecBase {
     assert(packed.count() == 200L)
     assert(packed.agg(max(col("shard"))).head().getLong(0) < 64L)
   }
+
+  test("sketch mixedIdHash survives Long.MaxValue, matching BigInt reference") {
+    // mix(h) = (h²·31 + h) mod p over h = idHash(id) < p ≈ 2³⁰ — h² < 2⁶⁰
+    // never overflows, for ANY long id (the wau-sketch register path)
+    val got = wideIds.toDF("id")
+      .select(col("id"), graft.operators.Sketches.mixedIdHash(col("id")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- wideIds) {
+      val h = (BigInt(A) * (BigInt(id) mod BigInt(P)) + B) mod BigInt(P)
+      val expect = ((h * h mod BigInt(P)) * 31 + h mod BigInt(P)).mod(BigInt(P)).toLong
+      assert(got(id) == expect, s"mixedIdHash($id): ${got(id)} vs $expect")
+      assert(got(id) >= 0 && got(id) < P)
+    }
+  }
 }
