@@ -845,21 +845,29 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  val dedupEditSql: String =
-    """WITH t AS (
+  /** The normalized-title key and brute-force pair CTEs as ONE shared
+    * constant — both edit oracles compose these, so a normalization or
+    * threshold edit cannot silently leave one copy stale. */
+  private val editTitleCtesSql: String =
+    """t AS (
       |  SELECT doc_id,
       |    substring(trim(regexp_replace(
       |      regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
       |      '\s+', ' ', 'g')), 1, 40) AS title
       |  FROM documents
-      |), k AS (SELECT doc_id, title FROM t WHERE length(title) >= 9)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
-      |FROM k a JOIN k b
-      |  ON a.doc_id < b.doc_id
-      |  AND abs(length(a.title) - length(b.title)) <= 2
-      |WHERE levenshtein(a.title, b.title) <= 2
-      |ORDER BY id_a, id_b""".stripMargin
+      |), k AS (SELECT doc_id, title FROM t WHERE length(title) >= 9
+      |), p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+      |  FROM k a JOIN k b
+      |    ON a.doc_id < b.doc_id
+      |    AND abs(length(a.title) - length(b.title)) <= 2
+      |  WHERE levenshtein(a.title, b.title) <= 2
+      |)""".stripMargin
+
+  val dedupEditSql: String =
+    s"""WITH $editTitleCtesSql
+      |SELECT id_a, id_b, dist FROM p ORDER BY id_a, id_b""".stripMargin
 
   /** Cluster/keep-rule form of [[dedupEdit]] — the massive-duplication
     * scale path the pair form is the wrong shape for (k copies of a
@@ -882,20 +890,7 @@ object Dedup {
   }
 
   val dedupEditClustersSql: String =
-    """WITH RECURSIVE t AS (
-      |  SELECT doc_id,
-      |    substring(trim(regexp_replace(
-      |      regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-      |      '\s+', ' ', 'g')), 1, 40) AS title
-      |  FROM documents
-      |), k AS (SELECT doc_id, title FROM t WHERE length(title) >= 9
-      |), p AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM k a JOIN k b
-      |    ON a.doc_id < b.doc_id
-      |    AND abs(length(a.title) - length(b.title)) <= 2
-      |  WHERE levenshtein(a.title, b.title) <= 2
-      |), edges AS (
+    s"""WITH RECURSIVE $editTitleCtesSql, edges AS (
       |  SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p
       |), reach(doc_id, lbl) AS (
       |  SELECT doc_id, doc_id FROM documents

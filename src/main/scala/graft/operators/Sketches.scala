@@ -56,6 +56,20 @@ object Sketches {
   private[graft] def mixedIdHash(id: Column): Column = mix(TextAnalysis.idHash(id))
   private[graft] def rhoCol(v: Column): Column = rho(v)
 
+  /** The raw-estimate arithmetic as ONE shared pair of constants — every
+    * consumer (three oracles, both engine sides) composes THESE, so an
+    * α/m/cap retune cannot silently leave a copy stale (the r8 advisory's
+    * regex-surgery lesson applied preemptively). */
+  private val EstNum = 709L * M * M * (1L << RMax)
+  private def rawEstCol(sCol: String): Column =
+    expr(s"${EstNum}L DIV (1000 * $sCol)")
+  private def rawEstSql(sRef: String): String =
+    s"CAST($EstNum // (1000 * ($sRef)) AS BIGINT)"
+  private def sScaledCol(reg: String): Column =
+    sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($RMax - $reg AS INT))"))
+  private def sScaledSql(reg: String): String =
+    s"CAST(sum(1::BIGINT << ($RMax - $reg)) AS BIGINT)"
+
   /** ρ(v) = 1 + Σ_{k=1..20} [v mod 2^k = 0] — trailing-zero rank with the
     * v = 0 case saturating to [[RMax]] with no special-casing. */
   private def rho(v: Column): Column =
@@ -107,10 +121,8 @@ object Sketches {
     val summary = dense.groupBy(col("lang"))
       .agg(sum(when(col("m_reg") === 0L, 1L).otherwise(0L)).as("v_zero"),
         // dyadic scaling as a SHIFT — pow() is not cross-engine territory
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($RMax - m_reg AS INT))"))
-          .as("s_scaled"))
-      .withColumn("est_raw",
-        expr(s"${709L * M * M * (1L << RMax)}L DIV (1000 * s_scaled)"))
+        sScaledCol("m_reg").as("s_scaled"))
+      .withColumn("est_raw", rawEstCol("s_scaled"))
     val exact = toks.groupBy(col("lang"))
       .agg(countDistinct(col("w")).as("n_exact"))
     summary.join(exact, Seq("lang"), "left")
@@ -149,14 +161,13 @@ object Sketches {
        |), summary AS (
        |  SELECT lang,
        |    CAST(sum(CASE WHEN m_reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
-       |    CAST(sum(1::BIGINT << ($RMax - m_reg)) AS BIGINT) AS s_scaled
+       |    ${sScaledSql("m_reg")} AS s_scaled
        |  FROM dense GROUP BY 1
        |), exact AS (
        |  SELECT lang, CAST(count(DISTINCT w) AS BIGINT) AS n_exact FROM tok GROUP BY 1
        |)
        |SELECT s.lang, CAST($M AS BIGINT) AS m, s.v_zero, s.s_scaled,
-       |  CAST(${709L * M * M * (1L << RMax)} // (1000 * s.s_scaled) AS BIGINT)
-       |    AS est_raw,
+       |  ${rawEstSql("s.s_scaled")} AS est_raw,
        |  coalesce(e.n_exact, 0) AS n_exact
        |FROM summary s LEFT JOIN exact e ON s.lang = e.lang
        |ORDER BY s.lang""".stripMargin
@@ -193,10 +204,8 @@ object Sketches {
     val summary = dense.withColumn("m7", max(col("m_reg")).over(w7))
       .groupBy(col("day"))
       .agg(sum(when(col("m7") === 0L, 1L).otherwise(0L)).as("v_zero"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($RMax - m7 AS INT))"))
-          .as("s_scaled"))
-      .withColumn("est_raw",
-        expr(s"${709L * M * M * (1L << RMax)}L DIV (1000 * s_scaled)"))
+        sScaledCol("m7").as("s_scaled"))
+      .withColumn("est_raw", rawEstCol("s_scaled"))
     // exact trailing distinct for comparison: each (user, day) sighting
     // covers the 7 windows it falls in
     val exact = ev
@@ -236,7 +245,7 @@ object Sketches {
        |), summary AS (
        |  SELECT day,
        |    CAST(sum(CASE WHEN m7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
-       |    CAST(sum(1::BIGINT << ($RMax - m7)) AS BIGINT) AS s_scaled
+       |    ${sScaledSql("m7")} AS s_scaled
        |  FROM w GROUP BY 1
        |), ud AS (
        |  SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
@@ -247,8 +256,7 @@ object Sketches {
        |  GROUP BY 1
        |)
        |SELECT s.day, s.v_zero, s.s_scaled,
-       |  CAST(${709L * M * M * (1L << RMax)} // (1000 * s.s_scaled) AS BIGINT)
-       |    AS est_raw,
+       |  ${rawEstSql("s.s_scaled")} AS est_raw,
        |  coalesce(e.exact_wau, 0) AS exact_wau
        |FROM summary s LEFT JOIN exact e ON s.day = e.wday
        |ORDER BY s.day""".stripMargin
@@ -285,10 +293,8 @@ object Sketches {
     def estOf(grouped: org.apache.spark.sql.RelationalGroupedDataset,
               keys: Seq[String], out: String): DataFrame =
       grouped
-        .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($RMax - m_reg AS INT))"))
-          .as("s"))
-        .select(keys.map(col) :+
-          expr(s"${709L * M * M * (1L << RMax)}L DIV (1000 * s)").as(out): _*)
+        .agg(sScaledCol("m_reg").as("s"))
+        .select(keys.map(col) :+ rawEstCol("s").as(out): _*)
     val single = estOf(dense.groupBy(col("source")), Seq("source"), "est")
     // every unordered pair: registers of the union = element-wise max
     val a = dense.select(col("source").as("src_a"), col("bucket"), col("m_reg").as("ra"))
@@ -318,7 +324,6 @@ object Sketches {
   }
 
   val corpusSourceOverlapSql: String = {
-    val estNum = 709L * M * M * (1L << RMax)
     s"""WITH tok AS (
        |  SELECT source,
        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
@@ -339,13 +344,12 @@ object Sketches {
        |    ON grid.source = r.source AND grid.bucket = r.bucket
        |), single AS (
        |  SELECT source,
-       |    CAST($estNum // (1000 * sum(1::BIGINT << ($RMax - m_reg))) AS BIGINT)
-       |      AS est
+       |    ${rawEstSql(s"sum(1::BIGINT << ($RMax - m_reg))")} AS est
        |  FROM dense GROUP BY 1
        |), uni AS (
        |  SELECT a.source AS src_a, b.source AS src_b,
-       |    CAST($estNum // (1000 * sum(1::BIGINT <<
-       |      ($RMax - greatest(a.m_reg, b.m_reg)))) AS BIGINT) AS est_union
+       |    ${rawEstSql(s"sum(1::BIGINT << ($RMax - greatest(a.m_reg, b.m_reg)))")}
+       |      AS est_union
        |  FROM dense a JOIN dense b
        |    ON a.bucket = b.bucket AND a.source < b.source
        |  GROUP BY 1, 2
