@@ -537,6 +537,80 @@ object Analytics {
       |  CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END AS attributed
       |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  /** Time-decay MULTI-touch attribution — the third standard model beside
+    * last-touch ([[eventsAttribution]]) and first-touch: every touch in
+    * the trailing week gets credit, halving per day of age. Exact
+    * integer weights by construction: day-grain ages make the decay
+    * DYADIC (weight = 2^(6−offset_days) per touch), so per-conversion
+    * shares are plain integer bp divisions both engines replay — no
+    * exp(), no floats (the reporting-grade day-grain model; sub-day
+    * ordering is out of scope at this grain and last/first-touch cover
+    * it).
+    *
+    * Scale shape — multi-touch WITHOUT a range join: touches collapse to
+    * (user, day, type, n) in their FIRST exchange (the corpus-sized
+    * aggregate), each conversion explodes exactly 7 day-offsets, and
+    * candidates come from the (user, day) EQUI-join — fan-out is a
+    * constant 7 per conversion, never |touches-in-window| rows of a
+    * per-pair range predicate. */
+  def eventsAttributionDecay(spark: SparkSession, dir: String): DataFrame =
+    eventsAttributionDecayOf(Tables.events(spark, dir))
+
+  def eventsAttributionDecayOf(ev: DataFrame): DataFrame = {
+    val dayOf = floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), dayOf.as("day"), col("event_type"))
+      .groupBy(col("user_id"), col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val convs = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"), dayOf.as("cday"))
+      .select(col("conv_id"), col("user_id"), col("cday"),
+        explode(sequence(lit(0L), lit(6L))).as("off"))
+      .select(col("conv_id"), col("user_id"), (col("cday") - col("off")).as("day"),
+        col("off"))
+    val weighted = convs.join(touches, Seq("user_id", "day"))
+      .select(col("conv_id"), col("event_type"),
+        (col("n") * expr("shiftleft(CAST(1 AS BIGINT), CAST(6 - off AS INT))"))
+          .as("w"))
+      .groupBy(col("conv_id"), col("event_type"))
+      .agg(sum(col("w")).as("w_type"))
+    val totals = weighted.groupBy(col("conv_id"))
+      .agg(sum(col("w_type")).as("w_all"))
+    weighted.join(totals, "conv_id")
+      .select(col("conv_id"), col("event_type"),
+        expr("w_type * 10000 DIV w_all").as("share_bp"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("conv_id")).as("n_convs"),
+        sum(col("share_bp")).as("credit_bp_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsAttributionDecaySql: String =
+    """WITH touches AS (
+      |  SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |    event_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2, 3
+      |), convs AS (
+      |  SELECT event_id AS conv_id, user_id,
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) - t.off AS day, t.off
+      |  FROM events, unnest(range(0, 7)) AS t(off)
+      |  WHERE event_type = 'purchase'
+      |), weighted AS (
+      |  SELECT c.conv_id, tc.event_type,
+      |    CAST(sum(tc.n * (1::BIGINT << CAST(6 - c.off AS INT))) AS BIGINT)
+      |      AS w_type
+      |  FROM convs c JOIN touches tc
+      |    ON c.user_id = tc.user_id AND c.day = tc.day
+      |  GROUP BY 1, 2
+      |), totals AS (
+      |  SELECT conv_id, CAST(sum(w_type) AS BIGINT) AS w_all
+      |  FROM weighted GROUP BY 1
+      |)
+      |SELECT w.event_type, CAST(count(DISTINCT w.conv_id) AS BIGINT) AS n_convs,
+      |  CAST(sum(w.w_type * 10000 // t.w_all) AS BIGINT) AS credit_bp_sum
+      |FROM weighted w JOIN totals t ON w.conv_id = t.conv_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Multiple distinct aggregates in one pass (Catalyst plans this with an
     * Expand — each distinct column gets its own duplicate-elimination
     * stream inside a single shuffle). */
@@ -1637,6 +1711,7 @@ object Analytics {
     "events_hop"        -> (eventsHop _),
     "events_attribution" -> (eventsAttribution _),
     "events_attribution_first" -> (eventsAttributionFirst _),
+    "events_attribution_decay" -> (eventsAttributionDecay _),
     "q_custdist"        -> (qCustdist _),
     "q_histogram"       -> (qHistogram _),
     "events_transitions" -> (eventsTransitions _),
@@ -1682,6 +1757,7 @@ object Analytics {
     "events_hop"        -> eventsHopSql,
     "events_attribution" -> eventsAttributionSql,
     "events_attribution_first" -> eventsAttributionFirstSql,
+    "events_attribution_decay" -> eventsAttributionDecaySql,
     "q_custdist"        -> qCustdistSql,
     "q_histogram"       -> qHistogramSql,
     "events_transitions" -> eventsTransitionsSql,

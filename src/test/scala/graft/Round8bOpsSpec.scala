@@ -673,6 +673,33 @@ class Round8bOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("events_attribution_decay: dyadic day-grain weights and near-conservation") {
+    import spark.implicits._
+    def t(day: Long, h: Int) = new java.sql.Timestamp(day * 86400000L + h * 3600000L)
+    // one conversion on day 10; touches: 2 clicks same day (w 64 each),
+    // 1 view 1 day back (w 32), 1 signup 6 days back (w 1); a day-7 click
+    // is OUTSIDE the window; an unrelated user must not leak credit
+    val ev = Seq(
+      (1L, 100L, t(10, 12), "purchase", 5.0),
+      (2L, 100L, t(10, 1), "click", 0.0),
+      (3L, 100L, t(10, 2), "click", 0.0),
+      (4L, 100L, t(9, 5), "view", 0.0),
+      (5L, 100L, t(4, 5), "signup", 0.0),
+      (6L, 100L, t(3, 5), "click", 0.0),   // off 7: excluded
+      (7L, 200L, t(10, 3), "view", 0.0))   // other user: no conversion
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = graft.operators.Analytics.eventsAttributionDecayOf(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // W = 2*64 + 32 + 1 = 161
+    assert(got("click") == ((1L, 128L * 10000 / 161)))
+    assert(got("view") == ((1L, 32L * 10000 / 161)))
+    assert(got("signup") == ((1L, 10000L / 161)))
+    assert(!got.contains("error"))
+    // conservation up to truncation: shares sum to 10000 - (<#types)
+    val total = got.values.map(_._2).sum
+    assert(total <= 10000 && total >= 10000 - 3, s"credit sum $total")
+  }
+
   test("userCoSessionGraphOf: co-active-hour weights with both caps binding") {
     import spark.implicits._
     def t(hr: Long, m: Int) = new java.sql.Timestamp(hr * 3600000L + m * 60000L)
