@@ -370,13 +370,171 @@ object Sketches {
        |ORDER BY u.src_a, u.src_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Mergeable quantile sketch (HDR-histogram form)
+  // ---------------------------------------------------------------------
+
+  /** Octave cap for [[msbOf]]: values < 2^41 cover any cent amount the
+    * tables can hold (sf0.1 tops out near 2^24 cents). */
+  private val MsbMax = 40
+  /** Sub-bucket bits per octave: 16 sub-buckets → the bucket lower bound
+    * is within 1/16 (625 bp) of any value in the bucket. */
+  private val SubB = 16L
+
+  /** floor(log₂ v) for v ≥ 1 as exact integer algebra — Σ_{k=1..40}
+    * [v ≥ 2^k], the [[rho]] trick pointed the other way. No log(), so
+    * both engines replay it bit-for-bit. */
+  private def msbOf(v: Column): Column =
+    (1 to MsbMax).map(k => when(v >= (1L << k), 1L).otherwise(0L)).reduce(_ + _)
+  private def msbSql(v: String): String =
+    (1 to MsbMax).map(k =>
+      s"(CASE WHEN ($v) >= ${1L << k} THEN 1 ELSE 0 END)").mkString(" + ")
+
+  /** HDR bucket id for v ≥ 1: msb·16 + the 4 bits after the leading one —
+    * (v·16) DIV 2^msb ∈ [16,32), so bucket = msb·16 + that − 16. Bucket
+    * ids are strictly monotone in value, so bucket-grain cumulative
+    * counts cross quantile targets exactly where value-grain ones do. */
+  private def bucketCol: Column =
+    col("msb") * lit(SubB) +
+      expr(s"(cents * $SubB) DIV shiftleft(CAST(1 AS BIGINT), CAST(msb AS INT))") -
+      lit(SubB)
+  private def bucketSql(v: String, m: String): String =
+    s"($m) * $SubB + (($v) * $SubB) // (1::BIGINT << CAST(($m) AS INT)) - $SubB"
+
+  /** Bucket lower bound — the quantile estimate the sketch reports:
+    * ((16 + bucket mod 16) << (bucket div 16)) DIV 16, exact integers. */
+  private def lbSql(b: String): String =
+    s"((16 + ($b) % $SubB) << CAST(($b) // $SubB AS INT)) // $SubB"
+  private def lbCol(b: String): Column =
+    expr(s"shiftleft(16 + $b % $SubB, CAST($b DIV $SubB AS INT)) DIV $SubB")
+
+  /** Gate: mergeable quantile sketch over `lineitem` prices per return
+    * flag — the OTHER aggregate a 100 TB pipeline cannot run exactly
+    * (p50/p90/p99 need a global sort or a full value-grain histogram per
+    * slice). The HDR-histogram registers (one count per log-spaced
+    * bucket, ≤16·41 per slice) merge by plain SUM — shards histogram
+    * independently, partial aggregation is the merge, and days fold into
+    * months without re-reading events — and the quantile read-out is the
+    * first bucket whose cumulative count reaches ⌈q·N/100⌉, reported as
+    * the bucket's lower bound (≤ 625 bp low by construction, spec-pinned).
+    *
+    * Everything is exact BIGINT algebra both engines replay bit-for-bit:
+    * prices land on integer cents, the octave is the Σ-of-comparisons
+    * [[msbOf]], sub-buckets are shifts, and the estimate is integer
+    * division. The registers build at (flag, shard) grain and SUM-merge
+    * to flag — the oracle aggregates straight to flag, so the gate hash
+    * PROVES the merge is lossless. The exact quantile ships beside the
+    * estimate (gate-scale only: its value-grain cumulative window is
+    * precisely what the sketch replaces at 100 TB). */
+  def qQuantileSketch(spark: SparkSession, dir: String): DataFrame =
+    qQuantileSketchOf(Tables.lineitem(spark, dir))
+
+  /** The bucketized rows (flag, cents, shard, bucket) — shared by the
+    * gate and the merge-associativity spec. */
+  private[graft] def priceBuckets(li: DataFrame): DataFrame =
+    li.select(col("l_returnflag").as("flag"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+      pmod(TextAnalysis.idHash(col("l_orderkey")), lit(8L)).as("shard"))
+      .withColumn("msb", msbOf(col("cents")))
+      .withColumn("bucket", bucketCol)
+
+  /** Per-flag histogram registers (flag, bucket, n) — the mergeable
+    * artifact: registers of a union of shards = element-wise SUM. */
+  private[graft] def priceRegisters(li: DataFrame): DataFrame =
+    priceBuckets(li).groupBy(col("flag"), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"))
+
+  def qQuantileSketchOf(li: DataFrame): DataFrame = {
+    val base = priceBuckets(li)
+    // per-(flag, shard) registers, SUM-merged to flag: the artifact
+    // property — per-shard histograms fold by addition
+    val perShard = base.groupBy(col("flag"), col("shard"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val regs = perShard.groupBy(col("flag"), col("bucket"))
+      .agg(sum(col("n")).as("n"))
+    val tot = regs.groupBy(col("flag")).agg(sum(col("n")).as("n_total"))
+    // bucket-grain cumulative counts: ≤ 16·41 rows per flag (bounded grain)
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("flag")).orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = regs.withColumn("cum", sum(col("n")).over(wb))
+    val qs = cum.sparkSession.range(1).select(
+      explode(array(lit(50L), lit(90L), lit(99L))).as("q"))
+    val pick = cum.join(tot, "flag").crossJoin(broadcast(qs))
+      .filter(col("cum") >= expr("(q * n_total + 99) DIV 100"))
+      .groupBy(col("flag"), col("q"), col("n_total"))
+      .agg(min(col("bucket")).as("bucket"))
+      .withColumn("est", lbCol("bucket"))
+    // exact disc-quantile for comparison — value-grain cumulative window,
+    // gate-scale only (at 100 TB this column is what the sketch replaces)
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("flag")).orderBy(col("cents"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val vcum = base.groupBy(col("flag"), col("cents")).agg(count(lit(1)).as("vn"))
+      .withColumn("vcum", sum(col("vn")).over(wv))
+    val exact = vcum.join(tot, "flag").crossJoin(broadcast(qs))
+      .filter(col("vcum") >= expr("(q * n_total + 99) DIV 100"))
+      .groupBy(col("flag"), col("q"))
+      .agg(min(col("cents")).as("exact"))
+    pick.join(exact, Seq("flag", "q"))
+      .select(col("flag"), col("q"), col("n_total"), col("bucket"),
+        col("est"), col("exact"),
+        expr("(exact - est) * 10000 DIV exact").as("err_bp"))
+      .orderBy(col("flag"), col("q"))
+  }
+
+  val qQuantileSketchSql: String =
+    s"""WITH base AS (
+       |  SELECT l_returnflag AS flag,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+       |  FROM lineitem
+       |), b1 AS (
+       |  SELECT flag, cents, ${msbSql("cents")} AS msb FROM base
+       |), b2 AS (
+       |  SELECT flag, cents, ${bucketSql("cents", "msb")} AS bucket FROM b1
+       |), regs AS (
+       |  SELECT flag, bucket, CAST(count(*) AS BIGINT) AS n FROM b2 GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT flag, CAST(sum(n) AS BIGINT) AS n_total FROM regs GROUP BY 1
+       |), qs AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS q
+       |), cum AS (
+       |  SELECT flag, bucket,
+       |    sum(n) OVER (PARTITION BY flag ORDER BY bucket) AS cum
+       |  FROM regs
+       |), pick AS (
+       |  SELECT c.flag, q.q, t.n_total, min(c.bucket) AS bucket
+       |  FROM cum c JOIN tot t USING (flag) CROSS JOIN qs q
+       |  WHERE c.cum >= (q.q * t.n_total + 99) // 100
+       |  GROUP BY 1, 2, 3
+       |), vals AS (
+       |  SELECT flag, cents, count(*) AS vn FROM b2 GROUP BY 1, 2
+       |), vcum AS (
+       |  SELECT flag, cents,
+       |    sum(vn) OVER (PARTITION BY flag ORDER BY cents) AS vcum
+       |  FROM vals
+       |), ex AS (
+       |  SELECT v.flag, q.q, min(v.cents) AS exact
+       |  FROM vcum v JOIN tot t USING (flag) CROSS JOIN qs q
+       |  WHERE v.vcum >= (q.q * t.n_total + 99) // 100
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p.flag, p.q, p.n_total, CAST(p.bucket AS BIGINT) AS bucket,
+       |  CAST(${lbSql("p.bucket")} AS BIGINT) AS est,
+       |  CAST(e.exact AS BIGINT) AS exact,
+       |  CAST((e.exact - ${lbSql("p.bucket")}) * 10000 // e.exact AS BIGINT)
+       |    AS err_bp
+       |FROM pick p JOIN ex e ON p.flag = e.flag AND p.q = e.q
+       |ORDER BY p.flag, p.q""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_distinct_sketch" -> (corpusDistinctSketch _),
     "corpus_source_overlap"  -> (corpusSourceOverlap _),
-    "events_wau_sketch"      -> (eventsWauSketch _))
+    "events_wau_sketch"      -> (eventsWauSketch _),
+    "q_quantile_sketch"      -> (qQuantileSketch _))
 
   val oracle: Map[String, String] = Map(
     "corpus_distinct_sketch" -> corpusDistinctSketchSql,
     "corpus_source_overlap"  -> corpusSourceOverlapSql,
-    "events_wau_sketch"      -> eventsWauSketchSql)
+    "events_wau_sketch"      -> eventsWauSketchSql,
+    "q_quantile_sketch"      -> qQuantileSketchSql)
 }

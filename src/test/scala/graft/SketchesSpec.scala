@@ -121,4 +121,63 @@ class SketchesSpec extends SparkSpecBase {
         s"${r.getAs[String]("lang")}: exact=$exact corrected=$est")
     }
   }
+
+  // --- quantile sketch -------------------------------------------------
+
+  private def randomPrices(n: Int, seed: Int, maxCents: Long = 12000000L) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      // log-uniform across magnitudes, down to single-digit cents — the
+      // small-value octaves (msb < 4) must round-trip too
+      val v = math.max(1L, (math.exp(rnd.nextDouble() * math.log(maxCents.toDouble))).toLong)
+      (i.toLong, Seq("A", "N", "R")(rnd.nextInt(3)), v / 100.0)
+    }.toDF("l_orderkey", "l_returnflag", "l_extendedprice")
+  }
+
+  test("quantile sketch: split-corpus registers SUM-merge to the direct histogram") {
+    val li = randomPrices(3000, seed = 21)
+    val direct = Sketches.priceRegisters(li).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val parts = Seq(li.filter(col("l_orderkey") % 3 === 0),
+      li.filter(col("l_orderkey") % 3 =!= 0))
+    val merged = parts.map(Sketches.priceRegisters(_).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap)
+      .reduce { (a, b) =>
+        (a.keySet ++ b.keySet).map(k =>
+          k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+      }
+    assert(direct.nonEmpty && merged == direct,
+      "element-wise sum of split-corpus registers must equal the direct histogram")
+  }
+
+  test("quantile sketch: estimate is a lower bound within 625 bp of the exact quantile") {
+    for (seed <- Seq(31, 32, 33)) {
+      val out = Sketches.qQuantileSketchOf(randomPrices(2500, seed)).collect()
+      assert(out.length == 9, s"3 flags x 3 quantiles, got ${out.length}")
+      out.foreach { r =>
+        val (est, exact, err) = (r.getAs[Long]("est"), r.getAs[Long]("exact"),
+          r.getAs[Long]("err_bp"))
+        assert(est <= exact, s"estimate must lower-bound: $est > $exact")
+        assert(err >= 0 && err <= 625,
+          s"flag=${r.getString(0)} q=${r.getLong(1)}: err_bp=$err (est=$est exact=$exact)")
+      }
+    }
+  }
+
+  test("quantile sketch: single-value and tiny-cent corpora land on exact buckets") {
+    // every price identical: all three quantiles hit that value's bucket
+    val uni = (0 until 200).map(i => (i.toLong, "A", 7.77)).toDF(
+      "l_orderkey", "l_returnflag", "l_extendedprice")
+    Sketches.qQuantileSketchOf(uni).collect().foreach { r =>
+      assert(r.getAs[Long]("exact") == 777L)
+      assert(r.getAs[Long]("err_bp") <= 625)
+    }
+    // sub-16-cent values: the msb<4 octaves are EXACT (bucket width 1)
+    val tiny = (0 until 90).map(i => (i.toLong, "A", (1 + i % 9) / 100.0)).toDF(
+      "l_orderkey", "l_returnflag", "l_extendedprice")
+    Sketches.qQuantileSketchOf(tiny).collect().foreach { r =>
+      assert(r.getAs[Long]("est") == r.getAs[Long]("exact"),
+        s"sub-16-cent buckets are width 1: ${r.mkString(",")}")
+    }
+  }
 }
