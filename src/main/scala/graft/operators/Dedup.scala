@@ -187,14 +187,17 @@ object Dedup {
   def dedupNgram(spark: SparkSession, dir: String): DataFrame =
     dedupNgramCapped(spark, dir, DefaultMaxShingleDf)
 
-  def dedupNgramCapped(spark: SparkSession, dir: String, maxDf: Int): DataFrame = {
+  def dedupNgramCapped(spark: SparkSession, dir: String, maxDf: Int): DataFrame =
+    dedupNgramCappedOf(Tables.documents(spark, dir), maxDf)
+
+  private[graft] def dedupNgramCappedOf(docs: DataFrame, maxDf: Int): DataFrame = {
     // inverted-index formulation: explode hashed shingles, equi-join on
     // (block, shingle-hash), count matches per pair = |A∩B|, then
     // |A∪B| = |A|+|B|−|A∩B|. Only pairs that share ≥1 shingle ever
     // materialize (they're the only ones that can clear the threshold) and
     // nothing carries whole shingle arrays through the join — this is the
     // shape that survives 100 TB, unlike a pairwise array-intersect join.
-    val d = Tables.documents(spark, dir)
+    val d = docs
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(hashedShingles(col("text"))).as("sh"))
     // each exploded row carries its doc's set size, so |A∪B| needs no
@@ -356,14 +359,17 @@ object Dedup {
     * driver sees only the per-round change count and the final labels are
     * localCheckpoint'ed so lineage stays bounded — the standard large-graph
     * CC shape, no driver-side graph. */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersOf(Tables.documents(spark, dir))
+
+  private[graft] def dedupClustersOf(docs: DataFrame): DataFrame = {
     val withHash = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
     val roots = withHash.groupBy(col("h")).agg(min(col("doc_id")).as("root"))
     val exactEdges = withHash.join(roots, "h")
       .filter(col("doc_id") =!= col("root"))
       .select(col("doc_id").as("a"), col("root").as("b"))
-    val ngramEdges = dedupNgram(spark, dir).select(col("id_a").as("a"), col("id_b").as("b"))
+    val ngramEdges = dedupNgramCappedOf(docs, DefaultMaxShingleDf)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
     // min-label fixpoint over docs that HAVE an edge — see [[Components]]
     val labels = Components.minLabel(exactEdges.unionByName(ngramEdges))
     val clustered = labels.select(col("doc_id"), col("lbl").as("cluster_id"),
@@ -619,7 +625,11 @@ object Dedup {
     * closure — min reachable doc_id per doc. Components are tiny (dup
     * clusters), so the closure is cheap for DuckDB even though the Spark
     * side uses fixpoint propagation instead. */
-  val dedupClustersSql: String =
+  /** The full cluster-label CTE chain (edges + recursive closure +
+    * per-doc min label as `cl(doc_id, cluster_id)`) — shared verbatim by
+    * [[dedupClustersSql]] and the leakage-safe split oracle, so the edge
+    * set can never silently diverge between them. */
+  private[operators] val dedupClustersSqlCte: String =
     dedupNgramPairsSqlCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
     """, eh AS (
       |  SELECT doc_id, md5(text) AS h FROM documents
@@ -635,9 +645,14 @@ object Dedup {
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
       |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.b
-      |)
-      |SELECT doc_id, min(lbl) AS cluster_id, doc_id = min(lbl) AS keep
-      |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+      |), cl AS (
+      |  SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1
+      |)""".stripMargin
+
+  val dedupClustersSql: String = dedupClustersSqlCte +
+    """
+      |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
+      |FROM cl ORDER BY 1""".stripMargin
 
   /** Directed containment near-dup pairs: doc A is flagged as contained in
     * doc B when ≥80% of A's distinct word 5-gram shingles also occur in B

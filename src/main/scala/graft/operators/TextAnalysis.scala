@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -266,6 +266,59 @@ object TextAnalysis {
       |)
       |SELECT split, lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
       |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Leakage-safe train/val/test split: assignment at DEDUP-CLUSTER
+    * grain. A doc-grain hash split cannot prevent the classic eval-
+    * contamination bug — a near-duplicate of a training document landing
+    * in the test set (the duplication→memorization→inflated-eval chain
+    * Lee et al. ACL'22 measure directly). Here the unit of assignment is
+    * the [[Dedup.dedupClusters]] component (exact-hash + n-gram-Jaccard
+    * edges; log-round CC at scale), hashed into 80/10/10, so every member
+    * of a near-dup cluster shares fate BY CONSTRUCTION. The naive
+    * doc-grain assignment ships beside it, with `leak_fixed` marking the
+    * docs whose naive split differs inside a multi-doc cluster — the
+    * measured contamination this op removes. Cost over the naive split is
+    * exactly the dedup pass the pipeline already runs; the split itself
+    * adds one map-side hash and a cluster-sized count window. */
+  def corpusSplitSafe(spark: SparkSession, dir: String): DataFrame =
+    corpusSplitSafeOf(Tables.documents(spark, dir))
+
+  def corpusSplitSafeOf(docs: DataFrame): DataFrame = {
+    val cl = Dedup.dedupClustersOf(docs).select(col("doc_id"), col("cluster_id"))
+    def splitOf(c: Column): Column = {
+      val b = pmod(idHash(c), lit(100L))
+      when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    }
+    // cluster-sized window: dup clusters are small by construction
+    val wc = Window.partitionBy(col("cluster_id"))
+    cl.withColumn("split", splitOf(col("cluster_id")))
+      .withColumn("naive_split", splitOf(col("doc_id")))
+      .withColumn("leak_fixed",
+        count(lit(1)).over(wc) > 1 && col("naive_split") =!= col("split"))
+      .select(col("doc_id"), col("cluster_id"), col("split"),
+        col("naive_split"), col("leak_fixed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusSplitSafeSql: String = {
+    def splitSql(ref: String) = {
+      val b = s"${idHashSql(ref)} % 100"
+      s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END"
+    }
+    Dedup.dedupClustersSqlCte +
+      s""", sz AS (
+         |  SELECT cluster_id, count(*) AS csize FROM cl GROUP BY 1
+         |), asg AS (
+         |  SELECT c.doc_id, c.cluster_id,
+         |    ${splitSql("c.cluster_id")} AS split,
+         |    ${splitSql("c.doc_id")} AS naive_split,
+         |    s.csize
+         |  FROM cl c JOIN sz s USING (cluster_id)
+         |)
+         |SELECT doc_id, cluster_id, split, naive_split,
+         |  (csize > 1 AND naive_split <> split) AS leak_fixed
+         |FROM asg ORDER BY doc_id""".stripMargin
   }
 
   // PII patterns kept to the Java∩RE2 common subset so the oracle computes
@@ -1272,6 +1325,7 @@ object TextAnalysis {
     "text_readability" -> (textReadability _),
     "corpus_clean"     -> (corpusClean _),
     "corpus_split"     -> (corpusSplit _),
+    "corpus_split_safe" -> (corpusSplitSafe _),
     "corpus_redact"    -> (corpusRedact _),
     "text_tokens"      -> (textTokens _),
     "text_quality"     -> (textQuality _),
@@ -1301,6 +1355,7 @@ object TextAnalysis {
     "text_readability" -> textReadabilitySql,
     "corpus_clean"     -> corpusCleanSql,
     "corpus_split"     -> corpusSplitSql,
+    "corpus_split_safe" -> corpusSplitSafeSql,
     "corpus_redact"    -> corpusRedactSql,
     "text_tokens"      -> textTokensSql,
     "text_quality"     -> textQualitySql,
