@@ -429,14 +429,19 @@ object Sketches {
   def qQuantileSketch(spark: SparkSession, dir: String): DataFrame =
     qQuantileSketchOf(Tables.lineitem(spark, dir))
 
+  /** Adds `msb` and `bucket` to any frame with a `cents` column ≥ 1 —
+    * the one bucketization shared by the batch gate and the streaming
+    * twin ([[graft.streaming.StreamIngest.quantileSketchStream]]). */
+  private[graft] def withHdrBucket(df: DataFrame): DataFrame =
+    df.withColumn("msb", msbOf(col("cents")))
+      .withColumn("bucket", bucketCol)
+
   /** The bucketized rows (flag, cents, shard, bucket) — shared by the
     * gate and the merge-associativity spec. */
   private[graft] def priceBuckets(li: DataFrame): DataFrame =
-    li.select(col("l_returnflag").as("flag"),
+    withHdrBucket(li.select(col("l_returnflag").as("flag"),
       expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
-      pmod(TextAnalysis.idHash(col("l_orderkey")), lit(8L)).as("shard"))
-      .withColumn("msb", msbOf(col("cents")))
-      .withColumn("bucket", bucketCol)
+      pmod(TextAnalysis.idHash(col("l_orderkey")), lit(8L)).as("shard")))
 
   /** Per-flag histogram registers (flag, bucket, n) — the mergeable
     * artifact: registers of a union of shards = element-wise SUM. */

@@ -761,6 +761,43 @@ object StreamIngest {
       .select(col("day"), col("bucket"), col("m_reg"))
   }
 
+  final case class ValueEvent(event_id: Long, ts: java.sql.Timestamp,
+    value: Double)
+
+  /** Streaming twin of the HDR quantile registers
+    * ([[graft.operators.Sketches.qQuantileSketchOf]]): per-day histogram
+    * registers (day, bucket, n) in update mode, where the batch read-out
+    * (cumulative crossing → bucket lower bound) folds any window of days
+    * by summing registers first.
+    *
+    * The contrast with [[registerSketchStream]] is the point: HLL
+    * registers merge by MAX (idempotent — re-delivery is free), histogram
+    * registers merge by SUM (NOT idempotent — a re-delivered event would
+    * count twice). So the additive aggregate sits behind a watermarked
+    * `dropDuplicates` on event identity: dedup state retires with the
+    * watermark, and the count aggregate sees each event exactly once.
+    * This is the supported dedup→aggregate stateful-operator chain, all
+    * Spark-managed state — no custom exactly-once bookkeeping needed
+    * because event ids (unlike [[activeUsersStream]]'s cross-window
+    * coverage) make duplicates LOCALLY recognizable. Sub-cent and
+    * non-positive values clamp to the v = 1 bucket (the sketch domain is
+    * v ≥ 1), identically in the batch comparator. */
+  def quantileSketchStream(events: Dataset[ValueEvent], watermark: String = "1 hour")
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{floor => ffloor}
+    val deduped = events.toDF()
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+    val bucketed = graft.operators.Sketches.withHdrBucket(
+      deduped.select(col("ts"),
+        ffloor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+        greatest(expr("CAST(round(value * 100) AS BIGINT)"), lit(1L)).as("cents")))
+    bucketed
+      .groupBy(window(col("ts"), "1 day"), col("day"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("day"), col("bucket"), col("n"))
+  }
+
   final case class ConvEvent(user_id: Long, ts: java.sql.Timestamp,
     event_type: String)
   /** One live session interval: event-time bounds in micros + how many

@@ -1030,6 +1030,52 @@ class StreamIngestSpec extends SparkSpecBase {
       s"register mismatch: ${(batch.toSet -- folded.toSet).take(3)}")
   }
 
+  test("quantileSketchStream: deduped additive registers equal batch under re-delivery") {
+    val rnd = new scala.util.Random(62)
+    val baseMs = ts("2024-08-01 00:00:00").getTime
+    val all = (0 until 900).map { i =>
+      StreamIngest.ValueEvent(i.toLong,
+        new Timestamp(baseMs + rnd.nextInt(8 * 86400) * 1000L),
+        // spread across octaves incl. the clamp region (value <= 0)
+        math.exp(rnd.nextDouble() * 14.0) / 100.0 - 0.02)
+    }
+    // re-deliver 40%: SUM is not idempotent, so only the dedup protects it
+    val feed = rnd.shuffle(all ++ all.take(all.size * 2 / 5))
+    val dir = Files.createTempDirectory("graft-stream-qsk").toString
+    val input = MemoryStream[StreamIngest.ValueEvent](spark)
+    val q = StreamIngest.quantileSketchStream(input.toDS(), watermark = "720 hours")
+      .writeStream.format("memory").queryName("qsk_out")
+      .outputMode("update")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    feed.grouped(1 + feed.size / 6).foreach { b =>
+      input.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    // update mode re-emits running counts; dedup makes them monotone, so
+    // converged value = last = max per key
+    val folded = spark.table("qsk_out").collect()
+      .groupBy(r => (r.getAs[Long]("day"), r.getAs[Long]("bucket")))
+      .view.mapValues(_.map(_.getAs[Long]("n")).max).toMap
+    import spark.implicits._
+    val batch = graft.operators.Sketches.withHdrBucket(
+        all.map(e => (e.ts, e.value)).toDF("ts", "value")
+          .select(
+            floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+            greatest(expr("CAST(round(value * 100) AS BIGINT)"), lit(1L)).as("cents")))
+      .groupBy(col("day"), col("bucket")).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("bucket")) -> r.getAs[Long]("n"))
+      .toMap
+    assert(batch.nonEmpty && folded == batch,
+      s"histogram register mismatch: ${(batch.toSet -- folded.toSet).take(3)}")
+    // fold across ALL days: summed registers = the whole-span histogram —
+    // the merge the batch read-out runs before estimating
+    val weekFold = folded.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val whole = batch.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    assert(weekFold == whole)
+  }
+
   test("sessionConversionStream: bridge, conversion-flip and day-move all retract exactly") {
     val dir = Files.createTempDirectory("graft-stream-sessconv2").toString
     val input = MemoryStream[StreamIngest.ConvEvent](spark)
