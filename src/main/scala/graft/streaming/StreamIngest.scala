@@ -872,6 +872,116 @@ object StreamIngest {
       }
   }
 
+  /** Input row for [[pitJoinStream]]: ONE unioned stream of feature
+    * updates (`kind = "feat"`: ts = feature event time, `value` = the
+    * feature value, row_id ignored) and serving requests (`kind = "req"`:
+    * ts = entity time, `row_id` = the caller's row identity, value
+    * ignored). One stream rather than two because the join's state is
+    * per-entity-key either way and a union keys both sides through the
+    * same single shuffle. */
+  final case class PitRow(user_id: Long, ts: java.sql.Timestamp, kind: String,
+                          row_id: Long, value: Double)
+
+  /** Per-key [[pitJoinStream]] state: the retained feature timeline and
+    * the not-yet-answerable requests, as parallel arrays (tiny, codable
+    * with Spark's product encoder; both bounded — see the scaladoc). */
+  final case class PitJoinState(featTs: Array[Long], featVal: Array[Double],
+                                pendTs: Array[Long], pendId: Array[Long])
+
+  /** One served request — column-for-column the batch
+    * [[graft.operators.PointInTimeJoin.asof]] row shape (row_id, key,
+    * entity ts, matched feature ts/value; None = no feature in range). */
+  final case class PitServed(row_id: Long, user_id: Long,
+                             entity_ts: java.sql.Timestamp,
+                             feat_ts: Option[java.sql.Timestamp],
+                             feat_value: Option[Double])
+
+  /** Streaming point-in-time join — the reference's historical-retrieval
+    * semantics (latest feature at-or-before entity time, optional max
+    * age) applied to a LIVE request stream: training-data generation and
+    * online enrichment from the same operator, the streaming twin of
+    * batch `pit_join` / `pit_join_maxage`.
+    *
+    * Why not a stream-stream interval join: Spark's interval join needs a
+    * FINITE time window on both sides, but "latest at-or-before" has an
+    * unbounded lookback (a request may match a feature written years
+    * ago). The state that makes unbounded lookback bounded is exactly the
+    * online store's: per key, only the LATEST feature at-or-before the
+    * watermark can ever serve a future request, so everything older
+    * retires. Custom state holds:
+    *  - features: the latest one ≤ watermark plus any not-yet-final ones
+    *    above it (bounded by the watermark delay), each (ts, value) with
+    *    same-ts duplicates collapsed to max value — the batch oracle's
+    *    (key, ts, max(value)) feature grain;
+    *  - pending requests: those with ts ≥ watermark (bounded by the
+    *    watermark delay; anything older answered and emitted already).
+    * A request emits exactly once, when the watermark passes STRICTLY
+    * beyond its ts — only then can no feature at-or-before it still
+    * arrive (arrivals carry ts ≥ watermark, and a tie at ts = watermark
+    * could otherwise land later). Emission happens inline when the
+    * request is already answerable and via event-time timeout otherwise.
+    * With `maxAgeSec` set, a key whose whole timeline has lapsed past
+    * max-age GCs its state entirely on a timeout — per-key residue is
+    * then zero for dead keys, one (ts, value) pair for live ones; without
+    * it, residue is the latest pair per key, the same footprint any
+    * latest-value materialization carries. */
+  def pitJoinStream(rows: Dataset[PitRow], maxAgeSec: Option[Long] = None,
+                    watermark: String = "1 hour"): Dataset[PitServed] = {
+    import rows.sparkSession.implicits._
+    val maxAgeUs = maxAgeSec.map(_ * 1000000L)
+    rows
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PitJoinState, PitServed](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[PitRow], state: GroupState[PitJoinState]) =>
+          val wm = state.getCurrentWatermarkMs() * 1000L // ms → µs event time
+          val st = state.getOption.getOrElse(
+            PitJoinState(Array.empty, Array.empty, Array.empty, Array.empty))
+          // fold arrivals into the state's timeline + pending set
+          var feats = st.featTs.zip(st.featVal)
+          var pend = st.pendTs.zip(st.pendId)
+          val arrivals = it.toArray
+          val newFeats = arrivals.filter(_.kind == "feat")
+            .map(r => (micros(r.ts), r.value))
+          if (newFeats.nonEmpty)
+            feats = (feats ++ newFeats).groupBy(_._1).view
+              .mapValues(_.map(_._2).max).toArray.sortBy(_._1)
+          pend = pend ++ arrivals.filter(_.kind == "req")
+            .map(r => (micros(r.ts), r.row_id))
+          // answer every request the watermark has finalized
+          val (ready, stillPend) = pend.partition(_._1 < wm)
+          val out = ready.sortBy(p => (p._1, p._2)).map { case (tUs, rowId) =>
+            val inRange = feats.filter { case (f, _) =>
+              f <= tUs && maxAgeUs.forall(a => f >= tUs - a) }
+            val hit = inRange.sortBy(f => (f._1, f._2)).lastOption
+            PitServed(rowId, user, new java.sql.Timestamp(tUs / 1000L),
+              hit.map(h => new java.sql.Timestamp(h._1 / 1000L)),
+              hit.map(_._2))
+          }
+          // retire history: of the features ≤ watermark only the latest
+          // can ever serve again (and with max-age, only while unlapsed)
+          val (past, future) = feats.partition(_._1 <= wm)
+          val keptPast = past.sortBy(_._1).lastOption
+            .filter { case (f, _) => maxAgeUs.forall(a => f >= wm - a) }
+          val kept = (keptPast.toArray ++ future).sortBy(_._1)
+          if (kept.isEmpty && stillPend.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(PitJoinState(kept.map(_._1), kept.map(_._2),
+              stillPend.map(_._1), stillPend.map(_._2)))
+            // wake when the oldest pending request finalizes; else (with a
+            // TTL) when the whole timeline will have lapsed, to GC the key
+            val wakeUs: Option[Long] =
+              if (stillPend.nonEmpty) Some(stillPend.map(_._1).min + 1)
+              else maxAgeUs.map(a => kept.map(_._1).max + a + 1)
+            wakeUs.foreach(u => state.setTimeoutTimestamp(
+              math.max(u / 1000L, state.getCurrentWatermarkMs() + 1)))
+          }
+          out.iterator
+      }
+  }
+
   def runOnce(w: DataStreamWriter[Row], checkpoint: String): StreamingQuery =
     w.option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -1128,4 +1128,105 @@ class StreamIngestSpec extends SparkSpecBase {
       "duplicate event must not emit")
     q.stop()
   }
+
+  /** Shared harness for the pitJoinStream parity tests: returns the
+    * (streamed, batch) result sets for the same random corpus. */
+  private def pitParity(seed: Int, maxAgeSec: Option[Long], shuffle: Boolean)
+      : (Set[(Long, Long, Timestamp, Option[Timestamp], Option[Double])],
+         Set[(Long, Long, Timestamp, Option[Timestamp], Option[Double])],
+         Int) = {
+    val rnd = new scala.util.Random(seed)
+    val baseMs = ts("2024-09-01 00:00:00").getTime
+    val feats = (1L to 12L).flatMap { u =>
+      (0 until rnd.nextInt(8)).map { _ =>
+        StreamIngest.PitRow(u,
+          new Timestamp(baseMs + rnd.nextInt(5 * 86400) * 1000L), "feat",
+          0L, (rnd.nextInt(1000) + 1).toDouble)
+      }
+    }
+    val reqs = (1L to 12L).flatMap { u =>
+      (0 until 1 + rnd.nextInt(5)).map { i =>
+        StreamIngest.PitRow(u,
+          new Timestamp(baseMs + rnd.nextInt(5 * 86400) * 1000L), "req",
+          u * 100 + i, 0.0)
+      }
+    }
+    val all = feats ++ reqs
+    val feed = if (shuffle) rnd.shuffle(all) else all.sortBy(_.ts.getTime)
+    // sentinel far enough past max ts that the watermark finalizes all
+    // requests; filtered from both sides of the comparison
+    val sentinel = StreamIngest.PitRow(999L,
+      new Timestamp(baseMs + 4000L * 86400 * 1000L), "feat", 0L, 1.0)
+    val dir = Files.createTempDirectory("graft-stream-pit").toString
+    val input = MemoryStream[StreamIngest.PitRow](spark)
+    val wmark = if (shuffle) "720 hours" else "1 hour"
+    val q = StreamIngest.pitJoinStream(input.toDS(), maxAgeSec, wmark)
+      .writeStream.format("memory").queryName(s"pit_out_$seed")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    var preSentinel = 0
+    feed.grouped(1 + feed.size / 6).foreach { b =>
+      input.addData(b: _*); q.processAllAvailable()
+      preSentinel = spark.table(s"pit_out_$seed").count().toInt
+    }
+    input.addData(sentinel)
+    q.processAllAvailable(); q.processAllAvailable()
+    val streamed = spark.table(s"pit_out_$seed").collect()
+      .filter(_.getAs[Long]("user_id") != 999L)
+      .map(r => (r.getAs[Long]("row_id"), r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("entity_ts"),
+        Option(r.getAs[Timestamp]("feat_ts")),
+        Option(r.getAs[java.lang.Double]("feat_value")).map(_.doubleValue)))
+      .toSet
+    q.stop()
+    // batch truth: asof over the same rows, features at (key, ts,
+    // max(value)) grain — the grain the stream operator collapses to
+    val entityDf = reqs.map(r => (r.row_id, r.user_id, r.ts))
+      .toDF("row_id", "user_id", "entity_ts")
+    val featDf = feats.map(f => (f.user_id, f.ts, f.value))
+      .toDF("user_id", "ts", "value")
+      .groupBy("user_id", "ts").agg(max("value").as("value"))
+    val batch = graft.operators.PointInTimeJoin.asof(
+        entityDf, featDf, keys = Seq("user_id"), entityTs = "entity_ts",
+        featureTs = "ts", featureCols = Seq("value"), maxAgeSec = maxAgeSec,
+        outPrefix = "feat_")
+      .collect()
+      .map(r => (r.getAs[Long]("row_id"), r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("entity_ts"),
+        Option(r.getAs[Timestamp]("feat_ts")),
+        Option(r.getAs[java.lang.Double]("feat_value")).map(_.doubleValue)))
+      .toSet
+    (streamed, batch, preSentinel)
+  }
+
+  test("pitJoinStream: serve-once equals batch as-of under shuffled batching") {
+    val (streamed, batch, _) = pitParity(seed = 71, maxAgeSec = None, shuffle = true)
+    assert(batch.nonEmpty && batch.exists(_._4.isEmpty),
+      "fixture must exercise both matched and unmatched requests")
+    assert(streamed == batch,
+      s"\n only-stream ${streamed -- batch}\n only-batch ${batch -- streamed}")
+  }
+
+  test("pitJoinStream: max-age TTL equals batch as-of with maxAgeSec") {
+    val (streamed, batch, _) =
+      pitParity(seed = 73, maxAgeSec = Some(86400L), shuffle = true)
+    assert(batch.exists(_._4.isEmpty) && batch.exists(_._4.nonEmpty),
+      "fixture must exercise the TTL cutoff both ways")
+    assert(streamed == batch,
+      s"\n only-stream ${streamed -- batch}\n only-batch ${batch -- streamed}")
+  }
+
+  test("pitJoinStream: in-order feed with a tight watermark serves progressively") {
+    val (streamed, batch, preSentinel) =
+      pitParity(seed = 79, maxAgeSec = None, shuffle = false)
+    assert(streamed == batch,
+      s"\n only-stream ${streamed -- batch}\n only-batch ${batch -- streamed}")
+    // the shuffled tests above exercise the pending/timeout flush path
+    // (their 720 h watermark defers ALL emission to the sentinel); this
+    // one pins the inline path: a tight watermark over an in-order feed
+    // must serve requests as the stream advances, before any sentinel
+    assert(preSentinel > 0,
+      "watermark advance over the in-order feed must emit before the sentinel")
+  }
 }
