@@ -1070,7 +1070,77 @@ object CorpusStats {
       |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-doc n-gram NOVELTY against everything earlier in the corpus —
+    * the train-time memorization-exposure score (Lee et al. ACL'22 /
+    * RETRO's eval-novelty methodology, turned into a per-doc curation
+    * signal): the fraction of a doc's distinct word 5-grams whose FIRST
+    * corpus occurrence (min doc_id) is an earlier doc. Low novel_bp =
+    * the doc is mostly recombined seen text (boilerplate, syndication,
+    * template spam) even when no single pair clears a dedup threshold —
+    * the duplication mass dedup's pairwise view cannot see.
+    *
+    * Plan shape: one explode of distinct hashed 5-grams, first-occurrence
+    * as a min WINDOW over the shingle hash (rides the one shingle
+    * exchange — no self-join, no first-occurrence table join-back), then
+    * the per-doc aggregate; each exploded row carries its doc's set size
+    * so no second scan computes it (the dedup_ngram discipline). Docs
+    * too short for a 5-gram surface with n_shingles = 0, novel_bp = 0.
+    * Scale: the window state per shingle hash is one running min —
+    * df-skewed shingles (boilerplate) cost their row count, not df². */
+  def corpusNovelty(spark: SparkSession, dir: String): DataFrame =
+    corpusNoveltyOf(Tables.documents(spark, dir))
+
+  def corpusNoveltyOf(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      array_distinct(Dedup.hashedNgrams(col("text"), 5)).as("sh"))
+    val ex = d.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("h"))
+    val firstDoc = min(col("doc_id")).over(Window.partitionBy(col("h")))
+    val agg = ex
+      .withColumn("first_doc", firstDoc)
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).cast("long").as("n_sh"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("seen"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_shingles"),
+        coalesce(col("seen"), lit(0L)).as("n_seen"))
+      .withColumn("novel_bp",
+        expr("(n_shingles - n_seen) * 10000 DIV greatest(n_shingles, 1)"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusNoveltySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |  FROM documents
+      |), d AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 5
+      |    THEN list_transform(range(1, len(t) - 3),
+      |      i -> array_to_string(t[i:i+4], ' '))
+      |    ELSE [] END) AS sh
+      |  FROM toks
+      |), ex AS (
+      |  SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d
+      |), f AS (
+      |  SELECT doc_id, n, min(doc_id) OVER (PARTITION BY s) AS first_doc
+      |  FROM ex
+      |), agg AS (
+      |  SELECT doc_id, CAST(max(n) AS BIGINT) AS n_sh,
+      |    CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS seen
+      |  FROM f GROUP BY 1
+      |)
+      |SELECT doc.doc_id,
+      |  coalesce(a.n_sh, 0) AS n_shingles,
+      |  coalesce(a.seen, 0) AS n_seen,
+      |  CAST((coalesce(a.n_sh, 0) - coalesce(a.seen, 0)) * 10000
+      |    // greatest(coalesce(a.n_sh, 0), 1) AS BIGINT) AS novel_bp
+      |FROM documents doc LEFT JOIN agg a ON doc.doc_id = a.doc_id
+      |ORDER BY doc.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_novelty"         -> (corpusNovelty _),
     "text_script_mix"        -> (textScriptMix _),
     "corpus_vocab_coverage"  -> (corpusVocabCoverage _),
     "corpus_datacard"        -> (corpusDatacard _),
@@ -1089,6 +1159,7 @@ object CorpusStats {
     "text_winnow"       -> (textWinnow _))
 
   val oracle: Map[String, String] = Map(
+    "corpus_novelty"         -> corpusNoveltySql,
     "text_script_mix"        -> textScriptMixSql,
     "corpus_vocab_coverage"  -> corpusVocabCoverageSql,
     "corpus_datacard"        -> corpusDatacardSql,

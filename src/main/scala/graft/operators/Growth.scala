@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -480,7 +480,67 @@ object Growth {
       |FROM grid g LEFT JOIN counts c ON g.dow = c.dow AND g.hour = c.hour
       |CROSS JOIN tot t ORDER BY g.dow, g.hour""".stripMargin
 
+  /** Sample-ratio-mismatch check — the assignment-integrity guard every
+    * experimentation platform runs BEFORE reading a lift number (a biased
+    * split silently invalidates `events_ab_lift`; SRM is the standard
+    * detector). Per assignment rule, arm user counts and the one-df
+    * chi-square statistic against the claimed 50/50 split, which for two
+    * cells collapses to χ² = (n_a − n_b)²/(n_a + n_b) — computed in exact
+    * integer e4 units via split long division (quotient·1e4 + scaled
+    * remainder), overflow-free to ~3·10⁹ users per arm delta, engine-
+    * portable with no doubles anywhere. Two rules ship: the production
+    * hash split (healthy by construction — the statistic hovers near 0)
+    * and a deliberately 5/16-biased variant proving the detector FIRES
+    * (flag threshold 3.8415 = the 95% critical value, e4-scaled).
+    * Cost: one distinct-user aggregate, then two arm-count aggregates
+    * over the user grain — all map-side combining, output 2 rows. */
+  def eventsAbSrm(spark: SparkSession, dir: String): DataFrame =
+    eventsAbSrmOf(Tables.events(spark, dir))
+
+  def eventsAbSrmOf(ev: DataFrame): DataFrame = {
+    val users = ev.select(col("user_id")).distinct()
+      .withColumn("h", TextAnalysis.idHash(col("user_id")))
+    def cell(name: String, armA: Column): DataFrame = users
+      .agg(sum(when(armA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(armA, 0L).otherwise(1L)).as("n_b"))
+      .select(lit(name).as("assignment"), col("n_a"), col("n_b"),
+        (col("n_a") - col("n_b")).as("delta"))
+      .withColumn("srm_stat_e4", expr(
+        """(delta * delta DIV greatest(n_a + n_b, 1)) * 10000
+          | + (delta * delta % greatest(n_a + n_b, 1)) * 10000
+          |   DIV greatest(n_a + n_b, 1)""".stripMargin.replace("\n", " ")))
+      .withColumn("srm_flag", (col("srm_stat_e4") > 38414L).cast("long"))
+    cell("hash_mod2", pmod(col("h"), lit(2)) === 0)
+      .unionByName(cell("skewed_5_16", pmod(col("h"), lit(16)) < 5))
+      .orderBy(col("assignment"))
+  }
+
+  val eventsAbSrmSql: String = {
+    val h = TextAnalysis.idHashSql("user_id")
+    def cell(name: String, armA: String) =
+      s"""SELECT '$name' AS assignment,
+        |    CAST(sum(CASE WHEN $armA THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN $armA THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |  FROM u""".stripMargin
+    s"""WITH u AS (
+      |  SELECT user_id, $h AS h FROM (SELECT DISTINCT user_id FROM events)
+      |), cells AS (
+      |  ${cell("hash_mod2", "h % 2 = 0")}
+      |  UNION ALL
+      |  ${cell("skewed_5_16", "h % 16 < 5")}
+      |)
+      |SELECT assignment, n_a, n_b, n_a - n_b AS delta,
+      |  CAST(((n_a - n_b) * (n_a - n_b) // greatest(n_a + n_b, 1)) * 10000
+      |    + ((n_a - n_b) * (n_a - n_b) % greatest(n_a + n_b, 1)) * 10000
+      |      // greatest(n_a + n_b, 1) AS BIGINT) AS srm_stat_e4,
+      |  CAST(CASE WHEN ((n_a - n_b) * (n_a - n_b) // greatest(n_a + n_b, 1)) * 10000
+      |    + ((n_a - n_b) * (n_a - n_b) % greatest(n_a + n_b, 1)) * 10000
+      |      // greatest(n_a + n_b, 1) > 38414 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+      |FROM cells ORDER BY assignment""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ab_srm"  -> (eventsAbSrm _),
     "events_heatmap" -> (eventsHeatmap _),
     "events_session_conversion" -> (eventsSessionConversion _),
     "events_error_budget" -> (eventsErrorBudget _),
@@ -490,6 +550,7 @@ object Growth {
     "events_ab_lift"     -> (eventsAbLift _))
 
   val oracle: Map[String, String] = Map(
+    "events_ab_srm"  -> eventsAbSrmSql,
     "events_heatmap" -> eventsHeatmapSql,
     "events_session_conversion" -> eventsSessionConversionSql,
     "events_error_budget" -> eventsErrorBudgetSql,
