@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, AnalyticsJoins, Bpe, CorpusStats, Dedup, FeatureOps, GraphOps, Growth, HeavyHitters, JoinUtils, Multimodal, OracleVariants, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Analytics, AnalyticsJoins, Bpe, Classifier, CorpusStats, Dedup, FeatureOps, GraphOps, Growth, HeavyHitters, JoinUtils, Multimodal, OracleVariants, Similarity, Sketches, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -17,7 +17,7 @@ object SparkEntry {
       OracleVariants.queries ++ JoinUtils.queries ++
       AnalyticsJoins.queries ++ CorpusStats.queries ++ GraphOps.queries ++
       Growth.queries ++ Bpe.queries ++ Sketches.queries ++
-      HeavyHitters.queries
+      HeavyHitters.queries ++ Classifier.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +27,5 @@ object SparkEntry {
       Multimodal.oracle ++ JoinUtils.oracle ++
       AnalyticsJoins.oracle ++ CorpusStats.oracle ++ GraphOps.oracle ++
       Growth.oracle ++ Bpe.oracle ++ Sketches.oracle ++
-      HeavyHitters.oracle
+      HeavyHitters.oracle ++ Classifier.oracle
 }

@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Trained quality classification — the DISCRIMINATIVE complement of
+  * [[TextAnalysis.corpusDsir]]'s generative log-ratio scorer, and the
+  * in-engine form of the fasttext-style linear quality filter every major
+  * pretraining pipeline runs (GPT-3's LR-over-features reference filter,
+  * CCNet's fasttext stage): a full-batch perceptron over hashed
+  * bag-of-words features, trained INSIDE the engine by iterative
+  * aggregate passes — the same driver-traffic class as the k-means
+  * quantizer and BPE loops (a ≤(B+1)-row weight vector crosses the
+  * driver per round, never data).
+  *
+  * Everything is exact integer arithmetic (counts × integer weights), so
+  * training is deterministic, order-independent (full-batch: the update
+  * is a SUM over misclassified docs — no SGD sequence dependence), and
+  * cross-engine replayable: the DuckDB oracle RE-TRAINS all rounds from
+  * scratch through chained materialized CTEs (the `corpus_bpe_merges`
+  * discipline) and must land on identical mistake counts, identical
+  * weights, and identical held-out accuracy.
+  *
+  * Plan shape: one tokenize+hash pass collapses the corpus to the
+  * (doc, bucket, count) feature table (+ a bias bucket per doc), cached
+  * once and re-read by every round — the raw text is never rescanned.
+  * Each round = one broadcast join against the ≤257-row weight vector,
+  * one doc-grain margin aggregate, one doc-key join of the mistake set
+  * (doc_id + label only — keys, never features or text), one B-row
+  * gradient aggregate to the driver. Scale: rounds touch the feature
+  * table (≤ B+1 rows per doc, partitioned by doc_id once), so k rounds
+  * cost k bounded passes regardless of corpus text size.
+  */
+object Classifier {
+
+  /** Hash buckets (bucket B itself is the bias/intercept feature). */
+  private val B = 256
+
+  private val Rounds = 8
+
+  /** Positive class: lang = 'en' (the stand-in "reference quality" slice,
+    * as in corpus_dsir — swapping in a curated reference table changes one
+    * predicate). Train/test split: idHash(doc_id) mod 4, 3:1. The shipped
+    * model is the AVERAGED perceptron (Freund & Schapire '99: the sum of
+    * post-round weight vectors — the 1/T normalization cancels in every
+    * sign test, so the integers stay exact): plain batch updates CYCLE
+    * when classes are not linearly separable, which the gate corpus's
+    * label deliberately is not (en vs rest share the entire 31-word
+    * synthetic vocabulary; a driver-side naive-Bayes ceiling measures
+    * ~62% train accuracy — the per-round mistake oscillation in the gate
+    * rows is the honest signature of that regime, and exactly what the
+    * averaged read-out stabilizes). The spec's separable fixture proves
+    * the machinery learns when there is something to learn. */
+  def corpusQualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    corpusQualityClassifierOf(Tables.documents(spark, dir))
+
+  def corpusQualityClassifierOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col("doc_id"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+      (pmod(TextAnalysis.idHash(col("doc_id")), lit(4)) < 3)
+        .cast("long").as("is_train"),
+      col("text"))
+    val tok = base.select(col("doc_id"), col("y"), col("is_train"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .as("w"))
+      .select(col("doc_id"), col("y"), col("is_train"),
+        pmod(call_function("char_poly_hash", col("w")), lit(B.toLong)).as("b"))
+    // label/split flags ride the explode (pure functions of doc columns)
+    // so the feature build needs no doc-table join-back
+    val feat = tok
+      .groupBy(col("doc_id"), col("y"), col("is_train"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .unionByName(base.select(col("doc_id"), col("y"), col("is_train"),
+        lit(B.toLong).as("b"), lit(1L).as("cnt")))
+      .repartition(col("doc_id"))
+      .localCheckpoint() // k rounds re-read THIS, never the raw text
+
+    val w = Array.fill(B + 1)(0L)
+    val wAvg = Array.fill(B + 1)(0L) // Σ of post-round vectors (averaged form)
+    def bcast(v: Array[Long]) = broadcast(
+      v.toSeq.zipWithIndex.map { case (x, b) => (b.toLong, x) }.toDF("b", "wt"))
+    val mistakeCounts = Array.fill(Rounds)(0L)
+    for (t <- 0 until Rounds) {
+      // mistake set = doc keys + label only; checkpointed because two
+      // consumers (count + gradient) must see the SAME set
+      val mk = feat.filter(col("is_train") === 1L)
+        .join(bcast(w), "b")
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("cnt") * col("wt")).as("marg"))
+        .filter(col("y") * col("marg") <= 0L)
+        .select(col("doc_id"), col("y").as("ym"))
+        .localCheckpoint()
+      mistakeCounts(t) = mk.count()
+      feat.join(mk, "doc_id")
+        .groupBy(col("b")).agg(sum(col("ym") * col("cnt")).as("g"))
+        .collect()
+        .foreach(r => w(r.getAs[Long]("b").toInt) += r.getAs[Long]("g"))
+      (0 to B).foreach(b => wAvg(b) += w(b))
+    }
+
+    // ship and score the AVERAGED model (Freund & Schapire '99): the sum
+    // of post-round vectors — the standard stabilizer when the data is
+    // not separable and plain batch updates cycle; exact integers still
+    // (the 1/T normalization cancels in every sign test)
+    val scored = feat.join(bcast(wAvg), "b")
+      .groupBy(col("doc_id"), col("y"), col("is_train"))
+      .agg(sum(col("cnt") * col("wt")).as("marg"))
+    val ok = col("y") * col("marg") > 0L
+    val met = scored.agg(
+      coalesce(sum(when(col("is_train") === 1L && ok, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("is_train") === 1L, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("is_train") === 0L && ok, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("is_train") === 0L, 1L).otherwise(0L)), lit(0L)))
+      .head()
+    val (ctr, ntr, cte, nte) =
+      (met.getLong(0), met.getLong(1), met.getLong(2), met.getLong(3))
+
+    // long-form scalar gate rows: the whole model (weights), the training
+    // trajectory (per-round mistakes), and the held-out metrics
+    val rows: Seq[(String, Long, Long)] =
+      (1 to Rounds).map(t => ("round_mistakes", t.toLong, mistakeCounts(t - 1))) ++
+        wAvg.toSeq.zipWithIndex.map { case (v, b) => ("weight", b.toLong, v) } ++
+        Seq(("acc", 0L, ctr), ("acc", 1L, ntr), ("acc", 2L, cte),
+          ("acc", 3L, nte), ("acc", 4L, cte * 10000L / math.max(nte, 1L)))
+    rows.toDF("metric", "k", "value").orderBy(col("metric"), col("k"))
+  }
+
+  val corpusQualityClassifierSql: String = {
+    val tokHash =
+      "list_reduce(list_prepend(7::BIGINT, list_transform(string_split_regex(w, ''), c -> ascii(c)::BIGINT)), (acc, x) -> (acc*31 + x) % 1000000007)"
+    val rounds = (1 to Rounds).map { t =>
+      s"""mk$t AS MATERIALIZED (
+        |  SELECT f.doc_id, any_value(f.y) AS y
+        |  FROM feat f JOIN w${t - 1} w USING (b)
+        |  WHERE f.is_train = 1
+        |  GROUP BY 1
+        |  HAVING any_value(f.y) * sum(f.cnt * w.w) <= 0
+        |), w$t AS MATERIALIZED (
+        |  SELECT w.b, w.w + coalesce(g.g, 0) AS w
+        |  FROM w${t - 1} w LEFT JOIN (
+        |    SELECT f.b, CAST(sum(m.y * f.cnt) AS BIGINT) AS g
+        |    FROM feat f JOIN mk$t m USING (doc_id) GROUP BY 1) g USING (b)
+        |)""".stripMargin
+    }.mkString(", ")
+    val roundRows = (1 to Rounds).map(t =>
+      s"SELECT 'round_mistakes' AS metric, $t AS k, (SELECT count(*) FROM mk$t) AS value")
+      .mkString("\n      |  UNION ALL ")
+    s"""WITH lab AS (
+      |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+      |    CASE WHEN ${TextAnalysis.idHashSql("doc_id")} % 4 < 3 THEN 1 ELSE 0 END AS is_train
+      |  FROM documents
+      |), tok AS (
+      |  SELECT doc_id, $tokHash % $B AS b
+      |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |        FROM documents)
+      |), feat AS MATERIALIZED (
+      |  SELECT t.doc_id, l.y, l.is_train, t.b, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM tok t JOIN lab l USING (doc_id) GROUP BY 1, 2, 3, 4
+      |  UNION ALL
+      |  SELECT doc_id, y, is_train, $B AS b, CAST(1 AS BIGINT) FROM lab
+      |), w0 AS MATERIALIZED (
+      |  SELECT unnest(range(0, ${B + 1})) AS b, CAST(0 AS BIGINT) AS w
+      |), $rounds, wavg AS MATERIALIZED (
+      |  SELECT b, CAST(sum(w) AS BIGINT) AS w FROM (
+      |    ${(1 to Rounds).map(t => s"SELECT b, w FROM w$t").mkString("\n      |    UNION ALL ")}
+      |  ) GROUP BY 1
+      |), sc AS MATERIALIZED (
+      |  SELECT f.doc_id, any_value(f.y) AS y, any_value(f.is_train) AS is_train,
+      |    sum(f.cnt * w.w) AS marg
+      |  FROM feat f JOIN wavg w USING (b) GROUP BY 1
+      |), met AS (
+      |  SELECT
+      |    CAST(coalesce(sum(CASE WHEN is_train = 1 AND y * marg > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS ctr,
+      |    CAST(coalesce(sum(CASE WHEN is_train = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS ntr,
+      |    CAST(coalesce(sum(CASE WHEN is_train = 0 AND y * marg > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS cte,
+      |    CAST(coalesce(sum(CASE WHEN is_train = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS nte
+      |  FROM sc
+      |)
+      |SELECT metric, CAST(k AS BIGINT) AS k, CAST(value AS BIGINT) AS value FROM (
+      |  $roundRows
+      |  UNION ALL SELECT 'weight', b, w FROM wavg
+      |  UNION ALL SELECT 'acc', 0, ctr FROM met
+      |  UNION ALL SELECT 'acc', 1, ntr FROM met
+      |  UNION ALL SELECT 'acc', 2, cte FROM met
+      |  UNION ALL SELECT 'acc', 3, nte FROM met
+      |  UNION ALL SELECT 'acc', 4, cte * 10000 // greatest(nte, 1) FROM met
+      |) ORDER BY metric, k""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_quality_classifier" -> (corpusQualityClassifier _))
+
+  val oracle: Map[String, String] = Map(
+    "corpus_quality_classifier" -> corpusQualityClassifierSql)
+}

@@ -416,6 +416,32 @@ object ScaleProbe {
     }
   }
 
+  /** r9d: perceptron training at docs ×1/×10/×30 — rounds are one pass
+    * over the (doc, bucket) feature table each, so total time should be
+    * linear in the corpus with a flat per-round cost ratio; the learned
+    * weights should STABILIZE (replication preserves the class-conditional
+    * token distribution, so ×k teaches the same decision boundary). */
+  private def r9dProbe(spark: SparkSession, reps: Seq[Int]): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.1"
+    for (k <- reps) {
+      val docs = (0 until k).map { i =>
+        graft.sources.Tables.documents(spark, dir)
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+      }.reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val out = graft.operators.Classifier.corpusQualityClassifierOf(docs)
+        .collect()
+      val t = (System.nanoTime() - t0) / 1e9
+      val acc = out.find(r => r.getString(0) == "acc" && r.getLong(1) == 4L)
+        .map(_.getLong(2)).getOrElse(-1L)
+      val m8 = out.find(r => r.getString(0) == "round_mistakes" && r.getLong(1) == 8L)
+        .map(_.getLong(2)).getOrElse(-1L)
+      println(f"[scale] classifier x$k%-3d train+score $t%6.2f s | " +
+        f"acc_bp=$acc | round8_mistakes=$m8")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val k = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
@@ -472,6 +498,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("r9")) {
       r9Probe(spark, Seq(1, 10, 30))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("r9d")) {
+      r9dProbe(spark, Seq(1, 10, 30))
       spark.stop()
       return
     }

@@ -69,6 +69,59 @@ class Round9dOpsSpec extends SparkSpecBase {
       s"5/16 bias over 400 users must clear the critical value: $out")
   }
 
+  test("corpus_quality_classifier: engine training equals a reference perceptron") {
+    // two vocabularies with overlap; en docs lean on one, the rest on the
+    // other — separable but not trivially (shared words collide weights)
+    val rnd = new scala.util.Random(31)
+    def words(pool: String, n: Int) =
+      (0 until 15).map(_ => s"$pool${rnd.nextInt(n)}").mkString(" ")
+    val docs = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "en", "web", words("good", 30) + " " + words("mid", 10))
+      else (i.toLong, "de", "web", words("bad", 30) + " " + words("mid", 10))
+    }
+    val df = docs.toDF("doc_id", "lang", "source", "text")
+    val out = graft.operators.Classifier.corpusQualityClassifierOf(df).collect()
+      .map(r => (r.getAs[String]("metric"), r.getAs[Long]("k")) -> r.getAs[Long]("value"))
+      .toMap
+
+    // reference model, plain Scala: same hash, same split, same updates
+    val P = 1000000007L
+    def tokHash(w: String): Long =
+      w.foldLeft(7L)((acc, c) => (acc * 31 + c.toLong) % P)
+    val idHashes = docs.map(_._1).toDF("doc_id")
+      .select(col("doc_id"), TextAnalysis.idHash(col("doc_id")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val feats = docs.map { case (id, lang, _, text) =>
+      val counts = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+        .groupBy(w => (tokHash(w) % 256).toInt).view.mapValues(_.size.toLong).toMap
+      (id, if (lang == "en") 1L else -1L, idHashes(id) % 4 < 3,
+        counts + (256 -> 1L))
+    }
+    val w = Array.fill(257)(0L)
+    val wAvg = Array.fill(257)(0L)
+    val refMistakes = (1 to 8).map { _ =>
+      val mk = feats.filter(_._3).filter { case (_, y, _, x) =>
+        y * x.map { case (b, c) => c * w(b) }.sum <= 0 }
+      mk.foreach { case (_, y, _, x) =>
+        x.foreach { case (b, c) => w(b) += y * c } }
+      (0 until 257).foreach(b => wAvg(b) += w(b))
+      mk.size.toLong
+    }
+    (1 to 8).foreach(t => assert(out(("round_mistakes", t.toLong)) == refMistakes(t - 1),
+      s"round $t mistakes: got ${out(("round_mistakes", t.toLong))} want ${refMistakes(t - 1)}"))
+    (0 until 257).foreach(b => assert(out(("weight", b.toLong)) == wAvg(b),
+      s"weight $b: got ${out(("weight", b.toLong))} want ${wAvg(b)}"))
+    def okCount(train: Boolean) = feats.count { case (_, y, tr, x) =>
+      tr == train && y * x.map { case (b, c) => c * wAvg(b) }.sum > 0 }.toLong
+    assert(out(("acc", 0L)) == okCount(train = true))
+    assert(out(("acc", 2L)) == okCount(train = false))
+    assert(out(("acc", 3L)) > 0L, "fixture must hold out test docs")
+    assert(out(("acc", 4L)) == out(("acc", 2L)) * 10000L / out(("acc", 3L)))
+    // the trained model must actually separate the fixture
+    assert(out(("acc", 4L)) >= 7500L,
+      s"held-out accuracy too low: ${out(("acc", 4L))} bp")
+  }
+
   test("events_ab_srm: statistic algebra matches the unsplit division") {
     // split long division == floor(d²·1e4 / n) for adversarial d, n
     for ((d, n) <- Seq((0L, 10L), (1L, 3L), (-7L, 13L), (999L, 1000L),
