@@ -539,7 +539,102 @@ object Growth {
       |FROM cells ORDER BY assignment""".stripMargin
   }
 
+  /** Per-user automation/bot signals — the traffic-hygiene stage every
+    * web-corpus curation and product-analytics pipeline runs before
+    * trusting its counts (bot sessions inflate DAU, poison funnels, and
+    * at corpus scale fill the crawl with machine-generated text). Two
+    * orthogonal signatures, both exact integers:
+    *  - burstiness: max events in any 1-minute tumbling bucket (humans
+    *    rarely exceed a handful; scripted clients spike);
+    *  - cadence regularity: the MODAL second-truncated inter-arrival gap
+    *    and its share of all gaps (fixed-interval polling pushes the
+    *    share toward 10000 bp; organic traffic on this corpus measures
+    *    ≤ ~420 bp — the thresholds sit far above the organic band, so
+    *    the gate's flag column is honestly all-zero and the spec proves
+    *    firing on planted bots).
+    * flag = burst ≥ 10 OR (n ≥ 20 AND modal share ≥ 2500 bp).
+    * Plan: the lag window rides the per-user sort, gap counts collapse to
+    * (user, delta) grain, the modal pick is ONE lexicographic struct-max
+    * per user (no second window), burst is a (user, minute) pre-aggregate
+    * — three user-grain aggregates joined at entity size. */
+  def eventsBotFlag(spark: SparkSession, dir: String): DataFrame =
+    eventsBotFlagOf(Tables.events(spark, dir))
+
+  def eventsBotFlagOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = ev.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"),
+        expr("(unix_micros(ts) - unix_micros(prev)) DIV 1000000").as("delta_s"))
+    // modal gap with a deterministic tie-break (highest count, then
+    // smallest delta) as one struct-max — the q_argmin_join discipline
+    val modal = gaps.groupBy(col("user_id"), col("delta_s"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_gaps"),
+        max(struct(col("c"), (-col("delta_s")).as("nd"))).as("m"))
+      .select(col("user_id"), col("n_gaps"), col("m.c").as("modal_n"),
+        (-col("m.nd")).as("modal_delta_s"))
+    val burst = ev
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 60000000").as("minute"))
+      .groupBy(col("user_id"), col("minute")).agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id")).agg(max(col("c")).as("burst_max"))
+    ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      .join(burst, Seq("user_id"))
+      .join(modal, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"), col("burst_max"),
+        coalesce(col("modal_delta_s"), lit(0L)).as("modal_delta_s"),
+        coalesce(expr("modal_n * 10000 DIV greatest(n_gaps, 1)"), lit(0L))
+          .as("modal_share_bp"))
+      .withColumn("bot_flag",
+        (col("burst_max") >= 10L ||
+          (col("n_events") >= 20L && col("modal_share_bp") >= 2500L))
+          .cast("long"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventsBotFlagSql: String =
+    """WITH d AS (
+      |  SELECT user_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events
+      |), g AS (
+      |  SELECT user_id,
+      |    CAST((epoch_us(ts) - epoch_us(prev)) // 1000000 AS BIGINT) AS delta_s
+      |  FROM d WHERE prev IS NOT NULL
+      |), c AS (
+      |  SELECT user_id, delta_s, count(*) AS c FROM g GROUP BY 1, 2
+      |), m AS (
+      |  SELECT user_id, n_gaps, c AS modal_n, delta_s AS modal_delta_s FROM (
+      |    SELECT user_id, delta_s, c,
+      |      CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS n_gaps,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY c DESC, delta_s ASC) AS rn
+      |    FROM c
+      |  ) WHERE rn = 1
+      |), b AS (
+      |  SELECT user_id, CAST(max(c) AS BIGINT) AS burst_max FROM (
+      |    SELECT user_id, epoch_us(ts) // 60000000 AS minute, count(*) AS c
+      |    FROM events GROUP BY 1, 2
+      |  ) GROUP BY 1
+      |), n AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1
+      |)
+      |SELECT n.user_id, n.n_events, b.burst_max,
+      |  coalesce(m.modal_delta_s, 0) AS modal_delta_s,
+      |  CAST(coalesce(m.modal_n * 10000 // greatest(m.n_gaps, 1), 0) AS BIGINT)
+      |    AS modal_share_bp,
+      |  CAST(CASE WHEN b.burst_max >= 10
+      |         OR (n.n_events >= 20
+      |             AND coalesce(m.modal_n * 10000 // greatest(m.n_gaps, 1), 0) >= 2500)
+      |       THEN 1 ELSE 0 END AS BIGINT) AS bot_flag
+      |FROM n JOIN b ON n.user_id = b.user_id
+      |LEFT JOIN m ON n.user_id = m.user_id
+      |ORDER BY n.user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_bot_flag" -> (eventsBotFlag _),
     "events_ab_srm"  -> (eventsAbSrm _),
     "events_heatmap" -> (eventsHeatmap _),
     "events_session_conversion" -> (eventsSessionConversion _),
@@ -550,6 +645,7 @@ object Growth {
     "events_ab_lift"     -> (eventsAbLift _))
 
   val oracle: Map[String, String] = Map(
+    "events_bot_flag" -> eventsBotFlagSql,
     "events_ab_srm"  -> eventsAbSrmSql,
     "events_heatmap" -> eventsHeatmapSql,
     "events_session_conversion" -> eventsSessionConversionSql,

@@ -122,6 +122,50 @@ class Round9dOpsSpec extends SparkSpecBase {
       s"held-out accuracy too low: ${out(("acc", 4L))} bp")
   }
 
+  test("events_bot_flag: planted bots fire, organic traffic stays silent") {
+    val base = java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime
+    def ev(u: Long, offsetSec: Long, id: Long) =
+      (u, new java.sql.Timestamp(base + offsetSec * 1000L), id, "view", 1.0)
+    val rnd = new scala.util.Random(17)
+    // u1: metronome bot — exact 30 s cadence, 40 events
+    val bot1 = (0 until 40).map(i => ev(1L, i * 30L, 100 + i))
+    // u2: burst bot — 15 events inside one minute, then quiet
+    val bot2 = (0 until 15).map(i => ev(2L, 3600L + i * 3L, 200 + i))
+    // u3: organic — 30 events, jittered gaps (never 10-in-a-minute, no
+    // dominant modal gap)
+    var t3 = 0L
+    val organic = (0 until 30).map { i =>
+      t3 += 90L + rnd.nextInt(600); ev(3L, t3, 300 + i)
+    }
+    // u4: single event (no gaps at all)
+    val single = Seq(ev(4L, 50L, 400))
+    val df = (bot1 ++ bot2 ++ organic ++ single)
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Growth.eventsBotFlagOf(df).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("burst_max"),
+          r.getAs[Long]("modal_delta_s"), r.getAs[Long]("modal_share_bp"),
+          r.getAs[Long]("bot_flag"))).toMap
+    assert(out(1L) == ((40L, 2L, 30L, 10000L, 1L)), s"metronome: ${out(1L)}")
+    val (n2, burst2, _, _, flag2) = out(2L)
+    assert(n2 == 15L && burst2 >= 10L && flag2 == 1L, s"burst bot: ${out(2L)}")
+    val (_, burst3, _, share3, flag3) = out(3L)
+    assert(burst3 < 10L && share3 < 2500L && flag3 == 0L, s"organic: ${out(3L)}")
+    assert(out(4L) == ((1L, 1L, 0L, 0L, 0L)), s"single event: ${out(4L)}")
+  }
+
+  test("events_bot_flag: modal tie-break picks the smallest gap") {
+    val base = java.sql.Timestamp.valueOf("2024-06-02 00:00:00").getTime
+    // gaps: 10, 20, 10, 20 — counts tie at 2; modal_delta must be 10
+    val times = Seq(0L, 10L, 30L, 40L, 60L)
+    val df = times.zipWithIndex.map { case (s, i) =>
+      (7L, new java.sql.Timestamp(base + s * 1000L), i.toLong, "view", 1.0)
+    }.toDF("user_id", "ts", "event_id", "event_type", "value")
+    val r = Growth.eventsBotFlagOf(df).collect().head
+    assert(r.getAs[Long]("modal_delta_s") == 10L &&
+      r.getAs[Long]("modal_share_bp") == 5000L, r.toString)
+  }
+
   test("events_ab_srm: statistic algebra matches the unsplit division") {
     // split long division == floor(d²·1e4 / n) for adversarial d, n
     for ((d, n) <- Seq((0L, 10L), (1L, 3L), (-7L, 13L), (999L, 1000L),
