@@ -746,7 +746,59 @@ object OracleVariants {
       |  ON c.band_id = b.band_id AND c.band_val = b.band_val
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Exact brute-force twin of `embed_hard_negatives` over the capped
+    * anchor set (vec_id < 10): quantized-integer cosine, label-mismatch
+    * join condition, nearest pick as one struct-max — identical tie rule
+    * (max cos, then min neg_id) to the production aggregate, replayed in
+    * DuckDB as a row_number pick. Hash equality proves the mining rule's
+    * arithmetic and tie-breaking end-to-end; the production IVF path is
+    * covered by the spec's cluster-exactness pin. */
+  def embedHardNegativesOracle(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val anchors = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        quant(col("embedding")).as("av"))
+    val cands = emb.select(col("vec_id").as("neg_id"),
+      col("label").cast("long").as("neg_label"), quant(col("embedding")).as("cv"))
+    cands.crossJoin(broadcast(anchors))
+      .filter(col("neg_label") =!= col("label"))
+      .withColumn("cos",
+        round(call_function("quantized_cosine", col("cv"), col("av")), 4))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(struct(col("cos"), (-col("neg_id")).as("nid"),
+        col("neg_label"))).as("m"))
+      .select(col("vec_id"), col("label"), (-col("m.nid")).as("neg_id"),
+        col("m.neg_label").as("neg_label"), col("m.cos").as("cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embedHardNegativesOracleSql: String =
+    s"""WITH a AS (
+      |  SELECT vec_id, label::BIGINT AS label, $quantSql AS av
+      |  FROM embeddings WHERE vec_id < 10
+      |), c AS (
+      |  SELECT vec_id AS neg_id, label::BIGINT AS neg_label, $quantSql AS cv
+      |  FROM embeddings
+      |), p AS (
+      |  SELECT a.vec_id, a.label, c.neg_id, c.neg_label,
+      |    list_sum(list_transform(range(1, len(av) + 1), i -> av[i]*cv[i]))::BIGINT AS dot,
+      |    list_sum(list_transform(av, x -> x*x))::BIGINT AS na,
+      |    list_sum(list_transform(cv, x -> x*x))::BIGINT AS nc
+      |  FROM c CROSS JOIN a WHERE c.neg_label <> a.label
+      |), r AS (
+      |  SELECT vec_id, label, neg_id, neg_label,
+      |    round(dot::DOUBLE / sqrt(greatest(na::DOUBLE * nc::DOUBLE, 1.0)), 4) AS cos
+      |  FROM p
+      |), rk AS (
+      |  SELECT vec_id, label, neg_id, neg_label, cos,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neg_id) AS rn
+      |  FROM r
+      |)
+      |SELECT vec_id, label, neg_id, neg_label, cos FROM rk
+      |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_hard_negatives_oracle" -> (embedHardNegativesOracle _),
     "corpus_fuzzy_decontaminate_oracle" -> (corpusFuzzyDecontaminateOracle _),
     "dedup_minhash_oracle"  -> (dedupMinhashOracle _),
     "dedup_incremental_oracle" -> (dedupIncrementalOracle _),
@@ -760,6 +812,7 @@ object OracleVariants {
     "knn_filtered_oracle" -> (knnFilteredOracle _))
 
   val oracle: Map[String, String] = Map(
+    "embed_hard_negatives_oracle" -> embedHardNegativesOracleSql,
     "corpus_semantic_sample_oracle" -> corpusSemanticSampleOracleSql,
     "corpus_semantic_mix_oracle" -> corpusSemanticMixOracleSql,
     "embed_outliers_oracle" -> embedOutliersOracleSql,

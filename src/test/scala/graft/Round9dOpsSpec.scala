@@ -122,6 +122,54 @@ class Round9dOpsSpec extends SparkSpecBase {
       s"held-out accuracy too low: ${out(("acc", 4L))} bp")
   }
 
+  test("embed_hard_negatives: exact mining on clusters; planted near-anchor negative found") {
+    val rnd = new scala.util.Random(5)
+    val centers = Seq(
+      Array(10f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 10f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f, 0f, 0f, 0f, 0f))
+    val vecs = (0 until 60).map { i =>
+      val l = i % 3
+      val v = centers(l).clone()
+      (0 until 8).foreach(d => v(d) += rnd.nextFloat() - 0.5f)
+      (i.toLong, v.toSeq, l)
+    }
+    // a label-1 vector planted INSIDE cluster 0, right next to anchor ids
+    val planted = (1000L, centers(0).map(x => x + 0.01f).toSeq, 1)
+    val df = (vecs :+ planted).toDF("vec_id", "embedding", "label")
+    val cents = centers.map(_.map(_.toDouble).toSeq)
+
+    def cosR(a: Seq[Float], b: Seq[Float]): BigDecimal = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val all = vecs :+ planted
+    val brute = all.map { case (id, v, l) =>
+      id -> all.filter(o => o._3 != l)
+        .maxBy(o => (cosR(v, o._2), -o._1))._1
+    }.toMap
+
+    // nprobe = 3 probes every cell: production must equal brute exactly
+    val out3 = graft.operators.Similarity
+      .embedHardNegativesWith(df, cents, nprobe = 3).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neg_id")).toMap
+    assert(out3.size == all.size)
+    all.foreach { case (id, _, _) =>
+      assert(out3(id) == brute(id), s"anchor $id: got ${out3(id)} want ${brute(id)}") }
+
+    // nprobe = 2: the planted negative sits in the anchors' OWN cell, so
+    // the pruned search still finds it for every cluster-0 anchor whose
+    // true hard negative it is
+    val out2 = graft.operators.Similarity
+      .embedHardNegativesWith(df, cents, nprobe = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neg_id")).toMap
+    val c0 = vecs.filter(_._3 == 0).map(_._1).filter(id => brute(id) == 1000L)
+    assert(c0.nonEmpty, "planted vector must be some cluster-0 anchor's hard negative")
+    c0.foreach(id => assert(out2(id) == 1000L, s"anchor $id missed the planted negative"))
+  }
+
   test("events_bot_flag: planted bots fire, organic traffic stays silent") {
     val base = java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime
     def ev(u: Long, offsetSec: Long, id: Long) =
