@@ -85,20 +85,27 @@ object Classifier {
       v.toSeq.zipWithIndex.map { case (x, b) => (b.toLong, x) }.toDF("b", "wt"))
     val mistakeCounts = Array.fill(Rounds)(0L)
     for (t <- 0 until Rounds) {
-      // mistake set = doc keys + label only; checkpointed because two
-      // consumers (count + gradient) must see the SAME set
+      // mistake set = doc keys + label only
       val mk = feat.filter(col("is_train") === 1L)
         .join(bcast(w), "b")
         .groupBy(col("doc_id"), col("y"))
         .agg(sum(col("cnt") * col("wt")).as("marg"))
         .filter(col("y") * col("marg") <= 0L)
         .select(col("doc_id"), col("y").as("ym"))
-        .localCheckpoint()
-      mistakeCounts(t) = mk.count()
+      // gradient + mistake count fused into ONE action (the count rides
+      // as a sentinel b = −1 row): the mk subtree appears in both union
+      // branches with an identical exchange, which ReuseExchange dedupes
+      // — one margin pass, one job per round instead of three
       feat.join(mk, "doc_id")
         .groupBy(col("b")).agg(sum(col("ym") * col("cnt")).as("g"))
+        .unionByName(mk.groupBy().agg(count(lit(1)).as("g"))
+          .select(lit(-1L).as("b"), col("g")))
         .collect()
-        .foreach(r => w(r.getAs[Long]("b").toInt) += r.getAs[Long]("g"))
+        .foreach { r =>
+          val b = r.getAs[Long]("b")
+          if (b < 0) mistakeCounts(t) = r.getAs[Long]("g")
+          else w(b.toInt) += r.getAs[Long]("g")
+        }
       (0 to B).foreach(b => wAvg(b) += w(b))
     }
 

@@ -1922,6 +1922,48 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Top-k cosine search over a CELL-PARTITIONED parquet vector index
+    * (built by [[graft.streaming.StreamIngest.vectorIndexStream]] or any
+    * batch writer using the same frozen quantizer): queries pick their
+    * nprobe nearest cells, the probed cell set (≤ queries × nprobe
+    * values, driver-bounded by the serving batch) pushes into the scan
+    * as an `isin` PARTITION filter, and pruning skips every unprobed
+    * directory — the directory layout IS the inverted index, so the scan
+    * cost is the probed posting lists, not the corpus. (Dynamic
+    * partition pruning could derive the same filter from the join at
+    * the cost of a subquery broadcast; the explicit collect keeps the
+    * plan deterministic and pinnable.) Same ranking/tie rule as
+    * [[knnBrute]]: cos desc, neighbor_id asc. */
+  def knnOverVectorIndex(spark: SparkSession, indexPath: String,
+      queriesDf: DataFrame, centroids: Seq[Seq[Double]], nprobe: Int,
+      k: Int): DataFrame = {
+    val cdf = broadcast(
+      spark.createDataFrame(centroids.zipWithIndex.map { case (v, i) => (i, v) })
+        .toDF("cell", "cvec"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))
+    val probes = queriesDf
+      .crossJoin(cdf)
+      .withColumn("csim", cosine(asDouble(col("embedding")), col("cvec")))
+      .withColumn("crn", row_number().over(wq))
+      .filter(col("crn") <= nprobe)
+      .select(col("cell"), col("query_id"), col("embedding").as("qvec"))
+    val cells = probes.select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    spark.read.parquet(indexPath)
+      .filter(col("cell").isin(cells: _*))
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("embedding"), col("qvec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_hard_negatives" -> (embedHardNegatives _),
     "embed_drift"      -> (embedDrift _),

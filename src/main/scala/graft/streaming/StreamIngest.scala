@@ -872,6 +872,38 @@ object StreamIngest {
       }
   }
 
+  /** Input row for [[vectorIndexStream]]. */
+  final case class VecRow(vec_id: Long, ts: java.sql.Timestamp,
+                          embedding: Seq[Float])
+
+  /** Streaming maintenance of the IVF vector index — the ingestion half
+    * of a live vector store: each micro-batch of embeddings is deduped on
+    * vec_id (at-least-once transport; `dropDuplicatesWithinWatermark`
+    * state retires with the watermark), assigned to its nearest coarse
+    * cell under the FROZEN quantizer (assignment is stateless per row —
+    * the same broadcast-centroids expression the batch index uses, so
+    * stream- and batch-built indexes cannot diverge), and appended to a
+    * parquet index PARTITIONED BY cell. Serving then reads only the
+    * probed cells via partition pruning ([[graft.operators.Similarity
+    * .knnOverVectorIndex]]): the directory layout IS the inverted index.
+    * Centroids are trained once offline and passed in frozen — the
+    * standard IVF deployment (faiss trains once, adds forever); drift is
+    * an offline re-train + re-index, not a streaming concern. */
+  def vectorIndexStream(vecs: Dataset[VecRow], centroids: Seq[Seq[Double]],
+                        indexPath: String, watermark: String = "1 hour")
+      : DataStreamWriter[Row] = {
+    val assigned = dedupStreamJittered(vecs.toDF(), "ts", Seq("vec_id"), watermark)
+    assigned.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch
+          .withColumn("cell", graft.operators.Similarity
+            .nearestCellStructAuto(col("embedding"), centroids).getField("cell"))
+          .select(col("cell"), col("vec_id"), col("embedding"))
+          .write.mode("append").partitionBy("cell").parquet(indexPath)
+        ()
+      }
+  }
+
   /** Input row for [[pitJoinStream]]: ONE unioned stream of feature
     * updates (`kind = "feat"`: ts = feature event time, `value` = the
     * feature value, row_id ignored) and serving requests (`kind = "req"`:

@@ -1129,6 +1129,85 @@ class StreamIngestSpec extends SparkSpecBase {
     q.stop()
   }
 
+  test("vectorIndexStream: dedup'd cell-partitioned index; pruned serving equals brute") {
+    val rnd = new scala.util.Random(23)
+    val centers = Seq(
+      Seq(10.0, 0.0, 0.0, 0.0), Seq(0.0, 10.0, 0.0, 0.0), Seq(0.0, 0.0, 10.0, 0.0))
+    val base = ts("2024-10-01 00:00:00").getTime
+    val vecs = (0 until 60).map { i =>
+      val v = centers(i % 3).toArray.map(_.toFloat)
+      (0 until 4).foreach(d => v(d) += rnd.nextFloat() - 0.5f)
+      StreamIngest.VecRow(i.toLong,
+        new Timestamp(base + i * 1000L), v.toSeq)
+    }
+    // 30% re-delivered with jittered timestamps: the dedup must absorb them
+    val feed = rnd.shuffle(vecs ++ vecs.take(18).map(v =>
+      v.copy(ts = new Timestamp(v.ts.getTime + 77L))))
+    val dir = Files.createTempDirectory("graft-vecidx").toString
+    val input = MemoryStream[StreamIngest.VecRow](spark)
+    val q = StreamIngest.vectorIndexStream(input.toDS(), centers, s"$dir/idx",
+        watermark = "720 hours")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    feed.grouped(1 + feed.size / 4).foreach { b =>
+      input.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+
+    val idx = spark.read.parquet(s"$dir/idx")
+    assert(idx.count() == 60L, "re-deliveries must not duplicate index rows")
+    // streamed assignment == batch assignment under the same quantizer
+    import spark.implicits._
+    val batchDf = vecs.map(v => (v.vec_id, v.embedding)).toDF("vec_id", "embedding")
+    val batchCells = batchDf
+      .withColumn("cell", graft.operators.Similarity
+        .nearestCellStructAuto(col("embedding"), centers).getField("cell"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    idx.collect().foreach { r =>
+      assert(r.getAs[Int]("cell") == batchCells(r.getAs[Long]("vec_id")),
+        s"cell mismatch for vec ${r.getAs[Long]("vec_id")}")
+    }
+
+    // serving with all cells probed == brute top-3 on the full set
+    val queries = batchDf.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val served = graft.operators.Similarity.knnOverVectorIndex(
+        spark, s"$dir/idx", queries, centers, nprobe = 3, k = 3)
+    def cosR(a: Seq[Float], b: Seq[Float]): BigDecimal = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val n = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      BigDecimal(dot / n).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val byId = vecs.map(v => v.vec_id -> v.embedding).toMap
+    val brute = (0L until 5L).flatMap { qid =>
+      vecs.filter(_.vec_id != qid)
+        .map(v => (v.vec_id, cosR(byId(qid), v.embedding)))
+        .sortBy { case (id, c) => (-c, id) }.take(3)
+        .zipWithIndex.map { case ((nid, _), i) => (qid, i + 1L, nid) }
+    }.toSet
+    val got = served.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank").toLong,
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(got == brute, s"\n only-served ${got -- brute}\n only-brute ${brute -- got}")
+
+    // the cell isin filter (exactly what knnOverVectorIndex pushes) must
+    // reach the scan as a PARTITION filter and cut the files read — the
+    // directory layout is the inverted index
+    val probeScanDf = spark.read.parquet(s"$dir/idx")
+      .filter(col("cell").isin(batchCells(0L)))
+    probeScanDf.collect()
+    val scan = probeScanDf.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("expected a FileSourceScanExec"))
+    assert(scan.partitionFilters.exists(_.references.map(_.name).toSeq.contains("cell")),
+      "cell predicate must be a partition filter, not a data filter")
+    val totalFiles = spark.read.parquet(s"$dir/idx").inputFiles.length.toLong
+    val scanned = scan.metrics("numFiles").value
+    assert(scanned > 0 && scanned < totalFiles,
+      s"partition pruning must cut the scan: read $scanned of $totalFiles files")
+  }
+
   /** Shared harness for the pitJoinStream parity tests: returns the
     * (streamed, batch) result sets for the same random corpus. */
   private def pitParity(seed: Int, maxAgeSec: Option[Long], shuffle: Boolean)
