@@ -21,7 +21,9 @@ object Bench {
     "dedup_minhash_oracle", "dedup_simhash_oracle", "knn_brute_oracle",
     "dedup_embed_oracle", "multimodal_meta_oracle", "dedup_semantic_oracle",
     "dedup_incremental_oracle", "corpus_fuzzy_decontaminate_oracle",
-    "embed_project_oracle", "corpus_semantic_sample_oracle")
+    "embed_project_oracle", "corpus_semantic_sample_oracle",
+    "corpus_semantic_mix_oracle", "embed_outliers_oracle",
+    "knn_filtered_oracle", "embed_hard_negatives_oracle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1344,15 +1344,17 @@ object Similarity {
     // within ~0.03 cosine of the true hardest — near-hard negatives,
     // which is what mining needs; floor sits a margin below)
     val hnFloor = 40L
-    val hn = embedHardNegatives(spark, dir)
-      .filter(col("vec_id") < 10)
+    // exact side pinned once (two consumers); production mining capped to
+    // the twin's anchors INSIDE the op, not post-filtered
+    val hnExact = OracleVariants.embedHardNegativesOracle(spark, dir)
+      .select(col("vec_id"), col("neg_id")).localCheckpoint()
+    val hn = embedHardNegativesWith(Tables.embeddings(spark, dir),
+        loadOrTrainCentroids(spark, dir), nprobe = 6,
+        anchorFilter = col("vec_id") < 10)
       .select(col("vec_id"), col("neg_id"))
-      .join(OracleVariants.embedHardNegativesOracle(spark, dir)
-        .select(col("vec_id"), col("neg_id")),
-        Seq("vec_id", "neg_id"), "left_semi")
+      .join(hnExact, Seq("vec_id", "neg_id"), "left_semi")
       .agg(count(lit(1)).as("n_hit"))
-      .crossJoin(broadcast(OracleVariants.embedHardNegativesOracle(spark, dir)
-        .agg(count(lit(1)).as("n_brute"))))
+      .crossJoin(broadcast(hnExact.agg(count(lit(1)).as("n_brute"))))
       .select(lit("hard_neg").as("method"),
         when(col("n_brute") > 0,
           round(col("n_hit") * 100.0 / col("n_brute")).cast("long"))
@@ -1893,7 +1895,7 @@ object Similarity {
       loadOrTrainCentroids(spark, dir), nprobe = 6)
 
   def embedHardNegativesWith(emb: DataFrame, centroids: Seq[Seq[Double]],
-      nprobe: Int): DataFrame = {
+      nprobe: Int, anchorFilter: Column = lit(true)): DataFrame = {
     val spark = emb.sparkSession
     val cands = emb
       .withColumn("cell", nearestCellExpr(col("embedding"), centroids))
@@ -1904,7 +1906,7 @@ object Similarity {
         .toDF("cell", "cvec"))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
-    val anchors = emb
+    val anchors = emb.filter(anchorFilter)
       .crossJoin(cdf)
       .withColumn("csim", cosine(asDouble(col("embedding")), col("cvec")))
       .withColumn("crn", row_number().over(wq))

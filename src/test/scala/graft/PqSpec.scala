@@ -113,9 +113,10 @@ class PqSpec extends SparkSpecBase {
     spark.conf.set("graft.ivf.dir", tmpIvf)
     try {
       val out = Similarity.knnRecall(spark, dir).collect()
-      // 3 rows = every method above its floor; a recall regression drops
+      // 4 rows = every method above its floor; a recall regression drops
       // its row, which the driver's rows count surfaces
-      assert(out.map(_.getAs[String]("method")).toSeq == Seq("ivf", "ivfpq", "pq"))
+      assert(out.map(_.getAs[String]("method")).toSeq ==
+        Seq("hard_neg", "ivf", "ivfpq", "pq"))
       out.foreach { r =>
         assert(r.getAs[Long]("recall_e2") >= r.getAs[Long]("floor_e2"),
           s"${r.getAs[String]("method")} below floor: $r")
