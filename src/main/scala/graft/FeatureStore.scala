@@ -255,6 +255,84 @@ final class FeatureStore(val registry: Registry, spark: SparkSession,
       tsCol = t.eventTsCol, nowCol = lit(nowTs), maxAgeSec = t.maxAgeSec)
   }
 
+  /** Data-quality validation of a registered table against declarative
+    * [[graft.model.Expectation]]s — the value-level contract layer above
+    * the registry's schema rules (reference: Core validates NAMES —
+    * ValidatorsKt / subscription rules; the values a table actually
+    * ingests get no contract there. Every feature platform adds one; this
+    * is that report as a first-class engine query). One row per check:
+    * (check, feature, observed, threshold, pass) — all exact integers, so
+    * the report is engine-portable and hash-gateable.
+    *
+    * Plan shape: every row-grain signal (null counts, range violations,
+    * row count, one distinct-key count) partial-aggregates in ONE pass
+    * over the source; Freshness adds one per-key max_by pass (the
+    * getFreshness grain) reduced to its global min. The per-check report
+    * rows are selects over those 1-row aggregates (localCheckpointed —
+    * k branches must not re-scan the fact k times). Unknown feature names
+    * fail fast with the reference's error shape. */
+  def validateTable(tableName: String,
+      checks: Seq[graft.model.Expectation]): DataFrame = {
+    import graft.model.Expectation._
+    require(checks.nonEmpty, "validateTable needs at least one expectation")
+    val t = table(tableName)
+    val declared = t.features.map(f => f.name -> f).toMap
+    val named = checks.collect {
+      case NotNull(f, _) => f
+      case InRange(f, _, _, _) => f
+    }
+    val unknown = named.distinct.filterNot(declared.contains)
+    require(unknown.isEmpty,
+      s"Feature(s) ${unknown.mkString(", ")} not found in table ${t.name}")
+    val keyCols = t.entities ++ Seq(t.eventTsCol) ++ t.createdTsCol
+    val raw = BatchSource.read(spark, sourceOf(t))
+      .select(keyCols.map(col) ++ named.distinct.map(n =>
+        col(n).cast(declared(n).valueType.sparkType).as(n)): _*)
+    val aggs = Seq(count(lit(1)).as("__rows"),
+        count_distinct(struct(keyCols.map(col): _*)).as("__keys")) ++
+      checks.zipWithIndex.collect {
+        case (NotNull(f, _), i) =>
+          sum(when(col(f).isNull, 1L).otherwise(0L)).as(s"__c$i")
+        case (InRange(f, lo, hi, _), i) =>
+          sum(when(col(f).isNotNull && (col(f) < lo || col(f) > hi), 1L)
+            .otherwise(0L)).as(s"__c$i")
+      }
+    val row = raw.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    val keyLabel = t.entities.mkString(",")
+    val reports = checks.zipWithIndex.map {
+      case (NotNull(f, maxBp), i) =>
+        row.select(lit("not_null").as("check"), lit(f).as("feature"),
+          expr(s"__c$i * 10000 DIV greatest(__rows, 1)").as("observed"),
+          lit(maxBp).as("threshold"))
+      case (InRange(f, _, _, maxV), i) =>
+        row.select(lit("in_range").as("check"), lit(f).as("feature"),
+          col(s"__c$i").as("observed"), lit(maxV).as("threshold"))
+      case (UniqueKey(maxD), _) =>
+        row.select(lit("unique_key").as("check"), lit(keyLabel).as("feature"),
+          (col("__rows") - col("__keys")).as("observed"),
+          lit(maxD).as("threshold"))
+      case (Freshness(nowTs), _) =>
+        // the most-stale key's latest row: per-key max(ts), then the min
+        // of those — the key a serving read would fetch oldest data for
+        val worst = LatestValue.latest(
+            BatchSource.read(spark, sourceOf(t)),
+            keys = t.entities, orderCols = Seq(t.eventTsCol) ++ t.createdTsCol,
+            valueCols = Seq(t.eventTsCol))
+          .agg(min(col(t.eventTsCol)).as("__worst_ts"))
+        worst
+          .withColumn("__age_us",
+            unix_micros(lit(nowTs)) -
+              unix_micros(col("__worst_ts").cast("timestamp")))
+          .select(lit("freshness").as("check"), lit(keyLabel).as("feature"),
+            expr("__age_us DIV 1000000").as("observed"),
+            lit(t.maxAgeSec.getOrElse(-1L)).as("threshold"))
+    }
+    reports.reduce(_ unionAll _)
+      .withColumn("pass",
+        when(col("threshold") < 0, 1).otherwise(
+          when(col("observed") <= col("threshold"), 1).otherwise(0)))
+  }
+
   /** Daily feature-snapshot backfill of a registered table — the
     * registry-driven form of `ft_daily_snapshot` (the feast-0.9 nightly
     * materialization over a range of windows at once): per (entities,

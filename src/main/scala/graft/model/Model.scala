@@ -287,6 +287,32 @@ final case class OnDemandView(
     inputs: Seq[FeatureRef],
     features: Seq[OnDemandFeature])
 
+/** Declarative data-quality expectation over a registered feature table
+  * (reference: the Core registry's validation surface stops at schema
+  * rules — ValidatorsKt reserved names / subscriptions; the VALUE-level
+  * contract every feature platform bolts on next is this: null budgets,
+  * range contracts, key uniqueness, staleness). Each case evaluates to one
+  * exact-integer `observed` compared against an integer `threshold`, so a
+  * validation report is engine-portable and hash-gateable. */
+sealed trait Expectation
+object Expectation {
+  /** Null-rate budget: observed = nulls·10⁴ DIV rows (bp). */
+  final case class NotNull(feature: String, maxNullBp: Long = 0L) extends Expectation
+  /** Range contract over a numeric feature: observed = count of non-null
+    * values outside [lo, hi] (comparisons only — no cross-engine float
+    * arithmetic). */
+  final case class InRange(feature: String, lo: Double, hi: Double,
+      maxViolations: Long = 0L) extends Expectation
+  /** Grain contract: observed = surplus rows beyond one per
+    * (entities, event_ts, created_ts) key. */
+  final case class UniqueKey(maxDuplicates: Long = 0L) extends Expectation
+  /** Staleness contract: observed = age in seconds of the most-stale
+    * key's LATEST row at `nowTs` (the key a serving read would fetch
+    * oldest data for); threshold = the table's registered max_age, −1
+    * (vacuous pass) when the table declares none. */
+  final case class Freshness(nowTs: java.sql.Timestamp) extends Expectation
+}
+
 /** In-memory registry with the reference Core's CRUD surface, scoped by
   * project (reference: SpecService.java apply/get/list — project autofilled
   * to "default", archived projects reject writes; ProjectService.java

@@ -650,6 +650,60 @@ object FeatureOps {
       |       ELSE 'OUTSIDE_MAX_AGE' END AS status
       |FROM latest l CROSS JOIN mx m ORDER BY l.user_id""".stripMargin
 
+  /** Data-quality expectations end-to-end through the facade
+    * (`FeatureStore.validateTable` over the RELOADED demo registry — the
+    * ft_historical durability discipline): the four contract classes a
+    * feature platform checks before promoting a table — null budget,
+    * range contract, key uniqueness, staleness vs the REGISTERED max_age
+    * — each one exact-integer row (check, feature, observed, threshold,
+    * pass). The gate corpus exercises both branches: not_null/unique_key
+    * pass, in_range (value ≤ 100 against a ~490 max) and freshness (a
+    * pinned "now" 9 days past the most-stale key's latest row vs the 7-day
+    * max_age) fail. Plan: one partial-aggregated fact pass for every
+    * row-grain signal + one per-key latest pass for staleness; report
+    * branches select from the localCheckpointed 1-row aggregate. */
+  def ftExpectations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.model.Expectation._
+    val fs = new graft.FeatureStore(demoRegistryReloaded(spark, dir), spark)
+    fs.validateTable("user_activity", Seq(
+        NotNull("value", maxNullBp = 0L),
+        InRange("value", lo = 0.0, hi = 100.0, maxViolations = 0L),
+        UniqueKey(maxDuplicates = 0L),
+        Freshness(java.sql.Timestamp.valueOf("2024-02-06 00:00:00"))))
+      .orderBy(col("check"), col("feature"))
+  }
+
+  val ftExpectationsSql: String =
+    """WITH s AS (
+      |  SELECT count(*) AS rows_n,
+      |    count(DISTINCT (user_id, ts)) AS keys_n,
+      |    sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nulls_n,
+      |    sum(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 100.0)
+      |        THEN 1 ELSE 0 END) AS viol_n
+      |  FROM events
+      |), w AS (
+      |  SELECT min(mts) AS worst_ts FROM (
+      |    SELECT user_id, max(ts) AS mts FROM events GROUP BY 1)
+      |), r AS (
+      |  SELECT 'not_null' AS chk, 'value' AS feature,
+      |    CAST(nulls_n * 10000 // greatest(rows_n, 1) AS BIGINT) AS observed,
+      |    CAST(0 AS BIGINT) AS threshold FROM s
+      |  UNION ALL
+      |  SELECT 'in_range', 'value', CAST(viol_n AS BIGINT),
+      |    CAST(0 AS BIGINT) FROM s
+      |  UNION ALL
+      |  SELECT 'unique_key', 'user_id', CAST(rows_n - keys_n AS BIGINT),
+      |    CAST(0 AS BIGINT) FROM s
+      |  UNION ALL
+      |  SELECT 'freshness', 'user_id',
+      |    CAST((epoch_us(TIMESTAMP '2024-02-06 00:00:00') - epoch_us(worst_ts))
+      |      // 1000000 AS BIGINT),
+      |    CAST(604800 AS BIGINT) FROM w
+      |)
+      |SELECT chk AS "check", feature, observed, threshold,
+      |  CASE WHEN threshold < 0 OR observed <= threshold THEN 1 ELSE 0 END AS pass
+      |FROM r ORDER BY 1, 2""".stripMargin
+
   /** Online-store consistency audit end-to-end through the facade
     * (`FeatureStore.auditStore`): the "store" is a read-only view holding
     * the latest row per key over only the EVEN event_ids (a deterministic
@@ -980,6 +1034,7 @@ object FeatureOps {
     "ft_time_to_convert" -> (ftTimeToConvert _),
     "ft_label_join"   -> (ftLabelJoin _),
     "store_audit"     -> (storeAudit _),
+    "ft_expectations" -> (ftExpectations _),
     "ft_freshness"    -> (ftFreshness _),
     "ft_latest"       -> (ftLatest _),
     "ft_latest_range" -> (ftLatestRange _),
@@ -1005,6 +1060,7 @@ object FeatureOps {
     "ft_time_to_convert" -> ftTimeToConvertSql,
     "ft_label_join"   -> ftLabelJoinSql,
     "store_audit"     -> storeAuditSql,
+    "ft_expectations" -> ftExpectationsSql,
     "ft_freshness"    -> ftFreshnessSql,
     "ft_latest"       -> ftLatestSql,
     "ft_latest_range" -> ftLatestRangeSql,

@@ -1302,8 +1302,73 @@ object TextAnalysis {
       |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  /** Output-shard manifest: the plan for the LAST step of a training-data
+    * pipeline — writing the curated corpus as fixed-token-budget shards in
+    * the deterministic hash order ([[corpusEpochShuffle]]'s order at epoch
+    * 0, i.e. [[idHash]] priority): each doc is assigned the shard where
+    * its cumulative token offset begins (shard = floor(offset / size) —
+    * docs are atomic, a doc straddling a boundary belongs to the shard it
+    * starts in), and the manifest reports per shard the doc count, token
+    * sum, and the [min_h, max_h] priority range a writer needs to claim
+    * its slice. The gate derives shard size from a pinned shard COUNT
+    * (total DIV 64) so output is SF-stable; the production form takes the
+    * byte/token size as the parameter and emits one row per written shard.
+    *
+    * Scale shape: the [[corpusTokenBudgetOf]] carry-in discipline on the
+    * GLOBAL (no lang partition) cumsum — 1024 hash-range buckets whose
+    * subtotals ride a tiny aggregate, cross-bucket offsets a window over
+    * ≤1024 rows broadcast back, within-bucket windows 1024-way parallel;
+    * the manifest reduction partial-aggregates to ≤|shards|+1 rows. The
+    * DuckDB oracle computes the NAIVE single-window global cumsum,
+    * cross-proving the sharding. All exact integers. */
+  def corpusShardManifest(spark: SparkSession, dir: String): DataFrame =
+    corpusShardManifestOf(Tables.documents(spark, dir), targetShards = 64)
+
+  def corpusShardManifestOf(docs: DataFrame, targetShards: Int): DataFrame = {
+    val t = docs.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(wsTok), lit(0))).cast("long").as("n_toks"),
+        idHash(col("doc_id")).as("h"))
+      .withColumn("bucket", expr(s"(h * 1024) div $HashP"))
+    val wB = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    // ≤1024 rows reach this aggregate; the unpartitioned windows over it
+    // are bounded by construction (the token_budget carry-in discipline)
+    val offs = t.groupBy(col("bucket")).agg(sum(col("n_toks")).as("bsum"))
+      .withColumn("bstart", coalesce(sum(col("bsum")).over(wB), lit(0L)))
+      .withColumn("ssize",
+        greatest(expr(s"sum(bsum) OVER () div $targetShards"), lit(1L)))
+      .select(col("bucket"), col("bstart"), col("ssize"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.join(broadcast(offs), Seq("bucket"))
+      .withColumn("run", col("bstart") + sum(col("n_toks")).over(wIn))
+      .withColumn("shard_id", expr("(run - n_toks) div ssize"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tok_sum"),
+        min(col("h")).as("min_h"), max(col("h")).as("max_h"))
+      .orderBy(col("shard_id"))
+  }
+
+  val corpusShardManifestSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '$wsTok')) AS BIGINT) AS n_toks,
+      |    ${idHashSql("doc_id")} AS h
+      |  FROM documents
+      |), tot AS (
+      |  SELECT greatest(CAST(sum(n_toks) AS BIGINT) // 64, 1) AS ssize FROM t
+      |), r AS (
+      |  SELECT t.*, CAST(sum(n_toks) OVER (ORDER BY h, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+      |  FROM t
+      |)
+      |SELECT CAST((run - n_toks) // ssize AS BIGINT) AS shard_id,
+      |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS tok_sum,
+      |  CAST(min(h) AS BIGINT) AS min_h, CAST(max(h) AS BIGINT) AS max_h
+      |FROM r CROSS JOIN tot GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_epoch_shuffle" -> (corpusEpochShuffle _),
+    "corpus_shard_manifest" -> (corpusShardManifest _),
     "corpus_token_budget" -> (corpusTokenBudget _),
     "corpus_quality_sample" -> (corpusQualitySample _),
     "corpus_lang_confusion" -> (corpusLangConfusion _),
@@ -1334,6 +1399,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "corpus_epoch_shuffle" -> corpusEpochShuffleSql,
+    "corpus_shard_manifest" -> corpusShardManifestSql,
     "corpus_token_budget" -> corpusTokenBudgetSql,
     "corpus_quality_sample" -> corpusQualitySampleSql,
     "corpus_lang_confusion" -> corpusLangConfusionSql,

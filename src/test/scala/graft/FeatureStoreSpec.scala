@@ -723,4 +723,71 @@ class FeatureStoreSpec extends SparkSpecBase {
       "forward label: the 01-05 value within the 5-day window")
     assert(r.getAs[Timestamp]("activity__label_ts") == ts("2024-01-05 10:00:00"))
   }
+
+  private lazy val dqStore: FeatureStore = {
+    // one null, one duplicate (user,ts) key, one out-of-range value; the
+    // most-stale key is user 2 (latest 01-02) — every check branch has a
+    // hand-computable answer
+    val feats = Seq(
+      (1L, ts("2024-01-01 00:00:00"), Option.empty[Double]),
+      (1L, ts("2024-01-01 00:00:00"), Some(5.0)),
+      (1L, ts("2024-01-10 00:00:00"), Some(150.0)),
+      (2L, ts("2024-01-02 00:00:00"), Some(50.0)))
+      .toDF("user_id", "ts", "value")
+    feats.write.mode("overwrite").parquet(s"$workDir/dq")
+    val r = new Registry
+    r.applyEntity(Entity("user_id", ValueKind.Int64K))
+    r.applyTable(FeatureTable(
+      name = "dq", entities = Seq("user_id"),
+      features = Seq(Feature("value", ValueKind.DoubleK)),
+      maxAgeSec = Some(7L * 86400), eventTsCol = "ts",
+      batchSourcePath = Some(s"$workDir/dq")))
+    r.applyTable(FeatureTable(
+      name = "dq_nocontract", entities = Seq("user_id"),
+      features = Seq(Feature("value", ValueKind.DoubleK)),
+      maxAgeSec = None, eventTsCol = "ts",
+      batchSourcePath = Some(s"$workDir/dq")))
+    new FeatureStore(r, spark)
+  }
+
+  test("validateTable: the four contract classes on a hand-built corpus") {
+    import Expectation._
+    val out = dqStore.validateTable("dq", Seq(
+        NotNull("value", maxNullBp = 0L),
+        InRange("value", lo = 0.0, hi = 100.0, maxViolations = 0L),
+        InRange("value", lo = 0.0, hi = 100.0, maxViolations = 1L),
+        UniqueKey(maxDuplicates = 0L),
+        Freshness(ts("2024-01-12 00:00:00"))))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSeq
+    // not_null: 1 null of 4 rows = 2500 bp, over the 0 budget
+    assert(out.contains(("not_null", 2500L, 0L, 0)))
+    // in_range: the 150.0 row violates; fails at budget 0, passes at 1
+    assert(out.contains(("in_range", 1L, 0L, 0)))
+    assert(out.contains(("in_range", 1L, 1L, 1)))
+    // unique_key: 4 rows over 3 distinct (user_id, ts) keys = 1 surplus
+    assert(out.contains(("unique_key", 1L, 0L, 0)))
+    // freshness: user 2's latest is 01-02, 10 days before "now" — past
+    // the 7-day registered max_age
+    assert(out.contains(("freshness", 10L * 86400, 7L * 86400, 0)))
+  }
+
+  test("validateTable: no registered max_age is a vacuous freshness pass") {
+    import Expectation._
+    val out = dqStore.validateTable("dq_nocontract",
+        Seq(Freshness(ts("2030-01-01 00:00:00")))).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(3) == -1L && out.head.getInt(4) == 1)
+  }
+
+  test("validateTable fails fast on an unregistered feature") {
+    import Expectation._
+    val e = intercept[IllegalArgumentException] {
+      dqStore.validateTable("dq", Seq(NotNull("nope")))
+    }
+    assert(e.getMessage.contains("nope"))
+    intercept[IllegalArgumentException] {
+      dqStore.validateTable("dq", Seq.empty)
+    }
+  }
 }
