@@ -690,11 +690,89 @@ object GraphOps {
       .select(col("a"), col("b"), col("w"))
   }
 
+  /** Connected components over the user×user co-activity graph — the
+    * second-domain gate for [[Components]] (dedup_clusters/embed_clusters
+    * consume it over doc/embedding dup graphs; this drives the SAME
+    * hybrid propagation→large/small-star fixpoint over a graph whose
+    * vertex set grows with the data, previously only probe-covered).
+    * Per user: (user_id, component, comp_size) with component = min
+    * user_id reachable — the community-island report behind cohorting,
+    * fraud-ring review, and social-feature backfills.
+    *
+    * Plan shape: the graph derivation is [[userCoSessionGraphOf]]'s
+    * capped pipeline (every intermediate bounded by construction); the
+    * CC fixpoint is O(log n) rounds regardless of component diameter
+    * (Kiveris SoCC'14 star phase); component sizes are a component-grain
+    * aggregate broadcast back onto the user-grain labels. Users with no
+    * edges label themselves via the left join — the singleton majority
+    * never enters the fixpoint loop (each round is O(|edge subgraph|),
+    * not O(users)).
+    *
+    * Oracle: DuckDB re-derives the capped graph and resolves components
+    * as recursive-CTE reachability closure + min label — an
+    * independent algorithm (transitive closure vs star contraction), so
+    * the hash gate cross-proves the fixpoint, not just the derivation. */
+  def graphComponents(spark: SparkSession, dir: String): DataFrame =
+    graphComponentsOf(Tables.events(spark, dir))
+
+  def graphComponentsOf(ev: DataFrame): DataFrame = {
+    val edges = userCoSessionGraphOf(ev)
+    val labels = Components.minLabel(edges.select(col("a"), col("b")))
+      .select(col("doc_id").as("user_id"), col("lbl").as("component"))
+    val users = ev.select(col("user_id")).distinct()
+    val lab = users.join(labels, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("component"), col("user_id")).as("component"))
+    // component-domain table (≤ |users| rows, far fewer in practice) —
+    // broadcast back onto the user grain, no second user exchange
+    val sizes = lab.groupBy(col("component")).agg(count(lit(1)).as("comp_size"))
+    lab.join(broadcast(sizes), Seq("component"))
+      .select(col("user_id"), col("component"), col("comp_size"))
+      .orderBy(col("user_id"))
+  }
+
+  val graphComponentsSql: String =
+    """WITH RECURSIVE hrs AS (
+      |  SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr, user_id,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), capped AS MATERIALIZED (
+      |  SELECT hr, user_id FROM (
+      |    SELECT hr, user_id,
+      |      row_number() OVER (PARTITION BY hr ORDER BY n DESC, user_id) AS rn
+      |    FROM hrs) WHERE rn <= 20
+      |), pairs AS (
+      |  SELECT x.user_id AS a, y.user_id AS b, count(*) AS w
+      |  FROM capped x JOIN capped y ON x.hr = y.hr AND x.user_id < y.user_id
+      |  GROUP BY 1, 2
+      |), kept AS MATERIALIZED (
+      |  SELECT a, b FROM (
+      |    SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY w DESC, b) AS rn
+      |    FROM pairs) WHERE rn <= 8
+      |), bi AS MATERIALIZED (
+      |  SELECT a AS n1, b AS n2 FROM kept
+      |  UNION ALL SELECT b AS n1, a AS n2 FROM kept
+      |), reach(src, node) AS (
+      |  SELECT n1, n1 FROM bi
+      |  UNION
+      |  SELECT r.src, e.n2 FROM reach r JOIN bi e ON e.n1 = r.node
+      |), lbl AS (
+      |  SELECT src AS user_id, min(node) AS component FROM reach GROUP BY 1
+      |), lab AS (
+      |  SELECT u.user_id, coalesce(l.component, u.user_id) AS component
+      |  FROM (SELECT DISTINCT user_id FROM events) u
+      |  LEFT JOIN lbl l USING (user_id)
+      |), sz AS (SELECT component, count(*) AS comp_size FROM lab GROUP BY 1)
+      |SELECT lab.user_id, CAST(lab.component AS BIGINT) AS component,
+      |  CAST(sz.comp_size AS BIGINT) AS comp_size
+      |FROM lab JOIN sz USING (component) ORDER BY lab.user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_bfs"         -> (graphBfs _),
     "graph_pagerank"    -> (graphPagerank _),
     "graph_hits"        -> (graphHits _),
     "graph_triangles"   -> (graphTriangles _),
+    "graph_components"  -> (graphComponents _),
     "graph_reciprocity" -> (graphReciprocity _))
 
   val oracle: Map[String, String] = Map(
@@ -702,5 +780,6 @@ object GraphOps {
     "graph_pagerank"    -> graphPagerankSql,
     "graph_hits"        -> graphHitsSql,
     "graph_triangles"   -> graphTrianglesSql,
+    "graph_components"  -> graphComponentsSql,
     "graph_reciprocity" -> graphReciprocitySql)
 }

@@ -633,7 +633,160 @@ object Growth {
       |LEFT JOIN m ON n.user_id = m.user_id
       |ORDER BY n.user_id""".stripMargin
 
+  /** CUPED variance-reduced A/B lift (Deng et al., WSDM'13 "Improving the
+    * Sensitivity of Online Controlled Experiments by Utilizing Pre-
+    * Experiment Data") — the adjustment every mature experimentation
+    * platform applies before reading a lift: Y_cuped = Y − θ(X − X̄) with
+    * X a PRE-experiment covariate (here: the user's event count in the
+    * first 15 days) and Y the experiment-period conversion, θ =
+    * cov(X,Y)/var(X). Pre-period behavior is unaffected by treatment, so
+    * the adjustment removes the covariate's share of the variance without
+    * biasing the lift — the same experiment resolves effects ~1/(1−ρ²)
+    * smaller. Arm-mean algebra collapses the per-user adjustment:
+    * cuped_lift = (ȳ_B − ȳ_A) − θ(x̄_B − x̄_A), so the whole statistic is
+    * ONE user-grain aggregate over the same hash-arm split as
+    * [[eventsAbLift]] (A/A by construction on this corpus: true lift ≈ 0;
+    * the gate checks the machinery, not a planted effect).
+    *
+    * Exactness: θ and the lifts are e6-scaled truncating-DIV integers
+    * over exact integer moment sums (x ≥ 0 event counts, y ∈ {0,1});
+    * DuckDB `//` and Spark `DIV` both truncate toward zero, so negative
+    * covariances replay bit-for-bit. Moment products bound the gate form
+    * to ~n·x²·1e6 < 2⁶³ (holds through sf10-class corpora); a planetary-
+    * scale production run centers X on a broadcast first-pass mean and
+    * carries double moments — θ need not be exact there, only the GATE
+    * demands hash portability.
+    *
+    * Plan: one fact pass collapses to user grain (partial-aggregated),
+    * the 1-row split-day broadcast rides a crossJoin, the moment
+    * aggregate is one reduction to a single row — no second fact scan. */
+  def eventsCuped(spark: SparkSession, dir: String): DataFrame =
+    eventsCupedOf(Tables.events(spark, dir))
+
+  def eventsCupedOf(ev: DataFrame): DataFrame = {
+    val days = ev.select(col("user_id"), col("event_type"),
+      floor(unix_micros(col("ts")) / lit(DayUs)).cast("long").as("day"))
+    val split = days.agg((min(col("day")) + lit(15L)).as("split_day"))
+    val users = days.crossJoin(broadcast(split))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("day") < col("split_day"), 1L).otherwise(0L)).as("x"),
+        max(when(col("day") >= col("split_day") &&
+          col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .withColumn("arm", pmod(TextAnalysis.idHash(col("user_id")), lit(2)).cast("long"))
+    users.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(col("x")), lit(0L)).as("sx"),
+        coalesce(sum(col("y")), lit(0L)).as("sy"),
+        coalesce(sum(col("x") * col("x")), lit(0L)).as("sxx"),
+        coalesce(sum(col("x") * col("y")), lit(0L)).as("sxy"),
+        coalesce(sum(when(col("arm") === 0, 1L).otherwise(0L)), lit(0L)).as("n_a"),
+        coalesce(sum(when(col("arm") === 1, 1L).otherwise(0L)), lit(0L)).as("n_b"),
+        coalesce(sum(when(col("arm") === 0, col("y")).otherwise(0L)), lit(0L)).as("conv_a"),
+        coalesce(sum(when(col("arm") === 1, col("y")).otherwise(0L)), lit(0L)).as("conv_b"),
+        coalesce(sum(when(col("arm") === 0, col("x")).otherwise(0L)), lit(0L)).as("px_a"),
+        coalesce(sum(when(col("arm") === 1, col("x")).otherwise(0L)), lit(0L)).as("px_b"))
+      .withColumn("theta_e6",
+        expr("(n * sxy - sx * sy) * 1000000 DIV greatest(n * sxx - sx * sx, 1)"))
+      .withColumn("lift_e6",
+        expr("conv_b * 1000000 DIV greatest(n_b, 1) - conv_a * 1000000 DIV greatest(n_a, 1)"))
+      .withColumn("dx_e6",
+        expr("px_b * 1000000 DIV greatest(n_b, 1) - px_a * 1000000 DIV greatest(n_a, 1)"))
+      .withColumn("cuped_lift_e6", expr("lift_e6 - theta_e6 * dx_e6 DIV 1000000"))
+      .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        col("theta_e6"), col("lift_e6"), col("dx_e6"), col("cuped_lift_e6"))
+  }
+
+  val eventsCupedSql: String = {
+    val arm = s"(${TextAnalysis.idHashSql("user_id")} % 2)"
+    s"""WITH d AS (
+      |  SELECT user_id, event_type,
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      |  FROM events
+      |), sp AS (SELECT min(day) + 15 AS split_day FROM d
+      |), u AS (
+      |  SELECT user_id, CAST($arm AS BIGINT) AS arm,
+      |    CAST(sum(CASE WHEN day < split_day THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(max(CASE WHEN day >= split_day AND event_type = 'purchase'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS y
+      |  FROM d CROSS JOIN sp GROUP BY 1, 2
+      |), g AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS conv_a,
+      |    CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS conv_b,
+      |    CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS px_a,
+      |    CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS px_b
+      |  FROM u
+      |), t AS (
+      |  SELECT *,
+      |    CAST((n * sxy - sx * sy) * 1000000
+      |      // greatest(n * sxx - sx * sx, 1) AS BIGINT) AS theta_e6,
+      |    CAST(conv_b * 1000000 // greatest(n_b, 1)
+      |      - conv_a * 1000000 // greatest(n_a, 1) AS BIGINT) AS lift_e6,
+      |    CAST(px_b * 1000000 // greatest(n_b, 1)
+      |      - px_a * 1000000 // greatest(n_a, 1) AS BIGINT) AS dx_e6
+      |  FROM g
+      |)
+      |SELECT n_a, n_b, conv_a, conv_b, theta_e6, lift_e6, dx_e6,
+      |  CAST(lift_e6 - theta_e6 * dx_e6 // 1000000 AS BIGINT) AS cuped_lift_e6
+      |FROM t""".stripMargin
+  }
+
+  /** Power-user curve (the "L28" activity-frequency histogram): for each
+    * possible active-day count k in the trailing 28-day window, how many
+    * users were active exactly k days — the smile-shaped distribution
+    * every engagement review opens with (a heavy right mode = habit, a
+    * left-packed curve = drive-by traffic). [[eventsStickiness]] reports
+    * the DAU/MAU ratio (one number); this is the full distribution that
+    * ratio summarizes away. Window = the last 28 calendar days ending at
+    * the corpus max day (dense k grid 1..28, zero-count ks included —
+    * the shape IS the deliverable, holes would lie).
+    *
+    * Plan: one fact pass collapses to distinct (user, day) within the
+    * window (partial-aggregated on the user exchange), per-user day
+    * counts ride the same exchange, the k histogram is a ≤28-row
+    * aggregate joined onto the static k grid — nothing after the first
+    * exchange is corpus-sized. Exact integers throughout. */
+  def eventsPowerCurve(spark: SparkSession, dir: String): DataFrame =
+    eventsPowerCurveOf(Tables.events(spark, dir))
+
+  def eventsPowerCurveOf(ev: DataFrame): DataFrame = {
+    val days = ev.select(col("user_id"),
+      floor(unix_micros(col("ts")) / lit(DayUs)).cast("long").as("day"))
+    val mx = days.agg(max(col("day")).as("d1"))
+    val perUser = days.crossJoin(broadcast(mx))
+      .filter(col("day") > col("d1") - lit(28L))
+      .select(col("user_id"), col("day")).distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("k"))
+    val hist = perUser.groupBy(col("k")).agg(count(lit(1)).as("n_users"))
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val grid = (1L to 28L).toDF("k")
+    grid.join(hist, Seq("k"), "left")
+      .select(col("k"), coalesce(col("n_users"), lit(0L)).as("n_users"))
+      .orderBy(col("k"))
+  }
+
+  val eventsPowerCurveSql: String =
+    """WITH d AS (
+      |  SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      |  FROM events
+      |), mx AS (SELECT max(day) AS d1 FROM d
+      |), pu AS (
+      |  SELECT user_id, CAST(count(DISTINCT day) AS BIGINT) AS k
+      |  FROM d CROSS JOIN mx WHERE day > d1 - 28 GROUP BY 1
+      |), h AS (SELECT k, CAST(count(*) AS BIGINT) AS n_users FROM pu GROUP BY 1)
+      |SELECT g.k, coalesce(h.n_users, 0) AS n_users
+      |FROM (SELECT unnest(range(1, 29)) AS k) g
+      |LEFT JOIN h ON g.k = h.k ORDER BY g.k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_power_curve" -> (eventsPowerCurve _),
+    "events_cuped" -> (eventsCuped _),
     "events_bot_flag" -> (eventsBotFlag _),
     "events_ab_srm"  -> (eventsAbSrm _),
     "events_heatmap" -> (eventsHeatmap _),
@@ -645,6 +798,8 @@ object Growth {
     "events_ab_lift"     -> (eventsAbLift _))
 
   val oracle: Map[String, String] = Map(
+    "events_power_curve" -> eventsPowerCurveSql,
+    "events_cuped" -> eventsCupedSql,
     "events_bot_flag" -> eventsBotFlagSql,
     "events_ab_srm"  -> eventsAbSrmSql,
     "events_heatmap" -> eventsHeatmapSql,

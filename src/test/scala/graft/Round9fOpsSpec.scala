@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GraphOps, Growth}
+
+/** Round-9f depth ops: second-domain graph gates + CUPED. */
+class Round9fOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("graphComponentsOf labels co-activity islands and isolated users") {
+    // two islands that never share an hour, plus one isolated user:
+    //   island A = {1, 2, 3}: 1+2 co-active in hour H0, 2+3 in hour H1
+    //     (so 1~3 only transitively — the closure matters, not the edge)
+    //   island B = {10, 11}: co-active in hour H2
+    //   user 99: active alone in hour H3
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:05:00")), (2L, ts("2024-01-01 00:10:00")),
+      (2L, ts("2024-01-01 01:05:00")), (3L, ts("2024-01-01 01:10:00")),
+      (10L, ts("2024-01-01 02:05:00")), (11L, ts("2024-01-01 02:10:00")),
+      (99L, ts("2024-01-01 03:05:00")))
+      .toDF("user_id", "ts")
+      .withColumn("event_id", monotonically_increasing_id())
+    val out = GraphOps.graphComponentsOf(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L),
+      (99L, 99L, 1L)))
+  }
+
+  test("graphComponents one giant hour stays capped at top-20 per hour") {
+    // 30 users all active in ONE hour: the pair join must see at most
+    // C(20,2) pairs (the cap is the scale contract), and the 20 capped
+    // users form one component; the 10 uncapped ones are singletons.
+    // Cap keeps the TOP-20 by activity count (ties by user_id): give
+    // users 1..20 two events each so the kept set is deterministic.
+    val rows = (1L to 30L).flatMap { u =>
+      val base = Seq((u, ts("2024-01-01 05:01:00")))
+      if (u <= 20L) base :+ ((u, ts("2024-01-01 05:02:00"))) else base
+    }
+    val ev = rows.toDF("user_id", "ts")
+      .withColumn("event_id", monotonically_increasing_id())
+    val out = GraphOps.graphComponentsOf(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val (capped, rest) = out.partition(_._1 <= 20L)
+    assert(capped.forall { case (_, c, s) => c == 1L && s == 20L })
+    assert(rest.forall { case (u, c, s) => c == u && s == 1L })
+  }
+
+  test("eventsCuped: constant covariate means zero theta, cuped == raw") {
+    // every user has exactly one pre-period event (x constant), so
+    // var(x) = 0 and cov(x,y) = 0 EXACTLY in the integer moments —
+    // theta_e6 must be 0 and the adjustment a no-op, whatever the arms.
+    val ev = (1L to 30L).flatMap { u =>
+      Seq((u, ts("2024-01-01 10:00:00"), "view")) ++
+        (if (u % 3 == 0) Seq((u, ts("2024-01-25 10:00:00"), "purchase"))
+         else Seq((u, ts("2024-01-25 10:00:00"), "view")))
+    }.toDF("user_id", "ts", "event_type")
+    val r = Growth.eventsCupedOf(ev).collect().head
+    assert(r.getAs[Long]("theta_e6") == 0L)
+    assert(r.getAs[Long]("cuped_lift_e6") == r.getAs[Long]("lift_e6"))
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == 30L)
+  }
+
+  test("eventsCuped: perfectly predictive covariate cancels the lift exactly") {
+    // y_i = x_i for every user (conversion iff any pre-period activity):
+    // cov(x,y) = var(x) exactly, so theta_e6 = 1e6 exactly, the arm-mean
+    // covariate gap equals the raw lift (lift_e6 == dx_e6), and the CUPED
+    // lift collapses to EXACTLY zero — the whole point of the adjustment,
+    // pinned without reference to which arm each user hashes into.
+    val ev = (1L to 40L).flatMap { u =>
+      if (u % 2 == 0)
+        Seq((u, ts("2024-01-01 10:00:00"), "view"),
+          (u, ts("2024-01-25 10:00:00"), "purchase"))
+      else
+        Seq((u, ts("2024-01-25 10:00:00"), "view"))
+    }.toDF("user_id", "ts", "event_type")
+    val r = Growth.eventsCupedOf(ev).collect().head
+    assert(r.getAs[Long]("theta_e6") == 1000000L)
+    assert(r.getAs[Long]("lift_e6") == r.getAs[Long]("dx_e6"))
+    assert(r.getAs[Long]("cuped_lift_e6") == 0L)
+  }
+
+  test("eventsPowerCurve: window cut, multi-event days, dense k grid") {
+    // corpus max day = 2024-02-01. user 1: 3 distinct active days (one
+    // day has two events — days, not events, are counted); user 2: 1
+    // active day ON the window boundary (d1-27, the oldest day in);
+    // user 3: active only OUTSIDE the window (excluded entirely).
+    val ev = Seq(
+      (1L, ts("2024-02-01 10:00:00")), (1L, ts("2024-02-01 11:00:00")),
+      (1L, ts("2024-01-30 10:00:00")), (1L, ts("2024-01-20 10:00:00")),
+      (2L, ts("2024-01-05 10:00:00")),
+      (3L, ts("2023-12-01 10:00:00")))
+      .toDF("user_id", "ts")
+    val out = Growth.eventsPowerCurveOf(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.size == 28 && out.map(_._1) == (1L to 28L))
+    assert(out.toMap.getOrElse(3L, -1L) == 1L, "user 1 at k=3")
+    assert(out.toMap.getOrElse(1L, -1L) == 1L, "user 2 at k=1 (boundary day in)")
+    assert(out.map(_._2).sum == 2L, "user 3 outside the window")
+  }
+}
