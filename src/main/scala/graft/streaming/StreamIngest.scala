@@ -1014,6 +1014,77 @@ object StreamIngest {
       }
   }
 
+  /** Input token for [[heavyHittersStream]]. */
+  final case class TokRow(gram: String)
+  /** One retained counter: estimate `n_est` overestimates the true count
+    * by at most `err` (the evicted minimum the slot inherited). */
+  final case class HHEntry(gram: String, n_est: Long, err: Long)
+  final case class HHState(ver: Long, entries: List[HHEntry])
+  /** Summary row: `ver` is the per-shard state version — a consumer takes
+    * the max-ver rows per shard as the current summary (append-mode sinks
+    * accumulate snapshots; the version makes "current" selectable). */
+  final case class HHRow(shard: Int, ver: Long, gram: String,
+                         n_est: Long, err: Long)
+
+  /** Streaming heavy hitters — the bounded-memory twin of
+    * [[graft.operators.HeavyHitters.corpusHeavyHitters]] (whose phase-1
+    * Misra-Gries pass is the batch analogue), via SpaceSaving (Metwally
+    * et al., ICDT'05): per hash-shard, a CAPPED set of `capacity`
+    * counters; a full summary meeting a new key evicts the minimum
+    * counter, and the newcomer inherits min+1 with `err` = the evicted
+    * minimum. Invariants (any arrival order, any batching): every key
+    * with true count > N_shard/capacity is retained, and for every
+    * retained key true ≤ n_est ≤ true + err — so the summary is a
+    * candidate SUPERSET of the exact heavy hitters and the batch gate's
+    * exact confirm join applies unchanged downstream.
+    *
+    * This is the third streaming-register pattern in the module, and the
+    * one the other two can't express: [[registerSketchStream]] merges by
+    * MAX (idempotent, Spark-managed), [[quantileSketchStream]] by SUM
+    * behind dedup (Spark-managed) — a top-k summary needs EVICTION,
+    * i.e. keyed state with a bounded footprint, which is exactly what
+    * `flatMapGroupsWithState` provides: state is O(shards × capacity)
+    * REGARDLESS of vocabulary size, the property that makes the operator
+    * viable over an unbounded token stream where per-gram counting state
+    * would grow with the vocabulary.
+    *
+    * Sharding is BY GRAM (all occurrences of a gram meet one state), so
+    * per-shard guarantees compose: a corpus-global heavy hitter is heavy
+    * in its own shard. Each batch emits the shard's full summary
+    * (≤ capacity rows) under a bumped version — tiny by construction. */
+  def heavyHittersStream(toks: Dataset[TokRow], capacity: Int = 64,
+                         nShards: Int = 8): Dataset[HHRow] = {
+    import toks.sparkSession.implicits._
+    toks
+      .groupByKey(r => Math.floorMod(r.gram.hashCode, nShards))
+      .flatMapGroupsWithState[HHState, HHRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[TokRow], state: GroupState[HHState]) =>
+          val prev = state.getOption.getOrElse(HHState(0L, Nil))
+          val counters = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+          prev.entries.foreach(e => counters(e.gram) = (e.n_est, e.err))
+          rows.foreach { r =>
+            counters.get(r.gram) match {
+              case Some((n, err)) => counters(r.gram) = (n + 1L, err)
+              case None if counters.size < capacity =>
+                counters(r.gram) = (1L, 0L)
+              case None =>
+                // evict the minimum estimate (gram asc tie-break: the
+                // choice among equal minima is arbitrary for the bounds
+                // but made deterministic for replay/debugging)
+                val (mg, (mn, _)) = counters.minBy { case (g, (n, _)) => (n, g) }
+                counters.remove(mg)
+                counters(r.gram) = (mn + 1L, mn)
+            }
+          }
+          val entries = counters.iterator
+            .map { case (g, (n, e)) => HHEntry(g, n, e) }.toList
+          val ver = prev.ver + 1L
+          state.update(HHState(ver, entries))
+          entries.iterator.map(e => HHRow(shard, ver, e.gram, e.n_est, e.err))
+      }
+  }
+
   def runOnce(w: DataStreamWriter[Row], checkpoint: String): StreamingQuery =
     w.option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -1308,4 +1308,79 @@ class StreamIngestSpec extends SparkSpecBase {
     assert(preSentinel > 0,
       "watermark advance over the in-order feed must emit before the sentinel")
   }
+
+  // ---- heavyHittersStream (SpaceSaving bounded state) ----
+
+  /** Final summary = max-ver rows per shard from the append-mode sink. */
+  private def hhFinal(table: String): Map[String, (Long, Long)] = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+    spark.table(table)
+      .withColumn("mver", max(col("ver")).over(w))
+      .filter(col("ver") === col("mver"))
+      .select(col("gram"), col("n_est"), col("err"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  private def runHH(name: String, batches: Seq[Seq[String]], capacity: Int)
+      : Map[String, (Long, Long)] = {
+    val dir = Files.createTempDirectory(s"graft-hh-$name").toString
+    val input = MemoryStream[StreamIngest.TokRow](spark)
+    val q = StreamIngest.heavyHittersStream(input.toDS(), capacity, nShards = 1)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    batches.foreach { b =>
+      input.addData(b.map(StreamIngest.TokRow(_)): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    hhFinal(name)
+  }
+
+  test("heavyHittersStream: SpaceSaving bounds hold under shuffled batching") {
+    // corpus: a×50 b×40 c×30 + 30 singletons → N=150; capacity 4 ⇒ every
+    // gram with true count > 150/4 = 37.5 (a, b) MUST be retained, and
+    // every retained estimate must satisfy true ≤ n_est ≤ true + err.
+    val corpus = Seq.fill(50)("a") ++ Seq.fill(40)("b") ++ Seq.fill(30)("c") ++
+      (1 to 30).map(i => s"s$i")
+    val truth = corpus.groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+    for ((seed, idx) <- Seq(1, 42).zipWithIndex) {
+      val shuffled = new scala.util.Random(seed).shuffle(corpus)
+      val batches = shuffled.grouped(40).toSeq
+      val fin = runHH(s"hh_out_$idx", batches, capacity = 4)
+      assert(fin.size <= 4, "summary never exceeds capacity")
+      assert(fin.contains("a") && fin.contains("b"),
+        s"keys over N/capacity must survive any order (got ${fin.keySet})")
+      fin.foreach { case (g, (n, err)) =>
+        val t = truth.getOrElse(g, 0L)
+        assert(n >= t && n - err <= t,
+          s"$g: estimate $n (err $err) must bracket true $t")
+      }
+      // heavy keys saw every occurrence or inherited on entry — either
+      // way the lower bound pins them above every singleton's true count
+      assert(fin("a")._1 - fin("a")._2 >= 30L || fin("a")._1 >= 50L)
+    }
+  }
+
+  test("heavyHittersStream: state and emission stay bounded by capacity") {
+    // 200 distinct grams through a capacity-8 shard: per-batch emission
+    // is the whole summary, which must never exceed 8 rows per version.
+    val corpus = (1 to 200).map(i => s"g$i")
+    val dir = Files.createTempDirectory("graft-hh-bound").toString
+    val input = MemoryStream[StreamIngest.TokRow](spark)
+    val q = StreamIngest.heavyHittersStream(input.toDS(), capacity = 8, nShards = 1)
+      .writeStream.format("memory").queryName("hh_bound")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    corpus.grouped(50).foreach { b =>
+      input.addData(b.map(StreamIngest.TokRow(_)): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val perVer = spark.table("hh_bound")
+      .groupBy(col("ver")).agg(count(lit(1)).as("n")).collect()
+    assert(perVer.nonEmpty && perVer.forall(_.getAs[Long]("n") <= 8L))
+  }
 }
