@@ -1364,6 +1364,68 @@ object Similarity {
     base.unionByName(hn).orderBy(col("method"))
   }
 
+  /** Matryoshka truncation evaluation — the recall-vs-dimension report a
+    * matryoshka-embedding deployment (Kusupati et al., NeurIPS'22) reads
+    * before picking a serving prefix: recall@K of brute-force cosine over
+    * the FIRST d dimensions against the full-dim brute baseline, one row
+    * per prefix d that meets its floor (the knn_recall gate discipline —
+    * a quality regression drops its row in the driver's rows count).
+    * Prefix cosine uses prefix norms (truncate-then-normalize, the MRL
+    * serving semantics). The full-dim row is an in-query self-check: it
+    * compares the baseline to itself, so recall_e2 = 100 by construction
+    * and its disappearance means the machinery (not the embedding) broke.
+    *
+    * Plan: both sides truncate BEFORE the candidate×query broadcast join
+    * (never per-pair slices), per-pair math through the native codegen'd
+    * cosine; the baseline is pinned once and fans out to all prefixes.
+    * Scale: query anchors are capped (the recall-gate contract — quality
+    * evals run on samples by construction); candidates stream through
+    * the broadcast join, nothing all-pairs. Rows-only (float ranking);
+    * floors pinned under measured sf0.01 recalls (8/8/30/100 e2 — LOW by
+    * design: the synthetic vectors are near-random, i.e. NOT
+    * matryoshka-trained, and the low prefix recall is precisely the
+    * finding this report exists to surface before anyone serves a
+    * truncated prefix). */
+  def knnMatryoshka(spark: SparkSession, dir: String): DataFrame =
+    // (prefix dim, floor_e2); 64 = the corpus embedding dim
+    knnMatryoshkaOf(Tables.embeddings(spark, dir),
+      Seq((8, 2L), (16, 2L), (32, 15L), (64, 100L)))
+
+  def knnMatryoshkaOf(emb: DataFrame, prefixes: Seq[(Int, Long)]): DataFrame = {
+    // top-K pairs under the first-d-dims cosine, knnBrute's exact
+    // ordering contract (6dp round, neighbor_id tie-break, self excluded)
+    def topk(d: Int): DataFrame = {
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          slice(col("embedding"), 1, d).as("qvec"))
+      val cands = emb.select(col("vec_id").as("neighbor_id"),
+        slice(col("embedding"), 1, d).as("cvec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      cands.crossJoin(broadcast(queries))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", round(cosine(col("cvec"), col("qvec")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    val full = prefixes.map(_._1).max
+    val b = topk(full).localCheckpoint()
+    val bTot = b.agg(count(lit(1)).as("n_brute"))
+    prefixes.map { case (d, floor) =>
+      topk(d)
+        .join(b, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(broadcast(bTot))
+        .select(lit(d.toLong).as("dim_prefix"),
+          when(col("n_brute") > 0,
+            round(col("n_hit") * 100.0 / col("n_brute")).cast("long"))
+            .as("recall_e2"),
+          lit(floor).as("floor_e2"))
+        .filter(col("recall_e2") >= col("floor_e2"))
+    }.reduce(_ unionByName _).orderBy(col("dim_prefix"))
+  }
+
   /** Embedding outlier audit: each vector's cosine to its OWN cell's
     * centroid under the trained quantizer, flagged when it falls below
     * τ — the embedding-space quality filter (mis-embedded docs, garbage
@@ -1987,6 +2049,7 @@ object Similarity {
     "knn_pq"          -> (knnPq _),
     "knn_ivfpq"       -> (knnIvfPq _),
     "knn_recall"      -> (knnRecall _),
+    "knn_matryoshka"  -> (knnMatryoshka _),
     "dedup_embed"     -> (dedupEmbed _),
     "dedup_embed_lsh" -> (dedupEmbedLsh _),
     "dedup_semantic"  -> (dedupSemantic _))

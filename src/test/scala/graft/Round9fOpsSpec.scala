@@ -4,9 +4,9 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{GraphOps, Growth}
+import graft.operators.{GraphOps, Growth, Similarity}
 
-/** Round-9f depth ops: second-domain graph gates + CUPED. */
+/** Round-9f depth ops: second-domain graph gates, CUPED, matryoshka. */
 class Round9fOpsSpec extends SparkSpecBase {
   import spark.implicits._
 
@@ -103,5 +103,31 @@ class Round9fOpsSpec extends SparkSpecBase {
     assert(out.toMap.getOrElse(3L, -1L) == 1L, "user 1 at k=3")
     assert(out.toMap.getOrElse(1L, -1L) == 1L, "user 2 at k=1 (boundary day in)")
     assert(out.map(_._2).sum == 2L, "user 3 outside the window")
+  }
+
+  test("knnMatryoshka: planted prefix-blind corpus reads recall 0 then 100") {
+    // query 0 = e1. five "good" candidates (15..19) share direction
+    // (1, 0.2, 0, 0): full cosine ≈ .98. five "bad" candidates (10..14)
+    // are (1, 0, 99, 0): full cosine ≈ .01 but PREFIX-2 cosine = 1.0 —
+    // the first two dims cannot see the poison in dim 3. Top-5 under the
+    // 2-dim prefix is exactly the bad set, top-5 full exactly the good
+    // set: recall@5 must read 0 at d=2 and 100 (the self-check) at d=4.
+    val emb = (Seq((0L, Array(1f, 0f, 0f, 0f))) ++
+      (10L to 14L).map(i => (i, Array(1f, 0f, 99f, 0f))) ++
+      (15L to 19L).map(i => (i, Array(1f, 0.2f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnMatryoshkaOf(emb, Seq((2, 0L), (4, 0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((2L, 0L), (4L, 100L)))
+  }
+
+  test("knnMatryoshka floors drop a failing prefix row (the gate contract)") {
+    val emb = (Seq((0L, Array(1f, 0f, 0f, 0f))) ++
+      (10L to 14L).map(i => (i, Array(1f, 0f, 99f, 0f))) ++
+      (15L to 19L).map(i => (i, Array(1f, 0.2f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnMatryoshkaOf(emb, Seq((2, 50L), (4, 100L)))
+      .collect().map(r => r.getLong(0)).toSeq
+    assert(out == Seq(4L), "the d=2 row (recall 0 < floor 50) must vanish")
   }
 }
