@@ -648,6 +648,111 @@ object GraphOps {
       |    CAST(-1 AS BIGINT)) AS dist
       |FROM nation n ORDER BY nation""".stripMargin
 
+  /** Harmonic centrality over the thresholded trade graph — the
+    * distance-based centrality beside the flow-based ranks (pagerank
+    * weighs WHO points at you, harmonic weighs how CLOSE everyone is:
+    * a well-connected periphery node ranks here, never there), in the
+    * disconnection-safe harmonic form (Boldi & Vigna, "Axioms for
+    * Centrality": H(v) = Σ_{u≠v} 1/d(v,u), unreachable terms contribute
+    * 0 — classic closeness is undefined on disconnected graphs, which
+    * thresholded real graphs usually are). Exact integers: each term is
+    * 1e6 DIV d, so both engines replay bit-for-bit; n_reach ships beside
+    * it (the harmonic score of a tiny tight clique and a broad hub can
+    * tie — the reach count disambiguates).
+    *
+    * Plan: same [[graphBfsOf]] frontier loop seeded with EVERY node as
+    * its own source ((src, node, 0) — multi-source BFS is one loop, not
+    * |V| loops); all state is entity-domain-sized ((≤|V|², here ≤625
+    * rows), each round one join + anti-join on checkpoint-pinned
+    * frontiers, rounds = graph diameter. The fact side is touched once,
+    * through the shared persisted edge artifact. */
+  def graphHarmonic(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = tradeGraph(spark, dir)
+    graphHarmonicOf(nodes, edges).orderBy(col("nation"))
+  }
+
+  def graphHarmonicOf(nodes0: DataFrame, edges0: DataFrame): DataFrame = {
+    val und = edges0.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("uw"))
+    val stats = und.agg(count(lit(1)).as("n_pairs"), sum(col("uw")).as("tot"))
+    val kept = und.crossJoin(broadcast(stats))
+      .filter(col("uw") >= expr("tot DIV n_pairs"))
+      .select(col("a"), col("b"))
+    val bi = kept.select(col("a").as("n1"), col("b").as("n2"))
+      .unionAll(kept.select(col("b").as("n1"), col("a").as("n2")))
+      .localCheckpoint() // every BFS round joins it
+    var dist = nodes0.select(col("node").as("src"), col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dist
+    var d = 0L
+    val cap = nodes0.count() // hop distance < |V| always
+    while (d < cap && !frontier.isEmpty) {
+      val next = bi.join(frontier, col("n1") === col("node"))
+        .select(col("src"), col("n2").as("node")).distinct()
+        .join(dist, Seq("src", "node"), "left_anti")
+        .withColumn("dist", lit(d + 1L))
+        .localCheckpoint()
+      dist = dist.unionAll(next).localCheckpoint()
+      frontier = next
+      d += 1
+    }
+    val scores = dist.filter(col("dist") > 0)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_reach"),
+        sum(expr("1000000 DIV dist")).as("harmonic_e6"))
+    nodes0.join(scores, nodes0("node") === scores("src"), "left")
+      .select(nodes0("node").as("nation"),
+        coalesce(col("n_reach"), lit(0L)).as("n_reach"),
+        coalesce(col("harmonic_e6"), lit(0L)).as("harmonic_e6"))
+  }
+
+  val graphHarmonicSql: String =
+    """WITH RECURSIVE li AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+      |      (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_e4
+      |  FROM lineitem
+      |), edges AS (
+      |  SELECT cn.n_name AS src, sn.n_name AS dst, CAST(sum(rev_e4) AS BIGINT) AS w
+      |  FROM li
+      |  JOIN supplier s ON li.l_suppkey = s.s_suppkey
+      |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |  JOIN orders o ON li.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |  GROUP BY 1, 2
+      |), und AS (
+      |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+      |    CAST(sum(w) AS BIGINT) AS uw
+      |  FROM edges WHERE src <> dst GROUP BY 1, 2
+      |), stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(uw) AS BIGINT) AS tot
+      |  FROM und
+      |), kept AS MATERIALIZED (
+      |  SELECT a, b FROM und CROSS JOIN stats WHERE uw >= tot // n_pairs
+      |), bi AS MATERIALIZED (
+      |  SELECT a AS n1, b AS n2 FROM kept
+      |  UNION ALL SELECT b AS n1, a AS n2 FROM kept
+      |), walk(src, node, dist) AS (
+      |  SELECT n_name, n_name, CAST(0 AS BIGINT) FROM nation
+      |  UNION
+      |  SELECT w.src, e.n2, w.dist + 1
+      |  FROM walk w JOIN bi e ON e.n1 = w.node
+      |  WHERE w.dist < (SELECT count(*) FROM nation)
+      |), sp AS (
+      |  SELECT src, node, min(dist) AS d FROM walk GROUP BY 1, 2
+      |), sc AS (
+      |  SELECT src, CAST(count(*) AS BIGINT) AS n_reach,
+      |    CAST(sum(1000000 // d) AS BIGINT) AS harmonic_e6
+      |  FROM sp WHERE d > 0 GROUP BY 1
+      |)
+      |SELECT n.n_name AS nation, coalesce(sc.n_reach, 0) AS n_reach,
+      |  coalesce(sc.harmonic_e6, 0) AS harmonic_e6
+      |FROM nation n LEFT JOIN sc ON sc.src = n.n_name
+      |ORDER BY nation""".stripMargin
+
   /** User×user co-activity graph — the CORPUS-scale graph domain (the five
     * gate analytics run over the ≤625-edge nation graph, an entity-domain
     * table; this derives a graph whose vertex set grows with the data).
@@ -773,6 +878,7 @@ object GraphOps {
     "graph_hits"        -> (graphHits _),
     "graph_triangles"   -> (graphTriangles _),
     "graph_components"  -> (graphComponents _),
+    "graph_harmonic"    -> (graphHarmonic _),
     "graph_reciprocity" -> (graphReciprocity _))
 
   val oracle: Map[String, String] = Map(
@@ -781,5 +887,6 @@ object GraphOps {
     "graph_hits"        -> graphHitsSql,
     "graph_triangles"   -> graphTrianglesSql,
     "graph_components"  -> graphComponentsSql,
+    "graph_harmonic"    -> graphHarmonicSql,
     "graph_reciprocity" -> graphReciprocitySql)
 }

@@ -130,4 +130,20 @@ class Round9fOpsSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0)).toSeq
     assert(out == Seq(4L), "the d=2 row (recall 0 < floor 50) must vanish")
   }
+
+  test("graphHarmonicOf: exact harmonic terms on a path graph + isolate") {
+    // path A-B-C-D, isolated E; equal weights keep every edge under the
+    // mean threshold. H(A) = 1e6/1 + 1e6/2 + 1e6/3 (truncating DIV per
+    // term), H(B) = 1e6 + 1e6 + 1e6/2; E reaches nothing.
+    val nodes = Seq("A", "B", "C", "D", "E").toDF("node")
+    val edges = Seq(("A", "B", 10L), ("B", "C", 10L), ("C", "D", 10L))
+      .toDF("src", "dst", "w")
+    val byNode = GraphOps.graphHarmonicOf(nodes, edges)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byNode("A") == ((3L, 1000000L + 500000L + 333333L)))
+    assert(byNode("B") == ((3L, 1000000L + 1000000L + 500000L)))
+    assert(byNode("C") == byNode("B"), "symmetry of the path")
+    assert(byNode("D") == byNode("A"))
+    assert(byNode("E") == ((0L, 0L)), "isolate contributes zero, not null")
+  }
 }
