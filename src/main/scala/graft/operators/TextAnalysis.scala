@@ -282,10 +282,17 @@ object TextAnalysis {
     * exactly the dedup pass the pipeline already runs; the split itself
     * adds one map-side hash and a cluster-sized count window. */
   def corpusSplitSafe(spark: SparkSession, dir: String): DataFrame =
-    corpusSplitSafeOf(Tables.documents(spark, dir))
+    // labels via the persisted artifact: the dedup pass runs once per
+    // corpus; split assignment is a downstream consumer of it, not a
+    // second derivation (was the round's slowest non-baseline gate)
+    corpusSplitSafeLabeled(
+      Dedup.clusterLabels(spark, dir).select(col("doc_id"), col("cluster_id")))
 
-  def corpusSplitSafeOf(docs: DataFrame): DataFrame = {
-    val cl = Dedup.dedupClustersOf(docs).select(col("doc_id"), col("cluster_id"))
+  def corpusSplitSafeOf(docs: DataFrame): DataFrame =
+    corpusSplitSafeLabeled(
+      Dedup.dedupClustersOf(docs).select(col("doc_id"), col("cluster_id")))
+
+  private def corpusSplitSafeLabeled(cl: DataFrame): DataFrame = {
     def splitOf(c: Column): Column = {
       val b = pmod(idHash(c), lit(100L))
       when(b < 80, "train").when(b < 90, "val").otherwise("test")

@@ -146,4 +146,34 @@ class Round9fOpsSpec extends SparkSpecBase {
     assert(byNode("D") == byNode("A"))
     assert(byNode("E") == ((0L, 0L)), "isolate contributes zero, not null")
   }
+
+  test("clusterLabels artifact: derive-once, fingerprint-keyed re-derive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cl-art").toString
+    def writeDocs(extra: Boolean): Unit = {
+      val base = Seq(
+        (1L, "en", "web", "the quick brown fox jumps over the lazy dog"),
+        (2L, "en", "web", "the quick brown fox jumps over the lazy dog"),
+        (3L, "en", "web", "something entirely different lives here today"))
+      val docs = if (extra)
+        base :+ ((4L, "en", "web", "a brand new document arrives in the corpus"))
+      else base
+      docs.toDF("doc_id", "lang", "source", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+    writeDocs(extra = false)
+    val first = graft.operators.Dedup.clusterLabels(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // exact dup 1↔2 clusters under min id 1; the live derivation agrees
+    assert(first(2L) == 1L && first(1L) == 1L && first(3L) == 3L)
+    val live = graft.operators.Dedup
+      .dedupClusters(spark, dir) // gate path = artifact read
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(live == first)
+    // corpus refresh (different file size) must invalidate the artifact
+    writeDocs(extra = true)
+    val second = graft.operators.Dedup.clusterLabels(spark, dir)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(second == Set(1L, 2L, 3L, 4L),
+      "refreshed corpus re-derives instead of serving the stale artifact")
+  }
 }
