@@ -113,6 +113,90 @@ object CorpusStats {
       |  FROM tf JOIN df USING (w) CROSS JOIN nd)
       |WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin
 
+  /** BM25 retrieval (Robertson & Zaragoza, FnTIR'09; Lucene's +1 idf form
+    * so every contribution is positive) — the missing RETRIEVAL primitive
+    * beside [[corpusTfidfTopk]]'s per-doc keyword report: score the corpus
+    * against a query and return the top-N documents, i.e. the op behind
+    * every "search your training data" / RAG-retrieval / contamination-
+    * triage workflow. Fixed gate query [[Bm25Query]]; the production form
+    * takes any term list.
+    *
+    * Cross-engine exactness: per-(doc, term) contributions are rounded to
+    * e4 BIGINTs and summed as integers (the unigram-logprob ln
+    * discipline; LogGateMarginSpec pins every gate-corpus contribution
+    * ≥1e-6 from a .5 boundary), and the RANKING runs over the rounded
+    * integer scores — both engines order identically by construction.
+    * The double arithmetic is written as the TEXTUALLY identical
+    * expression in both engines (same IEEE tree, ln the only
+    * transcendental).
+    *
+    * Plan shape: one tokenize pass feeds dl (doc-grain partial aggregate)
+    * and the term-filtered tf (the `w IN (...)` predicate prunes at token
+    * grain, map-side — the fact-sized work is ONE scan); df/n/tot are
+    * tiny broadcasts; the top-N is orderBy+limit = TakeOrderedAndProject
+    * (per-partition heaps + driver merge, never a global sort); the rank
+    * window runs over the ≤topN collected rows (bounded by construction). */
+  def corpusBm25(spark: SparkSession, dir: String): DataFrame =
+    corpusBm25Of(Tables.documents(spark, dir), Bm25Query, 20)
+
+  val Bm25Query: Seq[String] = Seq("fast", "vector", "join")
+
+  def corpusBm25Of(docs: DataFrame, terms: Seq[String], topN: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit(word), lit(0))).as("w"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val totToks = tok.agg(count(lit(1)).as("tot_toks"))
+    val tf = tok.filter(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfr), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(totToks))
+      // textually identical to the oracle's expression — see Scaladoc
+      .withColumn("c_e4", expr(
+        "CAST(round(ln((n_docs - df + 0.5e0) / (df + 0.5e0) + 1.0e0) * (tf * 2.2e0)" +
+        " / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * (dl * n_docs / tot_toks)))" +
+        " * 10000, 0) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("c_e4")).as("score_e4"))
+      .orderBy(col("score_e4").desc, col("doc_id"))
+      .limit(topN)
+    // rank window over ≤topN rows — bounded by the limit above
+    val wR = Window.orderBy(col("score_e4").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(wR).cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_terms_hit"), col("score_e4"))
+      .orderBy(col("rank"))
+  }
+
+  val corpusBm25Sql: String = {
+    val inList = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents
+      |), dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+      |), nd AS (SELECT count(*) AS n_docs FROM documents
+      |), tt AS (SELECT count(*) AS tot_toks FROM tok
+      |), tf AS (
+      |  SELECT doc_id, w, count(*) AS tf FROM tok
+      |  WHERE w IN ($inList) GROUP BY 1, 2
+      |), dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY 1
+      |), sc AS (
+      |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+      |    CAST(sum(CAST(round(ln((n_docs - df + 0.5e0) / (df + 0.5e0) + 1.0e0) * (tf * 2.2e0) / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * (dl * n_docs / tot_toks))) * 10000, 0) AS BIGINT)) AS BIGINT) AS score_e4
+      |  FROM tf t JOIN dl d USING (doc_id) JOIN dfr USING (w)
+      |  CROSS JOIN nd CROSS JOIN tt
+      |  GROUP BY 1
+      |)
+      |SELECT * FROM (
+      |  SELECT CAST(row_number() OVER (ORDER BY score_e4 DESC, doc_id) AS BIGINT)
+      |      AS rank,
+      |    doc_id, n_terms_hit, score_e4
+      |  FROM sc)
+      |WHERE rank <= 20 ORDER BY rank""".stripMargin
+  }
+
   /** Top-20 corpus collocations by pointwise mutual information over
     * adjacent word pairs (c12 ≥ 3): pmi = ln(c12·N / (c1·c2)) with all
     * four counts taken from the bigram table itself (c1/c2 = left/right
@@ -1153,6 +1237,7 @@ object CorpusStats {
     "text_markup_detect"   -> (textMarkupDetect _),
     "text_entropy"      -> (textEntropy _),
     "corpus_tfidf_topk" -> (corpusTfidfTopk _),
+    "corpus_bm25"       -> (corpusBm25 _),
     "corpus_pmi_topk"   -> (corpusPmiTopk _),
     "text_memorization" -> (textMemorization _),
     "corpus_ppl_bucket" -> (corpusPplBucket _),
@@ -1171,6 +1256,7 @@ object CorpusStats {
     "text_markup_detect"   -> textMarkupDetectSql,
     "text_entropy"      -> textEntropySql,
     "corpus_tfidf_topk" -> corpusTfidfTopkSql,
+    "corpus_bm25"       -> corpusBm25Sql,
     "corpus_pmi_topk"   -> corpusPmiTopkSql,
     "text_memorization" -> textMemorizationSql,
     "corpus_ppl_bucket" -> corpusPplBucketSql,

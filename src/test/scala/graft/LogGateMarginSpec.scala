@@ -94,6 +94,30 @@ class LogGateMarginSpec extends SparkSpecBase {
     }
   }
 
+  test("bm25 contribution margins hold for every gate-corpus (tf, dl, df)") {
+    import graft.operators.CorpusStats
+    for (dir <- dirs) {
+      val docs = Tables.documents(spark, dir)
+      val n = docs.count().toDouble
+      val tok = docs.select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val tot = tok.count().toDouble
+      val tf = tok.filter(col("w").isin(CorpusStats.Bm25Query: _*))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfr = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val triples = tf.join(dfr, "w").join(dl, "doc_id")
+        .select(col("tf"), col("dl"), col("df")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(triples.nonEmpty)
+      triples.foreach { case (tfv, dlv, dfv) =>
+        val c = math.log((n - dfv + 0.5) / (dfv + 0.5) + 1.0) * (tfv * 2.2) /
+          (tfv + 1.2 * (1.0 - 0.75 + 0.75 * (dlv * n / tot))) * 10000.0
+        assertMargin(c, s"bm25(tf=$tfv, dl=$dlv, df=$dfv)*1e4 ($dir)")
+      }
+    }
+  }
+
   test("cell-topics ln margins hold for every gate-corpus cell frequency") {
     for (dir <- dirs) {
       val cellCol = (0 until 8).map(b =>

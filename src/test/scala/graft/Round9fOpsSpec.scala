@@ -147,6 +147,28 @@ class Round9fOpsSpec extends SparkSpecBase {
     assert(byNode("E") == ((0L, 0L)), "isolate contributes zero, not null")
   }
 
+  test("corpusBm25Of ranks by tf, penalizes length, drops no-hit docs") {
+    import graft.operators.CorpusStats
+    val docs = Seq(
+      // doc 1: "fox" twice in a short doc — top hit
+      (1L, "en", "w", "fox fox jumps high"),
+      // doc 2: "fox" twice but buried in 40 filler tokens — the length
+      // penalty (b=0.75, dl ≈ 3×avgdl) outweighs the extra occurrence
+      // and BM25 ranks it BELOW the short single-hit doc; hand-check:
+      // tfc(2, dl=42) ≈ 0.85 < tfc(1, dl=2) ≈ 1.53
+      (2L, "en", "w", "fox fox " + Seq.fill(40)("filler").mkString(" ")),
+      // doc 3: "fox" once in two tokens — above the long doc, below doc 1
+      (3L, "en", "w", "fox sleeps"),
+      // doc 4: no query term — absent from the ranking
+      (4L, "en", "w", "nothing relevant here at all"))
+      .toDF("doc_id", "lang", "source", "text")
+    val out = CorpusStats.corpusBm25Of(docs, Seq("fox"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.map(_._2) == Seq(1L, 3L, 2L),
+      "tf wins at equal length; saturation + length penalty beats raw tf")
+    assert(out.map(_._1) == Seq(1L, 2L, 3L), "dense ranks from 1")
+  }
+
   test("clusterLabels artifact: derive-once, fingerprint-keyed re-derive") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cl-art").toString
     def writeDocs(extra: Boolean): Unit = {
