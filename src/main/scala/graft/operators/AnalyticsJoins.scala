@@ -872,7 +872,68 @@ object AnalyticsJoins {
       |  CAST(n_gaps * 10000 // total AS BIGINT) AS share_bp
       |FROM agg CROSS JOIN tot ORDER BY bucket""".stripMargin
 
+  /** Skyline / Pareto front (Börzsönyi et al., ICDE'01) over the part
+    * catalog — "no part is both cheaper and bigger": the multi-criteria
+    * shortlist query (cheapest-per-capability procurement, price-vs-
+    * quality vendor review) no single ORDER BY can express. Minimize
+    * price, maximize size; a (price, size) point survives iff no other
+    * point is ≤ price AND ≥ size with one strict.
+    *
+    * The 2-D skyline is a PREFIX-MAX under (price asc, size desc) order —
+    * a point survives iff its size strictly exceeds every earlier
+    * point's — so the operator is the corpus_token_budget carry-in
+    * discipline, not a dominance self-join: distinct (price, size) pairs
+    * bucket into ≤1024 monotone price ranges, per-bucket maxes ride a
+    * tiny aggregate whose strictly-earlier prefix-max broadcasts back as
+    * each bucket's carry-in, and the within-bucket prefix-max windows run
+    * 1024-way parallel. O(n log n) work, one pair-grain exchange, NO n²
+    * join anywhere (the oracle deliberately computes the NAIVE NOT-EXISTS
+    * dominance — an independent algorithm cross-proving the prefix-max
+    * reduction). Exact integers: price in cents (2-dp contract). */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame =
+    qSkylineOf(Tables.part(spark, dir))
+
+  def qSkylineOf(part: DataFrame): DataFrame = {
+    val pairs = part
+      .select(round(col("p_retailprice") * 100).cast("long").as("price_c"),
+        col("p_size").cast("long").as("p_size"))
+      .groupBy(col("price_c"), col("p_size")).agg(count(lit(1)).as("n_parts"))
+    val mx = pairs.agg(max(col("price_c")).as("pmax"))
+    val bucketed = pairs.crossJoin(broadcast(mx))
+      .withColumn("bucket", expr("price_c * 1024 DIV (pmax + 1)"))
+    // ≤1024 rows reach this aggregate; the unpartitioned window over it
+    // is bounded by construction (the token_budget carry-in discipline)
+    val wB = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bucketed.groupBy(col("bucket")).agg(max(col("p_size")).as("bmax"))
+      .withColumn("carry_max", coalesce(max(col("bmax")).over(wB), lit(-1L)))
+      .select(col("bucket"), col("carry_max"))
+    val wIn = Window.partitionBy(col("bucket"))
+      .orderBy(col("price_c"), col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(carry), Seq("bucket"))
+      .withColumn("run_max",
+        greatest(coalesce(max(col("p_size")).over(wIn), lit(-1L)), col("carry_max")))
+      .filter(col("p_size") > col("run_max"))
+      .select(col("price_c"), col("p_size"), col("n_parts"))
+      .orderBy(col("price_c"))
+  }
+
+  val qSkylineSql: String =
+    """WITH pr AS (
+      |  SELECT CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_c,
+      |    CAST(p_size AS BIGINT) AS p_size, CAST(count(*) AS BIGINT) AS n_parts
+      |  FROM part GROUP BY 1, 2
+      |)
+      |SELECT price_c, p_size, n_parts
+      |FROM pr p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pr o
+      |  WHERE o.price_c <= p.price_c AND o.p_size >= p.p_size
+      |    AND (o.price_c < p.price_c OR o.p_size > p.p_size))
+      |ORDER BY price_c""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline"         -> (qSkyline _),
     "q_order_gaps"      -> (qOrderGaps _),
     "q_repeat_customers" -> (qRepeatCustomers _),
     "q_priority_mix"    -> (qPriorityMix _),
@@ -892,6 +953,7 @@ object AnalyticsJoins {
     "q_returned_items"  -> (qReturnedItems _))
 
   val oracle: Map[String, String] = Map(
+    "q_skyline"         -> qSkylineSql,
     "q_order_gaps"      -> qOrderGapsSql,
     "q_repeat_customers" -> qRepeatCustomersSql,
     "q_priority_mix"    -> qPriorityMixSql,

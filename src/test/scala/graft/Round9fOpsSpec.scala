@@ -147,6 +147,40 @@ class Round9fOpsSpec extends SparkSpecBase {
     assert(byNode("E") == ((0L, 0L)), "isolate contributes zero, not null")
   }
 
+  test("qSkylineOf: hand skyline with same-price/same-size dominance edges") {
+    import graft.operators.AnalyticsJoins
+    // pairs: (1.00, 5) kept; (1.00, 3) dominated same-price-bigger;
+    // (1.50, 5) dominated cheaper-equal-size; (2.00, 10) kept ×2 parts;
+    // (3.00, 10) dominated cheaper-equal-size
+    val part = Seq((1.00, 5), (1.00, 3), (1.50, 5), (2.00, 10), (2.00, 10),
+      (3.00, 10))
+      .zipWithIndex
+      .map { case ((p, s), i) => (i.toLong, s, p) }
+      .toDF("p_partkey", "p_size", "p_retailprice")
+    val out = AnalyticsJoins.qSkylineOf(part)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((100L, 5L, 1L), (200L, 10L, 2L)))
+  }
+
+  test("qSkylineOf equals brute-force dominance on randomized catalogs") {
+    import graft.operators.AnalyticsJoins
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val pts = (1 to 200).map(i =>
+        (i.toLong, 1 + rnd.nextInt(50), (1 + rnd.nextInt(400)) / 100.0 * 1.0))
+      val part = pts.toDF("p_partkey", "p_size", "p_retailprice")
+      val got = AnalyticsJoins.qSkylineOf(part)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // brute force over distinct pairs
+      val pairs = pts.map { case (_, s, p) => (math.round(p * 100), s.toLong) }.distinct
+      val want = pairs.filter { case (pc, sz) =>
+        !pairs.exists { case (oc, os) =>
+          oc <= pc && os >= sz && (oc < pc || os > sz) }
+      }.toSet
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("corpusBm25Of ranks by tf, penalizes length, drops no-hit docs") {
     import graft.operators.CorpusStats
     val docs = Seq(
