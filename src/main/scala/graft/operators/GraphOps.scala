@@ -753,6 +753,122 @@ object GraphOps {
       |FROM nation n LEFT JOIN sc ON sc.src = n.n_name
       |ORDER BY nation""".stripMargin
 
+  val KCoreK = 3
+
+  /** k-core membership (Seidman, Social Networks'83) over the thresholded
+    * trade graph — the cohesion SUBGRAPH beside [[graphTriangles]]' per-
+    * node coefficient: the k-core is the maximal subgraph where every
+    * member keeps ≥ k significant partners, the standard "dense nucleus"
+    * extraction (spam/fraud rings, ecosystem cores, community seeds).
+    * Computed by iterative peeling: drop nodes with in-subgraph degree
+    * < k until stable — each peel round is one degree aggregate + one
+    * semi-join over the ENTITY-DOMAIN edge list (never fact-sized), and
+    * the loop runs ≤ |V| rounds by construction (every non-final round
+    * removes a node). Emits (nation, in_kcore, core_deg) — core_deg the
+    * degree WITHIN the final core, 0 outside.
+    *
+    * Oracle: the peel unrolled as |V|−1 chained MATERIALIZED CTEs (the
+    * graph_hits discipline) — guaranteed past the fixpoint, so equality
+    * cross-proves the driver loop's convergence test. */
+  def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = tradeGraph(spark, dir)
+    graphKcoreOf(nodes, edges, KCoreK).orderBy(col("nation"))
+  }
+
+  def graphKcoreOf(nodes0: DataFrame, edges0: DataFrame, k: Int): DataFrame = {
+    val und = edges0.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("uw"))
+    val stats = und.agg(count(lit(1)).as("n_pairs"), sum(col("uw")).as("tot"))
+    val kept = und.crossJoin(broadcast(stats))
+      .filter(col("uw") >= expr("tot DIV n_pairs"))
+      .select(col("a"), col("b"))
+    val bi = kept.select(col("a").as("n1"), col("b").as("n2"))
+      .unionAll(kept.select(col("b").as("n1"), col("a").as("n2")))
+      .localCheckpoint() // every peel round joins it
+    var surv = bi.select(col("n1").as("node")).distinct().localCheckpoint()
+    var n = surv.count()
+    var stable = n == 0L
+    while (!stable) {
+      val deg = bi
+        .join(surv, col("n1") === col("node")).drop("node")
+        .join(surv.select(col("node").as("n2k")), col("n2") === col("n2k"))
+        .groupBy(col("n1")).agg(count(lit(1)).as("deg"))
+      val next = deg.filter(col("deg") >= k)
+        .select(col("n1").as("node")).localCheckpoint()
+      val m = next.count()
+      stable = m == n || m == 0L
+      n = m
+      surv = next
+    }
+    val coreDeg = bi
+      .join(surv, col("n1") === col("node")).drop("node")
+      .join(surv.select(col("node").as("n2k")), col("n2") === col("n2k"))
+      .groupBy(col("n1")).agg(count(lit(1)).as("core_deg"))
+    nodes0.join(coreDeg, nodes0("node") === coreDeg("n1"), "left")
+      .select(nodes0("node").as("nation"),
+        when(col("core_deg").isNotNull, 1L).otherwise(0L).as("in_kcore"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+  }
+
+  val graphKcoreSql: String = {
+    val rounds = 24 // |V|−1: each non-final peel round removes ≥1 of ≤25
+    val steps = (1 to rounds).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT node FROM (
+         |    SELECT b.n1 AS node, count(*) AS deg
+         |    FROM bi b
+         |    JOIN s${i - 1} x ON b.n1 = x.node
+         |    JOIN s${i - 1} y ON b.n2 = y.node
+         |    GROUP BY 1)
+         |  WHERE deg >= $KCoreK
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_suppkey,
+       |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+       |      (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_e4
+       |  FROM lineitem
+       |), edges AS (
+       |  SELECT cn.n_name AS src, sn.n_name AS dst, CAST(sum(rev_e4) AS BIGINT) AS w
+       |  FROM li
+       |  JOIN supplier s ON li.l_suppkey = s.s_suppkey
+       |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       |  JOIN orders o ON li.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       |  GROUP BY 1, 2
+       |), und AS (
+       |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+       |    CAST(sum(w) AS BIGINT) AS uw
+       |  FROM edges WHERE src <> dst GROUP BY 1, 2
+       |), stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(uw) AS BIGINT) AS tot
+       |  FROM und
+       |), kept AS MATERIALIZED (
+       |  SELECT a, b FROM und CROSS JOIN stats WHERE uw >= tot // n_pairs
+       |), bi AS MATERIALIZED (
+       |  SELECT a AS n1, b AS n2 FROM kept
+       |  UNION ALL SELECT b AS n1, a AS n2 FROM kept
+       |), s0 AS MATERIALIZED (
+       |  SELECT DISTINCT n1 AS node FROM bi
+       |),
+       |$steps,
+       |cd AS (
+       |  SELECT b.n1 AS node, CAST(count(*) AS BIGINT) AS core_deg
+       |  FROM bi b
+       |  JOIN s$rounds x ON b.n1 = x.node
+       |  JOIN s$rounds y ON b.n2 = y.node
+       |  GROUP BY 1
+       |)
+       |SELECT n.n_name AS nation,
+       |  CAST(CASE WHEN cd.node IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_kcore,
+       |  coalesce(cd.core_deg, 0) AS core_deg
+       |FROM nation n LEFT JOIN cd ON cd.node = n.n_name
+       |ORDER BY nation""".stripMargin
+  }
+
   /** User×user co-activity graph — the CORPUS-scale graph domain (the five
     * gate analytics run over the ≤625-edge nation graph, an entity-domain
     * table; this derives a graph whose vertex set grows with the data).
@@ -879,6 +995,7 @@ object GraphOps {
     "graph_triangles"   -> (graphTriangles _),
     "graph_components"  -> (graphComponents _),
     "graph_harmonic"    -> (graphHarmonic _),
+    "graph_kcore"       -> (graphKcore _),
     "graph_reciprocity" -> (graphReciprocity _))
 
   val oracle: Map[String, String] = Map(
@@ -888,5 +1005,6 @@ object GraphOps {
     "graph_triangles"   -> graphTrianglesSql,
     "graph_components"  -> graphComponentsSql,
     "graph_harmonic"    -> graphHarmonicSql,
+    "graph_kcore"       -> graphKcoreSql,
     "graph_reciprocity" -> graphReciprocitySql)
 }

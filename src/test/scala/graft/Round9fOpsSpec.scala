@@ -203,6 +203,40 @@ class Round9fOpsSpec extends SparkSpecBase {
     assert(out.map(_._1) == Seq(1L, 2L, 3L), "dense ranks from 1")
   }
 
+  test("graphKcoreOf: clique core survives, low-degree periphery peels") {
+    import graft.operators.GraphOps
+    // K4 clique {A,B,C,D} + pendant E on A: the 3-core is exactly the
+    // clique (each member keeps 3 in-core partners); E peels round 1 and
+    // A's degree drops 4→3 but stays.
+    val nodes = Seq("A", "B", "C", "D", "E").toDF("node")
+    val edges = Seq(("A", "B"), ("A", "C"), ("A", "D"), ("B", "C"),
+      ("B", "D"), ("C", "D"), ("A", "E"))
+      .map { case (a, b) => (a, b, 10L) }.toDF("src", "dst", "w")
+    val out = GraphOps.graphKcoreOf(nodes, edges, 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(Seq("A", "B", "C", "D").forall(n => out(n) == ((1L, 3L))))
+    assert(out("E") == ((0L, 0L)))
+  }
+
+  test("graphKcoreOf: peel cascades through a path to the empty core") {
+    import graft.operators.GraphOps
+    // path A-B-C-D-E with k=2: endpoints peel, the cascade re-exposes new
+    // endpoints each round until nothing is left — exercises multi-round
+    // convergence, not a single pass.
+    val nodes = Seq("A", "B", "C", "D", "E").toDF("node")
+    val edges = Seq(("A", "B"), ("B", "C"), ("C", "D"), ("D", "E"))
+      .map { case (a, b) => (a, b, 10L) }.toDF("src", "dst", "w")
+    val out = GraphOps.graphKcoreOf(nodes, edges, 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out.forall(_ == ((0L, 0L))), "cascade empties the 2-core of a path")
+    // and a 5-cycle with k=2 survives whole (every node keeps exactly 2)
+    val ring = Seq(("A", "B"), ("B", "C"), ("C", "D"), ("D", "E"), ("E", "A"))
+      .map { case (a, b) => (a, b, 10L) }.toDF("src", "dst", "w")
+    val out2 = GraphOps.graphKcoreOf(nodes, ring, 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out2.forall(_ == ((1L, 2L))))
+  }
+
   test("clusterLabels artifact: derive-once, fingerprint-keyed re-derive") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cl-art").toString
     def writeDocs(extra: Boolean): Unit = {
