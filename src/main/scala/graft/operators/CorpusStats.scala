@@ -598,6 +598,83 @@ object CorpusStats {
       |  CAST(CASE WHEN $gopherKeepPredSql THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM bp ORDER BY doc_id""".stripMargin
 
+  /** End-to-end curation decision — the ONE call a pretraining pipeline
+    * actually ships: per document the verdict of every keep stage
+    * (quality = the gopher rule set, duplication = dedup-cluster
+    * representative, contamination = benchmark 5-gram overlap, benchmark
+    * membership itself) plus the composed `final_keep` bit and the FIRST
+    * failing stage as `reason` — the audit column a curation review reads
+    * ("why did we drop 12% of src4?"). Composes the three gates it
+    * derives from ([[corpusGopherFilterOf]], `Dedup.clusterLabels`,
+    * `Dedup.corpusDecontaminate`) rather than re-implementing any rule;
+    * the oracle composes the SAME factored SQL fragments (gopher CTEs +
+    * keep predicate, the recursive cluster CTE, the decontamination
+    * shingle CTEs), so a threshold edit anywhere propagates to both
+    * engines or fails the gate loudly.
+    *
+    * Plan shape: gopher signals are map-side per-doc expressions; cluster
+    * labels come from the persisted artifact (the dedup pass runs once
+    * per corpus); contamination is the df-bounded benchmark shingle join;
+    * the three flag tables co-join on the doc_id exchange. */
+  def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val gopher = corpusGopherFilterOf(docs)
+      .select(col("doc_id"), col("keep").as("gopher_keep"))
+    val clusters = graft.operators.Dedup.clusterLabels(spark, dir)
+      .select(col("doc_id"), col("keep").cast("long").as("dedup_keep"))
+    val contam = graft.operators.Dedup.corpusDecontaminate(spark, dir)
+      .select(col("doc_id"), lit(1L).as("cflag"))
+    docs.select(col("doc_id"))
+      .join(gopher, Seq("doc_id"))
+      .join(clusters, Seq("doc_id"))
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("contaminated", when(col("cflag").isNotNull, 1L).otherwise(0L))
+      .withColumn("is_benchmark",
+        when(pmod(col("doc_id"), lit(97L)) === 0, 1L).otherwise(0L))
+      .withColumn("final_keep",
+        when(col("is_benchmark") === 0 && col("gopher_keep") === 1 &&
+          col("dedup_keep") === 1 && col("contaminated") === 0, 1L).otherwise(0L))
+      .withColumn("reason",
+        when(col("is_benchmark") === 1, "benchmark")
+          .when(col("gopher_keep") === 0, "quality")
+          .when(col("dedup_keep") === 0, "duplicate")
+          .when(col("contaminated") === 1, "contaminated")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("gopher_keep"), col("dedup_keep"),
+        col("contaminated"), col("is_benchmark"), col("final_keep"), col("reason"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusCurateSql: String =
+    s"""${graft.operators.Dedup.dedupClustersSqlCte},
+      |${graft.operators.Dedup.decontaminateShinglesSqlCte},
+      |$gopherCtesSql,
+      |contam AS (SELECT DISTINCT c.doc_id FROM corp c JOIN bench b ON c.s = b.s),
+      |flags AS (
+      |  SELECT d.doc_id,
+      |    CAST(CASE WHEN $gopherKeepPredSql THEN 1 ELSE 0 END AS BIGINT)
+      |      AS gopher_keep,
+      |    CAST(CASE WHEN cl.cluster_id = d.doc_id THEN 1 ELSE 0 END AS BIGINT)
+      |      AS dedup_keep,
+      |    CAST(CASE WHEN ct.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+      |      AS contaminated,
+      |    CAST(CASE WHEN d.doc_id % 97 = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |      AS is_benchmark
+      |  FROM documents d
+      |  JOIN bp USING (doc_id)
+      |  JOIN cl USING (doc_id)
+      |  LEFT JOIN contam ct ON ct.doc_id = d.doc_id
+      |)
+      |SELECT doc_id, gopher_keep, dedup_keep, contaminated, is_benchmark,
+      |  CAST(CASE WHEN is_benchmark = 0 AND gopher_keep = 1 AND dedup_keep = 1
+      |    AND contaminated = 0 THEN 1 ELSE 0 END AS BIGINT) AS final_keep,
+      |  CASE WHEN is_benchmark = 1 THEN 'benchmark'
+      |       WHEN gopher_keep = 0 THEN 'quality'
+      |       WHEN dedup_keep = 0 THEN 'duplicate'
+      |       WHEN contaminated = 1 THEN 'contaminated'
+      |       ELSE 'kept' END AS reason
+      |FROM flags ORDER BY doc_id""".stripMargin
+
   /** Per-doc lexical diversity: type-token ratio and hapax fraction —
     * the cheap templated-text / boilerplate detector (machine-generated
     * spam repeats a tiny vocabulary; natural prose at gate lengths keeps
@@ -1238,6 +1315,7 @@ object CorpusStats {
     "text_entropy"      -> (textEntropy _),
     "corpus_tfidf_topk" -> (corpusTfidfTopk _),
     "corpus_bm25"       -> (corpusBm25 _),
+    "corpus_curate"     -> (corpusCurate _),
     "corpus_pmi_topk"   -> (corpusPmiTopk _),
     "text_memorization" -> (textMemorization _),
     "corpus_ppl_bucket" -> (corpusPplBucket _),
@@ -1257,6 +1335,7 @@ object CorpusStats {
     "text_entropy"      -> textEntropySql,
     "corpus_tfidf_topk" -> corpusTfidfTopkSql,
     "corpus_bm25"       -> corpusBm25Sql,
+    "corpus_curate"     -> corpusCurateSql,
     "corpus_pmi_topk"   -> corpusPmiTopkSql,
     "text_memorization" -> textMemorizationSql,
     "corpus_ppl_bucket" -> corpusPplBucketSql,

@@ -54,8 +54,12 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  val corpusDecontaminateSql: String =
-    """WITH tk AS (
+  /** The benchmark-vs-corpus 5-gram shingle CTEs (tk → sh → bench/corp) as
+    * a composable fragment — [[corpusDecontaminateSql]] and the
+    * corpus_curate oracle embed THIS, so a shingle-rule edit propagates
+    * to every consumer (the factored-constant discipline). */
+  private[operators] val decontaminateShinglesSqlCte: String =
+    """tk AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
       |), sh AS (
       |  SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 5
@@ -66,7 +70,10 @@ object Dedup {
       |  SELECT doc_id AS bench_doc, unnest(shs) AS s FROM sh WHERE doc_id % 97 = 0
       |), corp AS (
       |  SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 97 <> 0
-      |)
+      |)""".stripMargin
+
+  val corpusDecontaminateSql: String =
+    s"""WITH $decontaminateShinglesSqlCte
       |SELECT c.doc_id, count(DISTINCT c.s) AS n_hits,
       |  count(DISTINCT b.bench_doc) AS n_bench_docs
       |FROM corp c JOIN bench b ON c.s = b.s

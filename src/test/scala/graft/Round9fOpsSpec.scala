@@ -237,6 +237,38 @@ class Round9fOpsSpec extends SparkSpecBase {
     assert(out2.forall(_ == ((1L, 2L))))
   }
 
+  test("corpusCurate: every reason class fires on a hand corpus") {
+    import graft.operators.CorpusStats
+    // gopher-passing filler: ≥50 words, stopword-bearing, 3-10 mean wlen;
+    // every non-stopword carries the seed so no 5-word run repeats across
+    // seeds (a shared template would contaminate every doc against the
+    // benchmark doc)
+    def good(seed: String): String = (1 to 7).map(i =>
+      s"the ${seed}a$i of ${seed}b$i and ${seed}c$i that ${seed}d$i with ${seed}e$i")
+      .mkString(" ")
+    val bench = good("bench")
+    val docs = Seq(
+      (0L, "en", "s0", bench),                       // 0 % 97 == 0: benchmark
+      (1L, "en", "s1", good("alpha")),               // clean keeper
+      (2L, "en", "s2", "too short"),                 // fails the gopher rules
+      (3L, "en", "s3", good("dupe")),                // exact-dup pair: 3 is the
+      (4L, "en", "s3", good("dupe")),                //   keeper, 4 the duplicate
+      // shares an 8-word run with the benchmark doc but lives in another
+      // source (no dedup edge — blocking is (lang, source)): contaminated
+      (5L, "en", "s5", bench.split(" ").take(8).mkString(" ") + " " + good("gamma")))
+      .toDF("doc_id", "lang", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-curate").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusStats.corpusCurate(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getString(6), r.getLong(5))).toMap
+    assert(out(0L) == (("benchmark", 0L)))
+    assert(out(1L) == (("kept", 1L)))
+    assert(out(2L) == (("quality", 0L)))
+    assert(out(3L) == (("kept", 1L)), "cluster representative survives")
+    assert(out(4L) == (("duplicate", 0L)))
+    assert(out(5L) == (("contaminated", 0L)))
+  }
+
   test("clusterLabels artifact: derive-once, fingerprint-keyed re-derive") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cl-art").toString
     def writeDocs(extra: Boolean): Unit = {
