@@ -784,7 +784,165 @@ object Growth {
       |FROM (SELECT unnest(range(1, 29)) AS k) g
       |LEFT JOIN h ON g.k = h.k ORDER BY g.k""".stripMargin
 
+  val MarkovIters = 12
+
+  /** Markov removal-effect attribution (Anderl et al., IJRM'16 — the
+    * data-driven attribution model beside the positional rules of
+    * events_attribution/_first/_decay): model journeys as a first-order
+    * Markov chain over channel states with absorbing CONV/NULL, score a
+    * channel by its REMOVAL EFFECT — how much absorption probability
+    * P(CONV | START) drops when every transition into the channel is
+    * redirected to NULL. Positional rules can't see a channel that never
+    * touches last/first position but feeds the converting paths; removal
+    * effect does.
+    *
+    * Journey = each user's events ordered by (ts, event_id), truncated at
+    * the FIRST purchase (→ CONV); non-converting journeys absorb in NULL.
+    * Transition probabilities are e6 truncating-DIV integers; absorption
+    * is the [[MarkovIters]]-step fixed iteration a_i(s) = Σ p(s→t)·
+    * a_{i−1}(t) DIV 1e6 from a_0 = {CONV: 1e6} with absorbing self-loops
+    * — a DEFINED statistic both engines replay bit-for-bit (the pagerank
+    * fixed-iteration discipline), monotone in i so truncation never
+    * oscillates.
+    *
+    * Plan: the fact-sized work is ONE user-window pass to transition
+    * counts (state-pair grain, ≤ (channels+3)² rows); the 5-scenario ×
+    * 12-step iteration runs on the DRIVER over the collected matrix —
+    * the channel alphabet is bounded by product instrumentation (the
+    * k×dim centroid-training collect class, never corpus-sized), where
+    * the graph ops iterate distributed because entity domains grow. The
+    * oracle re-derives journeys AND unrolls all scenarios' iterations as
+    * CTE chains — a fully independent replay. */
+  def eventsAttributionMarkov(spark: SparkSession, dir: String): DataFrame =
+    eventsAttributionMarkovOf(Tables.events(spark, dir))
+
+  def eventsAttributionMarkovOf(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val seq0 = ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+    val firstP = seq0.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("rn")).as("prn"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+    val jny = seq0.join(firstP, Seq("user_id"), "left")
+      .filter(col("prn").isNull || col("rn") <= col("prn"))
+      .withColumn("state",
+        when(col("event_type") === "purchase", lit("CONV")).otherwise(col("event_type")))
+      .withColumn("prev", lag(col("state"), 1).over(w2))
+      .withColumn("nxt", lead(col("state"), 1).over(w2))
+    val transitions = jny
+      .select(coalesce(col("prev"), lit("START")).as("src"), col("state").as("dst"))
+      .unionAll(jny.filter(col("nxt").isNull && col("state") =!= "CONV")
+        .select(col("state").as("src"), lit("NULL").as("dst")))
+    val counts = transitions.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+    val tots = counts.groupBy(col("src")).agg(sum(col("cnt")).as("tot"))
+    // state-pair grain: ≤ (channels+3)² rows — bounded driver traffic
+    val tr = counts.join(tots, "src")
+      .select(col("src"), col("dst"), expr("cnt * 1000000 DIV tot").as("p_e6"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val channels = tr.flatMap(t => Seq(t._1, t._2))
+      .filterNot(Set("START", "CONV", "NULL")).distinct.sorted
+    def absorb(edges: Array[(String, String, Long)]): Long = {
+      var a = Map("CONV" -> 1000000L, "NULL" -> 0L)
+      for (_ <- 1 to MarkovIters) {
+        a = edges.groupBy(_._1).map { case (s, es) =>
+          s -> es.map { case (_, d, p) => p * a.getOrElse(d, 0L) / 1000000L }.sum
+        } ++ Map("CONV" -> 1000000L, "NULL" -> 0L)
+      }
+      a.getOrElse("START", 0L)
+    }
+    val base = absorb(tr)
+    val effects = channels.map { c =>
+      val redirected = tr.filter(_._1 != c)
+        .map { case (s, d, p) => (s, if (d == c) "NULL" else d, p) }
+        .groupBy(t => (t._1, t._2))
+        .map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toArray
+      (c, base - absorb(redirected))
+    }
+    val totEff = math.max(effects.map(_._2).sum, 1L)
+    effects.toSeq.toDF("channel", "removal_e6")
+      .withColumn("base_conv_e6", lit(base))
+      .withColumn("share_bp", expr(s"removal_e6 * 10000 DIV ${totEff}L"))
+      .orderBy(col("channel"))
+  }
+
+  val eventsAttributionMarkovSql: String = {
+    val channels = Seq("click", "error", "signup", "view")
+    def iterChain(sc: String, trCte: String): String = {
+      val steps = (1 to MarkovIters).map { i =>
+        s"""a_${sc}_$i AS (
+           |  SELECT t.src AS state,
+           |    CAST(sum(t.p_e6 * a.a_e6 // 1000000) AS BIGINT) AS a_e6
+           |  FROM $trCte t JOIN a_${sc}_${i - 1} a ON t.dst = a.state
+           |  GROUP BY 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""a_${sc}_0(state, a_e6) AS (
+         |  SELECT 'CONV', CAST(1000000 AS BIGINT)
+         |  UNION ALL SELECT 'NULL', CAST(0 AS BIGINT)
+         |),
+         |$steps""".stripMargin
+    }
+    val removalCtes = channels.map { c =>
+      s"""tr_$c AS (
+         |  SELECT src, CASE WHEN dst = '$c' THEN 'NULL' ELSE dst END AS dst,
+         |    CAST(sum(p_e6) AS BIGINT) AS p_e6
+         |  FROM tr WHERE src <> '$c' GROUP BY 1, 2
+         |),
+         |${iterChain(c, s"tr_$c")}""".stripMargin
+    }.mkString(",\n")
+    val effectRows = channels.map { c =>
+      s"""SELECT '$c' AS channel,
+         |  (SELECT coalesce((SELECT a_e6 FROM a_base_$MarkovIters WHERE state = 'START'), 0))
+         |  - (SELECT coalesce((SELECT a_e6 FROM a_${c}_$MarkovIters WHERE state = 'START'), 0))
+         |  AS removal_e6""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH seq0 AS (
+       |  SELECT user_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events
+       |), fp AS (
+       |  SELECT user_id, min(rn) AS prn FROM seq0
+       |  WHERE event_type = 'purchase' GROUP BY 1
+       |), jny AS (
+       |  SELECT s.user_id, s.rn,
+       |    CASE WHEN s.event_type = 'purchase' THEN 'CONV' ELSE s.event_type END AS state,
+       |    lag(CASE WHEN s.event_type = 'purchase' THEN 'CONV' ELSE s.event_type END)
+       |      OVER w AS prev,
+       |    lead(CASE WHEN s.event_type = 'purchase' THEN 'CONV' ELSE s.event_type END)
+       |      OVER w AS nxt
+       |  FROM seq0 s LEFT JOIN fp USING (user_id)
+       |  WHERE fp.prn IS NULL OR s.rn <= fp.prn
+       |  WINDOW w AS (PARTITION BY s.user_id ORDER BY s.rn)
+       |), trans AS (
+       |  SELECT coalesce(prev, 'START') AS src, state AS dst FROM jny
+       |  UNION ALL
+       |  SELECT state AS src, 'NULL' AS dst FROM jny
+       |  WHERE nxt IS NULL AND state <> 'CONV'
+       |), cnts AS (
+       |  SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt FROM trans GROUP BY 1, 2
+       |), tots AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS tot FROM cnts GROUP BY 1
+       |), tr AS MATERIALIZED (
+       |  SELECT c.src, c.dst, CAST(c.cnt * 1000000 // t.tot AS BIGINT) AS p_e6
+       |  FROM cnts c JOIN tots t USING (src)
+       |  UNION ALL SELECT 'CONV', 'CONV', CAST(1000000 AS BIGINT)
+       |  UNION ALL SELECT 'NULL', 'NULL', CAST(0 AS BIGINT)
+       |),
+       |${iterChain("base", "tr")},
+       |$removalCtes,
+       |eff AS (
+       |$effectRows
+       |), teff AS (SELECT greatest(CAST(sum(removal_e6) AS BIGINT), 1) AS tot FROM eff)
+       |SELECT e.channel, e.removal_e6,
+       |  (SELECT coalesce((SELECT a_e6 FROM a_base_$MarkovIters WHERE state = 'START'), 0))
+       |    AS base_conv_e6,
+       |  CAST(e.removal_e6 * 10000 // t.tot AS BIGINT) AS share_bp
+       |FROM eff e CROSS JOIN teff t ORDER BY e.channel""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_attribution_markov" -> (eventsAttributionMarkov _),
     "events_power_curve" -> (eventsPowerCurve _),
     "events_cuped" -> (eventsCuped _),
     "events_bot_flag" -> (eventsBotFlag _),
@@ -798,6 +956,7 @@ object Growth {
     "events_ab_lift"     -> (eventsAbLift _))
 
   val oracle: Map[String, String] = Map(
+    "events_attribution_markov" -> eventsAttributionMarkovSql,
     "events_power_curve" -> eventsPowerCurveSql,
     "events_cuped" -> eventsCupedSql,
     "events_bot_flag" -> eventsBotFlagSql,

@@ -237,6 +237,43 @@ class Round9fOpsSpec extends SparkSpecBase {
     assert(out2.forall(_ == ((1L, 2L))))
   }
 
+  test("eventsAttributionMarkov: exact removal effects on a hand chain") {
+    // u1: click → purchase; u2: view → (no purchase).
+    // p(START→click) = p(START→view) = 500000; click→CONV and view→NULL
+    // are certain. Base absorption = 500000. Removing click redirects its
+    // inflow to NULL (effect 500000); removing view changes nothing on
+    // the converting path (effect 0). Shares: 10000 / 0 bp.
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "purchase"),
+      (2L, ts("2024-01-01 11:00:00"), 3L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Growth.eventsAttributionMarkovOf(ev)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("click", 500000L, 500000L, 10000L),
+      ("view", 0L, 500000L, 0L)))
+  }
+
+  test("eventsAttributionMarkov truncates journeys at the first purchase") {
+    // u3's trailing "view, purchase" after the first purchase must not
+    // create transitions: with u1 and u2 present, START→click carries 2
+    // of 3 journeys → base = 666666 (truncating e6), all of it on click.
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "purchase"),
+      (2L, ts("2024-01-01 11:00:00"), 3L, "view"),
+      (3L, ts("2024-01-02 09:00:00"), 4L, "click"),
+      (3L, ts("2024-01-02 09:01:00"), 5L, "purchase"),
+      (3L, ts("2024-01-02 09:02:00"), 6L, "view"),
+      (3L, ts("2024-01-02 09:03:00"), 7L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val byCh = Growth.eventsAttributionMarkovOf(ev)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byCh("click") == ((666666L, 666666L)))
+    assert(byCh("view") == ((0L, 666666L)))
+  }
+
   test("corpusCurate: every reason class fires on a hand corpus") {
     import graft.operators.CorpusStats
     // gopher-passing filler: ≥50 words, stopword-bearing, 3-10 mean wlen;
