@@ -432,6 +432,37 @@ object Dedup {
   def warmClusterLabels(spark: SparkSession, dir: String): Unit =
     clusterLabels(spark, dir).count(): Unit
 
+  /** Soft deduplication — REWEIGHT instead of remove: every doc keeps a
+    * training weight 1/|cluster| in exact bp (the SoftDedup knob: hard
+    * removal throws away benign paraphrase diversity, raw duplicates
+    * over-weight; 1/n makes every near-dup FAMILY contribute one doc's
+    * worth of loss mass, preserving Σ weights = #clusters exactly).
+    * Rides the persisted [[clusterLabels]] artifact — the dedup pass
+    * runs once per corpus; this is one cluster-grain count joined back
+    * on the label exchange. weight_bp = 10⁴ DIV csize truncating,
+    * engine-exact. */
+  def corpusSoftDedup(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(spark, dir).select(col("doc_id"), col("cluster_id"))
+    corpusSoftDedupLabeled(labels)
+  }
+
+  private[graft] def corpusSoftDedupLabeled(labels: DataFrame): DataFrame = {
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("csize"),
+        expr("10000 DIV csize").as("weight_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  // lazy: dedupClustersSqlCte initializes further down the object — an
+  // eager val here reads null (Scala top-to-bottom val init order)
+  lazy val corpusSoftDedupSql: String = dedupClustersSqlCte +
+    """, sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
+      |  FROM cl GROUP BY 1)
+      |SELECT doc_id, cluster_id, csize,
+      |  CAST(10000 // csize AS BIGINT) AS weight_bp
+      |FROM cl JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin
+
   private[graft] def dedupClustersOf(docs: DataFrame): DataFrame = {
     val withHash = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
     val roots = withHash.groupBy(col("h")).agg(min(col("doc_id")).as("root"))
@@ -997,6 +1028,7 @@ object Dedup {
     "dedup_minhash"  -> (dedupMinhash _),
     "dedup_simhash"  -> (dedupSimhash _),
     "dedup_clusters" -> (dedupClusters _),
+    "corpus_soft_dedup" -> (corpusSoftDedup _),
     "dedup_incremental" -> (dedupIncremental _),
     "corpus_decontaminate" -> (corpusDecontaminate _),
     "corpus_bloom_decontaminate" -> (corpusBloomDecontaminate _),
@@ -1011,5 +1043,6 @@ object Dedup {
     "dedup_ngram"    -> dedupNgramSql,
     "dedup_cross_source" -> dedupCrossSourceSql,
     "dedup_clusters" -> dedupClustersSql,
+    "corpus_soft_dedup" -> corpusSoftDedupSql,
     "corpus_decontaminate" -> corpusDecontaminateSql)
 }

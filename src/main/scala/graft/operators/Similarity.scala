@@ -1364,6 +1364,73 @@ object Similarity {
     base.unionByName(hn).orderBy(col("method"))
   }
 
+  /** Binary-hash ANN: sign-bit packing + Hamming ranking (the classic
+    * binary-embedding serving trick — 64 floats → 8 bytes, distance =
+    * one XOR + popcount; Charikar STOC'02 sign hashes, the storage rung
+    * BELOW int8 [[embedQuantize]]). Each vector packs sign bits into TWO
+    * 32-bit halves (portable: a bit-63 single-word pack needs 1L<<63,
+    * unwritable as a positive literal in either engine), candidates rank
+    * by bit_count(xor(lo)) + bit_count(xor(hi)) ascending.
+    *
+    * Unlike every float-cosine knn rung (rows-only by ulp), Hamming
+    * distance is EXACT INTEGER end to end — this is the one ANN operator
+    * whose full ranking the DuckDB oracle hash-proves directly. Plan:
+    * packing is a map-side 64-term codegen'd expression computed ONCE
+    * per side BEFORE the broadcast candidate×query join; per-pair work
+    * is two XOR+popcounts. Same anchor/K contract as [[knnBrute]]. */
+  def knnHamming(spark: SparkSession, dir: String): DataFrame =
+    knnHammingOf(Tables.embeddings(spark, dir))
+
+  def knnHammingOf(emb: DataFrame): DataFrame = {
+    def packHalf(offset: Int): Column =
+      (0 until 32).map { i =>
+        when(element_at(col("embedding"), offset + i + 1) >= 0, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    val packed = emb.select(col("vec_id"),
+      packHalf(0).as("lo"), packHalf(32).as("hi"))
+    val queries = packed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("lo").as("qlo"), col("hi").as("qhi"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("hamming"), col("neighbor_id"))
+    packed.select(col("vec_id").as("neighbor_id"), col("lo"), col("hi"))
+      .crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("hamming",
+        (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val knnHammingSql: String = {
+    def packHalf(offset: Int): String =
+      (0 until 32).map { i =>
+        s"CASE WHEN embedding[${offset + i + 1}] >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
+      }.mkString(" + ")
+    s"""WITH packed AS MATERIALIZED (
+      |  SELECT vec_id, CAST(${packHalf(0)} AS BIGINT) AS lo,
+      |    CAST(${packHalf(32)} AS BIGINT) AS hi
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM packed
+      |  WHERE vec_id < 10
+      |), scored AS (
+      |  SELECT q.query_id, p.vec_id AS neighbor_id,
+      |    CAST(bit_count(xor(p.lo, q.qlo)) + bit_count(xor(p.hi, q.qhi))
+      |      AS BIGINT) AS hamming
+      |  FROM packed p CROSS JOIN q
+      |  WHERE p.vec_id <> q.query_id
+      |)
+      |SELECT query_id, rank, neighbor_id, hamming FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY hamming, neighbor_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Matryoshka truncation evaluation — the recall-vs-dimension report a
     * matryoshka-embedding deployment (Kusupati et al., NeurIPS'22) reads
     * before picking a serving prefix: recall@K of brute-force cosine over
@@ -2050,6 +2117,7 @@ object Similarity {
     "knn_ivfpq"       -> (knnIvfPq _),
     "knn_recall"      -> (knnRecall _),
     "knn_matryoshka"  -> (knnMatryoshka _),
+    "knn_hamming"     -> (knnHamming _),
     "dedup_embed"     -> (dedupEmbed _),
     "dedup_embed_lsh" -> (dedupEmbedLsh _),
     "dedup_semantic"  -> (dedupSemantic _))
@@ -2062,5 +2130,6 @@ object Similarity {
     "embed_project_oracle" -> embedProjectOracleSql,
     "embed_quantize" -> embedQuantizeSql,
     "embed_centroid_stats" -> embedCentroidStatsSql,
-    "embed_covariance" -> embedCovarianceSql)
+    "embed_covariance" -> embedCovarianceSql,
+    "knn_hamming" -> knnHammingSql)
 }

@@ -237,6 +237,33 @@ class Round9fOpsSpec extends SparkSpecBase {
     assert(out2.forall(_ == ((1L, 2L))))
   }
 
+  test("corpusSoftDedup weights preserve one doc's mass per cluster") {
+    // cluster {1,2} → 5000 bp each; singleton {3} → 10000 bp
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "cluster_id")
+    val out = graft.operators.Dedup.corpusSoftDedupLabeled(labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 1L, 2L, 5000L), (2L, 1L, 2L, 5000L),
+      (3L, 3L, 1L, 10000L)))
+  }
+
+  test("knnHammingOf: exact popcount ranking incl. the top sign bit") {
+    // query 0: all-positive signs. candidates flip a known number of
+    // dims negative: 10 → hamming 1 (ONLY dim 64 — the hi half's top
+    // bit, the packing edge), 11 → 2, 12 → 5, 13 → 0 (identical signs).
+    def vec(flips: Set[Int]): Array[Float] =
+      (0 until 64).map(i => if (flips(i)) -1f else 1f).toArray
+    val emb = Seq(
+      (0L, vec(Set.empty[Int])),
+      (10L, vec(Set(63))),
+      (11L, vec(Set(0, 31))),
+      (12L, vec(Set(1, 2, 3, 32, 62))),
+      (13L, vec(Set.empty[Int])))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnHammingOf(emb)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 13L, 0L), (2L, 10L, 1L), (3L, 11L, 2L), (4L, 12L, 5L)))
+  }
+
   test("eventsAttributionMarkov: exact removal effects on a hand chain") {
     // u1: click → purchase; u2: view → (no purchase).
     // p(START→click) = p(START→view) = 500000; click→CONV and view→NULL
