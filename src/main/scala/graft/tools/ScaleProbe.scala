@@ -416,6 +416,48 @@ object ScaleProbe {
     }
   }
 
+  /** r9f: retrieval + skyline + Markov attribution + second-domain CC at
+    * ×1/×10/×30. Expected shapes: bm25's fact work is one tokenize pass
+    * (linear); skyline replicates ROWS but not distinct (price, size)
+    * pairs, so the pair-grain collapse is the linear part and everything
+    * after it is constant; markov's fact work is one user window (linear
+    * — the 5-scenario iteration is driver-side constant over the channel
+    * matrix); graph_components rides the capped co-session derivation
+    * (bounded by construction) + the log-round CC. */
+  private def r9fProbe(spark: SparkSession, reps: Seq[Int]): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.1"
+    for (k <- reps) {
+      def repl(df: DataFrame, idCols: Seq[String]): DataFrame =
+        (0 until k).map { i =>
+          idCols.foldLeft(df)((d, c) =>
+            d.withColumn(c, col(c) + lit(i.toLong * 10000000L)))
+        }.reduce(_ unionByName _)
+      val docs = repl(graft.sources.Tables.documents(spark, dir), Seq("doc_id"))
+      val t0 = System.nanoTime()
+      val bmH = graft.operators.CorpusStats
+        .corpusBm25Of(docs, graft.operators.CorpusStats.Bm25Query, 20)
+        .agg(sum(pmod(xxhash64(struct(col("*"))), lit(1000000007L))))
+        .collect().head.getLong(0)
+      val tBm = (System.nanoTime() - t0) / 1e9
+      val part = repl(graft.sources.Tables.part(spark, dir), Seq("p_partkey"))
+      val t1 = System.nanoTime()
+      val nSky = graft.operators.AnalyticsJoins.qSkylineOf(part).count()
+      val tSky = (System.nanoTime() - t1) / 1e9
+      val ev = repl(graft.sources.Tables.events(spark, dir), Seq("event_id", "user_id"))
+      val t2 = System.nanoTime()
+      val mkH = graft.operators.Growth.eventsAttributionMarkovOf(ev)
+        .agg(sum(pmod(xxhash64(struct(col("*"))), lit(1000000007L))))
+        .collect().head.getLong(0)
+      val tMk = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      val nCc = graft.operators.GraphOps.graphComponentsOf(ev).count()
+      val tCc = (System.nanoTime() - t3) / 1e9
+      println(f"[scale] r9f x$k%-3d bm25 $tBm%6.2f s h=$bmH | skyline $tSky%6.2f s rows=$nSky | " +
+        f"markov $tMk%6.2f s h=$mkH | components $tCc%6.2f s users=$nCc")
+    }
+  }
+
   /** r9d: perceptron training at docs ×1/×10/×30 — rounds are one pass
     * over the (doc, bucket) feature table each, so total time should be
     * linear in the corpus with a flat per-round cost ratio; the learned
@@ -503,6 +545,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("r9d")) {
       r9dProbe(spark, Seq(1, 10, 30))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("r9f")) {
+      r9fProbe(spark, Seq(1, 10, 30))
       spark.stop()
       return
     }
