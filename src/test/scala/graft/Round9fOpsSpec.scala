@@ -237,6 +237,29 @@ class Round9fOpsSpec extends SparkSpecBase {
     assert(out2.forall(_ == ((1L, 2L))))
   }
 
+  test("coActivityLabels artifact matches the live derivation and refreshes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-art").toString
+    def writeEvents(extra: Boolean): Unit = {
+      val base = Seq(
+        (1L, ts("2024-01-01 00:05:00"), 1L),
+        (2L, ts("2024-01-01 00:10:00"), 2L),
+        (9L, ts("2024-01-01 05:00:00"), 3L))
+      val rows = if (extra) base :+ ((2L, ts("2024-01-01 05:01:00"), 4L)) else base
+      rows.toDF("user_id", "ts", "event_id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
+    writeEvents(extra = false)
+    val art = GraphOps.coActivityLabels(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(art == Map(1L -> 1L, 2L -> 1L, 9L -> 9L))
+    // refresh: user 2 now co-occurs with 9 in hour 5 — one component
+    writeEvents(extra = true)
+    val art2 = GraphOps.coActivityLabels(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(art2 == Map(1L -> 1L, 2L -> 1L, 9L -> 1L),
+      "refreshed events re-derive instead of serving the stale artifact")
+  }
+
   test("corpusSoftDedup weights preserve one doc's mass per cluster") {
     // cluster {1,2} → 5000 bp each; singleton {3} → 10000 bp
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "cluster_id")
