@@ -1085,6 +1085,83 @@ object StreamIngest {
       }
   }
 
+  /** Input row for [[botFlagStream]]. */
+  final case class BotEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+  final case class BotGap(delta_s: Long, n: Long, err: Long)
+  final case class BotState(ver: Long, lastTsUs: Long, lastMinute: Long,
+                            minuteCount: Long, burstMax: Long, nEvents: Long,
+                            nGaps: Long, gaps: List[BotGap])
+  final case class BotRow(user_id: Long, ver: Long, n_events: Long,
+                          burst_max: Long, modal_delta_s: Long,
+                          modal_share_bp: Long, bot_flag: Long)
+
+  /** Streaming twin of [[graft.operators.Growth.eventsBotFlag]] — bot
+    * detection AT INGESTION, where traffic hygiene actually wants to run
+    * (flagging after the counts are poisoned is too late). Per-user state
+    * is O(capacity): burst tracking carries (current minute, count, max)
+    * and the cadence histogram is a SpaceSaving summary
+    * ([[heavyHittersStream]]'s eviction pattern applied per user) — and
+    * the bound is PROVABLY sufficient for the batch flag rule: the rule
+    * fires on modal share ≥ 2500 bp = ¼, SpaceSaving at capacity 64
+    * guarantees retention of any gap over 1/64 of the user's gaps, and
+    * when the gap alphabet fits the capacity the whole summary is exact
+    * (the batch-parity case, spec-pinned).
+    *
+    * Ordering caveat (the streaks/path-mining class, same contract):
+    * per-batch rows fold in (ts, event_id) order, but a cross-batch late
+    * event cannot retro-insert a gap — its gap-vs-last-seen is skipped
+    * when negative, and a late minute counts alone. The batch op is the
+    * retrospective truth; this twin is the in-flight approximation whose
+    * guarantees above are what the flag rule needs. Emission carries the
+    * per-user state version (append sinks accumulate; max-ver = current). */
+  def botFlagStream(events: Dataset[BotEvent], capacity: Int = 64)
+      : Dataset[BotRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BotState, BotRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[BotEvent], state: GroupState[BotState]) =>
+          var s = state.getOption.getOrElse(
+            BotState(0L, Long.MinValue, Long.MinValue, 0L, 0L, 0L, 0L, Nil))
+          val counters = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+          s.gaps.foreach(g => counters(g.delta_s) = (g.n, g.err))
+          def addGap(d: Long): Unit = counters.get(d) match {
+            case Some((n, e)) => counters(d) = (n + 1L, e)
+            case None if counters.size < capacity => counters(d) = (1L, 0L)
+            case None =>
+              val (mg, (mn, _)) = counters.minBy { case (g, (n, _)) => (n, g) }
+              counters.remove(mg)
+              counters(d) = (mn + 1L, mn)
+          }
+          var (lastTs, lastMin, minCnt, burst, nEv, nGaps) =
+            (s.lastTsUs, s.lastMinute, s.minuteCount, s.burstMax, s.nEvents, s.nGaps)
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val tUs = micros(e.ts)
+            nEv += 1
+            val minute = Math.floorDiv(tUs, 60000000L)
+            if (minute == lastMin) minCnt += 1
+            else { lastMin = minute; minCnt = 1L }
+            if (minCnt > burst) burst = minCnt
+            if (lastTs != Long.MinValue && tUs >= lastTs) {
+              addGap(Math.floorDiv(tUs - lastTs, 1000000L))
+              nGaps += 1
+            }
+            if (tUs >= lastTs) lastTs = tUs
+          }
+          val gaps = counters.iterator.map { case (d, (n, e)) => BotGap(d, n, e) }.toList
+          val ver = s.ver + 1L
+          state.update(BotState(ver, lastTs, lastMin, minCnt, burst, nEv, nGaps, gaps))
+          val (modalD, modalN) =
+            if (gaps.isEmpty) (0L, 0L)
+            else { val m = gaps.maxBy(g => (g.n, -g.delta_s)); (m.delta_s, m.n) }
+          val shareBp = if (nGaps > 0) modalN * 10000L / nGaps else 0L
+          val flag = if (burst >= 10L || (nEv >= 20L && shareBp >= 2500L)) 1L else 0L
+          Iterator.single(BotRow(user, ver, nEv, burst,
+            if (nGaps > 0) modalD else 0L, shareBp, flag))
+      }
+  }
+
   def runOnce(w: DataStreamWriter[Row], checkpoint: String): StreamingQuery =
     w.option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -1363,6 +1363,77 @@ class StreamIngestSpec extends SparkSpecBase {
     }
   }
 
+  test("botFlagStream matches the batch op on in-order feeds") {
+    import graft.operators.Growth
+    val base = ts("2024-01-01 10:00:00").getTime
+    def ev(u: Long, offsetSec: Long, id: Long) = StreamIngest.BotEvent(
+      u, new Timestamp(base + offsetSec * 1000L), id)
+    // metronome bot 1: 30 events exactly 10 s apart (cadence rule);
+    // burst bot 2: 12 events in one minute, n < 20 (burst rule alone);
+    // organic 3: strictly growing distinct gaps (no rule fires)
+    val rows =
+      (0 until 30).map(i => ev(1L, i * 10L, 100 + i)) ++
+      (0 until 12).map(i => ev(2L, i * 2L, 200 + i)) ++
+      (0 until 8).map(i => ev(3L, i * (61L + 7L * i), 300 + i))
+    val ordered = rows.sortBy(e => (e.ts.getTime, e.event_id))
+    val dir = Files.createTempDirectory("graft-botstream").toString
+    val input = MemoryStream[StreamIngest.BotEvent](spark)
+    val q = StreamIngest.botFlagStream(input.toDS())
+      .writeStream.format("memory").queryName("bot_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    ordered.grouped(17).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val fin = spark.table("bot_out")
+      .withColumn("mver", max(col("ver")).over(w))
+      .filter(col("ver") === col("mver"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("burst_max"),
+          r.getAs[Long]("modal_delta_s"), r.getAs[Long]("modal_share_bp"),
+          r.getAs[Long]("bot_flag"))).toMap
+    val batch = Growth.eventsBotFlagOf(
+        rows.map(e => (e.user_id, e.ts, e.event_id)).toDF("user_id", "ts", "event_id"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("burst_max"),
+          r.getAs[Long]("modal_delta_s"), r.getAs[Long]("modal_share_bp"),
+          r.getAs[Long]("bot_flag"))).toMap
+    assert(fin == batch, s"stream $fin vs batch $batch")
+    assert(batch(1L)._5 == 1L && batch(2L)._5 == 1L && batch(3L)._5 == 0L)
+  }
+
+  test("botFlagStream: eviction keeps the dominant cadence over any alphabet") {
+    // 100 distinct warm-up gaps then 60 × 7 s: capacity 64 forces
+    // evictions, but SpaceSaving retains the dominant gap and its share
+    // (60/160 = 3750 bp ≥ 2500) still fires the cadence rule.
+    val base = ts("2024-02-01 00:00:00").getTime
+    var off = 0L
+    val rows = scala.collection.mutable.ArrayBuffer(
+      StreamIngest.BotEvent(7L, new Timestamp(base), 0L))
+    (1 to 100).foreach { i =>
+      off += 61L + i; rows += StreamIngest.BotEvent(7L, new Timestamp(base + off * 1000L), i.toLong)
+    }
+    (1 to 60).foreach { i =>
+      off += 7L; rows += StreamIngest.BotEvent(7L, new Timestamp(base + off * 1000L), 100L + i)
+    }
+    val dir = Files.createTempDirectory("graft-botstream2").toString
+    val input = MemoryStream[StreamIngest.BotEvent](spark)
+    val q = StreamIngest.botFlagStream(input.toDS())
+      .writeStream.format("memory").queryName("bot_out2")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    rows.grouped(40).foreach { b => input.addData(b.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val fin = spark.table("bot_out2")
+      .orderBy(col("ver").desc).limit(1)
+      .collect().map(r => (r.getAs[Long]("modal_delta_s"),
+        r.getAs[Long]("modal_share_bp"), r.getAs[Long]("bot_flag"))).head
+    assert(fin._1 == 7L, "dominant cadence survives eviction")
+    assert(fin._2 >= 2500L && fin._3 == 1L)
+  }
+
   test("heavyHittersStream: state and emission stay bounded by capacity") {
     // 200 distinct grams through a capacity-8 shard: per-batch emission
     // is the whole summary, which must never exceed 8 rows per version.
