@@ -534,15 +534,39 @@ object Similarity {
 
   // ---------------------------------------------------------------- PQ / ADC
 
-  /** Product-quantization geometry: 64 dims → 4 subspaces × 16 dims, 16
-    * centroids per subspace. A vector's compressed form is 4 small codes
-    * (4 bytes) vs 64 float32 (256 bytes) — 64× compression, which is the
-    * only way a 100 TB embedding corpus fits an ANN scan's working set.
+  /** Product-quantization geometry: 64 dims split into `pqSubFor(n)`
+    * subspaces, 16 centroids per subspace. A vector's compressed form is
+    * nSub small codes (nSub × 4 bits) vs 64 float32 (256 bytes) — the only
+    * way a 100 TB embedding corpus fits an ANN scan's working set.
     * Vectors are L2-normalized before quantization so squared-L2 ADC
-    * ranking orders like cosine (‖q−x‖² = 2 − 2·cos on the unit sphere). */
-  private val PqSub = 4
-  private val PqSubDim = 16
+    * ranking orders like cosine (‖q−x‖² = 2 − 2·cos on the unit sphere).
+    *
+    * The CODE BUDGET BANDS with corpus size (the r9 verdict's scale
+    * defect: at a FIXED budget, recall over near-random vectors decays
+    * with candidate count — measured pq 0.68 at 500 vectors vs 0.20 at
+    * 2000 with 4×16d subspaces): bigger corpora get more subquantizers
+    * (finer ADC resolution per candidate), the faiss sizing rule of
+    * scaling m with the index rather than shipping one geometry. The
+    * band is a pure function of corpus size, so artifact and query
+    * always agree per corpus fingerprint (and the meta marker pins it). */
+  private val PqDim = 64
+  private[graft] def pqSubFor(n: Long): Int = if (n <= 1000L) 4 else 8
   private val PqK = 16
+
+  /** Rerank shortlist depth banded by corpus size: a FIXED shortlist is
+    * the other half of the recall decay (the true top-k's ADC ranks drift
+    * outward as candidates grow — faiss IndexRefineFlat scales its k_factor
+    * the same way). Bounded: the exact-cosine pass stays k-scale (≤500
+    * float rows per query), never corpus-scale. */
+  private[graft] def rerankFor(n: Long): Int =
+    math.max(50, math.min(500, (n / 8L).toInt))
+
+  /** nprobe banded by corpus size for the composed IVF+PQ rung: the r9
+    * nprobe sweep (2/3/4 → 0.40/0.44/0.48 at sf0.01) showed the cell
+    * filter, not code quality, is ivfpq's recall ceiling on near-random
+    * vectors — so larger corpora (whose per-cell candidate count grows)
+    * open more cells instead of silently losing spread-out neighbors. */
+  private[graft] def nprobeFor(n: Long): Int = if (n <= 1000L) 2 else 4
 
   private def sqdist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
@@ -558,10 +582,11 @@ object Similarity {
     * driver-traffic discipline as [[lloyd]] — only the k×subdim centroid
     * matrix is ever collected, assignment is a 16-row broadcast against
     * the vector stream. */
-  private def lloydL2Sub(emb: DataFrame, vec: Column, sub: Int, iters: Int): Seq[Seq[Double]] = {
+  private def lloydL2Sub(emb: DataFrame, vec: Column, sub: Int, subDim: Int,
+                         iters: Int): Seq[Seq[Double]] = {
     val spark = emb.sparkSession
     val sv = emb.select(col("vec_id"),
-      slice(vec, sub * PqSubDim + 1, PqSubDim).as("v"))
+      slice(vec, sub * subDim + 1, subDim).as("v"))
     var cents: Seq[Seq[Double]] = sv
       .select(col("v"), xxhash64(col("vec_id")).as("r"))
       .orderBy(col("r")).limit(PqK)
@@ -600,10 +625,12 @@ object Similarity {
     spark.createDataFrame(ivfCents.zipWithIndex.map { case (v, i) => (i, v) })
       .toDF("cell", "ccvec")
 
-  /** Artifact layout version: 3 = OPQ-rotated residual codes (this build);
-    * 2 = unrotated residuals; anything older (or unmarked) retrains —
-    * codes from a different layout would silently decode garbage. */
-  private val PqVersion = 3
+  /** Artifact layout version: 4 = OPQ-rotated residual codes with the
+    * corpus-banded subquantizer count recorded in meta (this build);
+    * 3 = fixed 4×16d rotated; 2 = unrotated; anything older (or
+    * unmarked) retrains — codes from a different layout would silently
+    * decode garbage. */
+  private val PqVersion = 4
 
   /** Eigenvalue allocation for parametric OPQ (Ge et al., CVPR 2013,
     * "Optimized Product Quantization"): deal the principal dimensions
@@ -635,8 +662,8 @@ object Similarity {
     * SUBSPACE SPLIT changes, from arbitrary coordinate blocks to
     * variance-balanced principal blocks. Falls back to identity for a
     * degenerate (empty) corpus. */
-  private def trainOpqRotation(resid: DataFrame): Array[Array[Double]] = {
-    val d = PqSub * PqSubDim
+  private def trainOpqRotation(resid: DataFrame, nSub: Int): Array[Array[Double]] = {
+    val d = PqDim
     val rows = embedCovarianceOf(resid.select(col("vec_id"), col("rv").as("embedding")))
       .select(col("i"), col("j"), col("n"), col("cov_num")).collect()
     if (rows.isEmpty) return Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
@@ -648,7 +675,7 @@ object Similarity {
       cov(i)(j) = c; cov(j)(i) = c
     }
     val (evals, evecs) = jacobiEigen(cov)
-    opqAllocate(evals, PqSub, PqSubDim).map(evecs)
+    opqAllocate(evals, nSub, d / nSub).map(evecs)
   }
 
   /** The rotation as a broadcast-literal matrix×vector Column — graft's
@@ -701,6 +728,8 @@ object Similarity {
     * the IVF store. */
   def trainPq(spark: SparkSession, dir: String): Unit = {
     val emb = Tables.embeddings(spark, dir)
+    val nSub = pqSubFor(corpusCount(spark, dir))
+    val subDim = PqDim / nSub
     val ivfCents = loadOrTrainCentroids(spark, dir)
     val rawResid = emb.select(col("vec_id"),
         nearestCellExpr(col("embedding"), ivfCents).as("cell"),
@@ -710,7 +739,7 @@ object Similarity {
         zip_with(col("vn"), col("ccvec"), (x, y) => x - y).as("rv"))
     // OPQ: train the variance-balancing rotation on the residuals, then
     // encode ROTATED residuals — the codebook lives in rotated space
-    val rot = trainOpqRotation(rawResid)
+    val rot = trainOpqRotation(rawResid, nSub)
     val path = pqStorePath(spark, dir)
     graft.serving.StorePaths.writeParquetAtomic(
       spark.createDataFrame(rot.zipWithIndex.flatMap { case (row, i) =>
@@ -720,8 +749,9 @@ object Similarity {
     val resid = rawResid.select(col("vec_id"), col("cell"),
       matVecCol(rot, col("rv")).as("rv"))
     val cents: Seq[(Int, Int, Seq[Double])] =
-      (0 until PqSub).flatMap { s =>
-        lloydL2Sub(resid, col("rv"), s, iters = 2).zipWithIndex.map { case (v, c) => (s, c, v) }
+      (0 until nSub).flatMap { s =>
+        lloydL2Sub(resid, col("rv"), s, subDim, iters = 2)
+          .zipWithIndex.map { case (v, c) => (s, c, v) }
       }
     val centsDf = spark.createDataFrame(cents).toDF("s", "c", "cvec")
     centsDf.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
@@ -730,15 +760,15 @@ object Similarity {
       .partitionBy(col("vec_id"), col("s")).orderBy(col("d").asc, col("c"))
     val codesWide = resid
       .crossJoin(centsB)
-      .withColumn("d", sqdist(slice(col("rv"), col("s") * PqSubDim + 1, lit(PqSubDim)), col("cvec")))
+      .withColumn("d", sqdist(slice(col("rv"), col("s") * subDim + 1, lit(subDim)), col("cvec")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .groupBy(col("vec_id"), col("cell"))
       .agg(max(when(col("s") === 0, col("c"))).as("c0"),
-        (1 until PqSub).map(s =>
+        (1 until nSub).map(s =>
           max(when(col("s") === s, col("c"))).as(s"c$s")): _*)
     codesWide.write.mode("overwrite").parquet(path + "/codes")
-    spark.createDataFrame(Seq(Tuple1(PqVersion))).toDF("ver")
+    spark.createDataFrame(Seq((PqVersion, nSub))).toDF("ver", "nsub")
       .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
     // GC superseded fingerprints of this corpus (corpusKey bans '-', so the
     // prefix can't match a sibling corpus whose dir extends this one)
@@ -764,8 +794,15 @@ object Similarity {
     val ok = graft.serving.StorePaths.exists(spark, path + "/codes") &&
       spark.read.parquet(path + "/codes").columns.contains("cell") &&
       graft.serving.StorePaths.existsComplete(spark, path + "/rotation") &&
-      graft.serving.StorePaths.existsComplete(spark, path + "/meta") &&
-      spark.read.parquet(path + "/meta").head().getInt(0) == PqVersion
+      graft.serving.StorePaths.existsComplete(spark, path + "/meta") && {
+        // the subquantizer count is a pure function of corpus size, but
+        // the meta marker still pins it: a band-boundary change in a
+        // future build must retrain, never decode old codes with a new
+        // geometry
+        val meta = spark.read.parquet(path + "/meta").head()
+        meta.getInt(0) == PqVersion &&
+          meta.getInt(1) == pqSubFor(corpusCount(spark, dir))
+      }
     if (!ok) trainPq(spark, dir)
     path
   }
@@ -784,9 +821,11 @@ object Similarity {
     * query vectors are a broadcast, and the only wide op is the per-query
     * top-k window over N×Q shortlist candidates (Q bounded per batch). */
   def knnPq(spark: SparkSession, dir: String): DataFrame =
-    knnPqWith(spark, dir, rerank = 50)
+    knnPqWith(spark, dir, rerank = rerankFor(corpusCount(spark, dir)))
 
   def knnPqWith(spark: SparkSession, dir: String, rerank: Int): DataFrame = {
+    val nSub = pqSubFor(corpusCount(spark, dir))
+    val subDim = PqDim / nSub
     val path = ensurePq(spark, dir)
     val cents = spark.read.parquet(path + "/centroids")
     val codes = spark.read.parquet(path + "/codes")
@@ -807,10 +846,10 @@ object Similarity {
       .withColumn("qr", matVecCol(rot, zip_with(col("qn"), col("ccvec"), (x, y) => x - y)))
       .crossJoin(broadcast(cents))
       .withColumn("d",
-        sqdist(slice(col("qr"), col("s") * PqSubDim + 1, lit(PqSubDim)), col("cvec")))
+        sqdist(slice(col("qr"), col("s") * subDim + 1, lit(subDim)), col("cvec")))
     val dtab = dt.groupBy(col("query_id"), col("cell"))
       .agg(first(col("qvec")).as("qvec"),
-        (0 until PqSub).map { s =>
+        (0 until nSub).map { s =>
           transform(
             array_sort(collect_list(when(col("s") === s, struct(col("c"), col("d"))))),
             t => t.getField("d")).as(s"d$s")
@@ -821,7 +860,7 @@ object Similarity {
       .join(broadcast(dtab), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("adist",
-        (0 until PqSub).map(s => element_at(col(s"d$s"), col(s"c$s") + 1)).reduce(_ + _))
+        (0 until nSub).map(s => element_at(col(s"d$s"), col(s"c$s") + 1)).reduce(_ + _))
       .withColumn("arn", row_number().over(wA))
       .filter(col("arn") <= rerank)
       .select(col("query_id"), col("neighbor_id"), col("qvec"))
@@ -853,11 +892,15 @@ object Similarity {
     * #cells and rerank ≥ corpus degenerates to EXACT brute force
     * (spec-pinned), so the recall knobs trade accuracy for work
     * transparently. */
-  def knnIvfPq(spark: SparkSession, dir: String): DataFrame =
-    knnIvfPqWith(spark, dir, nprobe = 2, rerank = 50)
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val n = corpusCount(spark, dir)
+    knnIvfPqWith(spark, dir, nprobe = nprobeFor(n), rerank = rerankFor(n))
+  }
 
   def knnIvfPqWith(spark: SparkSession, dir: String, nprobe: Int, rerank: Int,
                    queryLo: Long = 0L, queryHi: Long = 10L): DataFrame = {
+    val nSub = pqSubFor(corpusCount(spark, dir))
+    val subDim = PqDim / nSub
     val centroids = loadOrTrainCentroids(spark, dir)
     val path = ensurePq(spark, dir)
     val pqCents = spark.read.parquet(path + "/centroids")
@@ -894,10 +937,10 @@ object Similarity {
       .withColumn("qr", matVecCol(rot, zip_with(col("qn"), col("ccvec"), (x, y) => x - y)))
       .crossJoin(broadcast(pqCents))
       .withColumn("d",
-        sqdist(slice(col("qr"), col("s") * PqSubDim + 1, lit(PqSubDim)), col("cvec")))
+        sqdist(slice(col("qr"), col("s") * subDim + 1, lit(subDim)), col("cvec")))
       .groupBy(col("query_id"), col("cell"))
       .agg(first(col("qvec")).as("qvec"),
-        (0 until PqSub).map { s =>
+        (0 until nSub).map { s =>
           transform(
             array_sort(collect_list(when(col("s") === s, struct(col("c"), col("d"))))),
             t => t.getField("d")).as(s"d$s")
@@ -907,7 +950,7 @@ object Similarity {
     val shortlist = cands.join(broadcast(dtab), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("adist",
-        (0 until PqSub).map(s => element_at(col(s"d$s"), col(s"c$s") + 1)).reduce(_ + _))
+        (0 until nSub).map(s => element_at(col(s"d$s"), col(s"c$s") + 1)).reduce(_ + _))
       .withColumn("arn", row_number().over(wA))
       .filter(col("arn") <= rerank)
       .select(col("query_id"), col("neighbor_id"), col("qvec"))
@@ -1318,22 +1361,24 @@ object Similarity {
     val b = knnBrute(spark, dir).select(col("query_id"), col("neighbor_id"))
       .localCheckpoint()
     val bTot = b.agg(count(lit(1)).as("n_brute"))
-    // floors re-pinned after the OPQ rotation landed (r9): pq measured
-    // 0.68 (was 0.50 unrotated), ivfpq 0.40 — the latter is the nprobe=2
-    // cell-filter ceiling, not code quality (nprobe 2/3/4 sweep at sf0.01
-    // measures 0.40/0.44/0.48: near-random vectors don't cluster, so
-    // probing half the cells still misses spread-out true neighbors).
-    // Floors are corpus-size-BANDED (r9f): at a fixed 8-byte code budget
-    // PQ recall on near-random vectors degrades with candidate count
-    // (measured pq/ivfpq 68/40 e2 at the 500-vector gate corpora, 20/22 at sf0.1's 2000 — the
-    // faiss-documented size/recall tradeoff, not a code regression), so
-    // the tight band guards the sf0.01 driver gate and the wide band
-    // keeps the row-presence machinery check honest at bench scale.
-    val tight = corpusCount(spark, dir) <= 1000L
+    // floors re-pinned after the corpus-banded code budget landed (r10):
+    // [[pqSubFor]]/[[rerankFor]]/[[nprobeFor]] scale subquantizers,
+    // shortlist depth, and probed cells with corpus size, which ENDED the
+    // r9 recall decay — measured (ScaleProbe recall, unfiltered):
+    //   sf0.01 (n=500,  4×16d, rr=62,  np=2): pq 0.70, ivfpq 0.42, ivf 0.42
+    //   sf0.1  (n=2000, 8×8d,  rr=250, np=4): pq 0.90, ivfpq 0.50, ivf 0.40
+    // so the floors are UNBANDED again (the r9 15/15 wide band is gone)
+    // and recall now rises with corpus size. ivfpq reports BOTH nprobe
+    // settings as separate floor-gated rows so the driver gate sees the
+    // cell-filter ceiling move (np2→np4 measured 0.42→0.48 / 0.40→0.50):
+    // a regression in either the cell filter or the code quality drops
+    // its own row. All values deterministic (hash seeding + Lloyd).
+    val rr = rerankFor(corpusCount(spark, dir))
     val methods: Seq[(String, DataFrame, Long)] = Seq(
-      ("ivf",   knnIvf(spark, dir),   30L),
-      ("ivfpq", knnIvfPq(spark, dir), if (tight) 38L else 15L),
-      ("pq",    knnPq(spark, dir),    if (tight) 55L else 15L))
+      ("ivf",       knnIvf(spark, dir),                              30L),
+      ("ivfpq_np2", knnIvfPqWith(spark, dir, nprobe = 2, rerank = rr), 38L),
+      ("ivfpq_np4", knnIvfPqWith(spark, dir, nprobe = 4, rerank = rr), 44L),
+      ("pq",        knnPq(spark, dir),                               55L))
     val base = methods.map { case (nm, df, floor) =>
       df.select(col("query_id"), col("neighbor_id"))
         .join(b, Seq("query_id", "neighbor_id"), "left_semi")

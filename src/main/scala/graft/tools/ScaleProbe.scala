@@ -484,6 +484,47 @@ object ScaleProbe {
     }
   }
 
+  /** Raw ANN recall@5 at BOTH gate scale factors (the knn_recall gate
+    * FILTERS below-floor rows away, so floors must be pinned from this
+    * unfiltered measurement): banded defaults plus the nprobe/rerank
+    * sweep, against fresh artifact stores so the banded geometry trains. */
+  def recallProbe(spark: SparkSession): Unit = {
+    import graft.operators.Similarity
+    for (sfDir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val tmpPq = java.nio.file.Files.createTempDirectory("probe_pq").toString
+      val tmpIvf = java.nio.file.Files.createTempDirectory("probe_ivf").toString
+      spark.conf.set("graft.pq.dir", tmpPq)
+      spark.conf.set("graft.ivf.dir", tmpIvf)
+      try {
+        def top5(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+          df.collect().groupBy(_.getAs[Long]("query_id"))
+            .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+        def recallOf(a: Map[Long, Set[Long]], e: Map[Long, Set[Long]]): Double =
+          e.map { case (q, t) => a.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+            .sum / e.size
+        val n = Similarity.corpusCount(spark, sfDir)
+        val brute = top5(Similarity.knnBrute(spark, sfDir))
+        val t0 = System.nanoTime()
+        val pq = recallOf(top5(Similarity.knnPq(spark, sfDir)), brute)
+        val tTrain = (System.nanoTime() - t0) / 1e9
+        val ivf = recallOf(top5(Similarity.knnIvf(spark, sfDir)), brute)
+        val ivfpq = recallOf(top5(Similarity.knnIvfPq(spark, sfDir)), brute)
+        println(f"[recall] $sfDir n=$n banded: pq=$pq%.2f ivf=$ivf%.2f " +
+          f"ivfpq=$ivfpq%.2f (first pq call incl train $tTrain%.1f s)")
+        for (np <- Seq(2, 4); rr <- Seq(50, Similarity.rerankFor(n))) {
+          val r = recallOf(top5(Similarity.knnIvfPqWith(spark, sfDir, np, rr)), brute)
+          println(f"[recall]   ivfpq nprobe=$np rerank=$rr -> $r%.2f")
+        }
+        for (rr <- Seq(50, Similarity.rerankFor(n))) {
+          val r = recallOf(top5(Similarity.knnPqWith(spark, sfDir, rr)), brute)
+          println(f"[recall]   pq rerank=$rr -> $r%.2f")
+        }
+      } finally {
+        spark.conf.unset("graft.pq.dir"); spark.conf.unset("graft.ivf.dir")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val k = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
@@ -560,6 +601,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("cc")) {
       ccProbe(spark)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("recall")) {
+      recallProbe(spark)
       spark.stop()
       return
     }

@@ -28,9 +28,11 @@ class PqSpec extends SparkSpecBase {
       val brute = top5(Similarity.knnBrute(spark, dir))
       val pq = top5(Similarity.knnPq(spark, dir))
       val r = recallOf(pq, brute)
-      // measured 0.68 at sf0.01 with the OPQ rotation (0.50 unrotated —
-      // 4x16 codebook, rerank 50, near-random 64-dim vectors);
-      // deterministic, so a 0.55 floor is a real pin
+      // measured 0.70 at sf0.01 (OPQ rotation + banded rerank 62; 0.50
+      // unrotated r8, 0.68 at fixed rerank 50 r9); at sf0.1's 2000
+      // vectors the corpus-banded 8×8d geometry measures 0.90 (ScaleProbe
+      // recall) — recall RISES with corpus size now, the r10 fix.
+      // Deterministic, so a 0.55 floor is a real pin
       assert(r >= 0.55, s"PQ recall@5 too low: $r")
 
       // a larger rerank shortlist is a superset, and the exact-cosine
@@ -84,6 +86,22 @@ class PqSpec extends SparkSpecBase {
     }
   }
 
+  test("corpus bands are bounded: rerank k-scale, geometry divides the dim") {
+    // the exact-cosine refine pass must stay k-scale at ANY corpus size —
+    // a shortlist that grew linearly forever would re-create brute force
+    assert(Similarity.rerankFor(500) == 62)
+    assert(Similarity.rerankFor(2000) == 250)
+    assert(Similarity.rerankFor(100000000L) == 500, "rerank must cap")
+    assert(Similarity.rerankFor(0) == 50, "rerank floor")
+    // band boundary: the subspace count always divides 64 so sub-slices
+    // tile the vector exactly (a non-divisor would silently drop dims)
+    Seq(1L, 500L, 1000L, 1001L, 2000L, 1000000L).foreach { n =>
+      assert(64 % Similarity.pqSubFor(n) == 0)
+    }
+    assert(Similarity.pqSubFor(1000) == 4 && Similarity.pqSubFor(1001) == 8)
+    assert(Similarity.nprobeFor(1000) == 2 && Similarity.nprobeFor(1001) == 4)
+  }
+
   test("opqAllocate deals eigen-dims to balance per-subspace log-products") {
     // duplicated spectrum: greedy alternation lands both buckets on the
     // SAME multiset {8,4,2,1} — exactly equal log-products
@@ -113,10 +131,11 @@ class PqSpec extends SparkSpecBase {
     spark.conf.set("graft.ivf.dir", tmpIvf)
     try {
       val out = Similarity.knnRecall(spark, dir).collect()
-      // 4 rows = every method above its floor; a recall regression drops
-      // its row, which the driver's rows count surfaces
+      // 5 rows = every method above its floor (ivfpq reports both nprobe
+      // settings so the cell-filter ceiling is gate-visible); a recall
+      // regression drops its row, which the driver's rows count surfaces
       assert(out.map(_.getAs[String]("method")).toSeq ==
-        Seq("hard_neg", "ivf", "ivfpq", "pq"))
+        Seq("hard_neg", "ivf", "ivfpq_np2", "ivfpq_np4", "pq"))
       out.foreach { r =>
         assert(r.getAs[Long]("recall_e2") >= r.getAs[Long]("floor_e2"),
           s"${r.getAs[String]("method")} below floor: $r")
@@ -157,11 +176,11 @@ class PqSpec extends SparkSpecBase {
     spark.conf.set("graft.ivf.dir", tmpIvf)
     try {
       val brute = top5(Similarity.knnBrute(spark, dir))
-      // production knobs: nprobe=2 of 8 cells, rerank=50. Recall is below
-      // plain PQ's by construction (the cell filter excludes candidates) —
-      // that's the traded-away work; measured 0.40 with the OPQ rotation
-      // (the nprobe=2 cell ceiling — nprobe 2/3/4 measures 0.40/0.44/0.48
-      // on these near-random vectors); the pin is deterministic
+      // production knobs at this corpus: nprobe=2, banded rerank=62.
+      // Recall is below plain PQ's by construction (the cell filter
+      // excludes candidates) — that's the traded-away work; measured 0.42
+      // (the nprobe=2 cell ceiling — np2/np4 measures 0.42/0.48 here,
+      // 0.40/0.50 at sf0.1 where the band opens 4 cells); deterministic
       val ivfpq = top5(Similarity.knnIvfPq(spark, dir))
       val r = recallOf(ivfpq, brute)
       assert(r >= 0.38, s"IVFPQ recall@5 too low: $r")
