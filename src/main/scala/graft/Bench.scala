@@ -65,6 +65,13 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] dedup warm-up failed: ${e.getMessage.take(200)}")
     }
+    // exact-truth recall baselines (uncapped containment, n-gram Jaccard
+    // pairs, exact fuzzy-decon): the recall gates audit against these —
+    // they must not re-pay the exact pass per gate run
+    try graft.operators.Dedup.warmTruths(spark, sfDir) catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] truth warm-up failed: ${e.getMessage.take(200)}")
+    }
     // the BPE merge table is a trained artifact of the same class (16
     // driver-coordinated rounds, cached per corpus fingerprint) — warm it
     // so corpus_bpe_merges/apply measure the operator, not the training

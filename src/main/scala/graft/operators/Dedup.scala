@@ -376,57 +376,16 @@ object Dedup {
   // parquet, atomic temp+rename write, _SUCCESS-gated probe, same-corpus
   // orphan GC. Any refreshed documents file forces a re-derivation.
 
-  private def labelsStorePath(spark: SparkSession, dir: String): String = {
-    val base = spark.conf.getOption("graft.dedup.dir")
-      .getOrElse(sys.props("java.io.tmpdir") + "/graft_dedup_clusters")
-    base + "/" + labelsCorpusKey(dir) + "-" + docsFingerprint(spark, dir)
-  }
-
-  /** Collision-proof corpus key (GraphOps.graphCorpusKey's contract: the
-    * sanitized dir is readable but lossy, the raw-dir hash disambiguates;
-    * the "g" prefix keeps Hadoop from treating the dir as hidden). */
-  private def labelsCorpusKey(dir: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.take(8)
-    "g" + dir.replaceAll("[^A-Za-z0-9._]", "_") + "." + h
-  }
-
-  private def docsFingerprint(spark: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val sig =
-      try fs.listStatus(p).sortBy(_.getPath.getName)
-        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-        .mkString("|")
-      catch { case _: java.io.FileNotFoundException => "documents:absent" }
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.take(16)
-  }
-
   /** The corpus's dedup-cluster labels (doc_id, cluster_id, keep), loaded
     * from the fingerprint-matched artifact when one exists and derived +
-    * persisted otherwise. */
-  def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
-    val path = labelsStorePath(spark, dir)
-    if (graft.serving.StorePaths.existsComplete(spark, path))
-      spark.read.parquet(path)
-    else {
-      val labels = dedupClustersOf(Tables.documents(spark, dir))
-      graft.serving.StorePaths.writeParquetAtomic(labels, path)
-      val cur = new org.apache.hadoop.fs.Path(path)
-      val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val prefix = labelsCorpusKey(dir) + "-"
-      if (fs.exists(cur.getParent)) {
-        fs.listStatus(cur.getParent)
-          .filter(s => s.getPath.getName.startsWith(prefix) &&
-            s.getPath.getName != cur.getName)
-          .foreach(s => fs.delete(s.getPath, true))
-      }
-      spark.read.parquet(path)
-    }
-  }
+    * persisted otherwise (StorePaths.cachedArtifact owns the probe/write/
+    * GC discipline). */
+  def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    graft.serving.StorePaths.cachedArtifact(spark,
+      "graft.dedup.dir", "graft_dedup_clusters",
+      graft.serving.StorePaths.corpusKey(dir) + "-",
+      graft.serving.StorePaths.tableFingerprint(spark, dir, Seq("documents")))(
+      dedupClustersOf(Tables.documents(spark, dir)))
 
   /** Warm the persisted label artifact (bench/offline hook). */
   def warmClusterLabels(spark: SparkSession, dir: String): Unit =
@@ -657,9 +616,10 @@ object Dedup {
     * row in the driver's rows count. rows-only: it scores xxhash64
     * pipelines that are themselves deliberately rows-only.
     *
-    * Scale shape: the truth pairs are pinned once (they feed both semi
-    * joins and the total — the knn_recall baseline discipline), then per
-    * method one pair-keyed left-semi join and single-row aggregates. */
+    * Scale shape: the exact truth sets load from persisted fingerprinted
+    * artifacts ([[ngramTruth]]/[[containmentTruth]]/[[fuzzyTruth]] —
+    * derived once per corpus, warmed in Bench), then per method one
+    * pair-keyed left-semi join and single-row aggregates. */
   def dedupRecall(spark: SparkSession, dir: String): DataFrame = {
     // shared row shape: recall of `got` vs `truth` on `keys`, floor-gated —
     // a healthy pipeline emits the row, a regression drops it
@@ -676,8 +636,7 @@ object Dedup {
           lit(floor).as("floor_e2"))
         .filter(col("recall_e2") >= col("floor_e2"))
     }
-    val truth = dedupNgram(spark, dir).filter(col("jaccard") >= 0.5)
-      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val truth = ngramTruth(spark, dir)
     val bandRows = Seq(
       ("minhash", dedupMinhash(spark, dir), 70L),
       ("simhash", dedupSimhash(spark, dir), 40L)).map { case (nm, df, floor) =>
@@ -685,40 +644,75 @@ object Dedup {
         Seq("id_a", "id_b"), floor)
     }
     // containment's only approximation is the hot-shingle df cap — its
-    // floor is pair recall vs the UNCAPPED (definitionally exact) form.
-    // The uncapped pass is gate-corpus-sized by construction, the same
-    // in-gate exact-baseline discipline as knn_recall's brute force.
+    // floor is pair recall vs the UNCAPPED (definitionally exact) form,
+    // read from the persisted truth artifact like every exact baseline.
     val contRow = recallRow("containment",
-      dedupContainmentCapped(spark, dir, Int.MaxValue)
-        .select(col("contained_id"), col("container_id")).localCheckpoint(),
+      containmentTruth(spark, dir),
       dedupContainment(spark, dir).select(col("contained_id"), col("container_id")),
       Seq("contained_id", "container_id"), 70L)
     // fuzzy decontamination's approximation is the band collision — its
     // floor is flagged-DOC recall vs the exact shingle-set Jaccard ≥ 0.5
-    // (the banding's design threshold) between each corpus doc and the
-    // benchmark extracts, over the SAME 3-gram shingle family the bands
-    // hash. 3·inter ≥ n_c + n_b is the exact integer form of J ≥ 1/2.
-    val docs = Tables.documents(spark, dir)
-    val corpEx = docs
-      .select(col("doc_id"), array_distinct(hashedNgrams(col("text"), 3)).as("sh"))
-      .select(col("doc_id"), size(col("sh")).cast("long").as("n_c"),
-        explode(col("sh")).as("h"))
-    val benchEx = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
-      .select(col("doc_id").as("bench_doc"),
-        array_distinct(hashedNgrams(benchExtract(col("text")), 3)).as("bsh"))
-      .select(col("bench_doc"), size(col("bsh")).cast("long").as("n_b"),
-        explode(col("bsh")).as("h"))
-    val fuzzyTruth = corpEx.join(broadcast(benchEx), "h")
-      .groupBy(col("doc_id"), col("bench_doc"), col("n_c"), col("n_b"))
-      .agg(count(lit(1)).as("inter"))
-      .filter(col("inter") * 3 >= col("n_c") + col("n_b"))
-      .select(col("doc_id")).distinct()
+    // (the banding's design threshold, see [[fuzzyTruth]]).
     val fuzzyRow = recallRow("fuzzy_decon",
-      fuzzyTruth.localCheckpoint(),
+      fuzzyTruth(spark, dir),
       corpusFuzzyDecontaminate(spark, dir).select(col("doc_id")),
       Seq("doc_id"), 70L)
     (bandRows :+ contRow :+ fuzzyRow)
       .reduce(_ unionByName _).orderBy(col("method"))
+  }
+
+  // ---- persisted exact-truth baselines for the recall gate -------------
+  // At a real corpus these exact passes (uncapped containment, full n-gram
+  // Jaccard, exact shingle-set decontamination) are the most expensive
+  // computation in the suite — the gate must audit against them, not
+  // re-pay them per run. Same cachedArtifact discipline as clusterLabels;
+  // warmed by [[warmTruths]]; a refreshed documents file re-derives.
+
+  private def docTruth(spark: SparkSession, dir: String, tag: String)(
+      derive: => DataFrame): DataFrame =
+    graft.serving.StorePaths.cachedArtifact(spark,
+      "graft.truth.dir", "graft_truth",
+      tag + "-" + graft.serving.StorePaths.corpusKey(dir) + "-",
+      graft.serving.StorePaths.tableFingerprint(spark, dir, Seq("documents")))(
+      derive)
+
+  private[graft] def ngramTruth(spark: SparkSession, dir: String): DataFrame =
+    docTruth(spark, dir, "tngram")(
+      dedupNgram(spark, dir).filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b")))
+
+  private[graft] def containmentTruth(spark: SparkSession, dir: String): DataFrame =
+    docTruth(spark, dir, "tcont")(
+      dedupContainmentCapped(spark, dir, Int.MaxValue)
+        .select(col("contained_id"), col("container_id")))
+
+  /** Exact fuzzy-decontamination truth: docs whose 3-gram shingle-set
+    * Jaccard with any benchmark extract reaches the banding's 0.5 design
+    * threshold (3·inter ≥ n_c + n_b is the exact integer form). */
+  private[graft] def fuzzyTruth(spark: SparkSession, dir: String): DataFrame =
+    docTruth(spark, dir, "tfuzzy") {
+      val docs = Tables.documents(spark, dir)
+      val corpEx = docs
+        .select(col("doc_id"), array_distinct(hashedNgrams(col("text"), 3)).as("sh"))
+        .select(col("doc_id"), size(col("sh")).cast("long").as("n_c"),
+          explode(col("sh")).as("h"))
+      val benchEx = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("bench_doc"),
+          array_distinct(hashedNgrams(benchExtract(col("text")), 3)).as("bsh"))
+        .select(col("bench_doc"), size(col("bsh")).cast("long").as("n_b"),
+          explode(col("bsh")).as("h"))
+      corpEx.join(broadcast(benchEx), "h")
+        .groupBy(col("doc_id"), col("bench_doc"), col("n_c"), col("n_b"))
+        .agg(count(lit(1)).as("inter"))
+        .filter(col("inter") * 3 >= col("n_c") + col("n_b"))
+        .select(col("doc_id")).distinct()
+    }
+
+  /** Warm the persisted recall-truth artifacts (bench/offline hook). */
+  def warmTruths(spark: SparkSession, dir: String): Unit = {
+    ngramTruth(spark, dir).count()
+    containmentTruth(spark, dir).count()
+    fuzzyTruth(spark, dir).count(): Unit
   }
 
   /** Oracle for dedup_clusters: same edge set (md5-root stars + the ngram

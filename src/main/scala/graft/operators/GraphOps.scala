@@ -44,69 +44,21 @@ object GraphOps {
     * Hadoop-FS path probes). */
   private def tradeGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val nodes = Tables.nation(spark, dir).select(col("n_name").as("node"))
-    val path = edgesStorePath(spark, dir)
-    // _SUCCESS-gated probe: a partial dir left by a crashed writer must
-    // re-derive, not be read as a truncated edge list
-    if (graft.serving.StorePaths.existsComplete(spark, path))
-      (nodes, spark.read.parquet(path))
-    else {
-      val edges = tradeGraphDerive(spark, dir)._2
-      graft.serving.StorePaths.writeParquetAtomic(edges, path)
-      // same-corpus orphan GC (the trainQuantizer discipline)
-      val cur = new org.apache.hadoop.fs.Path(path)
-      val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val prefix = graphCorpusKey(dir) + "-"
-      if (fs.exists(cur.getParent)) {
-        fs.listStatus(cur.getParent)
-          .filter(s => s.getPath.getName.startsWith(prefix) &&
-            s.getPath.getName != cur.getName)
-          .foreach(s => fs.delete(s.getPath, true))
-      }
-      (nodes, spark.read.parquet(path))
-    }
+    // fingerprint covers ALL FIVE fact/dim inputs of the collapse — any
+    // refreshed file (name/size/mtime) forces a re-derivation
+    val edges = graft.serving.StorePaths.cachedArtifact(spark,
+      "graft.graph.dir", "graft_graph",
+      graft.serving.StorePaths.corpusKey(dir) + "-",
+      graft.serving.StorePaths.tableFingerprint(spark, dir,
+        Seq("lineitem", "orders", "customer", "nation", "supplier")))(
+      tradeGraphDerive(spark, dir)._2)
+    (nodes, edges)
   }
 
   /** Warm the persisted edge artifact (bench/offline hook — the first
     * graph query in a fresh environment otherwise pays the derivation). */
   def warmTradeGraph(spark: SparkSession, dir: String): Unit =
     tradeGraph(spark, dir)._2.count(): Unit
-
-  private def edgesStorePath(spark: SparkSession, dir: String): String = {
-    val base = spark.conf.getOption("graft.graph.dir")
-      .getOrElse(sys.props("java.io.tmpdir") + "/graft_graph")
-    base + "/" + graphCorpusKey(dir) + "-" + graphFingerprint(spark, dir)
-  }
-
-  /** Collision-proof corpus key: the sanitized dir is readable but lossy
-    * (`/a/b` and `/a_b` collide, and colliding corpora GC each other's
-    * artifacts into perpetual re-derivation), so a short hash of the RAW
-    * dir string disambiguates. */
-  private def graphCorpusKey(dir: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.take(8)
-    // "g" prefix: the sanitized form of an absolute path starts with "_",
-    // which Hadoop path filters treat as hidden (spark.read warns "all
-    // paths were ignored" and _-prefixed dirs vanish from parent listings)
-    "g" + dir.replaceAll("[^A-Za-z0-9._]", "_") + "." + h
-  }
-
-  /** Fingerprint over the FOUR fact/dim inputs of the collapse — any
-    * refreshed file (name/size/mtime) forces a re-derivation. */
-  private def graphFingerprint(spark: SparkSession, dir: String): String = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val sig = Seq("lineitem", "orders", "customer", "nation", "supplier").map { t =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
-      val fs = p.getFileSystem(conf)
-      try fs.listStatus(p).sortBy(_.getPath.getName)
-        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-        .mkString("|")
-      catch { case _: java.io.FileNotFoundException => s"$t:absent" }
-    }.mkString("||")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.take(16)
-  }
 
   private def tradeGraphDerive(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val nations = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
@@ -943,40 +895,12 @@ object GraphOps {
     * fingerprint-keyed, writes atomic + _SUCCESS-gated, same-corpus
     * orphans GC'd. The "cc-" name prefix keeps these artifacts disjoint
     * from the trade-edge artifacts sharing the parent dir. */
-  def coActivityLabels(spark: SparkSession, dir: String): DataFrame = {
-    val base = spark.conf.getOption("graft.graph.dir")
-      .getOrElse(sys.props("java.io.tmpdir") + "/graft_graph")
-    val path = base + "/cc-" + graphCorpusKey(dir) + "-" + eventsFingerprint(spark, dir)
-    if (graft.serving.StorePaths.existsComplete(spark, path))
-      spark.read.parquet(path)
-    else {
-      val labels = graphComponentsOf(Tables.events(spark, dir))
-      graft.serving.StorePaths.writeParquetAtomic(labels, path)
-      val cur = new org.apache.hadoop.fs.Path(path)
-      val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val prefix = "cc-" + graphCorpusKey(dir) + "-"
-      if (fs.exists(cur.getParent)) {
-        fs.listStatus(cur.getParent)
-          .filter(s => s.getPath.getName.startsWith(prefix) &&
-            s.getPath.getName != cur.getName)
-          .foreach(s => fs.delete(s.getPath, true))
-      }
-      spark.read.parquet(path)
-    }
-  }
-
-  private def eventsFingerprint(spark: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val sig =
-      try fs.listStatus(p).sortBy(_.getPath.getName)
-        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-        .mkString("|")
-      catch { case _: java.io.FileNotFoundException => "events:absent" }
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.take(16)
-  }
+  def coActivityLabels(spark: SparkSession, dir: String): DataFrame =
+    graft.serving.StorePaths.cachedArtifact(spark,
+      "graft.graph.dir", "graft_graph",
+      "cc-" + graft.serving.StorePaths.corpusKey(dir) + "-",
+      graft.serving.StorePaths.tableFingerprint(spark, dir, Seq("events")))(
+      graphComponentsOf(Tables.events(spark, dir)))
 
   /** Warm the persisted co-activity label artifact (bench/offline hook). */
   def warmCoActivityLabels(spark: SparkSession, dir: String): Unit =

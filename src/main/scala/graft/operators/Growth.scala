@@ -663,17 +663,40 @@ object Growth {
   def eventsCuped(spark: SparkSession, dir: String): DataFrame =
     eventsCupedOf(Tables.events(spark, dir))
 
-  def eventsCupedOf(ev: DataFrame): DataFrame = {
+  /** The user-grain (x, y, arm) frame both the gate and the moment audit
+    * aggregate over (x = pre-period event count, y = experiment-period
+    * conversion, arm = hash split). */
+  private def cupedUsers(ev: DataFrame): DataFrame = {
     val days = ev.select(col("user_id"), col("event_type"),
       floor(unix_micros(col("ts")) / lit(DayUs)).cast("long").as("day"))
     val split = days.agg((min(col("day")) + lit(15L)).as("split_day"))
-    val users = days.crossJoin(broadcast(split))
+    days.crossJoin(broadcast(split))
       .groupBy(col("user_id"))
       .agg(
         sum(when(col("day") < col("split_day"), 1L).otherwise(0L)).as("x"),
         max(when(col("day") >= col("split_day") &&
           col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
       .withColumn("arm", pmod(TextAnalysis.idHash(col("user_id")), lit(2)).cast("long"))
+  }
+
+  /** The raw integer moments of the CUPED statistic, collected — the
+    * audit surface for the docstring's overflow-headroom claim (ANSI mode
+    * ABORTS on Long overflow, so the claimed sf10-class bound is spec-
+    * enforced on the gate corpora rather than trusted). */
+  private[graft] case class CupedMoments(n: Long, sx: Long, sy: Long,
+                                         sxx: Long, sxy: Long)
+  private[graft] def eventsCupedMoments(ev: DataFrame): CupedMoments = {
+    val r = cupedUsers(ev).agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(col("x")), lit(0L)).as("sx"),
+      coalesce(sum(col("y")), lit(0L)).as("sy"),
+      coalesce(sum(col("x") * col("x")), lit(0L)).as("sxx"),
+      coalesce(sum(col("x") * col("y")), lit(0L)).as("sxy")).head()
+    CupedMoments(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  def eventsCupedOf(ev: DataFrame): DataFrame = {
+    val users = cupedUsers(ev)
     users.agg(
         count(lit(1)).as("n"),
         coalesce(sum(col("x")), lit(0L)).as("sx"),
@@ -813,10 +836,23 @@ object Growth {
     * the graph ops iterate distributed because entity domains grow. The
     * oracle re-derives journeys AND unrolls all scenarios' iterations as
     * CTE chains — a fully independent replay. */
-  def eventsAttributionMarkov(spark: SparkSession, dir: String): DataFrame =
-    eventsAttributionMarkovOf(Tables.events(spark, dir))
+  /** The corpus event_type contract the markov ORACLE is pinned to. The
+    * oracle unrolls one removal-scenario CTE chain PER channel, so its
+    * channel list is baked into the SQL text at build time, while the
+    * Spark side derives channels from the data — two sources that could
+    * silently diverge if the corpus schema drifted. The gate path
+    * therefore passes this list into [[eventsAttributionMarkovOf]], which
+    * fails loudly AT THE OPERATOR (named error, zero extra scans — the
+    * alphabet is already on the driver) instead of as an unexplained
+    * row-set mismatch at the gate. Generic callers (specs, the hostile-
+    * alphabet probe) pass no contract and keep the data-driven alphabet. */
+  private[graft] val MarkovChannels = Seq("click", "error", "signup", "view")
 
-  def eventsAttributionMarkovOf(ev: DataFrame): DataFrame = {
+  def eventsAttributionMarkov(spark: SparkSession, dir: String): DataFrame =
+    eventsAttributionMarkovOf(Tables.events(spark, dir), Some(MarkovChannels))
+
+  def eventsAttributionMarkovOf(ev: DataFrame,
+      oracleChannels: Option[Seq[String]] = None): DataFrame = {
     val spark = ev.sparkSession
     import spark.implicits._
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -843,6 +879,16 @@ object Growth {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val channels = tr.flatMap(t => Seq(t._1, t._2))
       .filterNot(Set("START", "CONV", "NULL")).distinct.sorted
+    // the oracle emits one removal row per channel in ITS baked-in list;
+    // the row sets can only match if the derived alphabet is identical.
+    // An EMPTY derived alphabet is exempt: the empty-corpus contract is
+    // "emit zero rows, never crash" (EmptyCorpusSpec), and there is no
+    // drift to flag when there is no data
+    oracleChannels.foreach { oc =>
+      require(channels.isEmpty || channels.toSeq == oc.sorted,
+        s"markov oracle channel contract violated: " +
+          s"derived=${channels.mkString(",")} oracle=${oc.sorted.mkString(",")}")
+    }
     def absorb(edges: Array[(String, String, Long)]): Long = {
       var a = Map("CONV" -> 1000000L, "NULL" -> 0L)
       for (_ <- 1 to MarkovIters) {
@@ -868,7 +914,7 @@ object Growth {
   }
 
   val eventsAttributionMarkovSql: String = {
-    val channels = Seq("click", "error", "signup", "view")
+    val channels = MarkovChannels
     def iterChain(sc: String, trCte: String): String = {
       val steps = (1 to MarkovIters).map { i =>
         s"""a_${sc}_$i AS (

@@ -84,6 +84,77 @@ private[graft] object StorePaths {
     if (!f.rename(tmp, p))
       throw new java.io.IOException(s"atomic artifact rename failed: $tmp -> $p")
   }
+
+  /** THE fingerprinted-artifact discipline, factored once (trade edges,
+    * dedup cluster labels, knn graph, co-activity components, and the
+    * exact-truth recall baselines all ride this): resolve
+    * `<base>/<prefix><fingerprint>` under the `baseConfKey` spark conf
+    * (default `java.io.tmpdir/<defaultSub>`), serve it when a COMPLETE
+    * write exists ([[existsComplete]]'s `_SUCCESS` probe), otherwise run
+    * `derive`, write atomically, and GC superseded same-prefix
+    * fingerprints of the SAME key. One implementation so a fix to the
+    * completeness probe, the atomic write, or the GC filter can never
+    * apply to only one copy.
+    *
+    * `prefix` must be collision-proof per corpus and end with the
+    * key↔fingerprint delimiter — build it from [[corpusKey]], whose
+    * sanitizer bans '-' so one corpus's artifact name can never be a
+    * prefix of a sibling's (the GC would delete live artifacts). */
+  def cachedArtifact(spark: SparkSession, baseConfKey: String, defaultSub: String,
+                     prefix: String, fingerprint: String)(
+                     derive: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = spark.conf.getOption(baseConfKey)
+      .getOrElse(sys.props("java.io.tmpdir") + "/" + defaultSub)
+    val path = base + "/" + prefix + fingerprint
+    if (!existsComplete(spark, path)) {
+      writeParquetAtomic(derive, path)
+      val cur = new org.apache.hadoop.fs.Path(path)
+      val f = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(cur.getParent)) {
+        // compare by NAME: listStatus returns fully-qualified paths while
+        // `cur` may be scheme-less, so Path equality would match nothing
+        // and the freshly-written artifact itself would be deleted
+        f.listStatus(cur.getParent)
+          .filter(st => st.getPath.getName.startsWith(prefix) &&
+            st.getPath.getName != cur.getName)
+          .foreach(st => f.delete(st.getPath, true))
+      }
+    }
+    spark.read.parquet(path)
+  }
+
+  /** Collision-proof corpus component of an artifact name: the sanitized
+    * dir is readable but LOSSY (`/a/b` vs `/a_b` collide, and colliding
+    * corpora GC each other's artifacts into perpetual re-derivation), so a
+    * short hash of the RAW dir disambiguates. '-' is banned through the
+    * sanitizer — it is the key↔fingerprint delimiter (see
+    * [[cachedArtifact]]); the "g" prefix keeps an absolute path's
+    * sanitized "_" head from reading as Hadoop-hidden. */
+  def corpusKey(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(8)
+    "g" + dir.replaceAll("[^A-Za-z0-9._]", "_") + "." + h
+  }
+
+  /** Content fingerprint of the named tables under `dir`: parquet part
+    * names/sizes/mtimes — one FS metadata listing per table, no data scan.
+    * 128-bit digest: a fingerprint exists to rule out silent staleness, so
+    * a 32-bit hash's collision budget would defeat its own purpose. */
+  def tableFingerprint(spark: SparkSession, dir: String, tables: Seq[String]): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sig = tables.map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+      val f = p.getFileSystem(conf)
+      try f.listStatus(p).sortBy(_.getPath.getName)
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .mkString("|")
+      catch { case _: java.io.FileNotFoundException => s"$t:absent" }
+    }.mkString("||")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
+  }
 }
 
 /** Materialization bookkeeping (reference: core's JobService tracks
