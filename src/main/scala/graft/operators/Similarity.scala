@@ -734,18 +734,7 @@ object Similarity {
       }
     val centsDf = spark.createDataFrame(cents).toDF("s", "c", "cvec")
     centsDf.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
-    val centsB = broadcast(centsDf)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"), col("s")).orderBy(col("d").asc, col("c"))
-    val codesWide = resid
-      .crossJoin(centsB)
-      .withColumn("d", sqdist(slice(col("rv"), col("s") * subDim + 1, lit(subDim)), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .groupBy(col("vec_id"), col("cell"))
-      .agg(max(when(col("s") === 0, col("c"))).as("c0"),
-        (1 until nSub).map(s =>
-          max(when(col("s") === s, col("c"))).as(s"c$s")): _*)
+    val codesWide = encodePq(emb, PqModel(ivfCents, rot, cents, nSub))
     codesWide.write.mode("overwrite").parquet(path + "/codes")
     spark.createDataFrame(Seq((PqVersion, nSub))).toDF("ver", "nsub")
       .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
@@ -784,6 +773,60 @@ object Similarity {
       }
     if (!ok) trainPq(spark, dir)
     path
+  }
+
+  /** The frozen PQ model as plain data — coarse centroids, OPQ rotation,
+    * per-subspace codebooks, geometry. What a streaming encoder (or any
+    * out-of-process consumer) needs to produce codes BYTE-EQUAL to the
+    * batch index: encoding is a pure function of (model, vector), so
+    * codes appended by a stream can never diverge from a batch re-encode
+    * of the same rows (spec-pinned). Retraining stays batch — the faiss
+    * discipline: train once offline, add forever. */
+  final case class PqModel(ivfCents: Seq[Seq[Double]],
+                           rot: Array[Array[Double]],
+                           cents: Seq[(Int, Int, Seq[Double])],
+                           nSub: Int) {
+    def subDim: Int = PqDim / nSub
+  }
+
+  /** Load the persisted PQ artifacts as a frozen [[PqModel]] (training on
+    * first use — the [[ensurePq]] path the query side already rides). */
+  def loadPqModel(spark: SparkSession, dir: String): PqModel = {
+    val path = ensurePq(spark, dir)
+    val cents = spark.read.parquet(path + "/centroids").collect()
+      .map(r => (r.getAs[Int]("s"), r.getAs[Int]("c"),
+        r.getSeq[Double](r.fieldIndex("cvec")).toIndexedSeq)).toIndexedSeq
+    PqModel(loadOrTrainCentroids(spark, dir), loadRotation(spark, path),
+      cents, pqSubFor(corpusCount(spark, dir)))
+  }
+
+  /** Residual-encode vectors under a frozen model: normalize, subtract
+    * the nearest coarse centroid, OPQ-rotate, min-distance code per
+    * subspace — one pass, broadcast-only joins (cell assignment is the
+    * zero-shuffle argmax expression; the codebook is nSub×16 tiny rows),
+    * the only exchange the per-(vector,subspace) argmin window. Output
+    * (vec_id, cell, c0..c{nSub−1}) — exactly the persisted codes
+    * layout. */
+  private[graft] def encodePq(emb: DataFrame, model: PqModel): DataFrame = {
+    val spark = emb.sparkSession
+    val resid = emb.select(col("vec_id"),
+        nearestCellExpr(col("embedding"), model.ivfCents).as("cell"),
+        l2norm(col("embedding")).as("vn"))
+      .join(broadcast(coarseCentsDf(spark, model.ivfCents)), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        matVecCol(model.rot, zip_with(col("vn"), col("ccvec"), (x, y) => x - y)).as("rv"))
+    val centsB = broadcast(spark.createDataFrame(model.cents).toDF("s", "c", "cvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("s")).orderBy(col("d").asc, col("c"))
+    resid.crossJoin(centsB)
+      .withColumn("d", sqdist(
+        slice(col("rv"), col("s") * model.subDim + 1, lit(model.subDim)), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(max(when(col("s") === 0, col("c"))).as("c0"),
+        (1 until model.nSub).map(s =>
+          max(when(col("s") === s, col("c"))).as(s"c$s")): _*)
   }
 
   /** PQ/ADC approximate top-k: queries build a 4×16 distance table per

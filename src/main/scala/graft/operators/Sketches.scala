@@ -190,22 +190,7 @@ object Sketches {
       .select(floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
         pmod(h, lit(M.toLong)).as("bucket"), rho(shiftright(h, 6)).as("rho"))
       .groupBy(col("day"), col("bucket")).agg(max(col("rho")).as("m_reg"))
-    // dense (day grid × 64 buckets): a silent day contributes REAL zero
-    // registers to every window that covers it
-    val span = perDay.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-    val grid = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
-      .select(col("day"), explode(sequence(lit(0L), lit(M - 1L))).as("bucket"))
-    val dense = grid.join(perDay, Seq("day", "bucket"), "left")
-      .select(col("day"), col("bucket"), coalesce(col("m_reg"), lit(0L)).as("m_reg"))
-    // the sketch merge: window-max per bucket over the trailing 7 days —
-    // calendar × 64 rows, the bounded-grain window class
-    val w7 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bucket")).orderBy(col("day")).rangeBetween(-6, 0)
-    val summary = dense.withColumn("m7", max(col("m_reg")).over(w7))
-      .groupBy(col("day"))
-      .agg(sum(when(col("m7") === 0L, 1L).otherwise(0L)).as("v_zero"),
-        sScaledCol("m7").as("s_scaled"))
-      .withColumn("est_raw", rawEstCol("s_scaled"))
+    val summary = wauCurveFromRegisters(perDay)
     // exact trailing distinct for comparison: each (user, day) sighting
     // covers the 7 windows it falls in
     val exact = ev
@@ -218,6 +203,33 @@ object Sketches {
       .select(col("day"), col("v_zero"), col("s_scaled"), col("est_raw"),
         coalesce(col("exact_wau"), lit(0L)).as("exact_wau"))
       .orderBy(col("day"))
+  }
+
+  /** Trailing-7-day WAU curve read out of a per-day REGISTER TABLE
+    * (day, bucket, m_reg) — the serving half of [[eventsWauSketchOf]],
+    * factored so STREAMED registers serve the same curve the batch gate
+    * hash-proves: [[graft.streaming.StreamIngest.registerSketchStream]]
+    * maintains exactly this table (element-wise max converges under any
+    * batching/re-delivery), and this read-out is the only other step.
+    * Densify the day grid first (a silent day is REAL zero registers in
+    * every window covering it), window-max per bucket over the trailing
+    * 7 days — calendar × 64 rows, the bounded-grain window class — then
+    * the summary/estimate algebra. Register-EXACT: batch and streamed
+    * curves are equal integers, not approximately equal estimates
+    * (spec-pinned under shuffled re-delivery). */
+  def wauCurveFromRegisters(perDay: DataFrame): DataFrame = {
+    val span = perDay.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .select(col("day"), explode(sequence(lit(0L), lit(M - 1L))).as("bucket"))
+    val dense = grid.join(perDay, Seq("day", "bucket"), "left")
+      .select(col("day"), col("bucket"), coalesce(col("m_reg"), lit(0L)).as("m_reg"))
+    val w7 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("day")).rangeBetween(-6, 0)
+    dense.withColumn("m7", max(col("m_reg")).over(w7))
+      .groupBy(col("day"))
+      .agg(sum(when(col("m7") === 0L, 1L).otherwise(0L)).as("v_zero"),
+        sScaledCol("m7").as("s_scaled"))
+      .withColumn("est_raw", rawEstCol("s_scaled"))
   }
 
   val eventsWauSketchSql: String =

@@ -281,34 +281,29 @@ final class ParquetOnlineStore(path: String) extends OnlineStore {
   }
 }
 
-/** Driver-memory store: keeps the merged latest rows as collected Rows.
-  * Reference impl of the KV-store shape (everything fits on one node by
-  * definition of "latest row per key" for a bounded key space) — useful for
-  * tests and as the template for a real Redis/Cassandra-style connector,
-  * which would swap collect/createDataFrame for client put/get calls. */
+/** Snapshot-store template behind the "memory" StoreSpec type — the
+  * DEFAULT demo store. Earlier builds held collected Rows on the driver
+  * (fine for specs, but a wide key space would have made the DRIVER the
+  * store); contents now live as a parquet snapshot under a managed
+  * scratch path with [[ParquetOnlineStore]]'s distributed latest-merge
+  * and stage-then-swap write — NO collect anywhere in the upsert path,
+  * so a declared demo store scales exactly like the durable one. The
+  * per-name singleton handed out by [[OnlineStore.fromSpec]] keeps the
+  * reference semantics (two handles to one declared store share state
+  * like two clients of one Redis); a real KV connector swaps the
+  * snapshot read/write for client put/get calls, nothing else. */
 final class MemoryOnlineStore extends OnlineStore {
-  @volatile private var state: Option[(org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])] = None
+  private val inner = new ParquetOnlineStore(
+    java.nio.file.Files.createTempDirectory("graft_snapstore").toString + "/store")
+  @volatile private var touched = false
 
   override def upsert(rows: DataFrame, keys: Seq[String], orderCols: Seq[String],
                       valueCols: Seq[String]): Unit = {
-    val spark = rows.sparkSession
-    val cols = (keys ++ (orderCols ++ valueCols).distinct).distinct
-    val incoming = LatestValue.latest(rows, keys, orderCols, (orderCols ++ valueCols).distinct)
-      .selectExpr(cols: _*)
-    val merged = state match {
-      case Some((schema, data)) =>
-        val existing = spark.createDataFrame(
-          java.util.Arrays.asList(data: _*), schema).selectExpr(cols: _*)
-        LatestValue.latest(existing.unionByName(incoming), keys, orderCols,
-          (orderCols ++ valueCols).distinct).selectExpr(cols: _*)
-      case None => incoming
-    }
-    state = Some((merged.schema, merged.collect()))
+    inner.upsert(rows, keys, orderCols, valueCols)
+    touched = true
   }
 
-  override def snapshot(spark: SparkSession): DataFrame = state match {
-    case Some((schema, data)) =>
-      spark.createDataFrame(java.util.Arrays.asList(data: _*), schema)
-    case None => throw new IllegalStateException("empty online store")
-  }
+  override def snapshot(spark: SparkSession): DataFrame =
+    if (touched) inner.snapshot(spark)
+    else throw new IllegalStateException("empty online store")
 }

@@ -761,6 +761,47 @@ object StreamIngest {
       .select(col("day"), col("bucket"), col("m_reg"))
   }
 
+  /** Materialize [[registerSketchStream]]'s update stream into a DURABLE
+    * per-day register table, and serve the trailing-7-day WAU curve from
+    * it — the serving loop the batch gate (`events_wau_sketch`) proved
+    * the register algebra for. foreachBatch max-merges each micro-batch
+    * into the parquet table (read-merge-write with the stage-then-swap
+    * discipline): element-wise MAX is idempotent/commutative/monotone,
+    * so update-mode re-emissions, re-deliveries, and arbitrary batch
+    * boundaries all converge to the same table — which is why the merge
+    * needs no transactional log, only atomic replacement. The curve
+    * read-out is [[graft.operators.Sketches.wauCurveFromRegisters]],
+    * the IDENTICAL code path the batch gate runs — streamed and batch
+    * curves are register-exact equal (spec-pinned). */
+  def registerTableStream(events: Dataset[DayEvent], tablePath: String,
+                          watermark: String = "1 hour"): DataStreamWriter[Row] =
+    registerSketchStream(events, watermark)
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeRegisterTable(batch, tablePath)
+      }
+
+  /** One max-merge upsert of a register batch into the parquet table —
+    * also the recovery path: replaying ANY suffix of batches (or the
+    * whole stream) against an existing table is idempotent. */
+  private[graft] def mergeRegisterTable(batch: DataFrame, tablePath: String): Unit = {
+    val spark = batch.sparkSession
+    val cols = Seq("day", "bucket", "m_reg").map(col)
+    val incoming = batch.select(cols: _*)
+    val merged =
+      if (graft.serving.StorePaths.exists(spark, tablePath))
+        spark.read.parquet(tablePath).select(cols: _*).unionByName(incoming)
+          .groupBy(col("day"), col("bucket"))
+          .agg(org.apache.spark.sql.functions.max(col("m_reg")).as("m_reg"))
+      else incoming.groupBy(col("day"), col("bucket"))
+        .agg(org.apache.spark.sql.functions.max(col("m_reg")).as("m_reg"))
+    graft.serving.StorePaths.writeParquetAtomic(merged, tablePath)
+  }
+
+  /** The live WAU curve off the maintained register table. */
+  def wauCurveFromTable(spark: SparkSession, tablePath: String): DataFrame =
+    graft.operators.Sketches.wauCurveFromRegisters(spark.read.parquet(tablePath))
+
   final case class ValueEvent(event_id: Long, ts: java.sql.Timestamp,
     value: Double)
 
@@ -899,6 +940,34 @@ object StreamIngest {
           .withColumn("cell", graft.operators.Similarity
             .nearestCellStructAuto(col("embedding"), centroids).getField("cell"))
           .select(col("cell"), col("vec_id"), col("embedding"))
+          .write.mode("append").partitionBy("cell").parquet(indexPath)
+        ()
+      }
+  }
+
+  /** Streaming maintenance of the PQ CODES index — the compressed half
+    * of the live vector store ([[vectorIndexStream]] maintains the
+    * coarse-cell partitioning; this maintains the 4-bit-code
+    * representation the 100 TB ANN scan actually reads). Each
+    * micro-batch is deduped on vec_id and residual-encoded under the
+    * FROZEN model (coarse centroids + OPQ rotation + per-subspace
+    * codebooks, loaded once from the persisted PQ artifact via
+    * [[graft.operators.Similarity.loadPqModel]]), then appended to a
+    * parquet codes table partitioned by cell — serving scans only the
+    * probed cells' codes via partition pruning, exactly the batch
+    * IVF+PQ candidate side. Retraining stays batch (the faiss add-only
+    * discipline); encoding is a pure per-row function of the frozen
+    * model, so streamed codes are BYTE-EQUAL to a batch encode of the
+    * same rows under any batching (spec-pinned). */
+  def pqCodesStream(vecs: Dataset[VecRow],
+                    model: graft.operators.Similarity.PqModel,
+                    indexPath: String, watermark: String = "1 hour")
+      : DataStreamWriter[Row] = {
+    val deduped = dedupStreamJittered(vecs.toDF(), "ts", Seq("vec_id"), watermark)
+    deduped.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity
+          .encodePq(batch.select(col("vec_id"), col("embedding")), model)
           .write.mode("append").partitionBy("cell").parquet(indexPath)
         ()
       }

@@ -1030,6 +1030,93 @@ class StreamIngestSpec extends SparkSpecBase {
       s"register mismatch: ${(batch.toSet -- folded.toSet).take(3)}")
   }
 
+  test("registerTableStream serves a register-exact WAU curve under shuffled re-delivery") {
+    val rnd = new scala.util.Random(63)
+    val baseMs = ts("2024-08-01 00:00:00").getTime
+    val all = (0 until 700).map { _ =>
+      StreamIngest.DayEvent(rnd.nextInt(250).toLong,
+        new Timestamp(baseMs + rnd.nextInt(12 * 86400) * 1000L))
+    }
+    val feed = rnd.shuffle(all ++ all.take(all.size / 3)) // re-delivery
+    val dir = Files.createTempDirectory("graft-wau-table").toString
+    val input = MemoryStream[StreamIngest.DayEvent](spark)
+    val q = StreamIngest.registerTableStream(input.toDS(), s"$dir/regs",
+        watermark = "720 hours")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    feed.grouped(1 + feed.size / 6).foreach { b =>
+      input.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    // the streamed curve must equal the batch gate's sketch half as EXACT
+    // integers — same registers, same read-out code path
+    def curveOf(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("day"),
+        (r.getAs[Long]("v_zero"), r.getAs[Long]("s_scaled"), r.getAs[Long]("est_raw"))))
+      .toMap
+    val streamed = curveOf(StreamIngest.wauCurveFromTable(spark, s"$dir/regs"))
+    val batch = curveOf(graft.operators.Sketches.eventsWauSketchOf(
+      all.map(e => (e.user_id, e.ts)).toDF("user_id", "ts"))
+      .select(col("day"), col("v_zero"), col("s_scaled"), col("est_raw")))
+    assert(batch.nonEmpty && streamed == batch,
+      s"curve mismatch: ${(batch.toSet -- streamed.toSet).take(3)}")
+    // replaying a suffix of batches against the existing table is a no-op
+    // (max-merge idempotence — the recovery contract)
+    StreamIngest.mergeRegisterTable(
+      spark.read.parquet(s"$dir/regs"), s"$dir/regs")
+    assert(curveOf(StreamIngest.wauCurveFromTable(spark, s"$dir/regs")) == batch)
+  }
+
+  test("pqCodesStream: streamed codes byte-equal batch encoding under shuffled batching") {
+    // frozen hand model: 2 coarse cells along dim 0, identity rotation,
+    // per-subspace codebooks with 2 codes each — everything the encoder
+    // consumes, no training involved (retraining is batch by design)
+    val dim = 64
+    val ivfCents = Seq(
+      Seq.tabulate(dim)(i => if (i == 0) 1.0 else 0.0),
+      Seq.tabulate(dim)(i => if (i == 0) -1.0 else 0.0))
+    val rot = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    val nSub = 4
+    val sub = dim / nSub
+    val cents = (0 until nSub).flatMap { s =>
+      Seq((s, 0, Seq.fill(sub)(0.25)), (s, 1, Seq.fill(sub)(-0.25)))
+    }
+    val model = graft.operators.Similarity.PqModel(ivfCents, rot, cents, nSub)
+    val rnd = new scala.util.Random(64)
+    val baseMs = ts("2024-08-01 00:00:00").getTime
+    val all = (0 until 200).map { i =>
+      StreamIngest.VecRow(i.toLong,
+        new Timestamp(baseMs + rnd.nextInt(86400) * 1000L),
+        Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    }
+    val feed = rnd.shuffle(all ++ all.take(all.size / 4)) // re-delivery
+    val dir = Files.createTempDirectory("graft-pq-stream").toString
+    val input = MemoryStream[StreamIngest.VecRow](spark)
+    val q = StreamIngest.pqCodesStream(input.toDS(), model, s"$dir/codes",
+        watermark = "720 hours")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    feed.grouped(1 + feed.size / 5).foreach { b =>
+      input.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cell"), (0 until nSub).map(s => r.getAs[Int](s"c$s"))))
+    val streamed = rowsOf(spark.read.parquet(s"$dir/codes")
+      .select(Seq(col("vec_id"), col("cell").cast("long").as("cell")) ++
+        (0 until nSub).map(s => col(s"c$s")): _*))
+    // exactly once per vector despite re-delivery (the dedup contract)
+    assert(streamed.length == all.length,
+      s"expected ${all.length} coded vectors, got ${streamed.length}")
+    val batch = rowsOf(graft.operators.Similarity.encodePq(
+      all.map(v => (v.vec_id, v.embedding)).toDF("vec_id", "embedding"), model)
+      .select(Seq(col("vec_id"), col("cell").cast("long").as("cell")) ++
+        (0 until nSub).map(s => col(s"c$s")): _*))
+    assert(streamed.toMap == batch.toMap,
+      s"code mismatch: ${(batch.toSet -- streamed.toSet).take(3)}")
+  }
+
   test("quantileSketchStream: deduped additive registers equal batch under re-delivery") {
     val rnd = new scala.util.Random(62)
     val baseMs = ts("2024-08-01 00:00:00").getTime
