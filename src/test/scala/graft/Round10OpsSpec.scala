@@ -87,6 +87,44 @@ class Round10OpsSpec extends SparkSpecBase {
     } finally spark.conf.unset("graft.truth.dir")
   }
 
+  test("corpusSoftDedupQuality: best copy keeps full weight, mass bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdq").toString
+    // doc 2 = clean 60-word text (passes gopher); doc 1 = same text with
+    // '#' garbage appended (near-dup by 5-gram jaccard, FAILS the symbol
+    // rule) — lower doc_id but worse quality, so quality must beat id.
+    // doc 3 = unrelated singleton.
+    val clean = (1 to 60).map(i => s"word$i").mkString(" ") +
+      " the be to of and that have with"
+    val noisy = clean + " " + Seq.fill(18)("#").mkString(" ")
+    Seq((1L, "en", "web", noisy), (2L, "en", "web", clean),
+        (3L, "en", "web", "an entirely different tiny note"))
+      .toDF("doc_id", "lang", "source", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Dedup.corpusSoftDedupQuality(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // {1,2} cluster under min id 1; the CLEAN copy outranks despite the
+    // higher doc_id
+    assert(out(2L)._1 == 1L && out(1L)._1 == 1L)
+    assert(out(2L)._3 == 1L && out(2L)._4 == 10000L,
+      s"best copy must keep full weight: ${out(2L)}")
+    assert(out(1L)._3 == 2L && out(1L)._4 == 5000L, s"rank-2 halves: ${out(1L)}")
+    assert(out(2L)._2 > out(1L)._2, "quality_rules must order the ranks")
+    // singleton keeps full weight
+    assert(out(3L) == ((3L, out(3L)._2, 1L, 10000L)))
+    // conservation: no cluster can carry more than 2 docs' worth of mass
+    // (geometric tail), enforced over a bigger synthetic family too
+    val many = (1 to 20).map(i => (i.toLong, "en", "web", clean))
+    many.toDF("doc_id", "lang", "source", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fam = graft.operators.Dedup.corpusSoftDedupQuality(spark, dir).collect()
+    val total = fam.map(_.getLong(4)).sum
+    assert(total < 20000L, s"cluster mass must stay < 2e4 bp: $total")
+    val byRank = fam.map(r => (r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a._2 >= b._2 },
+      "weights must be non-increasing in rank")
+  }
+
   test("CUPED gate moments stay far inside the ANSI 2^63 Long bound") {
     // the operator's docstring claims ~n·x²·1e6 < 2⁶³ headroom; under
     // ANSI mode an overflow ABORTS the gate, so the claim is enforced
