@@ -178,6 +178,24 @@ object Similarity {
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] =
     lloyd(emb, seedCentroids(emb, k), iters)
 
+  /** Deterministic TRAINING sample: quantizer training does not need the
+    * corpus — faiss's own sizing guidance is tens-to-hundreds of points
+    * per centroid, while Lloyd here costs (k-cells + nSub-codebooks)
+    * full input scans PER ITERATION: trained on the raw corpus, a 100 TB
+    * index would pay ~20 corpus scans before serving a single query.
+    * Past `cap` rows the training input is hash-thinned to an expected
+    * `cap`-row uniform sample — xxhash64(vec_id), so the sample is
+    * content-stable across runs/partitionings (no rand()) and the
+    * trained artifact stays deterministic per corpus. ENCODING always
+    * covers every vector; only the iterative training loops sample. The
+    * gate corpora (≤2000 vectors) sit far below the cap, so gate
+    * artifacts, recall measurements, and floors are byte-stable. */
+  private[graft] val TrainingSampleCap = 65536L
+  private[graft] def sampleForTraining(emb: DataFrame, n: Long,
+      cap: Long = TrainingSampleCap): DataFrame =
+    if (n <= cap) emb
+    else emb.filter(pmod(xxhash64(col("vec_id")), lit(math.max(n / cap, 1L))) === 0L)
+
   /** Where trained centroids for `dir` persist. Overridable via the
     * `graft.ivf.dir` session conf (a cluster points this at shared
     * storage); defaults to a per-corpus subdir under the JVM tmpdir.
@@ -217,7 +235,9 @@ object Similarity {
     * query against the persisted artifact. */
   def trainQuantizer(spark: SparkSession, dir: String,
                      k: Int = 16, iters: Int = 2): Seq[Seq[Double]] = {
-    val cents = kmeansCentroids(Tables.embeddings(spark, dir), k, iters)
+    val cents = kmeansCentroids(
+      sampleForTraining(Tables.embeddings(spark, dir), corpusCount(spark, dir)),
+      k, iters)
     val path = centroidStorePath(spark, dir)
     graft.serving.StorePaths.writeParquetAtomic(
       spark.createDataFrame(cents.zipWithIndex.map { case (v, i) => (i, v) })
@@ -725,8 +745,13 @@ object Similarity {
         row.zipWithIndex.map { case (v, j) => (i, j, v) } }.toIndexedSeq)
         .toDF("i", "j", "v").coalesce(1), path + "/rotation")
     rotationCache.put(path, rot)
-    val resid = rawResid.select(col("vec_id"), col("cell"),
-      matVecCol(rot, col("rv")).as("rv"))
+    // codebook TRAINING samples past the cap (encode below still covers
+    // every vector); the rotation's covariance pass above stays full —
+    // it is one linear scan, the same cost class as the encode itself
+    val resid = sampleForTraining(
+      rawResid.select(col("vec_id"), col("cell"),
+        matVecCol(rot, col("rv")).as("rv")),
+      corpusCount(spark, dir))
     val cents: Seq[(Int, Int, Seq[Double])] =
       (0 until nSub).flatMap { s =>
         lloydL2Sub(resid, col("rv"), s, subDim, iters = 2)

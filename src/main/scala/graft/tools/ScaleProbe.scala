@@ -552,6 +552,28 @@ object ScaleProbe {
     }
   }
 
+  /** Quantizer TRAINING cost vs corpus size, raw vs hash-sampled: Lloyd
+    * costs multiple full input scans per iteration, so raw training
+    * scales linearly with the corpus while the capped sample flattens —
+    * the measurement behind Similarity.sampleForTraining's cap. */
+  def trainProbe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    for (n <- Seq(100000L, 400000L)) {
+      val emb = spark.range(0, n).select(col("id").as("vec_id"),
+        array((0 until 64).map(i =>
+          sin(col("id") * (i * 37 + 1)).cast("float")): _*).as("embedding"))
+        .localCheckpoint()
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val raw = time(graft.operators.Similarity.kmeansCentroids(emb, 16, 2): Unit)
+      val capped = time(graft.operators.Similarity.kmeansCentroids(
+        graft.operators.Similarity.sampleForTraining(emb, n), 16, 2): Unit)
+      println(f"[scale] train n=$n%-7d raw=$raw%6.2f s capped=$capped%6.2f s " +
+        f"(cap=${graft.operators.Similarity.TrainingSampleCap})")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val k = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
@@ -638,6 +660,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("markov")) {
       markovProbe(spark)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("train")) {
+      trainProbe(spark)
       spark.stop()
       return
     }

@@ -125,6 +125,26 @@ class Round10OpsSpec extends SparkSpecBase {
       "weights must be non-increasing in rank")
   }
 
+  test("quantizer training samples deterministically past the cap only") {
+    val emb = spark.range(0, 10000).select(col("id").as("vec_id"),
+      array((0 until 4).map(i => (col("id") * (i + 1)).cast("float")): _*).as("embedding"))
+    // below the cap: the input passes through untouched (gate corpora sit
+    // here, which is what keeps gate artifacts and floors byte-stable)
+    assert(Similarity.sampleForTraining(emb, 10000, cap = 20000).count() == 10000)
+    // past the cap: expected-cap-sized, content-stable sample
+    val s1 = Similarity.sampleForTraining(emb, 10000, cap = 1000)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val s2 = Similarity.sampleForTraining(emb, 10000, cap = 1000)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "training sample must replay deterministically")
+    assert(s1.size > 500 && s1.size < 2000, s"expected ~1000 rows, got ${s1.size}")
+    assert(s1.subsetOf((0L until 10000L).toSet))
+    // the sampled input still trains a full-size, deterministic codebook
+    val c1 = Similarity.kmeansCentroids(
+      Similarity.sampleForTraining(emb, 10000, cap = 1000), k = 4, iters = 1)
+    assert(c1.size == 4 && c1.forall(_.size == 4))
+  }
+
   test("CUPED gate moments stay far inside the ANSI 2^63 Long bound") {
     // the operator's docstring claims ~n·x²·1e6 < 2⁶³ headroom; under
     // ANSI mode an overflow ABORTS the gate, so the claim is enforced
