@@ -96,33 +96,70 @@ object Dedup {
     * sibling [[corpusDecontaminate]] (same shingle pipeline, same
     * benchmark split) is the oracle-gated twin, and the superset spec
     * ties this operator to it on every gate corpus. */
-  def corpusBloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val K = 5
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(hashedNgrams(col("text"), 5))).as("s"))
-    val bench = sh.filter(pmod(col("doc_id"), lit(97)) === 0)
-    val nBench = bench.count()
+  /** The frozen Bloom artifact (m/64 OR-folded bit words + geometry) —
+    * plain data, so the INGESTION-TIME streaming decontaminator
+    * ([[graft.streaming.StreamIngest.decontaminateStream]]) probes the
+    * same artifact the batch gate builds: build once offline from the
+    * benchmark, broadcast as a literal everywhere, batch and stream
+    * flagging can never diverge (shared [[bloomHit]] probe). */
+  final case class BenchBloom(bits: Seq[Long], m: Long, k: Int)
+
+  /** Fold a shingle column's values into the Bloom artifact: k bit
+    * positions per shingle, OR-folded into m/64 words by a distributed
+    * bit_or aggregate; the collect is the finished KB-sized artifact
+    * (the centroid-training driver-traffic discipline). */
+  private[graft] def buildBenchBloom(shingles: DataFrame, nBench: Long,
+                                     k: Int = 5): BenchBloom = {
     val m = math.max(1 << 14, java.lang.Long.highestOneBit(16 * math.max(nBench, 1L)) << 1)
-    // build: k bit positions per benchmark shingle, OR-folded into m/64
-    // words by a distributed aggregate; the collect is the finished
-    // artifact (m/64 longs, KBs) — the centroid-training discipline
-    val posCols = (0 until K).map(i => pmod(xxhash64(col("s"), lit(i)), lit(m)))
-    val words = bench.select(explode(array(posCols: _*)).as("pos"))
+    val posCols = (0 until k).map(i => pmod(xxhash64(col("s"), lit(i)), lit(m)))
+    val words = shingles.select(explode(array(posCols: _*)).as("pos"))
       .select(floor(col("pos") / 64).cast("int").as("w"),
         call_function("shiftleft", lit(1L), pmod(col("pos"), lit(64)).cast("int")).as("mask"))
       .groupBy(col("w")).agg(bit_or(col("mask")).as("bits"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val bloom = Array.tabulate((m / 64).toInt)(i => words.getOrElse(i, 0L))
-    val bloomLit = typedLit(bloom.toSeq)
-    // probe: all k bits set ⇒ flagged; a pure projection over the corpus
-    // scan — membership never joins, the only exchange is the doc_id agg
-    val hit = (0 until K).map { i =>
-      val pos = pmod(xxhash64(col("s"), lit(i)), lit(m))
+    BenchBloom(Array.tabulate((m / 64).toInt)(i => words.getOrElse(i, 0L)).toSeq, m, k)
+  }
+
+  /** All-k-bits-set membership probe of `s` against the broadcast-literal
+    * artifact — a pure projection, no join, no shuffle. */
+  private[graft] def bloomHit(b: BenchBloom, s: Column): Column = {
+    val bloomLit = typedLit(b.bits)
+    (0 until b.k).map { i =>
+      val pos = pmod(xxhash64(s, lit(i)), lit(b.m))
       (element_at(bloomLit, floor(pos / 64).cast("int") + 1)
         .bitwiseAND(call_function("shiftleft", lit(1L), pmod(pos, lit(64)).cast("int")))) =!= 0L
     }.reduce(_ && _)
+  }
+
+  /** Per-doc flagged-shingle count as ONE projection column over `text`
+    * — the stateless form the ingestion-time streaming decontaminator
+    * selects per arriving row (no explode, no state, no shuffle): the
+    * per-row array fold probes each distinct shingle against the
+    * broadcast-literal artifact, the "once per row" higher-order-fn
+    * class. Counts distinct flagged shingles, identical to the batch
+    * gate's post-explode count. */
+  private[graft] def bloomFlagCol(b: BenchBloom): Column =
+    size(filter(array_distinct(hashedNgrams(col("text"), 5)),
+      s => bloomHit(b, s))).cast("long")
+
+  /** The frozen benchmark Bloom for a corpus dir's mod-97 benchmark
+    * split — built once, probed by BOTH the batch gate and the
+    * ingestion-time stream. */
+  def benchBloomFor(spark: SparkSession, dir: String): BenchBloom = {
+    val bench = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id"), explode(array_distinct(hashedNgrams(col("text"), 5))).as("s"))
+    buildBenchBloom(bench, bench.count())
+  }
+
+  def corpusBloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(hashedNgrams(col("text"), 5))).as("s"))
+    val bloom = benchBloomFor(spark, dir)
+    // probe: a pure projection over the corpus scan — membership never
+    // joins, the only exchange is the doc_id agg
     sh.filter(pmod(col("doc_id"), lit(97)) =!= 0)
-      .filter(hit)
+      .filter(bloomHit(bloom, col("s")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_flagged_shingles"))
       .orderBy(col("doc_id"))
   }

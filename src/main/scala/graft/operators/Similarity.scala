@@ -946,12 +946,32 @@ object Similarity {
 
   def knnIvfPqWith(spark: SparkSession, dir: String, nprobe: Int, rerank: Int,
                    queryLo: Long = 0L, queryHi: Long = 10L): DataFrame = {
+    val path = ensurePq(spark, dir)
+    knnIvfPqOverCodes(spark, dir, spark.read.parquet(path + "/codes"),
+      nprobe, rerank, queryLo, queryHi)
+  }
+
+  /** The IVF+PQ query over an EXPLICIT codes table — the serving half
+    * factored from [[knnIvfPqWith]] so a STREAM-MAINTAINED codes index
+    * ([[graft.streaming.StreamIngest.pqCodesStream]]'s appended parquet)
+    * is queryable with the exact batch plan: same ADC tables, same
+    * shortlist, same rerank. Because encoding is a pure function of the
+    * frozen model, a stream-built index serves answers IDENTICAL to the
+    * batch-built one over the same rows (spec-pinned) — the full
+    * ingest-to-serve loop of a live compressed vector store. */
+  def knnOverPqCodes(spark: SparkSession, dir: String, codesPath: String,
+                     nprobe: Int, rerank: Int): DataFrame =
+    knnIvfPqOverCodes(spark, dir, spark.read.parquet(codesPath),
+      nprobe, rerank, 0L, 10L)
+
+  private def knnIvfPqOverCodes(spark: SparkSession, dir: String,
+      codes: DataFrame, nprobe: Int, rerank: Int,
+      queryLo: Long, queryHi: Long): DataFrame = {
     val nSub = pqSubFor(corpusCount(spark, dir))
     val subDim = PqDim / nSub
     val centroids = loadOrTrainCentroids(spark, dir)
     val path = ensurePq(spark, dir)
     val pqCents = spark.read.parquet(path + "/centroids")
-    val codes = spark.read.parquet(path + "/codes")
     val emb = Tables.embeddings(spark, dir)
     val cents = broadcast(
       spark.createDataFrame(centroids.zipWithIndex.map { case (v, i) => (i, v) })

@@ -945,6 +945,32 @@ object StreamIngest {
       }
   }
 
+  /** Input row for [[decontaminateStream]]. */
+  final case class DocRow(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+  /** Ingestion-time benchmark decontamination — contamination filtering
+    * where it actually wants to live: flagging AFTER a contaminated doc
+    * has already entered the training corpus means re-sweeping the
+    * corpus per benchmark refresh; flagging at ingestion is one
+    * projection per arriving doc. The benchmark's shingle Bloom artifact
+    * is built ONCE offline ([[graft.operators.Dedup.buildBenchBloom]] —
+    * KB-sized, the train-once/frozen-model discipline) and broadcast as
+    * a literal; each arriving doc counts its distinct flagged shingles
+    * in a single per-row array fold. STATELESS: the one streaming op
+    * here needing no stateful operator at all — no watermark, no state
+    * store, no shuffle; duplicates flag identically (idempotent per
+    * row). Same artifact + probe expression as the batch gate
+    * (`corpus_bloom_decontaminate`), so stream and batch flags cannot
+    * diverge (batch-parity spec, including the no-false-negatives Bloom
+    * guarantee inherited from the shared probe). Returns flagged docs
+    * (doc_id, ts, n_flagged_shingles) in append mode. */
+  def decontaminateStream(docs: Dataset[DocRow],
+                          bloom: graft.operators.Dedup.BenchBloom): DataFrame =
+    docs.toDF()
+      .withColumn("n_flagged_shingles", graft.operators.Dedup.bloomFlagCol(bloom))
+      .filter(col("n_flagged_shingles") > 0L)
+      .select(col("doc_id"), col("ts"), col("n_flagged_shingles"))
+
   /** Streaming maintenance of the PQ CODES index — the compressed half
     * of the live vector store ([[vectorIndexStream]] maintains the
     * coarse-cell partitioning; this maintains the 4-bit-code

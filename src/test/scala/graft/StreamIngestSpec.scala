@@ -1117,6 +1117,84 @@ class StreamIngestSpec extends SparkSpecBase {
       s"code mismatch: ${(batch.toSet -- streamed.toSet).take(3)}")
   }
 
+  test("decontaminateStream flags exactly the batch gate's docs at ingestion") {
+    val sf = "/root/testdata/sf0.001"
+    val bloom = graft.operators.Dedup.benchBloomFor(spark, sf)
+    val batch = graft.operators.Dedup.corpusBloomDecontaminate(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = ts("2024-08-01 00:00:00").getTime
+    val corpus = graft.sources.Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .select(col("doc_id"), col("text")).collect().map { r =>
+        StreamIngest.DocRow(r.getLong(0), new Timestamp(base + r.getLong(0)),
+          r.getString(1))
+      }
+    // shuffled feed with re-delivery: the op is stateless, so duplicates
+    // flag IDENTICALLY (idempotent per row) — the no-state contract
+    val feed = new scala.util.Random(66).shuffle(corpus.toSeq ++ corpus.take(20))
+    val dir = Files.createTempDirectory("graft-decon-stream").toString
+    val input = MemoryStream[StreamIngest.DocRow](spark)
+    val q = StreamIngest.decontaminateStream(input.toDS(), bloom)
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    feed.grouped(1 + feed.size / 4).foreach { b =>
+      input.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("decon_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_flagged_shingles"))
+      .toSet
+    assert(batch.nonEmpty, "gate corpus must contain contaminated docs")
+    assert(streamed.map(_._1) == batch.keySet && streamed == batch.toSet,
+      s"stream/batch flag divergence: ${streamed.diff(batch.toSet).take(3)} " +
+        s"vs ${batch.toSet.diff(streamed).take(3)}")
+  }
+
+  test("stream-built PQ index serves identical answers to the batch-built one") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-pq-serve").toString
+    spark.conf.set("graft.pq.dir", s"$dir/pq")
+    spark.conf.set("graft.ivf.dir", s"$dir/ivf")
+    try {
+      // frozen model from the persisted artifacts (trains once here)
+      val model = graft.operators.Similarity.loadPqModel(spark, sf)
+      // stream the WHOLE corpus through the codes maintainer in shuffled
+      // micro-batches
+      val base = ts("2024-08-01 00:00:00").getTime
+      val rows = graft.sources.Tables.embeddings(spark, sf).collect().map { r =>
+        StreamIngest.VecRow(r.getAs[Long]("vec_id"),
+          new Timestamp(base + r.getAs[Long]("vec_id")),
+          r.getSeq[Float](r.fieldIndex("embedding")))
+      }
+      val feed = new scala.util.Random(65).shuffle(rows.toSeq)
+      val input = MemoryStream[StreamIngest.VecRow](spark)
+      val q = StreamIngest.pqCodesStream(input.toDS(), model, s"$dir/codes",
+          watermark = "720 hours")
+        .option("checkpointLocation", s"$dir/cp")
+        .start()
+      feed.grouped(1 + feed.size / 4).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      q.stop()
+      // the query over the STREAMED codes is the exact batch plan; with
+      // encoding a pure function of the frozen model, the answers must
+      // be identical row for row
+      def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSeq
+      val streamed = rowsOf(graft.operators.Similarity
+        .knnOverPqCodes(spark, sf, s"$dir/codes", nprobe = 2, rerank = 62))
+      val batch = rowsOf(graft.operators.Similarity
+        .knnIvfPqWith(spark, sf, nprobe = 2, rerank = 62))
+      assert(batch.nonEmpty && streamed == batch,
+        s"stream-built index diverged: ${streamed.diff(batch).take(3)}")
+    } finally {
+      spark.conf.unset("graft.pq.dir"); spark.conf.unset("graft.ivf.dir")
+    }
+  }
+
   test("quantileSketchStream: deduped additive registers equal batch under re-delivery") {
     val rnd = new scala.util.Random(62)
     val baseMs = ts("2024-08-01 00:00:00").getTime
