@@ -154,14 +154,19 @@ object Similarity {
     val spark = emb.sparkSession
     var cents = seeds
     for (_ <- 0 until iters) {
-      val centRows = cents.zipWithIndex.map { case (v, i) => (i, v) }
-      val centsDf = spark.createDataFrame(centRows).toDF("cent_id", "cvec")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
-      val assigned = emb.crossJoin(broadcast(centsDf))
-        .withColumn("csim", cosine(asDouble(col("embedding")), col("cvec")))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") === 1)
+      // assignment via the zero-shuffle argmax expression (same tie rule
+      // as the window formulation — lowest cent_id, so the trained
+      // artifact is bit-identical to the historical crossJoin+window
+      // form at flat k): the old form materialized sample × k rows
+      // through a per-vector window, which at the banded √N cell counts
+      // (k in the hundreds) dominated training (ScaleProbe train:
+      // 20 s → 4 s at k=317). Past [[TwoLevelK]] the auto two-level
+      // probe keeps assignment approximate-but-√k̄ — the faiss training
+      // norm (coarse assignment during training is itself approximate).
+      val assigned = emb.select(
+        nearestCellStructAuto(col("embedding"), cents)
+          .getField("cell").as("cent_id"),
+        col("embedding"))
       val means = assigned
         .select(col("cent_id"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
         .groupBy(col("cent_id"), col("pos")).agg(avg(col("x")).as("m"))
@@ -234,10 +239,11 @@ object Similarity {
     * ever reaches the driver and the offline job amortizes over every
     * query against the persisted artifact. */
   def trainQuantizer(spark: SparkSession, dir: String,
-                     k: Int = 16, iters: Int = 2): Seq[Seq[Double]] = {
+                     k: Int = -1, iters: Int = 2): Seq[Seq[Double]] = {
+    val n = corpusCount(spark, dir)
+    val kCells = if (k > 0) k else cellsFor(n)
     val cents = kmeansCentroids(
-      sampleForTraining(Tables.embeddings(spark, dir), corpusCount(spark, dir)),
-      k, iters)
+      sampleForTraining(Tables.embeddings(spark, dir), n), kCells, iters)
     val path = centroidStorePath(spark, dir)
     graft.serving.StorePaths.writeParquetAtomic(
       spark.createDataFrame(cents.zipWithIndex.map { case (v, i) => (i, v) })
@@ -292,7 +298,8 @@ object Similarity {
     * quantizer is loaded from the persisted store (training it on first
     * use) — see [[trainQuantizer]]. */
   def knnIvf(spark: SparkSession, dir: String): DataFrame =
-    knnIvfWith(spark, dir, loadOrTrainCentroids(spark, dir), nprobe = 2)
+    knnIvfWith(spark, dir, loadOrTrainCentroids(spark, dir),
+      nprobe = nprobeFor(corpusCount(spark, dir)))
 
   /** Winning (cell, csim) of the nearest-centroid assignment as a PER-ROW
     * expression: cosine to each centroid literal, argmax via `array_max`
@@ -560,12 +567,30 @@ object Similarity {
   private[graft] def rerankFor(n: Long): Int =
     math.max(50, math.min(500, (n / 8L).toInt))
 
-  /** nprobe banded by corpus size for the composed IVF+PQ rung: the r9
-    * nprobe sweep (2/3/4 → 0.40/0.44/0.48 at sf0.01) showed the cell
-    * filter, not code quality, is ivfpq's recall ceiling on near-random
-    * vectors — so larger corpora (whose per-cell candidate count grows)
-    * open more cells instead of silently losing spread-out neighbors. */
-  private[graft] def nprobeFor(n: Long): Int = if (n <= 1000L) 2 else 4
+  /** Coarse cell count banded by corpus size — the LAST fixed ANN knob
+    * made scale-aware (r10b): IVF practice sizes k ≈ √N cells so a probe
+    * scans tens-to-hundreds of candidates; a FIXED 16 cells means a
+    * 10⁹-vector corpus scans 60M+ vectors per probed cell. Below 10k
+    * vectors the 16-cell gate floor holds (gate corpora sit here, so
+    * gate artifacts, recall values, and floors are byte-stable); above,
+    * k = √N clamped to [64, 65536] — past [[TwoLevelK]] the two-level
+    * assignment keeps the per-row cost √k̄ automatically, and
+    * [[sampleForTraining]] bounds the training cost. */
+  private[graft] def cellsFor(n: Long): Int =
+    if (n <= 10000L) 16
+    else math.min(65536L,
+      math.max(64L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
+  /** nprobe banded by corpus size: the r9 sweep (2/3/4 → 0.40/0.44/0.48
+    * at sf0.01) showed the cell filter, not code quality, is the recall
+    * ceiling on near-random vectors — so larger corpora open more cells
+    * instead of silently losing spread-out neighbors; past the 10k cell
+    * band, probe an eighth of the √N cells (the faiss-style fixed
+    * fraction that keeps scanned-candidates ≈ N/8·√N sub-linear). */
+  private[graft] def nprobeFor(n: Long): Int =
+    if (n <= 1000L) 2
+    else if (n <= 10000L) 4
+    else math.max(4, cellsFor(n) / 8)
 
   private def sqdist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)

@@ -569,8 +569,12 @@ object ScaleProbe {
       val raw = time(graft.operators.Similarity.kmeansCentroids(emb, 16, 2): Unit)
       val capped = time(graft.operators.Similarity.kmeansCentroids(
         graft.operators.Similarity.sampleForTraining(emb, n), 16, 2): Unit)
-      println(f"[scale] train n=$n%-7d raw=$raw%6.2f s capped=$capped%6.2f s " +
-        f"(cap=${graft.operators.Similarity.TrainingSampleCap})")
+      // the production shape: banded √N cells trained on the capped sample
+      val kBand = graft.operators.Similarity.cellsFor(n)
+      val banded = time(graft.operators.Similarity.kmeansCentroids(
+        graft.operators.Similarity.sampleForTraining(emb, n), kBand, 2): Unit)
+      println(f"[scale] train n=$n%-7d raw16=$raw%6.2f s capped16=$capped%6.2f s " +
+        f"banded(k=$kBand)=$banded%6.2f s (cap=${graft.operators.Similarity.TrainingSampleCap})")
     }
   }
 

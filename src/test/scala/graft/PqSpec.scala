@@ -100,6 +100,18 @@ class PqSpec extends SparkSpecBase {
     }
     assert(Similarity.pqSubFor(1000) == 4 && Similarity.pqSubFor(1001) == 8)
     assert(Similarity.nprobeFor(1000) == 2 && Similarity.nprobeFor(1001) == 4)
+    // cell band: 16-cell gate floor through 10k vectors (gate artifacts
+    // byte-stable), k ≈ √N clamped [64, 65536] above, and nprobe scans
+    // an eighth of the cells — candidates stay sub-linear in the corpus
+    assert(Similarity.cellsFor(500) == 16 && Similarity.cellsFor(10000) == 16)
+    assert(Similarity.cellsFor(10001) == 101)
+    assert(Similarity.cellsFor(1000000) == 1000)
+    assert(Similarity.cellsFor(Long.MaxValue) == 65536, "cells must cap")
+    assert(Similarity.nprobeFor(1000000) == 125)
+    // probed fraction never exceeds the corpus: nprobe ≤ cells everywhere
+    Seq(500L, 10001L, 1000000L, 100000000L).foreach { n =>
+      assert(Similarity.nprobeFor(n) <= Similarity.cellsFor(n))
+    }
   }
 
   test("opqAllocate deals eigen-dims to balance per-subspace log-products") {
