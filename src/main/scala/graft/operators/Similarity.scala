@@ -297,9 +297,15 @@ object Similarity {
     * only candidate exchange left is the per-query top-k itself. The
     * quantizer is loaded from the persisted store (training it on first
     * use) — see [[trainQuantizer]]. */
-  def knnIvf(spark: SparkSession, dir: String): DataFrame =
-    knnIvfWith(spark, dir, loadOrTrainCentroids(spark, dir),
-      nprobe = nprobeFor(corpusCount(spark, dir)))
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    // serve from the persisted inverted lists: assignment cosines are
+    // index-BUILD cost; the query scans only the probed cells' partitions
+    val idx = ivfIndex(spark, dir)
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding"))
+    knnIvfRank(Tables.embeddings(spark, dir), idx,
+      loadOrTrainCentroids(spark, dir),
+      nprobeFor(corpusCount(spark, dir)), 0L, 10L, pruneCells = true)
+  }
 
   /** Winning (cell, csim) of the nearest-centroid assignment as a PER-ROW
     * expression: cosine to each centroid literal, argmax via `array_max`
@@ -348,7 +354,7 @@ object Similarity {
     if (centroids.length > TwoLevelK) nearestCellStructTwoLevel(vecCol, centroids)
     else nearestCellStruct(vecCol, centroids)
 
-  private def nearestCellExpr(vecCol: Column, centroids: Seq[Seq[Double]]): Column =
+  private[graft] def nearestCellExpr(vecCol: Column, centroids: Seq[Seq[Double]]): Column =
     nearestCellStructAuto(vecCol, centroids).getField("cell")
 
   /** TWO-LEVEL per-row assignment — the large-k form of
@@ -449,39 +455,103 @@ object Similarity {
     * Probing every cell (`nprobe` = #centroids) degenerates to exact brute
     * force, which specs use as ground truth for held-out queries. */
   def knnIvfWith(spark: SparkSession, dir: String, centroids: Seq[Seq[Double]],
+                 nprobe: Int, queryLo: Long = 0L, queryHi: Long = 10L): DataFrame =
+    knnIvfOver(Tables.embeddings(spark, dir), centroids, nprobe, queryLo, queryHi)
+
+  /** Frame-level form of [[knnIvfWith]] (probes run it over synthetic
+    * corpora to measure geometry choices end-to-end; `emb` must be
+    * (vec_id, embedding)). Assignment is recomputed inline — the
+    * spec/probe tool shape; production ([[knnIvf]]) serves from the
+    * PERSISTED inverted lists instead, because inline assignment pays
+    * N·cells cosines per query (measured, `ScaleProbe ivfquery`: 11.8 s
+    * vs 1.1 s end-to-end at 200k vectors once cells band to √N). */
+  private[graft] def knnIvfOver(emb: DataFrame, centroids: Seq[Seq[Double]],
                  nprobe: Int, queryLo: Long = 0L, queryHi: Long = 10L): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val cents = broadcast(
-      spark.createDataFrame(centroids.zipWithIndex.map { case (v, i) => (i, v) })
-        .toDF("cent_id", "cvec"))
-    def nearestCells(df: DataFrame, vecCol: String, n: Int, out: String): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
-      df.crossJoin(cents)
-        .withColumn("csim", cosine(asDouble(col(vecCol)), col("cvec")))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= n)
-        .select(df.columns.toIndexedSeq.map(col) :+ col("cent_id").as(out): _*)
-    }
-    // corpus side: per-row argmax expression — zero-shuffle assignment (the
-    // windowed nearestCells stays for the QUERY side only, where n = nprobe
-    // rows per query are needed and the input is tiny)
+    // corpus side: per-row argmax expression — zero-shuffle assignment
     val cands = emb
       .withColumn("cell", nearestCellExpr(col("embedding"), centroids))
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding"))
-    val queries = nearestCells(
-        emb.filter(col("vec_id") >= queryLo && col("vec_id") < queryHi),
-        "embedding", nprobe, "cell")
-      .select(col("cell"), col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    knnIvfRank(emb, cands, centroids, nprobe, queryLo, queryHi,
+      pruneCells = false)
+  }
+
+  /** The query half of IVF search, shared by the inline ([[knnIvfOver]])
+    * and indexed ([[knnIvf]]) forms: probe the query's `nprobe` nearest
+    * cells (windowed over queries × cells — tiny), optionally prune the
+    * candidate scan to the probed cell ids (a ≤ queries·nprobe driver
+    * list, the partition-pruning handle for the hive-partitioned index),
+    * then exact-cosine top-k over the one candidate join. */
+  private[graft] def knnIvfRank(emb: DataFrame, cands: DataFrame,
+      centroids: Seq[Seq[Double]], nprobe: Int,
+      queryLo: Long, queryHi: Long, pruneCells: Boolean): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = broadcast(
+      spark.createDataFrame(centroids.zipWithIndex.map { case (v, i) => (i, v) })
+        .toDF("cent_id", "cvec"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
+    val queries = emb.filter(col("vec_id") >= queryLo && col("vec_id") < queryHi)
+      .crossJoin(cents)
+      .withColumn("csim", cosine(asDouble(col("embedding")), col("cvec")))
+      .withColumn("crn", row_number().over(wq))
+      .filter(col("crn") <= nprobe)
+      .select(col("cent_id").as("cell"), col("vec_id").as("query_id"),
+        col("embedding").as("qvec"))
+    val scanned =
+      if (pruneCells) {
+        // probed cell ids: ≤ queries × nprobe ints — the literal IN list
+        // that reaches the partitioned index scan as PartitionFilters,
+        // so a probe READS only matching cell directories (sub-linear
+        // I/O, not just sub-linear compute)
+        val probed = queries.select(col("cell")).distinct()
+          .collect().map(_.getInt(0)).toIndexedSeq
+        cands.filter(col("cell").isin(probed: _*))
+      } else cands
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    cands.join(broadcast(queries), Seq("cell"))
+    scanned.join(broadcast(queries), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("embedding"), col("qvec")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Artifact layout version of the IVFFlat inverted lists — bump when
+    * the banding policy or schema changes so stale layouts retrain
+    * rather than silently serving the old geometry. */
+  private val IvfFlatVersion = 1
+
+  /** The persisted IVFFlat index: every vector's (cell, vec_id,
+    * embedding) row, hive-PARTITIONED BY CELL — faiss's IVFFlat stores
+    * the full vectors inside the inverted lists, and the partitioned
+    * layout is that structure on a distributed store: a query's probed
+    * cells become PartitionFilters, so the scan reads nprobe/cells of
+    * the corpus from disk instead of scanning-then-discarding. Built
+    * once per corpus fingerprint ([[StorePaths.cachedArtifact]]:
+    * atomic write + _SUCCESS + orphan GC), like the PQ codes store —
+    * the N·cells assignment cosines are paid at BUILD time, never per
+    * query (`ScaleProbe ivfquery` measures the difference). */
+  private[graft] def ivfIndex(spark: SparkSession, dir: String): DataFrame = {
+    val cents = loadOrTrainCentroids(spark, dir)
+    val lists = Tables.embeddings(spark, dir).select(
+      nearestCellExpr(col("embedding"), cents).as("cell"),
+      col("vec_id"), col("embedding"))
+      // one shuffle at BUILD time so each cell directory holds one file
+      // instead of one per writer task — un-repartitioned, a √N-cell
+      // index writes cells × shuffle-partitions footer-dominated shards
+      // (measured: 448-cell build 31.8 → 8.1 s, 10-query probe
+      // 5.2 → 2.3 s at 200k vectors)
+      .repartition(col("cell"))
+    if (corpusCount(spark, dir) == 0L) lists
+    // ^ nothing to index, and an EMPTY partitioned write has no data
+    //   files for the read-back to infer a schema from
+    else graft.serving.StorePaths.cachedArtifact(spark,
+      "graft.ivfflat.dir", "graft_ivfflat",
+      corpusKey(dir) + "-",
+      corpusFingerprint(spark, dir) + "_v" + IvfFlatVersion,
+      partitionCols = Seq("cell"))(lists)
   }
 
   /** FILTERED approximate search — the production shape of "top-k among
@@ -504,38 +574,28 @@ object Similarity {
   def knnFiltered(spark: SparkSession, dir: String): DataFrame = {
     val keep = Tables.documents(spark, dir)
       .filter(col("lang") === "en").select(col("doc_id"))
-    knnIvfFilteredWith(spark, dir, loadOrTrainCentroids(spark, dir),
-      nprobe = 4, keepIds = keep)
+    // production form rides the persisted inverted lists (the keep-set
+    // semi-join lands on the partition-pruned index scan) with the
+    // filtered-ANN doubling applied to the BANDED nprobe — at the
+    // sf0.01 gate corpus 2·nprobeFor = 4, the historical value
+    val n = corpusCount(spark, dir)
+    val idx = ivfIndex(spark, dir)
+    val cands = idx
+      .join(keep, idx("vec_id") === keep("doc_id"), "left_semi")
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding"))
+    knnIvfRank(Tables.embeddings(spark, dir), cands,
+      loadOrTrainCentroids(spark, dir),
+      math.min(cellsFor(n), 2 * nprobeFor(n)), 0L, 10L, pruneCells = true)
   }
 
   def knnIvfFilteredWith(spark: SparkSession, dir: String,
       centroids: Seq[Seq[Double]], nprobe: Int, keepIds: DataFrame): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val cents = broadcast(
-      spark.createDataFrame(centroids.zipWithIndex.map { case (v, i) => (i, v) })
-        .toDF("cent_id", "cvec"))
     val cands = emb
       .join(keepIds, emb("vec_id") === keepIds("doc_id"), "left_semi")
       .withColumn("cell", nearestCellExpr(col("embedding"), centroids))
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding"))
-    val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
-    val queries = emb.filter(col("vec_id") < 10)
-      .crossJoin(cents)
-      .withColumn("csim", cosine(asDouble(col("embedding")), col("cvec")))
-      .withColumn("crn", row_number().over(wq))
-      .filter(col("crn") <= nprobe)
-      .select(col("cent_id").as("cell"), col("vec_id").as("query_id"),
-        col("embedding").as("qvec"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    cands.join(broadcast(queries), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("embedding"), col("qvec")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
-      .orderBy(col("query_id"), col("rank"))
+    knnIvfRank(emb, cands, centroids, nprobe, 0L, 10L, pruneCells = false)
   }
 
   // ---------------------------------------------------------------- PQ / ADC
@@ -584,13 +644,19 @@ object Similarity {
   /** nprobe banded by corpus size: the r9 sweep (2/3/4 → 0.40/0.44/0.48
     * at sf0.01) showed the cell filter, not code quality, is the recall
     * ceiling on near-random vectors — so larger corpora open more cells
-    * instead of silently losing spread-out neighbors; past the 10k cell
-    * band, probe an eighth of the √N cells (the faiss-style fixed
-    * fraction that keeps scanned-candidates ≈ N/8·√N sub-linear). */
+    * instead of silently losing spread-out neighbors. Past the 10k cell
+    * band, nprobe = cells/8 SATURATING at 64 — the saturation is what
+    * keeps the scan sub-linear: un-capped, cells/8 probes scan
+    * (cells/8)·(N/cells) = N/8 candidates (linear, merely 8× under
+    * brute force), while the cap bounds expected candidates at
+    * 64·N/cells ≈ 64·√N past ~260k vectors (0.2% of a 10⁹ corpus vs
+    * 12.5%). faiss practice likewise holds nprobe in the tens while the
+    * cell count tracks the index; recall demands then raise nprobe per
+    * deployment, not per corpus size. */
   private[graft] def nprobeFor(n: Long): Int =
     if (n <= 1000L) 2
     else if (n <= 10000L) 4
-    else math.max(4, cellsFor(n) / 8)
+    else math.min(64, math.max(4, cellsFor(n) / 8))
 
   private def sqdist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
@@ -1983,6 +2049,7 @@ object Similarity {
     loadOrTrainCentroids(spark, dir)
     pcaModel(spark, dir)
     ensurePq(spark, dir)
+    ivfIndex(spark, dir).count(): Unit
     knnGraph(spark, dir).count(): Unit
     bruteTruth(spark, dir).count(): Unit
     hardNegTruth(spark, dir).count(): Unit

@@ -73,13 +73,21 @@ private[graft] object StorePaths {
 
   /** Write a parquet artifact atomically: write to a sibling temp dir,
     * then rename onto the final path — readers either see the previous
-    * complete artifact or the new complete one, never a partial dir. */
-  def writeParquetAtomic(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    * complete artifact or the new complete one, never a partial dir.
+    * `partitionCols` lays the artifact out hive-style (one directory per
+    * value) so probes filtering on those columns read ONLY matching
+    * partitions — the inverted-index layout a 100 TB ANN/band store
+    * needs (the committer still writes the root `_SUCCESS`, so the
+    * completeness probe is unchanged). */
+  def writeParquetAtomic(df: org.apache.spark.sql.DataFrame, path: String,
+                         partitionCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val (f, p) = fs(spark, path)
     val tmp = new org.apache.hadoop.fs.Path(
       p.getParent, p.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
-    df.write.mode("overwrite").parquet(tmp.toString)
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
     if (f.exists(p)) f.delete(p, true)
     if (!f.rename(tmp, p))
       throw new java.io.IOException(s"atomic artifact rename failed: $tmp -> $p")
@@ -101,13 +109,14 @@ private[graft] object StorePaths {
     * sanitizer bans '-' so one corpus's artifact name can never be a
     * prefix of a sibling's (the GC would delete live artifacts). */
   def cachedArtifact(spark: SparkSession, baseConfKey: String, defaultSub: String,
-                     prefix: String, fingerprint: String)(
+                     prefix: String, fingerprint: String,
+                     partitionCols: Seq[String] = Nil)(
                      derive: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val base = spark.conf.getOption(baseConfKey)
       .getOrElse(sys.props("java.io.tmpdir") + "/" + defaultSub)
     val path = base + "/" + prefix + fingerprint
     if (!existsComplete(spark, path)) {
-      writeParquetAtomic(derive, path)
+      writeParquetAtomic(derive, path, partitionCols)
       val cur = new org.apache.hadoop.fs.Path(path)
       val f = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (f.exists(cur.getParent)) {

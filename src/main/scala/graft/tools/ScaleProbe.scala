@@ -578,6 +578,70 @@ object ScaleProbe {
     }
   }
 
+  /** End-to-end IVF QUERY cost vs geometry at a 200k-vector synthetic
+    * corpus: the historical fixed geometry (16 cells, nprobe 2) against
+    * the banded one (cellsFor/nprobeFor). Probing ALL cells degenerates
+    * to exact brute force (knnIvfOver's documented contract), which
+    * doubles as the recall truth here. Reports the corpus-side cell
+    * assignment separately — in production it persists with the index
+    * (pqCodesStream / the codes artifact), so the query-side delta is
+    * the number that matters per query. */
+  def ivfQueryProbe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val n = 200000L
+    val emb = spark.range(0, n).select(col("id").as("vec_id"),
+      array((0 until 64).map(i =>
+        sin(col("id") * (i * 37 + 1)).cast("float")): _*).as("embedding"))
+      .localCheckpoint()
+    val S = graft.operators.Similarity
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def top5(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.filter(col("rank") <= 5).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val sample = S.sampleForTraining(emb, n)
+    val cents16 = S.kmeansCentroids(sample, 16, 2)
+    val kBand = S.cellsFor(n)
+    val (centsBand, tTrain) = time(S.kmeansCentroids(sample, kBand, 2))
+    val truth = top5(S.knnIvfOver(emb, cents16, nprobe = 16))
+    for ((tag, cents, np) <- Seq(
+        ("fixed16", cents16, 2),
+        (s"banded(k=$kBand)", centsBand, S.nprobeFor(n)))) {
+      val (_, tAssign) = time(
+        emb.select(S.nearestCellExpr(col("embedding"), cents).as("c"))
+          .groupBy(col("c")).count().collect())
+      val (r, tQ) = time(top5(S.knnIvfOver(emb, cents, np)))
+      val recall = truth.map { case (q, t) =>
+        r.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+      println(f"[scale] ivfquery n=$n geom=$tag%-14s np=$np%-3d " +
+        f"assign=$tAssign%6.2f s e2e=$tQ%6.2f s recall@5=$recall%.2f " +
+        f"(banded train $tTrain%.1f s)")
+    }
+    // the production path: inverted lists persisted PARTITIONED BY CELL,
+    // so the assignment cosines are build-time and the query reads only
+    // the probed cells' partitions
+    val idxPath = sys.props("java.io.tmpdir") + "/graft_probe_ivfflat"
+    val (_, tBuild) = time(graft.serving.StorePaths.writeParquetAtomic(
+      emb.select(S.nearestCellExpr(col("embedding"), centsBand).as("cell"),
+        col("vec_id"), col("embedding")).repartition(col("cell")),
+      idxPath, Seq("cell")))
+    val idx = spark.read.parquet(idxPath)
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding"))
+    val np = S.nprobeFor(n)
+    val (ri, tIdx) = time(top5(
+      S.knnIvfRank(emb, idx, centsBand, np, 0L, 10L, pruneCells = true)))
+    val recallI = truth.map { case (q, t) =>
+      ri.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size
+    }.sum / truth.size
+    println(f"[scale] ivfquery n=$n geom=indexed(k=$kBand) np=$np%-3d " +
+      f"build=$tBuild%6.2f s query=$tIdx%6.2f s recall@5=$recallI%.2f")
+    val ip = new org.apache.hadoop.fs.Path(idxPath)
+    ip.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(ip, true): Unit
+  }
+
   def main(args: Array[String]): Unit = {
     val k = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
@@ -669,6 +733,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("train")) {
       trainProbe(spark)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("ivfquery")) {
+      ivfQueryProbe(spark)
       spark.stop()
       return
     }

@@ -107,11 +107,23 @@ class PqSpec extends SparkSpecBase {
     assert(Similarity.cellsFor(10001) == 101)
     assert(Similarity.cellsFor(1000000) == 1000)
     assert(Similarity.cellsFor(Long.MaxValue) == 65536, "cells must cap")
-    assert(Similarity.nprobeFor(1000000) == 125)
+    // nprobe = cells/8 saturating at 64: un-capped, cells/8 scans N/8
+    // candidates (linear in the corpus); the cap bounds the scan at
+    // ~64·√N — sub-linear past ~260k vectors
+    assert(Similarity.nprobeFor(100000) == 39)
+    assert(Similarity.nprobeFor(1000000) == 64)
+    assert(Similarity.nprobeFor(Long.MaxValue) == 64, "nprobe must saturate")
     // probed fraction never exceeds the corpus: nprobe ≤ cells everywhere
     Seq(500L, 10001L, 1000000L, 100000000L).foreach { n =>
       assert(Similarity.nprobeFor(n) <= Similarity.cellsFor(n))
     }
+    // expected scanned candidates nprobe·N/cells stay sub-linear: the
+    // scanned FRACTION shrinks monotonically past the saturation point
+    val fracs = Seq(300000L, 1000000L, 10000000L, 1000000000L).map { n =>
+      Similarity.nprobeFor(n).toDouble / Similarity.cellsFor(n)
+    }
+    assert(fracs.zip(fracs.tail).forall { case (a, b) => b <= a },
+      s"scanned fraction must shrink with corpus size: $fracs")
   }
 
   test("opqAllocate deals eigen-dims to balance per-subspace log-products") {
@@ -224,6 +236,53 @@ class PqSpec extends SparkSpecBase {
     } finally {
       spark.conf.unset("graft.pq.dir")
       spark.conf.unset("graft.ivf.dir")
+    }
+  }
+
+  test("knn_ivf serves from the persisted inverted lists: identical answers, pruned scan") {
+    val tmpIvf = java.nio.file.Files.createTempDirectory("graft_ivfidx_spec_ivf").toString
+    val tmpIdx = java.nio.file.Files.createTempDirectory("graft_ivfidx_spec_idx").toString
+    spark.conf.set("graft.ivf.dir", tmpIvf)
+    spark.conf.set("graft.ivfflat.dir", tmpIdx)
+    try {
+      // the indexed production path answers EXACTLY like the inline form —
+      // the index stores the same argmax assignment, so serving from it
+      // changes where the cosines are paid (build time), never the result
+      val n = graft.sources.Tables.embeddings(spark, dir).count()
+      val cents = Similarity.loadOrTrainCentroids(spark, dir)
+      val indexed = Similarity.knnIvf(spark, dir).collect().toSeq
+      val inline = Similarity.knnIvfOver(
+        graft.sources.Tables.embeddings(spark, dir), cents,
+        Similarity.nprobeFor(n)).collect().toSeq
+      assert(indexed == inline,
+        "indexed knn_ivf must answer identically to the inline formulation")
+      assert(indexed.nonEmpty)
+
+      // the artifact is hive-partitioned by cell and the probed cells
+      // reach the scan as PartitionFilters — the 100 TB property: a probe
+      // READS only matching cell directories, it doesn't scan-and-discard
+      val idxDir = new java.io.File(tmpIdx).listFiles()
+        .find(_.getName.endsWith("_v1")).getOrElse(fail("index artifact missing"))
+      assert(idxDir.listFiles().exists(_.getName.startsWith("cell=")),
+        "index must be laid out as cell= partition directories")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val plan = Similarity.knnIvf(spark, dir).queryExecution.executedPlan
+        val pruned = plan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.partitionFilters.exists(_.references.map(_.name).toSeq.contains("cell")) => s
+        }
+        assert(pruned.nonEmpty,
+          "probed cells must reach the index scan as PartitionFilters")
+        // the pruned scan must NOT also carry the cell predicate as a
+        // post-scan data filter — that would mean scan-and-discard
+        assert(pruned.head.dataFilters
+          .forall(!_.references.map(_.name).toSeq.contains("cell")),
+          "cell predicate must prune partitions, not filter rows post-scan")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally {
+      spark.conf.unset("graft.ivf.dir")
+      spark.conf.unset("graft.ivfflat.dir")
     }
   }
 }
