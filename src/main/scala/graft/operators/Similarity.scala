@@ -196,6 +196,16 @@ object Similarity {
     * gate corpora (≤2000 vectors) sit far below the cap, so gate
     * artifacts, recall measurements, and floors are byte-stable. */
   private[graft] val TrainingSampleCap = 65536L
+
+  /** Training-sample cap banded by the CELL COUNT it must fit: the flat
+    * 65536-row cap degenerates to ONE point per centroid at the 65536-
+    * cell clamp, where Lloyd can't average anything — faiss's own sizing
+    * guidance is tens-to-hundreds of points per centroid, so past
+    * 1024 cells the cap grows as 64·k (≈4.2M rows at the clamp — still
+    * a constant-bounded sample, never the corpus). Gate corpora sit at
+    * 16 cells, far below both terms, so artifacts stay byte-stable. */
+  private[graft] def trainingCapFor(kCells: Int): Long =
+    math.max(TrainingSampleCap, 64L * kCells)
   private[graft] def sampleForTraining(emb: DataFrame, n: Long,
       cap: Long = TrainingSampleCap): DataFrame =
     if (n <= cap) emb
@@ -243,7 +253,8 @@ object Similarity {
     val n = corpusCount(spark, dir)
     val kCells = if (k > 0) k else cellsFor(n)
     val cents = kmeansCentroids(
-      sampleForTraining(Tables.embeddings(spark, dir), n), kCells, iters)
+      sampleForTraining(Tables.embeddings(spark, dir), n,
+        trainingCapFor(kCells)), kCells, iters)
     val path = centroidStorePath(spark, dir)
     graft.serving.StorePaths.writeParquetAtomic(
       spark.createDataFrame(cents.zipWithIndex.map { case (v, i) => (i, v) })
@@ -483,19 +494,31 @@ object Similarity {
     * then exact-cosine top-k over the one candidate join. */
   private[graft] def knnIvfRank(emb: DataFrame, cands: DataFrame,
       centroids: Seq[Seq[Double]], nprobe: Int,
-      queryLo: Long, queryHi: Long, pruneCells: Boolean): DataFrame = {
-    val spark = emb.sparkSession
+      queryLo: Long, queryHi: Long, pruneCells: Boolean): DataFrame =
+    knnIvfRankQueries(
+      emb.filter(col("vec_id") >= queryLo && col("vec_id") < queryHi)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      cands, centroids, nprobe, K, pruneCells)
+
+  /** The fully general form: explicit query frame (query_id, embedding)
+    * and result depth — [[knnOverVectorIndex]] serves a STREAM-MAINTAINED
+    * index through the identical plan, so batch gate, filtered search,
+    * and streamed-index serving can never drift. */
+  private[graft] def knnIvfRankQueries(queriesDf: DataFrame, cands: DataFrame,
+      centroids: Seq[Seq[Double]], nprobe: Int, k: Int,
+      pruneCells: Boolean): DataFrame = {
+    val spark = queriesDf.sparkSession
     val cents = broadcast(
       spark.createDataFrame(centroids.zipWithIndex.map { case (v, i) => (i, v) })
         .toDF("cent_id", "cvec"))
     val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
-    val queries = emb.filter(col("vec_id") >= queryLo && col("vec_id") < queryHi)
+      .partitionBy(col("query_id")).orderBy(col("csim").desc, col("cent_id"))
+    val queries = queriesDf
       .crossJoin(cents)
       .withColumn("csim", cosine(asDouble(col("embedding")), col("cvec")))
       .withColumn("crn", row_number().over(wq))
       .filter(col("crn") <= nprobe)
-      .select(col("cent_id").as("cell"), col("vec_id").as("query_id"),
+      .select(col("cent_id").as("cell"), col("query_id"),
         col("embedding").as("qvec"))
     val scanned =
       if (pruneCells) {
@@ -513,7 +536,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("embedding"), col("qvec")), 6))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
       .orderBy(col("query_id"), col("rank"))
   }
@@ -2282,33 +2305,12 @@ object Similarity {
     * [[knnBrute]]: cos desc, neighbor_id asc. */
   def knnOverVectorIndex(spark: SparkSession, indexPath: String,
       queriesDf: DataFrame, centroids: Seq[Seq[Double]], nprobe: Int,
-      k: Int): DataFrame = {
-    val cdf = broadcast(
-      spark.createDataFrame(centroids.zipWithIndex.map { case (v, i) => (i, v) })
-        .toDF("cell", "cvec"))
-    val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))
-    val probes = queriesDf
-      .crossJoin(cdf)
-      .withColumn("csim", cosine(asDouble(col("embedding")), col("cvec")))
-      .withColumn("crn", row_number().over(wq))
-      .filter(col("crn") <= nprobe)
-      .select(col("cell"), col("query_id"), col("embedding").as("qvec"))
-    val cells = probes.select(col("cell").cast("int")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    spark.read.parquet(indexPath)
-      .filter(col("cell").isin(cells: _*))
-      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding"))
-      .join(broadcast(probes), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("embedding"), col("qvec")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
-      .orderBy(col("query_id"), col("rank"))
-  }
+      k: Int): DataFrame =
+    knnIvfRankQueries(queriesDf,
+      spark.read.parquet(indexPath)
+        .select(col("cell").cast("int").as("cell"),
+          col("vec_id").as("neighbor_id"), col("embedding")),
+      centroids, nprobe, k, pruneCells = true)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_hard_negatives" -> (embedHardNegatives _),

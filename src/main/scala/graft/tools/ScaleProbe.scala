@@ -586,9 +586,11 @@ object ScaleProbe {
     * assignment separately — in production it persists with the index
     * (pqCodesStream / the codes artifact), so the query-side delta is
     * the number that matters per query. */
-  def ivfQueryProbe(spark: SparkSession): Unit = {
+  def ivfQueryProbe(spark: SparkSession): Unit =
+    Seq(200000L, 400000L).foreach(ivfQueryProbeAt(spark, _))
+
+  private def ivfQueryProbeAt(spark: SparkSession, n: Long): Unit = {
     import org.apache.spark.sql.functions._
-    val n = 200000L
     val emb = spark.range(0, n).select(col("id").as("vec_id"),
       array((0 until 64).map(i =>
         sin(col("id") * (i * 37 + 1)).cast("float")): _*).as("embedding"))

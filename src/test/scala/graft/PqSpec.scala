@@ -124,6 +124,16 @@ class PqSpec extends SparkSpecBase {
     }
     assert(fracs.zip(fracs.tail).forall { case (a, b) => b <= a },
       s"scanned fraction must shrink with corpus size: $fracs")
+    // the training sample must keep >= 64 points per centroid once the
+    // cell band outgrows the flat cap (1 point/cell at the clamp is a
+    // degenerate Lloyd input) — and stays the flat cap at gate scale
+    assert(Similarity.trainingCapFor(16) == Similarity.TrainingSampleCap)
+    assert(Similarity.trainingCapFor(65536) == 64L * 65536)
+    Seq(500L, 10001L, 1000000L, Long.MaxValue).foreach { n =>
+      val k = Similarity.cellsFor(n)
+      assert(Similarity.trainingCapFor(k) >= 64L * k,
+        s"cap must give >= 64 training points per cell at n=$n")
+    }
   }
 
   test("opqAllocate deals eigen-dims to balance per-subspace log-products") {
