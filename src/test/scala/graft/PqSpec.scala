@@ -91,7 +91,7 @@ class PqSpec extends SparkSpecBase {
     // a shortlist that grew linearly forever would re-create brute force
     assert(Similarity.rerankFor(500) == 62)
     assert(Similarity.rerankFor(2000) == 250)
-    assert(Similarity.rerankFor(100000000L) == 500, "rerank must cap")
+    assert(Similarity.rerankFor(100000000L) == 8000, "rerank must cap")
     assert(Similarity.rerankFor(0) == 50, "rerank floor")
     // band boundary: the subspace count always divides 64 so sub-slices
     // tile the vector exactly (a non-divisor would silently drop dims)
@@ -99,6 +99,9 @@ class PqSpec extends SparkSpecBase {
       assert(64 % Similarity.pqSubFor(n) == 0)
     }
     assert(Similarity.pqSubFor(1000) == 4 && Similarity.pqSubFor(1001) == 8)
+    // third budget rung past 20k vectors (measured: recall at 100k/16sub
+    // equals 20k/8sub — constant recall per banded budget)
+    assert(Similarity.pqSubFor(20000) == 8 && Similarity.pqSubFor(20001) == 16)
     assert(Similarity.nprobeFor(1000) == 2 && Similarity.nprobeFor(1001) == 4)
     // cell band: 16-cell gate floor through 10k vectors (gate artifacts
     // byte-stable), k ≈ √N clamped [64, 65536] above, and nprobe scans
