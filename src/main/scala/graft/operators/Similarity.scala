@@ -285,21 +285,37 @@ object Similarity {
     cents
   }
 
-  private val centroidCache =
+  private[graft] val centroidCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Double]]]
+
+  /** Cell count the BANDED policy trains for `n` corpus vectors —
+    * cellsFor bounded by the seed supply (a corpus smaller than the
+    * band trains one cell per vector). */
+  private def expectedCells(n: Long): Int =
+    math.min(cellsFor(n).toLong, math.max(n, 0L)).toInt
 
   /** Persisted centroids if present (cached per JVM), else train + persist.
     * Existence is resolved through the Hadoop FileSystem of the path — a
-    * local java.io.File probe is always false on HDFS/S3. */
+    * local java.io.File probe is always false on HDFS/S3.
+    *
+    * GEOMETRY-PINNED like the PQ store's meta marker: a store whose cell
+    * count is not what the current banding policy trains (written by a
+    * pre-banding build, or by an explicit-k `trainQuantizer` run)
+    * RETRAINS instead of silently serving — nprobeFor(n) sized for
+    * cellsFor(n) cells over a stale 16-cell store keeps EVERY cell, i.e.
+    * a full-corpus scan reported as banded geometry. (The in-JVM cache is
+    * exempt: an explicit-k train in this session is session state.) */
   def loadOrTrainCentroids(spark: SparkSession, dir: String): Seq[Seq[Double]] = {
     val path = centroidStorePath(spark, dir)
     centroidCache.getOrElseUpdate(path, {
       // _SUCCESS-gated: a crashed writer's partial dir must retrain
-      if (graft.serving.StorePaths.existsComplete(spark, path))
-        spark.read.parquet(path)
+      if (graft.serving.StorePaths.existsComplete(spark, path)) {
+        val stored = spark.read.parquet(path)
           .orderBy(col("cent_id"))
           .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
-      else trainQuantizer(spark, dir)
+        if (stored.size == expectedCells(corpusCount(spark, dir))) stored
+        else trainQuantizer(spark, dir)
+      } else trainQuantizer(spark, dir)
     })
   }
 
@@ -524,19 +540,25 @@ object Similarity {
       .filter(col("crn") <= nprobe)
       .select(col("cent_id").as("cell"), col("query_id"),
         col("embedding").as("qvec"))
-    val scanned =
+    val (probeSide, scanned) =
       if (pruneCells) {
-        // probed cell ids: ≤ queries × nprobe ints — the literal IN list
-        // that reaches the partitioned index scan as PartitionFilters,
-        // so a probe READS only matching cell directories (sub-linear
-        // I/O, not just sub-linear compute)
-        val probed = queries.select(col("cell")).distinct()
-          .collect().map(_.getInt(0)).toIndexedSeq
-        cands.filter(col("cell").isin(probed: _*))
-      } else cands
+        // ONE collect materializes the probe rows (≤ queries × nprobe —
+        // bounded) and feeds BOTH sides: the probed cell ids become the
+        // literal IN list that reaches the partitioned index scan as
+        // PartitionFilters (a probe READS only matching cell
+        // directories — sub-linear I/O, not just sub-linear compute),
+        // and the rows themselves become the broadcast side of the
+        // candidate join, so the probe lineage (embeddings scan ×
+        // cells window) runs once, never re-executing inside the join
+        val rows = queries.collect()
+        val probed = rows.map(_.getInt(0)).distinct.toIndexedSeq
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), queries.schema)
+        (local, cands.filter(col("cell").isin(probed: _*)))
+      } else (queries, cands)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scanned.join(broadcast(queries), Seq("cell"))
+    scanned.join(broadcast(probeSide), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("embedding"), col("qvec")), 6))
       .withColumn("rank", row_number().over(w))
@@ -577,8 +599,26 @@ object Similarity {
     else graft.serving.StorePaths.cachedArtifact(spark,
       "graft.ivfflat.dir", "graft_ivfflat",
       corpusKey(dir) + "-",
-      corpusFingerprint(spark, dir) + "_v" + IvfFlatVersion,
+      // the key carries the QUANTIZER's content hash, not just the
+      // corpus fingerprint: cell ids only mean anything relative to the
+      // centroids they were assigned under, so a quantizer retrain (a
+      // wiped graft.ivf.dir, an explicit-k run — the two stores are
+      // independent conf keys) must rebuild the lists rather than probe
+      // C2 cells against C1 buckets and silently return wrong neighbors
+      corpusFingerprint(spark, dir) + "_v" + IvfFlatVersion +
+        "g" + centroidContentHash(cents),
       partitionCols = Seq("cell"))(lists)
+  }
+
+  /** Short content hash of a trained centroid set (order-sensitive —
+    * cell ids ARE positions). */
+  private def centroidContentHash(cents: Seq[Seq[Double]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    cents.foreach(_.foreach { v =>
+      buf.clear(); buf.putDouble(v); md.update(buf.array())
+    })
+    md.digest().take(6).map("%02x".format(_)).mkString
   }
 
   /** FILTERED approximate search — the production shape of "top-k among

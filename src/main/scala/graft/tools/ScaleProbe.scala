@@ -661,7 +661,7 @@ object ScaleProbe {
       e.map { case (q, t) =>
         a.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
       }.sum / e.size
-    for (n <- Seq(20000L, 100000L)) {
+    for (n <- Seq(20000L, 100000L, 400000L)) {
       val dir = sys.props("java.io.tmpdir") + s"/graft_pqscale_$n"
       val tbl = new org.apache.hadoop.fs.Path(dir + "/embeddings.parquet")
       val f = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)

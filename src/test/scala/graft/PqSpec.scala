@@ -274,10 +274,12 @@ class PqSpec extends SparkSpecBase {
       // the artifact is hive-partitioned by cell and the probed cells
       // reach the scan as PartitionFilters — the 100 TB property: a probe
       // READS only matching cell directories, it doesn't scan-and-discard
+      // name carries layout version + quantizer content hash
       val idxDir = new java.io.File(tmpIdx).listFiles()
-        .find(_.getName.endsWith("_v1")).getOrElse(fail("index artifact missing"))
+        .find(_.getName.contains("_v1g")).getOrElse(fail("index artifact missing"))
       assert(idxDir.listFiles().exists(_.getName.startsWith("cell=")),
         "index must be laid out as cell= partition directories")
+      val aqePrev = spark.conf.get("spark.sql.adaptive.enabled")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try {
         val plan = Similarity.knnIvf(spark, dir).queryExecution.executedPlan
@@ -292,8 +294,48 @@ class PqSpec extends SparkSpecBase {
         assert(pruned.head.dataFilters
           .forall(!_.references.map(_.name).toSeq.contains("cell")),
           "cell predicate must prune partitions, not filter rows post-scan")
-      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
     } finally {
+      spark.conf.unset("graft.ivf.dir")
+      spark.conf.unset("graft.ivfflat.dir")
+    }
+  }
+
+  test("stale quantizer geometry retrains, and the inverted lists follow it") {
+    val tmpIvf = java.nio.file.Files.createTempDirectory("graft_geom_spec_ivf").toString
+    val tmpIdx = java.nio.file.Files.createTempDirectory("graft_geom_spec_idx").toString
+    spark.conf.set("graft.ivf.dir", tmpIvf)
+    spark.conf.set("graft.ivfflat.dir", tmpIdx)
+    try {
+      // pollute the store with a mis-banded quantizer (a pre-banding
+      // build or an explicit-k run) and build the index under it
+      Similarity.trainQuantizer(spark, dir, k = 4)
+      assert(Similarity.knnIvf(spark, dir).collect().nonEmpty)
+      val staleIdx = new java.io.File(tmpIdx).listFiles().map(_.getName).toSet
+      assert(staleIdx.nonEmpty)
+
+      // a FRESH process (JVM cache cleared) must not serve the stale
+      // 4-cell store: nprobeFor(n) sized for cellsFor(n) cells over it
+      // would keep every cell — a full scan reported as banded geometry
+      Similarity.centroidCache.clear()
+      val n = graft.sources.Tables.embeddings(spark, dir).count()
+      val cents = Similarity.loadOrTrainCentroids(spark, dir)
+      assert(cents.size == Similarity.cellsFor(n),
+        s"stale 4-cell store must retrain to the banded ${Similarity.cellsFor(n)}")
+
+      // the inverted lists are keyed by the quantizer's content hash, so
+      // the retrain rebuilds them (the stale artifact is superseded) and
+      // the indexed path still equals the inline form under the new cells
+      val indexed = Similarity.knnIvf(spark, dir).collect().toSeq
+      val freshIdx = new java.io.File(tmpIdx).listFiles().map(_.getName).toSet
+      assert(freshIdx.nonEmpty && freshIdx != staleIdx,
+        "quantizer retrain must rebuild the inverted lists")
+      val inline = Similarity.knnIvfOver(
+        graft.sources.Tables.embeddings(spark, dir), cents,
+        Similarity.nprobeFor(n)).collect().toSeq
+      assert(indexed == inline)
+    } finally {
+      Similarity.centroidCache.clear()
       spark.conf.unset("graft.ivf.dir")
       spark.conf.unset("graft.ivfflat.dir")
     }
