@@ -612,7 +612,7 @@ object Similarity {
 
   /** Short content hash of a trained centroid set (order-sensitive —
     * cell ids ARE positions). */
-  private def centroidContentHash(cents: Seq[Seq[Double]]): String = {
+  private[graft] def centroidContentHash(cents: Seq[Seq[Double]]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val buf = java.nio.ByteBuffer.allocate(8)
     cents.foreach(_.foreach { v =>
@@ -962,7 +962,8 @@ object Similarity {
     centsDf.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
     val codesWide = encodePq(emb, PqModel(ivfCents, rot, cents, nSub))
     codesWide.write.mode("overwrite").parquet(path + "/codes")
-    spark.createDataFrame(Seq((PqVersion, nSub))).toDF("ver", "nsub")
+    spark.createDataFrame(Seq((PqVersion, nSub, centroidContentHash(ivfCents))))
+      .toDF("ver", "nsub", "geom")
       .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
     // GC superseded fingerprints of this corpus (corpusKey bans '-', so the
     // prefix can't match a sibling corpus whose dir extends this one)
@@ -993,9 +994,18 @@ object Similarity {
         // the meta marker still pins it: a band-boundary change in a
         // future build must retrain, never decode old codes with a new
         // geometry
-        val meta = spark.read.parquet(path + "/meta").head()
-        meta.getInt(0) == PqVersion &&
-          meta.getInt(1) == pqSubFor(corpusCount(spark, dir))
+        val metaDf = spark.read.parquet(path + "/meta")
+        // geom pins the QUANTIZER the residuals/cells were encoded
+        // under (same hazard as the inverted lists: a retrained coarse
+        // quantizer would decode old residuals against new centroids);
+        // pre-geom layouts lack the column and retrain
+        metaDf.columns.contains("geom") && {
+          val meta = metaDf.head()
+          meta.getInt(0) == PqVersion &&
+            meta.getInt(1) == pqSubFor(corpusCount(spark, dir)) &&
+            meta.getString(2) ==
+              centroidContentHash(loadOrTrainCentroids(spark, dir))
+        }
       }
     if (!ok) trainPq(spark, dir)
     path

@@ -304,15 +304,24 @@ class PqSpec extends SparkSpecBase {
   test("stale quantizer geometry retrains, and the inverted lists follow it") {
     val tmpIvf = java.nio.file.Files.createTempDirectory("graft_geom_spec_ivf").toString
     val tmpIdx = java.nio.file.Files.createTempDirectory("graft_geom_spec_idx").toString
+    val tmpPq = java.nio.file.Files.createTempDirectory("graft_geom_spec_pq").toString
     spark.conf.set("graft.ivf.dir", tmpIvf)
     spark.conf.set("graft.ivfflat.dir", tmpIdx)
+    spark.conf.set("graft.pq.dir", tmpPq)
     try {
       // pollute the store with a mis-banded quantizer (a pre-banding
-      // build or an explicit-k run) and build the index under it
+      // build or an explicit-k run) and build index + codes under it
       Similarity.trainQuantizer(spark, dir, k = 4)
       assert(Similarity.knnIvf(spark, dir).collect().nonEmpty)
+      assert(Similarity.knnIvfPq(spark, dir).collect().nonEmpty)
       val staleIdx = new java.io.File(tmpIdx).listFiles().map(_.getName).toSet
       assert(staleIdx.nonEmpty)
+      def pqGeom(): String = {
+        val meta = new java.io.File(tmpPq).listFiles()
+          .find(_.isDirectory).getOrElse(fail("pq store missing"))
+        spark.read.parquet(meta.getPath + "/meta").head().getString(2)
+      }
+      val staleGeom = pqGeom()
 
       // a FRESH process (JVM cache cleared) must not serve the stale
       // 4-cell store: nprobeFor(n) sized for cellsFor(n) cells over it
@@ -334,10 +343,20 @@ class PqSpec extends SparkSpecBase {
         graft.sources.Tables.embeddings(spark, dir), cents,
         Similarity.nprobeFor(n)).collect().toSeq
       assert(indexed == inline)
+
+      // the codes store pins the quantizer too: its residuals/cells were
+      // encoded under the 4-cell quantizer, so serving them against the
+      // retrained centroids would decode garbage — ensurePq's geom check
+      // must retrain the codes under the new quantizer
+      assert(Similarity.knnIvfPq(spark, dir).collect().nonEmpty)
+      assert(pqGeom() != staleGeom,
+        "quantizer retrain must re-encode the codes store")
+      assert(pqGeom() == Similarity.centroidContentHash(cents))
     } finally {
       Similarity.centroidCache.clear()
       spark.conf.unset("graft.ivf.dir")
       spark.conf.unset("graft.ivfflat.dir")
+      spark.conf.unset("graft.pq.dir")
     }
   }
 }
