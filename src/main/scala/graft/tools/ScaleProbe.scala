@@ -8,6 +8,23 @@ import org.apache.spark.sql.functions._
   * scaling exponent rather than guess it. Dev tool, not library surface. */
 object ScaleProbe {
 
+  // shared ANN-probe helpers (one definition — the review rule that four
+  // inline copies of the same fold WILL drift)
+  private def probeTop5(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.filter(org.apache.spark.sql.functions.col("rank") <= 5).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+
+  private def probeRecallOf(a: Map[Long, Set[Long]],
+                            e: Map[Long, Set[Long]]): Double =
+    e.map { case (q, t) =>
+      a.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }.sum / e.size
+
+  private def probeTimed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+  }
+
   /** Recursive delete for probe temp data — repeated probe runs were
     * accumulating multi-GB replicated-parquet dirs under /tmp. */
   private def rmrf(dir: String): Unit = {
@@ -496,12 +513,9 @@ object ScaleProbe {
       spark.conf.set("graft.pq.dir", tmpPq)
       spark.conf.set("graft.ivf.dir", tmpIvf)
       try {
-        def top5(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
-          df.collect().groupBy(_.getAs[Long]("query_id"))
-            .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
-        def recallOf(a: Map[Long, Set[Long]], e: Map[Long, Set[Long]]): Double =
-          e.map { case (q, t) => a.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
-            .sum / e.size
+        def top5(df: org.apache.spark.sql.DataFrame) = probeTop5(df)
+        def recallOf(a: Map[Long, Set[Long]], e: Map[Long, Set[Long]]) =
+          probeRecallOf(a, e)
         val n = Similarity.corpusCount(spark, sfDir)
         val brute = top5(Similarity.knnBrute(spark, sfDir))
         val t0 = System.nanoTime()
@@ -596,13 +610,8 @@ object ScaleProbe {
         sin(col("id") * (i * 37 + 1)).cast("float")): _*).as("embedding"))
       .localCheckpoint()
     val S = graft.operators.Similarity
-    def time[T](f: => T): (T, Double) = {
-      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
-    }
-    def top5(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
-      df.filter(col("rank") <= 5).collect()
-        .groupBy(_.getAs[Long]("query_id"))
-        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    def time[T](f: => T): (T, Double) = probeTimed(f)
+    def top5(df: org.apache.spark.sql.DataFrame) = probeTop5(df)
     val sample = S.sampleForTraining(emb, n)
     val cents16 = S.kmeansCentroids(sample, 16, 2)
     val kBand = S.cellsFor(n)
@@ -653,14 +662,9 @@ object ScaleProbe {
   def pqScaleProbe(spark: SparkSession): Unit = {
     import org.apache.spark.sql.functions._
     val S = graft.operators.Similarity
-    def top5(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
-      df.filter(col("rank") <= 5).collect()
-        .groupBy(_.getAs[Long]("query_id"))
-        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
-    def recallOf(a: Map[Long, Set[Long]], e: Map[Long, Set[Long]]): Double =
-      e.map { case (q, t) =>
-        a.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
-      }.sum / e.size
+    def top5(df: org.apache.spark.sql.DataFrame) = probeTop5(df)
+    def recallOf(a: Map[Long, Set[Long]], e: Map[Long, Set[Long]]) =
+      probeRecallOf(a, e)
     for (n <- Seq(20000L, 100000L, 400000L)) {
       val dir = sys.props("java.io.tmpdir") + s"/graft_pqscale_$n"
       val tbl = new org.apache.hadoop.fs.Path(dir + "/embeddings.parquet")
@@ -676,9 +680,7 @@ object ScaleProbe {
         .foreach(k => spark.conf.set(k, stores + "/" + k))
       try {
         val brute = top5(S.knnBrute(spark, dir))
-        def time[T](x: => T): (T, Double) = {
-          val t0 = System.nanoTime(); val r = x; (r, (System.nanoTime() - t0) / 1e9)
-        }
+        def time[T](x: => T): (T, Double) = probeTimed(x)
         val (_, tCents) = time(S.loadOrTrainCentroids(spark, dir))
         val (pq, tPq) = time(recallOf(top5(S.knnPq(spark, dir)), brute))
         val (_, tPqWarm) = time(S.knnPq(spark, dir).collect())
