@@ -1029,19 +1029,39 @@ object TextAnalysis {
   /** Top-10 word bigrams per language — the corpus statistic a tokenizer/
     * vocab build starts from. Bigram strings exist only inside the
     * aggregation (explode → groupBy count with map-side partials); ties
-    * break lexicographically so the top-k is deterministic. */
-  def textNgramTopk(spark: SparkSession, dir: String): DataFrame = {
+    * break lexicographically so the top-k is deterministic.
+    *
+    * Two-phase top-k: a single rank window partitioned by `lang` would
+    * sort an ENTIRE language's bigram vocabulary in one task (corpus-scale
+    * at 100×). Phase 1 ranks within (lang, xxhash64(bigram) % 1024)
+    * buckets — each bigram lives in exactly one bucket, so any global
+    * top-10 bigram has at most 9 bucket-mates ordered above it and
+    * provably survives the per-bucket top-10. Phase 2 ranks the ≤10·1024
+    * candidates per language — a bounded sort at any corpus size. */
+  def textNgramTopk(spark: SparkSession, dir: String): DataFrame =
+    textNgramTopkOf(Tables.documents(spark, dir))
+
+  def textNgramTopkOf(docs: DataFrame): DataFrame = {
     val ws = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
     val bigrams = zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
       (a, b) => concat_ws(" ", a, b))
     val valid = when(size(ws) >= 2, slice(bigrams, lit(1), size(ws) - 1))
       .otherwise(array().cast("array<string>"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("cnt").desc, col("bigram"))
-    Tables.documents(spark, dir)
+    val counts = docs
       .select(col("lang"), explode(valid).as("bigram"))
       .groupBy(col("lang"), col("bigram"))
       .agg(count(lit(1)).as("cnt"))
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("cnt").desc, col("bigram"))
+    val candidates = counts
+      .withColumn("bucket", pmod(xxhash64(col("bigram")), lit(1024L)))
+      .withColumn("brank", row_number().over(wBucket))
+      .filter(col("brank") <= 10)
+      .drop("bucket", "brank")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("cnt").desc, col("bigram"))
+    candidates
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
       .select(col("lang"), col("rank"), col("bigram"), col("cnt"))

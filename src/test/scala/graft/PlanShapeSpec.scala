@@ -796,4 +796,31 @@ class PlanShapeSpec extends SparkSpecBase {
       assert(loops.isEmpty, s"edit dedup must never all-pairs: ${loops.map(_.nodeName)}")
     }
   }
+
+  test("text_ngram_topk ranks in hash buckets first — no whole-language sort") {
+    withoutAqe {
+      import org.apache.spark.sql.execution.window.WindowExec
+      val docs = Seq((1L, "en", "a b a b c d"), (2L, "de", "x y x y z"))
+        .toDF("doc_id", "lang", "text")
+      val plan = graft.operators.TextAnalysis.textNgramTopkOf(docs)
+        .queryExecution.executedPlan
+      val wins = plan.collect { case w: WindowExec => w }
+      assert(wins.size == 2, s"expected bucketed + final rank windows, got ${wins.size}")
+      // phase 1 must partition by (lang, bucket) — 2 expressions — so no
+      // task ever sorts an entire language's bigram vocabulary; phase 2
+      // partitions by lang alone but only over the ≤10·1024 candidates
+      val byWidth = wins.map(_.partitionSpec.size).sorted
+      assert(byWidth == Seq(1, 2),
+        s"expected partitionSpec widths (1, 2), got $byWidth")
+      val finalWin = wins.find(_.partitionSpec.size == 1).get
+      assert(finalWin.collectFirst {
+        case w: WindowExec if w.partitionSpec.size == 2 => w
+      }.isDefined || plan.collectFirst {
+        // under ReuseExchange the final window's child may be a reused
+        // exchange reference — accept the bucketed window anywhere below
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+      }.isDefined,
+        "the lang-only window must rank the bucket-filtered candidates, not the raw counts")
+    }
+  }
 }
