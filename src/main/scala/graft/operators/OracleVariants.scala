@@ -797,7 +797,83 @@ object OracleVariants {
       |SELECT vec_id, label, neg_id, neg_label, cos FROM rk
       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** DuckDB-provable twin of `knn_matryoshka`'s truncation plumbing:
+    * for each serving prefix d, top-K under the QUANTIZED prefix cosine
+    * (truncate-then-normalize — prefix dot over prefix norms, sliced
+    * BEFORE the candidate×query join exactly like the production op),
+    * counted against the quantized full-dim baseline. Emits the raw
+    * (n_hit, n_brute) integers instead of the production gate's
+    * floor-filtered recall rows, so all four rows always exist and the
+    * hash pins slice bounds, prefix-norm arithmetic, rank tie-breaking,
+    * and the baseline semi-join cross-engine. The d=64 row is the
+    * self-check: n_hit = n_brute by construction. */
+  def knnMatryoshkaOracle(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    def topk(d: Int): DataFrame = {
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          quant(slice(col("embedding"), 1, d)).as("qv"))
+      val cands = emb.select(col("vec_id").as("neighbor_id"),
+        quant(slice(col("embedding"), 1, d)).as("cv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      cands.crossJoin(broadcast(queries))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos",
+          round(call_function("quantized_cosine", col("cv"), col("qv")), 4))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    val dims = Seq(8, 16, 32, 64)
+    val b = topk(dims.max).localCheckpoint()
+    val bTot = b.agg(count(lit(1)).as("n_brute"))
+    dims.map { d =>
+      topk(d)
+        .join(b, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(broadcast(bTot))
+        .select(lit(d.toLong).as("dim_prefix"), col("n_hit"), col("n_brute"))
+    }.reduce(_ unionByName _).orderBy(col("dim_prefix"))
+  }
+
+  val knnMatryoshkaOracleSql: String =
+    s"""WITH dims AS (
+      |  SELECT unnest([8, 16, 32, 64]) AS d
+      |), q AS (
+      |  SELECT vec_id AS query_id, $quantSql AS qv FROM embeddings WHERE vec_id < 10
+      |), c AS (
+      |  SELECT vec_id AS neighbor_id, $quantSql AS cv FROM embeddings
+      |), p AS (
+      |  SELECT d, query_id, neighbor_id,
+      |    list_sum(list_transform(range(1, d + 1), i -> qv[i]*cv[i]))::BIGINT AS dot,
+      |    list_sum(list_transform(range(1, d + 1), i -> qv[i]*qv[i]))::BIGINT AS nq,
+      |    list_sum(list_transform(range(1, d + 1), i -> cv[i]*cv[i]))::BIGINT AS nc
+      |  FROM c CROSS JOIN q CROSS JOIN dims WHERE neighbor_id <> query_id
+      |), r AS (
+      |  SELECT d, query_id, neighbor_id,
+      |    round(dot::DOUBLE / sqrt(greatest(nq::DOUBLE * nc::DOUBLE, 1.0)), 4) AS cos
+      |  FROM p
+      |), rk AS (
+      |  SELECT d, query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY d, query_id ORDER BY cos DESC, neighbor_id) AS rn
+      |  FROM r
+      |), tk AS (
+      |  SELECT d, query_id, neighbor_id FROM rk WHERE rn <= $K
+      |), b AS (
+      |  SELECT query_id, neighbor_id FROM tk WHERE d = 64
+      |), hits AS (
+      |  SELECT t.d, CAST(count(*) AS BIGINT) AS n_hit
+      |  FROM tk t JOIN b USING (query_id, neighbor_id) GROUP BY 1
+      |)
+      |SELECT dims.d::BIGINT AS dim_prefix,
+      |  coalesce(h.n_hit, 0) AS n_hit,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_brute
+      |FROM dims LEFT JOIN hits h ON h.d = dims.d
+      |ORDER BY dim_prefix""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_matryoshka_oracle" -> (knnMatryoshkaOracle _),
     "embed_hard_negatives_oracle" -> (embedHardNegativesOracle _),
     "corpus_fuzzy_decontaminate_oracle" -> (corpusFuzzyDecontaminateOracle _),
     "dedup_minhash_oracle"  -> (dedupMinhashOracle _),
@@ -812,6 +888,7 @@ object OracleVariants {
     "knn_filtered_oracle" -> (knnFilteredOracle _))
 
   val oracle: Map[String, String] = Map(
+    "knn_matryoshka_oracle" -> knnMatryoshkaOracleSql,
     "embed_hard_negatives_oracle" -> embedHardNegativesOracleSql,
     "corpus_semantic_sample_oracle" -> corpusSemanticSampleOracleSql,
     "corpus_semantic_mix_oracle" -> corpusSemanticMixOracleSql,
