@@ -209,7 +209,11 @@ object Similarity {
   private[graft] def sampleForTraining(emb: DataFrame, n: Long,
       cap: Long = TrainingSampleCap): DataFrame =
     if (n <= cap) emb
-    else emb.filter(pmod(xxhash64(col("vec_id")), lit(math.max(n / cap, 1L))) === 0L)
+    // ceiling modulus: floor division kept EVERY row for cap < n < 2·cap
+    // (modulus 1) and generally overshot up to ~2× cap; ceil(n/cap) bounds
+    // the expected sample at ≤ cap for all n
+    else emb.filter(
+      pmod(xxhash64(col("vec_id")), lit(math.max((n + cap - 1) / cap, 1L))) === 0L)
 
   /** Where trained centroids for `dir` persist. Overridable via the
     * `graft.ivf.dir` session conf (a cluster points this at shared
@@ -608,6 +612,46 @@ object Similarity {
       corpusFingerprint(spark, dir) + "_v" + IvfFlatVersion +
         "g" + centroidContentHash(cents),
       partitionCols = Seq("cell"))(lists)
+  }
+
+  /** Serve IVFFlat over the persisted batch index PLUS a stream-maintained
+    * delta directory ([[graft.streaming.StreamIngest.ivfDeltaStream]]) —
+    * the live half of the inverted lists, which previously only rebuilt
+    * per corpus fingerprint. The delta layout carries the quantizer
+    * content hash as its top partition level (`geom=g<hash>`), so:
+    *  - matching-geometry rows join the batch lists as-is and the probed
+    *    cells still prune BOTH scans (cell stays a partition column);
+    *  - STALE-geometry rows (written before a quantizer retrain) are
+    *    detected by the layout itself and re-assigned in-flight under the
+    *    current centroids — one narrow map over the (small) delta, never
+    *    a wrong-bucket probe. The batch artifact already rebuilds via its
+    *    content-hash key; this closes the same staleness class for the
+    *    streamed half.
+    * Contract: delta vec_ids are NEW vectors (the faiss add-only
+    * discipline; [[graft.streaming.StreamIngest.dedupStreamJittered]]
+    * dedups within the stream) — a re-ingested batch id would rank twice. */
+  def knnIvfWithStreamedDelta(spark: SparkSession, dir: String,
+      deltaPath: String, nprobe: Int = 0, k: Int = K): DataFrame = {
+    val n = corpusCount(spark, dir)
+    val np = if (nprobe > 0) nprobe else nprobeFor(n)
+    val cents = loadOrTrainCentroids(spark, dir)
+    val g = "g" + centroidContentHash(cents)
+    val batch = ivfIndex(spark, dir)
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding"))
+    val p = new org.apache.hadoop.fs.Path(deltaPath)
+    val hasDelta = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val cands = if (!hasDelta) batch else {
+      val delta = spark.read.parquet(deltaPath)
+      val fresh = delta.filter(col("geom") === g)
+        .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding"))
+      val stale = delta.filter(col("geom") =!= g)
+        .select(nearestCellExpr(col("embedding"), cents).as("cell"),
+          col("vec_id").as("neighbor_id"), col("embedding"))
+      batch.unionByName(fresh).unionByName(stale)
+    }
+    val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    knnIvfRankQueries(queries, cands, cents, np, k, pruneCells = true)
   }
 
   /** Short content hash of a trained centroid set (order-sensitive —
@@ -1158,7 +1202,7 @@ object Similarity {
   def knnIvfPqWith(spark: SparkSession, dir: String, nprobe: Int, rerank: Int,
                    queryLo: Long = 0L, queryHi: Long = 10L): DataFrame = {
     val path = ensurePq(spark, dir)
-    knnIvfPqOverCodes(spark, dir, spark.read.parquet(path + "/codes"),
+    knnIvfPqOverCodes(spark, dir, path, spark.read.parquet(path + "/codes"),
       nprobe, rerank, queryLo, queryHi)
   }
 
@@ -1172,16 +1216,19 @@ object Similarity {
     * ingest-to-serve loop of a live compressed vector store. */
   def knnOverPqCodes(spark: SparkSession, dir: String, codesPath: String,
                      nprobe: Int, rerank: Int): DataFrame =
-    knnIvfPqOverCodes(spark, dir, spark.read.parquet(codesPath),
-      nprobe, rerank, 0L, 10L)
+    knnIvfPqOverCodes(spark, dir, ensurePq(spark, dir),
+      spark.read.parquet(codesPath), nprobe, rerank, 0L, 10L)
 
+  /** `path` is the caller's already-resolved [[ensurePq]] artifact root —
+    * resolving it twice per query (filesystem probes + meta read +
+    * corpusCount + loadOrTrainCentroids) doubled the fixed cost of the
+    * hottest serving path. */
   private def knnIvfPqOverCodes(spark: SparkSession, dir: String,
-      codes: DataFrame, nprobe: Int, rerank: Int,
+      path: String, codes: DataFrame, nprobe: Int, rerank: Int,
       queryLo: Long, queryHi: Long): DataFrame = {
     val nSub = pqSubFor(corpusCount(spark, dir))
     val subDim = PqDim / nSub
     val centroids = loadOrTrainCentroids(spark, dir)
-    val path = ensurePq(spark, dir)
     val pqCents = spark.read.parquet(path + "/centroids")
     val emb = Tables.embeddings(spark, dir)
     val cents = broadcast(
@@ -1603,11 +1650,12 @@ object Similarity {
     * micro-recall — identical to the specs' macro mean here because every
     * query has exactly K brute neighbors). Emits one row per method whose
     * recall_e2 meets its spec floor (PqSpec/IvfSpec pins), so a healthy
-    * index reports 3 rows and a recall regression DROPS a row — visible in
-    * the driver's rows count without a DuckDB oracle (the methods are
-    * float-ANN, deliberately rows-only like their parents).
+    * index reports 6 rows (ivf, ivfpq at two nprobes, pq, hard_neg, and
+    * the binary hamming rung) and a recall regression DROPS a row —
+    * visible in the driver's rows count without a DuckDB oracle (the
+    * methods are float-ANN, deliberately rows-only like their parents).
     *
-    * Scale shape: reuses the three production query paths unchanged; the
+    * Scale shape: reuses the production query paths unchanged; the
     * scoring overlay is a left-semi join on (query_id, neighbor_id) — Q×K
     * rows, broadcast-sized by construction — and two single-row
     * aggregates. */
@@ -1690,7 +1738,31 @@ object Similarity {
           .as("recall_e2"),
         lit(hnFloor).as("floor_e2"))
       .filter(col("recall_e2") >= col("floor_e2"))
-    base.unionByName(hn).orderBy(col("method"))
+    // binary sign-hash rung (r11): knn_hamming's own ranking is oracle
+    // hash-proven, but its recall vs the FLOAT-exact baseline was driver-
+    // invisible — a storage-rung regression (packing bug, rank drift)
+    // would pass the integer oracle while silently degrading retrieval.
+    // Measured UNFILTERED (ScaleProbe recall): 0.24 at sf0.01 (n=500),
+    // 0.08 at sf0.1 (n=2000) — LOW and density-banded BY CONSTRUCTION
+    // (64 sign bits cannot separate a densifying cosine neighborhood;
+    // the rung exists as the cheapest storage tier, and this row is the
+    // report that says exactly how much ranking it keeps — the
+    // knn_matryoshka "low by design" precedent). The tradeoff is real,
+    // so the floor BANDS by corpus count per the repo rule, margin below
+    // each measurement.
+    val hamFloor = if (corpusCount(spark, dir) <= 1000L) 18L else 5L
+    val ham = knnHamming(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(b, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+      .crossJoin(broadcast(bTot))
+      .select(lit("hamming").as("method"),
+        when(col("n_brute") > 0,
+          round(col("n_hit") * 100.0 / col("n_brute")).cast("long"))
+          .as("recall_e2"),
+        lit(hamFloor).as("floor_e2"))
+      .filter(col("recall_e2") >= col("floor_e2"))
+    base.unionByName(hn).unionByName(ham).orderBy(col("method"))
   }
 
   /** Binary-hash ANN: sign-bit packing + Hamming ranking (the classic

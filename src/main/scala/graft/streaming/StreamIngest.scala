@@ -935,12 +935,52 @@ object StreamIngest {
       : DataStreamWriter[Row] = {
     val assigned = dedupStreamJittered(vecs.toDF(), "ts", Seq("vec_id"), watermark)
     assigned.writeStream.outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // batchId-keyed overwrite, not a bare append: if the query crashes
+        // between a sink append and the checkpoint commit, Structured
+        // Streaming REPLAYS the batch — an append would land the same
+        // vec_ids twice and the duplicates would occupy top-k slots
+        // downstream. Replaying the same offsets produces the same rows,
+        // so overwriting the batch's own subdirectory is exactly-once by
+        // construction; cell stays a (nested) partition column, so probed
+        // cells still prune at the scan.
         batch
           .withColumn("cell", graft.operators.Similarity
             .nearestCellStructAuto(col("embedding"), centroids).getField("cell"))
           .select(col("cell"), col("vec_id"), col("embedding"))
-          .write.mode("append").partitionBy("cell").parquet(indexPath)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$indexPath/batch=$batchId")
+        ()
+      }
+  }
+
+  /** Streaming maintenance of the PERSISTED IVFFlat inverted lists
+    * ([[graft.operators.Similarity.ivfIndex]]): arriving vectors are
+    * deduped, assigned to their nearest coarse cell under the FROZEN
+    * quantizer, and appended cell-partitioned under a directory layout
+    * that carries the quantizer's CONTENT HASH —
+    * `deltaPath/geom=g<hash>/batch=<id>/cell=<c>/` — so the delta is
+    * pinned to the geometry it was encoded under exactly like the batch
+    * artifact's key. The serving side
+    * ([[graft.operators.Similarity.knnIvfWithStreamedDelta]]) probes only
+    * matching-geometry rows through partition pruning and RE-ASSIGNS any
+    * stale-geometry rows on the fly (the rebuild trigger: a retrained
+    * quantizer can never silently serve old cell ids — the same class of
+    * failure the batch index's content-hash key closes). batchId-keyed
+    * overwrite makes replays exactly-once (see [[vectorIndexStream]]). */
+  def ivfDeltaStream(vecs: Dataset[VecRow], centroids: Seq[Seq[Double]],
+                     deltaPath: String, watermark: String = "1 hour")
+      : DataStreamWriter[Row] = {
+    val g = graft.operators.Similarity.centroidContentHash(centroids)
+    val assigned = dedupStreamJittered(vecs.toDF(), "ts", Seq("vec_id"), watermark)
+    assigned.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch
+          .withColumn("cell", graft.operators.Similarity
+            .nearestCellStructAuto(col("embedding"), centroids).getField("cell"))
+          .select(col("cell"), col("vec_id"), col("embedding"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$deltaPath/geom=g$g/batch=$batchId")
         ()
       }
   }
@@ -991,10 +1031,17 @@ object StreamIngest {
       : DataStreamWriter[Row] = {
     val deduped = dedupStreamJittered(vecs.toDF(), "ts", Seq("vec_id"), watermark)
     deduped.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batchId-keyed overwrite (see [[vectorIndexStream]]): a crash
+        // between append and checkpoint commit replays the batch, and a
+        // bare append would double the replayed vec_ids' code rows —
+        // silently occupying shortlist slots in knnOverPqCodes. Replay of
+        // the same offsets re-encodes identical rows under the frozen
+        // model, so per-batch overwrite makes the sink exactly-once.
         graft.operators.Similarity
           .encodePq(batch.select(col("vec_id"), col("embedding")), model)
-          .write.mode("append").partitionBy("cell").parquet(indexPath)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$indexPath/batch=$batchId")
         ()
       }
   }

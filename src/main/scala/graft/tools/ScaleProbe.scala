@@ -523,8 +523,10 @@ object ScaleProbe {
         val tTrain = (System.nanoTime() - t0) / 1e9
         val ivf = recallOf(top5(Similarity.knnIvf(spark, sfDir)), brute)
         val ivfpq = recallOf(top5(Similarity.knnIvfPq(spark, sfDir)), brute)
+        val hamming = recallOf(top5(Similarity.knnHamming(spark, sfDir)), brute)
         println(f"[recall] $sfDir n=$n banded: pq=$pq%.2f ivf=$ivf%.2f " +
-          f"ivfpq=$ivfpq%.2f (first pq call incl train $tTrain%.1f s)")
+          f"ivfpq=$ivfpq%.2f hamming=$hamming%.2f " +
+          f"(first pq call incl train $tTrain%.1f s)")
         for (np <- Seq(2, 4); rr <- Seq(50, Similarity.rerankFor(n))) {
           val r = recallOf(top5(Similarity.knnIvfPqWith(spark, sfDir, np, rr)), brute)
           println(f"[recall]   ivfpq nprobe=$np rerank=$rr -> $r%.2f")

@@ -168,11 +168,12 @@ class PqSpec extends SparkSpecBase {
     spark.conf.set("graft.ivf.dir", tmpIvf)
     try {
       val out = Similarity.knnRecall(spark, dir).collect()
-      // 5 rows = every method above its floor (ivfpq reports both nprobe
-      // settings so the cell-filter ceiling is gate-visible); a recall
-      // regression drops its row, which the driver's rows count surfaces
+      // 6 rows = every method above its floor (ivfpq reports both nprobe
+      // settings so the cell-filter ceiling is gate-visible; hamming is
+      // the binary storage rung, r11); a recall regression drops its row,
+      // which the driver's rows count surfaces
       assert(out.map(_.getAs[String]("method")).toSeq ==
-        Seq("hard_neg", "ivf", "ivfpq_np2", "ivfpq_np4", "pq"))
+        Seq("hamming", "hard_neg", "ivf", "ivfpq_np2", "ivfpq_np4", "pq"))
       out.foreach { r =>
         assert(r.getAs[Long]("recall_e2") >= r.getAs[Long]("floor_e2"),
           s"${r.getAs[String]("method")} below floor: $r")

@@ -1117,6 +1117,49 @@ class StreamIngestSpec extends SparkSpecBase {
       s"code mismatch: ${(batch.toSet -- streamed.toSet).take(3)}")
   }
 
+  test("pqCodesStream: full replay against an existing index is a no-op (crash recovery)") {
+    // a crash between the sink write and the checkpoint commit replays the
+    // batch; the worst case is losing the WHOLE checkpoint and replaying
+    // every batch against the already-written index. With the old bare
+    // append each replayed vec_id doubled its code rows; the batchId-keyed
+    // overwrite must absorb the replay byte-for-byte.
+    val dim = 64
+    val ivfCents = Seq(
+      Seq.tabulate(dim)(i => if (i == 0) 1.0 else 0.0),
+      Seq.tabulate(dim)(i => if (i == 0) -1.0 else 0.0))
+    val rot = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    val nSub = 4
+    val cents = (0 until nSub).flatMap { s =>
+      Seq((s, 0, Seq.fill(dim / nSub)(0.25)), (s, 1, Seq.fill(dim / nSub)(-0.25)))
+    }
+    val model = graft.operators.Similarity.PqModel(ivfCents, rot, cents, nSub)
+    val rnd = new scala.util.Random(67)
+    val baseMs = ts("2024-08-01 00:00:00").getTime
+    val all = (0 until 120).map { i =>
+      StreamIngest.VecRow(i.toLong, new Timestamp(baseMs + i * 1000L),
+        Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    }
+    val dir = Files.createTempDirectory("graft-pq-replay").toString
+    def runOnce(cp: String): Unit = {
+      val input = MemoryStream[StreamIngest.VecRow](spark)
+      val q = StreamIngest.pqCodesStream(input.toDS(), model, s"$dir/codes",
+          watermark = "720 hours")
+        .option("checkpointLocation", cp).start()
+      all.grouped(40).foreach { b => input.addData(b); q.processAllAvailable() }
+      q.stop()
+    }
+    runOnce(s"$dir/cp1")
+    val before = spark.read.parquet(s"$dir/codes")
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(before.size == all.size)
+    // simulate losing the checkpoint entirely: a second run replays every
+    // batch (same offsets → same batchIds → same rows) onto the live index
+    runOnce(s"$dir/cp2")
+    val after = spark.read.parquet(s"$dir/codes")
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(after == before, "replayed batches must not duplicate or alter code rows")
+  }
+
   test("decontaminateStream flags exactly the batch gate's docs at ingestion") {
     val sf = "/root/testdata/sf0.001"
     val bloom = graft.operators.Dedup.benchBloomFor(spark, sf)
@@ -1371,6 +1414,93 @@ class StreamIngestSpec extends SparkSpecBase {
     val scanned = scan.metrics("numFiles").value
     assert(scanned > 0 && scanned < totalFiles,
       s"partition pruning must cut the scan: read $scanned of $totalFiles files")
+  }
+
+  test("ivfDeltaStream: streamed lists equal batch index; delta serving exact; stale geometry re-assigns") {
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-ivf-delta").toString
+    spark.conf.set("graft.ivf.dir", s"$dir/ivf")
+    spark.conf.set("graft.ivfflat.dir", s"$dir/ivfflat")
+    try {
+      val cents = Similarity.loadOrTrainCentroids(spark, sf)
+      val base = ts("2024-08-01 00:00:00").getTime
+      def stream(rows: Seq[StreamIngest.VecRow], cs: Seq[Seq[Double]],
+                 path: String, cp: String): Unit = {
+        val input = MemoryStream[StreamIngest.VecRow](spark)
+        val q = StreamIngest.ivfDeltaStream(input.toDS(), cs, path,
+            watermark = "720 hours")
+          .option("checkpointLocation", cp).start()
+        rows.grouped(1 + rows.size / 3).foreach { b =>
+          input.addData(b); q.processAllAvailable()
+        }
+        q.stop()
+      }
+      // 1. streamed assignment ≡ batch index: stream the WHOLE corpus
+      //    under the live geometry; (vec_id, cell) sets must be identical
+      val corpus = graft.sources.Tables.embeddings(spark, sf).collect().map { r =>
+        StreamIngest.VecRow(r.getAs[Long]("vec_id"),
+          new Timestamp(base + r.getAs[Long]("vec_id")),
+          r.getSeq[Float](r.fieldIndex("embedding")))
+      }.toSeq
+      stream(corpus, cents, s"$dir/deltaAll", s"$dir/cpAll")
+      def pairsOf(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val streamed = pairsOf(spark.read.parquet(s"$dir/deltaAll"))
+      val batchIdx = pairsOf(Similarity.ivfIndex(spark, sf))
+      assert(streamed == batchIdx,
+        s"streamed lists diverge: ${(streamed -- batchIdx).take(3)} / ${(batchIdx -- streamed).take(3)}")
+
+      // 2. serving over batch + NEW streamed vectors, all cells probed,
+      //    must equal exact brute force over the UNION corpus
+      val rnd = new scala.util.Random(68)
+      val dim = corpus.head.embedding.size
+      val extra = (0 until 20).map { i =>
+        StreamIngest.VecRow(100000L + i, new Timestamp(base + 999000L + i),
+          Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+      }
+      stream(extra, cents, s"$dir/deltaNew", s"$dir/cpNew")
+      val served = Similarity.knnIvfWithStreamedDelta(spark, sf, s"$dir/deltaNew",
+          nprobe = cents.size, k = 5)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"))).toSeq
+      def cosR(a: Seq[Float], b: Seq[Float]): BigDecimal = {
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val nn = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+          math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+        BigDecimal(dot / nn).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val all = corpus ++ extra
+      val byId = all.map(v => v.vec_id -> v.embedding).toMap
+      val brute = (0L until 10L).flatMap { qid =>
+        all.filter(_.vec_id != qid)
+          .map(v => (v.vec_id, cosR(byId(qid), v.embedding)))
+          .sortBy { case (id, c) => (-c, id) }.take(5)
+          .zipWithIndex.map { case ((nid, _), i) => (qid, i + 1, nid) }
+      }
+      assert(served == brute,
+        s"\n only-served ${(served.toSet -- brute.toSet).take(3)}\n only-brute ${(brute.toSet -- served.toSet).take(3)}")
+
+      // 3. stale geometry: the same extra rows written under a RETRAINED
+      //    (different) quantizer's hash must be re-assigned at read and
+      //    serve identical answers — never probed against old cell ids
+      val wrongCents = Seq(
+        Seq.tabulate(dim)(i => if (i == 0) 1.0 else 0.0),
+        Seq.tabulate(dim)(i => if (i == 0) -1.0 else 0.0))
+      stream(extra, wrongCents, s"$dir/deltaStale", s"$dir/cpStale")
+      val geoms = spark.read.parquet(s"$dir/deltaStale")
+        .select(col("geom")).distinct().collect().map(_.getString(0)).toSeq
+      assert(geoms == Seq("g" + Similarity.centroidContentHash(wrongCents)),
+        s"delta must carry the writer quantizer's hash, got $geoms")
+      val servedStale = Similarity.knnIvfWithStreamedDelta(spark, sf, s"$dir/deltaStale",
+          nprobe = cents.size, k = 5)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"))).toSeq
+      assert(servedStale == served, "stale-geometry delta must re-assign, not mis-probe")
+    } finally {
+      spark.conf.unset("graft.ivf.dir"); spark.conf.unset("graft.ivfflat.dir")
+    }
   }
 
   /** Shared harness for the pitJoinStream parity tests: returns the
