@@ -652,10 +652,12 @@ object Growth {
     * over exact integer moment sums (x ≥ 0 event counts, y ∈ {0,1});
     * DuckDB `//` and Spark `DIV` both truncate toward zero, so negative
     * covariances replay bit-for-bit. Moment products bound the gate form
-    * to ~n·x²·1e6 < 2⁶³ (holds through sf10-class corpora); a planetary-
-    * scale production run centers X on a broadcast first-pass mean and
-    * carries double moments — θ need not be exact there, only the GATE
-    * demands hash portability.
+    * to ~n·x²·1e6 < 2⁶³ (holds through sf10-class corpora); the
+    * planetary-scale production body is [[eventsCupedCenteredOf]] —
+    * first-pass broadcast mean, centered double moments, no overflow
+    * bound — θ need not be bit-exact there, only the GATE demands hash
+    * portability (spec pins the two θs within 1e-6 of each other on both
+    * gate corpora).
     *
     * Plan: one fact pass collapses to user grain (partial-aggregated),
     * the 1-row split-day broadcast rides a crossJoin, the moment
@@ -693,6 +695,48 @@ object Growth {
       coalesce(sum(col("x") * col("x")), lit(0L)).as("sxx"),
       coalesce(sum(col("x") * col("y")), lit(0L)).as("sxy")).head()
     CupedMoments(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  /** The PRODUCTION CUPED body: centered double moments over a first-pass
+    * broadcast mean — θ = Σ(x−x̄)(y−ȳ) / Σ(x−x̄)², the numerically stable
+    * textbook form. The gate path ([[eventsCupedOf]]) keeps its e6-integer
+    * uncentered algebra because the DRIVER HASH demands bit-portable
+    * arithmetic, but that form's Long moment products (n·Σx², (Σx)²) grow
+    * quadratically in corpus scale and ANSI-abort past ~10⁹ users×events —
+    * the headroom spec fails loudly three decades before that. This body
+    * has no such bound: centering keeps every addend near zero, double
+    * sums never overflow, and precision loss is O(n·ε) of the already-
+    * centered magnitudes. Same single user-grain frame, same arm split;
+    * the mean pass is one extra narrow aggregate (collected — 2 doubles —
+    * and folded back in as literals, the broadcast-mean discipline).
+    * Returns doubles; spec pins |θ_centered − θ_e6/1e6| ≤ 1e-6 on both
+    * gate corpora. */
+  def eventsCupedCenteredOf(ev: DataFrame): DataFrame = {
+    val users = cupedUsers(ev)
+    val m = users.agg(
+      coalesce(avg(col("x")), lit(0.0)).as("mx"),
+      coalesce(avg(col("y")), lit(0.0)).as("my")).head()
+    val (mx, my) = (m.getDouble(0), m.getDouble(1))
+    users.agg(
+        coalesce(sum((col("x") - mx) * (col("x") - mx)), lit(0.0)).as("sxx_c"),
+        coalesce(sum((col("x") - mx) * (col("y") - my)), lit(0.0)).as("sxy_c"),
+        coalesce(sum(when(col("arm") === 0, 1L).otherwise(0L)), lit(0L)).as("n_a"),
+        coalesce(sum(when(col("arm") === 1, 1L).otherwise(0L)), lit(0L)).as("n_b"),
+        coalesce(sum(when(col("arm") === 0, col("y")).otherwise(0L)), lit(0L)).as("conv_a"),
+        coalesce(sum(when(col("arm") === 1, col("y")).otherwise(0L)), lit(0L)).as("conv_b"),
+        coalesce(sum(when(col("arm") === 0, col("x")).otherwise(0L)), lit(0L)).as("px_a"),
+        coalesce(sum(when(col("arm") === 1, col("x")).otherwise(0L)), lit(0L)).as("px_b"))
+      .withColumn("theta",
+        col("sxy_c") / greatest(col("sxx_c"), lit(1e-12)))
+      .withColumn("lift",
+        col("conv_b") / greatest(col("n_b"), lit(1L)) -
+          col("conv_a") / greatest(col("n_a"), lit(1L)))
+      .withColumn("dx",
+        col("px_b") / greatest(col("n_b"), lit(1L)) -
+          col("px_a") / greatest(col("n_a"), lit(1L)))
+      .withColumn("cuped_lift", col("lift") - col("theta") * col("dx"))
+      .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        col("theta"), col("lift"), col("dx"), col("cuped_lift"))
   }
 
   def eventsCupedOf(ev: DataFrame): DataFrame = {
