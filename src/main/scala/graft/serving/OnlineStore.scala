@@ -122,10 +122,15 @@ private[graft] object StorePaths {
       if (f.exists(cur.getParent)) {
         // compare by NAME: listStatus returns fully-qualified paths while
         // `cur` may be scheme-less, so Path equality would match nothing
-        // and the freshly-written artifact itself would be deleted
+        // and the freshly-written artifact itself would be deleted.
+        // '.tmp-' names are a CONCURRENT writer's in-flight staging dirs
+        // (writeParquetAtomic names them '<artifact>.tmp-<uuid>', which
+        // startsWith(prefix) too) — deleting one mid-write fails the other
+        // process's rename, so GC only touches completed artifacts
         f.listStatus(cur.getParent)
           .filter(st => st.getPath.getName.startsWith(prefix) &&
-            st.getPath.getName != cur.getName)
+            st.getPath.getName != cur.getName &&
+            !st.getPath.getName.contains(".tmp-"))
           .foreach(st => f.delete(st.getPath, true))
       }
     }
@@ -300,19 +305,35 @@ final class ParquetOnlineStore(path: String) extends OnlineStore {
   * per-name singleton handed out by [[OnlineStore.fromSpec]] keeps the
   * reference semantics (two handles to one declared store share state
   * like two clients of one Redis); a real KV connector swaps the
-  * snapshot read/write for client put/get calls, nothing else. */
+  * snapshot read/write for client put/get calls, nothing else.
+  *
+  * Scratch path: the `graft.snapstore.dir` session conf, when set, roots
+  * every snapshot store there (each instance under its own random subdir)
+  * — on a real cluster point it at SHARED storage, because executors
+  * cannot reach a driver-local tmpdir. The default (a driver-local temp
+  * directory) is LOCAL-MODE ONLY, which is exactly the demo/spec scope
+  * this store exists for. */
 final class MemoryOnlineStore extends OnlineStore {
-  private val inner = new ParquetOnlineStore(
-    java.nio.file.Files.createTempDirectory("graft_snapstore").toString + "/store")
+  @volatile private var inner: ParquetOnlineStore = _
   @volatile private var touched = false
+
+  private def innerFor(spark: SparkSession): ParquetOnlineStore = synchronized {
+    if (inner == null) {
+      val base = spark.conf.getOption("graft.snapstore.dir")
+        .getOrElse(java.nio.file.Files.createTempDirectory("graft_snapstore").toString)
+      inner = new ParquetOnlineStore(
+        base + "/snap_" + java.util.UUID.randomUUID().toString.take(12) + "/store")
+    }
+    inner
+  }
 
   override def upsert(rows: DataFrame, keys: Seq[String], orderCols: Seq[String],
                       valueCols: Seq[String]): Unit = {
-    inner.upsert(rows, keys, orderCols, valueCols)
+    innerFor(rows.sparkSession).upsert(rows, keys, orderCols, valueCols)
     touched = true
   }
 
   override def snapshot(spark: SparkSession): DataFrame =
-    if (touched) inner.snapshot(spark)
+    if (touched) innerFor(spark).snapshot(spark)
     else throw new IllegalStateException("empty online store")
 }
