@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharPolyHash, CosineSimilarity, MatVec, QuantizedCosine, WordShingleHash}
+import graft.functions.{CharPolyHash, CosineSimilarity, MatVec, PqEncode, QuantizedCosine, WordShingleHash}
 
 /** Session extensions: registers graft's native Catalyst expressions so they
   * are callable from SQL and `functions.call_function`. Install with
@@ -40,6 +40,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "mat_vec takes exactly 2 arguments")
         MatVec(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "pq_encode takes exactly 2 arguments")
+        PqEncode(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("word_shingle_hash"),

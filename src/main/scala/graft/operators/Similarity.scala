@@ -730,10 +730,20 @@ object Similarity {
     * near-random vectors (`ScaleProbe pqscale`): pq 0.08 → 0.20 and
     * ivfpq 0.18 → 0.34 vs the 8-sub geometry, i.e. recall at 100k/16sub
     * equals 20k/8sub — constant recall per banded budget, the scale
-    * trajectory the r9 verdict demanded. */
+    * trajectory the r9 verdict demanded. A fourth rung (32×2d, a 128-bit
+    * code) opens past 400k: the r11 1.2M probe measured the 64-bit
+    * budget's ADC saturating (ivfpq 0.50 at the banded rerank, and
+    * DOUBLING nprobe at fixed rerank dropped recall 0.50 → 0.10 — the
+    * wider pool floods the shortlist with code-distance noise), so past
+    * 400k the budget doubles instead of the rerank going linear. The
+    * native pq_encode expression is what makes the wider codebook free
+    * at encode time (one fused loop, no crossJoin×codes exchange). */
   private val PqDim = 64
   private[graft] def pqSubFor(n: Long): Int =
-    if (n <= 1000L) 4 else if (n <= 20000L) 8 else 16
+    if (n <= 1000L) 4
+    else if (n <= 20000L) 8
+    else if (n <= 400000L) 16
+    else 32
   private val PqK = 16
 
   /** Rerank shortlist depth banded by corpus size: a FIXED shortlist is
@@ -745,12 +755,25 @@ object Similarity {
     * 20k), while DOUBLING nprobe at a fixed shortlist LOWERS recall
     * (0.66 → 0.48: more ADC candidates dilute the shortlist with
     * code-distance noise) — so the cap sits at the measured 0.90 knee,
-    * 8000. Still bounded: the exact-cosine pass reads ≤8000 float rows
-    * (≈2 MB) per query at ANY corpus size — 0.4% of the scanned
-    * candidates at 10⁹ vectors, so the ADC codes still do the filtering
-    * at scale; gate corpora (n ≤ 2000 → n/8 ≤ 250) are untouched. */
+    * 8000. Past 400k vectors (where the 32×2d code rung also opens) the
+    * clamp rises to 32000: the r11 1.2M probe measured the 8000-knee
+    * moving with corpus size (ivfpq 0.50 at 8000 vs 0.80 at 32000 under
+    * the doubled code budget) — the clamp is still a CONSTANT per-query
+    * budget (≈8 MB of float rows, 2.7% of candidates at 1.2M and 0.003%
+    * at 10⁹), it just sits at the re-measured knee for the band. Gate
+    * corpora (n ≤ 2000 → n/8 ≤ 250) are untouched.
+    *
+    * The measured ladder above the default (1.2M iid-uniform probe — the
+    * ADVERSARIAL floor; clustered real embeddings sit closer to the pool
+    * ceiling): rerank 128000 reads 0.90, which IS the nprobe=64 pool
+    * ceiling — at ~1M vectors that depth covers the whole ~70k-candidate
+    * pool, i.e. the operator degenerates gracefully toward IVFFlat. The
+    * default deliberately stays below that point so the 16-byte codes
+    * keep doing the filtering; a deployment chasing the last 0.10 raises
+    * rerank per query, the faiss posture. */
   private[graft] def rerankFor(n: Long): Int =
-    math.max(50, math.min(8000, (n / 8L).toInt))
+    if (n <= 400000L) math.max(50, math.min(8000, (n / 8L).toInt))
+    else 32000
 
   /** Coarse cell count banded by corpus size — the LAST fixed ANN knob
     * made scale-aware (r10b): IVF practice sizes k ≈ √N cells so a probe
@@ -822,13 +845,15 @@ object Similarity {
       (0 until nSub).map(s =>
         seedRows.map(v => v.slice(s * subDim, (s + 1) * subDim)).toIndexedSeq)
     for (_ <- 0 until iters) {
-      val assignCols = (0 until nSub).map { s =>
-        val v = slice(col("rv"), s * subDim + 1, subDim)
-        val scored = cents(s).zipWithIndex.map { case (cv, c) =>
-          struct((-sqdist(v, typedLit(cv))).as("nd"), lit(-c).as("nc"))
-        }
-        (-array_max(array(scored: _*)).getField("nc")).cast("int").as(s"c$s")
-      }
+      // assignment through the same native pq_encode the encoder uses
+      // (identical distance order + lowest-code tie-break): the literal
+      // struct-max form was k un-codegen'd sqdist lambdas per subspace
+      // per row — fine at k=16, quadratic pain at larger code budgets
+      val cbRows = for (s <- 0 until nSub; c <- cents(s).indices)
+        yield (s, c, cents(s)(c))
+      val codesCol = pqEncodeCol(cbRows, col("rv"))
+      val assignCols = (0 until nSub).map(s =>
+        element_at(codesCol, s + 1).as(s"c$s"))
       val assigned = resid.select((col("rv") +: assignCols): _*)
       val means = assigned
         .select(posexplode(array((0 until nSub).map(s =>
@@ -1095,18 +1120,25 @@ object Similarity {
       .join(broadcast(coarseCentsDf(spark, model.ivfCents)), Seq("cell"))
       .select(col("vec_id"), col("cell"),
         matVecCol(model.rot, zip_with(col("vn"), col("ccvec"), (x, y) => x - y)).as("rv"))
-    val centsB = broadcast(spark.createDataFrame(model.cents).toDF("s", "c", "cvec"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"), col("s")).orderBy(col("d").asc, col("c"))
-    resid.crossJoin(centsB)
-      .withColumn("d", sqdist(
-        slice(col("rv"), col("s") * model.subDim + 1, lit(model.subDim)), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .groupBy(col("vec_id"), col("cell"))
-      .agg(max(when(col("s") === 0, col("c"))).as("c0"),
-        (1 until model.nSub).map(s =>
-          max(when(col("s") === s, col("c"))).as(s"c$s")): _*)
+    // per-subspace argmin through the native pq_encode expression: the
+    // historical crossJoin×(nSub·k codebook rows) + rank-window form
+    // shuffled N·nSub·k rows per encode and capped the feasible code
+    // budget at 16 codes/subspace — the fused loop removes the exchange
+    // entirely and its cost is the raw nSub·k·subDim multiply-adds.
+    // Same distance accumulation order and lowest-code tie-break, so
+    // codes are bit-identical to the historical form (spec-pinned).
+    resid
+      .withColumn("pqc", pqEncodeCol(model.cents, col("rv")))
+      .select(col("vec_id") +: col("cell") +:
+        (0 until model.nSub).map(s => element_at(col("pqc"), s + 1).as(s"c$s")): _*)
+  }
+
+  /** The codebook as a sub-major nested literal + the native encode call
+    * ([[graft.functions.PqEncode]]); shared by encode and training. */
+  private def pqEncodeCol(cents: Seq[(Int, Int, Seq[Double])], v: Column): Column = {
+    val bySub = cents.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3.toSeq).toSeq }
+    call_function("pq_encode", typedlit(bySub), v)
   }
 
   /** PQ/ADC approximate top-k: queries build a 4×16 distance table per
@@ -1650,8 +1682,9 @@ object Similarity {
     * micro-recall — identical to the specs' macro mean here because every
     * query has exactly K brute neighbors). Emits one row per method whose
     * recall_e2 meets its spec floor (PqSpec/IvfSpec pins), so a healthy
-    * index reports 6 rows (ivf, ivfpq at two nprobes, pq, hard_neg, and
-    * the binary hamming rung) and a recall regression DROPS a row —
+    * index reports 7 rows (ivf, ivfpq at two nprobes, pq, hard_neg, the
+    * binary hamming rung, and its hamming_rr rerank serving shape) and a
+    * recall regression DROPS a row —
     * visible in the driver's rows count without a DuckDB oracle (the
     * methods are float-ANN, deliberately rows-only like their parents).
     *
@@ -1751,18 +1784,26 @@ object Similarity {
     // so the floor BANDS by corpus count per the repo rule, margin below
     // each measurement.
     val hamFloor = if (corpusCount(spark, dir) <= 1000L) 18L else 5L
-    val ham = knnHamming(spark, dir)
-      .select(col("query_id"), col("neighbor_id"))
-      .join(b, Seq("query_id", "neighbor_id"), "left_semi")
-      .agg(count(lit(1)).as("n_hit"))
-      .crossJoin(broadcast(bTot))
-      .select(lit("hamming").as("method"),
-        when(col("n_brute") > 0,
-          round(col("n_hit") * 100.0 / col("n_brute")).cast("long"))
-          .as("recall_e2"),
-        lit(hamFloor).as("floor_e2"))
-      .filter(col("recall_e2") >= col("floor_e2"))
-    base.unionByName(hn).unionByName(ham).orderBy(col("method"))
+    def recallRow(df: DataFrame, method: String, floor: Long): DataFrame =
+      df.select(col("query_id"), col("neighbor_id"))
+        .join(b, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(broadcast(bTot))
+        .select(lit(method).as("method"),
+          when(col("n_brute") > 0,
+            round(col("n_hit") * 100.0 / col("n_brute")).cast("long"))
+            .as("recall_e2"),
+          lit(floor).as("floor_e2"))
+        .filter(col("recall_e2") >= col("floor_e2"))
+    val ham = recallRow(knnHamming(spark, dir), "hamming", hamFloor)
+    // the binary rung's PRODUCTION serving shape: hamming shortlist +
+    // exact rerank. Measured unfiltered 0.70 at sf0.01 / 0.82 at sf0.1 —
+    // recall RISES with corpus size because the shortlist rides the
+    // banded rerankFor — so the floor is UNBANDED, margin below the
+    // weaker measurement.
+    val hamRr = recallRow(knnHammingRerank(spark, dir), "hamming_rr", 60L)
+    base.unionByName(hn).unionByName(ham).unionByName(hamRr)
+      .orderBy(col("method"))
   }
 
   /** Binary-hash ANN: sign-bit packing + Hamming ranking (the classic
@@ -1782,29 +1823,8 @@ object Similarity {
   def knnHamming(spark: SparkSession, dir: String): DataFrame =
     knnHammingOf(Tables.embeddings(spark, dir))
 
-  def knnHammingOf(emb: DataFrame): DataFrame = {
-    def packHalf(offset: Int): Column =
-      (0 until 32).map { i =>
-        when(element_at(col("embedding"), offset + i + 1) >= 0, lit(1L << i))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-    val packed = emb.select(col("vec_id"),
-      packHalf(0).as("lo"), packHalf(32).as("hi"))
-    val queries = packed.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("lo").as("qlo"), col("hi").as("qhi"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("hamming"), col("neighbor_id"))
-    packed.select(col("vec_id").as("neighbor_id"), col("lo"), col("hi"))
-      .crossJoin(broadcast(queries))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("hamming",
-        (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
-          bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("long"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
-      .orderBy(col("query_id"), col("rank"))
-  }
+  def knnHammingOf(emb: DataFrame): DataFrame =
+    knnHammingTopOf(emb, K).orderBy(col("query_id"), col("rank"))
 
   val knnHammingSql: String = {
     def packHalf(offset: Int): String =
@@ -1830,6 +1850,71 @@ object Similarity {
       |    ORDER BY hamming, neighbor_id) AS BIGINT) AS rank
       |  FROM scored)
       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Binary-prefilter ANN — [[knnHamming]] as a SHORTLIST stage with an
+    * exact float rerank, the production serving shape for sign-hash codes
+    * (the same shortlist→rerank design [[knnIvfPq]] uses for PQ codes):
+    * raw 64-bit Hamming keeps only ~0.08 of the true top-5 at 2000
+    * vectors (knn_recall's hamming row — sign bits cannot separate a
+    * densifying cosine neighborhood), but as a CANDIDATE GENERATOR it
+    * only has to keep the true neighbors inside a `shortlist`-deep
+    * prefix, which it does well (measured 0.70/0.82 recall@5 at the gate
+    * SFs with the banded shortlist vs 0.24/0.08 raw — and RISING with
+    * corpus size, because the shortlist rides [[rerankFor]]).
+    *
+    * Scale: stage 1 scans 8-byte codes with XOR+popcount per pair — the
+    * cheapest possible first pass over a 100 TB index (8 bytes/vector vs
+    * 256 for floats, no multiplies); stage 2 reads float vectors for only
+    * Q×shortlist rows through an id equi-join. Shortlist depth rides the
+    * corpus-banded [[rerankFor]] like PQ's. Rows-only (float rerank);
+    * recall floor-gated in `knn_recall`. */
+  def knnHammingRerank(spark: SparkSession, dir: String): DataFrame =
+    knnHammingRerankOf(Tables.embeddings(spark, dir),
+      rerankFor(corpusCount(spark, dir)))
+
+  def knnHammingRerankOf(emb: DataFrame, shortlist: Int): DataFrame = {
+    val short = knnHammingTopOf(emb, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val cands = short.join(
+      emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec")),
+      Seq("neighbor_id"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    cands.join(
+        broadcast(emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))),
+        Seq("query_id"))
+      .withColumn("cos", round(cosine(col("cvec"), col("qvec")), 6))
+      .withColumn("rank", row_number().over(wq).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** [[knnHammingOf]] generalized to arbitrary depth — the shortlist
+    * stage of [[knnHammingRerankOf]] (k = [[K]] reproduces knn_hamming). */
+  private[graft] def knnHammingTopOf(emb: DataFrame, k: Int): DataFrame = {
+    def packHalf(offset: Int): Column =
+      (0 until 32).map { i =>
+        when(element_at(col("embedding"), offset + i + 1) >= 0, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    val packed = emb.select(col("vec_id"),
+      packHalf(0).as("lo"), packHalf(32).as("hi"))
+    val queries = packed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("lo").as("qlo"), col("hi").as("qhi"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("hamming"), col("neighbor_id"))
+    packed.select(col("vec_id").as("neighbor_id"), col("lo"), col("hi"))
+      .crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("hamming",
+        (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
   }
 
   /** Matryoshka truncation evaluation — the recall-vs-dimension report a
@@ -2504,6 +2589,7 @@ object Similarity {
     "knn_recall"      -> (knnRecall _),
     "knn_matryoshka"  -> (knnMatryoshka _),
     "knn_hamming"     -> (knnHamming _),
+    "knn_hamming_rerank" -> (knnHammingRerank _),
     "dedup_embed"     -> (dedupEmbed _),
     "dedup_embed_lsh" -> (dedupEmbedLsh _),
     "dedup_semantic"  -> (dedupSemantic _))

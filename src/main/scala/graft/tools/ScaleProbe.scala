@@ -524,8 +524,10 @@ object ScaleProbe {
         val ivf = recallOf(top5(Similarity.knnIvf(spark, sfDir)), brute)
         val ivfpq = recallOf(top5(Similarity.knnIvfPq(spark, sfDir)), brute)
         val hamming = recallOf(top5(Similarity.knnHamming(spark, sfDir)), brute)
+        val hammingRr = recallOf(
+          top5(Similarity.knnHammingRerank(spark, sfDir)), brute)
         println(f"[recall] $sfDir n=$n banded: pq=$pq%.2f ivf=$ivf%.2f " +
-          f"ivfpq=$ivfpq%.2f hamming=$hamming%.2f " +
+          f"ivfpq=$ivfpq%.2f hamming=$hamming%.2f hamming_rr=$hammingRr%.2f " +
           f"(first pq call incl train $tTrain%.1f s)")
         for (np <- Seq(2, 4); rr <- Seq(50, Similarity.rerankFor(n))) {
           val r = recallOf(top5(Similarity.knnIvfPqWith(spark, sfDir, np, rr)), brute)
@@ -661,13 +663,14 @@ object ScaleProbe {
     * of the banded one, on a synthetic corpus dir shaped like testdata
     * (embeddings.parquet: vec_id, embedding float[64], label). All
     * artifact stores are pointed at throwaway temp dirs. */
-  def pqScaleProbe(spark: SparkSession): Unit = {
+  def pqScaleProbe(spark: SparkSession,
+                   sizes: Seq[Long] = Seq(20000L, 100000L, 400000L)): Unit = {
     import org.apache.spark.sql.functions._
     val S = graft.operators.Similarity
     def top5(df: org.apache.spark.sql.DataFrame) = probeTop5(df)
     def recallOf(a: Map[Long, Set[Long]], e: Map[Long, Set[Long]]) =
       probeRecallOf(a, e)
-    for (n <- Seq(20000L, 100000L, 400000L)) {
+    for (n <- sizes) {
       val dir = sys.props("java.io.tmpdir") + s"/graft_pqscale_$n"
       val tbl = new org.apache.hadoop.fs.Path(dir + "/embeddings.parquet")
       val f = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -802,6 +805,14 @@ object ScaleProbe {
     }
     if (args.headOption.contains("pqscale")) {
       pqScaleProbe(spark)
+      spark.stop()
+      return
+    }
+    // the 1M rung crosses the cells>1024 boundary where BOTH large-index
+    // mechanisms engage at once: two-level assignment (cells=1096 > 512)
+    // and the 64·k training-cap band (70144 > the flat 65536)
+    if (args.headOption.contains("pqscale1m")) {
+      pqScaleProbe(spark, Seq(1200000L))
       spark.stop()
       return
     }

@@ -91,7 +91,11 @@ class PqSpec extends SparkSpecBase {
     // a shortlist that grew linearly forever would re-create brute force
     assert(Similarity.rerankFor(500) == 62)
     assert(Similarity.rerankFor(2000) == 250)
-    assert(Similarity.rerankFor(100000000L) == 8000, "rerank must cap")
+    // two clamp bands (r11): 8000 through 400k, then the re-measured
+    // 32000 knee for the 32-subspace rung — BOTH constants, so the
+    // refine pass stays a fixed per-query budget at any corpus size
+    assert(Similarity.rerankFor(400000L) == 8000, "rerank must cap (≤400k band)")
+    assert(Similarity.rerankFor(100000000L) == 32000, "rerank must cap (32-sub band)")
     assert(Similarity.rerankFor(0) == 50, "rerank floor")
     // band boundary: the subspace count always divides 64 so sub-slices
     // tile the vector exactly (a non-divisor would silently drop dims)
@@ -102,6 +106,8 @@ class PqSpec extends SparkSpecBase {
     // third budget rung past 20k vectors (measured: recall at 100k/16sub
     // equals 20k/8sub — constant recall per banded budget)
     assert(Similarity.pqSubFor(20000) == 8 && Similarity.pqSubFor(20001) == 16)
+    // fourth rung (r11): 128-bit codes past 400k — the 1.2M probe's fix
+    assert(Similarity.pqSubFor(400000) == 16 && Similarity.pqSubFor(400001) == 32)
     assert(Similarity.nprobeFor(1000) == 2 && Similarity.nprobeFor(1001) == 4)
     // cell band: 16-cell gate floor through 10k vectors (gate artifacts
     // byte-stable), k ≈ √N clamped [64, 65536] above, and nprobe scans
@@ -168,12 +174,14 @@ class PqSpec extends SparkSpecBase {
     spark.conf.set("graft.ivf.dir", tmpIvf)
     try {
       val out = Similarity.knnRecall(spark, dir).collect()
-      // 6 rows = every method above its floor (ivfpq reports both nprobe
+      // 7 rows = every method above its floor (ivfpq reports both nprobe
       // settings so the cell-filter ceiling is gate-visible; hamming is
-      // the binary storage rung, r11); a recall regression drops its row,
-      // which the driver's rows count surfaces
+      // the binary storage rung and hamming_rr its shortlist+rerank
+      // serving shape, r11); a recall regression drops its row, which
+      // the driver's rows count surfaces
       assert(out.map(_.getAs[String]("method")).toSeq ==
-        Seq("hamming", "hard_neg", "ivf", "ivfpq_np2", "ivfpq_np4", "pq"))
+        Seq("hamming", "hamming_rr", "hard_neg", "ivf", "ivfpq_np2",
+          "ivfpq_np4", "pq"))
       out.foreach { r =>
         assert(r.getAs[Long]("recall_e2") >= r.getAs[Long]("floor_e2"),
           s"${r.getAs[String]("method")} below floor: $r")

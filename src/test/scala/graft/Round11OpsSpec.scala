@@ -60,6 +60,123 @@ class Round11OpsSpec extends SparkSpecBase {
     assert(Similarity.sampleForTraining(emb, 1500, cap = 1500).count() == 1500)
   }
 
+  test("pq_encode matches the historical relational argmin bit for bit (incl ties)") {
+    import graft.operators.Similarity
+    val dim = 64
+    val nSub = 4
+    val subDim = dim / nSub
+    val rnd = new scala.util.Random(71)
+    // codebook with a PLANTED exact tie in subspace 0 (codes 1 and 2
+    // identical): the argmin must keep the LOWEST code id, the historical
+    // window (d asc, c asc) rule
+    val cents: Seq[(Int, Int, Seq[Double])] = (for {
+      s <- 0 until nSub; c <- 0 until 6
+    } yield {
+      val base = if (s == 0 && c == 2) Seq.tabulate(subDim)(j => (1 + j % 3) * 0.1)
+      else Seq.fill(subDim)(rnd.nextDouble() * 2 - 1)
+      (s, c, base)
+    }).toSeq
+    val tied = cents.map { case (s, c, v) =>
+      if (s == 0 && c == 1) (s, c, cents.find(t => t._1 == 0 && t._2 == 2).get._3)
+      else (s, c, v)
+    }
+    val ivfCents = Seq(Seq.tabulate(dim)(i => if (i == 0) 1.0 else 0.0),
+      Seq.tabulate(dim)(i => if (i == 0) -1.0 else 0.0))
+    val rot = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    val model = Similarity.PqModel(ivfCents, rot, tied, nSub)
+    val emb = (0 until 50).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.encodePq(emb, model)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Int]("cell"), (0 until nSub).map(s => r.getAs[Int](s"c$s"))))
+      .toMap
+    // reference: the pre-r11 crossJoin + rank-window argmin, evaluated on
+    // the SAME residual pipeline (l2norm + nearest-cell + rotation,
+    // reproduced with identical Catalyst expressions)
+    val spark2 = spark
+    import org.apache.spark.sql.expressions.Window
+    val vnD = transform(col("embedding"), x => x.cast("double"))
+    val vnN = sqrt(aggregate(transform(vnD, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val vn = transform(vnD, x => x / greatest(vnN, lit(1e-12)))
+    val cellsDf = broadcast(spark2.createDataFrame(
+      ivfCents.zipWithIndex.map { case (v, i) => (i, v) }).toDF("cell", "ccvec"))
+    val resid = emb.select(col("vec_id"),
+        Similarity.nearestCellExpr(col("embedding"), ivfCents).as("cell"),
+        vn.as("vn"))
+      .join(cellsDf, Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        call_function("mat_vec", typedlit(rot.map(_.toSeq).toSeq),
+          zip_with(col("vn"), col("ccvec"), (x, y) => x - y)).as("rv"))
+    val centsB = broadcast(spark2.createDataFrame(tied).toDF("s", "c", "cvec"))
+    val w = Window.partitionBy(col("vec_id"), col("s")).orderBy(col("d").asc, col("c"))
+    val ref = resid.crossJoin(centsB)
+      .withColumn("d", aggregate(
+        zip_with(slice(col("rv"), col("s") * subDim + 1, lit(subDim)), col("cvec"),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(max(when(col("s") === 0, col("c"))).as("c0"),
+        (1 until nSub).map(s => max(when(col("s") === s, col("c"))).as(s"c$s")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Int]("cell"), (0 until nSub).map(s => r.getAs[Int](s"c$s"))))
+      .toMap
+    assert(got.keySet == ref.keySet)
+    // normalization: l2norm differs from the raw reference residual here
+    // only through the SAME vn both paths share — compare codes per cell
+    got.foreach { case (id, (cell, codes)) =>
+      assert(codes == ref(id)._2, s"vec $id codes $codes vs ref ${ref(id)._2}")
+      assert(cell == ref(id)._1, s"vec $id cell $cell vs ref ${ref(id)._1}")
+    }
+    // the planted tie resolves to the LOWEST code id: no vector may ever
+    // encode subspace 0 as code 2 (code 1 is identical and lower)
+    assert(got.values.forall(_._2.head != 2), "tie must break to the lowest code id")
+  }
+
+  test("knn_hamming_rerank: full-depth shortlist degenerates to exact brute force") {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count().toInt
+    // shortlist = corpus: every candidate reaches the float rerank, so the
+    // two-stage result must equal knn_brute row for row (the PQ degeneracy
+    // contract applied to the binary rung)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val full = rows(Similarity.knnHammingRerankOf(emb, n))
+    val brute = rows(Similarity.knnBrute(spark, sfDir))
+    assert(full.nonEmpty && full == brute,
+      s"degenerate rerank diverged: ${full.diff(brute).take(3)}")
+    // and a SHALLOW shortlist still returns K rows per query (the rerank
+    // can only reorder the shortlist, never empty it below K)
+    val shallow = Similarity.knnHammingRerankOf(emb, 10)
+      .groupBy(col("query_id")).count().collect()
+    assert(shallow.forall(_.getLong(1) == 5L))
+  }
+
+  test("trainingCapFor keeps a ≥64 points-per-centroid floor through the cell clamp") {
+    import graft.operators.Similarity
+    // below the 64·k crossover the flat cap rules (gate corpora live here —
+    // byte-stable artifacts); the crossover sits at k = 65536/64 = 1024
+    assert(Similarity.trainingCapFor(16) == 65536L)
+    assert(Similarity.trainingCapFor(1024) == 65536L)
+    // past it the cap must grow as 64·k, or Lloyd degenerates toward one
+    // point per centroid — pinned up to and INCLUDING the 65536-cell clamp
+    for (k <- Seq(1096, 4096, 16384, 65536)) {
+      val cap = Similarity.trainingCapFor(k)
+      assert(cap == 64L * k, s"cap at k=$k must be 64·k, got $cap")
+      assert(cap / k >= 64L, s"points-per-centroid floor broken at k=$k")
+    }
+    // and the cap stays a CONSTANT-bounded sample, never corpus-sized:
+    // 64·65536 ≈ 4.2M rows at the clamp
+    assert(Similarity.trainingCapFor(65536) == 4194304L)
+  }
+
   test("CUPED centered production body matches the e6-integer gate on both gate corpora") {
     import graft.sources.Tables
     for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
