@@ -797,6 +797,84 @@ object OracleVariants {
       |SELECT vec_id, label, neg_id, neg_label, cos FROM rk
       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** DuckDB-provable twin of `knn_hamming_rerank`'s two-stage plumbing:
+    * the Hamming shortlist is the production stage UNCHANGED (exact
+    * integer packing + XOR/popcount — the same arithmetic knn_hamming's
+    * oracle already proves), and the rerank runs on ×1000-quantized
+    * integers (the knn_brute_oracle discipline), so shortlist depth,
+    * stage-2 candidate join, rerank ordering and tie-breaking are all
+    * hash-gated. Shortlist FIXED at 62 (the gate-corpus band of
+    * [[Similarity.rerankFor]]) so the SQL text is static — the twin pins
+    * plumbing, not the banding function (spec-pinned separately). */
+  def knnHammingRerankOracle(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val short = Similarity.knnHammingTopOf(emb, 62)
+      .select(col("query_id"), col("neighbor_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    short
+      .join(emb.select(col("vec_id").as("neighbor_id"), quant(col("embedding")).as("cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), quant(col("embedding")).as("qv"))),
+        Seq("query_id"))
+      .withColumn("cos",
+        round(call_function("quantized_cosine", col("cv"), col("qv")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val knnHammingRerankOracleSql: String = {
+    def packHalf(offset: Int): String =
+      (0 until 32).map { i =>
+        s"CASE WHEN embedding[${offset + i + 1}] >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
+      }.mkString(" + ")
+    s"""WITH packed AS MATERIALIZED (
+      |  SELECT vec_id, CAST(${packHalf(0)} AS BIGINT) AS lo,
+      |    CAST(${packHalf(32)} AS BIGINT) AS hi
+      |  FROM embeddings
+      |), hq AS (
+      |  SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM packed
+      |  WHERE vec_id < 10
+      |), scored AS (
+      |  SELECT hq.query_id, p.vec_id AS neighbor_id,
+      |    CAST(bit_count(xor(p.lo, hq.qlo)) + bit_count(xor(p.hi, hq.qhi))
+      |      AS BIGINT) AS hamming
+      |  FROM packed p CROSS JOIN hq
+      |  WHERE p.vec_id <> hq.query_id
+      |), short AS MATERIALIZED (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY hamming, neighbor_id) AS rn
+      |    FROM scored)
+      |  WHERE rn <= 62
+      |), qv AS (
+      |  SELECT vec_id AS query_id, $quantSql AS qv FROM embeddings WHERE vec_id < 10
+      |), cv AS (
+      |  SELECT vec_id AS neighbor_id, $quantSql AS cv FROM embeddings
+      |), p2 AS (
+      |  SELECT s.query_id, s.neighbor_id,
+      |    list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i]*cv[i]))::BIGINT AS dot,
+      |    list_sum(list_transform(qv, x -> x*x))::BIGINT AS nq,
+      |    list_sum(list_transform(cv, x -> x*x))::BIGINT AS nc
+      |  FROM short s JOIN cv USING (neighbor_id) JOIN qv USING (query_id)
+      |), r AS (
+      |  SELECT query_id, neighbor_id,
+      |    round(dot::DOUBLE / sqrt(greatest(nq::DOUBLE * nc::DOUBLE, 1.0)), 4) AS cos
+      |  FROM p2
+      |), rk AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank"
+      |  FROM r
+      |)
+      |SELECT query_id, "rank", neighbor_id, cos FROM rk
+      |WHERE "rank" <= $K ORDER BY query_id, "rank"""".stripMargin
+  }
+
   /** DuckDB-provable twin of `knn_matryoshka`'s truncation plumbing:
     * for each serving prefix d, top-K under the QUANTIZED prefix cosine
     * (truncate-then-normalize — prefix dot over prefix norms, sliced
@@ -873,6 +951,7 @@ object OracleVariants {
       |ORDER BY dim_prefix""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_hamming_rerank_oracle" -> (knnHammingRerankOracle _),
     "knn_matryoshka_oracle" -> (knnMatryoshkaOracle _),
     "embed_hard_negatives_oracle" -> (embedHardNegativesOracle _),
     "corpus_fuzzy_decontaminate_oracle" -> (corpusFuzzyDecontaminateOracle _),
@@ -888,6 +967,7 @@ object OracleVariants {
     "knn_filtered_oracle" -> (knnFilteredOracle _))
 
   val oracle: Map[String, String] = Map(
+    "knn_hamming_rerank_oracle" -> knnHammingRerankOracleSql,
     "knn_matryoshka_oracle" -> knnMatryoshkaOracleSql,
     "embed_hard_negatives_oracle" -> embedHardNegativesOracleSql,
     "corpus_semantic_sample_oracle" -> corpusSemanticSampleOracleSql,
