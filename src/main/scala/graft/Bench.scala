@@ -99,25 +99,32 @@ object Bench {
     // costs a round of investigation, one extra suite pass costs ~2 min.
     // Persistent failures still read -1 (a regression, never a fast run).
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val preexisting = spark.sparkContext.getPersistentRDDs.keySet
-      time1(spark, sfDir, name, fn) // warm-up: codegen/footer/JIT, discarded
-      val first = time1(spark, sfDir, name, fn)
-      val second = time1(spark, sfDir, name, fn)
+      // localCheckpoint-based queries (clusters, recall gates, baskets) pin
+      // their checkpoint blocks in the block manager until RDD GC; across a
+      // 231-query suite that accumulates into memory/GC pressure that taxes
+      // every LATER query (~25% suite-wide, measured). Cleanup is scoped to
+      // the RDD ids THIS run created (a checkpoint's blocks are
+      // unrecomputable — lineage truncated — so a blanket unpersist would
+      // silently corrupt a cross-query cached artifact) and runs PER
+      // EXECUTION, not per query: with three executions per query the
+      // warm-up run's blocks otherwise sit pinned under both timed runs —
+      // the checkpoint-heavy tail measured 30-50% hot exactly there.
+      def run1(): Double = {
+        val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+        val t = time1(spark, sfDir, name, fn)
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!preexisting.contains(id)) rdd.unpersist(blocking = false)
+        }
+        t
+      }
+      run1() // warm-up: codegen/footer/JIT, discarded
+      val first = run1()
+      val second = run1()
       val best = (first, second) match {
         case (f, s) if f < 0 && s < 0 => -1.0
         case (f, s) if f < 0          => s
         case (f, s) if s < 0          => f
         case (f, s)                   => math.min(f, s)
-      }
-      // localCheckpoint-based queries (clusters, recall gates, baskets) pin
-      // their checkpoint blocks in the block manager until RDD GC; across a
-      // 139-query suite that accumulates into memory/GC pressure that taxes
-      // every LATER query (~25% suite-wide, measured). Scoped to the RDD ids
-      // THIS query created: a checkpoint's blocks are unrecomputable
-      // (lineage truncated), so a blanket unpersist would silently corrupt
-      // any future cross-query cached artifact.
-      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!preexisting.contains(id)) rdd.unpersist(blocking = false)
       }
       name -> best
     }
