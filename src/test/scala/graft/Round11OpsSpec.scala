@@ -135,6 +135,68 @@ class Round11OpsSpec extends SparkSpecBase {
     assert(got.values.forall(_._2.head != 2), "tie must break to the lowest code id")
   }
 
+  test("32-subspace PQ geometry (the >400k band) encodes/round-trips correctly") {
+    import graft.operators.Similarity
+    // the 32x2d rung only engages past 400k vectors, so no gate corpus
+    // exercises it — pin its arithmetic on a hand model: subDim=2 slices
+    // must tile the vector exactly and the encode argmin must match a
+    // plain Scala recompute of the same residual pipeline
+    val dim = 64
+    val nSub = 32
+    val subDim = dim / nSub
+    val rnd = new scala.util.Random(73)
+    val cents: Seq[(Int, Int, Seq[Double])] = for {
+      s <- 0 until nSub; c <- 0 until 16
+    } yield (s, c, Seq.fill(subDim)(rnd.nextDouble() * 2 - 1))
+    val ivfCents = Seq(Seq.tabulate(dim)(i => if (i == 0) 1.0 else 0.0),
+      Seq.tabulate(dim)(i => if (i == 0) -1.0 else 0.0))
+    val rot = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    val model = Similarity.PqModel(ivfCents, rot, cents, nSub)
+    assert(model.subDim == 2)
+    val vecs = (0 until 30).map(i => (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.encodePq(emb, model).collect()
+      .map(r => r.getLong(0) -> (0 until nSub).map(s => r.getAs[Int](s"c$s"))).toMap
+    val cb = (0 until nSub).map(s =>
+      (0 until 16).map(c => cents.find(t => t._1 == s && t._2 == c).get._3))
+    vecs.foreach { case (id, v) =>
+      val d = v.map(_.toDouble)
+      val norm = math.sqrt(d.map(x => x * x).sum) max 1e-12
+      val vn = d.map(_ / norm)
+      val cell = if (vn.zip(ivfCents(0)).map { case (a, b) => a * b }.sum >=
+        vn.zip(ivfCents(1)).map { case (a, b) => a * b }.sum) 0 else 1
+      val rv = vn.zip(ivfCents(cell)).map { case (a, b) => a - b }
+      val expect = (0 until nSub).map { s =>
+        val slice = rv.slice(s * subDim, (s + 1) * subDim)
+        (0 until 16).minBy(c =>
+          (slice.zip(cb(s)(c)).map { case (x, y) => (x - y) * (x - y) }.sum, c))
+      }
+      assert(got(id) == expect, s"vec $id: ${got(id)} vs $expect")
+    }
+  }
+
+  test("knn_hamming_rerank plan: broadcast stages only, no cartesian blowup past packing") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Similarity.knnHammingRerankOf(Tables.embeddings(spark, sfDir), 50)
+        .queryExecution.executedPlan
+      // the only all-pairs op allowed is the stage-1 packed-code crossJoin
+      // against the BROADCAST 10-query frame (8 bytes/candidate); the float
+      // rerank must reach vectors through equi-joins only
+      val loops = plan.collect {
+        case j: CartesianProductExec => j
+        case j: BroadcastNestedLoopJoinExec => j
+      }
+      assert(loops.size == 1,
+        s"expected exactly the packed-code broadcast stage, got ${loops.map(_.nodeName)}")
+      assert(loops.head.isInstanceOf[BroadcastNestedLoopJoinExec],
+        "the shortlist stage must broadcast the query side, never a shuffled cartesian")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("knn_hamming_rerank: full-depth shortlist degenerates to exact brute force") {
     import graft.operators.Similarity
     import graft.sources.Tables
