@@ -607,6 +607,11 @@ object ScaleProbe {
   def ivfQueryProbe(spark: SparkSession): Unit =
     Seq(200000L, 400000L).foreach(ivfQueryProbeAt(spark, _))
 
+  /** The 1M rung alone (cells>1024: two-level assignment + 64·k training
+    * cap both active — the same boundary `pqscale1m` crosses). */
+  def ivfQueryProbe1m(spark: SparkSession): Unit =
+    ivfQueryProbeAt(spark, 1200000L)
+
   private def ivfQueryProbeAt(spark: SparkSession, n: Long): Unit = {
     import org.apache.spark.sql.functions._
     val emb = spark.range(0, n).select(col("id").as("vec_id"),
@@ -800,6 +805,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ivfquery")) {
       ivfQueryProbe(spark)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("ivfquery1m")) {
+      ivfQueryProbe1m(spark)
       spark.stop()
       return
     }
