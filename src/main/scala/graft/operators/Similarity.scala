@@ -654,6 +654,26 @@ object Similarity {
     knnIvfRankQueries(queries, cands, cents, np, k, pruneCells = true)
   }
 
+  /** Short content hash of a FULL frozen PQ model (coarse centroids +
+    * OPQ rotation + codebooks + geometry, order-sensitive) — the
+    * layout-level pin for STREAM-MAINTAINED code directories: codes only
+    * mean anything relative to the model that encoded them, and unlike
+    * full vectors they cannot be re-assigned at read (the embeddings are
+    * gone), so a geometry mismatch must fail LOUDLY at serving, never
+    * decode against the wrong tables. */
+  private[graft] def pqModelContentHash(model: PqModel): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    def upd(v: Double): Unit = { buf.clear(); buf.putDouble(v); md.update(buf.array()) }
+    model.ivfCents.foreach(_.foreach(upd))
+    model.rot.foreach(_.foreach(upd))
+    model.cents.sortBy(t => (t._1, t._2)).foreach { case (s, c, v) =>
+      upd(s.toDouble); upd(c.toDouble); v.foreach(upd)
+    }
+    upd(model.nSub.toDouble)
+    md.digest().take(6).map("%02x".format(_)).mkString
+  }
+
   /** Short content hash of a trained centroid set (order-sensitive —
     * cell ids ARE positions). */
   private[graft] def centroidContentHash(cents: Seq[Seq[Double]]): String = {
@@ -1247,9 +1267,27 @@ object Similarity {
     * batch-built one over the same rows (spec-pinned) — the full
     * ingest-to-serve loop of a live compressed vector store. */
   def knnOverPqCodes(spark: SparkSession, dir: String, codesPath: String,
-                     nprobe: Int, rerank: Int): DataFrame =
-    knnIvfPqOverCodes(spark, dir, ensurePq(spark, dir),
-      spark.read.parquet(codesPath), nprobe, rerank, 0L, 10L)
+                     nprobe: Int, rerank: Int): DataFrame = {
+    val path = ensurePq(spark, dir)
+    val codes = spark.read.parquet(codesPath)
+    // geometry gate for stream-maintained code directories: the layout
+    // carries the WRITER model's content hash (pqCodesStream's geom=
+    // level); codes under a retrained model cannot be re-assigned at
+    // read (no embeddings in the codes table), so a mismatch fails
+    // loudly instead of decoding through the wrong ADC tables — the
+    // same staleness class the batch artifact's meta `geom` check and
+    // the IVF delta's in-flight re-assignment close for their halves.
+    if (codes.columns.contains("geom")) {
+      val current = "g" + pqModelContentHash(loadPqModel(spark, dir))
+      val stale = codes.select(col("geom")).distinct()
+        .collect().map(_.getString(0)).filter(_ != current)
+      require(stale.isEmpty,
+        s"streamed PQ codes at $codesPath were encoded under a different " +
+          s"quantizer geometry (${stale.mkString(",")} vs $current) — " +
+          "re-encode the stream's vectors under the current model")
+    }
+    knnIvfPqOverCodes(spark, dir, path, codes, nprobe, rerank, 0L, 10L)
+  }
 
   /** `path` is the caller's already-resolved [[ensurePq]] artifact root —
     * resolving it twice per query (filesystem probes + meta read +

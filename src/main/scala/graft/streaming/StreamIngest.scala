@@ -1030,6 +1030,12 @@ object StreamIngest {
                     indexPath: String, watermark: String = "1 hour")
       : DataStreamWriter[Row] = {
     val deduped = dedupStreamJittered(vecs.toDF(), "ts", Seq("vec_id"), watermark)
+    // the directory layout carries the WRITER model's content hash —
+    // codes are meaningless under any other model and cannot be
+    // re-assigned at read (no embeddings in the codes table), so
+    // knnOverPqCodes gates on this level and fails loudly after a
+    // retrain instead of decoding through the wrong ADC tables
+    val g = graft.operators.Similarity.pqModelContentHash(model)
     deduped.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // batchId-keyed overwrite (see [[vectorIndexStream]]): a crash
@@ -1041,7 +1047,7 @@ object StreamIngest {
         graft.operators.Similarity
           .encodePq(batch.select(col("vec_id"), col("embedding")), model)
           .write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$indexPath/batch=$batchId")
+          .parquet(s"$indexPath/geom=g$g/batch=$batchId")
         ()
       }
   }

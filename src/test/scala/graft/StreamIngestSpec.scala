@@ -1238,6 +1238,45 @@ class StreamIngestSpec extends SparkSpecBase {
     }
   }
 
+  test("knnOverPqCodes refuses codes streamed under a retrained model (stale geometry)") {
+    // codes cannot be re-assigned at read (the codes table has no
+    // embeddings), so serving over a stream directory written under a
+    // DIFFERENT model must fail loudly — never decode old codes through
+    // the current ADC tables (the CLAUDE.md derived-artifact rule,
+    // applied to the streamed half of the codes store)
+    val sf = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-pq-stale").toString
+    spark.conf.set("graft.pq.dir", s"$dir/pq")
+    spark.conf.set("graft.ivf.dir", s"$dir/ivf")
+    try {
+      val model = graft.operators.Similarity.loadPqModel(spark, sf)
+      // a "previous training run": same shape, one rotation entry nudged
+      val oldRot = model.rot.map(_.clone())
+      oldRot(0)(0) = oldRot(0)(0) + 0.25
+      val retired = model.copy(rot = oldRot)
+      assert(graft.operators.Similarity.pqModelContentHash(retired) !=
+        graft.operators.Similarity.pqModelContentHash(model))
+      val base = ts("2024-08-01 00:00:00").getTime
+      val rows = graft.sources.Tables.embeddings(spark, sf).limit(40).collect().map { r =>
+        StreamIngest.VecRow(r.getAs[Long]("vec_id"),
+          new Timestamp(base + r.getAs[Long]("vec_id")),
+          r.getSeq[Float](r.fieldIndex("embedding")))
+      }
+      val input = MemoryStream[StreamIngest.VecRow](spark)
+      val q = StreamIngest.pqCodesStream(input.toDS(), retired, s"$dir/codes",
+          watermark = "720 hours")
+        .option("checkpointLocation", s"$dir/cp").start()
+      input.addData(rows.toSeq); q.processAllAvailable(); q.stop()
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.Similarity
+          .knnOverPqCodes(spark, sf, s"$dir/codes", nprobe = 2, rerank = 62)
+      }
+      assert(e.getMessage.contains("geometry"), e.getMessage)
+    } finally {
+      spark.conf.unset("graft.pq.dir"); spark.conf.unset("graft.ivf.dir")
+    }
+  }
+
   test("quantileSketchStream: deduped additive registers equal batch under re-delivery") {
     val rnd = new scala.util.Random(62)
     val baseMs = ts("2024-08-01 00:00:00").getTime
