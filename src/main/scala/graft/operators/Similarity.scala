@@ -751,18 +751,19 @@ object Similarity {
     * ivfpq 0.18 → 0.34 vs the 8-sub geometry, i.e. recall at 100k/16sub
     * equals 20k/8sub — constant recall per banded budget, the scale
     * trajectory the r9 verdict demanded. A fourth rung (32×2d, a 128-bit
-    * code) opens past 400k: the r11 1.2M probe measured the 64-bit
-    * budget's ADC saturating (ivfpq 0.50 at the banded rerank, and
-    * DOUBLING nprobe at fixed rerank dropped recall 0.50 → 0.10 — the
-    * wider pool floods the shortlist with code-distance noise), so past
-    * 400k the budget doubles instead of the rerank going linear. The
-    * native pq_encode expression is what makes the wider codebook free
-    * at encode time (one fused loop, no crossJoin×codes exchange). */
+    * code) opens past 100k: the r11 probes measured the 64-bit budget's
+    * ADC saturating already at 400k (ivfpq 0.54 at the banded rerank;
+    * 0.50 at 1.2M; and DOUBLING nprobe at fixed rerank DROPPED recall —
+    * the wider pool floods the shortlist with code-distance noise), so
+    * past the 100k rung the budget doubles instead of the rerank going
+    * linear. The native pq_encode expression is what makes the wider
+    * codebook free at encode time (one fused loop, no crossJoin×codes
+    * exchange). */
   private val PqDim = 64
   private[graft] def pqSubFor(n: Long): Int =
     if (n <= 1000L) 4
     else if (n <= 20000L) 8
-    else if (n <= 400000L) 16
+    else if (n <= 100000L) 16
     else 32
   private val PqK = 16
 
@@ -775,13 +776,14 @@ object Similarity {
     * 20k), while DOUBLING nprobe at a fixed shortlist LOWERS recall
     * (0.66 → 0.48: more ADC candidates dilute the shortlist with
     * code-distance noise) — so the cap sits at the measured 0.90 knee,
-    * 8000. Past 400k vectors (where the 32×2d code rung also opens) the
-    * clamp rises to 32000: the r11 1.2M probe measured the 8000-knee
-    * moving with corpus size (ivfpq 0.50 at 8000 vs 0.80 at 32000 under
-    * the doubled code budget) — the clamp is still a CONSTANT per-query
-    * budget (≈8 MB of float rows, 2.7% of candidates at 1.2M and 0.003%
-    * at 10⁹), it just sits at the re-measured knee for the band. Gate
-    * corpora (n ≤ 2000 → n/8 ≤ 250) are untouched.
+    * 8000. Past 100k vectors (where the 32×2d code rung also opens) the
+    * clamp rises to 32000 with the n/8 interior unchanged: the r11
+    * probes measured the 8000-knee moving with corpus size (ivfpq 0.54
+    * at 8000 vs ≥0.80 at 32000 from 400k up, under the doubled code
+    * budget) — the clamp is still a CONSTANT per-query budget (≈8 MB of
+    * float rows, 2.7% of candidates at 1.2M and 0.003% at 10⁹), it just
+    * sits at the re-measured knee for the band. Gate corpora (n ≤ 2000 →
+    * n/8 ≤ 250) are untouched.
     *
     * The measured ladder above the default (1.2M iid-uniform probe — the
     * ADVERSARIAL floor; clustered real embeddings sit closer to the pool
@@ -792,8 +794,8 @@ object Similarity {
     * keep doing the filtering; a deployment chasing the last 0.10 raises
     * rerank per query, the faiss posture. */
   private[graft] def rerankFor(n: Long): Int =
-    if (n <= 400000L) math.max(50, math.min(8000, (n / 8L).toInt))
-    else 32000
+    if (n <= 100000L) math.max(50, math.min(8000, (n / 8L).toInt))
+    else math.max(50, math.min(32000, (n / 8L).toInt))
 
   /** Coarse cell count banded by corpus size — the LAST fixed ANN knob
     * made scale-aware (r10b): IVF practice sizes k ≈ √N cells so a probe

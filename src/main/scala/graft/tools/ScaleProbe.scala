@@ -814,7 +814,9 @@ object ScaleProbe {
       return
     }
     if (args.headOption.contains("pqscale")) {
-      pqScaleProbe(spark)
+      val sizes = args.drop(1).filter(_.forall(_.isDigit)).map(_.toLong)
+      if (sizes.nonEmpty) pqScaleProbe(spark, sizes.toIndexedSeq)
+      else pqScaleProbe(spark)
       spark.stop()
       return
     }

@@ -91,10 +91,11 @@ class PqSpec extends SparkSpecBase {
     // a shortlist that grew linearly forever would re-create brute force
     assert(Similarity.rerankFor(500) == 62)
     assert(Similarity.rerankFor(2000) == 250)
-    // two clamp bands (r11): 8000 through 400k, then the re-measured
+    // two clamp bands (r11): 8000 through 100k, then the re-measured
     // 32000 knee for the 32-subspace rung — BOTH constants, so the
     // refine pass stays a fixed per-query budget at any corpus size
-    assert(Similarity.rerankFor(400000L) == 8000, "rerank must cap (≤400k band)")
+    assert(Similarity.rerankFor(100000L) == 8000, "rerank must cap (≤100k band)")
+    assert(Similarity.rerankFor(200000L) == 25000, "n/8 interior in the upper band")
     assert(Similarity.rerankFor(100000000L) == 32000, "rerank must cap (32-sub band)")
     assert(Similarity.rerankFor(0) == 50, "rerank floor")
     // band boundary: the subspace count always divides 64 so sub-slices
@@ -106,8 +107,8 @@ class PqSpec extends SparkSpecBase {
     // third budget rung past 20k vectors (measured: recall at 100k/16sub
     // equals 20k/8sub — constant recall per banded budget)
     assert(Similarity.pqSubFor(20000) == 8 && Similarity.pqSubFor(20001) == 16)
-    // fourth rung (r11): 128-bit codes past 400k — the 1.2M probe's fix
-    assert(Similarity.pqSubFor(400000) == 16 && Similarity.pqSubFor(400001) == 32)
+    // fourth rung (r11): 128-bit codes past 100k — the 400k/1.2M probes' fix
+    assert(Similarity.pqSubFor(100000) == 16 && Similarity.pqSubFor(100001) == 32)
     assert(Similarity.nprobeFor(1000) == 2 && Similarity.nprobeFor(1001) == 4)
     // cell band: 16-cell gate floor through 10k vectors (gate artifacts
     // byte-stable), k ≈ √N clamped [64, 65536] above, and nprobe scans
