@@ -145,6 +145,20 @@ object Bench {
     // session shutdown) may follow the JSON — the collector json-parses the
     // LAST non-empty line of the command's ~2000-char output tail.
     spark.stop()
+    // The collector's ~2000-char tail cannot carry 231 per-query times, so
+    // the FULL map also lands in BENCH_FULL.json at the repo root — one
+    // complete JSON object per bench run, committed with the round, so
+    // round-over-round mover audits diff all queries instead of the
+    // alphabetical tail that happens to survive truncation.
+    try {
+      val full = s"""{"sf":"$sfDir","n_queries":${results.size},""" +
+        s""""buckets":$buckets,"value":${r3(total)},"queries":$qs}""" + "\n"
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+    }
     println(s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"buckets":$buckets,"metric":"total","unit":"sec","value":${r3(total)}}""")
     // The full per-query line above outgrew the collector's ~2000-char tail
     // (98 queries ≈ 2.4 kB), so its head — and with it the opening brace —
@@ -152,7 +166,7 @@ object Bench {
     // headline-only JSON line after it: the tail then always ends with one
     // complete object, keeping the artifact machine-readable while the long
     // line keeps the per-query detail for humans and for drift diffing.
-    println(s"""{"metric":"total","unit":"sec","value":${r3(total)},"sf":"$sfDir","n_queries":${results.size},"buckets":$buckets}""")
+    println(s"""{"metric":"total","unit":"sec","value":${r3(total)},"sf":"$sfDir","n_queries":${results.size},"buckets":$buckets,"full":"BENCH_FULL.json"}""")
     System.out.flush()
   }
 }

@@ -101,8 +101,9 @@ object GraphOps {
     * lineage would re-run the fact join once per round. Each round is a
     * broadcast of the ≤25-row rank vector onto the edges and a dst-keyed
     * partial aggregate; at a million-node entity domain the same loop
-    * holds with ranks shuffle-joined instead (Catalyst demotes the
-    * broadcast automatically), which is the standard Spark PageRank shape. */
+    * holds with `broadcastRanks = false` (the rank join un-hinted, so
+    * Catalyst/AQE picks shuffle once the vector outgrows the broadcast
+    * threshold), which is the standard Spark PageRank shape. */
   def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
     val (nodes, edges) = tradeGraph(spark, dir)
     graphPagerankOf(nodes, edges)
@@ -111,8 +112,15 @@ object GraphOps {
 
   /** The iteration core over an explicit (node) / (src, dst, w) graph —
     * [[graphPagerank]] with the edge derivation factored out so specs can
-    * drive hand-built graphs through the exact production arithmetic. */
-  def graphPagerankOf(nodes0: DataFrame, edges0: DataFrame): DataFrame = {
+    * drive hand-built graphs through the exact production arithmetic.
+    * `broadcastRanks` forces the per-round rank-vector broadcast — right
+    * for FIXED small domains (the 25-nation graph), wrong for a
+    * corpus-scaling vertex set where a forced broadcast of |V| ranks
+    * per round exceeds driver/broadcast limits: growing-domain callers
+    * ([[graphPagerankUsers]]) pass false and let Catalyst/AQE pick
+    * broadcast vs shuffle from the measured rank-vector size. */
+  def graphPagerankOf(nodes0: DataFrame, edges0: DataFrame,
+      broadcastRanks: Boolean = true): DataFrame = {
     val edges = edges0
       .localCheckpoint() // the graph artifact; iterations must not re-run the fact join
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("w_out"))
@@ -132,8 +140,9 @@ object GraphOps {
     val nodes = nodes0.select(col("node"))
     var ranks = nodes.select(col("node"), lit(1000000L).as("rank_e6"))
     for (_ <- 1 to PageRankIters) {
+      val rankSide = if (broadcastRanks) broadcast(ranks) else ranks
       val contribs = shares
-        .join(broadcast(ranks), col("src") === col("node"))
+        .join(rankSide, col("src") === col("node"))
         .select(col("dst"), expr("rank_e6 * share_e9 DIV 1000000000").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
       ranks = nodes
@@ -997,7 +1006,7 @@ object GraphOps {
       .unionByName(e.select(col("b").as("src"), col("a").as("dst"), col("w")))
     val nodes = Tables.events(spark, dir)
       .select(col("user_id").as("node")).distinct()
-    graphPagerankOf(nodes, edges)
+    graphPagerankOf(nodes, edges, broadcastRanks = false)
       .select(col("nation").as("user_id"), col("rank_e6"))
       .orderBy(col("rank_e6").desc, col("user_id"))
   }

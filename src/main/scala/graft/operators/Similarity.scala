@@ -528,9 +528,17 @@ object Similarity {
     * and result depth — [[knnOverVectorIndex]] serves a STREAM-MAINTAINED
     * index through the identical plan, so batch gate, filtered search,
     * and streamed-index serving can never drift. */
+  /** When `dedupByPriority` is set, `cands` carries a numeric `priority`
+    * column and duplicate neighbor_ids are resolved to the LOWEST
+    * priority before ranking — the serve-time enforcement of the
+    * streamed-delta add-only contract ([[knnIvfWithStreamedDelta]]).
+    * The dedup window runs on the CELL-PRUNED candidate join output
+    * (sub-linear at index scale), never on the full index — an anti-join
+    * of delta ids against the batch lists would shuffle the whole index
+    * per serve. */
   private[graft] def knnIvfRankQueries(queriesDf: DataFrame, cands: DataFrame,
       centroids: Seq[Seq[Double]], nprobe: Int, k: Int,
-      pruneCells: Boolean): DataFrame = {
+      pruneCells: Boolean, dedupByPriority: Boolean = false): DataFrame = {
     val spark = queriesDf.sparkSession
     val cents = broadcast(
       spark.createDataFrame(centroids.zipWithIndex.map { case (v, i) => (i, v) })
@@ -562,9 +570,19 @@ object Similarity {
       } else (queries, cands)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scanned.join(broadcast(probeSide), Seq("cell"))
+    val scored = scanned.join(broadcast(probeSide), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("embedding"), col("qvec")), 6))
+    val deduped = if (!dedupByPriority) scored else {
+      // lowest priority wins per (query, neighbor); cos tiebreak keeps
+      // the result deterministic if priorities ever tie
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"), col("neighbor_id"))
+        .orderBy(col("priority"), col("cos").desc)
+      scored.withColumn("dn", row_number().over(wd))
+        .filter(col("dn") === 1).drop("dn", "priority")
+    }
+    deduped
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
@@ -629,7 +647,12 @@ object Similarity {
     *    streamed half.
     * Contract: delta vec_ids are NEW vectors (the faiss add-only
     * discipline; [[graft.streaming.StreamIngest.dedupStreamJittered]]
-    * dedups within the stream) — a re-ingested batch id would rank twice. */
+    * dedups within the stream). The contract is ENFORCED at serve time:
+    * candidates dedup on vec_id before ranking (batch wins over any
+    * delta row; among delta rows the freshest micro-batch wins, fresh
+    * geometry over stale) — a violating re-ingest perturbs nothing, and
+    * the dedup window runs on the cell-pruned candidate set, so the
+    * enforcement costs nothing index-sized. */
   def knnIvfWithStreamedDelta(spark: SparkSession, dir: String,
       deltaPath: String, nprobe: Int = 0, k: Int = K): DataFrame = {
     val n = corpusCount(spark, dir)
@@ -637,21 +660,28 @@ object Similarity {
     val cents = loadOrTrainCentroids(spark, dir)
     val g = "g" + centroidContentHash(cents)
     val batch = ivfIndex(spark, dir)
-      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding"))
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding"),
+        lit(0L).as("priority"))
     val p = new org.apache.hadoop.fs.Path(deltaPath)
     val hasDelta = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     val cands = if (!hasDelta) batch else {
       val delta = spark.read.parquet(deltaPath)
+      // priority bands: batch index (0) < fresh-geom delta < stale-geom
+      // delta; within a band a LATER micro-batch has LOWER priority, so
+      // replays/overlaps resolve to the freshest write deterministically
       val fresh = delta.filter(col("geom") === g)
-        .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding"))
+        .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding"),
+          (lit(2000000000L) - col("batch").cast("long")).as("priority"))
       val stale = delta.filter(col("geom") =!= g)
         .select(nearestCellExpr(col("embedding"), cents).as("cell"),
-          col("vec_id").as("neighbor_id"), col("embedding"))
+          col("vec_id").as("neighbor_id"), col("embedding"),
+          (lit(4000000000L) - col("batch").cast("long")).as("priority"))
       batch.unionByName(fresh).unionByName(stale)
     }
     val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding"))
-    knnIvfRankQueries(queries, cands, cents, np, k, pruneCells = true)
+    knnIvfRankQueries(queries, cands, cents, np, k, pruneCells = true,
+      dedupByPriority = true)
   }
 
   /** Short content hash of a FULL frozen PQ model (coarse centroids +
@@ -1281,8 +1311,20 @@ object Similarity {
     // the IVF delta's in-flight re-assignment close for their halves.
     if (codes.columns.contains("geom")) {
       val current = "g" + pqModelContentHash(loadPqModel(spark, dir))
-      val stale = codes.select(col("geom")).distinct()
-        .collect().map(_.getString(0)).filter(_ != current)
+      // geom is the TOP partition level of the streamed layout: list the
+      // geom=* directories (one filesystem metadata call) instead of a
+      // distinct over the data — the old full codes-table scan sat in
+      // the same hot path whose fixed cost ensurePq-threading halved
+      val root = new org.apache.hadoop.fs.Path(codesPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val geomDirs = fs.listStatus(root).toIndexedSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("geom="))
+        .map(_.getPath.getName.stripPrefix("geom="))
+      val stale =
+        if (geomDirs.nonEmpty) geomDirs.filterNot(_ == current)
+        else // defensive: geom as a data column in a non-partitioned dump
+          codes.select(col("geom")).distinct()
+            .collect().toIndexedSeq.map(_.getString(0)).filterNot(_ == current)
       require(stale.isEmpty,
         s"streamed PQ codes at $codesPath were encoded under a different " +
           s"quantizer geometry (${stale.mkString(",")} vs $current) — " +
@@ -1933,7 +1975,21 @@ object Similarity {
   }
 
   /** [[knnHammingOf]] generalized to arbitrary depth — the shortlist
-    * stage of [[knnHammingRerankOf]] (k = [[K]] reproduces knn_hamming). */
+    * stage of [[knnHammingRerankOf]] (k = [[K]] reproduces knn_hamming).
+    *
+    * Two-phase top-k (the [[graft.operators.TextAnalysis.textNgramTopkOf]]
+    * discipline): a single rank window partitioned by `query_id` would
+    * sort the ENTIRE corpus in one task per query — the single-task-sort
+    * scale killer at 100×. Phase 1 ranks within (query_id,
+    * xxhash64(neighbor_id) % 64) buckets — each neighbor lives in exactly
+    * one bucket, so any global top-k row has at most k−1 rows ordered
+    * above it ANYWHERE (total order by (hamming, neighbor_id)), hence at
+    * most k−1 bucket-mates above it, and provably survives the per-bucket
+    * top-k. Phase 2 ranks the ≤64·k survivors per query — a bounded sort
+    * at any corpus size. Output is identical to the single-window form
+    * because the order key is a deterministic total order. */
+  private[graft] val HammingBuckets = 64L
+
   private[graft] def knnHammingTopOf(emb: DataFrame, k: Int): DataFrame = {
     def packHalf(offset: Int): Column =
       (0 until 32).map { i =>
@@ -1944,6 +2000,9 @@ object Similarity {
       packHalf(0).as("lo"), packHalf(32).as("hi"))
     val queries = packed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("lo").as("qlo"), col("hi").as("qhi"))
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("bucket"))
+      .orderBy(col("hamming"), col("neighbor_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("hamming"), col("neighbor_id"))
     packed.select(col("vec_id").as("neighbor_id"), col("lo"), col("hi"))
@@ -1952,6 +2011,10 @@ object Similarity {
       .withColumn("hamming",
         (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
           bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("long"))
+      .withColumn("bucket", pmod(xxhash64(col("neighbor_id")), lit(HammingBuckets)))
+      .withColumn("brank", row_number().over(wBucket))
+      .filter(col("brank") <= k)
+      .drop("bucket", "brank")
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))

@@ -930,9 +930,31 @@ object StreamIngest {
     * Centroids are trained once offline and passed in frozen — the
     * standard IVF deployment (faiss trains once, adds forever); drift is
     * an offline re-train + re-index, not a streaming concern. */
+  /** Fail fast if `root` holds the pre-r11 FLAT sink layout (`cell=*`
+    * directly under the index root, no `batch=`/`geom=` level): resuming
+    * a stream in place over the old layout would mix the two structures
+    * and Spark partition discovery dies mid-read with "Conflicting
+    * directory structures" — an explicit re-ingest message at stream
+    * START beats that. One filesystem metadata call. */
+  private def requireNoLegacyFlatLayout(spark: SparkSession, root: String,
+      op: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val legacy = fs.listStatus(p).toIndexedSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      require(legacy.isEmpty,
+        s"$op: $root holds a legacy FLAT cell=* sink layout (pre-batchId " +
+          "exactly-once sinks); mixing it with the batch=<id>-keyed layout " +
+          "breaks partition discovery. Rebuild the index: delete the " +
+          "directory (and the stream checkpoint) and re-ingest.")
+    }
+  }
+
   def vectorIndexStream(vecs: Dataset[VecRow], centroids: Seq[Seq[Double]],
                         indexPath: String, watermark: String = "1 hour")
       : DataStreamWriter[Row] = {
+    requireNoLegacyFlatLayout(vecs.sparkSession, indexPath, "vectorIndexStream")
     val assigned = dedupStreamJittered(vecs.toDF(), "ts", Seq("vec_id"), watermark)
     assigned.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
@@ -971,6 +993,7 @@ object StreamIngest {
   def ivfDeltaStream(vecs: Dataset[VecRow], centroids: Seq[Seq[Double]],
                      deltaPath: String, watermark: String = "1 hour")
       : DataStreamWriter[Row] = {
+    requireNoLegacyFlatLayout(vecs.sparkSession, deltaPath, "ivfDeltaStream")
     val g = graft.operators.Similarity.centroidContentHash(centroids)
     val assigned = dedupStreamJittered(vecs.toDF(), "ts", Seq("vec_id"), watermark)
     assigned.writeStream.outputMode("append")
@@ -1029,6 +1052,7 @@ object StreamIngest {
                     model: graft.operators.Similarity.PqModel,
                     indexPath: String, watermark: String = "1 hour")
       : DataStreamWriter[Row] = {
+    requireNoLegacyFlatLayout(vecs.sparkSession, indexPath, "pqCodesStream")
     val deduped = dedupStreamJittered(vecs.toDF(), "ts", Seq("vec_id"), watermark)
     // the directory layout carries the WRITER model's content hash —
     // codes are meaningless under any other model and cannot be

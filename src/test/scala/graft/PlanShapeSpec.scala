@@ -813,14 +813,48 @@ class PlanShapeSpec extends SparkSpecBase {
       assert(byWidth == Seq(1, 2),
         s"expected partitionSpec widths (1, 2), got $byWidth")
       val finalWin = wins.find(_.partitionSpec.size == 1).get
-      assert(finalWin.collectFirst {
-        case w: WindowExec if w.partitionSpec.size == 2 => w
-      }.isDefined || plan.collectFirst {
-        // under ReuseExchange the final window's child may be a reused
-        // exchange reference — accept the bucketed window anywhere below
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
-      }.isDefined,
+      assert(bucketedWindowFeeds(finalWin),
         "the lang-only window must rank the bucket-filtered candidates, not the raw counts")
+    }
+  }
+
+  /** The bucketed (width-2 partitionSpec) rank window must appear in the
+    * final window's CHILD subtree — directly, or behind a
+    * ReusedExchangeExec whose REFERENCED exchange subtree contains it
+    * (a reused-exchange reference node does not contain its subtree, so
+    * a bare "any reuse exists" arm would be tautological). */
+  private def bucketedWindowFeeds(
+      finalWin: org.apache.spark.sql.execution.window.WindowExec): Boolean = {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def hasBucketed(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collectFirst {
+        case w: WindowExec if w.partitionSpec.size == 2 => w
+      }.isDefined ||
+        p.collect { case r: ReusedExchangeExec => r }
+          .exists(r => hasBucketed(r.child))
+    hasBucketed(finalWin.child)
+  }
+
+  test("knn_hamming shortlist ranks in hash buckets first — no whole-corpus sort") {
+    withoutAqe {
+      import org.apache.spark.sql.execution.window.WindowExec
+      import graft.operators.Similarity
+      import graft.sources.Tables
+      val plan = Similarity
+        .knnHammingTopOf(Tables.embeddings(spark, sfDir), 50)
+        .queryExecution.executedPlan
+      val wins = plan.collect { case w: WindowExec => w }
+      assert(wins.size == 2, s"expected bucketed + final rank windows, got ${wins.size}")
+      // phase 1 must partition by (query_id, bucket) — 2 expressions — so
+      // no task ever sorts the whole corpus for one query; phase 2
+      // partitions by query_id alone but only over ≤64·k candidates
+      val byWidth = wins.map(_.partitionSpec.size).sorted
+      assert(byWidth == Seq(1, 2),
+        s"expected partitionSpec widths (1, 2), got $byWidth")
+      val finalWin = wins.find(_.partitionSpec.size == 1).get
+      assert(bucketedWindowFeeds(finalWin),
+        "the query-only window must rank the bucket-filtered shortlist, not the raw corpus")
     }
   }
 }

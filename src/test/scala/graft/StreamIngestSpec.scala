@@ -1542,6 +1542,71 @@ class StreamIngestSpec extends SparkSpecBase {
     }
   }
 
+  test("ivfDeltaStream serving enforces add-only: an overlapping vec_id ranks once, batch wins") {
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-ivf-dedup").toString
+    spark.conf.set("graft.ivf.dir", s"$dir/ivf")
+    spark.conf.set("graft.ivfflat.dir", s"$dir/ivfflat")
+    try {
+      val cents = Similarity.loadOrTrainCentroids(spark, sf)
+      val base = ts("2024-08-01 00:00:00").getTime
+      def stream(rows: Seq[StreamIngest.VecRow], cs: Seq[Seq[Double]],
+                 path: String, cp: String): Unit = {
+        val input = MemoryStream[StreamIngest.VecRow](spark)
+        val q = StreamIngest.ivfDeltaStream(input.toDS(), cs, path,
+            watermark = "720 hours")
+          .option("checkpointLocation", cp).start()
+        input.addData(rows); q.processAllAvailable(); q.stop()
+      }
+      def serve(delta: String) = Similarity
+        .knnIvfWithStreamedDelta(spark, sf, delta, nprobe = cents.size, k = 5)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"))).toSeq
+      val baseline = serve(s"$dir/none") // no delta directory: batch only
+      // poison: vec_ids 20..29 ALREADY live in the batch index, but the
+      // delta re-ingests them carrying QUERY 0's embedding (cos = 1.0
+      // against query 0) — without serve-time dedup each would seize a
+      // top-k slot; with batch-wins enforcement serving must be
+      // byte-identical to the batch-only baseline
+      val q0 = graft.sources.Tables.embeddings(spark, sf)
+        .filter(col("vec_id") === 0L).collect()
+        .head.getSeq[Float](1)
+      val poison = (20 until 30).map(i =>
+        StreamIngest.VecRow(i.toLong, new Timestamp(base + i), q0))
+      stream(poison, cents, s"$dir/dup", s"$dir/cpDup")
+      assert(serve(s"$dir/dup") == baseline,
+        "a re-ingested batch vec_id must not perturb serving (batch wins)")
+      // same violation under a STALE geometry: the re-assigned rows must
+      // also lose to the batch rows, not double-rank
+      val dim = q0.size
+      val wrongCents = Seq(
+        Seq.tabulate(dim)(i => if (i == 0) 1.0 else 0.0),
+        Seq.tabulate(dim)(i => if (i == 0) -1.0 else 0.0))
+      stream(poison, wrongCents, s"$dir/dup", s"$dir/cpDupStale")
+      assert(serve(s"$dir/dup") == baseline,
+        "a stale-geometry re-ingest must not perturb serving either")
+    } finally {
+      spark.conf.unset("graft.ivf.dir"); spark.conf.unset("graft.ivfflat.dir")
+    }
+  }
+
+  test("index streams fail fast on a legacy flat cell=* sink layout") {
+    val dir = Files.createTempDirectory("graft-legacy-layout").toString
+    new java.io.File(s"$dir/idx/cell=0").mkdirs()
+    val input = MemoryStream[StreamIngest.VecRow](spark)
+    val cents = Seq(Seq.fill(4)(0.5), Seq.fill(4)(-0.5))
+    val e = intercept[IllegalArgumentException] {
+      StreamIngest.vectorIndexStream(input.toDS(), cents, s"$dir/idx")
+    }
+    assert(e.getMessage.contains("legacy FLAT cell=*"),
+      s"expected the re-ingest message, got: ${e.getMessage}")
+    // a fresh (absent) directory and the new layout both pass the probe
+    StreamIngest.vectorIndexStream(input.toDS(), cents, s"$dir/fresh")
+    new java.io.File(s"$dir/idx2/batch=0/cell=0").mkdirs()
+    StreamIngest.vectorIndexStream(input.toDS(), cents, s"$dir/idx2")
+  }
+
   /** Shared harness for the pitJoinStream parity tests: returns the
     * (streamed, batch) result sets for the same random corpus. */
   private def pitParity(seed: Int, maxAgeSec: Option[Long], shuffle: Boolean)
