@@ -24,7 +24,9 @@ object Bench {
     "embed_project_oracle", "corpus_semantic_sample_oracle",
     "corpus_semantic_mix_oracle", "embed_outliers_oracle",
     "knn_filtered_oracle", "embed_hard_negatives_oracle",
-    "knn_matryoshka_oracle", "knn_hamming_rerank_oracle")
+    "knn_matryoshka_oracle", "knn_hamming_rerank_oracle",
+    "knn_lsh_oracle", "dedup_embed_lsh_oracle",
+    "corpus_cluster_topics_oracle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -966,6 +966,81 @@ object CorpusStats {
     cellTopicsOf(Tables.documents(spark, dir), cells)
   }
 
+  /** DuckDB-provable twin of `corpus_cluster_topics`: the trained float
+    * k-means assignment (the one layer DuckDB can't replay) is swapped
+    * for a deterministic SEED-ARGMAX replay — centroids are the 16
+    * vectors with the smallest engine-portable id hash
+    * ([[TextAnalysis.idHash]]), assignment is the argmax of the
+    * ×1000-quantized cosine (exact integer dot/norms, one IEEE
+    * division + sqrt — the knn_brute_oracle arithmetic), ties to the
+    * smallest seed id. Unlike the sign-bit sibling `corpus_cell_topics`
+    * (which hash-proves only the TF-IDF/top-k tail), this twin also
+    * drives the nearest-centroid ASSIGNMENT machinery cross-engine.
+    * Cells are labeled by seed vec_id. Twin-scale note: the per-vector
+    * argmax here is a groupBy over N×16 partial-aggregated rows — the
+    * production op keeps the zero-shuffle argmax expression. */
+  def corpusClusterTopicsOracle(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000).cast("long")).as("qv"))
+    val seeds = emb
+      .select(col("vec_id").as("seed_id"), col("qv").as("sv"),
+        TextAnalysis.idHash(col("vec_id")).as("h"))
+      .orderBy(col("h"), col("seed_id")).limit(16)
+      .select(col("seed_id"), col("sv"))
+    // deterministic argmax as a struct-max aggregate: equal cosines
+    // resolve to the larger negated seed id = the SMALLEST seed id
+    val cells = emb.crossJoin(broadcast(seeds))
+      .withColumn("cos", call_function("quantized_cosine", col("qv"), col("sv")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos").as("c"), (-col("seed_id")).as("ns"))).as("m"))
+      .select(col("vec_id"), (-col("m.ns")).as("cell"))
+    cellTopicsOf(Tables.documents(spark, dir), cells)
+  }
+
+  val corpusClusterTopicsOracleSql: String =
+    s"""WITH e AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+      |  FROM embeddings
+      |), sd AS MATERIALIZED (
+      |  SELECT seed_id, sv FROM (
+      |    SELECT vec_id AS seed_id, qv AS sv,
+      |      row_number() OVER (
+      |        ORDER BY ${TextAnalysis.idHashSql("vec_id")}, vec_id) AS rn
+      |    FROM e) WHERE rn <= 16
+      |), sc AS (
+      |  SELECT e.vec_id, sd.seed_id,
+      |    list_sum(list_transform(range(1, len(e.qv) + 1), i -> e.qv[i]*sd.sv[i]))::DOUBLE
+      |      / sqrt(greatest(
+      |          list_sum(list_transform(e.qv, x -> x*x))::DOUBLE
+      |          * list_sum(list_transform(sd.sv, x -> x*x))::DOUBLE, 1.0)) AS cos
+      |  FROM e CROSS JOIN sd
+      |), cells AS MATERIALIZED (
+      |  SELECT vec_id, seed_id AS cell FROM (
+      |    SELECT vec_id, seed_id,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, seed_id) AS rn
+      |    FROM sc) WHERE rn = 1
+      |), tok AS (
+      |  SELECT c.cell, unnest(regexp_extract_all(lower(d.text), '$word')) AS w
+      |  FROM documents d JOIN cells c ON d.doc_id = c.vec_id
+      |), ctf AS (
+      |  SELECT cell, w, CAST(count(*) AS BIGINT) AS ctf FROM tok GROUP BY 1, 2
+      |), dfc AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS df_cells FROM ctf GROUP BY 1
+      |), nc AS (
+      |  SELECT CAST(count(DISTINCT cell) AS BIGINT) AS n_cells FROM ctf
+      |)
+      |SELECT cell, rn, w, ctf, df_cells, score_e4 FROM (
+      |  SELECT c.cell, c.w, c.ctf, d.df_cells,
+      |    c.ctf * CAST(round(ln(n.n_cells::DOUBLE / d.df_cells) * 10000, 0)
+      |      AS BIGINT) AS score_e4,
+      |    row_number() OVER (PARTITION BY c.cell ORDER BY
+      |      c.ctf * CAST(round(ln(n.n_cells::DOUBLE / d.df_cells) * 10000, 0)
+      |        AS BIGINT) DESC, c.w) AS rn
+      |  FROM ctf c JOIN dfc d USING (w) CROSS JOIN nc n)
+      |WHERE rn <= 3 ORDER BY cell, rn""".stripMargin
+
   /** Curation cross-tab — quality × duplication per language, the
     * diagnostics table a curator reads before ordering the pipeline
     * (dedup-then-filter and filter-then-dedup keep different corpora;
@@ -1319,6 +1394,7 @@ object CorpusStats {
     "corpus_datacard"        -> (corpusDatacard _),
     "corpus_curation_matrix" -> (corpusCurationMatrix _),
     "corpus_cluster_topics" -> (corpusClusterTopics _),
+    "corpus_cluster_topics_oracle" -> (corpusClusterTopicsOracle _),
     "corpus_cell_topics"   -> (corpusCellTopics _),
     "corpus_gopher_filter" -> (corpusGopherFilter _),
     "text_ttr"             -> (textTtr _),
@@ -1340,6 +1416,7 @@ object CorpusStats {
     "corpus_datacard"        -> corpusDatacardSql,
     "corpus_curation_matrix" -> corpusCurationMatrixSql,
     "corpus_cell_topics"   -> corpusCellTopicsSql,
+    "corpus_cluster_topics_oracle" -> corpusClusterTopicsOracleSql,
     "corpus_gopher_filter" -> corpusGopherFilterSql,
     "text_ttr"             -> textTtrSql,
     "text_code_detect"     -> textCodeDetectSql,

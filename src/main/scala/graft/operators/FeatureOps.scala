@@ -893,24 +893,43 @@ object FeatureOps {
     * TTL). The operator body takes ANY two registry dumps (prod
     * snapshots); the gate drives it with the demo registry vs an evolved
     * copy exercising every status. */
-  def registryDiff(spark: SparkSession, dir: String): DataFrame = {
+  def registryDiff(spark: SparkSession, dir: String): DataFrame =
+    registryDiffOf(Registry.demo(dir).toDF(spark), demoEvolved(dir).toDF(spark))
+
+  /** The demo registry one promotion later — the v2 snapshot both
+    * registry_diff and registry_history drive with: a feature retype, a
+    * feature removal, a feature addition, and a TTL change, exercising
+    * every diff status. */
+  private[graft] def demoEvolved(dir: String): Registry = {
     val old = Registry.demo(dir)
-    val evolved = {
-      val r = new Registry
-      r.applyEntity(graft.model.Entity("user_id", graft.model.ValueKind.Int64K))
-      r.applyEntity(graft.model.Entity("c_custkey", graft.model.ValueKind.Int64K))
-      r.applyTable(old.getTable("user_activity").get.copy(
-        features = Seq(
-          graft.model.Feature("value", graft.model.ValueKind.DoubleK),
-          graft.model.Feature("session_len", graft.model.ValueKind.Int64K)),
-        maxAgeSec = Some(3L * 86400)))
-      r.applyTable(old.getTable("customer_profile").get.copy(
-        features = Seq(
-          graft.model.Feature("c_acctbal", graft.model.ValueKind.FloatK),
-          graft.model.Feature("c_mktsegment", graft.model.ValueKind.StringK))))
-      r
-    }
-    registryDiffOf(old.toDF(spark), evolved.toDF(spark))
+    val r = new Registry
+    r.applyEntity(graft.model.Entity("user_id", graft.model.ValueKind.Int64K))
+    r.applyEntity(graft.model.Entity("c_custkey", graft.model.ValueKind.Int64K))
+    r.applyTable(old.getTable("user_activity").get.copy(
+      features = Seq(
+        graft.model.Feature("value", graft.model.ValueKind.DoubleK),
+        graft.model.Feature("session_len", graft.model.ValueKind.Int64K)),
+      maxAgeSec = Some(3L * 86400)))
+    r.applyTable(old.getTable("customer_profile").get.copy(
+      features = Seq(
+        graft.model.Feature("c_acctbal", graft.model.ValueKind.FloatK),
+        graft.model.Feature("c_mktsegment", graft.model.ValueKind.StringK))))
+    r
+  }
+
+  /** v3: the customer_profile table is dropped outright and
+    * user_activity.value is retyped — the table-retirement edit the
+    * history view must attribute, composing with v2's field edits. */
+  private[graft] def demoEvolvedV3(dir: String): Registry = {
+    val v2 = demoEvolved(dir)
+    val r = new Registry
+    r.applyEntity(graft.model.Entity("user_id", graft.model.ValueKind.Int64K))
+    r.applyEntity(graft.model.Entity("c_custkey", graft.model.ValueKind.Int64K))
+    r.applyTable(v2.getTable("user_activity").get.copy(
+      features = Seq(
+        graft.model.Feature("value", graft.model.ValueKind.FloatK),
+        graft.model.Feature("session_len", graft.model.ValueKind.Int64K))))
+    r
   }
 
   def registryDiffOf(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
@@ -948,6 +967,75 @@ object FeatureOps {
       |) AS t(project, table_name, feature, status, old_type, new_type,
       |       old_max_age, new_max_age)
       |ORDER BY project, table_name, feature""".stripMargin
+
+  /** Registry modification history — who changed what, when, across
+    * SUCCESSIVE SAVED registry dumps (the reference's JPA layer stamps
+    * created/updated per object via
+    * core/src/main/java/feast/core/model/AbstractTimestampEntity.java but
+    * keeps no diffable record of WHAT changed; here the registry IS data,
+    * so history = consecutive [[registryDiffOf]]s over persisted
+    * snapshots, each attributed to the version + author that promoted
+    * it). "When" is the monotone version number — the deterministic stand-
+    * in for the JPA timestamp (a wall clock would break replay and the
+    * oracle). Every version is driven THROUGH Registry.save/load (the
+    * demoRegistryReloaded discipline), so the gate proves persisted dumps
+    * carry enough to reconstruct the change log, not just in-memory maps.
+    *
+    * Scale: registries are entity-domain metadata (rows = tables ×
+    * features); the diff is a full-outer join per consecutive pair —
+    * nothing corpus-sized anywhere. */
+  private val historyRegistryCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(Long, String, Registry)]]
+  private[graft] def demoHistoryReloaded(spark: SparkSession, dir: String)
+      : Seq[(Long, String, Registry)] =
+    historyRegistryCache.getOrElseUpdate(dir, {
+      val base = sys.props("java.io.tmpdir") + "/graft_registry_history/" +
+        dir.replaceAll("[^A-Za-z0-9._]", "_")
+      val versions = Seq(
+        (1L, "alice", Registry.demo(dir)),
+        (2L, "bob", demoEvolved(dir)),
+        (3L, "carol", demoEvolvedV3(dir)))
+      versions.map { case (v, author, r) =>
+        Registry.save(r, spark, s"$base/v$v")
+        (v, author, Registry.load(spark, s"$base/v$v"))
+      }
+    })
+
+  def registryHistory(spark: SparkSession, dir: String): DataFrame = {
+    val versions = demoHistoryReloaded(spark, dir)
+    versions.sliding(2).map { pair =>
+      val (_, _, prev) = pair.head
+      val (v, author, next) = pair(1)
+      registryDiffOf(prev.toDF(spark), next.toDF(spark))
+        .filter(col("status") =!= "UNCHANGED")
+        .select(lit(v).as("version"), lit(author).as("author"),
+          col("project"), col("table_name"), col("feature"), col("status"),
+          col("old_type"), col("new_type"), col("old_max_age"),
+          col("new_max_age"))
+    }.reduce(_.unionByName(_))
+      .orderBy(col("version"), col("project"), col("table_name"),
+        col("feature"))
+  }
+
+  val registryHistorySql: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(2 AS BIGINT), 'bob', 'default', 'customer_profile', 'c_acctbal',
+      |   'TYPE_CHANGED', 'DOUBLE', 'FLOAT', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |  (CAST(2 AS BIGINT), 'bob', 'default', 'user_activity', 'event_type',
+      |   'REMOVED', 'STRING', NULL, CAST(604800 AS BIGINT), CAST(NULL AS BIGINT)),
+      |  (CAST(2 AS BIGINT), 'bob', 'default', 'user_activity', 'session_len',
+      |   'ADDED', NULL, 'INT64', CAST(NULL AS BIGINT), CAST(259200 AS BIGINT)),
+      |  (CAST(2 AS BIGINT), 'bob', 'default', 'user_activity', 'value',
+      |   'MAX_AGE_CHANGED', 'DOUBLE', 'DOUBLE', CAST(604800 AS BIGINT), CAST(259200 AS BIGINT)),
+      |  (CAST(3 AS BIGINT), 'carol', 'default', 'customer_profile', 'c_acctbal',
+      |   'REMOVED', 'FLOAT', NULL, CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+      |  (CAST(3 AS BIGINT), 'carol', 'default', 'customer_profile', 'c_mktsegment',
+      |   'REMOVED', 'STRING', NULL, CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+      |  (CAST(3 AS BIGINT), 'carol', 'default', 'user_activity', 'value',
+      |   'TYPE_CHANGED', 'DOUBLE', 'FLOAT', CAST(259200 AS BIGINT), CAST(259200 AS BIGINT))
+      |) AS t(version, author, project, table_name, feature, status,
+      |       old_type, new_type, old_max_age, new_max_age)
+      |ORDER BY version, project, table_name, feature""".stripMargin
 
   /** Daily feature-snapshot backfill — the offline-store materialization
     * feast-era batch jobs run nightly (reference: the 0.9 batch ingestion
@@ -1031,6 +1119,7 @@ object FeatureOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ft_daily_snapshot"  -> (ftDailySnapshot _),
     "registry_diff"      -> (registryDiff _),
+    "registry_history"   -> (registryHistory _),
     "ft_time_to_convert" -> (ftTimeToConvert _),
     "ft_label_join"   -> (ftLabelJoin _),
     "store_audit"     -> (storeAudit _),
@@ -1057,6 +1146,7 @@ object FeatureOps {
   val oracle: Map[String, String] = Map(
     "ft_daily_snapshot"  -> ftDailySnapshotSql,
     "registry_diff"      -> registryDiffSql,
+    "registry_history"   -> registryHistorySql,
     "ft_time_to_convert" -> ftTimeToConvertSql,
     "ft_label_join"   -> ftLabelJoinSql,
     "store_audit"     -> storeAuditSql,

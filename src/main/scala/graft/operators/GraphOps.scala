@@ -1062,8 +1062,126 @@ object GraphOps {
        |ORDER BY rank_e6 DESC, user_id""".stripMargin
   }
 
+  /** K-core decomposition over the GROWING user×user co-activity graph —
+    * the second flow op promoted off the 25-node nation domain (the r11
+    * verdict's ask; [[graphPagerankUsers]] proved the domain): which users
+    * sit inside a mutually-dense co-activity core vs the periphery — the
+    * cohort a growth team actually targets, and the standard engagement
+    * robustness cut (a user in the k-core stays engaged even if k−1
+    * co-active peers churn).
+    *
+    * CONTRACT: a [[KCoreUsersRounds]]-round TRUNCATED simultaneous peel
+    * (drop every node with < [[KCoreUsersK]] surviving neighbors, all at
+    * once, per round). Truncation makes Spark and the unrolled-CTE oracle
+    * equal BY CONSTRUCTION at any convergence behavior: the Spark loop
+    * early-exits when a round removes nothing (every later round is then
+    * the identity, so running fewer is indistinguishable), and the oracle
+    * runs all rounds unconditionally. Measured convergence: 1 round at
+    * sf0.01 (150 users, min co-activity degree 8 ≥ k — all in-core,
+    * core_deg still per-node), 5 rounds at sf0.1 (1124 of 1426 in-core);
+    * 16 rounds is 3× the observed worst case.
+    *
+    * Scale shape: edges come from the PERSISTED capped co-session
+    * artifact ([[coActivityEdges]] — ≤ topNeighbors out-edges per user by
+    * construction, so |E| ≤ 8·|users| and every peel round is one degree
+    * aggregate + two semi-joins over that bounded edge table: O(rounds·|E|)
+    * total, zero corpus rescans. Oracle: the capped graph re-derived in
+    * SQL + the peel unrolled as [[KCoreUsersRounds]] materialized CTEs
+    * (the graph_kcore discipline), exact integers throughout. */
+  val KCoreUsersK = 6
+  val KCoreUsersRounds = 16
+
+  def graphKcoreUsers(spark: SparkSession, dir: String): DataFrame = {
+    val e = coActivityEdges(spark, dir)
+    // kept pairs always have a < b (derived from an a<b pair join), so the
+    // symmetrized list has no duplicate directed edges and a count(*) per
+    // n1 IS the distinct-neighbor degree
+    val bi = e.select(col("a").as("n1"), col("b").as("n2"))
+      .unionAll(e.select(col("b").as("n1"), col("a").as("n2")))
+      .localCheckpoint() // every peel round joins it twice
+    var surv = bi.select(col("n1").as("node")).distinct().localCheckpoint()
+    var n = surv.count()
+    var round = 0
+    var stable = n == 0L
+    while (!stable && round < KCoreUsersRounds) {
+      val deg = bi
+        .join(surv, col("n1") === col("node")).drop("node")
+        .join(surv.select(col("node").as("n2k")), col("n2") === col("n2k"))
+        .groupBy(col("n1")).agg(count(lit(1)).as("deg"))
+      val next = deg.filter(col("deg") >= KCoreUsersK)
+        .select(col("n1").as("node")).localCheckpoint()
+      val m = next.count()
+      stable = m == n || m == 0L
+      n = m
+      surv = next
+      round += 1
+    }
+    val coreDeg = bi
+      .join(surv, col("n1") === col("node")).drop("node")
+      .join(surv.select(col("node").as("n2k")), col("n2") === col("n2k"))
+      .groupBy(col("n1")).agg(count(lit(1)).as("core_deg"))
+    Tables.events(spark, dir).select(col("user_id")).distinct()
+      .join(coreDeg, col("user_id") === col("n1"), "left")
+      .select(col("user_id"),
+        when(col("core_deg").isNotNull, 1L).otherwise(0L).as("in_kcore"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+      .orderBy(col("user_id"))
+  }
+
+  val graphKcoreUsersSql: String = {
+    val steps = (1 to KCoreUsersRounds).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT node FROM (
+         |    SELECT b.n1 AS node, count(*) AS deg
+         |    FROM bi b
+         |    JOIN s${i - 1} x ON b.n1 = x.node
+         |    JOIN s${i - 1} y ON b.n2 = y.node
+         |    GROUP BY 1)
+         |  WHERE deg >= $KCoreUsersK
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH hrs AS (
+       |  SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr, user_id,
+       |    count(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), capped AS MATERIALIZED (
+       |  SELECT hr, user_id FROM (
+       |    SELECT hr, user_id,
+       |      row_number() OVER (PARTITION BY hr ORDER BY n DESC, user_id) AS rn
+       |    FROM hrs) WHERE rn <= 20
+       |), pairs AS (
+       |  SELECT x.user_id AS a, y.user_id AS b, count(*) AS w
+       |  FROM capped x JOIN capped y ON x.hr = y.hr AND x.user_id < y.user_id
+       |  GROUP BY 1, 2
+       |), kept AS MATERIALIZED (
+       |  SELECT a, b FROM (
+       |    SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY w DESC, b) AS rn
+       |    FROM pairs) WHERE rn <= 8
+       |), bi AS MATERIALIZED (
+       |  SELECT a AS n1, b AS n2 FROM kept
+       |  UNION ALL SELECT b AS n1, a AS n2 FROM kept
+       |), s0 AS MATERIALIZED (
+       |  SELECT DISTINCT n1 AS node FROM bi
+       |),
+       |$steps,
+       |cd AS (
+       |  SELECT b.n1 AS node, CAST(count(*) AS BIGINT) AS core_deg
+       |  FROM bi b
+       |  JOIN s$KCoreUsersRounds x ON b.n1 = x.node
+       |  JOIN s$KCoreUsersRounds y ON b.n2 = y.node
+       |  GROUP BY 1
+       |)
+       |SELECT u.user_id,
+       |  CAST(CASE WHEN cd.node IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_kcore,
+       |  coalesce(cd.core_deg, 0) AS core_deg
+       |FROM (SELECT DISTINCT user_id FROM events) u
+       |LEFT JOIN cd ON cd.node = u.user_id
+       |ORDER BY u.user_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank_users" -> (graphPagerankUsers _),
+    "graph_kcore_users" -> (graphKcoreUsers _),
     "graph_bfs"         -> (graphBfs _),
     "graph_pagerank"    -> (graphPagerank _),
     "graph_hits"        -> (graphHits _),
@@ -1075,6 +1193,7 @@ object GraphOps {
 
   val oracle: Map[String, String] = Map(
     "graph_pagerank_users" -> graphPagerankUsersSql,
+    "graph_kcore_users" -> graphKcoreUsersSql,
     "graph_bfs"         -> graphBfsSql,
     "graph_pagerank"    -> graphPagerankSql,
     "graph_hits"        -> graphHitsSql,

@@ -950,7 +950,169 @@ object OracleVariants {
       |FROM dims LEFT JOIN hits h ON h.d = dims.d
       |ORDER BY dim_prefix""".stripMargin
 
+  // --------------------------------------------------- sign-LSH twins
+  /** Integer copy of [[Similarity]]'s LCG hyperplane family: the float
+    * plane value is ((x % 2001) − 1000)/1000 by construction, so the
+    * ×1000 integer plane is EXACT and sign(Σ qv·qp) over ×1000-quantized
+    * vectors is pure BIGINT arithmetic both engines replay bit-for-bit.
+    * The twin pins the LSH plumbing (bucketing, multi-probe bit flips,
+    * OR-amplified table union, candidate join, ranking/threshold), not
+    * the production float family or the corpus-banded plane count —
+    * planes are FIXED at 4 so the SQL text stays static (the
+    * knn_hamming_rerank_oracle fixed-depth discipline). */
+  private val LshOraclePlanes = 4
+
+  private def intPlane(p: Int): IndexedSeq[Long] =
+    (0 until 64).map { d =>
+      val x = (p * 1315423911L + d * 2654435761L + 97531L) & 0xffffffffL
+      (x % 2001L) - 1000L
+    }
+
+  /** ×1000-quantized coordinate read straight off the STORED embedding
+    * column (never off a computed array — CollapseProject would inline
+    * the quantizing transform once per referencing term). */
+  private def qCoord(d: Int): Column =
+    round(element_at(col("embedding"), d + 1).cast("double") * 1000).cast("long")
+
+  /** Sign bucket of planes [offset, offset+n) of the integer family —
+    * one 64-term codegen'd integer dot per plane (the packHalf shape). */
+  private def intBucket(planeOffset: Int, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      val qp = intPlane(planeOffset + p)
+      val dotp = (0 until 64).map(d => qCoord(d) * lit(qp(d))).reduce(_ + _)
+      when(dotp > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def intBucketSql(planeOffset: Int, nPlanes: Int): String =
+    (0 until nPlanes).map { p =>
+      val qp = intPlane(planeOffset + p)
+      val dotp = (0 until 64).map { d =>
+        s"(${qp(d)})*round(embedding[${d + 1}]::DOUBLE * 1000)::BIGINT"
+      }.mkString(" + ")
+      s"(CASE WHEN ($dotp) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** DuckDB-provable twin of `knn_lsh`: the identical bucket → multi-probe
+    * (hamming-1 bit flips) → bucket-join → rank pipeline over the integer
+    * plane family and quantized cosine, so a plumbing regression in the
+    * LSH rung is driver-visible (knn_lsh itself is rows-only — float
+    * cosine plus a corpus-banded plane count). */
+  def knnLshOracle(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"),
+      quant(col("embedding")).as("v"),
+      intBucket(0, LshOraclePlanes).as("bucket"))
+    val probes = array(col("bucket") +: (0 until LshOraclePlanes)
+      .map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(explode(probes).as("bucket"),
+        col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    emb.select(col("bucket"), col("vec_id").as("neighbor_id"), col("v").as("cv"))
+      .join(broadcast(queries), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        round(call_function("quantized_cosine", col("cv"), col("qv")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val knnLshOracleSql: String = {
+    val flips = (0 until LshOraclePlanes).map(p => s"xor(bucket, ${1L << p})")
+      .mkString(", ")
+    s"""WITH e AS MATERIALIZED (
+      |  SELECT vec_id, $quantSql AS v,
+      |    CAST(${intBucketSql(0, LshOraclePlanes)} AS BIGINT) AS bucket
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT unnest([bucket, $flips]) AS bucket,
+      |    vec_id AS query_id, v AS qv
+      |  FROM e WHERE vec_id < 10
+      |), p AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i]*c.v[i]))::BIGINT AS dot,
+      |    list_sum(list_transform(q.qv, x -> x*x))::BIGINT AS nq,
+      |    list_sum(list_transform(c.v, x -> x*x))::BIGINT AS nc
+      |  FROM e c JOIN q USING (bucket) WHERE c.vec_id <> q.query_id
+      |), r AS (
+      |  SELECT query_id, neighbor_id,
+      |    round(dot::DOUBLE / sqrt(greatest(nq::DOUBLE * nc::DOUBLE, 1.0)), 4) AS cos
+      |  FROM p
+      |), rk AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank"
+      |  FROM r
+      |)
+      |SELECT query_id, "rank", neighbor_id, cos FROM rk
+      |WHERE "rank" <= $K ORDER BY query_id, "rank"""".stripMargin
+  }
+
+  /** DuckDB-provable twin of `dedup_embed_lsh`: the identical 3-table
+    * OR-amplified bucket → multi-probe → pair-join → distinct → threshold
+    * pipeline over the integer plane family (tables draw disjoint plane
+    * ranges from the same LCG stream, exactly like production) and
+    * quantized cosine. */
+  def dedupEmbedLshOracle(spark: SparkSession, dir: String): DataFrame = {
+    val numTables = 3
+    val emb = Tables.embeddings(spark, dir).select(
+      col("vec_id") +: quant(col("embedding")).as("v") +:
+        (0 until numTables).map(t =>
+          intBucket(t * LshOraclePlanes, LshOraclePlanes).as(s"b$t")): _*)
+    val tagged = emb.select(
+      posexplode(array((0 until numTables).map(t => col(s"b$t")): _*))
+        .as(Seq("tbl", "bucket")),
+      col("vec_id"), col("v"))
+    val probed = tagged.select(col("tbl"),
+      explode(array(col("bucket") +: (0 until LshOraclePlanes)
+        .map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"),
+      col("vec_id").as("id_a"), col("v").as("va"))
+    val exact = tagged.select(col("tbl"), col("bucket"),
+      col("vec_id").as("id_b"), col("v").as("vb"))
+    probed.join(exact, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(call_function("quantized_cosine", col("va"), col("vb")), 4).as("cos"))
+      .distinct()
+      .filter(col("cos") > 0.35)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dedupEmbedLshOracleSql: String = {
+    val flips = (0 until LshOraclePlanes).map(p => s"xor(bucket, ${1L << p})")
+      .mkString(", ")
+    s"""WITH e AS MATERIALIZED (
+      |  SELECT vec_id, $quantSql AS v,
+      |    CAST(${intBucketSql(0, LshOraclePlanes)} AS BIGINT) AS b0,
+      |    CAST(${intBucketSql(LshOraclePlanes, LshOraclePlanes)} AS BIGINT) AS b1,
+      |    CAST(${intBucketSql(2 * LshOraclePlanes, LshOraclePlanes)} AS BIGINT) AS b2
+      |  FROM embeddings
+      |), tagged AS MATERIALIZED (
+      |  SELECT vec_id, v, t.tbl,
+      |    CASE t.tbl WHEN 0 THEN b0 WHEN 1 THEN b1 ELSE b2 END AS bucket
+      |  FROM e CROSS JOIN (SELECT unnest([0, 1, 2]) AS tbl) t
+      |), probed AS (
+      |  SELECT tbl, unnest([bucket, $flips]) AS bucket,
+      |    vec_id AS id_a, v AS va
+      |  FROM tagged
+      |), pairs AS (
+      |  SELECT DISTINCT p.id_a, t.vec_id AS id_b,
+      |    round(
+      |      list_sum(list_transform(range(1, len(p.va) + 1), i -> p.va[i]*t.v[i]))::DOUBLE
+      |      / sqrt(greatest(
+      |          list_sum(list_transform(p.va, x -> x*x))::DOUBLE
+      |          * list_sum(list_transform(t.v, x -> x*x))::DOUBLE, 1.0)), 4) AS cos
+      |  FROM probed p JOIN tagged t USING (tbl, bucket)
+      |  WHERE p.id_a < t.vec_id
+      |)
+      |SELECT id_a, id_b, cos FROM pairs WHERE cos > 0.35 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_lsh_oracle" -> (knnLshOracle _),
+    "dedup_embed_lsh_oracle" -> (dedupEmbedLshOracle _),
     "knn_hamming_rerank_oracle" -> (knnHammingRerankOracle _),
     "knn_matryoshka_oracle" -> (knnMatryoshkaOracle _),
     "embed_hard_negatives_oracle" -> (embedHardNegativesOracle _),
@@ -967,6 +1129,8 @@ object OracleVariants {
     "knn_filtered_oracle" -> (knnFilteredOracle _))
 
   val oracle: Map[String, String] = Map(
+    "knn_lsh_oracle" -> knnLshOracleSql,
+    "dedup_embed_lsh_oracle" -> dedupEmbedLshOracleSql,
     "knn_hamming_rerank_oracle" -> knnHammingRerankOracleSql,
     "knn_matryoshka_oracle" -> knnMatryoshkaOracleSql,
     "embed_hard_negatives_oracle" -> embedHardNegativesOracleSql,
