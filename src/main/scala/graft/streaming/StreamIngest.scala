@@ -1008,6 +1008,136 @@ object StreamIngest {
       }
   }
 
+  // ------------------------------------------------------- sink compaction
+
+  private val CompactTmp = ".compact-tmp"
+  private val CompactManifest = ".compact-manifest"
+
+  /** Fold COMMITTED micro-batch directories of a batchId-keyed stream sink
+    * into one — the small-files bound for the hottest read path: at
+    * production cadence [[ivfDeltaStream]]/[[pqCodesStream]]/
+    * [[vectorIndexStream]] accumulate one `batch=<id>` subdirectory per
+    * micro-batch FOREVER, and every serving scan re-lists and re-foots
+    * all of them. Run periodically (or from the maintenance job that
+    * would retrain/re-index); after compaction each sink parent holds at
+    * most 2 batch directories until new micro-batches arrive.
+    *
+    * Semantics and safety:
+    *  - Only batches BELOW the max id fold: Structured Streaming replays
+    *    at most the last uncommitted batch, and the presence of batch m
+    *    proves every batch < m committed (m is generated only after m−1's
+    *    commit), so a post-crash replay can only rewrite `batch=<max>` —
+    *    never a folded directory.
+    *  - Folded rows keep the serve-time freshest-wins contract AT REST:
+    *    within the folded set only the max-batch row per [[dedupKey]]
+    *    survives (exactly the row [[graft.operators.Similarity
+    *    .knnIvfWithStreamedDelta]]'s dedup would pick), and the survivors
+    *    re-key under the highest FOLDED id, which stays below the live
+    *    batch — so cross-band priorities (batch artifact > fresher delta)
+    *    are unchanged and serving is byte-identical (spec-pinned).
+    *  - Crash-safe via a roll-forward manifest: the folded output is
+    *    fully written to a dot-prefixed temp dir (invisible to partition
+    *    discovery) FIRST, then a manifest records (target, folded ids),
+    *    then folded dirs drop and the temp renames into place, then the
+    *    manifest drops. Recovery on the next call rolls forward iff the
+    *    manifest + a _SUCCESS-complete temp exist, rolls back otherwise.
+    *
+    * Deltas fold within the SINK, not into the batch artifact: the
+    * artifact's key is a function of the source tables' fingerprint, so
+    * rows merged into it would not survive the artifact's own
+    * re-derivation (retrain, GC, fingerprint change) — they'd silently
+    * vanish from the index. Geom-keyed sinks compact per `geom=` level. */
+  def compactStreamIndex(spark: SparkSession, root: String,
+                         dedupKey: String = "vec_id"): Unit = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootP)) return
+    val geoms = fs.listStatus(rootP).toIndexedSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("geom="))
+    if (geoms.nonEmpty)
+      geoms.foreach(g => compactBatchDirs(spark, g.getPath.toString, dedupKey))
+    else compactBatchDirs(spark, root, dedupKey)
+  }
+
+  private def compactBatchDirs(spark: SparkSession, parent: String,
+                               dedupKey: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(parent)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, p)
+    val ids = fs.listStatus(p).toIndexedSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong).sorted
+    // < 3 dirs = at most one committed batch besides the live one —
+    // nothing worth folding
+    if (ids.size < 3) return
+    val live = ids.max
+    val folded = ids.filter(_ < live)
+    val target = folded.max
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(dedupKey)).orderBy(col("batch").desc)
+    spark.read.parquet(parent)
+      .filter(col("batch") < live)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn", "batch")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(new org.apache.hadoop.fs.Path(p, CompactTmp).toString)
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, CompactManifest), true)
+    try out.write(s"$target\n${folded.mkString(",")}\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    finishCompaction(fs, p, target, folded)
+  }
+
+  /** Deletes folded dirs and renames the temp into `batch=<target>`.
+    * Idempotent given a _SUCCESS-complete temp — recovery re-runs it. */
+  private def finishCompaction(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, target: Long, folded: Seq[Long]): Unit = {
+    folded.filter(_ != target).foreach { i =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, s"batch=$i"), true)
+    }
+    val tgt = new org.apache.hadoop.fs.Path(p, s"batch=$target")
+    fs.delete(tgt, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(p, CompactTmp), tgt),
+      s"compaction: rename into $tgt failed")
+    fs.delete(new org.apache.hadoop.fs.Path(p, CompactManifest), false)
+    ()
+  }
+
+  /** Completes or rolls back a compaction interrupted mid-protocol. */
+  private def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit = {
+    val man = new org.apache.hadoop.fs.Path(p, CompactManifest)
+    val tmp = new org.apache.hadoop.fs.Path(p, CompactTmp)
+    val tmpComplete = fs.exists(tmp) &&
+      fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+    if (fs.exists(man)) {
+      val in = fs.open(man)
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      val lines = txt.trim.split("\n")
+      val target = lines(0).trim.toLong
+      val folded = lines.lift(1).map(_.trim).filter(_.nonEmpty)
+        .map(_.split(",").map(_.toLong).toSeq).getOrElse(Seq(target))
+      if (tmpComplete) finishCompaction(fs, p, target, folded) // roll forward
+      else if (!fs.exists(tmp)) {
+        // rename already happened; only the folded-dir deletes (idempotent)
+        // and the manifest drop remain — batch=<target> holds the data,
+        // never touch it here
+        folded.filter(_ != target).foreach { i =>
+          fs.delete(new org.apache.hadoop.fs.Path(p, s"batch=$i"), true)
+        }
+        fs.delete(man, false); ()
+      } else {
+        // manifest without a complete temp: the fold never finished and
+        // nothing was deleted (deletes start only after the manifest,
+        // which follows a _SUCCESS-complete temp) — roll back
+        fs.delete(tmp, true); fs.delete(man, false); ()
+      }
+    } else if (fs.exists(tmp)) {
+      fs.delete(tmp, true) // orphan temp from a pre-manifest crash
+      ()
+    }
+  }
+
   /** Input row for [[decontaminateStream]]. */
   final case class DocRow(doc_id: Long, ts: java.sql.Timestamp, text: String)
 

@@ -1591,6 +1591,126 @@ class StreamIngestSpec extends SparkSpecBase {
     }
   }
 
+  test("compactStreamIndex: folded delta serves byte-identical with bounded dirs") {
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-ivf-compact").toString
+    spark.conf.set("graft.ivf.dir", s"$dir/ivf")
+    spark.conf.set("graft.ivfflat.dir", s"$dir/ivfflat")
+    try {
+      val cents = Similarity.loadOrTrainCentroids(spark, sf)
+      val base = ts("2024-08-01 00:00:00").getTime
+      val dim = graft.sources.Tables.embeddings(spark, sf)
+        .select(col("embedding")).head().getSeq[Float](0).size
+      val rnd = new scala.util.Random(12)
+      val extra = (0 until 32).map { i =>
+        StreamIngest.VecRow(100000L + i, new Timestamp(base + i),
+          Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+      }
+      val input = MemoryStream[StreamIngest.VecRow](spark)
+      val q = StreamIngest.ivfDeltaStream(input.toDS(), cents, s"$dir/delta",
+          watermark = "720 hours")
+        .option("checkpointLocation", s"$dir/cp").start()
+      extra.grouped(8).foreach { b => input.addData(b); q.processAllAvailable() }
+      q.stop()
+
+      def serve() = Similarity
+        .knnIvfWithStreamedDelta(spark, sf, s"$dir/delta", nprobe = cents.size, k = 5)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"))).toSeq
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def batchDirs(): Seq[String] = {
+        val geom = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/delta"))
+          .filter(_.getPath.getName.startsWith("geom=")).head.getPath
+        fs.listStatus(geom).map(_.getPath.getName).toSeq
+          .filter(_.startsWith("batch=")).sorted
+      }
+      def dataFiles(): Int = {
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$dir/delta"), true)
+        var n = 0
+        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+        n
+      }
+      val before = serve()
+      assert(batchDirs().size >= 3, s"need >=3 micro-batches, got ${batchDirs()}")
+      val filesBefore = dataFiles()
+
+      StreamIngest.compactStreamIndex(spark, s"$dir/delta")
+      assert(batchDirs().size == 2,
+        s"compaction must leave folded + live, got ${batchDirs()}")
+      assert(dataFiles() < filesBefore,
+        s"compaction must reduce data files: $filesBefore -> ${dataFiles()}")
+      assert(serve() == before, "post-compaction serving must be byte-identical")
+      // idempotent: a second pass finds < 3 batch dirs and changes nothing
+      StreamIngest.compactStreamIndex(spark, s"$dir/delta")
+      assert(batchDirs().size == 2 && serve() == before)
+    } finally {
+      spark.conf.unset("graft.ivf.dir"); spark.conf.unset("graft.ivfflat.dir")
+    }
+  }
+
+  test("compactStreamIndex: freshest-wins at rest; crash recovery rolls forward and back") {
+    val dir = Files.createTempDirectory("graft-compact-recover").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeBatch(parent: String, id: Long,
+                   rows: Seq[(Int, Long, Seq[Float])]): Unit =
+      rows.toDF("cell", "vec_id", "embedding")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$parent/batch=$id")
+    def vecsOf(parent: String): Map[Long, (Long, Float)] =
+      spark.read.parquet(parent)
+        .select(col("vec_id"), col("batch").cast("long"),
+          element_at(col("embedding"), 1))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getFloat(2))).toMap
+
+    // --- freshest-wins at rest: vec 5 lives in batch 0 AND batch 1 with
+    // different payloads; only the batch-1 row may survive the fold
+    val p1 = s"$dir/idx"
+    writeBatch(p1, 0L, (1 to 10).map(i => (i % 3, i.toLong, Seq(1.0f, 0.1f * i))))
+    writeBatch(p1, 1L, Seq((0, 5L, Seq(2.0f, 9.9f)), (1, 11L, Seq(1.0f, 1.1f))))
+    writeBatch(p1, 2L, Seq((2, 12L, Seq(1.0f, 1.2f)))) // live, never folded
+    val before = vecsOf(p1)
+    StreamIngest.compactStreamIndex(spark, p1)
+    val after = vecsOf(p1)
+    assert(after(5L) == (1L, 2.0f), s"freshest batch must win the fold: ${after(5L)}")
+    assert(after.keySet == before.keySet, "no vec_id may appear or vanish")
+    assert(after(12L)._1 == 2L, "the live batch dir must be untouched")
+    assert(spark.read.parquet(p1).filter(col("vec_id") === 5L).count() == 1L)
+
+    // --- roll-forward: manifest + _SUCCESS-complete temp present, folded
+    // dirs still on disk (crash before the deletes) — recovery completes
+    val p2 = s"$dir/fwd"
+    writeBatch(p2, 0L, Seq((0, 1L, Seq(0.1f, 0.0f))))
+    writeBatch(p2, 1L, Seq((0, 2L, Seq(0.2f, 0.0f))))
+    writeBatch(p2, 2L, Seq((0, 3L, Seq(0.3f, 0.0f))))
+    Seq((0, 1L, Seq(0.1f, 0.0f)), (0, 2L, Seq(0.2f, 0.0f)))
+      .toDF("cell", "vec_id", "embedding")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$p2/.compact-tmp")
+    val man = fs.create(new org.apache.hadoop.fs.Path(s"$p2/.compact-manifest"), true)
+    man.write("1\n0,1\n".getBytes("UTF-8")); man.close()
+    StreamIngest.compactStreamIndex(spark, p2)
+    assert(vecsOf(p2) == Map(1L -> (1L, 0.1f), 2L -> (1L, 0.2f), 3L -> (2L, 0.3f)),
+      s"roll-forward must install the temp as batch=1: ${vecsOf(p2)}")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p2/.compact-manifest")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p2/batch=0")))
+
+    // --- roll-back: manifest + INCOMPLETE temp (no _SUCCESS) — recovery
+    // must delete both and leave every batch dir exactly as it was
+    val p3 = s"$dir/back"
+    writeBatch(p3, 0L, Seq((0, 1L, Seq(0.1f, 0.0f))))
+    writeBatch(p3, 1L, Seq((0, 2L, Seq(0.2f, 0.0f))))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$p3/.compact-tmp/cell=0"))
+    val man3 = fs.create(new org.apache.hadoop.fs.Path(s"$p3/.compact-manifest"), true)
+    man3.write("0\n0\n".getBytes("UTF-8")); man3.close()
+    StreamIngest.compactStreamIndex(spark, p3)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p3/.compact-tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p3/.compact-manifest")))
+    assert(vecsOf(p3) == Map(1L -> (0L, 0.1f), 2L -> (1L, 0.2f)),
+      "roll-back must leave the sink exactly as written")
+  }
+
   test("index streams fail fast on a legacy flat cell=* sink layout") {
     val dir = Files.createTempDirectory("graft-legacy-layout").toString
     new java.io.File(s"$dir/idx/cell=0").mkdirs()
