@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+
+/** Native Catalyst expression: pack 32 sign bits of a float/double vector
+  * into one BIGINT — bit i of the result is set iff vec[offset + i] ≥ 0
+  * (1-based SQL indexing is NOT used here; offset is a 0-based element
+  * index, a foldable INT literal).
+  *
+  * Exists because the column-form equivalent — a reduce of 32
+  * `when(element_at(v, i) >= 0, 1L << i)` branches — is a large CaseWhen
+  * tree Catalyst treats as an ordinary projection: column pruning
+  * collapses it ABOVE the candidate×query cross join, so the 64-branch
+  * pack re-evaluated PER PAIR instead of per row (measured: the
+  * (query, hamming) histogram over 1.2M×10 scored pairs cost 67 s with
+  * the CaseWhen form, ~1 s with this fused loop — SURVEY §5 r12). A
+  * native loop is cheap enough that even per-pair re-evaluation is
+  * harmless, independent of where the optimizer places the projection.
+  *
+  * NULL-element and out-of-range semantics mirror the column form it
+  * replaces (`element_at` null → `otherwise(0)`): a NULL or missing
+  * element contributes a 0 bit, so oracle SQL CASE chains stay
+  * bit-identical. NULL input vector → NULL.
+  */
+final case class PackSigns(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemType: DataType = left.dataType match {
+    case ArrayType(t, _) => t
+    case _               => left.dataType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val okVec = left.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _                                                  => false
+    }
+    if (!okVec)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<FLOAT|DOUBLE> input, got ${left.dataType.simpleString}")
+    else if (right.dataType != IntegerType || !right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable INT offset, got ${right.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable
+  override def prettyName: String = "pack_signs"
+
+  private lazy val isFloat = elemType == FloatType
+
+  override def eval(input: InternalRow): Any = {
+    val v = left.eval(input)
+    if (v == null) return null
+    val off = right.eval(input).asInstanceOf[Int]
+    val a = v.asInstanceOf[ArrayData]
+    if (isFloat) PackSigns.packFloat(a, off) else PackSigns.packDouble(a, off)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vecGen = left.genCode(ctx)
+    val offGen = right.genCode(ctx)
+    val fn = if (isFloat) "packFloat" else "packDouble"
+    val resultCode =
+      code"""
+        ${vecGen.code}
+        ${offGen.code}
+        boolean ${ev.isNull} = ${vecGen.isNull};
+        long ${ev.value} = 0L;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.PackSigns.$fn(
+            ${vecGen.value}, ${offGen.value});
+        }
+      """
+    ev.copy(code = resultCode)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PackSigns =
+    copy(left = newLeft, right = newRight)
+}
+
+object PackSigns {
+  /** Static so generated code calls the same implementation as eval. */
+  def packFloat(a: ArrayData, offset: Int): Long = {
+    val n = a.numElements()
+    var bits = 0L
+    var i = 0
+    while (i < 32) {
+      val j = offset + i
+      if (j < n && !a.isNullAt(j) && a.getFloat(j) >= 0f) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  def packDouble(a: ArrayData, offset: Int): Long = {
+    val n = a.numElements()
+    var bits = 0L
+    var i = 0
+    while (i < 32) {
+      val j = offset + i
+      if (j < n && !a.isNullAt(j) && a.getDouble(j) >= 0d) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+}

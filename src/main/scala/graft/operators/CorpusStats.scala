@@ -979,7 +979,13 @@ object CorpusStats {
     * Cells are labeled by seed vec_id. Twin-scale note: the per-vector
     * argmax here is a groupBy over N×16 partial-aggregated rows — the
     * production op keeps the zero-shuffle argmax expression. */
-  def corpusClusterTopicsOracle(spark: SparkSession, dir: String): DataFrame = {
+  def corpusClusterTopicsOracle(spark: SparkSession, dir: String): DataFrame =
+    cellTopicsOf(Tables.documents(spark, dir),
+      clusterTopicsOracleCells(spark, dir))
+
+  /** The twin's (vec_id, cell) assignment — cells labeled by seed vec_id. */
+  private[graft] def clusterTopicsOracleCells(spark: SparkSession,
+                                              dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"),
       transform(col("embedding"),
         x => round(x.cast("double") * 1000).cast("long")).as("qv"))
@@ -990,12 +996,11 @@ object CorpusStats {
       .select(col("seed_id"), col("sv"))
     // deterministic argmax as a struct-max aggregate: equal cosines
     // resolve to the larger negated seed id = the SMALLEST seed id
-    val cells = emb.crossJoin(broadcast(seeds))
+    emb.crossJoin(broadcast(seeds))
       .withColumn("cos", call_function("quantized_cosine", col("qv"), col("sv")))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("cos").as("c"), (-col("seed_id")).as("ns"))).as("m"))
       .select(col("vec_id"), (-col("m.ns")).as("cell"))
-    cellTopicsOf(Tables.documents(spark, dir), cells)
   }
 
   val corpusClusterTopicsOracleSql: String =

@@ -1093,22 +1093,39 @@ object GraphOps {
 
   def graphKcoreUsers(spark: SparkSession, dir: String): DataFrame = {
     val e = coActivityEdges(spark, dir)
-    // kept pairs always have a < b (derived from an a<b pair join), so the
+    val coreDeg = kcoreTruncatedPeel(
+      e.select(col("a"), col("b")), KCoreUsersK, KCoreUsersRounds)
+    Tables.events(spark, dir).select(col("user_id")).distinct()
+      .join(coreDeg, col("user_id") === col("node"), "left")
+      .select(col("user_id"),
+        when(col("core_deg").isNotNull, 1L).otherwise(0L).as("in_kcore"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The truncated simultaneous peel over an (a, b) unique-undirected-pair
+    * edge list: up to `maxRounds` rounds, early exit when a round removes
+    * nothing (the identity from then on, so early exit is unobservable).
+    * Returns survivors as (node, core_deg) with core_deg the degree
+    * WITHIN the surviving subgraph. */
+  private[graft] def kcoreTruncatedPeel(pairs: DataFrame, k: Int,
+                                        maxRounds: Int): DataFrame = {
+    // pairs always have a < b (an a<b pair join derives them), so the
     // symmetrized list has no duplicate directed edges and a count(*) per
     // n1 IS the distinct-neighbor degree
-    val bi = e.select(col("a").as("n1"), col("b").as("n2"))
-      .unionAll(e.select(col("b").as("n1"), col("a").as("n2")))
+    val bi = pairs.select(col("a").as("n1"), col("b").as("n2"))
+      .unionAll(pairs.select(col("b").as("n1"), col("a").as("n2")))
       .localCheckpoint() // every peel round joins it twice
     var surv = bi.select(col("n1").as("node")).distinct().localCheckpoint()
     var n = surv.count()
     var round = 0
     var stable = n == 0L
-    while (!stable && round < KCoreUsersRounds) {
+    while (!stable && round < maxRounds) {
       val deg = bi
         .join(surv, col("n1") === col("node")).drop("node")
         .join(surv.select(col("node").as("n2k")), col("n2") === col("n2k"))
         .groupBy(col("n1")).agg(count(lit(1)).as("deg"))
-      val next = deg.filter(col("deg") >= KCoreUsersK)
+      val next = deg.filter(col("deg") >= k)
         .select(col("n1").as("node")).localCheckpoint()
       val m = next.count()
       stable = m == n || m == 0L
@@ -1116,16 +1133,10 @@ object GraphOps {
       surv = next
       round += 1
     }
-    val coreDeg = bi
+    bi
       .join(surv, col("n1") === col("node")).drop("node")
       .join(surv.select(col("node").as("n2k")), col("n2") === col("n2k"))
-      .groupBy(col("n1")).agg(count(lit(1)).as("core_deg"))
-    Tables.events(spark, dir).select(col("user_id")).distinct()
-      .join(coreDeg, col("user_id") === col("n1"), "left")
-      .select(col("user_id"),
-        when(col("core_deg").isNotNull, 1L).otherwise(0L).as("in_kcore"),
-        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
-      .orderBy(col("user_id"))
+      .groupBy(col("n1").as("node")).agg(count(lit(1)).as("core_deg"))
   }
 
   val graphKcoreUsersSql: String = {

@@ -1977,44 +1977,89 @@ object Similarity {
   /** [[knnHammingOf]] generalized to arbitrary depth — the shortlist
     * stage of [[knnHammingRerankOf]] (k = [[K]] reproduces knn_hamming).
     *
-    * Two-phase top-k (the [[graft.operators.TextAnalysis.textNgramTopkOf]]
-    * discipline): a single rank window partitioned by `query_id` would
-    * sort the ENTIRE corpus in one task per query — the single-task-sort
-    * scale killer at 100×. Phase 1 ranks within (query_id,
-    * xxhash64(neighbor_id) % 64) buckets — each neighbor lives in exactly
-    * one bucket, so any global top-k row has at most k−1 rows ordered
-    * above it ANYWHERE (total order by (hamming, neighbor_id)), hence at
-    * most k−1 bucket-mates above it, and provably survives the per-bucket
-    * top-k. Phase 2 ranks the ≤64·k survivors per query — a bounded sort
-    * at any corpus size. Output is identical to the single-window form
-    * because the order key is a deterministic total order. */
+    * Histogram-select-then-rank (r12): Hamming distance over 64-bit codes
+    * has a 65-VALUE domain, so the exact global top-k boundary per query
+    * comes from a combine-heavy (query, hamming) histogram — N·Q scored
+    * rows partial-aggregate to ≤ Q·65 rows, the driver picks per query
+    * the smallest threshold t with cum(count ≤ t) ≥ k, and only rows with
+    * hamming ≤ t (≥ k of them, ≤ k + the boundary bin) ever reach a rank
+    * exchange. Shuffle volume drops from O(N·Q) to O(Q·k): the r11
+    * bucketed two-window form still EXCHANGED every scored row twice, and
+    * at the banded shortlist depths (32000 at 1.2M — more than a 64th of
+    * the corpus) its per-bucket prefix kept everything, measured 84 s vs
+    * 4.4 s for brute float cosine at the 1.2M rung; this form re-times at
+    * seconds (SURVEY §5 r12 ladder). The scored scan runs twice (once
+    * into the histogram, once into the filter) — two codegen'd popcount
+    * passes with zero wide exchange beat materializing N·Q rows at any
+    * scale worth distributing.
+    *
+    * Ranking the ≤ k + boundary-bin survivors keeps the bucketed
+    * two-window discipline (rank within (query, xxhash64(neighbor) % 64)
+    * buckets, then rank the per-bucket top-k prefixes): a degenerate code
+    * distribution can put the WHOLE corpus in the boundary bin (all codes
+    * equidistant from a query), and the bucket phase bounds that case's
+    * largest single-task sort too — each global top-k row has ≤ k−1 rows
+    * anywhere above it in the (hamming, neighbor_id) total order, so the
+    * per-bucket prefix provably contains the global top-k. Output is
+    * byte-identical to the single-window form (deterministic total
+    * order); the selection filter only removes rows strictly below it. */
   private[graft] val HammingBuckets = 64L
 
   private[graft] def knnHammingTopOf(emb: DataFrame, k: Int): DataFrame = {
+    // native pack_signs (functions/PackSigns.scala), NOT a 32-branch
+    // CaseWhen reduce: column pruning collapses this projection above the
+    // candidate×query cross join, so whatever sits here re-evaluates per
+    // PAIR — the CaseWhen form made the histogram pass 67× slower at the
+    // 1.2M rung (SURVEY §5 r12); the fused loop is harmless per-pair
     def packHalf(offset: Int): Column =
-      (0 until 32).map { i =>
-        when(element_at(col("embedding"), offset + i + 1) >= 0, lit(1L << i))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
+      call_function("pack_signs", col("embedding"), lit(offset))
     val packed = emb.select(col("vec_id"),
       packHalf(0).as("lo"), packHalf(32).as("hi"))
     val queries = packed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("lo").as("qlo"), col("hi").as("qhi"))
-    val wBucket = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"), col("bucket"))
-      .orderBy(col("hamming"), col("neighbor_id"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("hamming"), col("neighbor_id"))
-    packed.select(col("vec_id").as("neighbor_id"), col("lo"), col("hi"))
+    val scored = packed.select(col("vec_id").as("neighbor_id"), col("lo"), col("hi"))
       .crossJoin(broadcast(queries))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("hamming",
         (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
           bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("long"))
+    // exact per-query selection threshold from the 65-bin histogram
+    val hist = scored.groupBy(col("query_id"), col("hamming"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val thresholds = hist.groupBy(_._1).map { case (q, bins) =>
+      var cum = 0L
+      var t = 64L
+      val it = bins.sortBy(_._2).iterator
+      var found = false
+      while (it.hasNext && !found) {
+        val (_, h, n) = it.next()
+        cum += n
+        if (cum >= k) { t = h; found = true }
+      }
+      (q, t)
+    }.toSeq
+    if (thresholds.isEmpty) {
+      // no candidates at all (empty corpus): emit the empty result with
+      // the contract schema
+      return scored.select(col("query_id"), lit(0L).as("rank"),
+        col("neighbor_id"), col("hamming")).limit(0)
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val thrDf = thresholds.toDF("query_id", "thr")
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("bucket"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("hamming"), col("neighbor_id"))
+    scored
+      .join(broadcast(thrDf), Seq("query_id"))
+      .filter(col("hamming") <= col("thr"))
       .withColumn("bucket", pmod(xxhash64(col("neighbor_id")), lit(HammingBuckets)))
       .withColumn("brank", row_number().over(wBucket))
       .filter(col("brank") <= k)
-      .drop("bucket", "brank")
+      .drop("bucket", "brank", "thr")
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))

@@ -709,6 +709,43 @@ object ScaleProbe {
     }
   }
 
+  /** Binary-rung ladder (the r11 verdict's ask): knn_hamming /
+    * knn_hamming_rerank recall@5 and end-to-end cost at the pq ladder's
+    * rungs, on the SAME synthetic iid-uniform corpus as [[pqScaleProbe]]
+    * (shared on-disk dirs — an adversarial corpus for sign bits, like for
+    * PQ codes). Sweeps the shortlist around the banded
+    * [[graft.operators.Similarity.rerankFor]] to place the knee. */
+  def hammingProbe(spark: SparkSession,
+                   sizes: Seq[Long] = Seq(200000L, 400000L, 1200000L)): Unit = {
+    import org.apache.spark.sql.functions._
+    val S = graft.operators.Similarity
+    for (n <- sizes) {
+      val dir = sys.props("java.io.tmpdir") + s"/graft_pqscale_$n"
+      val f = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(new org.apache.hadoop.fs.Path(dir + "/embeddings.parquet/_SUCCESS")))
+        spark.range(0, n).select(col("id").as("vec_id"),
+          array((0 until 64).map(i =>
+            sin(col("id") * (i * 37 + 1)).cast("float")): _*).as("embedding"),
+          (col("id") % 16).cast("int").as("label"))
+          .coalesce(8).write.mode("overwrite").parquet(dir + "/embeddings.parquet")
+      val emb = graft.sources.Tables.embeddings(spark, dir)
+      val (brute, tBrute) = probeTimed(probeTop5(S.knnBrute(spark, dir)))
+      val (raw, tRaw) = probeTimed(
+        probeRecallOf(probeTop5(S.knnHammingOf(emb)), brute))
+      println(f"[scale] hamming n=$n%-7d raw(k=5) recall@5=$raw%.2f " +
+        f"($tRaw%5.1f s; brute truth $tBrute%.1f s)")
+      val band = S.rerankFor(n)
+      for (sl <- Seq(band / 4, band, 4 * band).map(s => math.min(s, n.toInt)).distinct) {
+        val (r, t) = probeTimed(
+          probeRecallOf(probeTop5(S.knnHammingRerankOf(emb, sl)), brute))
+        val tag = if (sl == band) "banded" else "sweep "
+        println(f"[scale]   hamming_rr $tag shortlist=$sl%-6d -> " +
+          f"recall@5=$r%.2f ($t%5.1f s)")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val k = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
@@ -810,6 +847,44 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ivfquery1m")) {
       ivfQueryProbe1m(spark)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("hamdebug")) {
+      import org.apache.spark.sql.functions._
+      val n = 1200000L
+      val d = sys.props("java.io.tmpdir") + s"/graft_pqscale_$n"
+      val emb = graft.sources.Tables.embeddings(spark, d)
+      def packHalf(offset: Int): org.apache.spark.sql.Column =
+        (0 until 32).map { i =>
+          when(element_at(col("embedding"), offset + i + 1) >= 0, lit(1L << i))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+      val packed = emb.select(col("vec_id"),
+        packHalf(0).as("lo"), packHalf(32).as("hi"))
+      val queries = packed.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("lo").as("qlo"), col("hi").as("qhi"))
+      val scored = packed.select(col("vec_id").as("neighbor_id"), col("lo"), col("hi"))
+        .crossJoin(broadcast(queries))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("hamming",
+          (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+            bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("long"))
+      val (_, t0) = probeTimed(emb.count())
+      val (_, t1) = probeTimed(packed.count())
+      val (_, t1b) = probeTimed(packed.agg(sum(col("lo"))).collect())
+      val (_, t2) = probeTimed(scored.count())
+      val (_, t3) = probeTimed(scored.groupBy(col("query_id"), col("hamming"))
+        .agg(count(lit(1))).collect())
+      println(f"[scale] hamdebug scan=$t0%.1f pack_count=$t1%.1f pack_eval=$t1b%.1f scored=$t2%.1f hist=$t3%.1f")
+      scored.groupBy(col("query_id"), col("hamming")).agg(count(lit(1))).explain("formatted")
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("hamming")) {
+      val sizes = args.drop(1).filter(_.forall(_.isDigit)).map(_.toLong)
+      if (sizes.nonEmpty) hammingProbe(spark, sizes.toIndexedSeq)
+      else hammingProbe(spark)
       spark.stop()
       return
     }

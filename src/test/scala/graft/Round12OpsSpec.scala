@@ -1,0 +1,263 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 contracts: the truncated k-core peel (graph_kcore_users), the
+  * registry change history, and the three new oracle twins' replayable
+  * arithmetic (integer LSH family, seed-argmax cluster assignment). */
+class Round12OpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- k-core
+
+  /** Reference implementation of the truncated simultaneous peel. */
+  private def peelRef(pairs: Seq[(Long, Long)], k: Int,
+                      maxRounds: Int): Map[Long, Int] = {
+    val adj = pairs.flatMap(p => Seq(p, p.swap))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    var surv = adj.keySet
+    var round = 0
+    var stable = surv.isEmpty
+    while (!stable && round < maxRounds) {
+      val next = surv.filter(u => (adj(u) & surv).size >= k)
+      stable = next == surv || next.isEmpty
+      surv = next
+      round += 1
+    }
+    surv.map(u => u -> (adj(u) & surv).size).toMap
+  }
+
+  private def peelOf(pairs: Seq[(Long, Long)], k: Int,
+                     maxRounds: Int): Map[Long, Int] =
+    graft.operators.GraphOps.kcoreTruncatedPeel(
+        pairs.toDF("a", "b"), k, maxRounds)
+      .collect().map(r => r.getAs[Long]("node") ->
+        r.getAs[Long]("core_deg").toInt).toMap
+
+  test("kcoreTruncatedPeel: clique survives, tail peels, core degrees exact") {
+    // 5-clique (nodes 0..4) + a path tail 4-10-11-12: at k=3 only the
+    // clique survives; every clique node keeps in-core degree 4
+    val clique = for (i <- 0L until 5L; j <- (i + 1) until 5L) yield (i, j)
+    val tail = Seq((4L, 10L), (10L, 11L), (11L, 12L))
+    val got = peelOf(clique ++ tail, k = 3, maxRounds = 16)
+    assert(got == (0L until 5L).map(_ -> 4).toMap, s"got $got")
+  }
+
+  test("kcoreTruncatedPeel: truncation IS the contract past the round bound") {
+    // a 40-node path at k=2 peels two endpoints per round: the true
+    // 2-core is empty but needs 20 rounds — at maxRounds=16 both the
+    // operator and the reference must stop at the SAME intermediate
+    // subgraph (rounds 17+ are what the unrolled-CTE oracle would also
+    // not run). Early-exit must remain unobservable: a converged graph
+    // (the clique above) returns the same answer at any larger bound.
+    val path = (0L until 39L).map(i => (i, i + 1))
+    val ref = peelRef(path, k = 2, maxRounds = 16)
+    assert(ref.nonEmpty, "sanity: 16 rounds must NOT reach the empty fixpoint")
+    assert(peelOf(path, k = 2, maxRounds = 16) == ref)
+    val clique = for (i <- 0L until 4L; j <- (i + 1) until 4L) yield (i, j)
+    assert(peelOf(clique, k = 3, maxRounds = 16) ==
+      peelOf(clique, k = 3, maxRounds = 64))
+  }
+
+  test("graph_kcore_users equals a driver-side peel over the persisted edge artifact") {
+    val dir = "/root/testdata/sf0.001"
+    val edges = graft.operators.GraphOps.coActivityEdges(spark, dir)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSeq
+    val ref = peelRef(edges, graft.operators.GraphOps.KCoreUsersK,
+      graft.operators.GraphOps.KCoreUsersRounds)
+    val got = graft.operators.GraphOps.graphKcoreUsers(spark, dir)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("in_kcore"), r.getAs[Long]("core_deg")))
+    got.foreach { case (u, in, cd) =>
+      assert(in == (if (ref.contains(u)) 1L else 0L), s"user $u in_kcore")
+      assert(cd == ref.getOrElse(u, 0).toLong, s"user $u core_deg")
+    }
+    // every distinct events user gets a row, core members included
+    assert(got.map(_._1).distinct.length == got.length)
+  }
+
+  // ------------------------------------------------------ registry history
+
+  test("registry_history: attributed change log over persisted dumps") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.operators.FeatureOps.registryHistory(spark, dir)
+      .collect().map(r => (r.getAs[Long]("version"), r.getAs[String]("author"),
+        r.getAs[String]("table_name"), r.getAs[String]("feature"),
+        r.getAs[String]("status")))
+    val want = Seq(
+      (2L, "bob", "customer_profile", "c_acctbal", "TYPE_CHANGED"),
+      (2L, "bob", "user_activity", "event_type", "REMOVED"),
+      (2L, "bob", "user_activity", "session_len", "ADDED"),
+      (2L, "bob", "user_activity", "value", "MAX_AGE_CHANGED"),
+      (3L, "carol", "customer_profile", "c_acctbal", "REMOVED"),
+      (3L, "carol", "customer_profile", "c_mktsegment", "REMOVED"),
+      (3L, "carol", "user_activity", "value", "TYPE_CHANGED"))
+    assert(got.toSeq == want, s"got ${got.toSeq}")
+  }
+
+  test("registry_history over persisted dumps equals in-memory diffs (lossless save/load)") {
+    val dir = "/root/testdata/sf0.001"
+    val fo = graft.operators.FeatureOps
+    val inMem = Seq(
+      (2L, "bob", graft.model.Registry.demo(dir), fo.demoEvolved(dir)),
+      (3L, "carol", fo.demoEvolved(dir), fo.demoEvolvedV3(dir)))
+      .map { case (v, a, prev, next) =>
+        fo.registryDiffOf(prev.toDF(spark), next.toDF(spark))
+          .filter(col("status") =!= "UNCHANGED")
+          .select(lit(v).as("version"), lit(a).as("author"), col("*"))
+      }.reduce(_ unionByName _)
+      .orderBy(col("version"), col("project"), col("table_name"), col("feature"))
+      .collect().toSeq
+    val persisted = fo.registryHistory(spark, dir).collect().toSeq
+    assert(persisted == inMem)
+  }
+
+  // ------------------------------------------------------------- LSH twins
+
+  private def quantize(v: Seq[Float]): IndexedSeq[Long] =
+    v.map(x => math.round(x.toDouble * 1000)).toIndexedSeq
+
+  private def intPlaneRef(p: Int): IndexedSeq[Long] =
+    (0 until 64).map { d =>
+      val x = (p * 1315423911L + d * 2654435761L + 97531L) & 0xffffffffL
+      (x % 2001L) - 1000L
+    }
+
+  private def bucketRef(qv: IndexedSeq[Long], planeOffset: Int): Long =
+    (0 until 4).map { p =>
+      val qp = intPlaneRef(planeOffset + p)
+      val dot = (0 until 64).map(d => qv(d) * qp(d)).sum
+      if (dot > 0) 1L << p else 0L
+    }.sum
+
+  private def cosRef(a: IndexedSeq[Long], b: IndexedSeq[Long]): BigDecimal = {
+    val dot = (0 until a.size).map(d => a(d) * b(d)).sum
+    val den = math.sqrt(math.max(
+      a.map(x => x * x).sum.toDouble * b.map(x => x * x).sum.toDouble, 1.0))
+    BigDecimal(dot.toDouble / den).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+  }
+
+  /** The integer planes are the exact ×1000 copy of the float LCG family —
+    * the claim the twins' engine-neutrality rests on. */
+  test("integer LSH planes are the exact x1000 copy of the float family") {
+    for (p <- 0 until 12; d <- 0 until 64) {
+      val x = (p * 1315423911L + d * 2654435761L + 97531L) & 0xffffffffL
+      val floatPlane = (x % 2001L).toDouble / 1000.0 - 1.0
+      assert(intPlaneRef(p)(d) == math.round(floatPlane * 1000.0),
+        s"plane $p dim $d")
+    }
+  }
+
+  test("pack_signs equals the CaseWhen column form it replaced (nulls, short arrays)") {
+    val rows = Seq(
+      (1L, Seq.tabulate(64)(i => if (i % 3 == 0) -1.0f else 0.5f)),
+      (2L, Seq.tabulate(64)(i => if (i % 2 == 0) 1.0f else -2.0f)),
+      (3L, Seq.fill(64)(0.0f)) // >= 0 everywhere: all bits set
+    ).toDF("vec_id", "embedding")
+    def caseForm(offset: Int) =
+      (0 until 32).map { i =>
+        when(element_at(col("embedding"), offset + i + 1) >= 0, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    val got = rows.select(col("vec_id"),
+      call_function("pack_signs", col("embedding"), lit(0)).as("lo"),
+      call_function("pack_signs", col("embedding"), lit(32)).as("hi"),
+      caseForm(0).as("elo"), caseForm(32).as("ehi")).collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("lo") == r.getAs[Long]("elo"), s"lo vec ${r.getLong(0)}")
+      assert(r.getAs[Long]("hi") == r.getAs[Long]("ehi"), s"hi vec ${r.getLong(0)}")
+    }
+    // NULL vector -> NULL (the column form's element_at(null) path differs;
+    // a null VECTOR never reaches packing in production — queries filter it)
+    val nullRow = spark.sql(
+      "SELECT pack_signs(CAST(NULL AS ARRAY<FLOAT>), 0) AS p").collect().head
+    assert(nullRow.isNullAt(0))
+    // SHORT array (ANSI element_at would throw; the native form reads it
+    // as the column form would with null-safe access): missing elements
+    // contribute 0 bits — vec of 40 elems, elems 20..39 are >= 0
+    val short = Seq((4L, Seq.tabulate(40)(i => i.toFloat - 20f)))
+      .toDF("vec_id", "embedding")
+      .select(call_function("pack_signs", col("embedding"), lit(0)).as("lo"),
+        call_function("pack_signs", col("embedding"), lit(32)).as("hi"))
+      .collect().head
+    assert(short.getAs[Long]("lo") == 0xFFF00000L, f"lo=${short.getLong(0)}%x")
+    assert(short.getAs[Long]("hi") == 0xFFL, f"hi=${short.getLong(1)}%x")
+  }
+
+  test("dedup_embed_lsh_oracle equals a full driver-side replay of the pipeline") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        quantize(r.getSeq[Float](1))).toIndexedSeq.sortBy(_._1)
+    val buckets = (0 until 3).map(t =>
+      emb.map { case (id, qv) => id -> bucketRef(qv, t * 4) }.toMap)
+    def near(t: Int, a: Long, b: Long): Boolean =
+      java.lang.Long.bitCount(buckets(t)(a) ^ buckets(t)(b)) <= 1
+    val byId = emb.toMap
+    val want = (for {
+      i <- emb.indices; j <- (i + 1) until emb.size
+      a = emb(i)._1; b = emb(j)._1
+      if (0 until 3).exists(t => near(t, a, b))
+      c = cosRef(byId(a), byId(b)) if c > BigDecimal("0.35")
+    } yield (a, b, c)).toSet
+    val got = graft.operators.OracleVariants.dedupEmbedLshOracle(spark, dir)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        BigDecimal(r.getAs[Double]("cos")).setScale(4, BigDecimal.RoundingMode.HALF_UP))).toSet
+    assert(got == want,
+      s"only-got ${(got -- want).take(3)} only-want ${(want -- got).take(3)}")
+  }
+
+  test("knn_lsh_oracle ranks exactly the quantized top-5 of each query's probed buckets") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> quantize(r.getSeq[Float](1)))
+      .toIndexedSeq.sortBy(_._1)
+    val bucket = emb.map { case (id, qv) => id -> bucketRef(qv, 0) }.toMap
+    val byId = emb.toMap
+    val want = emb.filter(_._1 < 10).flatMap { case (q, qv) =>
+      val probes = Set(bucket(q)) ++ (0 until 4).map(p => bucket(q) ^ (1L << p))
+      emb.filter { case (c, _) => c != q && probes.contains(bucket(c)) }
+        .map { case (c, cv) => (c, cosRef(qv, cv)) }
+        .sortBy { case (c, cos) => (-cos, c) }.take(5)
+        .zipWithIndex.map { case ((c, cos), i) => (q, (i + 1).toLong, c, cos) }
+    }.toSet
+    val got = graft.operators.OracleVariants.knnLshOracle(spark, dir)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"),
+        BigDecimal(r.getAs[Double]("cos")).setScale(4, BigDecimal.RoundingMode.HALF_UP))).toSet
+    assert(got == want,
+      s"only-got ${(got -- want).take(3)} only-want ${(want -- got).take(3)}")
+  }
+
+  test("cluster-topics twin assigns every vector to its argmax seed, ties to smallest") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> quantize(r.getSeq[Float](1)))
+      .toIndexedSeq.sortBy(_._1)
+    // the engine-portable hash's exact constants live in TextAnalysis —
+    // read them back through the SQL fragment to avoid drift
+    val frag = graft.operators.TextAnalysis.idHashSql("x")
+    val nums = "\\d+".r.findAllIn(frag).map(_.toLong).toSeq
+    val (ha, hp, hb) = (nums(0), nums(1), nums(2))
+    def idHash(id: Long): Long = (ha * (id % hp) + hb) % hp
+    val seeds = emb.map { case (id, _) => id }
+      .sortBy(id => (idHash(id), id)).take(16)
+    val byId = emb.toMap
+    def cosD(a: IndexedSeq[Long], b: IndexedSeq[Long]): Double = {
+      val dot = (0 until a.size).map(d => a(d) * b(d)).sum
+      dot.toDouble / math.sqrt(math.max(
+        a.map(x => x * x).sum.toDouble * b.map(x => x * x).sum.toDouble, 1.0))
+    }
+    val want = emb.map { case (id, qv) =>
+      id -> seeds.map(s => (s, cosD(qv, byId(s))))
+        .sortBy { case (s, c) => (-c, s) }.head._1
+    }.toMap
+    val got = graft.operators.CorpusStats.clusterTopicsOracleCells(spark, dir)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    assert(got == want,
+      s"diverging assignments: ${(got.toSet -- want.toSet).take(5)}")
+  }
+}
