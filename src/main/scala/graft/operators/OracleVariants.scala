@@ -1110,7 +1110,232 @@ object OracleVariants {
       |SELECT id_a, id_b, cos FROM pairs WHERE cos > 0.35 ORDER BY 1, 2""".stripMargin
   }
 
+  // ------------------------------------------------ IVF / PQ plumbing twins
+
+  /** The 16 idHash-smallest vectors as quantized seed "centroids" —
+    * the deterministic stand-in for the trained float quantizer that the
+    * IVF/cluster twins share (corpus_cluster_topics_oracle uses the same
+    * seeds, so the two twins cross-check each other's assignment). */
+  private def seedCentroidsDf(spark: SparkSession, dir: String, n: Int): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("seed_id"), quant(col("embedding")).as("sv"),
+        TextAnalysis.idHash(col("vec_id")).as("h"))
+      .orderBy(col("h"), col("seed_id")).limit(n)
+      .select(col("seed_id"), col("sv"))
+
+  private def seedSqlCte(n: Int): String =
+    s"""e AS MATERIALIZED (
+      |  SELECT vec_id, $quantSql AS qv FROM embeddings
+      |), sd AS MATERIALIZED (
+      |  SELECT seed_id, sv FROM (
+      |    SELECT vec_id AS seed_id, qv AS sv,
+      |      row_number() OVER (
+      |        ORDER BY ${TextAnalysis.idHashSql("vec_id")}, vec_id) AS rn
+      |    FROM e) WHERE rn <= $n
+      |)""".stripMargin
+
+  private val qcosSql =
+    """list_sum(list_transform(range(1, len(%s) + 1), i -> %s[i]*%s[i]))::DOUBLE
+      |      / sqrt(greatest(
+      |          list_sum(list_transform(%s, x -> x*x))::DOUBLE
+      |          * list_sum(list_transform(%s, x -> x*x))::DOUBLE, 1.0))""".stripMargin
+
+  private def qcos(a: String, b: String): String =
+    qcosSql.format(a, a, b, a, b)
+
+  /** DuckDB-provable twin of `knn_ivf`'s LOGICAL pipeline: assignment of
+    * every vector to its argmax seed centroid, per-query selection of the
+    * nprobe (fixed 4 of 16) most-similar cells, candidacy RESTRICTED to
+    * the probed cells, and ranking/tie-break within them — the whole IVF
+    * semantics except the trained float quantizer and the physical
+    * partition-pruned index scan (which the plan pins and the 1.2M probes
+    * measure). All argmax/rank comparisons run on quantized-cosine values
+    * (exact integer dot/norms, one IEEE division + sqrt), ties to the
+    * smallest seed/neighbor id. */
+  def knnIvfOracle(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quant(col("embedding")).as("qv"))
+    val seeds = seedCentroidsDf(spark, dir, 16)
+    val asg = emb.crossJoin(broadcast(seeds))
+      .withColumn("cos", call_function("quantized_cosine", col("qv"), col("sv")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos").as("c"), (-col("seed_id")).as("ns"))).as("m"))
+      .select(col("vec_id").as("neighbor_id"), (-col("m.ns")).as("cell"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("pcos").desc, col("seed_id"))
+    val probes = q.crossJoin(broadcast(seeds))
+      .withColumn("pcos", call_function("quantized_cosine", col("qqv"), col("sv")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= 4)
+      .select(col("query_id"), col("seed_id").as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    asg.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("qv").as("cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos",
+        round(call_function("quantized_cosine", col("cv"), col("qqv")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val knnIvfOracleSql: String =
+    s"""WITH ${seedSqlCte(16)}, asg AS MATERIALIZED (
+      |  SELECT vec_id AS neighbor_id, cell FROM (
+      |    SELECT e.vec_id, sd.seed_id AS cell,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${qcos("e.qv", "sd.sv")} DESC, sd.seed_id) AS rn
+      |    FROM e CROSS JOIN sd) WHERE rn = 1
+      |), q AS (
+      |  SELECT vec_id AS query_id, qv AS qqv FROM e WHERE vec_id < 10
+      |), probes AS MATERIALIZED (
+      |  SELECT query_id, cell FROM (
+      |    SELECT q.query_id, sd.seed_id AS cell,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY ${qcos("q.qqv", "sd.sv")} DESC, sd.seed_id) AS rn
+      |    FROM q CROSS JOIN sd) WHERE rn <= 4
+      |), r AS (
+      |  SELECT p.query_id, a.neighbor_id,
+      |    round(${qcos("c.qv", "q.qqv")}, 4) AS cos
+      |  FROM probes p
+      |  JOIN asg a USING (cell)
+      |  JOIN e c ON c.vec_id = a.neighbor_id
+      |  JOIN q ON q.query_id = p.query_id
+      |  WHERE a.neighbor_id <> p.query_id
+      |), rk AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank"
+      |  FROM r
+      |)
+      |SELECT query_id, "rank", neighbor_id, cos FROM rk
+      |WHERE "rank" <= $K ORDER BY query_id, "rank"""".stripMargin
+
+  /** DuckDB-provable twin of `knn_pq`'s LOGICAL pipeline — product
+    * quantization on exact integers: 4 subspaces × 16 dims, codebook =
+    * the 4 idHash-smallest seeds' quantized subvectors per subspace,
+    * encode = per-(vector, subspace) argmin integer squared distance
+    * (ties to the smallest code), ADC = the real lookup-table structure
+    * (a Q×4×4 query-to-codeword distance table joined onto the codes and
+    * summed — every value an exact BIGINT), shortlist = top-62 by
+    * (adc asc, neighbor_id) (the fixed gate-band depth, like the hamming
+    * twin), exact rerank = quantized cosine. Pins encode argmin, ADC
+    * additivity, shortlist depth/tie-break, and the rerank join
+    * cross-engine; what stays rows-only in knn_pq is ONLY the trained
+    * float codebooks/rotation. */
+  def knnPqOracle(spark: SparkSession, dir: String): DataFrame = {
+    val nSub = 4
+    val subDim = 16
+    // (vec_id, s, vsub): quantized subvectors, sliced off the RAW column
+    val subbed = Tables.embeddings(spark, dir).select(col("vec_id"),
+      posexplode(array((0 until nSub).map(s =>
+        quant(slice(col("embedding"), s * subDim + 1, subDim))): _*))
+        .as(Seq("s", "vsub")))
+    val cb = seedCentroidsDf(spark, dir, nSub)
+      .select(col("seed_id"), posexplode(array((0 until nSub).map(s =>
+        slice(col("sv"), s * subDim + 1, subDim)): _*)).as(Seq("s", "cw")))
+      .withColumn("c", col("seed_id"))
+      .select(col("s"), col("c"), col("cw"))
+    val sqd = aggregate(
+      zip_with(col("vsub"), col("cw"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    // encode: per (vector, subspace) argmin over the 4 codewords
+    val codes = subbed.join(broadcast(cb), Seq("s"))
+      .withColumn("sqd", sqd)
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("sqd").as("d"), col("c").as("c"))).as("m"))
+      .select(col("vec_id").as("neighbor_id"), col("s"), col("m.c").as("code"))
+    // query-to-codeword ADC tables: Q×4×4 rows, broadcast
+    val qsub = subbed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("s"), col("vsub").as("qsub"))
+    val qd = qsub.join(cb, Seq("s"))
+      .withColumn("qdist", aggregate(
+        zip_with(col("qsub"), col("cw"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("query_id"), col("s"), col("c").as("code"), col("qdist"))
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
+    val short = codes.join(broadcast(qd), Seq("s", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qdist")).as("adc"))
+      .withColumn("sr", row_number().over(wShort))
+      .filter(col("sr") <= 62)
+      .select(col("query_id"), col("neighbor_id"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quant(col("embedding")).as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    short
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("qv").as("cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("qv").as("qqv"))),
+        Seq("query_id"))
+      .withColumn("cos",
+        round(call_function("quantized_cosine", col("cv"), col("qqv")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val knnPqOracleSql: String = {
+    val sqdSql = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1, len($a) + 1), i -> ($a[i]-$b[i])*($a[i]-$b[i])))::BIGINT"
+    s"""WITH ${seedSqlCte(4)}, subs AS (
+      |  SELECT unnest([0, 1, 2, 3]) AS s
+      |), subbed AS MATERIALIZED (
+      |  SELECT vec_id, s, list_slice(qv, s*16 + 1, s*16 + 16) AS vsub
+      |  FROM e CROSS JOIN subs
+      |), cb AS MATERIALIZED (
+      |  SELECT s, seed_id AS code, list_slice(sv, s*16 + 1, s*16 + 16) AS cw
+      |  FROM sd CROSS JOIN subs
+      |), codes AS MATERIALIZED (
+      |  SELECT vec_id AS neighbor_id, s, code FROM (
+      |    SELECT sb.vec_id, sb.s, cb.code,
+      |      row_number() OVER (PARTITION BY sb.vec_id, sb.s
+      |        ORDER BY ${sqdSql("sb.vsub", "cb.cw")}, cb.code) AS rn
+      |    FROM subbed sb JOIN cb USING (s)) WHERE rn = 1
+      |), qd AS MATERIALIZED (
+      |  SELECT sb.vec_id AS query_id, sb.s, cb.code,
+      |    ${sqdSql("sb.vsub", "cb.cw")} AS qdist
+      |  FROM subbed sb JOIN cb USING (s) WHERE sb.vec_id < 10
+      |), short AS MATERIALIZED (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT a.query_id, a.neighbor_id,
+      |      row_number() OVER (PARTITION BY a.query_id
+      |        ORDER BY a.adc, a.neighbor_id) AS sr
+      |    FROM (
+      |      SELECT q.query_id, c.neighbor_id, CAST(sum(q.qdist) AS BIGINT) AS adc
+      |      FROM codes c JOIN qd q USING (s, code)
+      |      WHERE c.neighbor_id <> q.query_id
+      |      GROUP BY 1, 2) a) WHERE sr <= 62
+      |), r AS (
+      |  SELECT s2.query_id, s2.neighbor_id,
+      |    round(${qcos("c.qv", "q2.qv")}, 4) AS cos
+      |  FROM short s2
+      |  JOIN e c ON c.vec_id = s2.neighbor_id
+      |  JOIN e q2 ON q2.vec_id = s2.query_id
+      |), rk AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank"
+      |  FROM r
+      |)
+      |SELECT query_id, "rank", neighbor_id, cos FROM rk
+      |WHERE "rank" <= $K ORDER BY query_id, "rank"""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_ivf_oracle" -> (knnIvfOracle _),
+    "knn_pq_oracle" -> (knnPqOracle _),
     "knn_lsh_oracle" -> (knnLshOracle _),
     "dedup_embed_lsh_oracle" -> (dedupEmbedLshOracle _),
     "knn_hamming_rerank_oracle" -> (knnHammingRerankOracle _),
@@ -1129,6 +1354,8 @@ object OracleVariants {
     "knn_filtered_oracle" -> (knnFilteredOracle _))
 
   val oracle: Map[String, String] = Map(
+    "knn_ivf_oracle" -> knnIvfOracleSql,
+    "knn_pq_oracle" -> knnPqOracleSql,
     "knn_lsh_oracle" -> knnLshOracleSql,
     "dedup_embed_lsh_oracle" -> dedupEmbedLshOracleSql,
     "knn_hamming_rerank_oracle" -> knnHammingRerankOracleSql,

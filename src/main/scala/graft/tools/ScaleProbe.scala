@@ -850,37 +850,6 @@ object ScaleProbe {
       spark.stop()
       return
     }
-    if (args.headOption.contains("hamdebug")) {
-      import org.apache.spark.sql.functions._
-      val n = 1200000L
-      val d = sys.props("java.io.tmpdir") + s"/graft_pqscale_$n"
-      val emb = graft.sources.Tables.embeddings(spark, d)
-      def packHalf(offset: Int): org.apache.spark.sql.Column =
-        (0 until 32).map { i =>
-          when(element_at(col("embedding"), offset + i + 1) >= 0, lit(1L << i))
-            .otherwise(lit(0L))
-        }.reduce(_ + _)
-      val packed = emb.select(col("vec_id"),
-        packHalf(0).as("lo"), packHalf(32).as("hi"))
-      val queries = packed.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("lo").as("qlo"), col("hi").as("qhi"))
-      val scored = packed.select(col("vec_id").as("neighbor_id"), col("lo"), col("hi"))
-        .crossJoin(broadcast(queries))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("hamming",
-          (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
-            bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("long"))
-      val (_, t0) = probeTimed(emb.count())
-      val (_, t1) = probeTimed(packed.count())
-      val (_, t1b) = probeTimed(packed.agg(sum(col("lo"))).collect())
-      val (_, t2) = probeTimed(scored.count())
-      val (_, t3) = probeTimed(scored.groupBy(col("query_id"), col("hamming"))
-        .agg(count(lit(1))).collect())
-      println(f"[scale] hamdebug scan=$t0%.1f pack_count=$t1%.1f pack_eval=$t1b%.1f scored=$t2%.1f hist=$t3%.1f")
-      scored.groupBy(col("query_id"), col("hamming")).agg(count(lit(1))).explain("formatted")
-      spark.stop()
-      return
-    }
     if (args.headOption.contains("hamming")) {
       val sizes = args.drop(1).filter(_.forall(_.isDigit)).map(_.toLong)
       if (sizes.nonEmpty) hammingProbe(spark, sizes.toIndexedSeq)

@@ -231,6 +231,80 @@ class Round12OpsSpec extends SparkSpecBase {
       s"only-got ${(got -- want).take(3)} only-want ${(want -- got).take(3)}")
   }
 
+  test("knn_ivf_oracle: candidates come ONLY from the 4 probed cells; ranks replay") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> quantize(r.getSeq[Float](1)))
+      .toIndexedSeq.sortBy(_._1)
+    val frag = graft.operators.TextAnalysis.idHashSql("x")
+    val nums = "\\d+".r.findAllIn(frag).map(_.toLong).toSeq
+    def idHash(id: Long): Long = (nums(0) * (id % nums(1)) + nums(2)) % nums(1)
+    val seeds = emb.map(_._1).sortBy(id => (idHash(id), id)).take(16)
+    val byId = emb.toMap
+    def cosD(a: IndexedSeq[Long], b: IndexedSeq[Long]): Double = {
+      val dot = a.indices.map(d => a(d) * b(d)).sum
+      dot.toDouble / math.sqrt(math.max(
+        a.map(x => x * x).sum.toDouble * b.map(x => x * x).sum.toDouble, 1.0))
+    }
+    val cellOf = emb.map { case (id, qv) =>
+      id -> seeds.map(s => (s, cosD(qv, byId(s))))
+        .sortBy { case (s, c) => (-c, s) }.head._1
+    }.toMap
+    val want = emb.filter(_._1 < 10).flatMap { case (q, qv) =>
+      val probed = seeds.map(s => (s, cosD(qv, byId(s))))
+        .sortBy { case (s, c) => (-c, s) }.take(4).map(_._1).toSet
+      emb.filter { case (c, _) => c != q && probed.contains(cellOf(c)) }
+        .map { case (c, cv) => (c, cosRef(qv, cv)) }
+        .sortBy { case (c, cos) => (-cos, c) }.take(5)
+        .zipWithIndex.map { case ((c, cos), i) => (q, (i + 1).toLong, c, cos) }
+    }.toSet
+    val got = graft.operators.OracleVariants.knnIvfOracle(spark, dir)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"),
+        BigDecimal(r.getAs[Double]("cos")).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    assert(got == want,
+      s"only-got ${(got -- want).take(3)} only-want ${(want -- got).take(3)}")
+  }
+
+  test("knn_pq_oracle: integer encode argmin and ADC additivity replay driver-side") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> quantize(r.getSeq[Float](1)))
+      .toIndexedSeq.sortBy(_._1)
+    val frag = graft.operators.TextAnalysis.idHashSql("x")
+    val nums = "\\d+".r.findAllIn(frag).map(_.toLong).toSeq
+    def idHash(id: Long): Long = (nums(0) * (id % nums(1)) + nums(2)) % nums(1)
+    val seeds = emb.map(_._1).sortBy(id => (idHash(id), id)).take(4)
+    val byId = emb.toMap
+    def sub(v: IndexedSeq[Long], s: Int): IndexedSeq[Long] = v.slice(s * 16, s * 16 + 16)
+    def sqd(a: IndexedSeq[Long], b: IndexedSeq[Long]): Long =
+      a.indices.map(i => { val d = a(i) - b(i); d * d }).sum
+    def codeOf(v: IndexedSeq[Long], s: Int): Long =
+      seeds.map(c => (c, sqd(sub(v, s), sub(byId(c), s))))
+        .sortBy { case (c, d) => (d, c) }.head._1
+    def adc(q: IndexedSeq[Long], v: IndexedSeq[Long]): Long =
+      (0 until 4).map(s => sqd(sub(q, s), sub(byId(codeOf(v, s)), s))).sum
+    // shortlist: top-62 by (adc, id), then rerank by quantized cosine
+    val want = emb.filter(_._1 < 10).flatMap { case (q, qv) =>
+      val shortlist = emb.filter(_._1 != q)
+        .map { case (c, cv) => (c, adc(qv, cv)) }
+        .sortBy { case (c, d) => (d, c) }.take(62).map(_._1)
+      shortlist.map(c => (c, cosRef(qv, byId(c))))
+        .sortBy { case (c, cos) => (-cos, c) }.take(5)
+        .zipWithIndex.map { case ((c, cos), i) => (q, (i + 1).toLong, c, cos) }
+    }.toSet
+    val got = graft.operators.OracleVariants.knnPqOracle(spark, dir)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"),
+        BigDecimal(r.getAs[Double]("cos")).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    assert(got == want,
+      s"only-got ${(got -- want).take(3)} only-want ${(want -- got).take(3)}")
+  }
+
   test("cluster-topics twin assigns every vector to its argmax seed, ties to smallest") {
     val dir = "/root/testdata/sf0.001"
     val emb = graft.sources.Tables.embeddings(spark, dir)
