@@ -26,7 +26,8 @@ object Bench {
     "knn_filtered_oracle", "embed_hard_negatives_oracle",
     "knn_matryoshka_oracle", "knn_hamming_rerank_oracle",
     "knn_lsh_oracle", "dedup_embed_lsh_oracle",
-    "corpus_cluster_topics_oracle", "knn_ivf_oracle", "knn_pq_oracle")
+    "corpus_cluster_topics_oracle", "knn_ivf_oracle", "knn_pq_oracle",
+    "knn_graph_oracle", "embed_clusters_oracle", "knn_ivfpq_oracle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

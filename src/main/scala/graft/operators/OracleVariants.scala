@@ -1333,9 +1333,279 @@ object OracleVariants {
       |WHERE "rank" <= $K ORDER BY query_id, "rank"""".stripMargin
   }
 
+  /** DuckDB-provable twin of `knn_graph`'s LOGICAL pipeline: every vector
+    * is a source, probes its top-2 seed cells, pairs form against
+    * candidates' HOME cells (each pair in exactly one block — a dst's
+    * home cell is unique, the production dedup-free argument), and each
+    * source keeps its top-3 by quantized cosine with the production
+    * e4 output scaling and tie-breaks. Pins the all-corpus graph-build
+    * plumbing; rows-only knn_graph keeps only the trained float
+    * quantizer + float cosine. */
+  def knnGraphOracle(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quant(col("embedding")).as("qv"))
+    val seeds = seedCentroidsDf(spark, dir, 16)
+    val asg = emb.crossJoin(broadcast(seeds))
+      .withColumn("cos", call_function("quantized_cosine", col("qv"), col("sv")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos").as("c"), (-col("seed_id")).as("ns"))).as("m"))
+      .select(col("vec_id").as("dst_id"), (-col("m.ns")).as("cell"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_id")).orderBy(col("pcos").desc, col("seed_id"))
+    val probes = emb.select(col("vec_id").as("src_id"), col("qv").as("sqv"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("pcos", call_function("quantized_cosine", col("sqv"), col("sv")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= 2)
+      .select(col("src_id"), col("seed_id").as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_id")).orderBy(col("csim").desc, col("dst_id"))
+    probes.join(asg, Seq("cell"))
+      .filter(col("src_id") =!= col("dst_id"))
+      .join(emb.select(col("vec_id").as("src_id"), col("qv").as("sqv")), Seq("src_id"))
+      .join(emb.select(col("vec_id").as("dst_id"), col("qv").as("dqv")), Seq("dst_id"))
+      .withColumn("csim",
+        round(call_function("quantized_cosine", col("sqv"), col("dqv")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("src_id"), col("rank"), col("dst_id"),
+        round(col("csim") * 10000).cast("long").as("csim_e4"))
+      .orderBy(col("src_id"), col("rank"))
+  }
+
+  /** The twin graph as SQL CTEs ending in `gk(src_id, rank, dst_id,
+    * csim_e4)` — shared by knn_graph_oracle and embed_clusters_oracle. */
+  private def knnGraphSqlCtes: String =
+    s"""${seedSqlCte(16)}, asg AS MATERIALIZED (
+      |  SELECT vec_id AS dst_id, cell FROM (
+      |    SELECT e.vec_id, sd.seed_id AS cell,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${qcos("e.qv", "sd.sv")} DESC, sd.seed_id) AS rn
+      |    FROM e CROSS JOIN sd) WHERE rn = 1
+      |), probes AS MATERIALIZED (
+      |  SELECT src_id, cell FROM (
+      |    SELECT e.vec_id AS src_id, sd.seed_id AS cell,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${qcos("e.qv", "sd.sv")} DESC, sd.seed_id) AS rn
+      |    FROM e CROSS JOIN sd) WHERE rn <= 2
+      |), gp AS (
+      |  SELECT p.src_id, a.dst_id,
+      |    round(${qcos("s.qv", "d.qv")}, 4) AS csim
+      |  FROM probes p
+      |  JOIN asg a USING (cell)
+      |  JOIN e s ON s.vec_id = p.src_id
+      |  JOIN e d ON d.vec_id = a.dst_id
+      |  WHERE a.dst_id <> p.src_id
+      |), gk AS MATERIALIZED (
+      |  SELECT src_id, CAST(rnk AS BIGINT) AS "rank", dst_id,
+      |    CAST(round(csim * 10000, 0) AS BIGINT) AS csim_e4
+      |  FROM (
+      |    SELECT src_id, dst_id, csim,
+      |      row_number() OVER (PARTITION BY src_id
+      |        ORDER BY csim DESC, dst_id) AS rnk
+      |    FROM gp) WHERE rnk <= 3
+      |)""".stripMargin
+
+  val knnGraphOracleSql: String =
+    s"""WITH $knnGraphSqlCtes
+      |SELECT src_id, "rank", dst_id, csim_e4 FROM gk
+      |ORDER BY src_id, "rank"""".stripMargin
+
+  /** DuckDB-provable twin of `embed_clusters`: connected components over
+    * the twin kNN graph's csim ≥ 0.35 edges, min-id labels, keep = the
+    * component-min member, singletons keep themselves — the SAME
+    * [[graft.operators.Components]] fixpoint the production op runs
+    * (star contraction) cross-proven against DuckDB's recursive-CTE
+    * transitive closure, the graph_components discipline. */
+  def embedClustersOracle(spark: SparkSession, dir: String): DataFrame = {
+    val edges = knnGraphOracle(spark, dir).filter(col("csim_e4") >= 3500)
+      .select(col("src_id").as("a"), col("dst_id").as("b"))
+    val labels = graft.operators.Components.minLabel(edges)
+    val clustered = labels.select(col("doc_id").as("vec_id"),
+      col("lbl").as("cluster_id"),
+      (col("doc_id") === col("lbl")).cast("long").as("keep"))
+    val singles = Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(labels.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("vec_id").as("cluster_id"), lit(1L).as("keep"))
+    clustered.unionByName(singles).orderBy(col("vec_id"))
+  }
+
+  val embedClustersOracleSql: String =
+    s"""WITH RECURSIVE $knnGraphSqlCtes, ed AS MATERIALIZED (
+      |  SELECT src_id AS a, dst_id AS b FROM gk WHERE csim_e4 >= 3500
+      |), bi AS MATERIALIZED (
+      |  SELECT a AS n1, b AS n2 FROM ed
+      |  UNION SELECT b AS n1, a AS n2 FROM ed
+      |), reach(src, node) AS (
+      |  SELECT n1, n1 FROM bi
+      |  UNION
+      |  SELECT r.src, x.n2 FROM reach r JOIN bi x ON x.n1 = r.node
+      |), lbl AS (
+      |  SELECT src AS vec_id, min(node) AS cluster_id FROM reach GROUP BY 1
+      |), lab AS (
+      |  SELECT v.vec_id, coalesce(l.cluster_id, v.vec_id) AS cluster_id
+      |  FROM (SELECT vec_id FROM e) v
+      |  LEFT JOIN lbl l USING (vec_id)
+      |)
+      |SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+      |  CAST(CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM lab ORDER BY vec_id""".stripMargin
+
+  /** DuckDB-provable twin of `knn_ivfpq`'s COMPOSITION: the seed-cell
+    * assignment + top-4 probed cells of [[knnIvfOracle]] RESTRICT the
+    * candidate set, the integer-PQ codes + query-to-codeword ADC tables
+    * of [[knnPqOracle]] rank inside it, then the fixed 62-deep shortlist
+    * reranks on quantized cosine — pinning exactly the cell-pruned-ADC
+    * serving shape knn_ivfpq is billed as (codes here are raw-subvector,
+    * not residual: the twins pin plumbing; residual/OPQ math is the
+    * trained-float layer that stays rows-only). */
+  def knnIvfPqOracle(spark: SparkSession, dir: String): DataFrame = {
+    val nSub = 4
+    val subDim = 16
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quant(col("embedding")).as("qv"))
+    val seeds = seedCentroidsDf(spark, dir, 16)
+    val asg = emb.crossJoin(broadcast(seeds))
+      .withColumn("cos", call_function("quantized_cosine", col("qv"), col("sv")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos").as("c"), (-col("seed_id")).as("ns"))).as("m"))
+      .select(col("vec_id").as("neighbor_id"), (-col("m.ns")).as("cell"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("pcos").desc, col("seed_id"))
+    val probes = q.crossJoin(broadcast(seeds))
+      .withColumn("pcos", call_function("quantized_cosine", col("qqv"), col("sv")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= 4)
+      .select(col("query_id"), col("seed_id").as("cell"))
+    val subbed = Tables.embeddings(spark, dir).select(col("vec_id"),
+      posexplode(array((0 until nSub).map(s =>
+        quant(slice(col("embedding"), s * subDim + 1, subDim))): _*))
+        .as(Seq("s", "vsub")))
+    val cb = seedCentroidsDf(spark, dir, nSub)
+      .select(col("seed_id"), posexplode(array((0 until nSub).map(s =>
+        slice(col("sv"), s * subDim + 1, subDim)): _*)).as(Seq("s", "cw")))
+      .select(col("s"), col("seed_id").as("c"), col("cw"))
+    val sqd = aggregate(
+      zip_with(col("vsub"), col("cw"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val codes = subbed.join(broadcast(cb), Seq("s"))
+      .withColumn("sqd", sqd)
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("sqd").as("d"), col("c").as("c"))).as("m"))
+      .select(col("vec_id").as("neighbor_id"), col("s"), col("m.c").as("code"))
+    val qd = subbed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("s"), col("vsub").as("qsub"))
+      .join(cb, Seq("s"))
+      .withColumn("qdist", aggregate(
+        zip_with(col("qsub"), col("cw"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("query_id"), col("s"), col("c").as("code"), col("qdist"))
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
+    // the composition: only candidates whose HOME cell a query probes
+    // enter its ADC scan
+    val short = asg.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(codes, Seq("neighbor_id"))
+      .join(broadcast(qd), Seq("query_id", "s", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qdist")).as("adc"))
+      .withColumn("sr", row_number().over(wShort))
+      .filter(col("sr") <= 62)
+      .select(col("query_id"), col("neighbor_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    short
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("qv").as("cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos",
+        round(call_function("quantized_cosine", col("cv"), col("qqv")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val knnIvfPqOracleSql: String = {
+    val sqdSql = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1, len($a) + 1), i -> ($a[i]-$b[i])*($a[i]-$b[i])))::BIGINT"
+    s"""WITH ${seedSqlCte(16)}, sd4 AS MATERIALIZED (
+      |  SELECT seed_id, sv FROM (
+      |    SELECT vec_id AS seed_id, qv AS sv,
+      |      row_number() OVER (
+      |        ORDER BY ${TextAnalysis.idHashSql("vec_id")}, vec_id) AS rn
+      |    FROM e) WHERE rn <= 4
+      |), asg AS MATERIALIZED (
+      |  SELECT vec_id AS neighbor_id, cell FROM (
+      |    SELECT e.vec_id, sd.seed_id AS cell,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${qcos("e.qv", "sd.sv")} DESC, sd.seed_id) AS rn
+      |    FROM e CROSS JOIN sd) WHERE rn = 1
+      |), q AS (
+      |  SELECT vec_id AS query_id, qv AS qqv FROM e WHERE vec_id < 10
+      |), probes AS MATERIALIZED (
+      |  SELECT query_id, cell FROM (
+      |    SELECT q.query_id, sd.seed_id AS cell,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY ${qcos("q.qqv", "sd.sv")} DESC, sd.seed_id) AS rn
+      |    FROM q CROSS JOIN sd) WHERE rn <= 4
+      |), subs AS (
+      |  SELECT unnest([0, 1, 2, 3]) AS s
+      |), subbed AS MATERIALIZED (
+      |  SELECT vec_id, s, list_slice(qv, s*16 + 1, s*16 + 16) AS vsub
+      |  FROM e CROSS JOIN subs
+      |), cb AS MATERIALIZED (
+      |  SELECT s, seed_id AS code, list_slice(sv, s*16 + 1, s*16 + 16) AS cw
+      |  FROM sd4 CROSS JOIN subs
+      |), codes AS MATERIALIZED (
+      |  SELECT vec_id AS neighbor_id, s, code FROM (
+      |    SELECT sb.vec_id, sb.s, cb.code,
+      |      row_number() OVER (PARTITION BY sb.vec_id, sb.s
+      |        ORDER BY ${sqdSql("sb.vsub", "cb.cw")}, cb.code) AS rn
+      |    FROM subbed sb JOIN cb USING (s)) WHERE rn = 1
+      |), qd AS MATERIALIZED (
+      |  SELECT sb.vec_id AS query_id, sb.s, cb.code,
+      |    ${sqdSql("sb.vsub", "cb.cw")} AS qdist
+      |  FROM subbed sb JOIN cb USING (s) WHERE sb.vec_id < 10
+      |), short AS MATERIALIZED (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT a.query_id, a.neighbor_id,
+      |      row_number() OVER (PARTITION BY a.query_id
+      |        ORDER BY a.adc, a.neighbor_id) AS sr
+      |    FROM (
+      |      SELECT p.query_id, c.neighbor_id, CAST(sum(qd.qdist) AS BIGINT) AS adc
+      |      FROM probes p
+      |      JOIN asg g USING (cell)
+      |      JOIN codes c ON c.neighbor_id = g.neighbor_id
+      |      JOIN qd ON qd.query_id = p.query_id AND qd.s = c.s
+      |        AND qd.code = c.code
+      |      WHERE g.neighbor_id <> p.query_id
+      |      GROUP BY 1, 2) a) WHERE sr <= 62
+      |), r AS (
+      |  SELECT s2.query_id, s2.neighbor_id,
+      |    round(${qcos("c.qv", "q2.qv")}, 4) AS cos
+      |  FROM short s2
+      |  JOIN e c ON c.vec_id = s2.neighbor_id
+      |  JOIN e q2 ON q2.vec_id = s2.query_id
+      |), rk AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank"
+      |  FROM r
+      |)
+      |SELECT query_id, "rank", neighbor_id, cos FROM rk
+      |WHERE "rank" <= $K ORDER BY query_id, "rank"""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_ivf_oracle" -> (knnIvfOracle _),
     "knn_pq_oracle" -> (knnPqOracle _),
+    "knn_graph_oracle" -> (knnGraphOracle _),
+    "embed_clusters_oracle" -> (embedClustersOracle _),
+    "knn_ivfpq_oracle" -> (knnIvfPqOracle _),
     "knn_lsh_oracle" -> (knnLshOracle _),
     "dedup_embed_lsh_oracle" -> (dedupEmbedLshOracle _),
     "knn_hamming_rerank_oracle" -> (knnHammingRerankOracle _),
@@ -1356,6 +1626,9 @@ object OracleVariants {
   val oracle: Map[String, String] = Map(
     "knn_ivf_oracle" -> knnIvfOracleSql,
     "knn_pq_oracle" -> knnPqOracleSql,
+    "knn_graph_oracle" -> knnGraphOracleSql,
+    "embed_clusters_oracle" -> embedClustersOracleSql,
+    "knn_ivfpq_oracle" -> knnIvfPqOracleSql,
     "knn_lsh_oracle" -> knnLshOracleSql,
     "dedup_embed_lsh_oracle" -> dedupEmbedLshOracleSql,
     "knn_hamming_rerank_oracle" -> knnHammingRerankOracleSql,

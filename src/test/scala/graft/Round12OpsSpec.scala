@@ -305,6 +305,115 @@ class Round12OpsSpec extends SparkSpecBase {
       s"only-got ${(got -- want).take(3)} only-want ${(want -- got).take(3)}")
   }
 
+  // shared driver-side replay helpers for the seed-geometry twins
+  private def loadEmb(dir: String): IndexedSeq[(Long, IndexedSeq[Long])] =
+    graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> quantize(r.getSeq[Float](1)))
+      .toIndexedSeq.sortBy(_._1)
+
+  private def idHashRef(id: Long): Long = {
+    val nums = "\\d+".r
+      .findAllIn(graft.operators.TextAnalysis.idHashSql("x")).map(_.toLong).toSeq
+    (nums(0) * (id % nums(1)) + nums(2)) % nums(1)
+  }
+
+  private def cosD(a: IndexedSeq[Long], b: IndexedSeq[Long]): Double = {
+    val dot = a.indices.map(d => a(d) * b(d)).sum
+    dot.toDouble / math.sqrt(math.max(
+      a.map(x => x * x).sum.toDouble * b.map(x => x * x).sum.toDouble, 1.0))
+  }
+
+  test("knn_graph_oracle: every source's top-3 within its 2 probed cells replays") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = loadEmb(dir)
+    val seeds = emb.map(_._1).sortBy(id => (idHashRef(id), id)).take(16)
+    val byId = emb.toMap
+    def topSeeds(qv: IndexedSeq[Long], n: Int): Seq[Long] =
+      seeds.map(s => (s, cosD(qv, byId(s))))
+        .sortBy { case (s, c) => (-c, s) }.take(n).map(_._1)
+    val cellOf = emb.map { case (id, qv) => id -> topSeeds(qv, 1).head }.toMap
+    val want = emb.flatMap { case (src, sv) =>
+      val probed = topSeeds(sv, 2).toSet
+      emb.filter { case (d, _) => d != src && probed.contains(cellOf(d)) }
+        .map { case (d, dv) => (d, cosRef(sv, dv)) }
+        .sortBy { case (d, c) => (-c, d) }.take(3)
+        .zipWithIndex.map { case ((d, c), i) =>
+          (src, (i + 1).toLong, d,
+            (c * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+        }
+    }.toSet
+    val got = graft.operators.OracleVariants.knnGraphOracle(spark, dir)
+      .collect().map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("dst_id"), r.getAs[Long]("csim_e4"))).toSet
+    assert(got == want,
+      s"only-got ${(got -- want).take(3)} only-want ${(want -- got).take(3)}")
+  }
+
+  test("embed_clusters_oracle equals a driver-side union-find over the twin edges") {
+    val dir = "/root/testdata/sf0.001"
+    val edges = graft.operators.OracleVariants.knnGraphOracle(spark, dir)
+      .filter(col("csim_e4") >= 3500)
+      .select(col("src_id"), col("dst_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val allIds = loadEmb(dir).map(_._1)
+    val want = allIds.map(id =>
+      (id, if (parent.contains(id)) find(id) else id)).map { case (id, c) =>
+      (id, c, if (id == c) 1L else 0L)
+    }.toSet
+    val got = graft.operators.OracleVariants.embedClustersOracle(spark, dir)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("cluster_id"), r.getAs[Long]("keep"))).toSet
+    assert(got == want,
+      s"only-got ${(got -- want).take(5)} only-want ${(want -- got).take(5)}")
+  }
+
+  test("knn_ivfpq_oracle: ADC scan restricted to probed cells, then rerank — replays") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = loadEmb(dir)
+    val byId = emb.toMap
+    val seeds16 = emb.map(_._1).sortBy(id => (idHashRef(id), id)).take(16)
+    val seeds4 = seeds16.take(4)
+    def argmaxSeed(qv: IndexedSeq[Long], n: Int): Seq[Long] =
+      seeds16.map(s => (s, cosD(qv, byId(s))))
+        .sortBy { case (s, c) => (-c, s) }.take(n).map(_._1)
+    val cellOf = emb.map { case (id, qv) => id -> argmaxSeed(qv, 1).head }.toMap
+    def sub(v: IndexedSeq[Long], s: Int) = v.slice(s * 16, s * 16 + 16)
+    def sqd(a: IndexedSeq[Long], b: IndexedSeq[Long]): Long =
+      a.indices.map(i => { val d = a(i) - b(i); d * d }).sum
+    def codeOf(v: IndexedSeq[Long], s: Int): Long =
+      seeds4.map(c => (c, sqd(sub(v, s), sub(byId(c), s))))
+        .sortBy { case (c, d) => (d, c) }.head._1
+    val want = emb.filter(_._1 < 10).flatMap { case (q, qv) =>
+      val probed = argmaxSeed(qv, 4).toSet
+      val shortlist = emb
+        .filter { case (c, _) => c != q && probed.contains(cellOf(c)) }
+        .map { case (c, cv) =>
+          (c, (0 until 4).map(s => sqd(sub(qv, s), sub(byId(codeOf(cv, s)), s))).sum)
+        }
+        .sortBy { case (c, d) => (d, c) }.take(62).map(_._1)
+      shortlist.map(c => (c, cosRef(qv, byId(c))))
+        .sortBy { case (c, cos) => (-cos, c) }.take(5)
+        .zipWithIndex.map { case ((c, cos), i) => (q, (i + 1).toLong, c, cos) }
+    }.toSet
+    val got = graft.operators.OracleVariants.knnIvfPqOracle(spark, dir)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"),
+        BigDecimal(r.getAs[Double]("cos")).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    assert(got == want,
+      s"only-got ${(got -- want).take(3)} only-want ${(want -- got).take(3)}")
+  }
+
   test("cluster-topics twin assigns every vector to its argmax seed, ties to smallest") {
     val dir = "/root/testdata/sf0.001"
     val emb = graft.sources.Tables.embeddings(spark, dir)
