@@ -746,6 +746,60 @@ object ScaleProbe {
     }
   }
 
+  /** Small-files decay measurement for the stream index sinks (r12): a
+    * fabricated geom-keyed delta with `batches` micro-batch directories
+    * (the layout ivfDeltaStream writes), a serving-shaped pruned read
+    * timed before/after [[graft.streaming.StreamIngest.compactStreamIndex]],
+    * with a content checksum proving the fold changed nothing. */
+  def compactionProbe(spark: SparkSession, batches: Int = 60,
+                      rowsPer: Int = 2000): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_probe").toString
+    val root = s"$dir/delta"
+    val parent = s"$root/geom=gprobe"
+    for (b <- 0 until batches) {
+      spark.range(b.toLong * rowsPer, (b + 1).toLong * rowsPer).select(
+          (col("id") % 16).cast("int").as("cell"), col("id").as("vec_id"),
+          array((0 until 8).map(i =>
+            sin(col("id") * (i * 37 + 1)).cast("float")): _*).as("embedding"))
+        .coalesce(1)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$parent/batch=$b")
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(): Int = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    def checksum(): (Long, Long) = {
+      val r = spark.read.parquet(root)
+        .agg(count(lit(1)), sum(col("vec_id"))).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    // serving-shaped read: partition-pruned scan of 2 of 16 cells,
+    // repeated — the per-query cost a hot index pays for directory
+    // listing + footer reads across every batch dir
+    def readCost(): Double = probeTimed {
+      (0 until 10).foreach { _ =>
+        spark.read.parquet(root)
+          .filter(col("cell").isin(3, 7))
+          .agg(sum(col("vec_id"))).collect()
+      }
+    }._2
+    val sumBefore = checksum()
+    val (fB, tB) = (files(), readCost())
+    val (_, tC) = probeTimed(
+      graft.streaming.StreamIngest.compactStreamIndex(spark, root))
+    val (fA, tA) = (files(), readCost())
+    val sumAfter = checksum()
+    require(sumBefore == sumAfter, s"compaction changed content: $sumBefore -> $sumAfter")
+    println(f"[scale] compaction batches=$batches files $fB -> $fA  " +
+      f"10x pruned-read $tB%.1f s -> $tA%.1f s  (fold cost $tC%.1f s; " +
+      f"checksum ${sumBefore._1} rows preserved)")
+  }
+
   def main(args: Array[String]): Unit = {
     val k = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
@@ -847,6 +901,13 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ivfquery1m")) {
       ivfQueryProbe1m(spark)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("compaction")) {
+      val n = args.drop(1).headOption.filter(_.forall(_.isDigit))
+        .map(_.toInt).getOrElse(60)
+      compactionProbe(spark, n)
       spark.stop()
       return
     }
