@@ -356,6 +356,18 @@ object GraphOps {
       .filter(col("uw") >= expr("tot DIV n_pairs"))
       .select(col("a"), col("b"))
       .localCheckpoint() // graph artifact: degree + 3 census joins reuse it
+    triangleCensusOf(kept, nodes0.select(col("node")), "nation")
+  }
+
+  /** Rank-oriented triangle census over a UNIQUE a<b undirected pair list
+    * — the skew-proof form: each edge is oriented from its lower-(degree,
+    * name) endpoint, so wedge fan-out is bounded by each node's
+    * lower-ranked degree (O(E^1.5) total regardless of hubs), never the
+    * raw degree a hub would explode. Shared by the nation gate and the
+    * growing user-domain gate. Emits one row per `nodes` row, zero-filled:
+    * (outCol, degree, n_tri, tri_possible, clust_bp). */
+  private[graft] def triangleCensusOf(kept: DataFrame, nodes: DataFrame,
+                                      outCol: String): DataFrame = {
     val deg = kept.select(col("a").as("v"))
       .unionAll(kept.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -382,12 +394,12 @@ object GraphOps {
       .unionAll(tris.select(col("y").as("v")))
       .unionAll(tris.select(col("z").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
-    nodes0.select(col("node"))
+    nodes
       .join(deg, col("node") === col("v"), "left").drop("v")
       .withColumn("degree", coalesce(col("deg"), lit(0L))).drop("deg")
       .join(triCnt, col("node") === col("v"), "left").drop("v")
       .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
-      .select(col("node").as("nation"), col("degree"), col("n_tri"),
+      .select(col("node").as(outCol), col("degree"), col("n_tri"),
         expr("degree * (degree - 1) DIV 2").as("tri_possible"),
         expr("n_tri * 10000 DIV greatest(degree * (degree - 1) DIV 2, 1)")
           .as("clust_bp"))
@@ -1190,9 +1202,81 @@ object GraphOps {
        |ORDER BY u.user_id""".stripMargin
   }
 
+  /** Triangle census over the GROWING user×user co-activity graph — the
+    * third flow op on the corpus-scaling domain (pagerank = influence,
+    * k-core = engagement robustness, triangles = local cohesion: a user
+    * whose co-active pairs are THEMSELVES co-active sits in a genuine
+    * group, not a hub-and-spoke artifact — the classic social-capital /
+    * community-quality signal, and the clustering-coefficient input).
+    *
+    * Scale shape: edges are the PERSISTED capped co-session artifact
+    * (≤8 out-edges/user, |E| ≤ 8·|users|); the census is the shared
+    * rank-oriented form ([[triangleCensusOf]]) — each edge oriented from
+    * its lower-(degree, id) endpoint, so wedge fan-out is bounded by the
+    * LOWER-ranked degree and a hub user (one who appears in thousands of
+    * top-8 lists) cannot explode the wedge join: O(E^1.5) total. Oracle:
+    * the capped graph re-derived in SQL + the naive a<b triangle join
+    * (exact at oracle scale) — cross-proving the rank-oriented census
+    * against an independent enumeration, the graph_triangles discipline
+    * on the growing domain. */
+  def graphTrianglesUsers(spark: SparkSession, dir: String): DataFrame = {
+    val kept = coActivityEdges(spark, dir).select(col("a"), col("b"))
+      .localCheckpoint() // degree + 3 census joins reuse it
+    triangleCensusOf(kept,
+      Tables.events(spark, dir).select(col("user_id").as("node")).distinct(),
+      "user_id")
+      .orderBy(col("user_id"))
+  }
+
+  val graphTrianglesUsersSql: String =
+    """WITH hrs AS (
+      |  SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr, user_id,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), capped AS MATERIALIZED (
+      |  SELECT hr, user_id FROM (
+      |    SELECT hr, user_id,
+      |      row_number() OVER (PARTITION BY hr ORDER BY n DESC, user_id) AS rn
+      |    FROM hrs) WHERE rn <= 20
+      |), pairs AS (
+      |  SELECT x.user_id AS a, y.user_id AS b, count(*) AS w
+      |  FROM capped x JOIN capped y ON x.hr = y.hr AND x.user_id < y.user_id
+      |  GROUP BY 1, 2
+      |), kept AS MATERIALIZED (
+      |  SELECT a, b FROM (
+      |    SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY w DESC, b) AS rn
+      |    FROM pairs) WHERE rn <= 8
+      |), deg AS (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS degree FROM (
+      |    SELECT a AS v FROM kept UNION ALL SELECT b AS v FROM kept
+      |  ) GROUP BY 1
+      |), tris AS (
+      |  SELECT k1.a AS x, k1.b AS y, k2.b AS z
+      |  FROM kept k1
+      |  JOIN kept k2 ON k2.a = k1.a AND k2.b > k1.b
+      |  JOIN kept k3 ON k3.a = k1.b AND k3.b = k2.b
+      |), tc AS (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS n_tri FROM (
+      |    SELECT x AS v FROM tris UNION ALL SELECT y AS v FROM tris
+      |    UNION ALL SELECT z AS v FROM tris
+      |  ) GROUP BY 1
+      |)
+      |SELECT u.user_id, coalesce(d.degree, 0) AS degree,
+      |  coalesce(t.n_tri, 0) AS n_tri,
+      |  CAST(coalesce(d.degree, 0) * (coalesce(d.degree, 0) - 1) // 2
+      |    AS BIGINT) AS tri_possible,
+      |  CAST(coalesce(t.n_tri, 0) * 10000 // greatest(
+      |    coalesce(d.degree, 0) * (coalesce(d.degree, 0) - 1) // 2, 1)
+      |    AS BIGINT) AS clust_bp
+      |FROM (SELECT DISTINCT user_id FROM events) u
+      |LEFT JOIN deg d ON u.user_id = d.v
+      |LEFT JOIN tc t ON u.user_id = t.v
+      |ORDER BY u.user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank_users" -> (graphPagerankUsers _),
     "graph_kcore_users" -> (graphKcoreUsers _),
+    "graph_triangles_users" -> (graphTrianglesUsers _),
     "graph_bfs"         -> (graphBfs _),
     "graph_pagerank"    -> (graphPagerank _),
     "graph_hits"        -> (graphHits _),
@@ -1205,6 +1289,7 @@ object GraphOps {
   val oracle: Map[String, String] = Map(
     "graph_pagerank_users" -> graphPagerankUsersSql,
     "graph_kcore_users" -> graphKcoreUsersSql,
+    "graph_triangles_users" -> graphTrianglesUsersSql,
     "graph_bfs"         -> graphBfsSql,
     "graph_pagerank"    -> graphPagerankSql,
     "graph_hits"        -> graphHitsSql,

@@ -913,6 +913,17 @@ object StreamIngest {
       }
   }
 
+  /** In-stream hook for [[compactStreamIndex]]: fires every
+    * `compactEvery` micro-batches AFTER the batch's own sink write, so
+    * the just-written (possibly still-uncommitted) batch is the max id
+    * and never folds — replay safety is exactly the offline call's.
+    * Idempotent under replay: a replayed batch re-runs the compaction,
+    * which either no-ops (< 3 dirs) or folds the same committed set. */
+  private def maybeCompact(spark: SparkSession, root: String,
+                           batchId: Long, compactEvery: Int): Unit =
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      compactStreamIndex(spark, root)
+
   /** Input row for [[vectorIndexStream]]. */
   final case class VecRow(vec_id: Long, ts: java.sql.Timestamp,
                           embedding: Seq[Float])
@@ -952,7 +963,8 @@ object StreamIngest {
   }
 
   def vectorIndexStream(vecs: Dataset[VecRow], centroids: Seq[Seq[Double]],
-                        indexPath: String, watermark: String = "1 hour")
+                        indexPath: String, watermark: String = "1 hour",
+                        compactEvery: Int = 0)
       : DataStreamWriter[Row] = {
     requireNoLegacyFlatLayout(vecs.sparkSession, indexPath, "vectorIndexStream")
     val assigned = dedupStreamJittered(vecs.toDF(), "ts", Seq("vec_id"), watermark)
@@ -972,7 +984,7 @@ object StreamIngest {
           .select(col("cell"), col("vec_id"), col("embedding"))
           .write.mode("overwrite").partitionBy("cell")
           .parquet(s"$indexPath/batch=$batchId")
-        ()
+        maybeCompact(batch.sparkSession, indexPath, batchId, compactEvery)
       }
   }
 
@@ -991,7 +1003,8 @@ object StreamIngest {
     * failure the batch index's content-hash key closes). batchId-keyed
     * overwrite makes replays exactly-once (see [[vectorIndexStream]]). */
   def ivfDeltaStream(vecs: Dataset[VecRow], centroids: Seq[Seq[Double]],
-                     deltaPath: String, watermark: String = "1 hour")
+                     deltaPath: String, watermark: String = "1 hour",
+                     compactEvery: Int = 0)
       : DataStreamWriter[Row] = {
     requireNoLegacyFlatLayout(vecs.sparkSession, deltaPath, "ivfDeltaStream")
     val g = graft.operators.Similarity.centroidContentHash(centroids)
@@ -1004,7 +1017,7 @@ object StreamIngest {
           .select(col("cell"), col("vec_id"), col("embedding"))
           .write.mode("overwrite").partitionBy("cell")
           .parquet(s"$deltaPath/geom=g$g/batch=$batchId")
-        ()
+        maybeCompact(batch.sparkSession, deltaPath, batchId, compactEvery)
       }
   }
 
@@ -1180,7 +1193,8 @@ object StreamIngest {
     * same rows under any batching (spec-pinned). */
   def pqCodesStream(vecs: Dataset[VecRow],
                     model: graft.operators.Similarity.PqModel,
-                    indexPath: String, watermark: String = "1 hour")
+                    indexPath: String, watermark: String = "1 hour",
+                    compactEvery: Int = 0)
       : DataStreamWriter[Row] = {
     requireNoLegacyFlatLayout(vecs.sparkSession, indexPath, "pqCodesStream")
     val deduped = dedupStreamJittered(vecs.toDF(), "ts", Seq("vec_id"), watermark)
@@ -1202,7 +1216,7 @@ object StreamIngest {
           .encodePq(batch.select(col("vec_id"), col("embedding")), model)
           .write.mode("overwrite").partitionBy("cell")
           .parquet(s"$indexPath/geom=g$g/batch=$batchId")
-        ()
+        maybeCompact(batch.sparkSession, indexPath, batchId, compactEvery)
       }
   }
 

@@ -76,6 +76,32 @@ class Round12OpsSpec extends SparkSpecBase {
     assert(got.map(_._1).distinct.length == got.length)
   }
 
+  test("graph_triangles_users equals a driver-side census over the persisted edges") {
+    val dir = "/root/testdata/sf0.001"
+    val edges = graft.operators.GraphOps.coActivityEdges(spark, dir)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val adj = edges.toSeq.flatMap(p => Seq(p, p.swap))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val triOf = adj.map { case (v, ns) =>
+      v -> ns.toSeq.combinations(2).count { case Seq(x, y) =>
+        adj(x).contains(y)
+      }.toLong
+    }
+    val got = graft.operators.GraphOps.graphTrianglesUsers(spark, dir)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("degree"),
+        r.getAs[Long]("n_tri"), r.getAs[Long]("tri_possible"),
+        r.getAs[Long]("clust_bp")))
+    got.foreach { case (u, d, t, p, c) =>
+      val wd = adj.get(u).map(_.size.toLong).getOrElse(0L)
+      val wt = triOf.getOrElse(u, 0L)
+      assert(d == wd, s"user $u degree")
+      assert(t == wt, s"user $u n_tri")
+      assert(p == wd * (wd - 1) / 2, s"user $u tri_possible")
+      assert(c == wt * 10000L / math.max(wd * (wd - 1) / 2, 1L), s"user $u clust_bp")
+    }
+    assert(got.exists(_._3 > 0), "sanity: the gate corpus has triangles")
+  }
+
   // ------------------------------------------------------ registry history
 
   test("registry_history: attributed change log over persisted dumps") {

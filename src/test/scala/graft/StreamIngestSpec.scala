@@ -1650,6 +1650,57 @@ class StreamIngestSpec extends SparkSpecBase {
     }
   }
 
+  test("compactEvery: in-stream compaction bounds dirs; serving equals the uncompacted run") {
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-ivf-autocompact").toString
+    spark.conf.set("graft.ivf.dir", s"$dir/ivf")
+    spark.conf.set("graft.ivfflat.dir", s"$dir/ivfflat")
+    try {
+      val cents = Similarity.loadOrTrainCentroids(spark, sf)
+      val base = ts("2024-08-01 00:00:00").getTime
+      val dim = graft.sources.Tables.embeddings(spark, sf)
+        .select(col("embedding")).head().getSeq[Float](0).size
+      val rnd = new scala.util.Random(99)
+      val extra = (0 until 32).map { i =>
+        StreamIngest.VecRow(200000L + i, new Timestamp(base + i),
+          Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+      }
+      def stream(path: String, cp: String, every: Int): Unit = {
+        val input = MemoryStream[StreamIngest.VecRow](spark)
+        val q = StreamIngest.ivfDeltaStream(input.toDS(), cents, path,
+            watermark = "720 hours", compactEvery = every)
+          .option("checkpointLocation", cp).start()
+        extra.grouped(4).foreach { b => input.addData(b); q.processAllAvailable() }
+        q.stop()
+      }
+      stream(s"$dir/plain", s"$dir/cpP", every = 0)
+      stream(s"$dir/auto", s"$dir/cpA", every = 2)
+      def serve(p: String) = Similarity
+        .knnIvfWithStreamedDelta(spark, sf, p, nprobe = cents.size, k = 5)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"))).toSeq
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def batchDirs(p: String): Int = {
+        val geom = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+          .filter(_.getPath.getName.startsWith("geom=")).head.getPath
+        fs.listStatus(geom).count(_.getPath.getName.startsWith("batch="))
+      }
+      // each processAllAvailable runs a data batch PLUS an empty
+      // watermark-commit batch, and the sink writes both — exactly the
+      // small-files decay compaction exists for
+      assert(batchDirs(s"$dir/plain") >= 8,
+        s"sanity: uncompacted run keeps every micro-batch dir, got ${batchDirs(s"$dir/plain")}")
+      assert(batchDirs(s"$dir/auto") <= 3,
+        s"auto-compaction must bound dirs, got ${batchDirs(s"$dir/auto")}")
+      assert(serve(s"$dir/auto") == serve(s"$dir/plain"),
+        "auto-compacted serving must equal the uncompacted run")
+    } finally {
+      spark.conf.unset("graft.ivf.dir"); spark.conf.unset("graft.ivfflat.dir")
+    }
+  }
+
   test("compactStreamIndex: freshest-wins at rest; crash recovery rolls forward and back") {
     val dir = Files.createTempDirectory("graft-compact-recover").toString
     val fs = new org.apache.hadoop.fs.Path(dir)
