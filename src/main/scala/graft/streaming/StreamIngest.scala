@@ -921,6 +921,13 @@ object StreamIngest {
     * which either no-ops (< 3 dirs) or folds the same committed set. */
   private def maybeCompact(spark: SparkSession, root: String,
                            batchId: Long, compactEvery: Int): Unit =
+    // Cadence note: each fold rewrites the sink's full committed row set,
+    // so write amplification over B batches is O(B²/compactEvery) — sized
+    // for DELTA sinks, which stay small by design (a periodic offline
+    // re-index folds the delta into the batch artifact and restarts it).
+    // Pick compactEvery so one delta rewrite ≈ a few micro-batches of
+    // ingest; an unbounded append-forever sink wants the offline
+    // [[compactStreamIndex]] on a maintenance schedule instead.
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       compactStreamIndex(spark, root)
 
@@ -1086,6 +1093,23 @@ object StreamIngest {
     val live = ids.max
     val folded = ids.filter(_ < live)
     val target = folded.max
+    // a committed batch dir can be EMPTY (watermark-commit micro-batches
+    // write only _SUCCESS): if no folded dir holds data, there is nothing
+    // to read (schema inference would fail and, under compactEvery, crash
+    // the stream) — dropping the empty non-target dirs IS the compaction
+    def hasData(i: Long): Boolean = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p, s"batch=$i"), true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    if (!folded.exists(hasData)) {
+      folded.filter(_ != target).foreach { i =>
+        fs.delete(new org.apache.hadoop.fs.Path(p, s"batch=$i"), true)
+      }
+      return
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(dedupKey)).orderBy(col("batch").desc)
     spark.read.parquet(parent)

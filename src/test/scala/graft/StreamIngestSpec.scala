@@ -1747,6 +1747,16 @@ class StreamIngestSpec extends SparkSpecBase {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p2/.compact-manifest")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p2/batch=0")))
 
+    // --- all-empty folded dirs (watermark-commit batches before any data):
+    // must not crash on schema inference; the empty non-target dirs drop
+    val p4 = s"$dir/empty"
+    (0L to 2L).foreach(i => fs.mkdirs(new org.apache.hadoop.fs.Path(s"$p4/batch=$i")))
+    StreamIngest.compactStreamIndex(spark, p4)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p4/batch=0")),
+      "empty non-target folded dirs must drop")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$p4/batch=2")),
+      "the live dir must survive")
+
     // --- roll-back: manifest + INCOMPLETE temp (no _SUCCESS) — recovery
     // must delete both and leave every batch dir exactly as it was
     val p3 = s"$dir/back"
