@@ -800,6 +800,42 @@ object ScaleProbe {
       f"checksum ${sumBefore._1} rows preserved)")
   }
 
+  /** Round-12 probe: the two new growing-domain flow ops (truncated
+    * k-core peel + rank-oriented triangle census) over the ×1/×10/×30
+    * replicated co-activity graph — the r9 cosession harness extended to
+    * the gates this round added. Watch: peel cost per round stays
+    * O(|E|), census wedges stay bounded under the ≤8 cap. */
+  private def graphUsersProbe(spark: SparkSession, reps: Seq[Int]): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.1"
+    for (k <- reps) {
+      def repl(df: DataFrame, idCols: Seq[String]): DataFrame =
+        (0 until k).map { i =>
+          idCols.foldLeft(df)((d, c) =>
+            d.withColumn(c, col(c) + lit(i.toLong * 10000000L)))
+        }.reduce(_ unionByName _)
+      val ev = repl(graft.sources.Tables.events(spark, dir), Seq("event_id", "user_id"))
+      val edges = graft.operators.GraphOps.userCoSessionGraphOf(ev)
+        .select(col("a"), col("b")).localCheckpoint()
+      val nEdges = edges.count()
+      val t0 = System.nanoTime()
+      val core = graft.operators.GraphOps.kcoreTruncatedPeel(
+        edges, graft.operators.GraphOps.KCoreUsersK,
+        graft.operators.GraphOps.KCoreUsersRounds)
+      val nCore = core.count()
+      val tPeel = (System.nanoTime() - t0) / 1e9
+      val nodes = edges.select(col("a").as("node"))
+        .unionByName(edges.select(col("b").as("node"))).distinct()
+      val t1 = System.nanoTime()
+      val census = graft.operators.GraphOps
+        .triangleCensusOf(edges, nodes, "user_id")
+      val nTri = census.agg(sum(col("n_tri"))).collect().head.getLong(0) / 3
+      val tTri = (System.nanoTime() - t1) / 1e9
+      println(f"[scale] graphusers x$k%-3d edges=$nEdges | " +
+        f"kcore $tPeel%6.2f s in_core=$nCore | triangles $tTri%6.2f s n_tri=$nTri")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val k = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
@@ -901,6 +937,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ivfquery1m")) {
       ivfQueryProbe1m(spark)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("graphusers")) {
+      graphUsersProbe(spark, Seq(1, 10, 30))
       spark.stop()
       return
     }

@@ -855,6 +855,23 @@ class PlanShapeSpec extends SparkSpecBase {
       val finalWin = wins.find(_.partitionSpec.size == 1).get
       assert(bucketedWindowFeeds(finalWin),
         "the query-only window must rank the bucket-filtered shortlist, not the raw corpus")
+      // r12: the histogram SELECTION must sit below the bucketed window —
+      // only rows with hamming ≤ the per-query threshold (a broadcast
+      // join on `thr`) ever reach a rank exchange, so shuffle volume is
+      // O(Q·k), not O(N·Q); without this filter the bucketed prefix keeps
+      // everything at deep shortlists (k ≥ N/buckets) and both windows
+      // exchange every scored pair (measured 84 s vs 3 s at the 1.2M rung)
+      val bucketWin = wins.find(_.partitionSpec.size == 2).get
+      // the predicate lands either as a FilterExec or as the broadcast
+      // join's residual condition — accept both
+      val thrFilter = bucketWin.collectFirst {
+        case f: org.apache.spark.sql.execution.FilterExec
+            if f.condition.references.exists(_.name == "thr") => f: Any
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.condition.exists(_.references.exists(_.name == "thr")) => j: Any
+      }
+      assert(thrFilter.nonEmpty,
+        "the bucketed window must rank only the histogram-thresholded survivors")
     }
   }
 }
