@@ -1420,6 +1420,12 @@ object OracleVariants {
   def embedClustersOracle(spark: SparkSession, dir: String): DataFrame = {
     val edges = knnGraphOracle(spark, dir).filter(col("csim_e4") >= 3500)
       .select(col("src_id").as("a"), col("dst_id").as("b"))
+      // pin BEFORE the fixpoint (the repo's lazy-lineage rule; minLabel
+      // checkpoints its own symmetrized copy, but the singles anti-join
+      // below also re-reads labels — one derivation, not two). The twin's
+      // remaining ~6 s at sf0.1 is CC round overhead, the same class as
+      // the production op's own fixpoint — a twin-bucket cost by design.
+      .localCheckpoint()
     val labels = graft.operators.Components.minLabel(edges)
     val clustered = labels.select(col("doc_id").as("vec_id"),
       col("lbl").as("cluster_id"),
