@@ -367,15 +367,22 @@ object GraphOps {
     * growing user-domain gate. Emits one row per `nodes` row, zero-filled:
     * (outCol, degree, n_tri, tri_possible, clust_bp). */
   private[graft] def triangleCensusOf(kept: DataFrame, nodes: DataFrame,
-                                      outCol: String): DataFrame = {
+      outCol: String, broadcastDeg: Boolean = true): DataFrame = {
     val deg = kept.select(col("a").as("v"))
       .unionAll(kept.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // the degree table is VERTEX-sized: broadcast only when the caller
+    // knows the domain is entity-bounded (the 25-node nation graph); on
+    // the growing user domain a forced broadcast would exceed driver/
+    // broadcast limits at scale — same conditional as graphPagerankOf's
+    // rank vector (the r11 ADVICE fix), Spark still auto-broadcasts
+    // below threshold
+    def maybeB(df: DataFrame): DataFrame = if (broadcastDeg) broadcast(df) else df
     // Rank-orient: lo = the endpoint with the smaller (deg, name); a < b
     // always, so the tie falls to a.
     val o = kept
-      .join(broadcast(deg.select(col("v").as("a"), col("deg").as("dega"))), "a")
-      .join(broadcast(deg.select(col("v").as("b"), col("deg").as("degb"))), "b")
+      .join(maybeB(deg.select(col("v").as("a"), col("deg").as("dega"))), "a")
+      .join(maybeB(deg.select(col("v").as("b"), col("deg").as("degb"))), "b")
       .select(
         when(col("dega") < col("degb") ||
           (col("dega") === col("degb")), col("a")).otherwise(col("b")).as("lo"),
@@ -1224,7 +1231,7 @@ object GraphOps {
       .localCheckpoint() // degree + 3 census joins reuse it
     triangleCensusOf(kept,
       Tables.events(spark, dir).select(col("user_id").as("node")).distinct(),
-      "user_id")
+      "user_id", broadcastDeg = false)
       .orderBy(col("user_id"))
   }
 
