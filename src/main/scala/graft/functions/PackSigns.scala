@@ -95,7 +95,7 @@ object PackSigns {
     var i = 0
     while (i < 32) {
       val j = offset + i
-      if (j < n && !a.isNullAt(j) && a.getFloat(j) >= 0f) bits |= 1L << i
+      if (j >= 0 && j < n && !a.isNullAt(j) && a.getFloat(j) >= 0f) bits |= 1L << i
       i += 1
     }
     bits
@@ -107,7 +107,7 @@ object PackSigns {
     var i = 0
     while (i < 32) {
       val j = offset + i
-      if (j < n && !a.isNullAt(j) && a.getDouble(j) >= 0d) bits |= 1L << i
+      if (j >= 0 && j < n && !a.isNullAt(j) && a.getDouble(j) >= 0d) bits |= 1L << i
       i += 1
     }
     bits

@@ -929,7 +929,14 @@ object StreamIngest {
     // ingest; an unbounded append-forever sink wants the offline
     // [[compactStreamIndex]] on a maintenance schedule instead.
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-      compactStreamIndex(spark, root)
+      // maintenance must not kill ingestion: a failed fold leaves the
+      // sink exactly as the recovery protocol can resume it, and aborting
+      // the batch here would replay into the same failure forever
+      try compactStreamIndex(spark, root) catch {
+        case e: Exception =>
+          System.err.println(s"[graft] in-stream compaction of $root failed " +
+            s"(ingestion unaffected; next trigger retries): ${e.getMessage}")
+      }
 
   /** Input row for [[vectorIndexStream]]. */
   final case class VecRow(vec_id: Long, ts: java.sql.Timestamp,
@@ -1150,10 +1157,22 @@ object StreamIngest {
     if (fs.exists(man)) {
       val in = fs.open(man)
       val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-      val lines = txt.trim.split("\n")
-      val target = lines(0).trim.toLong
-      val folded = lines.lift(1).map(_.trim).filter(_.nonEmpty)
-        .map(_.split(",").map(_.toLong).toSeq).getOrElse(Seq(target))
+      // a crash MID-manifest-write leaves a partial file; deletes start
+      // only after the manifest CLOSES, so an unparseable manifest means
+      // nothing was deleted — roll back like the incomplete-temp case
+      val parsed = scala.util.Try {
+        val lines = txt.trim.split("\n")
+        val target = lines(0).trim.toLong
+        val folded = lines.lift(1).map(_.trim).filter(_.nonEmpty)
+          .map(_.split(",").map(_.toLong).toSeq).getOrElse(Seq(target))
+        (target, folded)
+      }
+      if (parsed.isFailure) {
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        fs.delete(man, false)
+        return
+      }
+      val (target, folded) = parsed.get
       if (tmpComplete) finishCompaction(fs, p, target, folded) // roll forward
       else if (!fs.exists(tmp)) {
         // rename already happened; only the folded-dir deletes (idempotent)

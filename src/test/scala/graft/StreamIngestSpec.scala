@@ -1747,6 +1747,21 @@ class StreamIngestSpec extends SparkSpecBase {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p2/.compact-manifest")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p2/batch=0")))
 
+    // --- corrupted manifest (crash MID-manifest-write): deletes only start
+    // after the manifest closes, so nothing was removed — recovery must
+    // roll back (drop manifest + temp) and leave the batch dirs untouched
+    val p5 = s"$dir/corrupt"
+    writeBatch(p5, 0L, Seq((0, 1L, Seq(0.1f, 0.0f))))
+    writeBatch(p5, 1L, Seq((0, 2L, Seq(0.2f, 0.0f))))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$p5/.compact-tmp/cell=0"))
+    val man5 = fs.create(new org.apache.hadoop.fs.Path(s"$p5/.compact-manifest"), true)
+    man5.write("1 garbled".getBytes("UTF-8")); man5.close() // torn write
+    StreamIngest.compactStreamIndex(spark, p5)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p5/.compact-manifest")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p5/.compact-tmp")))
+    assert(vecsOf(p5) == Map(1L -> (0L, 0.1f), 2L -> (1L, 0.2f)),
+      "a corrupted manifest must roll back, never throw or delete data")
+
     // --- all-empty folded dirs (watermark-commit batches before any data):
     // must not crash on schema inference; the empty non-target dirs drop
     val p4 = s"$dir/empty"
