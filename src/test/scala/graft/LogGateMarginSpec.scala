@@ -140,6 +140,27 @@ class LogGateMarginSpec extends SparkSpecBase {
     }
   }
 
+  test("cluster-topics TWIN ln margins hold for every seed-cell frequency") {
+    // the r12 twin's cells are the seed-argmax assignment, so its
+    // (n_cells, df_cells) inputs to round(ln(·)·1e4) differ from the
+    // sign-bit sibling's — pin the margins for the twin's actual inputs
+    for (dir <- dirs) {
+      val cells = graft.operators.CorpusStats.clusterTopicsOracleCells(spark, dir)
+      val ctf = Tables.documents(spark, dir)
+        .join(cells, col("doc_id") === col("vec_id"))
+        .select(col("cell"),
+          explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+        .groupBy(col("cell"), col("w")).count()
+      val nCells = ctf.select(col("cell")).distinct().count().toDouble
+      val dfs = ctf.groupBy(col("w")).count()
+        .select(col("count")).distinct().collect().map(_.getLong(0))
+      assert(dfs.nonEmpty)
+      dfs.foreach { df =>
+        assertMargin(math.log(nCells / df) * 10000.0, s"twin ln($nCells/$df)*1e4 ($dir)")
+      }
+    }
+  }
+
   test("pmi ln margins hold for every filtered gate-corpus bigram") {
     for (dir <- dirs) {
       val w = org.apache.spark.sql.expressions.Window
