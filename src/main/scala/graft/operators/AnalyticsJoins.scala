@@ -33,26 +33,28 @@ object AnalyticsJoins {
     * customer nation) pairs by ship year, cross-border only.
     *
     * The nation dim joins BOTH fact sides under two roles (supp_nation /
-    * cust_nation) — the classic dual-role dimension. Plan shape: supplier
-    * ⋈ nation and customer ⋈ nation are broadcast (the supplier side
-    * explicitly — it is dim-sized at any SF; the customer side is left to
-    * Catalyst/AQE, which broadcasts at test scale and demotes to shuffle
-    * when customers outgrow the threshold). The only unavoidable exchange
-    * is lineitem ⋈ orders on orderkey — a fact-fact join AQE plans as SMJ
-    * at real scale; the cross-nation filter cannot prune it because both
-    * sides are needed to decide the pair. */
+    * cust_nation) — the classic dual-role dimension. Plan shape: the fact
+    * joins the supplier KEY projection (un-hinted — supplier is SF-LINEAR,
+    * so Catalyst broadcasts it from file stats at gate SFs and demotes to
+    * shuffle at scale; only the 25-row nation rename is force-broadcast),
+    * and the customer side is left to Catalyst/AQE the same way. The only
+    * unavoidable exchange is lineitem ⋈ orders on orderkey — a fact-fact
+    * join AQE plans as SMJ at real scale; the cross-nation filter cannot
+    * prune it because both sides are needed to decide the pair. */
   def qNationVolume(spark: SparkSession, dir: String): DataFrame = {
     val nations = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
-    val supN = Tables.supplier(spark, dir)
-      .join(nations, col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val supKeys = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
     val custN = Tables.customer(spark, dir)
       .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name").as("cust_nation"))
     val li = Tables.lineitem(spark, dir).select(
       col("l_orderkey"), col("l_suppkey"), revE4,
       year(col("l_shipdate")).cast("long").as("ship_year"))
-    li.join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+    li.join(supKeys, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nations.select(col("n_nationkey"),
+          col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .join(custN, col("o_custkey") === col("c_custkey"))
@@ -102,7 +104,7 @@ object AnalyticsJoins {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
         round(col("l_extendedprice") * 100).cast("long").as("price_e2"))
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
     val w = Window.partitionBy(col("l_partkey"))
     li.withColumn("cnt", count(lit(1)).over(w))
       .withColumn("sum_qty", sum(col("qty")).over(w))
@@ -189,7 +191,7 @@ object AnalyticsJoins {
       .select(col("l_partkey"), revE4,
         year(col("l_shipdate")).cast("long").as("ship_year"),
         month(col("l_shipdate")).cast("long").as("ship_month"))
-      .join(broadcast(promoBit), col("l_partkey") === col("p_partkey"))
+      .join(promoBit, col("l_partkey") === col("p_partkey"))
       .groupBy(col("ship_year"), col("ship_month"))
       .agg(sum(col("rev_e4") * col("is_promo")).as("promo_e4"),
         sum(col("rev_e4")).as("total_e4"))
@@ -242,7 +244,7 @@ object AnalyticsJoins {
     val mx = rev.agg(max(col("total_rev_e4")).as("max_rev_e4"))
     rev.crossJoin(broadcast(mx))
       .filter(col("total_rev_e4") === col("max_rev_e4"))
-      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_rev_e4"))
       .orderBy(col("s_suppkey"))
@@ -278,7 +280,7 @@ object AnalyticsJoins {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"), revE4)
     val pt = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"), col("p_size"))
-    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+    li.join(pt, col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("qty").between(1, 30)) ||
         (col("p_brand") === "Brand#23" && col("p_size").between(16, 30) && col("qty").between(10, 40)) ||
@@ -359,8 +361,8 @@ object AnalyticsJoins {
       .filter(col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
       .select(col("p_partkey"), col("p_brand"), col("p_type"))
     Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
-      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy(col("p_brand"), col("p_type"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
@@ -400,7 +402,7 @@ object AnalyticsJoins {
       .withColumn("n_supp", count(lit(1)).over(w))
       .withColumn("n_r", sum(col("has_r")).over(w))
       .filter(col("has_r") === 1 && col("n_supp") >= 2 && col("n_r") === 1)
-      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
@@ -447,15 +449,20 @@ object AnalyticsJoins {
           col("n_regionkey") === col("r_regionkey"))),
         col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"))
-    val supN = Tables.supplier(spark, dir)
-      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    // part/supplier sides are SF-LINEAR — un-hinted (file-size stats
+    // broadcast them at gate SFs, AQE decides at scale); only the 25-row
+    // nation rename keeps a forced hint
+    val supKeys = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
     val stdParts = Tables.part(spark, dir)
       .filter(col("p_type") === "STANDARD").select(col("p_partkey"))
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), revE4)
-      .join(broadcast(stdParts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(stdParts, col("l_partkey") === col("p_partkey"))
+      .join(supKeys, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nations.select(col("n_nationkey"),
+          col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
           year(col("o_orderdate")).cast("long").as("order_year")),
         col("l_orderkey") === col("o_orderkey"))
@@ -591,7 +598,7 @@ object AnalyticsJoins {
       .filter(col("c12") >= 3)
     val s1 = supp.select(col("l_partkey").as("part_a"), col("c").as("c1"))
     val s2 = supp.select(col("l_partkey").as("part_b"), col("c").as("c2"))
-    pairs.join(broadcast(s1), "part_a").join(broadcast(s2), "part_b")
+    pairs.join(s1, "part_a").join(s2, "part_b")
       .crossJoin(broadcast(nOrders))
       .withColumn("lift_e4",
         expr("(2 * c12 * n_orders * 10000 + c1 * c2) div (2 * c1 * c2)"))

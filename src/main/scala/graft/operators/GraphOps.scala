@@ -62,15 +62,20 @@ object GraphOps {
 
   private def tradeGraphDerive(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val nations = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
-    val supN = Tables.supplier(spark, dir)
-      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    // supplier/customer are SF-LINEAR: the fact joins their KEY
+    // projections un-hinted (Catalyst broadcasts from file stats at gate
+    // SFs, shuffles at scale); only the 25-row nation renames carry hints
+    val supKeys = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
     val custN = Tables.customer(spark, dir)
       .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name").as("cust_nation"))
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"), revE4)
     val edges = li
-      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(supKeys, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nations.select(col("n_nationkey"),
+          col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .join(custN, col("o_custkey") === col("c_custkey"))
@@ -956,10 +961,15 @@ object GraphOps {
     val lab = users.join(labels, Seq("user_id"), "left")
       .select(col("user_id"),
         coalesce(col("component"), col("user_id")).as("component"))
-    // component-domain table (≤ |users| rows, far fewer in practice) —
-    // broadcast back onto the user grain, no second user exchange
+    // component-domain table: worst case |users| rows (every edge-less
+    // user is its own singleton component), so this is a GROWING domain
+    // and the join is deliberately un-hinted — AQE broadcasts it at gate
+    // SFs (plan-pinned in PlanShapeSpec) and shuffles on `component`
+    // once the singleton majority outgrows the broadcast limit; same
+    // conditional-broadcast discipline as graphPagerankOf's rank vector
+    // and triangleCensusOf's degree table.
     val sizes = lab.groupBy(col("component")).agg(count(lit(1)).as("comp_size"))
-    lab.join(broadcast(sizes), Seq("component"))
+    lab.join(sizes, Seq("component"))
       .select(col("user_id"), col("component"), col("comp_size"))
       .orderBy(col("user_id"))
   }

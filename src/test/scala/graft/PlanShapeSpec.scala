@@ -122,6 +122,33 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("un-hinted growing-side joins still broadcast at gate SF (AQE replan)") {
+    // r12 verdict closure: q3_topk / q5_join dropped the forced
+    // broadcast(customer) and graphComponentsOf dropped broadcast(sizes)
+    // — all three sides grow with the data, so the hint was a 100×-scale
+    // killer. The pin here is the OTHER half of the contract: at gate
+    // SFs Catalyst/AQE must still pick broadcast on its own (the plans
+    // lost the hint, not the performance). AQE query stages are leaf
+    // nodes, so assert on adaptive.executedPlan AFTER an action.
+    // collect() first, then read the expanded treeString — query stages
+    // are leaves, so node-collect would miss joins inside finished stages
+    def bhjLines(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      df.collect()
+      df.queryExecution.executedPlan.treeString.linesIterator
+        .filter(_.contains("BroadcastHashJoin")).map(_.toLowerCase).toSeq
+    }
+    val q3Bhj = bhjLines(graft.operators.Analytics.q3Topk(spark, sfDir))
+    assert(q3Bhj.exists(_.contains("custkey")),
+      s"q3_topk's un-hinted customer join must broadcast at gate SF, BHJs: $q3Bhj")
+    val q5Bhj = bhjLines(graft.operators.Analytics.q5Join(spark, sfDir))
+    assert(q5Bhj.exists(_.contains("custkey")),
+      s"q5_join's un-hinted customer join must broadcast at gate SF, BHJs: $q5Bhj")
+    val ccBhj = bhjLines(graft.operators.GraphOps.graphComponentsOf(
+      graft.sources.Tables.events(spark, sfDir)))
+    assert(ccBhj.exists(_.contains("component")),
+      s"component-sizes join must broadcast at gate SF, BHJs: $ccBhj")
+  }
+
   test("corpus_mix and events_retention keep their scale shapes") {
     withoutAqe {
       // corpus_mix: the documents scan streams once through BROADCAST joins
