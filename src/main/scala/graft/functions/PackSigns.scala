@@ -47,6 +47,11 @@ final case class PackSigns(left: Expression, right: Expression)
     else if (right.dataType != IntegerType || !right.foldable)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a foldable INT offset, got ${right.dataType.simpleString}")
+    else if (right.eval(null) == null)
+      // a NULL literal offset would unbox to 0 in eval but stay garbage in
+      // codegen (offGen.isNull is never consulted) — the two paths agreeing
+      // only by accident; reject it outright (r12 advice)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName offset must not be NULL")
     else TypeCheckResult.TypeCheckSuccess
   }
 

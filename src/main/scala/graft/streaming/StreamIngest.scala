@@ -919,6 +919,22 @@ object StreamIngest {
     * and never folds — replay safety is exactly the offline call's.
     * Idempotent under replay: a replayed batch re-runs the compaction,
     * which either no-ops (< 3 dirs) or folds the same committed set. */
+  /** After this many CONSECUTIVE fold failures on one sink the hook stops
+    * retrying: a persistently failing compactor (permissions, corrupt
+    * footer) would otherwise be swallowed-and-retried forever while the
+    * sink silently degrades back to unbounded small-file growth — the
+    * give-up line is the loud, greppable signal that maintenance is
+    * broken (r12 advice). Ingestion itself is never affected. */
+  private[graft] val MaxCompactFailures = 3
+  private val compactFailures =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]()
+  /** Test hook: forget recorded fold failures for `root`. */
+  private[graft] def resetCompactFailures(root: String): Unit =
+    compactFailures.remove(root): Unit
+  /** Test hook: consecutive fold failures recorded for `root`. */
+  private[graft] def compactFailureCount(root: String): Int =
+    compactFailures.getOrDefault(root, 0)
+
   private def maybeCompact(spark: SparkSession, root: String,
                            batchId: Long, compactEvery: Int): Unit =
     // Cadence note: each fold rewrites the sink's full committed row set,
@@ -926,17 +942,31 @@ object StreamIngest {
     // for DELTA sinks, which stay small by design (a periodic offline
     // re-index folds the delta into the batch artifact and restarts it).
     // Pick compactEvery so one delta rewrite ≈ a few micro-batches of
-    // ingest; an unbounded append-forever sink wants the offline
-    // [[compactStreamIndex]] on a maintenance schedule instead.
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-      // maintenance must not kill ingestion: a failed fold leaves the
-      // sink exactly as the recovery protocol can resume it, and aborting
-      // the batch here would replay into the same failure forever
-      try compactStreamIndex(spark, root) catch {
-        case e: Exception =>
-          System.err.println(s"[graft] in-stream compaction of $root failed " +
-            s"(ingestion unaffected; next trigger retries): ${e.getMessage}")
-      }
+    // ingest; an unbounded append-forever sink wants the tiered offline
+    // [[compactStreamIndexTiered]] on a maintenance schedule instead.
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      val fails = compactFailures.getOrDefault(root, 0)
+      if (fails >= MaxCompactFailures) () // already gave up loudly below
+      else
+        // maintenance must not kill ingestion: a failed fold leaves the
+        // sink exactly as the recovery protocol can resume it, and aborting
+        // the batch here would replay into the same failure forever
+        try { compactStreamIndex(spark, root); compactFailures.remove(root): Unit }
+        catch {
+          case e: Exception =>
+            val n = fails + 1
+            compactFailures.put(root, n): Unit
+            if (n >= MaxCompactFailures)
+              System.err.println(s"[graft] GIVING UP on in-stream compaction " +
+                s"of $root after $n consecutive failures — the sink will grow " +
+                s"unbounded small files until the offline compactStreamIndex " +
+                s"maintenance path is run and the stream restarted: ${e.getMessage}")
+            else
+              System.err.println(s"[graft] in-stream compaction of $root failed " +
+                s"($n/$MaxCompactFailures; ingestion unaffected; next trigger " +
+                s"retries): ${e.getMessage}")
+        }
+    }
 
   /** Input row for [[vectorIndexStream]]. */
   final case class VecRow(vec_id: Long, ts: java.sql.Timestamp,
@@ -1039,6 +1069,7 @@ object StreamIngest {
 
   private val CompactTmp = ".compact-tmp"
   private val CompactManifest = ".compact-manifest"
+  private val CompactOld = ".compact-old"
 
   /** Fold COMMITTED micro-batch directories of a batchId-keyed stream sink
     * into one — the small-files bound for the hottest read path: at
@@ -1132,17 +1163,40 @@ object StreamIngest {
     finishCompaction(fs, p, target, folded)
   }
 
-  /** Deletes folded dirs and renames the temp into `batch=<target>`.
-    * Idempotent given a _SUCCESS-complete temp — recovery re-runs it. */
+  /** Makes the fold visible, then retires the superseded dirs.
+    * Idempotent given a _SUCCESS-complete temp — recovery re-runs it.
+    *
+    * Reader isolation (r12 advice): the fold output becomes visible
+    * FIRST and the superseded dirs disappear LAST, so a concurrent
+    * serving scan that lists mid-protocol sees transient DUPLICATION —
+    * safe, because every serving consumer dedups freshest-wins on
+    * (batch, vec_id) and the folded copy carries the id that wins — and
+    * never a window with every folded row absent (the old
+    * delete-then-rename order). The one non-atomic instant left is the
+    * `batch=<target>` swap: rename the live dir aside to an invisible
+    * name, rename the temp in — two adjacent metadata ops during which
+    * only TARGET's rows are unlisted, and a reader that listed the old
+    * dir before the swap can hit deleted files (inherent to
+    * listing-based reads over any overwrite). In-stream `compactEvery`
+    * folds therefore assume readers either tolerate a retry on that
+    * race or run folds from the offline maintenance path. */
   private def finishCompaction(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, target: Long, folded: Seq[Long]): Unit = {
+    val tgt = new org.apache.hadoop.fs.Path(p, s"batch=$target")
+    val tmp = new org.apache.hadoop.fs.Path(p, CompactTmp)
+    val old = new org.apache.hadoop.fs.Path(p, CompactOld)
+    if (fs.exists(tmp)) { // else the swap already happened; only retirement remains
+      // a .compact-old leftover means a prior run crashed mid-swap with a
+      // complete temp still present — the temp supersedes it
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(tgt))
+        require(fs.rename(tgt, old), s"compaction: rename-aside of $tgt failed")
+      require(fs.rename(tmp, tgt), s"compaction: rename into $tgt failed")
+    }
+    fs.delete(old, true)
     folded.filter(_ != target).foreach { i =>
       fs.delete(new org.apache.hadoop.fs.Path(p, s"batch=$i"), true)
     }
-    val tgt = new org.apache.hadoop.fs.Path(p, s"batch=$target")
-    fs.delete(tgt, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(p, CompactTmp), tgt),
-      s"compaction: rename into $tgt failed")
     fs.delete(new org.apache.hadoop.fs.Path(p, CompactManifest), false)
     ()
   }
@@ -1175,13 +1229,10 @@ object StreamIngest {
       val (target, folded) = parsed.get
       if (tmpComplete) finishCompaction(fs, p, target, folded) // roll forward
       else if (!fs.exists(tmp)) {
-        // rename already happened; only the folded-dir deletes (idempotent)
-        // and the manifest drop remain — batch=<target> holds the data,
-        // never touch it here
-        folded.filter(_ != target).foreach { i =>
-          fs.delete(new org.apache.hadoop.fs.Path(p, s"batch=$i"), true)
-        }
-        fs.delete(man, false); ()
+        // the swap already happened — batch=<target> holds the data;
+        // finishCompaction skips the swap and performs only the
+        // idempotent retirement (.compact-old, folded dirs, manifest)
+        finishCompaction(fs, p, target, folded)
       } else {
         // manifest without a complete temp: the fold never finished and
         // nothing was deleted (deletes start only after the manifest,
@@ -1192,6 +1243,10 @@ object StreamIngest {
       fs.delete(tmp, true) // orphan temp from a pre-manifest crash
       ()
     }
+    // belt-and-braces: a .compact-old can only exist under a manifest
+    // (deleted before it), but never leave one invisible-pinning bytes
+    if (!fs.exists(man))
+      fs.delete(new org.apache.hadoop.fs.Path(p, CompactOld), true): Unit
   }
 
   /** Input row for [[decontaminateStream]]. */

@@ -208,6 +208,18 @@ class Round12OpsSpec extends SparkSpecBase {
       .collect().head
     assert(short.getAs[Long]("lo") == 0xFFF00000L, f"lo=${short.getLong(0)}%x")
     assert(short.getAs[Long]("hi") == 0xFFL, f"hi=${short.getLong(1)}%x")
+    // a NULL literal offset is rejected at analysis (r13/ADVICE): eval
+    // would unbox it to 0 while codegen never consults offGen.isNull —
+    // the two paths must not be allowed to agree by accident
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT pack_signs(ARRAY(CAST(1.0 AS FLOAT)), CAST(NULL AS INT))")
+        .collect()
+    }
+    assert(err.getMessage.contains("offset must not be NULL"), err.getMessage)
+    // ...and the non-null literal path (the passing case) still analyzes
+    assert(spark.sql("SELECT pack_signs(ARRAY(CAST(1.0 AS FLOAT)), 0) AS p")
+      .collect().head.getLong(0) == 1L)
   }
 
   test("dedup_embed_lsh_oracle equals a full driver-side replay of the pipeline") {

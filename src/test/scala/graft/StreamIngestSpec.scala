@@ -1701,6 +1701,52 @@ class StreamIngestSpec extends SparkSpecBase {
     }
   }
 
+  test("compactEvery gives up loudly after persistent fold failures, ingestion unaffected") {
+    // r13/ADVICE: a permanently broken compactor must not be silently
+    // swallowed-and-retried forever. A poison dir (unparseable batch id)
+    // makes every fold throw; after MaxCompactFailures consecutive
+    // failures the hook stops attempting — the counter freezes at the cap
+    // instead of growing with every further trigger — while every
+    // micro-batch still lands in the sink.
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-compact-giveup").toString
+    val path = s"$dir/idx"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cents = Similarity.loadOrTrainCentroids(spark, sf)
+    val dim = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("embedding")).head().getSeq[Float](0).size
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/geom=poison/batch=bogus"))
+    StreamIngest.resetCompactFailures(path)
+    val base = ts("2024-08-01 00:00:00").getTime
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 24).map { i =>
+      StreamIngest.VecRow(300000L + i, new Timestamp(base + i),
+        Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    }
+    val input = MemoryStream[StreamIngest.VecRow](spark)
+    val q = StreamIngest.ivfDeltaStream(input.toDS(), cents, path,
+        watermark = "720 hours", compactEvery = 1)
+      .option("checkpointLocation", s"$dir/cp").start()
+    rows.grouped(3).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    assert(StreamIngest.compactFailureCount(path) == StreamIngest.MaxCompactFailures,
+      s"counter must freeze at the give-up cap, got ${StreamIngest.compactFailureCount(path)}")
+    // ingestion was never affected: every streamed vec_id is in the sink
+    val ingested = spark.read.parquet(s"$path/geom=g${
+      Similarity.centroidContentHash(cents)}")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.vec_id).toSet.subsetOf(ingested),
+      s"ingestion must continue through fold failures (${ingested.size} rows)")
+    // operator removes the poison and re-runs the offline path: folds work
+    // again once the cause is gone (the documented recovery story)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/geom=poison"), true)
+    StreamIngest.resetCompactFailures(path)
+    StreamIngest.compactStreamIndex(spark, path)
+    assert(StreamIngest.compactFailureCount(path) == 0)
+  }
+
   test("compactStreamIndex: freshest-wins at rest; crash recovery rolls forward and back") {
     val dir = Files.createTempDirectory("graft-compact-recover").toString
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -1785,6 +1831,78 @@ class StreamIngestSpec extends SparkSpecBase {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p3/.compact-manifest")))
     assert(vecsOf(p3) == Map(1L -> (0L, 0.1f), 2L -> (1L, 0.2f)),
       "roll-back must leave the sink exactly as written")
+  }
+
+  test("compaction swap order: fold visible first, retirement last, mid-swap crashes recover") {
+    // r13 reader-isolation reorder: finishCompaction now renames the old
+    // target ASIDE (invisible .compact-old) and the temp IN before any
+    // folded dir drops — a concurrent reader sees transient duplication
+    // (freshest-wins-safe), never a window with every folded row absent.
+    // The two new crash states that ordering introduces must both recover.
+    val dir = Files.createTempDirectory("graft-compact-swap").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeAt(path: String, rows: Seq[(Int, Long, Seq[Float])]): Unit =
+      rows.toDF("cell", "vec_id", "embedding")
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    def vecsOf(parent: String): Map[Long, (Long, Float)] =
+      spark.read.parquet(parent)
+        .select(col("vec_id"), col("batch").cast("long"),
+          element_at(col("embedding"), 1))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getFloat(2))).toMap
+    def gone(p: String) = !fs.exists(new org.apache.hadoop.fs.Path(p))
+
+    // --- crash BETWEEN rename-aside and rename-in: batch=<target> absent,
+    // .compact-old holds its pre-fold data, temp complete — recovery must
+    // install the temp (which supersedes old) and retire everything
+    val pA = s"$dir/midswap"
+    writeAt(s"$pA/batch=0", Seq((0, 1L, Seq(0.1f, 0.0f))))
+    writeAt(s"$pA/batch=2", Seq((0, 3L, Seq(0.3f, 0.0f)))) // live
+    writeAt(s"$pA/.compact-old", Seq((0, 2L, Seq(0.2f, 0.0f)))) // was batch=1
+    writeAt(s"$pA/.compact-tmp",
+      Seq((0, 1L, Seq(0.1f, 0.0f)), (0, 2L, Seq(0.2f, 0.0f))))
+    val manA = fs.create(new org.apache.hadoop.fs.Path(s"$pA/.compact-manifest"), true)
+    manA.write("1\n0,1\n".getBytes("UTF-8")); manA.close()
+    StreamIngest.compactStreamIndex(spark, pA)
+    assert(vecsOf(pA) == Map(1L -> (1L, 0.1f), 2L -> (1L, 0.2f), 3L -> (2L, 0.3f)),
+      s"mid-swap recovery must install the temp as batch=1: ${vecsOf(pA)}")
+    assert(gone(s"$pA/.compact-old") && gone(s"$pA/.compact-tmp") &&
+      gone(s"$pA/.compact-manifest") && gone(s"$pA/batch=0"))
+
+    // --- crash AFTER rename-in, before retirement: fold installed, but
+    // .compact-old and the folded dirs linger under the manifest —
+    // recovery must retire them and leave the installed fold untouched
+    val pB = s"$dir/postswap"
+    writeAt(s"$pB/batch=0", Seq((0, 1L, Seq(0.9f, 0.0f)))) // superseded copy
+    writeAt(s"$pB/batch=1",
+      Seq((0, 1L, Seq(0.1f, 0.0f)), (0, 2L, Seq(0.2f, 0.0f)))) // the fold
+    writeAt(s"$pB/batch=2", Seq((0, 3L, Seq(0.3f, 0.0f)))) // live
+    writeAt(s"$pB/.compact-old", Seq((0, 2L, Seq(0.8f, 0.0f))))
+    val manB = fs.create(new org.apache.hadoop.fs.Path(s"$pB/.compact-manifest"), true)
+    manB.write("1\n0,1\n".getBytes("UTF-8")); manB.close()
+    StreamIngest.compactStreamIndex(spark, pB)
+    assert(vecsOf(pB) == Map(1L -> (1L, 0.1f), 2L -> (1L, 0.2f), 3L -> (2L, 0.3f)),
+      s"post-swap recovery must keep the installed fold: ${vecsOf(pB)}")
+    assert(gone(s"$pB/.compact-old") && gone(s"$pB/.compact-manifest") &&
+      gone(s"$pB/batch=0"))
+
+    // --- the duplication window itself is freshest-wins-safe: with the
+    // fold installed AND the superseded dirs still visible (the exact
+    // state a concurrent reader can list), serve-side dedup returns the
+    // same rows as after full retirement
+    val pC = s"$dir/dupwindow"
+    writeAt(s"$pC/batch=0", Seq((0, 1L, Seq(0.9f, 0.0f))))
+    writeAt(s"$pC/batch=1",
+      Seq((0, 1L, Seq(0.1f, 0.0f)), (0, 2L, Seq(0.2f, 0.0f))))
+    writeAt(s"$pC/batch=2", Seq((0, 3L, Seq(0.3f, 0.0f))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("batch").cast("long").desc)
+    val served = spark.read.parquet(pC)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), element_at(col("embedding"), 1))
+      .collect().map(r => r.getLong(0) -> r.getFloat(1)).toMap
+    assert(served == Map(1L -> 0.1f, 2L -> 0.2f, 3L -> 0.3f),
+      s"freshest-wins dedup must mask transient duplication: $served")
   }
 
   test("index streams fail fast on a legacy flat cell=* sink layout") {
