@@ -896,15 +896,25 @@ object FeatureOps {
   def registryDiff(spark: SparkSession, dir: String): DataFrame =
     registryDiffOf(Registry.demo(dir).toDF(spark), demoEvolved(dir).toDF(spark))
 
+  /** The store registered in history-v1 and carried unchanged through v2
+    * (so only DELIBERATE edits surface as history rows). */
+  private[graft] def demoStore: graft.model.StoreSpec =
+    graft.model.StoreSpec("online_main", "redis",
+      Map("host" -> "localhost:6379"),
+      Seq(graft.model.Subscription("default", "*")))
+
   /** The demo registry one promotion later — the v2 snapshot both
     * registry_diff and registry_history drive with: a feature retype, a
-    * feature removal, a feature addition, and a TTL change, exercising
-    * every diff status. */
+    * feature removal, a feature addition, a TTL change, and an ENTITY
+    * retype (c_custkey INT64 → STRING), exercising every diff status.
+    * The ODFV and store ride along unchanged from v1 — registry_diff's
+    * feature-grain oracle never sees them; registry_history's
+    * family-grain diff must show NO rows for them at v2. */
   private[graft] def demoEvolved(dir: String): Registry = {
     val old = Registry.demo(dir)
     val r = new Registry
     r.applyEntity(graft.model.Entity("user_id", graft.model.ValueKind.Int64K))
-    r.applyEntity(graft.model.Entity("c_custkey", graft.model.ValueKind.Int64K))
+    r.applyEntity(graft.model.Entity("c_custkey", graft.model.ValueKind.StringK))
     r.applyTable(old.getTable("user_activity").get.copy(
       features = Seq(
         graft.model.Feature("value", graft.model.ValueKind.DoubleK),
@@ -914,21 +924,33 @@ object FeatureOps {
       features = Seq(
         graft.model.Feature("c_acctbal", graft.model.ValueKind.FloatK),
         graft.model.Feature("c_mktsegment", graft.model.ValueKind.StringK))))
+    r.applyOnDemandView(old.getOnDemandView("activity_derived").get)
+    r.applyStore(demoStore)
     r
   }
 
-  /** v3: the customer_profile table is dropped outright and
-    * user_activity.value is retyped — the table-retirement edit the
-    * history view must attribute, composing with v2's field edits. */
+  /** v3: the customer_profile table is dropped outright,
+    * user_activity.value is retyped, the ODFV's value_x2 expression
+    * changes, and the store's subscriptions narrow — the
+    * table-retirement + ODFV/store-edit promotion the history view must
+    * attribute, composing with v2's field edits. */
   private[graft] def demoEvolvedV3(dir: String): Registry = {
     val v2 = demoEvolved(dir)
     val r = new Registry
     r.applyEntity(graft.model.Entity("user_id", graft.model.ValueKind.Int64K))
-    r.applyEntity(graft.model.Entity("c_custkey", graft.model.ValueKind.Int64K))
+    r.applyEntity(graft.model.Entity("c_custkey", graft.model.ValueKind.StringK))
     r.applyTable(v2.getTable("user_activity").get.copy(
       features = Seq(
         graft.model.Feature("value", graft.model.ValueKind.FloatK),
         graft.model.Feature("session_len", graft.model.ValueKind.Int64K))))
+    r.applyOnDemandView(graft.model.OnDemandView(
+      name = "activity_derived",
+      inputs = Seq(graft.model.FeatureRef("user_activity", "value")),
+      features = Seq(
+        graft.model.OnDemandFeature("value_x2", "round(user_activity__value * 3, 4)"),
+        graft.model.OnDemandFeature("is_high", "user_activity__value > 50"))))
+    r.applyStore(demoStore.copy(
+      subscriptions = Seq(graft.model.Subscription("default", "user_activity"))))
     r
   }
 
@@ -991,8 +1013,9 @@ object FeatureOps {
     historyRegistryCache.getOrElseUpdate(dir, {
       val base = sys.props("java.io.tmpdir") + "/graft_registry_history/" +
         dir.replaceAll("[^A-Za-z0-9._]", "_")
+      val v1 = { val r = Registry.demo(dir); r.applyStore(demoStore); r }
       val versions = Seq(
-        (1L, "alice", Registry.demo(dir)),
+        (1L, "alice", v1),
         (2L, "bob", demoEvolved(dir)),
         (3L, "carol", demoEvolvedV3(dir)))
       versions.map { case (v, author, r) =>
@@ -1001,41 +1024,124 @@ object FeatureOps {
       }
     })
 
+  /** Member-grain dump of EVERY registry object family — the row basis of
+    * the family-aware history diff (reference: the JPA layer stamps every
+    * object family via AbstractTimestampEntity.java, so a history view
+    * limited to feature rows would miss the entity/store/ODFV edits the
+    * reference's audit columns cover):
+    *  - FEATURE: (project, table, feature) → value type + table max-age
+    *  - ENTITY:  (project, entity, "value_type") → the entity's type
+    *  - ODFV:    (project, view, od-feature) → the SQL expression
+    *  - STORE:   ("global", store, "config") → type|cfg|subscriptions
+    *    (stores are not project-scoped; config keys render sorted so the
+    *    def string is construction-order-independent)
+    * Registries are entity-domain metadata: rows = tables×features +
+    * entities + views×features + stores — driver-side Seq, never
+    * corpus-sized. */
+  private[graft] def registryMembersDF(spark: SparkSession,
+      r: Registry): DataFrame = {
+    import spark.implicits._
+    val projects = r.listAllProjects.map(_.name)
+    val feats = projects.flatMap { p =>
+      r.listTables(p).flatMap { t =>
+        t.features.map(f => ("FEATURE", p, t.name, f.name, f.valueType.name,
+          java.lang.Long.valueOf(t.maxAgeSec.getOrElse(0L))))
+      }
+    }
+    val ents = projects.flatMap { p =>
+      r.listEntities(p).map(e => ("ENTITY", p, e.name, "value_type",
+        e.valueType.name, null: java.lang.Long))
+    }
+    val views = projects.flatMap { p =>
+      r.listOnDemandViews(p).flatMap { v =>
+        v.features.map(f => ("ODFV", p, v.name, f.name, f.sqlExpr,
+          null: java.lang.Long))
+      }
+    }
+    val stores = r.listStores.map { s =>
+      val cfg = s.config.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+        .mkString(",")
+      ("STORE", "global", s.name, "config",
+        s"${s.storeType}|cfg=$cfg|subs=${s.subscriptions.map(_.render).mkString(";")}",
+        null: java.lang.Long)
+    }
+    (feats ++ ents ++ views ++ stores)
+      .toDF("family", "project", "object_name", "member", "def", "max_age_sec")
+  }
+
+  /** Family-aware history diff between two member-grain dumps: ADDED /
+    * REMOVED on presence; a def change is TYPE_CHANGED for the FEATURE
+    * family (type outranks TTL, as in [[registryDiffOf]]) and CHANGED for
+    * the others (entity retype, ODFV expression edit, store re-config);
+    * MAX_AGE_CHANGED only ever fires for features (other families carry
+    * null max-age on both sides, and null <=> null is true). */
+  private[graft] def registryHistoryDiffOf(oldDf: DataFrame,
+      newDf: DataFrame): DataFrame = {
+    val keys = Seq("family", "project", "object_name", "member")
+    val o = oldDf.select(keys.map(col) :+ col("def").as("old_def")
+      :+ col("max_age_sec").as("old_max_age"): _*)
+    val n = newDf.select(keys.map(col) :+ col("def").as("new_def")
+      :+ col("max_age_sec").as("new_max_age"): _*)
+    o.join(n, keys, "full_outer")
+      .withColumn("status",
+        when(col("old_def").isNull, lit("ADDED"))
+          .when(col("new_def").isNull, lit("REMOVED"))
+          .when(col("old_def") =!= col("new_def"),
+            when(col("family") === "FEATURE", lit("TYPE_CHANGED"))
+              .otherwise(lit("CHANGED")))
+          .when(!(col("old_max_age") <=> col("new_max_age")),
+            lit("MAX_AGE_CHANGED"))
+          .otherwise(lit("UNCHANGED")))
+      .select(col("family"), col("project"), col("object_name"), col("member"),
+        col("status"), col("old_def"), col("new_def"), col("old_max_age"),
+        col("new_max_age"))
+  }
+
   def registryHistory(spark: SparkSession, dir: String): DataFrame = {
     val versions = demoHistoryReloaded(spark, dir)
     versions.sliding(2).map { pair =>
       val (_, _, prev) = pair.head
       val (v, author, next) = pair(1)
-      registryDiffOf(prev.toDF(spark), next.toDF(spark))
+      registryHistoryDiffOf(
+          registryMembersDF(spark, prev), registryMembersDF(spark, next))
         .filter(col("status") =!= "UNCHANGED")
-        .select(lit(v).as("version"), lit(author).as("author"),
-          col("project"), col("table_name"), col("feature"), col("status"),
-          col("old_type"), col("new_type"), col("old_max_age"),
+        .select(lit(v).as("version"), lit(author).as("author"), col("family"),
+          col("project"), col("object_name"), col("member"), col("status"),
+          col("old_def"), col("new_def"), col("old_max_age"),
           col("new_max_age"))
     }.reduce(_.unionByName(_))
-      .orderBy(col("version"), col("project"), col("table_name"),
-        col("feature"))
+      .orderBy(col("version"), col("family"), col("project"),
+        col("object_name"), col("member"))
   }
 
   val registryHistorySql: String =
     """SELECT * FROM (VALUES
-      |  (CAST(2 AS BIGINT), 'bob', 'default', 'customer_profile', 'c_acctbal',
+      |  (CAST(2 AS BIGINT), 'bob', 'ENTITY', 'default', 'c_custkey', 'value_type',
+      |   'CHANGED', 'INT64', 'STRING', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+      |  (CAST(2 AS BIGINT), 'bob', 'FEATURE', 'default', 'customer_profile', 'c_acctbal',
       |   'TYPE_CHANGED', 'DOUBLE', 'FLOAT', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
-      |  (CAST(2 AS BIGINT), 'bob', 'default', 'user_activity', 'event_type',
+      |  (CAST(2 AS BIGINT), 'bob', 'FEATURE', 'default', 'user_activity', 'event_type',
       |   'REMOVED', 'STRING', NULL, CAST(604800 AS BIGINT), CAST(NULL AS BIGINT)),
-      |  (CAST(2 AS BIGINT), 'bob', 'default', 'user_activity', 'session_len',
+      |  (CAST(2 AS BIGINT), 'bob', 'FEATURE', 'default', 'user_activity', 'session_len',
       |   'ADDED', NULL, 'INT64', CAST(NULL AS BIGINT), CAST(259200 AS BIGINT)),
-      |  (CAST(2 AS BIGINT), 'bob', 'default', 'user_activity', 'value',
+      |  (CAST(2 AS BIGINT), 'bob', 'FEATURE', 'default', 'user_activity', 'value',
       |   'MAX_AGE_CHANGED', 'DOUBLE', 'DOUBLE', CAST(604800 AS BIGINT), CAST(259200 AS BIGINT)),
-      |  (CAST(3 AS BIGINT), 'carol', 'default', 'customer_profile', 'c_acctbal',
+      |  (CAST(3 AS BIGINT), 'carol', 'FEATURE', 'default', 'customer_profile', 'c_acctbal',
       |   'REMOVED', 'FLOAT', NULL, CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
-      |  (CAST(3 AS BIGINT), 'carol', 'default', 'customer_profile', 'c_mktsegment',
+      |  (CAST(3 AS BIGINT), 'carol', 'FEATURE', 'default', 'customer_profile', 'c_mktsegment',
       |   'REMOVED', 'STRING', NULL, CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
-      |  (CAST(3 AS BIGINT), 'carol', 'default', 'user_activity', 'value',
-      |   'TYPE_CHANGED', 'DOUBLE', 'FLOAT', CAST(259200 AS BIGINT), CAST(259200 AS BIGINT))
-      |) AS t(version, author, project, table_name, feature, status,
-      |       old_type, new_type, old_max_age, new_max_age)
-      |ORDER BY version, project, table_name, feature""".stripMargin
+      |  (CAST(3 AS BIGINT), 'carol', 'FEATURE', 'default', 'user_activity', 'value',
+      |   'TYPE_CHANGED', 'DOUBLE', 'FLOAT', CAST(259200 AS BIGINT), CAST(259200 AS BIGINT)),
+      |  (CAST(3 AS BIGINT), 'carol', 'ODFV', 'default', 'activity_derived', 'value_x2',
+      |   'CHANGED', 'round(user_activity__value * 2, 4)',
+      |   'round(user_activity__value * 3, 4)', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+      |  (CAST(3 AS BIGINT), 'carol', 'STORE', 'global', 'online_main', 'config',
+      |   'CHANGED', 'redis|cfg=host=localhost:6379|subs=default:*:false',
+      |   'redis|cfg=host=localhost:6379|subs=default:user_activity:false',
+      |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))
+      |) AS t(version, author, family, project, object_name, member, status,
+      |       old_def, new_def, old_max_age, new_max_age)
+      |ORDER BY version, family, project, object_name, member""".stripMargin
 
   /** Daily feature-snapshot backfill — the offline-store materialization
     * feast-era batch jobs run nightly (reference: the 0.9 batch ingestion

@@ -1219,6 +1219,131 @@ object GraphOps {
        |ORDER BY u.user_id""".stripMargin
   }
 
+  /** Radius of the truncated harmonic — part of the op's CONTRACT, not a
+    * convergence knob: harmonic_e6 is the exact harmonic centrality of
+    * the radius-[[HarmonicUsersRadius]] ball, H_R(v) = Σ_{0<d(v,u)≤R}
+    * 1e6 DIV d. Measured at the gate corpora the capped graph's giant
+    * component has diameter ≤ R (the BFS frontier empties before the
+    * cap), so the truncated and full scores coincide there — but the
+    * TRUNCATION is what survives 100 TB, see below. */
+  val HarmonicUsersRadius = 4
+
+  /** Harmonic centrality over the GROWING user×user co-activity graph —
+    * the DISTANCE op promoted off the 25-node nation domain (the r12
+    * verdict's ask; pagerank/k-core/triangles proved the domain): how
+    * close a user sits to everyone else in the co-activity fabric, in
+    * the disconnection-safe harmonic form ([[graphHarmonic]]'s Boldi &
+    * Vigna semantics) — the reach/centrality cut beside the flow ranks.
+    *
+    * Scale shape: FULL all-pairs harmonic is inherently O(|V|²) state on
+    * a connected graph — the formulation that dies at a 10⁸-user domain
+    * no matter how it is scheduled. The shipped op is therefore
+    * RADIUS-TRUNCATED by contract: a multi-source BFS over the PERSISTED
+    * capped co-session artifact ([[coActivityEdges]], ≤ 8 out-edges per
+    * user so |E| ≤ 8·|users|), run exactly [[HarmonicUsersRadius]]
+    * frontier rounds — state is the (src, node) pairs within the R-ball,
+    * ≤ |V|·(2·8)^R rows with a CONSTANT cap factor (degree bound times
+    * radius, independent of |V|), each round one edge join + one
+    * anti-join on checkpoint-pinned frontiers. Early exit when a
+    * frontier empties is unobservable (later rounds are the identity),
+    * exactly the [[graphKcoreUsers]] truncation discipline.
+    *
+    * Oracle: capped graph re-derived in SQL + the ball unrolled as R
+    * chained DISTINCT hop levels; min(level) per (src, node) is the true
+    * BFS distance (a shortest path is itself a walk, so a node's first
+    * level IS d), cross-proving the Spark frontier loop's anti-join
+    * bookkeeping. Exact integers (1e6 DIV d) throughout. */
+  def graphHarmonicUsers(spark: SparkSession, dir: String): DataFrame = {
+    val e = coActivityEdges(spark, dir)
+    val scores = harmonicTruncated(
+      e.select(col("a"), col("b")), HarmonicUsersRadius)
+    Tables.events(spark, dir).select(col("user_id")).distinct()
+      .join(scores, col("user_id") === col("node"), "left")
+      .select(col("user_id"),
+        coalesce(col("n_reach"), lit(0L)).as("n_reach"),
+        coalesce(col("harmonic_e6"), lit(0L)).as("harmonic_e6"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Multi-source BFS to `radius` hops over an (a, b) unique-undirected-
+    * pair list; returns (node, n_reach, harmonic_e6) for every node with
+    * at least one edge (edge-less nodes join back as 0/0 at the caller). */
+  private[graft] def harmonicTruncated(pairs: DataFrame,
+                                       radius: Int): DataFrame = {
+    val bi = pairs.select(col("a").as("n1"), col("b").as("n2"))
+      .unionAll(pairs.select(col("b").as("n1"), col("a").as("n2")))
+      .localCheckpoint() // every BFS round joins it
+    var dist = bi.select(col("n1").as("src")).distinct()
+      .select(col("src"), col("src").as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dist
+    var d = 0L
+    while (d < radius && !frontier.isEmpty) {
+      val next = bi.join(frontier, col("n1") === col("node"))
+        .select(col("src"), col("n2").as("node")).distinct()
+        .join(dist, Seq("src", "node"), "left_anti")
+        .withColumn("dist", lit(d + 1L))
+        .localCheckpoint()
+      dist = dist.unionAll(next).localCheckpoint()
+      frontier = next
+      d += 1
+    }
+    dist.filter(col("dist") > 0)
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("n_reach"),
+        sum(expr("1000000 DIV dist")).as("harmonic_e6"))
+  }
+
+  val graphHarmonicUsersSql: String = {
+    val hops = (2 to HarmonicUsersRadius).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT DISTINCT p.src, b.n2 AS node
+         |  FROM p${i - 1} p JOIN bi b ON b.n1 = p.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    val levels = (1 to HarmonicUsersRadius)
+      .map(i => s"SELECT src, node, $i AS lvl FROM p$i")
+      .mkString("\n    UNION ALL ")
+    s"""WITH hrs AS (
+       |  SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr, user_id,
+       |    count(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), capped AS MATERIALIZED (
+       |  SELECT hr, user_id FROM (
+       |    SELECT hr, user_id,
+       |      row_number() OVER (PARTITION BY hr ORDER BY n DESC, user_id) AS rn
+       |    FROM hrs) WHERE rn <= 20
+       |), pairs AS (
+       |  SELECT x.user_id AS a, y.user_id AS b, count(*) AS w
+       |  FROM capped x JOIN capped y ON x.hr = y.hr AND x.user_id < y.user_id
+       |  GROUP BY 1, 2
+       |), kept AS MATERIALIZED (
+       |  SELECT a, b FROM (
+       |    SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY w DESC, b) AS rn
+       |    FROM pairs) WHERE rn <= 8
+       |), bi AS MATERIALIZED (
+       |  SELECT a AS n1, b AS n2 FROM kept
+       |  UNION ALL SELECT b AS n1, a AS n2 FROM kept
+       |), p1 AS MATERIALIZED (
+       |  SELECT DISTINCT n1 AS src, n2 AS node FROM bi
+       |),
+       |$hops,
+       |sp AS (
+       |  SELECT src, node, min(lvl) AS d FROM (
+       |    $levels)
+       |  WHERE src <> node GROUP BY 1, 2
+       |), sc AS (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS n_reach,
+       |    CAST(sum(1000000 // d) AS BIGINT) AS harmonic_e6
+       |  FROM sp GROUP BY 1
+       |)
+       |SELECT u.user_id, coalesce(sc.n_reach, 0) AS n_reach,
+       |  coalesce(sc.harmonic_e6, 0) AS harmonic_e6
+       |FROM (SELECT DISTINCT user_id FROM events) u
+       |LEFT JOIN sc ON sc.src = u.user_id
+       |ORDER BY u.user_id""".stripMargin
+  }
+
   /** Triangle census over the GROWING user×user co-activity graph — the
     * third flow op on the corpus-scaling domain (pagerank = influence,
     * k-core = engagement robustness, triangles = local cohesion: a user
@@ -1293,6 +1418,7 @@ object GraphOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank_users" -> (graphPagerankUsers _),
     "graph_kcore_users" -> (graphKcoreUsers _),
+    "graph_harmonic_users" -> (graphHarmonicUsers _),
     "graph_triangles_users" -> (graphTrianglesUsers _),
     "graph_bfs"         -> (graphBfs _),
     "graph_pagerank"    -> (graphPagerank _),
@@ -1306,6 +1432,7 @@ object GraphOps {
   val oracle: Map[String, String] = Map(
     "graph_pagerank_users" -> graphPagerankUsersSql,
     "graph_kcore_users" -> graphKcoreUsersSql,
+    "graph_harmonic_users" -> graphHarmonicUsersSql,
     "graph_triangles_users" -> graphTrianglesUsersSql,
     "graph_bfs"         -> graphBfsSql,
     "graph_pagerank"    -> graphPagerankSql,

@@ -104,35 +104,57 @@ class Round12OpsSpec extends SparkSpecBase {
 
   // ------------------------------------------------------ registry history
 
-  test("registry_history: attributed change log over persisted dumps") {
+  test("registry_history: attributed change log covers every object family") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.operators.FeatureOps.registryHistory(spark, dir)
       .collect().map(r => (r.getAs[Long]("version"), r.getAs[String]("author"),
-        r.getAs[String]("table_name"), r.getAs[String]("feature"),
-        r.getAs[String]("status")))
+        r.getAs[String]("family"), r.getAs[String]("object_name"),
+        r.getAs[String]("member"), r.getAs[String]("status")))
     val want = Seq(
-      (2L, "bob", "customer_profile", "c_acctbal", "TYPE_CHANGED"),
-      (2L, "bob", "user_activity", "event_type", "REMOVED"),
-      (2L, "bob", "user_activity", "session_len", "ADDED"),
-      (2L, "bob", "user_activity", "value", "MAX_AGE_CHANGED"),
-      (3L, "carol", "customer_profile", "c_acctbal", "REMOVED"),
-      (3L, "carol", "customer_profile", "c_mktsegment", "REMOVED"),
-      (3L, "carol", "user_activity", "value", "TYPE_CHANGED"))
+      (2L, "bob", "ENTITY", "c_custkey", "value_type", "CHANGED"),
+      (2L, "bob", "FEATURE", "customer_profile", "c_acctbal", "TYPE_CHANGED"),
+      (2L, "bob", "FEATURE", "user_activity", "event_type", "REMOVED"),
+      (2L, "bob", "FEATURE", "user_activity", "session_len", "ADDED"),
+      (2L, "bob", "FEATURE", "user_activity", "value", "MAX_AGE_CHANGED"),
+      (3L, "carol", "FEATURE", "customer_profile", "c_acctbal", "REMOVED"),
+      (3L, "carol", "FEATURE", "customer_profile", "c_mktsegment", "REMOVED"),
+      (3L, "carol", "FEATURE", "user_activity", "value", "TYPE_CHANGED"),
+      (3L, "carol", "ODFV", "activity_derived", "value_x2", "CHANGED"),
+      (3L, "carol", "STORE", "online_main", "config", "CHANGED"))
     assert(got.toSeq == want, s"got ${got.toSeq}")
+    // the entity retype and ODFV/store edits carry their defs verbatim
+    val byKey = graft.operators.FeatureOps.registryHistory(spark, dir)
+      .collect().map(r => (r.getAs[String]("family"), r.getAs[String]("member"),
+        r.getAs[Long]("version")) ->
+        (r.getAs[String]("old_def"), r.getAs[String]("new_def"))).toMap
+    assert(byKey(("ENTITY", "value_type", 2L)) == ("INT64", "STRING"))
+    assert(byKey(("ODFV", "value_x2", 3L)) ==
+      ("round(user_activity__value * 2, 4)", "round(user_activity__value * 3, 4)"))
+    assert(byKey(("STORE", "config", 3L)) ==
+      ("redis|cfg=host=localhost:6379|subs=default:*:false",
+       "redis|cfg=host=localhost:6379|subs=default:user_activity:false"))
   }
 
   test("registry_history over persisted dumps equals in-memory diffs (lossless save/load)") {
+    // every family rides Registry.save/load in demoHistoryReloaded; if the
+    // persisted dumps lost an entity type, ODFV expression or store config
+    // the persisted history would differ from the in-memory one
     val dir = "/root/testdata/sf0.001"
     val fo = graft.operators.FeatureOps
+    val v1 = {
+      val r = graft.model.Registry.demo(dir); r.applyStore(fo.demoStore); r
+    }
     val inMem = Seq(
-      (2L, "bob", graft.model.Registry.demo(dir), fo.demoEvolved(dir)),
+      (2L, "bob", v1, fo.demoEvolved(dir)),
       (3L, "carol", fo.demoEvolved(dir), fo.demoEvolvedV3(dir)))
       .map { case (v, a, prev, next) =>
-        fo.registryDiffOf(prev.toDF(spark), next.toDF(spark))
+        fo.registryHistoryDiffOf(
+            fo.registryMembersDF(spark, prev), fo.registryMembersDF(spark, next))
           .filter(col("status") =!= "UNCHANGED")
           .select(lit(v).as("version"), lit(a).as("author"), col("*"))
       }.reduce(_ unionByName _)
-      .orderBy(col("version"), col("project"), col("table_name"), col("feature"))
+      .orderBy(col("version"), col("family"), col("project"),
+        col("object_name"), col("member"))
       .collect().toSeq
     val persisted = fo.registryHistory(spark, dir).collect().toSeq
     assert(persisted == inMem)
