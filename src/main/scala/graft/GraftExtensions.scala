@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharPolyHash, CosineSimilarity, MatVec, PackSigns, PqEncode, QuantizedCosine, WordShingleHash}
+import graft.functions.{CharPolyHash, CosineSimilarity, LshSignBucket, MatVec, PackSigns, PqEncode, QuantizedCosine, WordShingleHash}
 
 /** Session extensions: registers graft's native Catalyst expressions so they
   * are callable from SQL and `functions.call_function`. Install with
@@ -47,6 +47,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "pq_encode takes exactly 2 arguments")
         PqEncode(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("lsh_sign_bucket"),
+      new ExpressionInfo(classOf[LshSignBucket].getName, "lsh_sign_bucket"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "lsh_sign_bucket takes exactly 3 arguments")
+        LshSignBucket(children.head, children(1), children(2))
       }))
     ext.injectFunction((
       FunctionIdentifier("pack_signs"),

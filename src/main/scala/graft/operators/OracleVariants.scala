@@ -958,9 +958,13 @@ object OracleVariants {
     * The twin pins the LSH plumbing (bucketing, multi-probe bit flips,
     * OR-amplified table union, candidate join, ranking/threshold), not
     * the production float family or the corpus-banded plane count —
-    * planes are FIXED at 4 so the SQL text stays static (the
-    * knn_hamming_rerank_oracle fixed-depth discipline). */
-  private val LshOraclePlanes = 4
+    * planes are FIXED (6 since r13: the r12 verdict's named leftover —
+    * 4 planes = 16 buckets barely partitioned 2000 vectors, making this
+    * twin the priciest gate in the suite at 4.4-5.9 s; 6 planes = 64
+    * buckets match the sf0.1 production band and quarter the pair
+    * count) so the SQL text stays static (the knn_hamming_rerank_oracle
+    * fixed-depth discipline). */
+  private[graft] val LshOraclePlanes = 6
 
   private def intPlane(p: Int): IndexedSeq[Long] =
     (0 until 64).map { d =>
@@ -968,20 +972,16 @@ object OracleVariants {
       (x % 2001L) - 1000L
     }
 
-  /** ×1000-quantized coordinate read straight off the STORED embedding
-    * column (never off a computed array — CollapseProject would inline
-    * the quantizing transform once per referencing term). */
-  private def qCoord(d: Int): Column =
-    round(element_at(col("embedding"), d + 1).cast("double") * 1000).cast("long")
-
   /** Sign bucket of planes [offset, offset+n) of the integer family —
-    * one 64-term codegen'd integer dot per plane (the packHalf shape). */
+    * the native fused loop ([[graft.functions.LshSignBucket]], r13): the
+    * column form was an nPlanes×64-term interpreted tree that made the
+    * twins bucket-projection-bound (2.6 s for 2000 rows at 6 planes —
+    * every dim re-extracted per plane, no CSE). Same BIGINT arithmetic,
+    * replayed by [[intBucketSql]] in DuckDB and by the driver-side
+    * replay specs. */
   private def intBucket(planeOffset: Int, nPlanes: Int): Column =
-    (0 until nPlanes).map { p =>
-      val qp = intPlane(planeOffset + p)
-      val dotp = (0 until 64).map(d => qCoord(d) * lit(qp(d))).reduce(_ + _)
-      when(dotp > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    call_function("lsh_sign_bucket", quant(col("embedding")),
+      lit(planeOffset), lit(nPlanes))
 
   private def intBucketSql(planeOffset: Int, nPlanes: Int): String =
     (0 until nPlanes).map { p =>
@@ -1055,7 +1055,9 @@ object OracleVariants {
     * pipeline over the integer plane family (tables draw disjoint plane
     * ranges from the same LCG stream, exactly like production) and
     * quantized cosine. */
-  def dedupEmbedLshOracle(spark: SparkSession, dir: String): DataFrame = {
+  /** The twin's stages exposed for the ScaleProbe stage-split. */
+  private[graft] def dedupEmbedLshParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val numTables = 3
     val emb = Tables.embeddings(spark, dir).select(
       col("vec_id") +: quant(col("embedding")).as("v") +:
@@ -1071,6 +1073,11 @@ object OracleVariants {
       col("vec_id").as("id_a"), col("v").as("va"))
     val exact = tagged.select(col("tbl"), col("bucket"),
       col("vec_id").as("id_b"), col("v").as("vb"))
+    (tagged, probed, exact)
+  }
+
+  def dedupEmbedLshOracle(spark: SparkSession, dir: String): DataFrame = {
+    val (_, probed, exact) = dedupEmbedLshParts(spark, dir)
     probed.join(exact, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

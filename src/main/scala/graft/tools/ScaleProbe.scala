@@ -845,6 +845,26 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
 
+    if (args.headOption.contains("lshtwin")) {
+      // stage split of dedup_embed_lsh_oracle: bucket projection vs pair
+      // join vs full pipeline (r13 item 5 — is the twin bucket-bound or
+      // pair-bound?)
+      def t(label: String)(body: => Long): Unit = {
+        body // warm
+        val t0 = System.nanoTime(); val n = body
+        println(f"[lshtwin] $label%-14s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
+      }
+      val full = graft.operators.OracleVariants.dedupEmbedLshOracle(spark, dir)
+      t("full")(full.count())
+      val (tagged, probed, exact) =
+        graft.operators.OracleVariants.dedupEmbedLshParts(spark, dir)
+      t("buckets")(tagged.count())
+      t("pairs")(probed.join(exact, Seq("tbl", "bucket"))
+        .filter(org.apache.spark.sql.functions.col("id_a") <
+          org.apache.spark.sql.functions.col("id_b")).count())
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("ngram")) {
       ngramProbe(spark, Seq(2000, 4000, 8000))
       spark.stop()

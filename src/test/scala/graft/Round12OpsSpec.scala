@@ -171,8 +171,10 @@ class Round12OpsSpec extends SparkSpecBase {
       (x % 2001L) - 1000L
     }
 
+  private val Planes = graft.operators.OracleVariants.LshOraclePlanes
+
   private def bucketRef(qv: IndexedSeq[Long], planeOffset: Int): Long =
-    (0 until 4).map { p =>
+    (0 until Planes).map { p =>
       val qp = intPlaneRef(planeOffset + p)
       val dot = (0 until 64).map(d => qv(d) * qp(d)).sum
       if (dot > 0) 1L << p else 0L
@@ -188,7 +190,7 @@ class Round12OpsSpec extends SparkSpecBase {
   /** The integer planes are the exact ×1000 copy of the float LCG family —
     * the claim the twins' engine-neutrality rests on. */
   test("integer LSH planes are the exact x1000 copy of the float family") {
-    for (p <- 0 until 12; d <- 0 until 64) {
+    for (p <- 0 until 3 * Planes; d <- 0 until 64) {
       val x = (p * 1315423911L + d * 2654435761L + 97531L) & 0xffffffffL
       val floatPlane = (x % 2001L).toDouble / 1000.0 - 1.0
       assert(intPlaneRef(p)(d) == math.round(floatPlane * 1000.0),
@@ -251,7 +253,7 @@ class Round12OpsSpec extends SparkSpecBase {
       .map(r => r.getAs[Long]("vec_id") ->
         quantize(r.getSeq[Float](1))).toIndexedSeq.sortBy(_._1)
     val buckets = (0 until 3).map(t =>
-      emb.map { case (id, qv) => id -> bucketRef(qv, t * 4) }.toMap)
+      emb.map { case (id, qv) => id -> bucketRef(qv, t * Planes) }.toMap)
     def near(t: Int, a: Long, b: Long): Boolean =
       java.lang.Long.bitCount(buckets(t)(a) ^ buckets(t)(b)) <= 1
     val byId = emb.toMap
@@ -277,7 +279,8 @@ class Round12OpsSpec extends SparkSpecBase {
     val bucket = emb.map { case (id, qv) => id -> bucketRef(qv, 0) }.toMap
     val byId = emb.toMap
     val want = emb.filter(_._1 < 10).flatMap { case (q, qv) =>
-      val probes = Set(bucket(q)) ++ (0 until 4).map(p => bucket(q) ^ (1L << p))
+      val probes = Set(bucket(q)) ++
+        (0 until Planes).map(p => bucket(q) ^ (1L << p))
       emb.filter { case (c, _) => c != q && probes.contains(bucket(c)) }
         .map { case (c, cv) => (c, cosRef(qv, cv)) }
         .sortBy { case (c, cos) => (-cos, c) }.take(5)

@@ -48,6 +48,50 @@ class Round13OpsSpec extends SparkSpecBase {
     assert(r5(1L)._1 == 5L, "radius 5 reaches the far endpoint")
   }
 
+  test("lsh_sign_bucket: fused loop equals the per-plane column arithmetic and guards its edges") {
+    // independently recompute the LCG plane family driver-side (the
+    // Round12 intPlaneRef formula) and compare against the native expr
+    def planeRef(p: Int): IndexedSeq[Long] =
+      (0 until 64).map { d =>
+        val x = (p * 1315423911L + d * 2654435761L + 97531L) & 0xffffffffL
+        (x % 2001L) - 1000L
+      }
+    val rnd = new scala.util.Random(42)
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextInt(2001).toLong - 1000L)))
+    def bucketRef(v: Seq[Long], off: Int, n: Int): Long =
+      (0 until n).map { p =>
+        val qp = planeRef(off + p)
+        if ((0 until 64).map(d => v(d) * qp(d)).sum > 0) 1L << p else 0L
+      }.sum
+    val got = vecs.toDF("id", "v")
+      .select(col("id"),
+        call_function("lsh_sign_bucket", col("v"), lit(6), lit(6)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id) == bucketRef(v, 6, 6), s"vec $id")
+    }
+    // NULL vector -> NULL; NULL element contributes 0 (the quant
+    // transform's null would void the dot's > 0 branch the same way)
+    assert(spark.sql(
+      "SELECT lsh_sign_bucket(CAST(NULL AS ARRAY<BIGINT>), 0, 4)")
+      .collect().head.isNullAt(0))
+    val nullElem = spark.sql(
+      "SELECT lsh_sign_bucket(array_insert(CAST(ARRAY() AS ARRAY<BIGINT>), 1, CAST(NULL AS BIGINT)), 0, 4) AS b")
+      .collect().head.getLong(0)
+    assert(nullElem == 0L, s"null element must contribute 0, got $nullElem")
+    // analysis-time guards: non-foldable / null / oversized plane counts
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT lsh_sign_bucket(ARRAY(CAST(1 AS BIGINT)), 0, 64)").collect()
+    }
+    assert(err.getMessage.contains("at most 63"), err.getMessage)
+    val errNull = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT lsh_sign_bucket(ARRAY(CAST(1 AS BIGINT)), CAST(NULL AS INT), 4)").collect()
+    }
+    assert(errNull.getMessage.contains("must not be NULL"), errNull.getMessage)
+  }
+
   test("graph_harmonic_users: gate shape — every user emits one row, edge-less users 0/0") {
     val dir = "/root/testdata/sf0.001"
     val out = GraphOps.graphHarmonicUsers(spark, dir).collect()
