@@ -1130,20 +1130,32 @@ object StreamIngest {
     if (ids.size < 3) return
     val live = ids.max
     val folded = ids.filter(_ < live)
-    val target = folded.max
-    // a committed batch dir can be EMPTY (watermark-commit micro-batches
-    // write only _SUCCESS): if no folded dir holds data, there is nothing
-    // to read (schema inference would fail and, under compactEvery, crash
-    // the stream) — dropping the empty non-target dirs IS the compaction
-    def hasData(i: Long): Boolean = {
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p, s"batch=$i"), true)
-      var found = false
-      while (!found && it.hasNext)
-        found = it.next().getPath.getName.endsWith(".parquet")
-      found
-    }
-    if (!folded.exists(hasData)) {
-      folded.filter(_ != target).foreach { i =>
+    // foldWindow handles the all-EMPTY folded set (watermark-commit
+    // micro-batches write only _SUCCESS): dropping the empty non-target
+    // dirs IS the compaction — no schema-inference crash
+    foldWindow(spark, fs, p, parent, folded, dedupKey)
+  }
+
+  private def batchDirHasData(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, id: Long): Boolean = {
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(p, s"batch=$id"), true)
+    var found = false
+    while (!found && it.hasNext)
+      found = it.next().getPath.getName.endsWith(".parquet")
+    found
+  }
+
+  /** One manifest-protocol fold cycle: merge the id-ADJACENT committed
+    * runs `foldIds` into `batch=<max foldId>` with freshest-wins dedup on
+    * `dedupKey`. Shared by the flat fold (window = every committed run)
+    * and the tiered fold (window = `fanout` same-level runs); both
+    * inherit the temp→manifest→swap→retire crash protocol verbatim. */
+  private def foldWindow(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, parent: String,
+      foldIds: Seq[Long], dedupKey: String): Unit = {
+    val target = foldIds.max
+    if (!foldIds.exists(batchDirHasData(fs, p, _))) {
+      foldIds.filter(_ != target).foreach { i =>
         fs.delete(new org.apache.hadoop.fs.Path(p, s"batch=$i"), true)
       }
       return
@@ -1151,16 +1163,105 @@ object StreamIngest {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(dedupKey)).orderBy(col("batch").desc)
     spark.read.parquet(parent)
-      .filter(col("batch") < live)
+      .filter(col("batch").isin(foldIds: _*)) // partition-prunes to the window
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .drop("__rn", "batch")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(new org.apache.hadoop.fs.Path(p, CompactTmp).toString)
     val out = fs.create(new org.apache.hadoop.fs.Path(p, CompactManifest), true)
-    try out.write(s"$target\n${folded.mkString(",")}\n"
+    try out.write(s"$target\n${foldIds.mkString(",")}\n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    finishCompaction(fs, p, target, folded)
+    finishCompaction(fs, p, target, foldIds)
+  }
+
+  /** LSM-style tiered fold for APPEND-FOREVER batchId-keyed sinks — the
+    * write-amplification bound [[compactStreamIndex]] deliberately lacks
+    * (SURVEY Round-12d leftover): the flat fold rewrites the sink's FULL
+    * committed row set every trigger — O(B²/K) bytes over B batches at
+    * trigger cadence K, sized for delta sinks a periodic offline re-index
+    * keeps small, wrong for a sink that only grows. Tiered folding merges
+    * `fanout` id-adjacent SAME-LEVEL runs into one level-up run (fold K
+    * micro-batches into a level-1 run, K level-1 runs into level-2, …):
+    * each row is rewritten at most once per level promotion, so total
+    * maintenance writes are O(B·log_fanout B) rows and live batch dirs
+    * stay ≤ (fanout−1)·levels + 1 (ScaleProbe `compaction` measures the
+    * flat hook's per-window amplification growing linearly while this
+    * stays flat).
+    *
+    * Run levels are INFERRED from the id layout, never stored: every run
+    * is a merge of an id-adjacent range keyed by its max id (the same
+    * target convention as the flat fold), so a run's COVERAGE — its id
+    * minus its predecessor's — counts exactly the original micro-batches
+    * it absorbed, and level = floor(log_fanout coverage). No side
+    * metadata to corrupt or drift; a sink previously folded flat simply
+    * reads as one high-level run and stays untouched until enough peers
+    * accumulate. Only id-adjacent equal-level windows merge, so the
+    * freshest-wins-at-rest contract and cross-run priorities hold exactly
+    * as in the flat fold: survivors re-key under the window's max id,
+    * below every fresher run and the live batch — serving is
+    * byte-identical (spec-pinned).
+    *
+    * Crash safety is the SAME roll-forward manifest protocol: each
+    * cascade step is one complete temp→manifest→swap→retire cycle, so a
+    * crash mid-cascade leaves at most one step in flight, which
+    * [[recoverCompaction]] rolls forward (complete temp) or back
+    * (incomplete/torn manifest) on the next call of either compactor, and
+    * the remaining cascade resumes (mid-tier crash spec). */
+  def compactStreamIndexTiered(spark: SparkSession, root: String,
+                               dedupKey: String = "vec_id",
+                               fanout: Int = 4): Unit = {
+    require(fanout >= 2, s"tiered compaction needs fanout >= 2, got $fanout")
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootP)) return
+    val geoms = fs.listStatus(rootP).toIndexedSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("geom="))
+    if (geoms.nonEmpty)
+      geoms.foreach(g => tieredFoldDirs(spark, g.getPath.toString, dedupKey, fanout))
+    else tieredFoldDirs(spark, root, dedupKey, fanout)
+  }
+
+  private def tieredFoldDirs(spark: SparkSession, parent: String,
+                             dedupKey: String, fanout: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(parent)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, p)
+    var more = true
+    while (more) {
+      more = false
+      val ids = fs.listStatus(p).toIndexedSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName.stripPrefix("batch=").toLong).sorted
+      if (ids.size >= fanout + 1) { // `fanout` committed runs + the live batch
+        val live = ids.max
+        val runs = ids.filter(_ < live)
+        // coverage = original micro-batch ids this run absorbed: its id
+        // minus its predecessor's (Structured Streaming batchIds are dense
+        // from 0 per checkpoint, so the first run's coverage is id+1);
+        // empty watermark-commit dirs dropped by earlier folds only
+        // inflate a successor's coverage — harmless (lazier promotion)
+        val cov = runs.zip(-1L +: runs.init).map { case (i, prev) => i - prev }
+        def levelOf(c: Long): Int = {
+          var l = 0; var t = fanout.toLong
+          while (c >= t && l < 62) { l += 1; t *= fanout }
+          l
+        }
+        val lv = cov.map(levelOf)
+        // fold the lowest-level (oldest on ties) window of `fanout`
+        // id-ADJACENT equal-level runs; adjacency is required, not assumed
+        // — only adjacent-range merges keep freshest-wins priorities
+        // intact under any pre-existing layout (e.g. a prior flat fold)
+        val windows = (0 to runs.size - fanout).filter { i =>
+          (1 until fanout).forall(j => lv(i + j) == lv(i))
+        }
+        if (windows.nonEmpty) {
+          val w0 = windows.minBy(i => (lv(i), i))
+          foldWindow(spark, fs, p, parent, runs.slice(w0, w0 + fanout), dedupKey)
+          more = true // cascade: the new run may have filled the next level
+        }
+      }
+    }
   }
 
   /** Makes the fold visible, then retires the superseded dirs.

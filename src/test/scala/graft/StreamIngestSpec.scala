@@ -1905,6 +1905,157 @@ class StreamIngestSpec extends SparkSpecBase {
       s"freshest-wins dedup must mask transient duplication: $served")
   }
 
+  test("compactStreamIndexTiered: serving byte-identical under incremental maintenance; dirs bounded") {
+    // r13 verdict item 3 (LSM-style tiered folding for append-forever
+    // sinks): drive 22 micro-batches one at a time through the tiered
+    // maintenance hook, mirroring every write into an uncompacted copy —
+    // the freshest-wins serve result must match the mirror at EVERY step
+    // (the serving-byte-identical contract), and the live dir count must
+    // stay bounded by (fanout−1)·levels + live instead of growing with B.
+    val dir = Files.createTempDirectory("graft-compact-tiered").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = s"$dir/idx"          // exercises the geom= level routing
+    val parent = s"$root/geom=g1"
+    val mirror = s"$dir/mirror"
+    def rowsFor(b: Int): Seq[(Int, Long, Seq[Float])] =
+      // fresh ids per batch + vec 7 REWRITTEN every batch (freshest must
+      // win across fold boundaries) + vec 100+b%3 cycling (overwrites at
+      // window edges)
+      (0 until 5).map(i => (i % 3, b * 10L + i, Seq(b + 0.1f * i, 1.0f))) ++
+        Seq((0, 7L, Seq(b.toFloat, 7.0f)), (1, 1000L + b % 3, Seq(b.toFloat, 3.0f)))
+    def served(p: String): Map[Long, Float] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("batch").cast("long").desc)
+      spark.read.parquet(p)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), element_at(col("embedding"), 1))
+        .collect().map(r => r.getLong(0) -> r.getFloat(1)).toMap
+    }
+    def dirCount(): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(parent))
+        .count(_.getPath.getName.startsWith("batch="))
+    val fanout = 4
+    for (b <- 0 until 22) {
+      val rows = rowsFor(b)
+      rows.toDF("cell", "vec_id", "embedding")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$parent/batch=$b")
+      rows.toDF("cell", "vec_id", "embedding")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$mirror/batch=$b")
+      StreamIngest.compactStreamIndexTiered(spark, root, fanout = fanout)
+      assert(served(parent) == served(mirror),
+        s"tiered fold changed serving at batch $b")
+      // levels at B ≤ 22, fanout 4: coverage < 64 → ≤ 3 levels (0,1,2)
+      assert(dirCount() <= (fanout - 1) * 3 + 1,
+        s"dir count must stay bounded, got ${dirCount()} at batch $b")
+    }
+    // 22 batches folded tiered: 0..15 cascade into one level-2 run keyed
+    // 15, 16..19 into a level-1 run keyed 19, 20 level-0, 21 live
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(parent))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    assert(names == Seq("batch=15", "batch=19", "batch=20", "batch=21"),
+      s"expected the tiered layout, got $names")
+    // idempotent: nothing left to fold, serving unchanged
+    val before = served(parent)
+    StreamIngest.compactStreamIndexTiered(spark, root, fanout = fanout)
+    assert(served(parent) == before && dirCount() == 4)
+  }
+
+  test("compactStreamIndexTiered: mid-tier crash states recover and the cascade resumes") {
+    // a crash mid-CASCADE leaves at most one manifest cycle in flight;
+    // the next tiered call must roll it forward (complete temp) or back
+    // (torn manifest) and then RESUME the remaining cascade steps.
+    val dir = Files.createTempDirectory("graft-tiered-crash").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeAt(path: String, rows: Seq[(Int, Long, Seq[Float])]): Unit =
+      rows.toDF("cell", "vec_id", "embedding")
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    def served(p: String): Map[Long, Float] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("batch").cast("long").desc)
+      spark.read.parquet(p)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), element_at(col("embedding"), 1))
+        .collect().map(r => r.getLong(0) -> r.getFloat(1)).toMap
+    }
+    def dirNames(p: String): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted.toSeq
+
+    // batches 0..7 + live 8; vec 100 written in batch 1 AND batch 5 —
+    // the fresher copy must survive both window folds
+    def seed(p: String): Unit = {
+      (0 to 8).foreach { i =>
+        val extra = if (i == 1 || i == 5) Seq((1, 100L, Seq(i.toFloat, 9f)))
+                    else Seq.empty
+        writeAt(s"$p/batch=$i", Seq((0, i.toLong, Seq(0.1f * i, 0f))) ++ extra)
+      }
+    }
+    val expect = (0 to 8).map(i => i.toLong -> 0.1f * i).toMap + (100L -> 5.0f)
+
+    // --- roll FORWARD mid-cascade: fold#1 ([0..3] → 3) crashed after its
+    // manifest + complete temp, before finishCompaction; recovery must
+    // install it, then the cascade's fold#2 ([4..7] → 7) must still run
+    val pF = s"$dir/fwd"
+    seed(pF)
+    writeAt(s"$pF/.compact-tmp",
+      (0 to 3).map(i => (0, i.toLong, Seq(0.1f * i, 0f))) :+ (1, 100L, Seq(1f, 9f)))
+    val manF = fs.create(new org.apache.hadoop.fs.Path(s"$pF/.compact-manifest"), true)
+    manF.write("3\n0,1,2,3\n".getBytes("UTF-8")); manF.close()
+    StreamIngest.compactStreamIndexTiered(spark, pF, fanout = 4)
+    assert(dirNames(pF) == Seq("batch=3", "batch=7", "batch=8"),
+      s"roll-forward + resumed cascade must leave two runs + live: ${dirNames(pF)}")
+    assert(served(pF) == expect, s"served ${served(pF)}")
+
+    // --- roll BACK mid-cascade: torn manifest, incomplete temp — recovery
+    // drops both, then the full cascade runs from scratch
+    val pB = s"$dir/back"
+    seed(pB)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$pB/.compact-tmp/cell=0"))
+    val manB = fs.create(new org.apache.hadoop.fs.Path(s"$pB/.compact-manifest"), true)
+    manB.write("3 torn".getBytes("UTF-8")); manB.close()
+    StreamIngest.compactStreamIndexTiered(spark, pB, fanout = 4)
+    assert(dirNames(pB) == Seq("batch=3", "batch=7", "batch=8"),
+      s"roll-back + fresh cascade: ${dirNames(pB)}")
+    assert(served(pB) == expect, s"served ${served(pB)}")
+  }
+
+  test("compactStreamIndexTiered: flat-folded runs read as high-level and stay untouched; empty windows drop") {
+    val dir = Files.createTempDirectory("graft-tiered-levels").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeAt(path: String, rows: Seq[(Int, Long, Seq[Float])]): Unit =
+      rows.toDF("cell", "vec_id", "embedding")
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    def dirNames(p: String): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted.toSeq
+
+    // a prior FLAT fold left one run keyed 49 (coverage 50 → inferred
+    // level 2 at fanout 4): four fresh level-0 runs fold among THEMSELVES,
+    // never into the big run — its bytes are not rewritten
+    val p1 = s"$dir/mixed"
+    writeAt(s"$p1/batch=49", Seq((0, 1L, Seq(1f, 0f)), (0, 2L, Seq(2f, 0f))))
+    (50 to 54).foreach(i => writeAt(s"$p1/batch=$i", Seq((0, i.toLong, Seq(i.toFloat, 0f)))))
+    val bigDirFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$p1/batch=49/cell=0"))
+      .map(s => (s.getPath.getName, s.getModificationTime, s.getLen)).toSeq.sorted
+    StreamIngest.compactStreamIndexTiered(spark, p1, fanout = 4)
+    assert(dirNames(p1) == Seq("batch=49", "batch=53", "batch=54"),
+      s"only the four level-0 runs may fold: ${dirNames(p1)}")
+    val bigDirAfter = fs.listStatus(new org.apache.hadoop.fs.Path(s"$p1/batch=49/cell=0"))
+      .map(s => (s.getPath.getName, s.getModificationTime, s.getLen)).toSeq.sorted
+    assert(bigDirAfter == bigDirFiles, "the high-level run's files must be untouched")
+
+    // an all-EMPTY window (watermark-commit batches): the empty non-target
+    // dirs drop without a schema-inference crash, target + live remain
+    val p2 = s"$dir/empty"
+    (0 to 4).foreach(i => fs.mkdirs(new org.apache.hadoop.fs.Path(s"$p2/batch=$i")))
+    StreamIngest.compactStreamIndexTiered(spark, p2, fanout = 4)
+    assert(dirNames(p2) == Seq("batch=3", "batch=4"),
+      s"empty window must retire to target + live: ${dirNames(p2)}")
+  }
+
   test("index streams fail fast on a legacy flat cell=* sink layout") {
     val dir = Files.createTempDirectory("graft-legacy-layout").toString
     new java.io.File(s"$dir/idx/cell=0").mkdirs()
