@@ -794,6 +794,20 @@ object Similarity {
     if (n <= 1000L) 4
     else if (n <= 20000L) 8
     else if (n <= 100000L) 16
+    // 32×2d is the TERMINAL budget rung (r13): the 2.4M probe measured
+    // the banded-rerank knee moving again (ivfpq 0.70 at rr=32000, 0.90
+    // only at the ~pool-covering 128000) and the budget-doubling lever —
+    // which fixed exactly this signature at 400k — was TRIED and REFUTED:
+    // a fifth 64×1d rung (4-bit/dim SQ under the OPQ rotation, encode
+    // cost unchanged by pq_encode's fused k·PqDim loop) lifted only the
+    // un-pruned full scan (pq 0.20 → 0.60) while the production
+    // cell-pruned path READ 0.60 vs 0.70 at the banded rerank and the
+    // same 0.90 pool ceiling, at 2× the code bytes and ADC lookups —
+    // deterministic re-measure from the persisted store, not noise. Past
+    // 2.4M the remaining gap is rerank-depth-bound, not code-bound
+    // (measured rr 32k/64k/128k → 0.70/0.80/0.90 under 32×2d), so
+    // deployments chase >0.70 with the per-query rerank knob (the faiss
+    // posture rerankFor documents), never a wider code.
     else 32
   private val PqK = 16
 

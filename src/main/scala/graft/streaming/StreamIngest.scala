@@ -935,23 +935,45 @@ object StreamIngest {
   private[graft] def compactFailureCount(root: String): Int =
     compactFailures.getOrDefault(root, 0)
 
+  /** Build-time contract for the sinks' two in-stream compaction knobs:
+    * pick ONE discipline (flat `compactEvery` for delta sinks a re-index
+    * keeps small; `tieredFanout` for append-forever sinks) — failing at
+    * `.start()` beats a per-micro-batch failure mid-stream. */
+  private def requireOneCompactionMode(compactEvery: Int,
+                                       tieredFanout: Int, op: String): Unit =
+    require(compactEvery == 0 || tieredFanout == 0,
+      s"$op: choose ONE in-stream compaction discipline — compactEvery " +
+        "(flat fold, delta sinks) or tieredFanout (tiered fold, " +
+        "append-forever sinks), not both")
+
   private def maybeCompact(spark: SparkSession, root: String,
-                           batchId: Long, compactEvery: Int): Unit =
-    // Cadence note: each fold rewrites the sink's full committed row set,
-    // so write amplification over B batches is O(B²/compactEvery) — sized
-    // for DELTA sinks, which stay small by design (a periodic offline
-    // re-index folds the delta into the batch artifact and restarts it).
-    // Pick compactEvery so one delta rewrite ≈ a few micro-batches of
-    // ingest; an unbounded append-forever sink wants the tiered offline
-    // [[compactStreamIndexTiered]] on a maintenance schedule instead.
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+                           batchId: Long, compactEvery: Int,
+                           tieredFanout: Int = 0): Unit = {
+    // Cadence note: the FLAT fold rewrites the sink's full committed row
+    // set, so write amplification over B batches is O(B²/compactEvery) —
+    // sized for DELTA sinks, which stay small by design (a periodic
+    // offline re-index folds the delta into the batch artifact and
+    // restarts it). Pick compactEvery so one delta rewrite ≈ a few
+    // micro-batches of ingest. An unbounded APPEND-FOREVER sink sets
+    // `tieredFanout` instead: the tiered fold fires after EVERY batch (a
+    // directory listing when no level is full) and bounds maintenance
+    // writes at O(B·log B) — see [[compactStreamIndexTiered]].
+    val due =
+      if (tieredFanout > 0) batchId > 0
+      else compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0
+    if (due) {
       val fails = compactFailures.getOrDefault(root, 0)
       if (fails >= MaxCompactFailures) () // already gave up loudly below
       else
         // maintenance must not kill ingestion: a failed fold leaves the
         // sink exactly as the recovery protocol can resume it, and aborting
         // the batch here would replay into the same failure forever
-        try { compactStreamIndex(spark, root); compactFailures.remove(root): Unit }
+        try {
+          if (tieredFanout > 0)
+            compactStreamIndexTiered(spark, root, fanout = tieredFanout)
+          else compactStreamIndex(spark, root)
+          compactFailures.remove(root): Unit
+        }
         catch {
           case e: Exception =>
             val n = fails + 1
@@ -967,6 +989,7 @@ object StreamIngest {
                 s"retries): ${e.getMessage}")
         }
     }
+  }
 
   /** Input row for [[vectorIndexStream]]. */
   final case class VecRow(vec_id: Long, ts: java.sql.Timestamp,
@@ -1008,9 +1031,10 @@ object StreamIngest {
 
   def vectorIndexStream(vecs: Dataset[VecRow], centroids: Seq[Seq[Double]],
                         indexPath: String, watermark: String = "1 hour",
-                        compactEvery: Int = 0)
+                        compactEvery: Int = 0, tieredFanout: Int = 0)
       : DataStreamWriter[Row] = {
     requireNoLegacyFlatLayout(vecs.sparkSession, indexPath, "vectorIndexStream")
+    requireOneCompactionMode(compactEvery, tieredFanout, "vectorIndexStream")
     val assigned = dedupStreamJittered(vecs.toDF(), "ts", Seq("vec_id"), watermark)
     assigned.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
@@ -1028,7 +1052,8 @@ object StreamIngest {
           .select(col("cell"), col("vec_id"), col("embedding"))
           .write.mode("overwrite").partitionBy("cell")
           .parquet(s"$indexPath/batch=$batchId")
-        maybeCompact(batch.sparkSession, indexPath, batchId, compactEvery)
+        maybeCompact(batch.sparkSession, indexPath, batchId, compactEvery,
+          tieredFanout)
       }
   }
 
@@ -1048,9 +1073,10 @@ object StreamIngest {
     * overwrite makes replays exactly-once (see [[vectorIndexStream]]). */
   def ivfDeltaStream(vecs: Dataset[VecRow], centroids: Seq[Seq[Double]],
                      deltaPath: String, watermark: String = "1 hour",
-                     compactEvery: Int = 0)
+                     compactEvery: Int = 0, tieredFanout: Int = 0)
       : DataStreamWriter[Row] = {
     requireNoLegacyFlatLayout(vecs.sparkSession, deltaPath, "ivfDeltaStream")
+    requireOneCompactionMode(compactEvery, tieredFanout, "ivfDeltaStream")
     val g = graft.operators.Similarity.centroidContentHash(centroids)
     val assigned = dedupStreamJittered(vecs.toDF(), "ts", Seq("vec_id"), watermark)
     assigned.writeStream.outputMode("append")
@@ -1061,7 +1087,8 @@ object StreamIngest {
           .select(col("cell"), col("vec_id"), col("embedding"))
           .write.mode("overwrite").partitionBy("cell")
           .parquet(s"$deltaPath/geom=g$g/batch=$batchId")
-        maybeCompact(batch.sparkSession, deltaPath, batchId, compactEvery)
+        maybeCompact(batch.sparkSession, deltaPath, batchId, compactEvery,
+          tieredFanout)
       }
   }
 
@@ -1393,9 +1420,10 @@ object StreamIngest {
   def pqCodesStream(vecs: Dataset[VecRow],
                     model: graft.operators.Similarity.PqModel,
                     indexPath: String, watermark: String = "1 hour",
-                    compactEvery: Int = 0)
+                    compactEvery: Int = 0, tieredFanout: Int = 0)
       : DataStreamWriter[Row] = {
     requireNoLegacyFlatLayout(vecs.sparkSession, indexPath, "pqCodesStream")
+    requireOneCompactionMode(compactEvery, tieredFanout, "pqCodesStream")
     val deduped = dedupStreamJittered(vecs.toDF(), "ts", Seq("vec_id"), watermark)
     // the directory layout carries the WRITER model's content hash —
     // codes are meaningless under any other model and cannot be
@@ -1415,7 +1443,8 @@ object StreamIngest {
           .encodePq(batch.select(col("vec_id"), col("embedding")), model)
           .write.mode("overwrite").partitionBy("cell")
           .parquet(s"$indexPath/geom=g$g/batch=$batchId")
-        maybeCompact(batch.sparkSession, indexPath, batchId, compactEvery)
+        maybeCompact(batch.sparkSession, indexPath, batchId, compactEvery,
+          tieredFanout)
       }
   }
 

@@ -685,7 +685,11 @@ object ScaleProbe {
             sin(col("id") * (i * 37 + 1)).cast("float")): _*).as("embedding"),
           (col("id") % 16).cast("int").as("label"))
           .coalesce(8).write.mode("overwrite").parquet(dir + "/embeddings.parquet")
-      val stores = java.nio.file.Files.createTempDirectory("graft_pqscale_store").toString
+      // GRAFT_PQSCALE_STORE reuses a prior run's trained artifacts (the
+      // corpus fingerprint gates staleness) — re-measuring a sweep point
+      // without the ~12-min 2.4M retrain
+      val stores = sys.env.getOrElse("GRAFT_PQSCALE_STORE",
+        java.nio.file.Files.createTempDirectory("graft_pqscale_store").toString)
       Seq("graft.ivf.dir", "graft.pq.dir", "graft.ivfflat.dir", "graft.knngraph.dir")
         .foreach(k => spark.conf.set(k, stores + "/" + k))
       try {
@@ -700,7 +704,7 @@ object ScaleProbe {
           f"pq=$pq%.2f ivfpq=$ivfpq%.2f | quantizer=$tCents%.1f s " +
           f"pq_train+q=$tPq%.1f s pq_warm=$tPqWarm%.1f s ivfpq_warm=$tIvfpq%.1f s")
         for (np <- Seq(S.nprobeFor(n), 2 * S.nprobeFor(n));
-             rr <- Seq(S.rerankFor(n), 4 * S.rerankFor(n))) {
+             rr <- Seq(S.rerankFor(n), 2 * S.rerankFor(n), 4 * S.rerankFor(n))) {
           val (r, t) = time(recallOf(top5(S.knnIvfPqWith(spark, dir, np, rr)), brute))
           println(f"[scale]   ivfpq sweep nprobe=$np%-3d rerank=$rr%-4d -> $r%.2f ($t%.1f s)")
         }

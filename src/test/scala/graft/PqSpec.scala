@@ -109,6 +109,13 @@ class PqSpec extends SparkSpecBase {
     assert(Similarity.pqSubFor(20000) == 8 && Similarity.pqSubFor(20001) == 16)
     // fourth rung (r11): 128-bit codes past 100k — the 400k/1.2M probes' fix
     assert(Similarity.pqSubFor(100000) == 16 && Similarity.pqSubFor(100001) == 32)
+    // 32×2d is TERMINAL (r13): a fifth 64×1d rung was tried at 2.4M and
+    // refuted — it lifted only the un-pruned scan while the cell-pruned
+    // serving path read 0.60 vs 0.70 at the banded rerank (deterministic
+    // re-measure), at 2× the code bytes; past 2.4M the gap is
+    // rerank-depth-bound and the per-query rerank knob is the lever
+    assert(Similarity.pqSubFor(2400000) == 32 &&
+      Similarity.pqSubFor(Long.MaxValue) == 32)
     assert(Similarity.nprobeFor(1000) == 2 && Similarity.nprobeFor(1001) == 4)
     // cell band: 16-cell gate floor through 10k vectors (gate artifacts
     // byte-stable), k ≈ √N clamped [64, 65536] above, and nprobe scans

@@ -1701,6 +1701,69 @@ class StreamIngestSpec extends SparkSpecBase {
     }
   }
 
+  test("tieredFanout: in-stream tiered compaction bounds dirs; serving equals the uncompacted run") {
+    // the append-forever deployment of the r13 tiered fold: the hook
+    // fires after EVERY batch (a listing when no level is full) and only
+    // ever merges fanout same-level runs — bounded dirs AND bounded
+    // write amplification, with serving identical to an uncompacted run.
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-ivf-tieredstream").toString
+    spark.conf.set("graft.ivf.dir", s"$dir/ivf")
+    spark.conf.set("graft.ivfflat.dir", s"$dir/ivfflat")
+    try {
+      val cents = Similarity.loadOrTrainCentroids(spark, sf)
+      val base = ts("2024-08-01 00:00:00").getTime
+      val dim = graft.sources.Tables.embeddings(spark, sf)
+        .select(col("embedding")).head().getSeq[Float](0).size
+      val rnd = new scala.util.Random(41)
+      val extra = (0 until 36).map { i =>
+        StreamIngest.VecRow(400000L + i, new Timestamp(base + i),
+          Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+      }
+      def stream(path: String, cp: String, fanout: Int): Unit = {
+        val input = MemoryStream[StreamIngest.VecRow](spark)
+        val q = StreamIngest.ivfDeltaStream(input.toDS(), cents, path,
+            watermark = "720 hours", tieredFanout = fanout)
+          .option("checkpointLocation", cp).start()
+        extra.grouped(3).foreach { b => input.addData(b); q.processAllAvailable() }
+        q.stop()
+      }
+      stream(s"$dir/plain", s"$dir/cpP", fanout = 0)
+      stream(s"$dir/tiered", s"$dir/cpT", fanout = 2)
+      def serve(p: String) = Similarity
+        .knnIvfWithStreamedDelta(spark, sf, p, nprobe = cents.size, k = 5)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"))).toSeq
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def batchDirs(p: String): Int = {
+        val geom = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+          .filter(_.getPath.getName.startsWith("geom=")).head.getPath
+        fs.listStatus(geom).count(_.getPath.getName.startsWith("batch="))
+      }
+      val plainDirs = batchDirs(s"$dir/plain")
+      assert(plainDirs >= 12,
+        s"sanity: uncompacted run keeps every micro-batch dir, got $plainDirs")
+      // fanout 2 over ~24 committed ids: ≤ 1 un-merged run per level +
+      // live ⇒ ≤ log2(24)+2 ≈ 7 dirs
+      assert(batchDirs(s"$dir/tiered") <= 7,
+        s"tiered in-stream compaction must bound dirs, got ${batchDirs(s"$dir/tiered")}")
+      assert(serve(s"$dir/tiered") == serve(s"$dir/plain"),
+        "tiered in-stream serving must equal the uncompacted run")
+      // the two disciplines are mutually exclusive AT BUILD time (before
+      // any micro-batch runs)
+      val input = MemoryStream[StreamIngest.VecRow](spark)
+      val both = intercept[IllegalArgumentException] {
+        StreamIngest.ivfDeltaStream(input.toDS(), cents, s"$dir/both",
+          watermark = "720 hours", compactEvery = 2, tieredFanout = 2)
+      }
+      assert(both.getMessage.contains("ONE in-stream compaction discipline"))
+    } finally {
+      spark.conf.unset("graft.ivf.dir"); spark.conf.unset("graft.ivfflat.dir")
+    }
+  }
+
   test("compactEvery gives up loudly after persistent fold failures, ingestion unaffected") {
     // r13/ADVICE: a permanently broken compactor must not be silently
     // swallowed-and-retried forever. A poison dir (unparseable batch id)
