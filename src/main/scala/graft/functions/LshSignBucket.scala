@@ -22,9 +22,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * (each dim re-extracted per plane, no CSE), which made the
   * dedup_embed_lsh twin bucket-projection-bound regardless of pair count.
   * The fused loop is the pack_signs/pq_encode discipline: cheap wherever
-  * the optimizer places it. NULL vector → NULL; NULL element contributes
-  * 0 (mirrors the quant transform's null propagation into a never-taken
-  * `> 0` branch); offsets/plane counts are foldable non-null INTs.
+  * the optimizer places it. NULL vector → NULL. A NULL element or a
+  * vector SHORTER than 64 dims → bucket 0, matching the SQL expansion
+  * EXACTLY: there every plane dot is a 64-term product chain, so one
+  * NULL term (a null element, or an out-of-range `embedding[d]`) nulls
+  * the whole dot and every `CASE WHEN dot > 0` branch goes untaken —
+  * per-dim null-SKIPPING (the first cut) produced a live partial dot and
+  * cross-engine bucket divergence on partially-null vectors (r13
+  * review). Offsets/plane counts are foldable non-null INTs.
   */
 final case class LshSignBucket(first: Expression, second: Expression,
                                third: Expression) extends TernaryExpression {
@@ -86,18 +91,23 @@ final case class LshSignBucket(first: Expression, second: Expression,
 object LshSignBucket {
   /** Static so generated code calls the same implementation as eval. */
   def bucket(a: ArrayData, offset: Int, nPlanes: Int): Long = {
-    val dims = math.min(64, a.numElements())
+    // SQL-twin parity gate: every plane dot is a 64-term chain there, so
+    // a null element or a missing dim nulls ALL dots → bucket 0
+    if (a.numElements() < 64) return 0L
+    var d = 0
+    while (d < 64) {
+      if (a.isNullAt(d)) return 0L
+      d += 1
+    }
     var bits = 0L
     var p = 0
     while (p < nPlanes) {
       val plane = offset + p
       var dot = 0L
-      var d = 0
-      while (d < dims) {
-        if (!a.isNullAt(d)) {
-          val x = (plane * 1315423911L + d * 2654435761L + 97531L) & 0xffffffffL
-          dot += a.getLong(d) * ((x % 2001L) - 1000L)
-        }
+      d = 0
+      while (d < 64) {
+        val x = (plane * 1315423911L + d * 2654435761L + 97531L) & 0xffffffffL
+        dot += a.getLong(d) * ((x % 2001L) - 1000L)
         d += 1
       }
       if (dot > 0) bits |= 1L << p

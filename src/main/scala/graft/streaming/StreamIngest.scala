@@ -934,17 +934,27 @@ object StreamIngest {
   /** Test hook: consecutive fold failures recorded for `root`. */
   private[graft] def compactFailureCount(root: String): Int =
     compactFailures.getOrDefault(root, 0)
+  /** Test hook: freeze `root`'s budget as a prior give-up would have. */
+  private[graft] def freezeCompactFailures(root: String): Unit =
+    compactFailures.put(root, MaxCompactFailures): Unit
 
   /** Build-time contract for the sinks' two in-stream compaction knobs:
     * pick ONE discipline (flat `compactEvery` for delta sinks a re-index
     * keeps small; `tieredFanout` for append-forever sinks) — failing at
     * `.start()` beats a per-micro-batch failure mid-stream. */
   private def requireOneCompactionMode(compactEvery: Int,
-                                       tieredFanout: Int, op: String): Unit =
+                                       tieredFanout: Int, op: String): Unit = {
     require(compactEvery == 0 || tieredFanout == 0,
       s"$op: choose ONE in-stream compaction discipline — compactEvery " +
         "(flat fold, delta sinks) or tieredFanout (tiered fold, " +
         "append-forever sinks), not both")
+    // validate the fanout HERE, not first inside a micro-batch: a
+    // tieredFanout=1 that only threw at fold time would be swallowed by
+    // the give-up counter — three stderr lines, then a silently
+    // never-compacted sink (r13 review)
+    require(tieredFanout == 0 || tieredFanout >= 2,
+      s"$op: tieredFanout must be >= 2 (got $tieredFanout)")
+  }
 
   private def maybeCompact(spark: SparkSession, root: String,
                            batchId: Long, compactEvery: Int,
@@ -981,8 +991,10 @@ object StreamIngest {
             if (n >= MaxCompactFailures)
               System.err.println(s"[graft] GIVING UP on in-stream compaction " +
                 s"of $root after $n consecutive failures — the sink will grow " +
-                s"unbounded small files until the offline compactStreamIndex " +
-                s"maintenance path is run and the stream restarted: ${e.getMessage}")
+                "unbounded small files until the offline " +
+                (if (tieredFanout > 0) "compactStreamIndexTiered"
+                 else "compactStreamIndex") +
+                s" maintenance path is run and the stream restarted: ${e.getMessage}")
             else
               System.err.println(s"[graft] in-stream compaction of $root failed " +
                 s"($n/$MaxCompactFailures; ingestion unaffected; next trigger " +
@@ -1035,6 +1047,11 @@ object StreamIngest {
       : DataStreamWriter[Row] = {
     requireNoLegacyFlatLayout(vecs.sparkSession, indexPath, "vectorIndexStream")
     requireOneCompactionMode(compactEvery, tieredFanout, "vectorIndexStream")
+    // a (re)built stream gets a FRESH fold-failure budget: the give-up
+    // message's documented recovery — fix the cause, run the offline
+    // compactor, RESTART THE STREAM — must work inside one long-lived
+    // driver JVM, not only across a JVM bounce (r13 review)
+    resetCompactFailures(indexPath)
     val assigned = dedupStreamJittered(vecs.toDF(), "ts", Seq("vec_id"), watermark)
     assigned.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
@@ -1077,6 +1094,11 @@ object StreamIngest {
       : DataStreamWriter[Row] = {
     requireNoLegacyFlatLayout(vecs.sparkSession, deltaPath, "ivfDeltaStream")
     requireOneCompactionMode(compactEvery, tieredFanout, "ivfDeltaStream")
+    // a (re)built stream gets a FRESH fold-failure budget: the give-up
+    // message's documented recovery — fix the cause, run the offline
+    // compactor, RESTART THE STREAM — must work inside one long-lived
+    // driver JVM, not only across a JVM bounce (r13 review)
+    resetCompactFailures(deltaPath)
     val g = graft.operators.Similarity.centroidContentHash(centroids)
     val assigned = dedupStreamJittered(vecs.toDF(), "ts", Seq("vec_id"), watermark)
     assigned.writeStream.outputMode("append")
@@ -1140,8 +1162,25 @@ object StreamIngest {
     val geoms = fs.listStatus(rootP).toIndexedSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("geom="))
     if (geoms.nonEmpty)
-      geoms.foreach(g => compactBatchDirs(spark, g.getPath.toString, dedupKey))
+      foldEveryGeom(geoms)(g => compactBatchDirs(spark, g, dedupKey))
     else compactBatchDirs(spark, root, dedupKey)
+  }
+
+  /** Folds every geom level even when one throws (a stale pre-retrain
+    * geom with a corrupt footer must not block maintenance of the CURRENT
+    * geom — under the in-stream give-up counter a first-geom abort would
+    * otherwise become a permanent outage for the whole sink, r13 review);
+    * the first failure still surfaces, later ones ride as suppressed. */
+  private def foldEveryGeom(geoms: Seq[org.apache.hadoop.fs.FileStatus])(
+      fold: String => Unit): Unit = {
+    val errs = geoms.flatMap { g =>
+      try { fold(g.getPath.toString); None }
+      catch { case e: Exception => Some(e) }
+    }
+    errs.headOption.foreach { e =>
+      errs.drop(1).foreach(e.addSuppressed)
+      throw e
+    }
   }
 
   private def compactBatchDirs(spark: SparkSession, parent: String,
@@ -1245,7 +1284,7 @@ object StreamIngest {
     val geoms = fs.listStatus(rootP).toIndexedSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("geom="))
     if (geoms.nonEmpty)
-      geoms.foreach(g => tieredFoldDirs(spark, g.getPath.toString, dedupKey, fanout))
+      foldEveryGeom(geoms)(g => tieredFoldDirs(spark, g, dedupKey, fanout))
     else tieredFoldDirs(spark, root, dedupKey, fanout)
   }
 
@@ -1424,6 +1463,11 @@ object StreamIngest {
       : DataStreamWriter[Row] = {
     requireNoLegacyFlatLayout(vecs.sparkSession, indexPath, "pqCodesStream")
     requireOneCompactionMode(compactEvery, tieredFanout, "pqCodesStream")
+    // a (re)built stream gets a FRESH fold-failure budget: the give-up
+    // message's documented recovery — fix the cause, run the offline
+    // compactor, RESTART THE STREAM — must work inside one long-lived
+    // driver JVM, not only across a JVM bounce (r13 review)
+    resetCompactFailures(indexPath)
     val deduped = dedupStreamJittered(vecs.toDF(), "ts", Seq("vec_id"), watermark)
     // the directory layout carries the WRITER model's content hash —
     // codes are meaningless under any other model and cannot be

@@ -71,15 +71,33 @@ class Round13OpsSpec extends SparkSpecBase {
     vecs.foreach { case (id, v) =>
       assert(got(id) == bucketRef(v, 6, 6), s"vec $id")
     }
-    // NULL vector -> NULL; NULL element contributes 0 (the quant
-    // transform's null would void the dot's > 0 branch the same way)
+    // NULL vector -> NULL; a NULL ELEMENT or a SHORT vector zeroes the
+    // WHOLE bucket — the SQL twin's plane dots are 64-term chains, so one
+    // NULL term (null element / out-of-range embedding[d]) nulls every
+    // dot and every CASE branch goes untaken; per-dim null-skipping would
+    // leave a live partial dot and diverge cross-engine (r13 review)
     assert(spark.sql(
       "SELECT lsh_sign_bucket(CAST(NULL AS ARRAY<BIGINT>), 0, 4)")
       .collect().head.isNullAt(0))
     val nullElem = spark.sql(
       "SELECT lsh_sign_bucket(array_insert(CAST(ARRAY() AS ARRAY<BIGINT>), 1, CAST(NULL AS BIGINT)), 0, 4) AS b")
       .collect().head.getLong(0)
-    assert(nullElem == 0L, s"null element must contribute 0, got $nullElem")
+    assert(nullElem == 0L, s"null element must zero the bucket, got $nullElem")
+    // a 64-dim vector KNOWN to bucket non-zero goes to 0 when any single
+    // element nulls, and when truncated to 63 dims
+    val hot = vecs.find { case (_, v) => bucketRef(v, 6, 6) != 0L }.get._2
+    val hotOpt: Seq[Option[Long]] = hot.map(Option(_))
+    val hotDf = Seq(
+        (1L, hotOpt),
+        (2L, hotOpt.updated(3, None: Option[Long])),
+        (3L, hotOpt.take(63)))
+      .toDF("id", "v")
+      .select(col("id"),
+        call_function("lsh_sign_bucket", col("v"), lit(6), lit(6)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hotDf(1L) == bucketRef(hot, 6, 6) && hotDf(1L) != 0L)
+    assert(hotDf(2L) == 0L, s"one null element must zero the bucket: ${hotDf(2L)}")
+    assert(hotDf(3L) == 0L, s"a 63-dim vector must bucket 0: ${hotDf(3L)}")
     // analysis-time guards: non-foldable / null / oversized plane counts
     val err = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT lsh_sign_bucket(ARRAY(CAST(1 AS BIGINT)), 0, 64)").collect()

@@ -1759,6 +1759,14 @@ class StreamIngestSpec extends SparkSpecBase {
           watermark = "720 hours", compactEvery = 2, tieredFanout = 2)
       }
       assert(both.getMessage.contains("ONE in-stream compaction discipline"))
+      // fanout=1 must ALSO fail at build: thrown first at fold time it
+      // would be swallowed by the give-up counter — three stderr lines,
+      // then a silently never-compacted sink (r13 review)
+      val one = intercept[IllegalArgumentException] {
+        StreamIngest.ivfDeltaStream(input.toDS(), cents, s"$dir/one",
+          watermark = "720 hours", tieredFanout = 1)
+      }
+      assert(one.getMessage.contains("tieredFanout must be >= 2"))
     } finally {
       spark.conf.unset("graft.ivf.dir"); spark.conf.unset("graft.ivfflat.dir")
     }
@@ -1808,6 +1816,14 @@ class StreamIngestSpec extends SparkSpecBase {
     StreamIngest.resetCompactFailures(path)
     StreamIngest.compactStreamIndex(spark, path)
     assert(StreamIngest.compactFailureCount(path) == 0)
+    // and the OTHER documented recovery — restart the stream — must work
+    // inside the same JVM: re-BUILDING a sink on this path clears the
+    // frozen budget without the test hook (r13 review)
+    StreamIngest.freezeCompactFailures(path)
+    StreamIngest.ivfDeltaStream(MemoryStream[StreamIngest.VecRow](spark).toDS(),
+      cents, path, watermark = "720 hours", compactEvery = 1)
+    assert(StreamIngest.compactFailureCount(path) == 0,
+      "a rebuilt stream must start with a fresh fold-failure budget")
   }
 
   test("compactStreamIndex: freshest-wins at rest; crash recovery rolls forward and back") {
@@ -2082,6 +2098,35 @@ class StreamIngestSpec extends SparkSpecBase {
     assert(dirNames(pB) == Seq("batch=3", "batch=7", "batch=8"),
       s"roll-back + fresh cascade: ${dirNames(pB)}")
     assert(served(pB) == expect, s"served ${served(pB)}")
+  }
+
+  test("a poisoned geom level cannot block folding of the healthy geoms") {
+    // a stale pre-retrain geom with an unparseable batch dir must not
+    // abort maintenance of the CURRENT geom — under the in-stream
+    // give-up counter a first-geom abort would become a permanent outage
+    // for the whole sink (r13 review). The failure still surfaces.
+    val dir = Files.createTempDirectory("graft-geom-poison").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeAt(path: String, rows: Seq[(Int, Long, Seq[Float])]): Unit =
+      rows.toDF("cell", "vec_id", "embedding")
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    for (variant <- Seq("flat", "tiered")) {
+      val root = s"$dir/$variant"
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/geom=gstale/batch=bogus"))
+      (0 to 4).foreach(i =>
+        writeAt(s"$root/geom=ggood/batch=$i", Seq((0, i.toLong, Seq(0.1f * i, 0f)))))
+      val e = intercept[Exception] {
+        if (variant == "flat") StreamIngest.compactStreamIndex(spark, root)
+        else StreamIngest.compactStreamIndexTiered(spark, root, fanout = 4)
+      }
+      assert(e.getMessage != null, s"$variant must still surface the failure")
+      val goodDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/geom=ggood"))
+        .map(_.getPath.getName).count(_.startsWith("batch="))
+      // both variants fold committed [0..3] into batch=3 beside live 4
+      assert(goodDirs == 2,
+        s"$variant: the healthy geom must have folded despite the poison, got $goodDirs dirs")
+    }
   }
 
   test("compactStreamIndexTiered: flat-folded runs read as high-level and stay untouched; empty windows drop") {
