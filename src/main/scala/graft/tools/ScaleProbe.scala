@@ -1028,7 +1028,9 @@ object ScaleProbe {
       return
     }
     if (args.headOption.contains("ivfquery")) {
-      ivfQueryProbe(spark)
+      val sizes = args.drop(1).filter(_.forall(_.isDigit)).map(_.toLong)
+      if (sizes.nonEmpty) sizes.foreach(ivfQueryProbeAt(spark, _))
+      else ivfQueryProbe(spark)
       spark.stop()
       return
     }
