@@ -1751,6 +1751,31 @@ class StreamIngestSpec extends SparkSpecBase {
         s"tiered in-stream compaction must bound dirs, got ${batchDirs(s"$dir/tiered")}")
       assert(serve(s"$dir/tiered") == serve(s"$dir/plain"),
         "tiered in-stream serving must equal the uncompacted run")
+      // the wiring is the shared maybeCompact hook — prove it on a SECOND
+      // sink family (vectorIndexStream: no geom level, batch= at the root)
+      def vstream(path: String, cp: String, fanout: Int): Unit = {
+        val in2 = MemoryStream[StreamIngest.VecRow](spark)
+        val q2 = StreamIngest.vectorIndexStream(in2.toDS(), cents, path,
+            watermark = "720 hours", tieredFanout = fanout)
+          .option("checkpointLocation", cp).start()
+        extra.grouped(3).foreach { b => in2.addData(b); q2.processAllAvailable() }
+        q2.stop()
+      }
+      vstream(s"$dir/vplain", s"$dir/vcpP", fanout = 0)
+      vstream(s"$dir/vtiered", s"$dir/vcpT", fanout = 2)
+      val qdf = extra.take(3).map(v => (v.vec_id, v.embedding))
+        .toDF("query_id", "embedding")
+      def vserve(p: String): Seq[String] = Similarity
+        .knnOverVectorIndex(spark, p, qdf, cents, nprobe = cents.size, k = 5)
+        .collect().map(_.toString).sorted.toSeq
+      def vdirs(p: String): Int =
+        fs.listStatus(new org.apache.hadoop.fs.Path(p))
+          .count(_.getPath.getName.startsWith("batch="))
+      assert(vdirs(s"$dir/vplain") >= 12 && vdirs(s"$dir/vtiered") <= 7,
+        s"vectorIndexStream dirs: plain=${vdirs(s"$dir/vplain")} tiered=${vdirs(s"$dir/vtiered")}")
+      assert(vserve(s"$dir/vtiered") == vserve(s"$dir/vplain"),
+        "tiered vectorIndexStream serving must equal the uncompacted run")
+
       // the two disciplines are mutually exclusive AT BUILD time (before
       // any micro-batch runs)
       val input = MemoryStream[StreamIngest.VecRow](spark)
