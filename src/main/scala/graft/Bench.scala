@@ -27,7 +27,8 @@ object Bench {
     "knn_matryoshka_oracle", "knn_hamming_rerank_oracle",
     "knn_lsh_oracle", "dedup_embed_lsh_oracle",
     "corpus_cluster_topics_oracle", "knn_ivf_oracle", "knn_pq_oracle",
-    "knn_graph_oracle", "embed_clusters_oracle", "knn_ivfpq_oracle")
+    "knn_graph_oracle", "embed_clusters_oracle", "knn_ivfpq_oracle",
+    "corpus_bloom_decontaminate_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -99,36 +100,45 @@ object Bench {
     // two timed runs, best successful time wins. Best-of-two-cold was not
     // enough: environment noise (GC history, codegen cache misses in a
     // 227-query single-JVM session) once recorded 52.8 s for a query that
-    // re-times at 3.7 s standalone, and the same unchanged-plan trio
-    // (corpus_mix / q_correlated_agg / embed_covariance) re-elevated in
-    // three consecutive driver runs while same-session builder benches saw
-    // nothing — both timed samples were absorbing the query's own codegen
-    // compile + parquet-footer cold path. The warm-up pass pins those
-    // one-time costs outside the measurement; a false regression line
-    // costs a round of investigation, one extra suite pass costs ~2 min.
-    // Persistent failures still read -1 (a regression, never a fast run).
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // localCheckpoint-based queries (clusters, recall gates, baskets) pin
-      // their checkpoint blocks in the block manager until RDD GC; across a
-      // 231-query suite that accumulates into memory/GC pressure that taxes
-      // every LATER query (~25% suite-wide, measured). Cleanup is scoped to
-      // the RDD ids THIS run created (a checkpoint's blocks are
-      // unrecomputable — lineage truncated — so a blanket unpersist would
-      // silently corrupt a cross-query cached artifact) and runs PER
-      // EXECUTION, not per query: with three executions per query the
-      // warm-up run's blocks otherwise sit pinned under both timed runs —
-      // the checkpoint-heavy tail measured 30-50% hot exactly there.
-      def run1(): Double = {
-        val preexisting = spark.sparkContext.getPersistentRDDs.keySet
-        val t = time1(spark, sfDir, name, fn)
-        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-          if (!preexisting.contains(id)) rdd.unpersist(blocking = false)
-        }
-        t
+    // re-times at 3.7 s standalone — both timed samples were absorbing the
+    // query's own codegen compile + parquet-footer cold path. The warm-up
+    // pass pins those one-time costs outside the measurement; a false
+    // regression line costs a round of investigation, one extra suite pass
+    // costs ~2 min. Persistent failures still read -1 (never a fast run).
+    //
+    // The three executions run as FULL SUITE PASSES (warm-up pass over all
+    // queries, then timed pass 1 over all, then timed pass 2), NOT
+    // back-to-back per query: the r13 driver sample put q_promo_share at
+    // 3.6/4.8 s in BOTH adjacent timed runs while two committed same-code
+    // samples read 0.28-0.33 s — a host-noise window longer than one query
+    // defeats an adjacent run pair. Interleaving ~120 s of other queries
+    // between a query's two samples decorrelates the noise window from
+    // query identity, so "both runs slow" again distinguishes a plan
+    // regression from ambient load.
+    //
+    // localCheckpoint-based queries (clusters, recall gates, baskets) pin
+    // their checkpoint blocks in the block manager until RDD GC; across a
+    // 243-query suite that accumulates into memory/GC pressure that taxes
+    // every LATER query (~25% suite-wide, measured). Cleanup is scoped to
+    // the RDD ids THIS run created (a checkpoint's blocks are
+    // unrecomputable — lineage truncated — so a blanket unpersist would
+    // silently corrupt a cross-query cached artifact) and runs PER
+    // EXECUTION, not per query.
+    def run1(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+      val t = time1(spark, sfDir, name, fn)
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!preexisting.contains(id)) rdd.unpersist(blocking = false)
       }
-      run1() // warm-up: codegen/footer/JIT, discarded
-      val first = run1()
-      val second = run1()
+      t
+    }
+    val qlist = SparkEntry.queries.toSeq
+    qlist.foreach { case (name, fn) => run1(name, fn) } // warm-up pass, discarded
+    val pass1 = qlist.map { case (name, fn) => name -> run1(name, fn) }
+    val pass2 = qlist.map { case (name, fn) => name -> run1(name, fn) }
+    val results = qlist.map { case (name, _) =>
+      val first = pass1.collectFirst { case (n, t) if n == name => t }.get
+      val second = pass2.collectFirst { case (n, t) if n == name => t }.get
       val best = (first, second) match {
         case (f, s) if f < 0 && s < 0 => -1.0
         case (f, s) if f < 0          => s
@@ -136,7 +146,7 @@ object Bench {
         case (f, s)                   => math.min(f, s)
       }
       name -> (best, first, second)
-    }
+    }.toMap
     // The harness that collects this line keeps only the LAST ~2000 chars of
     // output; with 80+ queries the full-precision map alone overflows that.
     // Two defenses: (a) per-query times at 3dp (ms precision — the timer

@@ -164,6 +164,58 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Hash-gated cross-proof of [[corpusBloomDecontaminate]] against its
+    * exact sibling (r13 verdict item 5 — the one untwinned rows-only gate
+    * that is neither a sketch estimate nor a recall floor): one summary
+    * row whose invariant columns are COMPUTED from the real bloom-vs-exact
+    * comparison on this side and pinned as LITERALS in the DuckDB oracle —
+    * the floor-gate discipline (TemperedMixSpec class). If the Bloom form
+    * ever misses an exactly-contaminated doc (n_missed), under-counts a
+    * doc's flagged shingles (n_undercount — impossible by the Bloom
+    * no-false-negative guarantee, so any non-zero is a probe bug), or
+    * over-flags past the 5% doc-level FPR budget (fp_within_bound), the
+    * driver's hash compare fails. n_exact_docs rides along as the one
+    * genuinely-recomputed value so the gate can't pass vacuously. */
+  def corpusBloomDecontaminateAudit(spark: SparkSession, dir: String): DataFrame = {
+    val exact = corpusDecontaminate(spark, dir)
+      .select(col("doc_id"), col("n_hits"))
+    val bloom = corpusBloomDecontaminate(spark, dir)
+    val nCorpus = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(97)) =!= 0).count()
+    bloomAuditOf(exact, bloom, nCorpus)
+  }
+
+  /** The audit aggregate, factored so the spec can feed a DOCTORED bloom
+    * side and prove the gate actually detects a miss/undercount (the
+    * assert-the-failing-direction-too discipline). */
+  private[graft] def bloomAuditOf(exact: DataFrame, bloom: DataFrame,
+                                  nCorpus: Long): DataFrame =
+    exact.join(bloom, Seq("doc_id"), "full_outer")
+      .agg(
+        count(col("n_hits")).as("n_exact_docs"),
+        count(when(col("n_hits").isNotNull &&
+          col("n_flagged_shingles").isNull, 1)).as("n_missed"),
+        count(when(col("n_hits").isNotNull &&
+          col("n_flagged_shingles") < col("n_hits"), 1)).as("n_undercount"),
+        (count(when(col("n_hits").isNull &&
+          col("n_flagged_shingles").isNotNull, 1))
+          <= lit(0.05) * lit(nCorpus)).as("fp_within_bound"))
+
+  /** DuckDB side of the audit: the exact-contamination count is recomputed
+    * from the same shingle CTEs; the Bloom invariants are pinned literals
+    * (0 misses, 0 undercounts, FPR within budget) — a violated invariant
+    * on the Spark side hash-mismatches. */
+  val corpusBloomDecontaminateAuditSql: String =
+    s"""WITH $decontaminateShinglesSqlCte,
+      |exact AS (
+      |  SELECT c.doc_id FROM corp c JOIN bench b ON c.s = b.s GROUP BY 1
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_exact_docs,
+      |  CAST(0 AS BIGINT) AS n_missed,
+      |  CAST(0 AS BIGINT) AS n_undercount,
+      |  TRUE AS fp_within_bound
+      |FROM exact""".stripMargin
+
   /** The stand-in benchmark "extract": the first ⌈90%⌉ of a doc's word
     * tokens re-joined — models an eval item excerpted from a web page
     * whose full text remains in the training corpus (the contamination
@@ -1119,6 +1171,7 @@ object Dedup {
     "dedup_incremental" -> (dedupIncremental _),
     "corpus_decontaminate" -> (corpusDecontaminate _),
     "corpus_bloom_decontaminate" -> (corpusBloomDecontaminate _),
+    "corpus_bloom_decontaminate_audit" -> (corpusBloomDecontaminateAudit _),
     "corpus_fuzzy_decontaminate" -> (corpusFuzzyDecontaminate _))
 
   val oracle: Map[String, String] = Map(
@@ -1132,5 +1185,6 @@ object Dedup {
     "dedup_clusters" -> dedupClustersSql,
     "corpus_soft_dedup" -> corpusSoftDedupSql,
     "corpus_soft_dedup_quality" -> corpusSoftDedupQualitySql,
-    "corpus_decontaminate" -> corpusDecontaminateSql)
+    "corpus_decontaminate" -> corpusDecontaminateSql,
+    "corpus_bloom_decontaminate_audit" -> corpusBloomDecontaminateAuditSql)
 }

@@ -919,24 +919,47 @@ object StreamIngest {
     * and never folds — replay safety is exactly the offline call's.
     * Idempotent under replay: a replayed batch re-runs the compaction,
     * which either no-ops (< 3 dirs) or folds the same committed set. */
-  /** After this many CONSECUTIVE fold failures on one sink the hook stops
-    * retrying: a persistently failing compactor (permissions, corrupt
-    * footer) would otherwise be swallowed-and-retried forever while the
-    * sink silently degrades back to unbounded small-file growth — the
-    * give-up line is the loud, greppable signal that maintenance is
-    * broken (r12 advice). Ingestion itself is never affected. */
+  /** After this many CONSECUTIVE fold failures on one fold UNIT the hook
+    * stops retrying that unit: a persistently failing compactor
+    * (permissions, corrupt footer) would otherwise be
+    * swallowed-and-retried forever while the sink silently degrades back
+    * to unbounded small-file growth — the give-up line is the loud,
+    * greppable signal that maintenance is broken (r12 advice). Ingestion
+    * itself is never affected.
+    *
+    * The budget is keyed per (root, geom) fold unit, NOT per sink root
+    * (r13 advice): a permanently poisoned STALE geom otherwise burns the
+    * whole sink's budget and the give-up freezes maintenance for the
+    * healthy CURRENT geom too — turning one corrupt pre-retrain leftover
+    * into a live-index outage. Per-unit budgets let the dead geom give up
+    * loudly while the live geom keeps folding forever. */
   private[graft] val MaxCompactFailures = 3
   private val compactFailures =
     new java.util.concurrent.ConcurrentHashMap[String, Int]()
-  /** Test hook: forget recorded fold failures for `root`. */
+  private def unitKey(root: String, geom: Option[String]): String =
+    geom.fold(root)(g => s"$root#$g")
+  private def unitKeysOf(root: String): Iterator[String] = {
+    import scala.jdk.CollectionConverters._
+    compactFailures.keySet.iterator.asScala
+      .filter(k => k == root || k.startsWith(root + "#"))
+  }
+  /** Test hook: forget recorded fold failures for `root` (all geoms). */
   private[graft] def resetCompactFailures(root: String): Unit =
-    compactFailures.remove(root): Unit
-  /** Test hook: consecutive fold failures recorded for `root`. */
-  private[graft] def compactFailureCount(root: String): Int =
-    compactFailures.getOrDefault(root, 0)
-  /** Test hook: freeze `root`'s budget as a prior give-up would have. */
+    unitKeysOf(root).toList.foreach(compactFailures.remove(_): Unit)
+  /** Test hook: max consecutive fold failures across `root`'s units. */
+  private[graft] def compactFailureCount(root: String): Int = {
+    val counts = unitKeysOf(root).map(compactFailures.getOrDefault(_, 0))
+    if (counts.isEmpty) 0 else counts.max
+  }
+  /** Test hook: per-geom failure count (geom = directory name). */
+  private[graft] def compactFailureCount(root: String, geom: String): Int =
+    compactFailures.getOrDefault(unitKey(root, Some(geom)), 0)
+  /** Test hook: freeze `root`'s root-unit budget as a give-up would. */
   private[graft] def freezeCompactFailures(root: String): Unit =
     compactFailures.put(root, MaxCompactFailures): Unit
+  /** Test hook: freeze one geom unit's budget as a give-up would. */
+  private[graft] def freezeCompactFailures(root: String, geom: String): Unit =
+    compactFailures.put(unitKey(root, Some(geom)), MaxCompactFailures): Unit
 
   /** Build-time contract for the sinks' two in-stream compaction knobs:
     * pick ONE discipline (flat `compactEvery` for delta sinks a re-index
@@ -972,34 +995,56 @@ object StreamIngest {
       if (tieredFanout > 0) batchId > 0
       else compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0
     if (due) {
-      val fails = compactFailures.getOrDefault(root, 0)
-      if (fails >= MaxCompactFailures) () // already gave up loudly below
-      else
-        // maintenance must not kill ingestion: a failed fold leaves the
-        // sink exactly as the recovery protocol can resume it, and aborting
-        // the batch here would replay into the same failure forever
-        try {
-          if (tieredFanout > 0)
-            compactStreamIndexTiered(spark, root, fanout = tieredFanout)
-          else compactStreamIndex(spark, root)
-          compactFailures.remove(root): Unit
+      // Enumerate fold units HERE (one per geom level, or the root for
+      // geom-less sinks) so the failure budget and the give-up are
+      // per-unit: a permanently poisoned stale geom gives up after
+      // MaxCompactFailures while the healthy current geom keeps folding
+      // on every trigger (r13 advice — the per-root budget turned one
+      // corrupt leftover into a whole-sink maintenance outage).
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val units: Seq[(Option[String], String)] =
+        if (!fs.exists(rootP)) Seq.empty
+        else {
+          val geoms = fs.listStatus(rootP).toIndexedSeq
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("geom="))
+          if (geoms.nonEmpty)
+            geoms.map(g => (Some(g.getPath.getName), g.getPath.toString))
+          else Seq((None, root))
         }
-        catch {
-          case e: Exception =>
-            val n = fails + 1
-            compactFailures.put(root, n): Unit
-            if (n >= MaxCompactFailures)
-              System.err.println(s"[graft] GIVING UP on in-stream compaction " +
-                s"of $root after $n consecutive failures — the sink will grow " +
-                "unbounded small files until the offline " +
-                (if (tieredFanout > 0) "compactStreamIndexTiered"
-                 else "compactStreamIndex") +
-                s" maintenance path is run and the stream restarted: ${e.getMessage}")
-            else
-              System.err.println(s"[graft] in-stream compaction of $root failed " +
-                s"($n/$MaxCompactFailures; ingestion unaffected; next trigger " +
-                s"retries): ${e.getMessage}")
-        }
+      units.foreach { case (geom, parent) =>
+        val key = unitKey(root, geom)
+        val fails = compactFailures.getOrDefault(key, 0)
+        if (fails >= MaxCompactFailures) () // this unit gave up loudly below
+        else
+          // maintenance must not kill ingestion: a failed fold leaves the
+          // sink exactly as the recovery protocol can resume it, and
+          // aborting the batch here would replay into the same failure
+          try {
+            if (tieredFanout > 0)
+              tieredFoldDirs(spark, parent, "vec_id", tieredFanout)
+            else compactBatchDirs(spark, parent, "vec_id")
+            compactFailures.remove(key): Unit
+          }
+          catch {
+            case e: Exception =>
+              val n = fails + 1
+              compactFailures.put(key, n): Unit
+              val unitName = geom.fold(root)(g => s"$root ($g)")
+              if (n >= MaxCompactFailures)
+                System.err.println(s"[graft] GIVING UP on in-stream compaction " +
+                  s"of $unitName after $n consecutive failures — this unit will " +
+                  "grow unbounded small files (other geoms unaffected) until " +
+                  "the offline " +
+                  (if (tieredFanout > 0) "compactStreamIndexTiered"
+                   else "compactStreamIndex") +
+                  s" maintenance path is run and the stream restarted: ${e.getMessage}")
+              else
+                System.err.println(s"[graft] in-stream compaction of $unitName " +
+                  s"failed ($n/$MaxCompactFailures; ingestion unaffected; next " +
+                  s"trigger retries): ${e.getMessage}")
+          }
+      }
     }
   }
 
@@ -1041,6 +1086,38 @@ object StreamIngest {
     }
   }
 
+  /** Fail fast on a FRESH-CHECKPOINT restart over a populated sink (r13
+    * advice): Structured Streaming batchIds are dense from 0 PER
+    * CHECKPOINT, and both freshest-wins serving and tiered level
+    * inference key on the id — a stream pointed at an existing sink
+    * under a NEW checkpoint re-keys fresh data beneath old runs keyed
+    * higher, which then silently WIN freshest-wins over it. batch 0
+    * arriving at a parent whose max committed id exceeds 0 can only be
+    * that case (a same-checkpoint replay rewrites at most the existing
+    * max id, never below it), so the detection is exact and costs one
+    * listing on the stream's first micro-batch only. Recovery: clear the
+    * sink directory, or resume from the original checkpoint. */
+  private def requireCheckpointMatchesSink(spark: SparkSession,
+      parent: String, batchId: Long, op: String): Unit = {
+    if (batchId == 0L) {
+      val p = new org.apache.hadoop.fs.Path(parent)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        val maxId = fs.listStatus(p).toIndexedSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+          .flatMap(s => scala.util.Try(
+            s.getPath.getName.stripPrefix("batch=").toLong).toOption)
+        if (maxId.nonEmpty && maxId.max > 0L)
+          throw new IllegalStateException(
+            s"$op: batch 0 of a FRESH checkpoint arrived at $parent, which " +
+              s"already holds committed batches up to ${maxId.max}. New rows " +
+              "would be keyed BELOW existing runs and lose freshest-wins to " +
+              "stale data. Clear the sink directory (and re-ingest) or " +
+              "restart from the original checkpoint.")
+      }
+    }
+  }
+
   def vectorIndexStream(vecs: Dataset[VecRow], centroids: Seq[Seq[Double]],
                         indexPath: String, watermark: String = "1 hour",
                         compactEvery: Int = 0, tieredFanout: Int = 0)
@@ -1063,6 +1140,8 @@ object StreamIngest {
         // so overwriting the batch's own subdirectory is exactly-once by
         // construction; cell stays a (nested) partition column, so probed
         // cells still prune at the scan.
+        requireCheckpointMatchesSink(batch.sparkSession, indexPath, batchId,
+          "vectorIndexStream")
         batch
           .withColumn("cell", graft.operators.Similarity
             .nearestCellStructAuto(col("embedding"), centroids).getField("cell"))
@@ -1103,6 +1182,8 @@ object StreamIngest {
     val assigned = dedupStreamJittered(vecs.toDF(), "ts", Seq("vec_id"), watermark)
     assigned.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        requireCheckpointMatchesSink(batch.sparkSession,
+          s"$deltaPath/geom=g$g", batchId, "ivfDeltaStream")
         batch
           .withColumn("cell", graft.operators.Similarity
             .nearestCellStructAuto(col("embedding"), centroids).getField("cell"))
@@ -1221,6 +1302,12 @@ object StreamIngest {
       foldIds: Seq[Long], dedupKey: String): Unit = {
     val target = foldIds.max
     if (!foldIds.exists(batchDirHasData(fs, p, _))) {
+      // intentionally manifest-FREE deletes (the one fold path outside the
+      // crash protocol): every dir in the window is empty of data files
+      // (watermark-commit micro-batches write only _SUCCESS), so no row
+      // can be lost, deletes are idempotent, and a crash mid-loop just
+      // re-lists the leftovers next trigger (r13 advice — documented so a
+      // reader doesn't assume every retire is manifest-protected)
       foldIds.filter(_ != target).foreach { i =>
         fs.delete(new org.apache.hadoop.fs.Path(p, s"batch=$i"), true)
       }
@@ -1304,9 +1391,12 @@ object StreamIngest {
         val runs = ids.filter(_ < live)
         // coverage = original micro-batch ids this run absorbed: its id
         // minus its predecessor's (Structured Streaming batchIds are dense
-        // from 0 per checkpoint, so the first run's coverage is id+1);
-        // empty watermark-commit dirs dropped by earlier folds only
-        // inflate a successor's coverage — harmless (lazier promotion)
+        // from 0 per checkpoint, so the first run's coverage is id+1 —
+        // the density assumption a FRESH checkpoint over a populated sink
+        // would break, which [[requireCheckpointMatchesSink]] rejects at
+        // the sinks' first micro-batch); empty watermark-commit dirs
+        // dropped by earlier folds only inflate a successor's coverage —
+        // harmless (lazier promotion)
         val cov = runs.zip(-1L +: runs.init).map { case (i, prev) => i - prev }
         def levelOf(c: Long): Int = {
           var l = 0; var t = fanout.toLong
@@ -1483,6 +1573,8 @@ object StreamIngest {
         // silently occupying shortlist slots in knnOverPqCodes. Replay of
         // the same offsets re-encodes identical rows under the frozen
         // model, so per-batch overwrite makes the sink exactly-once.
+        requireCheckpointMatchesSink(batch.sparkSession,
+          s"$indexPath/geom=g$g", batchId, "pqCodesStream")
         graft.operators.Similarity
           .encodePq(batch.select(col("vec_id"), col("embedding")), model)
           .write.mode("overwrite").partitionBy("cell")

@@ -33,6 +33,38 @@ class BloomDecontaminateSpec extends SparkSpecBase {
     }
   }
 
+  test("audit gate pins the oracle's literals when invariants hold — and detects violations") {
+    // passing direction at BOTH gate SFs (table sizes are non-linear
+    // across SFs): the gate's computed row must equal what the DuckDB
+    // oracle pins — (exact count, 0 missed, 0 undercounted, FPR ok)
+    for (dir <- dirs) {
+      val exactCount = Dedup.corpusDecontaminate(spark, dir).count()
+      val row = Dedup.corpusBloomDecontaminateAudit(spark, dir).collect()
+      assert(row.length == 1)
+      val r = row.head
+      assert(exactCount > 0, s"vacuous audit in $dir")
+      assert(r.getAs[Long]("n_exact_docs") == exactCount, s"$dir: ${r.mkString(",")}")
+      assert(r.getAs[Long]("n_missed") == 0L, s"$dir: ${r.mkString(",")}")
+      assert(r.getAs[Long]("n_undercount") == 0L, s"$dir: ${r.mkString(",")}")
+      assert(r.getAs[Boolean]("fp_within_bound"), s"$dir: ${r.mkString(",")}")
+    }
+    // failing direction on synthetic inputs (deterministic regardless of
+    // gate-corpus contamination counts): a missed doc, an undercounted
+    // doc, and an over-budget FP surplus must each surface — proving the
+    // audit would hash-mismatch, not silently pass
+    import spark.implicits._
+    val exact = Seq((1L, 5L), (2L, 3L)).toDF("doc_id", "n_hits")
+    val bloom = Seq((2L, 2L), (3L, 7L)).toDF("doc_id", "n_flagged_shingles")
+    val bad = Dedup.bloomAuditOf(exact, bloom, 1000L).head()
+    assert(bad.getAs[Long]("n_exact_docs") == 2L, s"doctored: ${bad.mkString(",")}")
+    assert(bad.getAs[Long]("n_missed") == 1L, s"doctored: ${bad.mkString(",")}")
+    assert(bad.getAs[Long]("n_undercount") == 1L, s"doctored: ${bad.mkString(",")}")
+    assert(bad.getAs[Boolean]("fp_within_bound"), "1 FP doc of 1000 is in budget")
+    val tight = Dedup.bloomAuditOf(exact, bloom, 10L).head()
+    assert(!tight.getAs[Boolean]("fp_within_bound"),
+      "1 FP doc of 10 (10% > 5%) must trip the budget")
+  }
+
   test("the corpus probe is a pure projection: no join, no benchmark shuffle") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val plan =

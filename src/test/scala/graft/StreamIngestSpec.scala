@@ -1117,12 +1117,16 @@ class StreamIngestSpec extends SparkSpecBase {
       s"code mismatch: ${(batch.toSet -- streamed.toSet).take(3)}")
   }
 
-  test("pqCodesStream: full replay against an existing index is a no-op (crash recovery)") {
+  test("pqCodesStream: fresh checkpoint over a populated sink fails fast; clear-and-replay is byte-identical") {
     // a crash between the sink write and the checkpoint commit replays the
-    // batch; the worst case is losing the WHOLE checkpoint and replaying
-    // every batch against the already-written index. With the old bare
-    // append each replayed vec_id doubled its code rows; the batchId-keyed
-    // overwrite must absorb the replay byte-for-byte.
+    // batch — batchId-keyed overwrite absorbs that (same offsets → same id).
+    // Losing the WHOLE checkpoint is different (r13 advice): batchIds
+    // restart at 0, and if the SOURCE has moved on, new rows re-key BELOW
+    // existing runs and lose freshest-wins to stale data — silently. The
+    // sink cannot distinguish a byte-identical full replay from that
+    // hazard, so batch 0 into a sink holding higher committed ids fails
+    // FAST with the recovery instruction; following it (clear the sink,
+    // replay from the source) reproduces the index byte-for-byte.
     val dim = 64
     val ivfCents = Seq(
       Seq.tabulate(dim)(i => if (i == 0) 1.0 else 0.0),
@@ -1152,12 +1156,24 @@ class StreamIngestSpec extends SparkSpecBase {
     val before = spark.read.parquet(s"$dir/codes")
       .orderBy("vec_id").collect().map(_.toString).toSeq
     assert(before.size == all.size)
-    // simulate losing the checkpoint entirely: a second run replays every
-    // batch (same offsets → same batchIds → same rows) onto the live index
-    runOnce(s"$dir/cp2")
+    // losing the checkpoint entirely: batch 0 of the fresh checkpoint must
+    // be REJECTED at the first micro-batch, before anything is overwritten
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce(s"$dir/cp2")
+    }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).filter(_ != null).mkString(" | ")
+    assert(msg.contains("FRESH checkpoint") && msg.contains("Clear the sink"),
+      s"expected the fresh-checkpoint rejection, got: ${msg.take(300)}")
+    // the documented recovery — clear the sink, replay from the source —
+    // reproduces the index byte-for-byte (same offsets → same batchIds)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/codes"), true)
+    runOnce(s"$dir/cp3")
     val after = spark.read.parquet(s"$dir/codes")
       .orderBy("vec_id").collect().map(_.toString).toSeq
-    assert(after == before, "replayed batches must not duplicate or alter code rows")
+    assert(after == before, "clear-and-replay must reproduce the index byte-for-byte")
   }
 
   test("decontaminateStream flags exactly the batch gate's docs at ingestion") {
@@ -1795,6 +1811,91 @@ class StreamIngestSpec extends SparkSpecBase {
     } finally {
       spark.conf.unset("graft.ivf.dir"); spark.conf.unset("graft.ivfflat.dir")
     }
+  }
+
+  test("pqCodesStream tieredFanout: bounded dirs, code-identical serving, per-geom give-up isolation") {
+    // the THIRD batchId-keyed sink family through the shared maybeCompact
+    // hook (r13 verdict item 4): same 12-batch mirror-equality + dir-bound
+    // treatment as ivfDeltaStream/vectorIndexStream, plus the r13-advice
+    // per-(root, geom) failure budget — a permanently poisoned STALE geom
+    // gives up after MaxCompactFailures while the live geom keeps folding.
+    val dim = 64
+    val ivfCents = Seq(
+      Seq.tabulate(dim)(i => if (i == 0) 1.0 else 0.0),
+      Seq.tabulate(dim)(i => if (i == 0) -1.0 else 0.0))
+    val rot = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    val nSub = 4
+    val cents = (0 until nSub).flatMap { s =>
+      Seq((s, 0, Seq.fill(dim / nSub)(0.25)), (s, 1, Seq.fill(dim / nSub)(-0.25)))
+    }
+    val model = graft.operators.Similarity.PqModel(ivfCents, rot, cents, nSub)
+    val geomDir = s"geom=g${graft.operators.Similarity.pqModelContentHash(model)}"
+    val rnd = new scala.util.Random(14)
+    val baseMs = ts("2024-08-01 00:00:00").getTime
+    val rows = (0 until 36).map { i =>
+      StreamIngest.VecRow(500000L + i, new Timestamp(baseMs + i),
+        Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    }
+    val dir = Files.createTempDirectory("graft-pq-tiered").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stream(path: String, cp: String, fanout: Int): Unit = {
+      val input = MemoryStream[StreamIngest.VecRow](spark)
+      val q = StreamIngest.pqCodesStream(input.toDS(), model, path,
+          watermark = "720 hours", tieredFanout = fanout)
+        .option("checkpointLocation", cp).start()
+      rows.grouped(3).foreach { b => input.addData(b); q.processAllAvailable() }
+      q.stop()
+    }
+    def codesOf(path: String): Map[Long, (Long, Seq[Int])] =
+      spark.read.parquet(s"$path/$geomDir")
+        .select(Seq(col("vec_id"), col("cell").cast("long").as("cell")) ++
+          (0 until nSub).map(s => col(s"c$s")): _*)
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          (r.getAs[Long]("cell"), (0 until nSub).map(s => r.getAs[Int](s"c$s")))).toMap
+    def batchDirs(path: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/$geomDir"))
+        .count(_.getPath.getName.startsWith("batch="))
+    stream(s"$dir/plain", s"$dir/cpP", fanout = 0)
+    stream(s"$dir/tiered", s"$dir/cpT", fanout = 2)
+    assert(batchDirs(s"$dir/plain") >= 12,
+      s"sanity: uncompacted run keeps every micro-batch dir, got ${batchDirs(s"$dir/plain")}")
+    assert(batchDirs(s"$dir/tiered") <= 7,
+      s"tiered in-stream compaction must bound dirs, got ${batchDirs(s"$dir/tiered")}")
+    val plainCodes = codesOf(s"$dir/plain")
+    assert(plainCodes.size == rows.size && codesOf(s"$dir/tiered") == plainCodes,
+      "tiered codes must be identical to the uncompacted run's")
+
+    // build-time contract on this family too: both disciplines rejected,
+    // fanout=1 rejected (before any micro-batch can swallow it)
+    val input = MemoryStream[StreamIngest.VecRow](spark)
+    val both = intercept[IllegalArgumentException] {
+      StreamIngest.pqCodesStream(input.toDS(), model, s"$dir/both",
+        watermark = "720 hours", compactEvery = 2, tieredFanout = 2)
+    }
+    assert(both.getMessage.contains("ONE in-stream compaction discipline"))
+    val one = intercept[IllegalArgumentException] {
+      StreamIngest.pqCodesStream(input.toDS(), model, s"$dir/one",
+        watermark = "720 hours", tieredFanout = 1)
+    }
+    assert(one.getMessage.contains("tieredFanout must be >= 2"))
+
+    // per-geom budget under tiered: a poisoned STALE geom (unparseable
+    // batch dir, e.g. a corrupt pre-retrain leftover) burns only ITS OWN
+    // give-up budget; the live geom folds on every trigger throughout
+    val poisoned = s"$dir/poisoned"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$poisoned/geom=gstale/batch=bogus"))
+    stream(poisoned, s"$dir/cpX", fanout = 2)
+    assert(StreamIngest.compactFailureCount(poisoned, "geom=gstale")
+        == StreamIngest.MaxCompactFailures,
+      "the poisoned geom must give up at the cap")
+    assert(StreamIngest.compactFailureCount(poisoned, geomDir) == 0,
+      "the live geom's budget must be untouched by the stale geom's failures")
+    assert(batchDirs(poisoned) <= 7,
+      s"the live geom must keep folding despite the poisoned stale geom, " +
+        s"got ${batchDirs(poisoned)} dirs")
+    assert(codesOf(poisoned) == plainCodes,
+      "ingestion and folding of the live geom must be unaffected")
   }
 
   test("compactEvery gives up loudly after persistent fold failures, ingestion unaffected") {
