@@ -52,6 +52,12 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] artifact warm-up failed: ${e.getMessage.take(200)}")
     }
+    // the oracle-twin graph is the twin bucket's shared derivation
+    // (knn_graph_oracle + embed_clusters_oracle); same artifact treatment
+    try graft.operators.OracleVariants.warmTwinGraph(spark, sfDir) catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] twin-graph warm-up failed: ${e.getMessage.take(200)}")
+    }
     // the graph family shares one persisted edge artifact; warm it so the
     // first graph gate measures its analytic, not the one-time collapse
     try graft.operators.GraphOps.warmTradeGraph(spark, sfDir) catch {

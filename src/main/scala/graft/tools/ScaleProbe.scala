@@ -750,6 +750,52 @@ object ScaleProbe {
     }
   }
 
+  /** ASSERTED recall floors at the 1.2M rung (r13 verdict item 6): the
+    * gate-SF knn_recall floors can't see a banding regression whose
+    * damage only shows past ~1M vectors (raw hamming decays 0.20 → 0.00
+    * between 1.2M and 10M; the ivfpq knee moved 0.80 → 0.70 between
+    * 1.2M and 2.4M), so this probe measures hamming_rr and ivfpq banded
+    * recall@5 against brute truth at n=1.2M and FAILS (non-zero exit)
+    * below the pinned floors — floors set one band step under the r13
+    * measured ladder values (hamming_rr 0.90-0.94 → floor 0.85; ivfpq
+    * 0.80 → floor 0.75). Re-measure protocol: run with
+    * `GRAFT_PQSCALE_STORE` pointed at a persistent dir so a re-run
+    * reuses the trained quantizer/codebooks (zero-retrain, the r13
+    * refutation discipline) and only the query passes repeat. */
+  def floorsProbe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val S = graft.operators.Similarity
+    val n = 1200000L
+    val dir = sys.props("java.io.tmpdir") + s"/graft_pqscale_$n"
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(new org.apache.hadoop.fs.Path(dir + "/embeddings.parquet/_SUCCESS")))
+      spark.range(0, n).select(col("id").as("vec_id"),
+        array((0 until 64).map(i =>
+          sin(col("id") * (i * 37 + 1)).cast("float")): _*).as("embedding"),
+        (col("id") % 16).cast("int").as("label"))
+        .coalesce(8).write.mode("overwrite").parquet(dir + "/embeddings.parquet")
+    val stores = sys.env.getOrElse("GRAFT_PQSCALE_STORE",
+      java.nio.file.Files.createTempDirectory("graft_pqscale_store").toString)
+    Seq("graft.ivf.dir", "graft.pq.dir", "graft.ivfflat.dir", "graft.knngraph.dir")
+      .foreach(k => spark.conf.set(k, stores + "/" + k))
+    try {
+      val emb = graft.sources.Tables.embeddings(spark, dir)
+      val brute = probeTop5(S.knnBrute(spark, dir))
+      val hrr = probeRecallOf(
+        probeTop5(S.knnHammingRerankOf(emb, S.rerankFor(n))), brute)
+      val ivfpq = probeRecallOf(probeTop5(S.knnIvfPq(spark, dir)), brute)
+      val okH = hrr >= 0.85
+      val okP = ivfpq >= 0.75
+      println(f"[scale] floors n=$n hamming_rr=$hrr%.2f (floor 0.85: " +
+        f"${if (okH) "PASS" else "FAIL"}) ivfpq=$ivfpq%.2f (floor 0.75: " +
+        f"${if (okP) "PASS" else "FAIL"})")
+      require(okH && okP,
+        f"1.2M recall floor violated: hamming_rr=$hrr%.2f ivfpq=$ivfpq%.2f")
+    } finally Seq("graft.ivf.dir", "graft.pq.dir", "graft.ivfflat.dir",
+      "graft.knngraph.dir").foreach(spark.conf.unset)
+  }
+
   /** Small-files decay measurement for the stream index sinks (r12): a
     * fabricated geom-keyed delta with `batches` micro-batch directories
     * (the layout ivfDeltaStream writes), a serving-shaped pruned read
@@ -1062,6 +1108,11 @@ object ScaleProbe {
       val sizes = args.drop(1).filter(_.forall(_.isDigit)).map(_.toLong)
       if (sizes.nonEmpty) hammingProbe(spark, sizes.toIndexedSeq)
       else hammingProbe(spark)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("floors")) {
+      floorsProbe(spark)
       spark.stop()
       return
     }

@@ -414,30 +414,36 @@ class Round12OpsSpec extends SparkSpecBase {
   }
 
   test("embed_clusters_oracle equals a driver-side union-find over the twin edges") {
-    val dir = "/root/testdata/sf0.001"
-    val edges = graft.operators.OracleVariants.knnGraphOracle(spark, dir)
-      .filter(col("csim_e4") >= 3500)
-      .select(col("src_id"), col("dst_id")).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      val p = parent.getOrElseUpdate(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    // at BOTH gate SFs (the two-SF floor-pin discipline): the r14
+    // truncation contract (min label within ClusterHops hops, unrolled in
+    // both engines) must be semantically invisible at the gate corpora —
+    // union-find is FULL connected components, so equality here proves
+    // the hop budget covers every component's min-eccentricity
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val edges = graft.operators.OracleVariants.knnGraphOracle(spark, dir)
+        .filter(col("csim_e4") >= 3500)
+        .select(col("src_id"), col("dst_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val allIds = loadEmb(dir).map(_._1)
+      val want = allIds.map(id =>
+        (id, if (parent.contains(id)) find(id) else id)).map { case (id, c) =>
+        (id, c, if (id == c) 1L else 0L)
+      }.toSet
+      val got = graft.operators.OracleVariants.embedClustersOracle(spark, dir)
+        .collect().map(r => (r.getAs[Long]("vec_id"),
+          r.getAs[Long]("cluster_id"), r.getAs[Long]("keep"))).toSet
+      assert(got == want,
+        s"$dir: only-got ${(got -- want).take(5)} only-want ${(want -- got).take(5)}")
     }
-    edges.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val allIds = loadEmb(dir).map(_._1)
-    val want = allIds.map(id =>
-      (id, if (parent.contains(id)) find(id) else id)).map { case (id, c) =>
-      (id, c, if (id == c) 1L else 0L)
-    }.toSet
-    val got = graft.operators.OracleVariants.embedClustersOracle(spark, dir)
-      .collect().map(r => (r.getAs[Long]("vec_id"),
-        r.getAs[Long]("cluster_id"), r.getAs[Long]("keep"))).toSet
-    assert(got == want,
-      s"only-got ${(got -- want).take(5)} only-want ${(want -- got).take(5)}")
   }
 
   test("knn_ivfpq_oracle: ADC scan restricted to probed cells, then rerank — replays") {
