@@ -841,6 +841,25 @@ object Similarity {
     if (n <= 100000L) math.max(50, math.min(8000, (n / 8L).toInt))
     else math.max(50, math.min(32000, (n / 8L).toInt))
 
+  /** The ADC-path rerank band (r14): the PQ/IVFPQ knee moved AGAIN past
+    * 2.4M (banded 32000 reads 0.70 @ 2.4M → 0.60 @ 5M, while rr=128k
+    * holds 0.90 at 5M at FLAT wall — 8.6 vs 8.7 s at 32 threads: the
+    * shortlist is k-scale, so quadrupling it is free), so past the last
+    * measured 32k-band rung the clamp rises to track the measured
+    * 0.90-knee line: n/40 (the 5M knee sits at ~n/39) capped at 131072
+    * (≈32 MB of float rows per query — still a CONSTANT per-query
+    * budget, 0.01% of a 10⁹ corpus). SPLIT from [[rerankFor]] rather
+    * than widening it because the two families' knees measured apart:
+    * hamming's 64 sign bits still rank 0.90 at the 32000 clamp at 5M
+    * AND 10M (the r12b/r13 ladder), so growing ITS shortlist buys ~0.02
+    * recall for 4× rerank reads — the binary rung keeps the tighter
+    * band, the ADC rung gets the deeper one its measured knee needs.
+    * Gate corpora (n ≤ 2000) and the 1.2M floor rung sit below the new
+    * band — artifacts, floors, and gate hashes are byte-stable. */
+  private[graft] def pqRerankFor(n: Long): Int =
+    if (n <= 2400000L) rerankFor(n)
+    else math.min(131072, (n / 40L).toInt)
+
   /** Coarse cell count banded by corpus size — the LAST fixed ANN knob
     * made scale-aware (r10b): IVF practice sizes k ≈ √N cells so a probe
     * scans tens-to-hundreds of candidates; a FIXED 16 cells means a
@@ -1221,7 +1240,7 @@ object Similarity {
     * query vectors are a broadcast, and the only wide op is the per-query
     * top-k window over N×Q shortlist candidates (Q bounded per batch). */
   def knnPq(spark: SparkSession, dir: String): DataFrame =
-    knnPqWith(spark, dir, rerank = rerankFor(corpusCount(spark, dir)))
+    knnPqWith(spark, dir, rerank = pqRerankFor(corpusCount(spark, dir)))
 
   def knnPqWith(spark: SparkSession, dir: String, rerank: Int): DataFrame = {
     val nSub = pqSubFor(corpusCount(spark, dir))
@@ -1294,7 +1313,7 @@ object Similarity {
     * transparently. */
   def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val n = corpusCount(spark, dir)
-    knnIvfPqWith(spark, dir, nprobe = nprobeFor(n), rerank = rerankFor(n))
+    knnIvfPqWith(spark, dir, nprobe = nprobeFor(n), rerank = pqRerankFor(n))
   }
 
   def knnIvfPqWith(spark: SparkSession, dir: String, nprobe: Int, rerank: Int,
@@ -1827,7 +1846,7 @@ object Similarity {
     // cell-filter ceiling move (np2→np4 measured 0.42→0.48 / 0.40→0.50):
     // a regression in either the cell filter or the code quality drops
     // its own row. All values deterministic (hash seeding + Lloyd).
-    val rr = rerankFor(corpusCount(spark, dir))
+    val rr = pqRerankFor(corpusCount(spark, dir))
     val methods: Seq[(String, DataFrame, Long)] = Seq(
       ("ivf",       knnIvf(spark, dir),                              30L),
       ("ivfpq_np2", knnIvfPqWith(spark, dir, nprobe = 2, rerank = rr), 38L),

@@ -700,7 +700,8 @@ object ScaleProbe {
         val (_, tPqWarm) = time(S.knnPq(spark, dir).collect())
         val (ivfpq, tIvfpq) = time(recallOf(top5(S.knnIvfPq(spark, dir)), brute))
         println(f"[scale] pqscale n=$n%-7d geometry: nSub=${S.pqSubFor(n)} " +
-          f"cells=${S.cellsFor(n)} nprobe=${S.nprobeFor(n)} rerank=${S.rerankFor(n)} | " +
+          f"cells=${S.cellsFor(n)} nprobe=${S.nprobeFor(n)} " +
+          f"rerank=${S.pqRerankFor(n)} (binary band ${S.rerankFor(n)}) | " +
           f"pq=$pq%.2f ivfpq=$ivfpq%.2f | quantizer=$tCents%.1f s " +
           f"pq_train+q=$tPq%.1f s pq_warm=$tPqWarm%.1f s ivfpq_warm=$tIvfpq%.1f s")
         for (np <- Seq(S.nprobeFor(n), 2 * S.nprobeFor(n));

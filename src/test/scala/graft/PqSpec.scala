@@ -98,6 +98,17 @@ class PqSpec extends SparkSpecBase {
     assert(Similarity.rerankFor(200000L) == 25000, "n/8 interior in the upper band")
     assert(Similarity.rerankFor(100000000L) == 32000, "rerank must cap (32-sub band)")
     assert(Similarity.rerankFor(0) == 50, "rerank floor")
+    // the ADC-path band (r14): identical to rerankFor through the last
+    // measured 32k rung (2.4M), then n/40 tracking the measured 0.90
+    // knee (5M probe: 0.60 at 32k, 0.90 at 128k ≈ n/39, FLAT wall),
+    // capped at 131072 — still a constant per-query budget. The binary
+    // rung keeps the tighter rerankFor band (hamming holds 0.90 at the
+    // 32k clamp at 5M AND 10M, so a deeper shortlist buys ~0.02 there).
+    assert(Similarity.pqRerankFor(2000) == 250, "gate corpora unchanged")
+    assert(Similarity.pqRerankFor(1200000L) == 32000, "floor rung unchanged")
+    assert(Similarity.pqRerankFor(2400000L) == 32000, "band edge: last 32k rung")
+    assert(Similarity.pqRerankFor(5000000L) == 125000, "n/40 interior (measured 0.90)")
+    assert(Similarity.pqRerankFor(100000000L) == 131072, "ADC band must cap")
     // band boundary: the subspace count always divides 64 so sub-slices
     // tile the vector exactly (a non-divisor would silently drop dims)
     Seq(1L, 500L, 1000L, 1001L, 2000L, 1000000L).foreach { n =>
