@@ -763,38 +763,47 @@ object ScaleProbe {
     * `GRAFT_PQSCALE_STORE` pointed at a persistent dir so a re-run
     * reuses the trained quantizer/codebooks (zero-retrain, the r13
     * refutation discipline) and only the query passes repeat. */
-  def floorsProbe(spark: SparkSession): Unit = {
+  def floorsProbe(spark: SparkSession,
+                  rungs: Seq[Long] = Seq(1200000L, 5000000L)): Unit = {
     import org.apache.spark.sql.functions._
     val S = graft.operators.Similarity
-    val n = 1200000L
-    val dir = sys.props("java.io.tmpdir") + s"/graft_pqscale_$n"
-    val f = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(new org.apache.hadoop.fs.Path(dir + "/embeddings.parquet/_SUCCESS")))
-      spark.range(0, n).select(col("id").as("vec_id"),
-        array((0 until 64).map(i =>
-          sin(col("id") * (i * 37 + 1)).cast("float")): _*).as("embedding"),
-        (col("id") % 16).cast("int").as("label"))
-        .coalesce(8).write.mode("overwrite").parquet(dir + "/embeddings.parquet")
-    val stores = sys.env.getOrElse("GRAFT_PQSCALE_STORE",
-      java.nio.file.Files.createTempDirectory("graft_pqscale_store").toString)
-    Seq("graft.ivf.dir", "graft.pq.dir", "graft.ivfflat.dir", "graft.knngraph.dir")
-      .foreach(k => spark.conf.set(k, stores + "/" + k))
-    try {
-      val emb = graft.sources.Tables.embeddings(spark, dir)
-      val brute = probeTop5(S.knnBrute(spark, dir))
-      val hrr = probeRecallOf(
-        probeTop5(S.knnHammingRerankOf(emb, S.rerankFor(n))), brute)
-      val ivfpq = probeRecallOf(probeTop5(S.knnIvfPq(spark, dir)), brute)
-      val okH = hrr >= 0.85
-      val okP = ivfpq >= 0.75
-      println(f"[scale] floors n=$n hamming_rr=$hrr%.2f (floor 0.85: " +
-        f"${if (okH) "PASS" else "FAIL"}) ivfpq=$ivfpq%.2f (floor 0.75: " +
-        f"${if (okP) "PASS" else "FAIL"})")
-      require(okH && okP,
-        f"1.2M recall floor violated: hamming_rr=$hrr%.2f ivfpq=$ivfpq%.2f")
-    } finally Seq("graft.ivf.dir", "graft.pq.dir", "graft.ivfflat.dir",
-      "graft.knngraph.dir").foreach(spark.conf.unset)
+    // per-rung floors, one band step under the measured r13/r14 ladder
+    // values: 1.2M = the last rung of the 32k clamp band (hamming_rr
+    // 0.92 / ivfpq 0.80 measured); 5M = the first measured rung of the
+    // r14 pqRerankFor band (hamming_rr 0.90 at the 32k binary clamp /
+    // ivfpq 0.90 at rr=n/40 measured)
+    val floors = Map(1200000L -> (0.85, 0.75), 5000000L -> (0.85, 0.85))
+    for (n <- rungs) {
+      val (floorH, floorP) = floors.getOrElse(n, (0.85, 0.75))
+      val dir = sys.props("java.io.tmpdir") + s"/graft_pqscale_$n"
+      val f = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(new org.apache.hadoop.fs.Path(dir + "/embeddings.parquet/_SUCCESS")))
+        spark.range(0, n).select(col("id").as("vec_id"),
+          array((0 until 64).map(i =>
+            sin(col("id") * (i * 37 + 1)).cast("float")): _*).as("embedding"),
+          (col("id") % 16).cast("int").as("label"))
+          .coalesce(8).write.mode("overwrite").parquet(dir + "/embeddings.parquet")
+      val stores = sys.env.getOrElse("GRAFT_PQSCALE_STORE",
+        java.nio.file.Files.createTempDirectory("graft_pqscale_store").toString)
+      Seq("graft.ivf.dir", "graft.pq.dir", "graft.ivfflat.dir", "graft.knngraph.dir")
+        .foreach(k => spark.conf.set(k, stores + "/" + k))
+      try {
+        val emb = graft.sources.Tables.embeddings(spark, dir)
+        val brute = probeTop5(S.knnBrute(spark, dir))
+        val hrr = probeRecallOf(
+          probeTop5(S.knnHammingRerankOf(emb, S.rerankFor(n))), brute)
+        val ivfpq = probeRecallOf(probeTop5(S.knnIvfPq(spark, dir)), brute)
+        val okH = hrr >= floorH
+        val okP = ivfpq >= floorP
+        println(f"[scale] floors n=$n hamming_rr=$hrr%.2f (floor $floorH%.2f: " +
+          f"${if (okH) "PASS" else "FAIL"}) ivfpq=$ivfpq%.2f (floor $floorP%.2f: " +
+          f"${if (okP) "PASS" else "FAIL"})")
+        require(okH && okP,
+          f"recall floor violated at n=$n: hamming_rr=$hrr%.2f ivfpq=$ivfpq%.2f")
+      } finally Seq("graft.ivf.dir", "graft.pq.dir", "graft.ivfflat.dir",
+        "graft.knngraph.dir").foreach(spark.conf.unset)
+    }
   }
 
   /** Small-files decay measurement for the stream index sinks (r12): a
