@@ -1096,7 +1096,14 @@ object StreamIngest {
     * that case (a same-checkpoint replay rewrites at most the existing
     * max id, never below it), so the detection is exact and costs one
     * listing on the stream's first micro-batch only. Recovery: clear the
-    * sink directory, or resume from the original checkpoint. */
+    * sink directory, or resume from the original checkpoint.
+    *
+    * Known blind spot (inherent): a sink holding ONLY batch=0 cannot
+    * distinguish a fresh checkpoint from a legitimate batch-0 replay
+    * (the common crash-recovery case, which must stay allowed), so a
+    * fresh checkpoint there silently overwrites the old batch-0 rows —
+    * plain replacement, not the freshest-wins INVERSION this guard
+    * exists to stop, and bounded to one micro-batch of data. */
   private def requireCheckpointMatchesSink(spark: SparkSession,
       parent: String, batchId: Long, op: String): Unit = {
     if (batchId == 0L) {
