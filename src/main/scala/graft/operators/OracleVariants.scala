@@ -327,6 +327,34 @@ object OracleVariants {
       |SELECT query_id, "rank", neighbor_id, cos FROM rk
       |WHERE "rank" <= $K ORDER BY query_id, "rank"""".stripMargin
 
+  /** Brute-force radius search on quantized vectors — the DuckDB half of
+    * `knn_range_oracle`. The Spark half ([[Similarity.rangeSearch]] with
+    * quantized = true) serves from the persisted IVFFlat index with
+    * triangle-inequality cell pruning; this SQL does NO pruning, so the
+    * driver's hash gate proves the pruning never drops a true member (and
+    * never admits a sub-threshold one): membership is decided on the
+    * identical exact-integer dot/norm + one IEEE division/sqrt + round(4)
+    * in both engines, and the threshold literal is e-notation-forced
+    * DOUBLE on both sides (the cross-engine decimal-promotion rule). */
+  val knnRangeOracleSql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id AS query_id, $quantSql AS qv FROM embeddings WHERE vec_id < 10
+      |), c AS (
+      |  SELECT vec_id AS neighbor_id, $quantSql AS cv FROM embeddings
+      |), p AS (
+      |  SELECT query_id, neighbor_id,
+      |    list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i]*cv[i]))::BIGINT AS dot,
+      |    list_sum(list_transform(qv, x -> x*x))::BIGINT AS nq,
+      |    list_sum(list_transform(cv, x -> x*x))::BIGINT AS nc
+      |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id
+      |), r AS (
+      |  SELECT query_id, neighbor_id,
+      |    round(dot::DOUBLE / sqrt(greatest(nq::DOUBLE * nc::DOUBLE, 1.0)), 4) AS cos
+      |  FROM p
+      |)
+      |SELECT query_id, neighbor_id, cos FROM r
+      |WHERE cos >= 0.30e0 ORDER BY query_id, neighbor_id""".stripMargin
+
   /** Embedding near-dup pairs on quantized vectors, blocked by label —
     * DuckDB-provable twin of `dedup_embed`.
     *
@@ -1694,6 +1722,8 @@ object OracleVariants {
     "dedup_incremental_oracle" -> (dedupIncrementalOracle _),
     "dedup_simhash_oracle"  -> (dedupSimhashOracle _),
     "knn_brute_oracle"      -> (knnBruteOracle _),
+    "knn_range_oracle"      -> ((s: SparkSession, d: String) =>
+      Similarity.rangeSearch(s, d, quantized = true)),
     "dedup_embed_oracle"    -> (dedupEmbedOracle _),
     "dedup_semantic_oracle" -> (dedupSemanticOracle _),
     "corpus_semantic_sample_oracle" -> (corpusSemanticSampleOracle _),
@@ -1721,6 +1751,7 @@ object OracleVariants {
     "dedup_incremental_oracle" -> dedupIncrementalOracleSql,
     "dedup_simhash_oracle"  -> dedupSimhashOracleSql,
     "knn_brute_oracle"      -> knnBruteOracleSql,
+    "knn_range_oracle"      -> knnRangeOracleSql,
     "dedup_embed_oracle"    -> dedupEmbedOracleSql,
     "dedup_semantic_oracle" -> dedupSemanticOracleSql)
 }

@@ -759,6 +759,196 @@ object Similarity {
     knnIvfRank(emb, cands, centroids, nprobe, 0L, 10L, pruneCells = false)
   }
 
+  // ------------------------------------------------------------ range search
+
+  /** Radius threshold for the range-search gates: ~40 corpus-wide matches
+    * per gate corpus for the 10 standard query vectors (measured 37/43/147
+    * rows at sf0.001/0.01/0.1) — the same neighborhood the 0.35-edge
+    * cluster family lives in, loosened one notch so every gate SF keeps a
+    * multi-row result. */
+  private[graft] val RangeTau = 0.30
+
+  /** Safety margin subtracted from the cell-admissibility bound: covers the
+    * output rounding half-step (4dp → 5e-5: a member whose TRUE cosine sits
+    * just under tau can still round INTO the result set) plus float noise
+    * in the bound arithmetic itself (~ulps). Never affects results — only
+    * how aggressively cells may be skipped. */
+  private val RangeEps = 1e-4
+
+  /** EXACT radius (range) search over the persisted IVFFlat index: all
+    * neighbors with cosine ≥ [[RangeTau]] for the 10 standard query
+    * vectors — the "every document within a similarity band" query that
+    * top-k cannot express (k is unknown a priori; dedup audits, policy
+    * sweeps, and near-duplicate *counting* all want the full band).
+    *
+    * Unlike the top-k rungs this is NOT approximate: a cell is skipped
+    * only when the spherical triangle inequality PROVES no member can
+    * clear the threshold. With cq = cos(query, centroid) and cm = the
+    * cell's persisted min member-to-centroid cosine ([[cellRadii]] — the
+    * angular cell radius), every member x satisfies
+    * θ(q,x) ≥ θ(q,c) − θmax, so cos(q,x) ≤ cq·cm + √(1−cq²)·√(1−cm²)
+    * whenever θ(q,c) ≥ θmax (and is unbounded otherwise). Cells whose
+    * bound falls below tau − [[RangeEps]] are provably empty of matches
+    * and their partition directories are never read — the same
+    * PartitionFilters handle as [[knnIvf]], but with a PROOF instead of
+    * an nprobe recall trade. Every surviving candidate is exact-cosine
+    * filtered, so the result equals brute force by construction
+    * (KnnRangeSpec pins set equality at both gate SFs; the quantized twin
+    * `knn_range_oracle` hash-proves the pruning against a DuckDB oracle
+    * that does NO pruning — a dropped true member mismatches the gate).
+    *
+    * Scale shape: radii are index metadata (one tiny per-cell aggregate,
+    * persisted beside the inverted lists, keyed by the same quantizer
+    * content hash); queries × cells admissibility is a broadcast-sized
+    * frame; the only corpus-side work is the exact-cosine scan of the
+    * admissible cells' partitions. On clustered real-embedding corpora
+    * the band is cell-local and most directories prune; on iid-uniform
+    * vectors cell radii approach 90° and pruning honestly degrades
+    * toward a scan — the fundamental metric-pruning bound, not an
+    * implementation artifact. Rows-only at the gate (float cosine);
+    * the quantized twin is the hash-gated proof. */
+  def knnRange(spark: SparkSession, dir: String): DataFrame =
+    rangeSearch(spark, dir, quantized = false)
+
+  private def quantVec(c: Column): Column =
+    transform(c, x => round(x.cast("double") * 1000).cast("long"))
+
+  /** Per-cell angular radius of the IVFFlat cells as min member-to-centroid
+    * cosine — (cell, cm) at quantizer grain, derived in ONE linear pass
+    * over the persisted inverted lists and cached as an artifact keyed by
+    * the corpus fingerprint AND the quantizer content hash (radii are
+    * meaningless against retrained centroids — same staleness class as the
+    * lists themselves). `quantized` radii measure the ×1000-integer copies
+    * of the members against the ×1000-integer centroid (the twin's
+    * geometry — the triangle inequality needs the radius of the EXACT
+    * vectors being searched, and any fixed pivot works).
+    *
+    * Contract: radii describe the BATCH inverted lists only. A streamed
+    * delta row ([[graft.streaming.StreamIngest.ivfDeltaStream]]) can land
+    * outside its cell's recorded radius, so extending range search over a
+    * delta-merged index must either re-derive radii per delta fold or
+    * treat delta rows as always-admissible (scan them unpruned — the safe
+    * default; `knn_range` deliberately serves the batch artifact alone). */
+  private[graft] def cellRadii(spark: SparkSession, dir: String,
+      quantized: Boolean): DataFrame = {
+    val cents = loadOrTrainCentroids(spark, dir)
+    val centsLit = typedLit(cents.map(_.toIndexedSeq).toIndexedSeq)
+    val vec: Column => Column =
+      if (quantized) quantVec else c => asDouble(c)
+    val cos: (Column, Column) => Column =
+      if (quantized) (a, b) => call_function("quantized_cosine", a, b)
+      else (a, b) => cosine(a, b)
+    val derive = ivfIndex(spark, dir)
+      .withColumn("pivot", element_at(centsLit, col("cell") + 1))
+      .groupBy(col("cell"))
+      .agg(min(cos(vec(col("embedding")), vec(col("pivot")))).as("cm"))
+    if (corpusCount(spark, dir) == 0L) derive
+    else graft.serving.StorePaths.cachedArtifact(spark,
+      "graft.ivfflat.dir", "graft_ivfflat",
+      corpusKey(dir) + "-rad" + (if (quantized) "q" else "f") + "-",
+      corpusFingerprint(spark, dir) + "_v" + IvfFlatVersion +
+        "g" + centroidContentHash(cents))(derive)
+  }
+
+  /** Shared core of `knn_range` (float) and `knn_range_oracle` (×1000
+    * quantized — [[graft.operators.OracleVariants]]'s exact-integer
+    * discipline, so dot/norm math is engine-identical and the DuckDB
+    * brute-force oracle hash-gates the PRUNING): admissible (query, cell)
+    * pairs from the radius bound, one collect of the bounded probe frame
+    * (≤ queries × cells rows) to feed the partition-pruning isin AND the
+    * broadcast join side — the [[knnIvfRankQueries]] probe shape. */
+  private[graft] def rangeSearch(spark: SparkSession, dir: String,
+      quantized: Boolean): DataFrame = {
+    val cents = loadOrTrainCentroids(spark, dir)
+    if (cents.isEmpty) {
+      // empty corpus trains 0 cells; same schema, zero rows
+      val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+      return queries.select(col("vec_id").as("query_id"),
+          col("vec_id").as("neighbor_id"), lit(0.0).as("cos"))
+        .filter(lit(false))
+    }
+    rangeCandidates(spark, dir, rangeProbeFrame(spark, dir, quantized),
+        quantized)
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  /** The admissible (cell, query_id, qvec) probe frame of the range
+    * search, MATERIALIZED: ≤ queries × cells rows (bounded — Q is the
+    * serving batch, cells ≤ training config). One collect feeds both the
+    * literal partition-pruning IN list and the broadcast join side
+    * ([[knnIvfRankQueries]]'s discipline), and materializing here keeps
+    * the probe lineage (embeddings scan × cells × radii) out of the
+    * candidate join's re-executions (the presentation sort's range
+    * partitioner samples its child — an un-pinned probe frame would run
+    * the whole admissibility job per pass). */
+  private[graft] def rangeProbeFrame(spark: SparkSession, dir: String,
+      quantized: Boolean): Array[org.apache.spark.sql.Row] = {
+    val cents = loadOrTrainCentroids(spark, dir)
+    val vec: Column => Column =
+      if (quantized) quantVec else c => asDouble(c)
+    val cos: (Column, Column) => Column =
+      if (quantized) (a, b) => call_function("quantized_cosine", a, b)
+      else (a, b) => cosine(a, b)
+    val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val centsDf = broadcast(
+      spark.createDataFrame(cents.zipWithIndex.map { case (v, i) => (i, v) })
+        .toDF("cell", "cvec"))
+    val radii = broadcast(cellRadii(spark, dir, quantized))
+    // clamped √(1−c²): cosines can exceed 1.0 by ulps and a NaN bound
+    // would silently pass the < comparison and prune a live cell
+    def sin(c: Column): Column = sqrt(greatest(lit(1.0) - c * c, lit(0.0)))
+    queries.crossJoin(centsDf)
+      .withColumn("cq", cos(vec(col("embedding")), vec(col("cvec"))))
+      .join(radii, Seq("cell"))
+      // θ(q,c) < θmax ⇒ a member can align with the query exactly — no
+      // bound; otherwise the spherical triangle-inequality cap applies
+      .filter(col("cq") >= col("cm") ||
+        col("cq") * col("cm") + sin(col("cq")) * sin(col("cm")) >=
+          lit(RangeTau - RangeEps))
+      .select(col("cell"), col("query_id"), vec(col("embedding")).as("qvec"))
+      .collect()
+  }
+
+  /** The candidate half of the range search: scan ONLY the probe frame's
+    * cells (partition-pruned isin), exact-cosine every candidate against
+    * its admissible queries, keep the ≥ τ band. Unsorted — callers add
+    * the presentation order. */
+  private[graft] def rangeCandidates(spark: SparkSession, dir: String,
+      probeRows: Array[org.apache.spark.sql.Row],
+      quantized: Boolean = false): DataFrame = {
+    val vec: Column => Column =
+      if (quantized) quantVec else c => asDouble(c)
+    val cos: (Column, Column) => Column =
+      if (quantized) (a, b) => call_function("quantized_cosine", a, b)
+      else (a, b) => cosine(a, b)
+    val outDp = if (quantized) 4 else 6
+    val probed = probeRows.map(_.getInt(0)).distinct.toIndexedSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("qvec",
+        org.apache.spark.sql.types.ArrayType(
+          if (quantized) org.apache.spark.sql.types.LongType
+          else org.apache.spark.sql.types.DoubleType))))
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), schema)
+    ivfIndex(spark, dir)
+      .filter(col("cell").isin(probed: _*))
+      // member vectors transform BEFORE the join (knnBruteOracle's shape):
+      // a post-join vec() would re-evaluate the array transform per
+      // (candidate, query) pair under CollapseProject
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        vec(col("embedding")).as("cv"))
+      .join(broadcast(local), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(cos(col("cv"), col("qvec")), outDp))
+      .filter(col("cos") >= lit(RangeTau))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+  }
+
   // ---------------------------------------------------------------- PQ / ADC
 
   /** Product-quantization geometry: 64 dims split into `pqSubFor(n)`
@@ -2761,6 +2951,7 @@ object Similarity {
     "embed_quantize"  -> (embedQuantize _),
     "embed_centroid_stats" -> (embedCentroidStats _),
     "knn_brute"       -> (knnBrute _),
+    "knn_range"       -> (knnRange _),
     "knn_filtered"    -> (knnFiltered _),
     "embed_outliers"  -> (embedOutliers _),
     "knn_lsh"         -> (knnLsh _),

@@ -714,6 +714,91 @@ object ScaleProbe {
     }
   }
 
+  /** Range-search pruning at index scale, on a CLUSTERED corpus (the
+    * iid-uniform pqscale corpora are the metric-pruning worst case — cell
+    * radii near 90°, nothing prunes, and KnnRangeSpec documents that; this
+    * probe measures the case range pruning exists for): 64 tight clusters
+    * (center per id%64 + 5% jitter), banded quantizer + persisted IVFFlat
+    * lists + per-cell radii, then `knn_range` wall-time and admitted-cell
+    * fraction vs the unpruned brute-force threshold scan, with a
+    * result-set equality check (the pruning is exact by construction —
+    * the probe re-proves it at a rung the spec can't afford). */
+  def rangeProbe(spark: SparkSession, sizes: Seq[Long] = Seq(200000L)): Unit = {
+    import org.apache.spark.sql.functions._
+    val S = graft.operators.Similarity
+    for (n <- sizes) {
+      val C = 64
+      val dir = sys.props("java.io.tmpdir") + s"/graft_rangeprobe_$n"
+      val f = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(new org.apache.hadoop.fs.Path(dir + "/embeddings.parquet/_SUCCESS")))
+        spark.range(0, n).select(col("id").as("vec_id"),
+          array((0 until 64).map(d =>
+            (sin((col("id") % C + lit(1)) * lit(131.0 * (d * 37 + 1))) +
+              sin(col("id") * (d * 53 + 11)) * lit(0.05)).cast("float")): _*)
+            .as("embedding"),
+          (col("id") % C).cast("int").as("label"))
+          .coalesce(8).write.mode("overwrite").parquet(dir + "/embeddings.parquet")
+      val stores = sys.env.getOrElse("GRAFT_RANGEPROBE_STORE",
+        java.nio.file.Files.createTempDirectory("graft_rangeprobe_store").toString)
+      Seq("graft.ivf.dir", "graft.ivfflat.dir")
+        .foreach(k => spark.conf.set(k, stores + "/" + k))
+      try {
+        def time[T](x: => T): (T, Double) = probeTimed(x)
+        val (_, tBuild) = time {
+          S.loadOrTrainCentroids(spark, dir)
+          S.knnRange(spark, dir).count() // trains + builds lists + radii
+        }
+        val (pruned, tQ) = time(S.knnRange(spark, dir).collect())
+        // stage split (the lshtwin discipline): where does the pruned
+        // query's wall go — probe-frame job, candidate join, or the
+        // presentation sort's child re-execution?
+        val (probeFrame, tProbe) = time(
+          S.rangeProbeFrame(spark, dir, quantized = false))
+        val (_, tJoin) = time(S.rangeCandidates(spark, dir, probeFrame).collect())
+        val (_, tSorted) = time(S.rangeCandidates(spark, dir, probeFrame)
+          .orderBy(col("query_id"), col("neighbor_id")).collect())
+        println(f"[scale]   rangeprobe split: probe_frame=$tProbe%5.2f s " +
+          f"join_unsorted=$tJoin%5.2f s join_sorted=$tSorted%5.2f s")
+        // unpruned reference: brute-force threshold over the full corpus
+        val emb = graft.sources.Tables.embeddings(spark, dir)
+        val q = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        val (brute, tB) = time(
+          emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+            .crossJoin(broadcast(q))
+            .filter(col("neighbor_id") =!= col("query_id"))
+            .withColumn("cos", round(
+              call_function("cosine_similarity", col("embedding"), col("qvec")), 6))
+            .filter(col("cos") >= lit(S.RangeTau))
+            .select(col("query_id"), col("neighbor_id"), col("cos")).collect())
+        def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        val equal = pruned.map(key).toSet == brute.map(key).toSet
+        // admitted (query, cell) fraction, replayed driver-side from radii
+        val cents = S.loadOrTrainCentroids(spark, dir)
+        val radii = S.cellRadii(spark, dir, quantized = false)
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        val qs = q.collect().map(_.getSeq[Float](1).map(_.toDouble).toIndexedSeq)
+        def cosD(a: Seq[Double], b: Seq[Double]): Double = {
+          var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+          d / math.sqrt(math.max(na * nb, 1e-300))
+        }
+        val admits = for (qv <- qs; cell <- cents.indices) yield {
+          val cq = cosD(qv, cents(cell)); val cm = radii(cell)
+          cq >= cm || cq * cm + math.sqrt(math.max(1 - cq*cq, 0)) *
+            math.sqrt(math.max(1 - cm*cm, 0)) >= S.RangeTau - 1e-4
+        }
+        val adm = admits.count(identity)
+        println(f"[scale] rangeprobe n=$n%-7d cells=${cents.size} " +
+          f"admitted=$adm/${admits.size} (${100.0*adm/admits.size}%.1f%%) | " +
+          f"build=$tBuild%6.1f s pruned_query=$tQ%5.2f s brute=$tB%5.2f s " +
+          f"rows=${pruned.length} equal=$equal")
+      } finally Seq("graft.ivf.dir", "graft.ivfflat.dir")
+        .foreach(spark.conf.unset)
+    }
+  }
+
   /** Binary-rung ladder (the r11 verdict's ask): knn_hamming /
     * knn_hamming_rerank recall@5 and end-to-end cost at the pq ladder's
     * rungs, on the SAME synthetic iid-uniform corpus as [[pqScaleProbe]]
@@ -1123,6 +1208,13 @@ object ScaleProbe {
     }
     if (args.headOption.contains("floors")) {
       floorsProbe(spark)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("rangeprobe")) {
+      val sizes = args.drop(1).filter(_.forall(_.isDigit)).map(_.toLong)
+      if (sizes.nonEmpty) rangeProbe(spark, sizes.toIndexedSeq)
+      else rangeProbe(spark)
       spark.stop()
       return
     }
