@@ -2157,6 +2157,148 @@ object Similarity {
       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
+  // -------------------------------------------------------- MMR re-ranking
+
+  /** MMR shortlist depth (per-query candidates fed to the greedy pass) and
+    * result depth. M and k are re-rank constants, not corpus bands: the
+    * greedy pass costs Q·M² sims regardless of corpus size. */
+  private val MmrShort = 12
+  private val MmrK = 5
+
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    * 1998): greedily select k of the M most-relevant candidates, each round
+    * maximizing `rel(c) − max_{s∈selected} sim(c, s)` — relevance minus
+    * redundancy (λ = 0.5 up to the constant factor), the standard re-rank
+    * for retrieval feeding training-data curation (a plain top-k returns
+    * k near-copies of the same document; MMR spends the budget on the
+    * band's distinct regions).
+    *
+    * Integer-exact END TO END, so the PRODUCTION key hash-gates against
+    * the DuckDB replay directly (stronger than a rows-only + twin split):
+    * rel and sim are ×1000-quantized cosines rounded to e4 BIGINTs
+    * (engine-identical by the exact-integer-dot + one-IEEE-div/sqrt
+    * discipline), every argmax is a total order (score DESC, rel DESC,
+    * neighbor_id ASC), and the k selection rounds are unrolled identically
+    * in both engines (the embed_clusters_oracle truncation-contract
+    * pattern — no recursion, one lazy plan, zero per-round driver
+    * actions).
+    *
+    * Scale shape: the shortlist stage is the knnBruteOracle Q×N broadcast
+    * scan at gate scale (at index scale it would ride any banded ANN rung
+    * — MMR only needs SOME M-deep candidate list); everything after is
+    * Q·M² sims + k unrolled argmax rounds over Q·M-row frames — re-rank
+    * cost, independent of corpus size. */
+  def knnMmr(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qcos = (a: Column, b: Column) =>
+      round(call_function("quantized_cosine", a, b) * 10000).cast("long")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), quantVec(col("embedding")).as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rel").desc, col("neighbor_id"))
+    val short = emb
+      .select(col("vec_id").as("neighbor_id"), quantVec(col("embedding")).as("cv"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rel", qcos(col("cv"), col("qv")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= MmrShort)
+      .select(col("query_id"), col("neighbor_id"), col("rel"), col("cv"))
+    val sims = short.select(col("query_id"), col("neighbor_id").as("a_id"),
+        col("cv").as("av"))
+      .join(short.select(col("query_id"), col("neighbor_id").as("b_id"),
+        col("cv").as("bv")), Seq("query_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("sim", qcos(col("av"), col("bv")))
+      .select(col("query_id"), col("a_id"), col("b_id"), col("sim"))
+    // argmax by (score, rel, lowest id) as one lexicographic struct-max
+    def pick(cands: DataFrame, rank: Int): DataFrame =
+      cands.groupBy(col("query_id"))
+        .agg(max(struct(col("score"), col("rel"),
+          (-col("neighbor_id")).as("nid"))).as("m"))
+        .select(col("query_id"), lit(rank.toLong).as("rank"),
+          (-col("m.nid")).as("neighbor_id"),
+          col("m.score").as("score"), col("m.rel").as("rel"))
+    var all = pick(short.withColumn("score", col("rel")), 1)
+    for (r <- 2 to MmrK) {
+      val selIds = all.select(col("query_id"), col("neighbor_id"))
+      val pen = sims
+        .join(selIds.withColumnRenamed("neighbor_id", "a_id"),
+          Seq("query_id", "a_id"))
+        .groupBy(col("query_id"), col("b_id").as("neighbor_id"))
+        .agg(max(col("sim")).as("pen"))
+      val cand = short
+        .join(selIds, Seq("query_id", "neighbor_id"), "left_anti")
+        .join(pen, Seq("query_id", "neighbor_id"))
+        .withColumn("score", col("rel") - col("pen"))
+      all = all.unionByName(pick(cand, r))
+    }
+    all.select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("score"), col("rel"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DuckDB replay of [[knnMmr]] — same shortlist, same e4-integer rel/sim
+    * arithmetic (the knnBruteOracle exact-dot formula, textually mirrored),
+    * same k unrolled greedy rounds. */
+  val knnMmrSql: String = {
+    val quantSql = "list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT)"
+    def dots(a: String, b: String): String =
+      s"""    list_sum(list_transform(range(1, len($a) + 1), i -> $a[i]*$b[i]))::BIGINT AS dot,
+         |    list_sum(list_transform($a, x -> x*x))::BIGINT AS na,
+         |    list_sum(list_transform($b, x -> x*x))::BIGINT AS nb""".stripMargin
+    val e4 = "CAST(round(dot::DOUBLE / sqrt(greatest(na::DOUBLE * nb::DOUBLE, 1.0)) * 10000) AS BIGINT)"
+    def round2(r: Int): String =
+      s"""c$r AS (
+         |  SELECT s.query_id, s.neighbor_id, s.rel, s.rel - max(m.sim) AS score
+         |  FROM short s
+         |  JOIN sims m ON m.query_id = s.query_id AND m.b_id = s.neighbor_id
+         |  JOIN u${r - 1} u ON u.query_id = m.query_id AND u.neighbor_id = m.a_id
+         |  LEFT JOIN u${r - 1} x ON x.query_id = s.query_id AND x.neighbor_id = s.neighbor_id
+         |  WHERE x.neighbor_id IS NULL
+         |  GROUP BY s.query_id, s.neighbor_id, s.rel
+         |), s$r AS (
+         |  SELECT query_id, CAST($r AS BIGINT) AS "rank", neighbor_id, score, rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, rel DESC, neighbor_id) AS rn FROM c$r)
+         |  WHERE rn = 1
+         |), u$r AS (
+         |  SELECT query_id, neighbor_id FROM u${r - 1}
+         |  UNION ALL SELECT query_id, neighbor_id FROM s$r
+         |)""".stripMargin
+    s"""WITH q AS (
+      |  SELECT vec_id AS query_id, $quantSql AS qv FROM embeddings WHERE vec_id < 10
+      |), c AS (
+      |  SELECT vec_id AS neighbor_id, $quantSql AS cv FROM embeddings
+      |), scored AS (
+      |  SELECT query_id, neighbor_id, cv, $e4 AS rel FROM (
+      |    SELECT query_id, neighbor_id, cv,
+      |${dots("qv", "cv")}
+      |    FROM c CROSS JOIN q WHERE neighbor_id <> query_id)
+      |), short AS (
+      |  SELECT query_id, neighbor_id, rel, cv FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rel DESC, neighbor_id) AS rk FROM scored)
+      |  WHERE rk <= $MmrShort
+      |), sims AS (
+      |  SELECT query_id, a_id, b_id, $e4 AS sim FROM (
+      |    SELECT s1.query_id, s1.neighbor_id AS a_id, s2.neighbor_id AS b_id,
+      |${dots("s1.cv", "s2.cv")}
+      |    FROM short s1 JOIN short s2 ON s1.query_id = s2.query_id
+      |      AND s1.neighbor_id <> s2.neighbor_id)
+      |), s1 AS (
+      |  SELECT query_id, CAST(1 AS BIGINT) AS "rank", neighbor_id, score, rel FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, rel DESC, neighbor_id) AS rn
+      |    FROM (SELECT *, rel AS score FROM short))
+      |  WHERE rn = 1
+      |), u1 AS (
+      |  SELECT query_id, neighbor_id FROM s1
+      |), ${(2 to MmrK).map(round2).mkString(", ")}
+      |SELECT query_id, "rank", neighbor_id, score, rel
+      |FROM (${(1 to MmrK).map(r => s"SELECT * FROM s$r").mkString(" UNION ALL ")})
+      |ORDER BY query_id, "rank"""".stripMargin
+  }
+
   /** Binary-prefilter ANN — [[knnHamming]] as a SHORTLIST stage with an
     * exact float rerank, the production serving shape for sign-hash codes
     * (the same shortlist→rerank design [[knnIvfPq]] uses for PQ codes):
@@ -2952,6 +3094,7 @@ object Similarity {
     "embed_centroid_stats" -> (embedCentroidStats _),
     "knn_brute"       -> (knnBrute _),
     "knn_range"       -> (knnRange _),
+    "knn_mmr"         -> (knnMmr _),
     "knn_filtered"    -> (knnFiltered _),
     "embed_outliers"  -> (embedOutliers _),
     "knn_lsh"         -> (knnLsh _),
@@ -2975,5 +3118,6 @@ object Similarity {
     "embed_quantize" -> embedQuantizeSql,
     "embed_centroid_stats" -> embedCentroidStatsSql,
     "embed_covariance" -> embedCovarianceSql,
-    "knn_hamming" -> knnHammingSql)
+    "knn_hamming" -> knnHammingSql,
+    "knn_mmr" -> knnMmrSql)
 }

@@ -727,7 +727,13 @@ object ScaleProbe {
     import org.apache.spark.sql.functions._
     val S = graft.operators.Similarity
     for (n <- sizes) {
-      val C = 64
+      // FIXED cluster size (~3125), cluster COUNT grows with n — the real
+      // corpus model: a query's similarity band does not widen because the
+      // corpus gained unrelated documents, so the pruned query's work
+      // (admitted cells × band rows) should hold FLAT while the brute
+      // scan grows linearly. (A fixed C=64 instead grows every band
+      // linearly with n and the measurement degenerates to output cost.)
+      val C = math.max(64, (n / 3125L).toInt)
       val dir = sys.props("java.io.tmpdir") + s"/graft_rangeprobe_$n"
       val f = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
