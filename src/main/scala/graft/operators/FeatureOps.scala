@@ -838,6 +838,66 @@ object FeatureOps {
     * buckets — all truncating-DIV integers over the one union-sort
     * exchange the label join already pays; the histogram fold is
     * bucket-grain. */
+  /** Preceding-window feature aggregate (r14d) — "activity in the hour
+    * before each purchase": per purchase event, the COUNT and e4-integer
+    * SUM of the same user's non-purchase events in [ts − 1h, ts) — the
+    * standard sliding feature every fraud/propensity model starts from,
+    * and a CROSS-STREAM op [[pitJoin]] (as-of latest) and the
+    * q_range_frame single-stream window don't express.
+    *
+    * Spark-first shape: union-tag instead of an interval join — both
+    * streams are one events scan, so tag rows (is_feat/v_e4 zeroed on the
+    * entity stream), ONE exchange on user_id, and a conditional RANGE
+    * frame over integer micros does the rest; the strictly-preceding
+    * bound is the frame's −1 μs upper edge. The binned-interval-join
+    * decomposition (explode each entity row to its 2 covering hour bins,
+    * equi-join on (user, bin), refine) is the alternative when the
+    * streams are separate tables of different grains — here it would pay
+    * two exchanges plus the explode for nothing. Skew = per-user event
+    * counts, the bounded-activity grain every events op shares. Sums ride
+    * the round-PER-ELEMENT e4-integer discipline (cross-engine double
+    * summation order never matters). */
+  def ftWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    ftWindowAggOf(Tables.events(spark, dir))
+
+  def ftWindowAggOf(ev: DataFrame): DataFrame = {
+    val isFeat = col("event_type") =!= "purchase"
+    val tagged = ev.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+      col("event_type"), col("event_id"),
+      when(isFeat, lit(1L)).otherwise(lit(0L)).as("is_feat"),
+      when(isFeat, round(col("value") * 10000).cast("long"))
+        .otherwise(lit(0L)).as("v_e4"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, -1L)
+    tagged
+      .withColumn("n_prev", sum(col("is_feat")).over(w))
+      .withColumn("sum_prev_e4", sum(col("v_e4")).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+        coalesce(col("sum_prev_e4"), lit(0L)).as("sum_prev_e4"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val ftWindowAggSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_type, event_id,
+      |    CAST(round(value * 10000) AS BIGINT) AS v_e4
+      |  FROM events
+      |), p AS (
+      |  SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'purchase'
+      |), f AS (
+      |  SELECT user_id, ts_us, v_e4 FROM e WHERE event_type <> 'purchase'
+      |)
+      |SELECT p.user_id, p.event_id, p.ts_us,
+      |  CAST(count(f.ts_us) AS BIGINT) AS n_prev,
+      |  CAST(coalesce(sum(f.v_e4), 0) AS BIGINT) AS sum_prev_e4
+      |FROM p LEFT JOIN f ON f.user_id = p.user_id
+      |  AND f.ts_us >= p.ts_us - 3600000000 AND f.ts_us < p.ts_us
+      |GROUP BY p.user_id, p.event_id, p.ts_us
+      |ORDER BY p.user_id, p.event_id""".stripMargin
+
   def ftTimeToConvert(spark: SparkSession, dir: String): DataFrame =
     ftTimeToConvertOf(Tables.events(spark, dir))
 
@@ -1227,6 +1287,7 @@ object FeatureOps {
     "registry_diff"      -> (registryDiff _),
     "registry_history"   -> (registryHistory _),
     "ft_time_to_convert" -> (ftTimeToConvert _),
+    "ft_window_agg"      -> (ftWindowAgg _),
     "ft_label_join"   -> (ftLabelJoin _),
     "store_audit"     -> (storeAudit _),
     "ft_expectations" -> (ftExpectations _),
@@ -1254,6 +1315,7 @@ object FeatureOps {
     "registry_diff"      -> registryDiffSql,
     "registry_history"   -> registryHistorySql,
     "ft_time_to_convert" -> ftTimeToConvertSql,
+    "ft_window_agg"      -> ftWindowAggSql,
     "ft_label_join"   -> ftLabelJoinSql,
     "store_audit"     -> storeAuditSql,
     "ft_expectations" -> ftExpectationsSql,

@@ -791,9 +791,13 @@ object ScaleProbe {
           d / math.sqrt(math.max(na * nb, 1e-300))
         }
         val admits = for (qv <- qs; cell <- cents.indices) yield {
-          val cq = cosD(qv, cents(cell)); val cm = radii(cell)
-          cq >= cm || cq * cm + math.sqrt(math.max(1 - cq*cq, 0)) *
-            math.sqrt(math.max(1 - cm*cm, 0)) >= S.RangeTau - 1e-4
+          // an EMPTY trained cell has no radii row (and the production
+          // inner join correctly never probes it) — never admitted
+          radii.get(cell).exists { cm =>
+            val cq = cosD(qv, cents(cell))
+            cq >= cm || cq * cm + math.sqrt(math.max(1 - cq*cq, 0)) *
+              math.sqrt(math.max(1 - cm*cm, 0)) >= S.RangeTau - 1e-4
+          }
         }
         val adm = admits.count(identity)
         println(f"[scale] rangeprobe n=$n%-7d cells=${cents.size} " +
