@@ -838,7 +838,11 @@ object Similarity {
     val cos: (Column, Column) => Column =
       if (quantized) (a, b) => call_function("quantized_cosine", a, b)
       else (a, b) => cosine(a, b)
-    val derive = ivfIndex(spark, dir)
+    // derive stays a def: cachedArtifact only evaluates it on a cache
+    // MISS — an eager val would run ivfIndex's partitioned read (and its
+    // cells-wide directory discovery) on every HIT just to build an
+    // unused plan (measured ~2 s of the probe-frame wall at 1096 cells)
+    def derive = ivfIndex(spark, dir)
       .withColumn("pivot", element_at(centsLit, col("cell") + 1))
       .groupBy(col("cell"))
       .agg(min(cos(vec(col("embedding")), vec(col("pivot")))).as("cm"))
@@ -910,6 +914,77 @@ object Similarity {
       .collect()
   }
 
+  private def rangeProbeSchema(quantized: Boolean) =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("qvec",
+        org.apache.spark.sql.types.ArrayType(
+          if (quantized) org.apache.spark.sql.types.LongType
+          else org.apache.spark.sql.types.DoubleType))))
+
+  /** Range search over the batch lists PLUS a stream-maintained delta
+    * directory ([[graft.streaming.StreamIngest.ivfDeltaStream]]): batch
+    * cells prune by [[cellRadii]]'s proof; delta rows are ALWAYS
+    * ADMISSIBLE — the radii describe the batch lists only (the cellRadii
+    * contract: a streamed row may land outside its cell's recorded
+    * radius), so the only exact choice is to scan the small-by-design
+    * delta unpruned. A welcome corollary: range serving needs NO geometry
+    * handling on the delta at all — no cell is ever consulted, so
+    * stale-geom rows are just rows, where the top-k path
+    * ([[knnIvfWithStreamedDelta]]) must re-assign them in flight.
+    *
+    * Same add-only contract as the top-k path: an id present in the batch
+    * index resolves to the batch row (priority 0 beats every delta band),
+    * and within the delta a LATER micro-batch wins, so replays/overlaps
+    * dedup deterministically. The dedup runs BEFORE the threshold: a
+    * superseded delta copy must not keep serving from inside the band on
+    * the strength of a stale embedding. Exactness spec: delta vector
+    * planted OUTSIDE its nearest cell's batch radius is still found. */
+  def rangeSearchWithStreamedDelta(spark: SparkSession, dir: String,
+      deltaPath: String): DataFrame = {
+    val cents = loadOrTrainCentroids(spark, dir)
+    val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
+    if (cents.isEmpty)
+      return queries.select(col("query_id"),
+          col("query_id").as("neighbor_id"), lit(0.0).as("cos"))
+        .filter(lit(false))
+    val probeRows = rangeProbeFrame(spark, dir, quantized = false)
+    val probed = probeRows.map(_.getInt(0)).distinct.toIndexedSeq
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), rangeProbeSchema(quantized = false))
+    val batch = ivfIndex(spark, dir)
+      .filter(col("cell").isin(probed: _*))
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        asDouble(col("embedding")).as("cv"))
+      .join(broadcast(local), Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"), col("cv"), col("qvec"),
+        lit(0L).as("priority"))
+    val p = new org.apache.hadoop.fs.Path(deltaPath)
+    val hasDelta = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val cands = if (!hasDelta) batch else {
+      val delta = spark.read.parquet(deltaPath)
+        .select(col("vec_id").as("neighbor_id"),
+          asDouble(col("embedding")).as("cv"),
+          (lit(2000000000L) - col("batch").cast("long")).as("priority"))
+        .crossJoin(broadcast(queries))
+        .select(col("query_id"), col("neighbor_id"), col("cv"), col("qvec"),
+          col("priority"))
+      batch.unionByName(delta)
+    }
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("neighbor_id")).orderBy(col("priority"))
+    cands.filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rn", row_number().over(wd)).filter(col("rn") === 1)
+      .withColumn("cos", round(cosine(col("cv"), col("qvec")), 6))
+      .filter(col("cos") >= lit(RangeTau))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
   /** The candidate half of the range search: scan ONLY the probe frame's
     * cells (partition-pruned isin), exact-cosine every candidate against
     * its admissible queries, keep the ≥ τ band. Unsorted — callers add
@@ -924,17 +999,8 @@ object Similarity {
       else (a, b) => cosine(a, b)
     val outDp = if (quantized) 4 else 6
     val probed = probeRows.map(_.getInt(0)).distinct.toIndexedSeq
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("cell",
-        org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("query_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("qvec",
-        org.apache.spark.sql.types.ArrayType(
-          if (quantized) org.apache.spark.sql.types.LongType
-          else org.apache.spark.sql.types.DoubleType))))
     val local = spark.createDataFrame(
-      java.util.Arrays.asList(probeRows: _*), schema)
+      java.util.Arrays.asList(probeRows: _*), rangeProbeSchema(quantized))
     ivfIndex(spark, dir)
       .filter(col("cell").isin(probed: _*))
       // member vectors transform BEFORE the join (knnBruteOracle's shape):

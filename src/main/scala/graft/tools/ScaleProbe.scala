@@ -727,24 +727,43 @@ object ScaleProbe {
     import org.apache.spark.sql.functions._
     val S = graft.operators.Similarity
     for (n <- sizes) {
-      // FIXED cluster size (~3125), cluster COUNT grows with n — the real
-      // corpus model: a query's similarity band does not widen because the
-      // corpus gained unrelated documents, so the pruned query's work
-      // (admitted cells × band rows) should hold FLAT while the brute
-      // scan grows linearly. (A fixed C=64 instead grows every band
-      // linearly with n and the measurement degenerates to output cost.)
-      val C = math.max(64, (n / 3125L).toInt)
+      // Corpus model: the query band stays FIXED while unrelated mass
+      // grows. Ids < 31250 form 10 tight query clusters of 3125 on axes
+      // e0..e9 (all gate queries vec_id < 10 land in cluster 0); every
+      // further id spreads over ±e10..±e63 — ORTHOGONAL to the query
+      // clusters by construction (random 64-dim directions cannot do
+      // this: at C ≥ a few hundred, ~1% of center pairs land inside a
+      // 0.30 band and the result set grows linearly again, which this
+      // probe measured before switching models). The pruned query's work
+      // (admitted cells × band rows) should hold flat as n grows; the
+      // brute scan is linear in n.
       val dir = sys.props("java.io.tmpdir") + s"/graft_rangeprobe_$n"
       val f = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!f.exists(new org.apache.hadoop.fs.Path(dir + "/embeddings.parquet/_SUCCESS")))
-        spark.range(0, n).select(col("id").as("vec_id"),
-          array((0 until 64).map(d =>
-            (sin((col("id") % C + lit(1)) * lit(131.0 * (d * 37 + 1))) +
-              sin(col("id") * (d * 53 + 11)) * lit(0.05)).cast("float")): _*)
-            .as("embedding"),
-          (col("id") % C).cast("int").as("label"))
+      if (!f.exists(new org.apache.hadoop.fs.Path(dir + "/embeddings.parquet/_SUCCESS"))) {
+        val inBand = col("id") < 31250L
+        val qc = (col("id") / 3125L).cast("int")   // query cluster 0..9
+        val fc = (col("id") % 108L).cast("int")    // far direction 0..107
+        val fd = lit(10) + pmod(col("fc"), lit(54)) // far dim 10..63
+        spark.range(0, n)
+          .withColumn("fc", fc)
+          .select(col("id").as("vec_id"),
+            array((0 until 64).map { d =>
+              val base = when(inBand,
+                  when(qc === d, lit(1.0)).otherwise(lit(0.0)))
+                .otherwise(when(fd === d,
+                  when(col("fc") < 54, lit(1.0)).otherwise(lit(-1.0)))
+                  .otherwise(lit(0.0)))
+              // jitter sized to keep cell radii INSIDE the bound's slack:
+              // at 0.05/dim the 64-dim jitter norm is ~0.4, cells read
+              // cm ~ 0.93 and an orthogonal cell's cap cq·cm + sin·sin ~
+              // 0.37 > τ — nothing prunes (measured 62-64% admitted);
+              // at 0.02/dim cm ~ 0.987 and the cap ~ 0.16 < τ − ε
+              (base + sin(col("id") * (d * 53 + 11)) * lit(0.02)).cast("float")
+            }: _*).as("embedding"),
+            when(inBand, qc).otherwise(lit(10) + col("fc")).as("label"))
           .coalesce(8).write.mode("overwrite").parquet(dir + "/embeddings.parquet")
+      }
       val stores = sys.env.getOrElse("GRAFT_RANGEPROBE_STORE",
         java.nio.file.Files.createTempDirectory("graft_rangeprobe_store").toString)
       Seq("graft.ivf.dir", "graft.ivfflat.dir")
