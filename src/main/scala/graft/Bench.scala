@@ -138,13 +138,17 @@ object Bench {
       }
       t
     }
-    // SPARK_GRAFT_BENCH_MODE=adjacent restores the pre-r14 per-query
-    // warm+timed+timed ordering — ONLY for protocol-bridge measurements
-    // (same code under both orderings isolates the protocol's systematic
-    // shift from code effects when comparing across the r14 boundary).
-    // Adjacent timing reads each query against its own still-warm
-    // footprint, so its numbers are NOT comparable to interleaved ones.
-    val adjacent = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("adjacent")
+    // r14 (optimization round): the DEFAULT protocol is the pre-r14
+    // adjacent ordering (warm-up + two timed runs back-to-back per query)
+    // — the protocol every BENCH_r01..r13 number was measured under, so
+    // the driver's round-over-round totals stay apples-to-apples.
+    // SPARK_GRAFT_BENCH_MODE=interleaved opts into the two-full-passes
+    // ordering (each query timed against the whole suite's cache churn,
+    // reads ~1.26x colder for identical code — bridge sample: 98.5 s
+    // adjacent vs 128.0 s interleaved, same code); it remains the right
+    // tool for decorrelated mover adjudication ACROSS a round's samples,
+    // and numbers from the two protocols must never be compared directly.
+    val adjacent = !sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("interleaved")
     val qlist = SparkEntry.queries.toSeq
     val (pass1, pass2) =
       if (adjacent) {

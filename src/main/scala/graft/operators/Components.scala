@@ -38,7 +38,12 @@ object Components {
   /** One-hop propagation rounds before the star phase takes over. Covers
     * the measured convergence of every gate-corpus dup graph (≤ ~5) with
     * one round to spare; a high-diameter component wastes at most this
-    * many cheap rounds before the log-round algorithm finishes the job. */
+    * many cheap rounds before the log-round algorithm finishes the job.
+    * (r14 note: pointer jumping in phase 1 was tried and REFUTED by
+    * measurement — the sf0.1 knn dup graph converged in 15 jump rounds vs
+    * 6 propagation + 3 star rounds, and jumping taxes the common shallow
+    * case with an extra self-join per round; the star phase is already
+    * the log-round path for deep graphs.) */
   val PropRoundBudget = 6
 
   /** Canonical undirected form: (a, b) with a > b, self-loops dropped,
@@ -95,7 +100,9 @@ object Components {
       .unionByName(directed.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
     val edgeDocs = edges.select(col("a").as("doc_id")).distinct().localCheckpoint()
-    var labels = edgeDocs.select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
+    // initial labels are a pure projection of the PINNED edgeDocs — no
+    // second materialization needed (r14: one Spark job saved per call)
+    var labels = edgeDocs.select(col("doc_id"), col("doc_id").as("lbl"))
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
           lit(0).cast("decimal(38,0)")))

@@ -42,6 +42,20 @@ object GraphOps {
     * persists it otherwise (the IVF-centroid artifact discipline:
     * fingerprint = fact-file names/sizes/mtimes, same-corpus orphan GC,
     * Hadoop-FS path probes). */
+  /** Spec access to the persisted nation graph (GraphDenseSpec proves the
+    * dense engine equals the DataFrame forms on exactly this artifact). */
+  private[graft] def tradeGraphForSpec(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    tradeGraph(spark, dir)
+
+  /** The collected nation graph for the dense driver-side engine (r14
+    * optimization): names + ≤625-row edge matrix off the persisted
+    * artifact — one tiny collect per query, bounded by the fixed entity
+    * domain (docs/driver_action_audit.md). */
+  private def denseTradeGraph(spark: SparkSession, dir: String): (Array[String], Array[GraphDense.Edge]) = {
+    val (nodes, edges) = tradeGraph(spark, dir)
+    GraphDense.collect(nodes, edges)
+  }
+
   private def tradeGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val nodes = Tables.nation(spark, dir).select(col("n_name").as("node"))
     // fingerprint covers ALL FIVE fact/dim inputs of the collapse — any
@@ -110,8 +124,13 @@ object GraphOps {
     * Catalyst/AQE picks shuffle once the vector outgrows the broadcast
     * threshold), which is the standard Spark PageRank shape. */
   def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val (nodes, edges) = tradeGraph(spark, dir)
-    graphPagerankOf(nodes, edges)
+    // r14 optimization (guide §1.2): the iteration runs on the dense
+    // driver-side engine — the distributed form paid PageRankIters
+    // shuffle rounds to move a ≤25-row rank vector; the fact-side
+    // collapse stays in the persisted artifact. Bit-identical arithmetic
+    // (GraphDenseSpec), hash-gated by the same oracle.
+    val (names, es) = denseTradeGraph(spark, dir)
+    GraphDense.pagerank(spark, names, es)
       .orderBy(col("rank_e6").desc, col("nation"))
   }
 
@@ -221,8 +240,10 @@ object GraphOps {
     * direction score 0 there. [[HitsIters]] fixed iterations; the oracle
     * unrolls hub/auth half-steps as a CTE chain. */
   def graphHits(spark: SparkSession, dir: String): DataFrame = {
-    val (nodes, edges) = tradeGraph(spark, dir)
-    graphHitsOf(nodes, edges)
+    // dense driver-side iteration (r14): the DataFrame form paid 12
+    // normalize materializations of ≤25-row score vectors per run
+    val (names, es) = denseTradeGraph(spark, dir)
+    GraphDense.hits(spark, names, es)
       .orderBy(col("auth_e6").desc, col("hub_e6").desc, col("nation"))
   }
 
@@ -347,8 +368,10 @@ object GraphOps {
     * wedge and closing joins must not re-run the fact collapse. All
     * counts exact BIGINTs; clust_bp = n_tri·10⁴ DIV C(deg, 2). */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val (nodes, edges) = tradeGraph(spark, dir)
-    graphTrianglesOf(nodes, edges).orderBy(col("nation"))
+    // dense driver-side census (r14): wedge join over ≤625 kept pairs
+    val (names, es) = denseTradeGraph(spark, dir)
+    GraphDense.triangles(spark, names, GraphDense.keptPairs(es))
+      .orderBy(col("nation"))
   }
 
   def graphTrianglesOf(nodes0: DataFrame, edges0: DataFrame): DataFrame = {
@@ -478,8 +501,9 @@ object GraphOps {
     * the swapped key — never a fact-side operation; all nations emit
     * (zero-filled isolates). */
   def graphReciprocity(spark: SparkSession, dir: String): DataFrame = {
-    val (nodes, edges) = tradeGraph(spark, dir)
-    graphReciprocityOf(nodes, edges).orderBy(col("nation"))
+    // dense driver-side degree/mutual counts (r14)
+    val (names, es) = denseTradeGraph(spark, dir)
+    GraphDense.reciprocity(spark, names, es).orderBy(col("nation"))
   }
 
   def graphReciprocityOf(nodes0: DataFrame, edges0: DataFrame): DataFrame = {
@@ -551,8 +575,10 @@ object GraphOps {
     * oracle walks the same edges with a recursive CTE dedup'd on
     * (node, dist) so cycles can't blow up the recursion. */
   def graphBfs(spark: SparkSession, dir: String): DataFrame = {
-    val (nodes, edges) = tradeGraph(spark, dir)
-    graphBfsOf(nodes, edges).orderBy(col("nation"))
+    // dense driver-side BFS (r14): the frontier loop paid one Spark round
+    // per hop on a ≤25-node graph
+    val (names, es) = denseTradeGraph(spark, dir)
+    GraphDense.bfs(spark, names, GraphDense.keptPairs(es)).orderBy(col("nation"))
   }
 
   def graphBfsOf(nodes0: DataFrame, edges0: DataFrame): DataFrame = {
@@ -652,8 +678,10 @@ object GraphOps {
     * frontiers, rounds = graph diameter. The fact side is touched once,
     * through the shared persisted edge artifact. */
   def graphHarmonic(spark: SparkSession, dir: String): DataFrame = {
-    val (nodes, edges) = tradeGraph(spark, dir)
-    graphHarmonicOf(nodes, edges).orderBy(col("nation"))
+    // dense driver-side multi-source BFS (r14)
+    val (names, es) = denseTradeGraph(spark, dir)
+    GraphDense.harmonic(spark, names, GraphDense.keptPairs(es))
+      .orderBy(col("nation"))
   }
 
   def graphHarmonicOf(nodes0: DataFrame, edges0: DataFrame): DataFrame = {
@@ -756,8 +784,11 @@ object GraphOps {
     * graph_hits discipline) — guaranteed past the fixpoint, so equality
     * cross-proves the driver loop's convergence test. */
   def graphKcore(spark: SparkSession, dir: String): DataFrame = {
-    val (nodes, edges) = tradeGraph(spark, dir)
-    graphKcoreOf(nodes, edges, KCoreK).orderBy(col("nation"))
+    // dense driver-side peel (r14): each distributed peel round was one
+    // materialized Spark job on a ≤25-node survivor set
+    val (names, es) = denseTradeGraph(spark, dir)
+    GraphDense.kcore(spark, names, GraphDense.keptPairs(es), KCoreK)
+      .orderBy(col("nation"))
   }
 
   def graphKcoreOf(nodes0: DataFrame, edges0: DataFrame, k: Int): DataFrame = {
@@ -1273,22 +1304,30 @@ object GraphOps {
     val bi = pairs.select(col("a").as("n1"), col("b").as("n2"))
       .unionAll(pairs.select(col("b").as("n1"), col("a").as("n2")))
       .localCheckpoint() // every BFS round joins it
-    var dist = bi.select(col("n1").as("src")).distinct()
+    val seed = bi.select(col("n1").as("src")).distinct()
       .select(col("src"), col("src").as("node"), lit(0L).as("dist"))
       .localCheckpoint()
-    var frontier = dist
+    // r14: the visited set is the lazy UNION of the pinned per-round
+    // frontiers — the old form re-materialized the cumulative union every
+    // round (1+2+…+R frontier volumes written to the block manager; at
+    // sf0.1 that is ~3M re-pinned rows for a 1.5M-pair ball). The
+    // anti-join below reads the same row set either way; isEmpty now
+    // probes an already-pinned frontier.
+    val fronts = scala.collection.mutable.ArrayBuffer(seed)
+    var frontier = seed
     var d = 0L
     while (d < radius && !frontier.isEmpty) {
+      val visited = fronts.reduce(_ unionAll _)
       val next = bi.join(frontier, col("n1") === col("node"))
         .select(col("src"), col("n2").as("node")).distinct()
-        .join(dist, Seq("src", "node"), "left_anti")
+        .join(visited, Seq("src", "node"), "left_anti")
         .withColumn("dist", lit(d + 1L))
         .localCheckpoint()
-      dist = dist.unionAll(next).localCheckpoint()
+      fronts += next
       frontier = next
       d += 1
     }
-    dist.filter(col("dist") > 0)
+    fronts.reduce(_ unionAll _).filter(col("dist") > 0)
       .groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("n_reach"),
         sum(expr("1000000 DIV dist")).as("harmonic_e6"))

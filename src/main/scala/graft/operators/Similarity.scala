@@ -2262,6 +2262,14 @@ object Similarity {
       .select(col("vec_id").as("query_id"), quantVec(col("embedding")).as("qv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("rel").desc, col("neighbor_id"))
+    // shortlist and pairwise-sim frames are PINNED (Q·M and Q·M² re-rank
+    // grain — bounded by the request batch and the MmrShort constant,
+    // docs/driver_action_audit.md): each greedy round below references the
+    // previous round's frame three times, so a lazy chain re-plans and
+    // re-executes the Q×N shortlist subtree 3^(k−1) times — measured as a
+    // 1.6 MB physical plan and 12–17 s at sf0.1 (plans/r14/knn_mmr_before),
+    // where the pinned form's rounds are flat joins over ≤Q·M-row pinned
+    // leaves (guide §3.3: materialise to truncate the plan).
     val short = emb
       .select(col("vec_id").as("neighbor_id"), quantVec(col("embedding")).as("cv"))
       .crossJoin(broadcast(q))
@@ -2269,6 +2277,7 @@ object Similarity {
       .withColumn("rel", qcos(col("cv"), col("qv")))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= MmrShort)
       .select(col("query_id"), col("neighbor_id"), col("rel"), col("cv"))
+      .localCheckpoint()
     val sims = short.select(col("query_id"), col("neighbor_id").as("a_id"),
         col("cv").as("av"))
       .join(short.select(col("query_id"), col("neighbor_id").as("b_id"),
@@ -2276,7 +2285,10 @@ object Similarity {
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("sim", qcos(col("av"), col("bv")))
       .select(col("query_id"), col("a_id"), col("b_id"), col("sim"))
-    // argmax by (score, rel, lowest id) as one lexicographic struct-max
+      .localCheckpoint()
+    // argmax by (score, rel, lowest id) as one lexicographic struct-max;
+    // each round's Q-row pick is pinned so the next round joins a leaf,
+    // not the whole prefix of rounds
     def pick(cands: DataFrame, rank: Int): DataFrame =
       cands.groupBy(col("query_id"))
         .agg(max(struct(col("score"), col("rel"),
@@ -2284,9 +2296,12 @@ object Similarity {
         .select(col("query_id"), lit(rank.toLong).as("rank"),
           (-col("m.nid")).as("neighbor_id"),
           col("m.score").as("score"), col("m.rel").as("rel"))
-    var all = pick(short.withColumn("score", col("rel")), 1)
+        .localCheckpoint()
+    val picks = scala.collection.mutable.ArrayBuffer(
+      pick(short.withColumn("score", col("rel")), 1))
     for (r <- 2 to MmrK) {
-      val selIds = all.select(col("query_id"), col("neighbor_id"))
+      val selIds = picks.map(_.select(col("query_id"), col("neighbor_id")))
+        .reduce(_ unionByName _)
       val pen = sims
         .join(selIds.withColumnRenamed("neighbor_id", "a_id"),
           Seq("query_id", "a_id"))
@@ -2296,9 +2311,10 @@ object Similarity {
         .join(selIds, Seq("query_id", "neighbor_id"), "left_anti")
         .join(pen, Seq("query_id", "neighbor_id"))
         .withColumn("score", col("rel") - col("pen"))
-      all = all.unionByName(pick(cand, r))
+      picks += pick(cand, r)
     }
-    all.select(col("query_id"), col("rank"), col("neighbor_id"),
+    picks.reduce(_ unionByName _)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("score"), col("rel"))
       .orderBy(col("query_id"), col("rank"))
   }

@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev utility (r14 optimization): stage-split timings for the CC-fixpoint
+  * consumers. Not part of the library surface. */
+object Probe14 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    graft.SparkEntry.entry(spark).count()
+
+    {
+      import spark.implicits._
+      val chain = (1L to 300L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("a", "b")
+      val (l, r) = t("minLabel(chain300)") {
+        val x = graft.operators.Components.minLabelWithRounds(chain)
+        x._1.count(); x
+      }
+      val bad = l.filter(col("lbl") =!= 1L).count()
+      println(s"[probe] chain300 rounds=$r nonMinLabels=$bad")
+    }
+
+    // multimodal_clusters stages
+    val blobs = graft.operators.Multimodal.queries("multimodal_dedup")
+    t("multimodal_dedup (exact agg)") { blobs(spark, dir).count() }
+    val near = t("near_dup pairs") {
+      graft.operators.Multimodal.queries("multimodal_near_dup")(spark, dir)
+        .localCheckpoint()
+    }
+    val ne = near.select(col("id_a").as("a"), col("id_b").as("b"))
+    val (lbl, rounds) = t("minLabel(nearEdges only)") {
+      val (l, r) = graft.operators.Components.minLabelWithRounds(ne)
+      l.count()
+      (l, r)
+    }
+    println(s"[probe] minLabel near rounds=$rounds")
+    t("multimodal_clusters full") {
+      graft.operators.Multimodal.queries("multimodal_clusters")(spark, dir).count()
+    }
+    t("multimodal_clusters full(2)") {
+      graft.operators.Multimodal.queries("multimodal_clusters")(spark, dir).count()
+    }
+
+    // embed_clusters stages
+    val g = t("knnGraph read") {
+      graft.operators.Similarity.queries("knn_graph")(spark, dir).localCheckpoint()
+    }
+    val edges = g.filter(col("csim_e4") >= 3500)
+      .select(col("src_id").as("a"), col("dst_id").as("b"))
+    val (l2, r2) = t("minLabel(knn edges)") {
+      val (l, r) = graft.operators.Components.minLabelWithRounds(edges)
+      l.count()
+      (l, r)
+    }
+    println(s"[probe] minLabel knn rounds=$r2")
+    t("embed_clusters full") {
+      graft.operators.Similarity.queries("embed_clusters")(spark, dir).count()
+    }
+    spark.stop()
+  }
+}
