@@ -150,18 +150,25 @@ object Components {
     var rounds = 0
     var converged = cnt == 0L
     while (!converged) {
-      val afterLarge = largeStar(edges).localCheckpoint()
-      val next = smallStar(afterLarge).localCheckpoint()
+      // r14: only `next` is materialized per round — largeStar(edges) runs
+      // lazily inside next's plan (one pass over the PINNED edges), and is
+      // only materialized separately on a candidate-stall round, where the
+      // full two-operator identity test below needs it. Non-final rounds
+      // drop from two pinned materializations + two counts to one + one.
+      lazy val afterLarge = largeStar(edges).localCheckpoint()
+      val next = smallStar(largeStar(edges)).localCheckpoint()
       rounds += 1
-      val largeCnt = afterLarge.count()
       val nextCnt = next.count()
       // stop when BOTH operators were the identity this round — the common
       // fixpoints of large-star and small-star are exactly disjoint stars
       // centered at component minima (Kiveris et al. §3), so this is the
       // sound stop; a fixpoint of only the composition would not be. All
       // sets are canonical + distinct, so equal counts plus one empty
-      // one-sided difference IS set equality.
-      converged = largeCnt == cnt && nextCnt == largeCnt &&
+      // one-sided difference IS set equality. The cheap count precheck
+      // (nextCnt == cnt) gates the expensive test: when counts moved, the
+      // round was certainly not the identity.
+      converged = nextCnt == cnt &&
+        afterLarge.count() == cnt &&
         afterLarge.exceptAll(edges).isEmpty &&
         next.exceptAll(afterLarge).isEmpty
       cnt = nextCnt

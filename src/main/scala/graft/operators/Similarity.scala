@@ -2262,14 +2262,11 @@ object Similarity {
       .select(col("vec_id").as("query_id"), quantVec(col("embedding")).as("qv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("rel").desc, col("neighbor_id"))
-    // shortlist and pairwise-sim frames are PINNED (Q·M and Q·M² re-rank
-    // grain — bounded by the request batch and the MmrShort constant,
-    // docs/driver_action_audit.md): each greedy round below references the
-    // previous round's frame three times, so a lazy chain re-plans and
-    // re-executes the Q×N shortlist subtree 3^(k−1) times — measured as a
-    // 1.6 MB physical plan and 12–17 s at sf0.1 (plans/r14/knn_mmr_before),
-    // where the pinned form's rounds are flat joins over ≤Q·M-row pinned
-    // leaves (guide §3.3: materialise to truncate the plan).
+    // The shortlist and pairwise-sim stages stay distributed (the Q×N
+    // scan is the corpus-sized work); the pinned shortlist feeds the sim
+    // self-join so the scan runs once (guide §3.3 — a lazy chain of the k
+    // greedy rounds re-executed this subtree 3^(k−1) ≈ 81 times: a 1.6 MB
+    // physical plan and 12–17 s at sf0.1, plans/r14/knn_mmr_before).
     val short = emb
       .select(col("vec_id").as("neighbor_id"), quantVec(col("embedding")).as("cv"))
       .crossJoin(broadcast(q))
@@ -2285,37 +2282,46 @@ object Similarity {
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("sim", qcos(col("av"), col("bv")))
       .select(col("query_id"), col("a_id"), col("b_id"), col("sim"))
-      .localCheckpoint()
-    // argmax by (score, rel, lowest id) as one lexicographic struct-max;
-    // each round's Q-row pick is pinned so the next round joins a leaf,
-    // not the whole prefix of rounds
-    def pick(cands: DataFrame, rank: Int): DataFrame =
-      cands.groupBy(col("query_id"))
-        .agg(max(struct(col("score"), col("rel"),
-          (-col("neighbor_id")).as("nid"))).as("m"))
-        .select(col("query_id"), lit(rank.toLong).as("rank"),
-          (-col("m.nid")).as("neighbor_id"),
-          col("m.score").as("score"), col("m.rel").as("rel"))
-        .localCheckpoint()
-    val picks = scala.collection.mutable.ArrayBuffer(
-      pick(short.withColumn("score", col("rel")), 1))
-    for (r <- 2 to MmrK) {
-      val selIds = picks.map(_.select(col("query_id"), col("neighbor_id")))
-        .reduce(_ unionByName _)
-      val pen = sims
-        .join(selIds.withColumnRenamed("neighbor_id", "a_id"),
-          Seq("query_id", "a_id"))
-        .groupBy(col("query_id"), col("b_id").as("neighbor_id"))
-        .agg(max(col("sim")).as("pen"))
-      val cand = short
-        .join(selIds, Seq("query_id", "neighbor_id"), "left_anti")
-        .join(pen, Seq("query_id", "neighbor_id"))
-        .withColumn("score", col("rel") - col("pen"))
-      picks += pick(cand, r)
+    // The k greedy selection rounds run on the DRIVER over the collected
+    // integer (rel, sim) tables — Q·M and Q·M² rows, bounded by the
+    // request batch and the re-rank constants (docs/driver_action_audit.md,
+    // the markov-class rule): every score the rounds touch is an ALREADY
+    // COMPUTED e4 BIGINT, so no float arithmetic is replicated, and the
+    // argmax total order (score DESC, rel DESC, neighbor_id ASC) is exact
+    // long comparison — identical to the struct-max the distributed rounds
+    // ran, and to the oracle's unrolled CTEs (hash-gated).
+    val relRows = short.select(col("query_id"), col("neighbor_id"), col("rel"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val simRows = sims.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    val byQuery = relRows.groupBy(_._1)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+    byQuery.foreach { case (qid, cands) =>
+      val selected = scala.collection.mutable.ArrayBuffer[Long]()
+      for (r <- 1 to MmrK) {
+        // candidates: not yet selected; round 1 scores rel, later rounds
+        // rel − max sim to any selected (inner-join semantics: rounds ≥ 2
+        // only see candidates with at least one sim row to the selected
+        // set, which is every remaining candidate since sims cover all
+        // within-shortlist pairs)
+        val scored = cands.iterator
+          .filter(c => !selected.contains(c._2))
+          .map { case (_, nid, rel) =>
+            val score =
+              if (r == 1) rel
+              else rel - selected.map(s => simRows((qid, s, nid))).max
+            (score, rel, nid)
+          }.toSeq
+        if (scored.nonEmpty) {
+          val best = scored.minBy { case (s, rel, nid) => (-s, -rel, nid) }
+          selected += best._3
+          out += ((qid, r.toLong, best._3, best._1, best._2))
+        }
+      }
     }
-    picks.reduce(_ unionByName _)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("score"), col("rel"))
+    import emb.sparkSession.implicits._
+    out.toSeq.toDF("query_id", "rank", "neighbor_id", "score", "rel")
       .orderBy(col("query_id"), col("rank"))
   }
 
