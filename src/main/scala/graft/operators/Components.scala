@@ -140,6 +140,17 @@ object Components {
     (composed, rounds + starRounds)
   }
 
+  /** True iff the canonical distinct edge set is a disjoint star forest —
+    * exactly the common-fixpoint family of large-star/small-star: every
+    * `a` endpoint appears once and no node appears on both sides. */
+  private def isStarForest(e: DataFrame): Boolean =
+    e.select(col("a").as("node"), lit(1L).as("ia"), lit(0L).as("ib"))
+      .unionAll(e.select(col("b").as("node"), lit(0L).as("ia"), lit(1L).as("ib")))
+      .groupBy(col("node"))
+      .agg(sum(col("ia")).as("na"), sum(col("ib")).as("nb"))
+      .filter(col("na") > 1L || (col("na") > 0L && col("nb") > 0L))
+      .isEmpty
+
   /** Alternating large-star/small-star to the common fixpoint; labels
     * every vertex of `directed` (including self-loop-only ones) with its
     * component minimum. O(log n) rounds in component size, independent of
@@ -151,26 +162,23 @@ object Components {
     var converged = cnt == 0L
     while (!converged) {
       // r14: only `next` is materialized per round — largeStar(edges) runs
-      // lazily inside next's plan (one pass over the PINNED edges), and is
-      // only materialized separately on a candidate-stall round, where the
-      // full two-operator identity test below needs it. Non-final rounds
-      // drop from two pinned materializations + two counts to one + one.
-      lazy val afterLarge = largeStar(edges).localCheckpoint()
+      // lazily inside next's plan (one pass over the PINNED edges). The
+      // stop test checks whether `next` IS a common fixpoint, directly:
+      // the common fixpoints of large-star and small-star are exactly
+      // disjoint stars centered at component minima (Kiveris et al. §3),
+      // and a canonical distinct edge set is a disjoint star forest iff
+      // every `a` appears exactly once (out-degree 1 per non-center) and
+      // no node is both an `a` and a `b` (no chains) — ONE aggregate over
+      // the pinned frame, replacing the old two-operator identity replay
+      // (an extra large-star materialization + two exceptAll probes).
+      // Once `next` is a star forest every later round is the identity,
+      // so stopping here is unobservable in the labels. The cheap count
+      // precheck gates the test: a typical convergence still shrinks the
+      // count on its way in, so most rounds pay only the count.
       val next = smallStar(largeStar(edges)).localCheckpoint()
       rounds += 1
       val nextCnt = next.count()
-      // stop when BOTH operators were the identity this round — the common
-      // fixpoints of large-star and small-star are exactly disjoint stars
-      // centered at component minima (Kiveris et al. §3), so this is the
-      // sound stop; a fixpoint of only the composition would not be. All
-      // sets are canonical + distinct, so equal counts plus one empty
-      // one-sided difference IS set equality. The cheap count precheck
-      // (nextCnt == cnt) gates the expensive test: when counts moved, the
-      // round was certainly not the identity.
-      converged = nextCnt == cnt &&
-        afterLarge.count() == cnt &&
-        afterLarge.exceptAll(edges).isEmpty &&
-        next.exceptAll(afterLarge).isEmpty
+      converged = nextCnt == cnt && isStarForest(next)
       cnt = nextCnt
       edges = next
     }

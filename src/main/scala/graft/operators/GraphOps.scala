@@ -1307,23 +1307,30 @@ object GraphOps {
     val seed = bi.select(col("n1").as("src")).distinct()
       .select(col("src"), col("src").as("node"), lit(0L).as("dist"))
       .localCheckpoint()
-    // r14: the visited set is the lazy UNION of the pinned per-round
-    // frontiers — the old form re-materialized the cumulative union every
-    // round (1+2+…+R frontier volumes written to the block manager; at
-    // sf0.1 that is ~3M re-pinned rows for a 1.5M-pair ball). The
-    // anti-join below reads the same row set either way; isEmpty now
-    // probes an already-pinned frontier.
+    // r14: the BFS guard is the union of the LAST TWO pinned frontiers,
+    // not the full cumulative visited set — on an undirected graph a
+    // neighbor of a distance-d node has distance d−1, d or d+1, so
+    // N(F_d) ∩ visited = N(F_d) ∩ (F_d ∪ F_{d−1}) exactly (per source;
+    // the classic BFS frontier identity). The anti-join's right side
+    // shrinks from Σ_{i≤d}|F_i| to |F_d|+|F_{d−1}| rows per round
+    // (guide §2.3 — shuffle fewer bytes), and early frontiers are read
+    // only once more, by the final aggregate.
     val fronts = scala.collection.mutable.ArrayBuffer(seed)
     var frontier = seed
+    var prev: DataFrame = null
     var d = 0L
     while (d < radius && !frontier.isEmpty) {
-      val visited = fronts.reduce(_ unionAll _)
+      val guard =
+        if (prev == null) frontier
+        else frontier.select(col("src"), col("node"))
+          .unionAll(prev.select(col("src"), col("node")))
       val next = bi.join(frontier, col("n1") === col("node"))
         .select(col("src"), col("n2").as("node")).distinct()
-        .join(visited, Seq("src", "node"), "left_anti")
+        .join(guard.select(col("src"), col("node")), Seq("src", "node"), "left_anti")
         .withColumn("dist", lit(d + 1L))
         .localCheckpoint()
       fronts += next
+      prev = frontier
       frontier = next
       d += 1
     }
