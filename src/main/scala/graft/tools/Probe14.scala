@@ -68,6 +68,25 @@ object Probe14 {
     t("embed_clusters full") {
       graft.operators.Similarity.queries("embed_clusters")(spark, dir).count()
     }
+
+    // graph_harmonic_users stages
+    val coe = t("coActivityEdges read") {
+      graft.operators.GraphOps.coActivityEdges(spark, dir).localCheckpoint()
+    }
+    println(s"[probe] coActivity pairs=${coe.count()}")
+    t("harmonicTruncated(ball)") {
+      graft.operators.GraphOps.harmonicTruncated(
+        coe.select(col("a"), col("b")), graft.operators.GraphOps.HarmonicUsersRadius).count()
+    }
+    t("events distinct users") {
+      graft.sources.Tables.events(spark, dir).select(col("user_id")).distinct().count()
+    }
+    t("graph_harmonic_users full") {
+      graft.operators.GraphOps.queries("graph_harmonic_users")(spark, dir).count()
+    }
+    t("graph_harmonic_users full(2)") {
+      graft.operators.GraphOps.queries("graph_harmonic_users")(spark, dir).count()
+    }
     spark.stop()
   }
 }
