@@ -43,7 +43,11 @@ object Components {
     * measurement — the sf0.1 knn dup graph converged in 15 jump rounds vs
     * 6 propagation + 3 star rounds, and jumping taxes the common shallow
     * case with an extra self-join per round; the star phase is already
-    * the log-round path for deep graphs.) */
+    * the log-round path for deep graphs. Budget RAISING is also refuted:
+    * pure one-hop propagation on the same graph needs 25 rounds
+    * (diameter ≈ 24, measured by Probe14's pureProp probe) — the deep
+    * chain family the star phase exists for is real in this corpus, not
+    * hypothetical.) */
   val PropRoundBudget = 6
 
   /** Canonical undirected form: (a, b) with a > b, self-loops dropped,

@@ -87,6 +87,35 @@ object Probe14 {
     t("graph_harmonic_users full(2)") {
       graft.operators.GraphOps.queries("graph_harmonic_users")(spark, dir).count()
     }
+
+    // pure one-hop propagation rounds-to-convergence on the knn dup graph
+    // (the diameter question: would a larger PropRoundBudget beat the
+    // hybrid's contraction+star tail for this graph family?)
+    {
+      val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint()
+      val docs = sym.select(col("a").as("doc_id")).distinct().localCheckpoint()
+      var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
+      def s(df: org.apache.spark.sql.DataFrame) =
+        df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
+      var prev = s(labels)
+      var r = 0
+      var conv = false
+      val t0 = System.nanoTime()
+      while (!conv && r < 40) {
+        val nxt = labels.unionByName(
+            sym.join(labels, sym("b") === labels("doc_id"))
+              .select(sym("a").as("doc_id"), labels("lbl")))
+          .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint()
+        r += 1
+        val ns = s(nxt)
+        conv = ns == prev
+        prev = ns
+        labels = nxt
+      }
+      println(f"[probe] pureProp knn rounds=$r t=${(System.nanoTime()-t0)/1e9}%.2f s")
+    }
     spark.stop()
   }
 }

@@ -52,6 +52,27 @@ class Round8OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("starFixpoint stop test (r14): forest stops in one round, near-forest traps do not stop wrong") {
+    // (a) a disjoint star forest IS a common fixpoint: the loop must
+    // detect it on the first count-stall round and stop after exactly one
+    // (identity) round — the isStarForest fast path
+    val forest = Seq((5L, 1L), (7L, 1L), (9L, 2L), (12L, 2L), (30L, 20L))
+    val (fl, fr) = Components.starFixpoint(edgeDf(forest))
+    assert(fr == 1, s"star forest took $fr rounds — stop test not firing")
+    assert(labelsOf(fl) == unionFind(forest), "star forest labels diverge")
+    // (b) the two non-forest shapes the one-aggregate test distinguishes:
+    // a node on BOTH sides (chain 3→2→1: distinct a's, but 2 is an a and
+    // a b) and a duplicate a (3→1, 3→2: node 3 carries two targets).
+    // Neither may terminate with those edges accepted as final stars —
+    // the labels must still be the component minima.
+    val chain = Seq((3L, 2L), (2L, 1L))
+    assert(labelsOf(Components.starFixpoint(edgeDf(chain))._1) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L), "chain trap mislabeled")
+    val dupA = Seq((3L, 1L), (3L, 2L))
+    assert(labelsOf(Components.starFixpoint(edgeDf(dupA))._1) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L), "duplicate-a trap mislabeled")
+  }
+
   test("minLabel: log-bounded rounds on a chain (the diameter case)") {
     // a 1024-vertex chain has diameter 1023: the pure propagation form
     // needs ~1023 rounds; the hybrid must land in budget + O(log n) — the
