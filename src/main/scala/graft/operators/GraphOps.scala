@@ -1180,23 +1180,36 @@ object GraphOps {
     var n = surv.count()
     var round = 0
     var stable = n == 0L
+    // r14: the PINNED frame per round is the degree table, not the
+    // survivor projection — survivors are a cheap filter of it, and on a
+    // STABLE exit (next == surv: the peel is monotone, next ⊆ surv, so
+    // equal counts ARE set equality) the final core degrees equal the
+    // last round's degrees verbatim, saving the closing two-join
+    // aggregate pass over the edge list (guide §1.2 — don't recompute
+    // what the loop already produced).
+    var lastDeg: DataFrame = null
     while (!stable && round < maxRounds) {
       val deg = bi
         .join(surv, col("n1") === col("node")).drop("node")
         .join(surv.select(col("node").as("n2k")), col("n2") === col("n2k"))
         .groupBy(col("n1")).agg(count(lit(1)).as("deg"))
-      val next = deg.filter(col("deg") >= k)
-        .select(col("n1").as("node")).localCheckpoint()
+        .localCheckpoint()
+      val next = deg.filter(col("deg") >= k).select(col("n1").as("node"))
       val m = next.count()
       stable = m == n || m == 0L
       n = m
       surv = next
+      lastDeg = deg
       round += 1
     }
-    bi
-      .join(surv, col("n1") === col("node")).drop("node")
-      .join(surv.select(col("node").as("n2k")), col("n2") === col("n2k"))
-      .groupBy(col("n1").as("node")).agg(count(lit(1)).as("core_deg"))
+    if (stable && n > 0L && lastDeg != null)
+      lastDeg.filter(col("deg") >= k)
+        .select(col("n1").as("node"), col("deg").as("core_deg"))
+    else // truncated or emptied: degrees w.r.t. the FINAL survivor set
+      bi
+        .join(surv, col("n1") === col("node")).drop("node")
+        .join(surv.select(col("node").as("n2k")), col("n2") === col("n2k"))
+        .groupBy(col("n1").as("node")).agg(count(lit(1)).as("core_deg"))
   }
 
   val graphKcoreUsersSql: String = {
