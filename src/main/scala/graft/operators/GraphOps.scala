@@ -1324,10 +1324,21 @@ object GraphOps {
     // not the full cumulative visited set — on an undirected graph a
     // neighbor of a distance-d node has distance d−1, d or d+1, so
     // N(F_d) ∩ visited = N(F_d) ∩ (F_d ∪ F_{d−1}) exactly (per source;
-    // the classic BFS frontier identity). The anti-join's right side
-    // shrinks from Σ_{i≤d}|F_i| to |F_d|+|F_{d−1}| rows per round
-    // (guide §2.3 — shuffle fewer bytes), and early frontiers are read
-    // only once more, by the final aggregate.
+    // the classic BFS frontier identity). Early frontiers are read only
+    // once more, by the final aggregate.
+    //
+    // r15 (guide §2.4 — remove shuffles outright): the old round was
+    // distinct()-then-anti-join — an exchange for the candidate dedup,
+    // then a second exchange (+ two sorts) to anti-join the guard, every
+    // pinned frame re-entering with UnknownPartitioning so nothing is
+    // reused. Both steps are ONE aggregate: union the expanded
+    // candidates (vis=0) with the guard rows (vis=1), group by
+    // (src, node), keep groups with max(vis)=0 — a group survives iff it
+    // contains a candidate row and no guard row, which is exactly
+    // "distinct candidates minus visited". Guard-only groups carry
+    // vis=1 and drop; map-side partial max dedupes candidates before
+    // the shuffle just as distinct() did. One exchange per round, no
+    // sorts, same row set (Round13OpsSpec pins the ball arithmetic).
     val fronts = scala.collection.mutable.ArrayBuffer(seed)
     var frontier = seed
     var prev: DataFrame = null
@@ -1338,9 +1349,12 @@ object GraphOps {
         else frontier.select(col("src"), col("node"))
           .unionAll(prev.select(col("src"), col("node")))
       val next = bi.join(frontier, col("n1") === col("node"))
-        .select(col("src"), col("n2").as("node")).distinct()
-        .join(guard.select(col("src"), col("node")), Seq("src", "node"), "left_anti")
-        .withColumn("dist", lit(d + 1L))
+        .select(col("src"), col("n2").as("node"), lit(0).as("vis"))
+        .unionAll(guard.select(col("src"), col("node"), lit(1).as("vis")))
+        .groupBy(col("src"), col("node"))
+        .agg(max(col("vis")).as("vis"))
+        .filter(col("vis") === 0)
+        .select(col("src"), col("node"), lit(d + 1L).as("dist"))
         .localCheckpoint()
       fronts += next
       prev = frontier
