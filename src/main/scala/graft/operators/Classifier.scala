@@ -23,15 +23,16 @@ import graft.sources.Tables
   * discipline) and must land on identical mistake counts, identical
   * weights, and identical held-out accuracy.
   *
-  * Plan shape: one tokenize+hash pass collapses the corpus to the
-  * (doc, bucket, count) feature table (+ a bias bucket per doc), cached
-  * once and re-read by every round — the raw text is never rescanned.
-  * Each round = one broadcast join against the ≤257-row weight vector,
-  * one doc-grain margin aggregate, one doc-key join of the mistake set
-  * (doc_id + label only — keys, never features or text), one B-row
-  * gradient aggregate to the driver. Scale: rounds touch the feature
-  * table (≤ B+1 rows per doc, partitioned by doc_id once), so k rounds
-  * cost k bounded passes regardless of corpus text size.
+  * Plan shape (r15): one tokenize+hash pass collapses the corpus to ONE
+  * ARRAY ROW PER DOC — (doc_id, y, is_train, [(bucket, count)...], ≤ B+2
+  * entries, bias included) — pinned once and re-read by every round; the
+  * raw text is never rescanned. Each round = a map-side margin aggregate
+  * of each doc's array against the ≤257-long LITERAL weight vector (zero
+  * exchange; the weights travel inside the plan, not as a joined table),
+  * then the mistake rows alone explode into the ≤257-group gradient
+  * aggregate to the driver — the round's single, tiny exchange. Scale:
+  * rounds touch one bounded row per doc, so k rounds cost k map passes +
+  * k mistake-sized gradient shuffles regardless of corpus text size.
   */
 object Classifier {
 
@@ -70,34 +71,54 @@ object Classifier {
       .select(col("doc_id"), col("y"), col("is_train"),
         pmod(call_function("char_poly_hash", col("w")), lit(B.toLong)).as("b"))
     // label/split flags ride the explode (pure functions of doc columns)
-    // so the feature build needs no doc-table join-back
+    // so the feature build needs no doc-table join-back.
+    //
+    // r15 (guide §2.4 — remove shuffles outright): the k training rounds
+    // used to re-exchange the (doc, bucket, cnt) feature table per round —
+    // the r13 "feat is pinned partitioned by doc_id" assumption is void
+    // because a localCheckpoint re-enters the planner as
+    // UnknownPartitioning(0) (measured: 66 Spark jobs per execution, 3
+    // exchanges of the full 500k-row feat per round at sf0.1). The
+    // feature table is therefore pinned as ONE ARRAY ROW PER DOC
+    // (doc_id, y, is_train, [(b, cnt)...], ≤ B+2 entries): the per-round
+    // margin is a map-side array aggregate against the ≤257-long LITERAL
+    // weight vector — zero exchange — and only the mistake rows explode
+    // into the 257-group gradient aggregate (the round's single small
+    // exchange). Identical Long arithmetic in a different order (addition
+    // is exact and commutative), so weights, mistake counts, and the
+    // oracle hash are bit-identical (gate-proven at both SFs).
     val feat = tok
       .groupBy(col("doc_id"), col("y"), col("is_train"), col("b"))
       .agg(count(lit(1)).as("cnt"))
       .unionByName(base.select(col("doc_id"), col("y"), col("is_train"),
         lit(B.toLong).as("b"), lit(1L).as("cnt")))
-      .repartition(col("doc_id"))
+      .groupBy(col("doc_id"), col("y"), col("is_train"))
+      .agg(collect_list(struct(col("b"), col("cnt"))).as("fv"))
       .localCheckpoint() // k rounds re-read THIS, never the raw text
 
     val w = Array.fill(B + 1)(0L)
     val wAvg = Array.fill(B + 1)(0L) // Σ of post-round vectors (averaged form)
-    def bcast(v: Array[Long]) = broadcast(
-      v.toSeq.zipWithIndex.map { case (x, b) => (b.toLong, x) }.toDF("b", "wt"))
+    // margin of a doc's feature array against a literal weight vector —
+    // the higher-order aggregate has no codegen but runs ONCE PER DOC ROW
+    // (≤ B+2 elements), never per pair (the CLAUDE.md HOF rule)
+    def margCol(v: Array[Long]): org.apache.spark.sql.Column = {
+      val wl = typedLit(v.toSeq)
+      aggregate(col("fv"), lit(0L),
+        (acc, f) => acc + f.getField("cnt") *
+          element_at(wl, f.getField("b").cast("int") + 1))
+    }
     val mistakeCounts = Array.fill(Rounds)(0L)
     for (t <- 0 until Rounds) {
-      // mistake set = doc keys + label only
+      // mistake rows: a map-side filter of the pinned per-doc array table
       val mk = feat.filter(col("is_train") === 1L)
-        .join(bcast(w), "b")
-        .groupBy(col("doc_id"), col("y"))
-        .agg(sum(col("cnt") * col("wt")).as("marg"))
+        .withColumn("marg", margCol(w))
         .filter(col("y") * col("marg") <= 0L)
-        .select(col("doc_id"), col("y").as("ym"))
       // gradient + mistake count fused into ONE action (the count rides
-      // as a sentinel b = −1 row): the mk subtree appears in both union
-      // branches with an identical exchange, which ReuseExchange dedupes
-      // — one margin pass, one job per round instead of three
-      feat.join(mk, "doc_id")
-        .groupBy(col("b")).agg(sum(col("ym") * col("cnt")).as("g"))
+      // as a sentinel b = −1 row); the only exchange is the ≤257-group
+      // gradient aggregate over the EXPLODED mistake rows
+      mk.select(col("y"), explode(col("fv")).as("f"))
+        .groupBy(col("f").getField("b").as("b"))
+        .agg(sum(col("y") * col("f").getField("cnt")).as("g"))
         .unionByName(mk.groupBy().agg(count(lit(1)).as("g"))
           .select(lit(-1L).as("b"), col("g")))
         .collect()
@@ -113,9 +134,8 @@ object Classifier {
     // of post-round vectors — the standard stabilizer when the data is
     // not separable and plain batch updates cycle; exact integers still
     // (the 1/T normalization cancels in every sign test)
-    val scored = feat.join(bcast(wAvg), "b")
-      .groupBy(col("doc_id"), col("y"), col("is_train"))
-      .agg(sum(col("cnt") * col("wt")).as("marg"))
+    val scored = feat.withColumn("marg", margCol(wAvg))
+      .select(col("doc_id"), col("y"), col("is_train"), col("marg"))
     val ok = col("y") * col("marg") > 0L
     val met = scored.agg(
       coalesce(sum(when(col("is_train") === 1L && ok, 1L).otherwise(0L)), lit(0L)),

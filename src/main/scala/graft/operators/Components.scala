@@ -78,6 +78,19 @@ object Components {
   val StarEntryMinRounds = 3
   val StarEntryDecayPct = 10L
 
+  /** r15: phase 2 finishes on the DRIVER when the contracted graph is
+    * small (the markov-class rule — driver loops over bounded collected
+    * tables; the GraphDense/knn_mmr precedent). Contraction collapses
+    * every partial-label class to one node, so by phase-2 entry the
+    * contracted edge count is usually a tiny fraction of the dup
+    * subgraph; a count gate BOUNDS the collect by construction (two
+    * longs per row, ≤ ~1.6 MB at the cap) and anything larger takes the
+    * distributed star loop unchanged. Union-find with explicit
+    * component-min labeling is exactly the star fixpoint's contract
+    * (Round8OpsSpec pins star == union-find; Round15OpsSpec pins the
+    * driver and distributed branches equal on the same input). */
+  val StarDriverCap = 100000L
+
   /** Canonical undirected form: (a, b) with a > b, self-loops dropped,
     * deduped — the shape both star steps emit and consume. */
   private def canon(e: DataFrame): DataFrame =
@@ -126,8 +139,13 @@ object Components {
 
   /** [[minLabel]] plus the total round count (propagation + star) the
     * fixpoint took — the quantity the O(log n) claim is about; ScaleProbe
-    * reads it. */
-  def minLabelWithRounds(directed: DataFrame): (DataFrame, Int) = {
+    * reads it. `starDriverCap` exists so specs/probes can force the
+    * distributed phase-2 branch (cap = 0); production uses the default. */
+  def minLabelWithRounds(directed: DataFrame): (DataFrame, Int) =
+    minLabelWithRounds(directed, StarDriverCap)
+
+  private[graft] def minLabelWithRounds(directed: DataFrame,
+                                        starDriverCap: Long): (DataFrame, Int) = {
     val edges = directed
       .unionByName(directed.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
@@ -168,17 +186,45 @@ object Components {
       labels = next
     }
     if (converged) return (labels, rounds)
-    // phase 2: the graph has a component deeper than the budget — contract
-    // every edge through the partial labels (a component's true minimum
-    // ALWAYS survives contraction: it is its own label) and finish with
-    // the log-round star fixpoint on the contracted graph, then compose.
+    // phase 2: the graph has a component deeper than the budget (or the
+    // decay test fired) — contract every edge through the partial labels
+    // (a component's true minimum ALWAYS survives contraction: it is its
+    // own label), resolve the contracted graph, then compose.
     val la = labels.select(col("doc_id").as("ka"), col("lbl").as("la"))
     val lb = labels.select(col("doc_id").as("kb"), col("lbl").as("lb"))
     val contracted = edges
       .join(la, col("a") === col("ka"))
       .join(lb, col("b") === col("kb"))
       .select(col("la").as("a"), col("lb").as("b"))
-    val (roots, starRounds) = starFixpoint(contracted)
+    // r15: small contracted graphs resolve on the driver (count-gated
+    // collect, see StarDriverCap); larger ones take the distributed
+    // log-round star loop exactly as before.
+    val cEdges = canon(contracted).localCheckpoint()
+    val cCnt = cEdges.count()
+    val (roots, starRounds) =
+      if (cCnt <= starDriverCap) {
+        val spark = directed.sparkSession
+        import spark.implicits._
+        // union-find with explicit component-min labeling — the star
+        // fixpoint's exact contract (collect is ≤ starDriverCap rows of
+        // two longs, gated by the count above)
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        cEdges.collect().foreach { r =>
+          val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+          if (ra != rb) parent(ra) = rb
+        }
+        val minOf = scala.collection.mutable.Map.empty[Long, Long]
+        parent.keys.foreach { n =>
+          val r = find(n)
+          minOf(r) = math.min(minOf.getOrElse(r, n), n)
+        }
+        val lbls = parent.keys.toSeq.map(n => (n, minOf(find(n)))).toDF("doc_id", "lbl")
+        (lbls, 0)
+      } else starFixpoint(cEdges)
     val rootsR = roots.select(col("doc_id").as("rk"), col("lbl").as("root"))
     val composed = labels.join(rootsR, col("lbl") === col("rk"), "left")
       .select(col("doc_id"), coalesce(col("root"), col("lbl")).as("lbl"))

@@ -37,7 +37,7 @@ object Similarity {
     corpusCounts.getOrElseUpdate(dir + "@" + corpusFingerprint(spark, dir),
       Tables.embeddings(spark, dir).count())
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  private[graft] def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
@@ -45,7 +45,7 @@ object Similarity {
   /** Cosine via graft's native Catalyst expression (GraftExtensions must be
     * installed): one fused codegen'd loop for dot + both norms — no
     * intermediate zip_with array per row pair. */
-  private def cosine(a: Column, b: Column): Column =
+  private[graft] def cosine(a: Column, b: Column): Column =
     call_function("cosine_similarity", a, b)
 
   private val K = 5
@@ -81,7 +81,7 @@ object Similarity {
 
   /** Sign bucket from planes [offset, offset+nPlanes) of the LCG stream —
     * distinct offsets yield independent hash tables (OR-amplification). */
-  private def bucketOfAt(vec: Column, nPlanes: Int, dim: Int, planeOffset: Int): Column = {
+  private[graft] def bucketOfAt(vec: Column, nPlanes: Int, dim: Int, planeOffset: Int): Column = {
     val ps = planes(planeOffset + nPlanes, dim).drop(planeOffset)
     (0 until nPlanes).map { p =>
       val plane = typedLit(ps(p))
@@ -1800,6 +1800,15 @@ object Similarity {
       df.withColumn(s"b$t",
         bucketOfAt(asDouble(col("embedding")), numPlanes, 64, t * numPlanes))
     }
+    // r15 NEGATIVE RESULT (recorded per guide §1.1, the q_quantile_sketch
+    // precedent): an ids-only bucket join (shuffle keys, attach vectors to
+    // the unique pairs afterwards — guide §8's decide-small/move-big
+    // shape) was tried and LOST the alternating A/B at gate scale
+    // (Probe15 lsh: new 2.04/1.65/1.79 s vs this form 1.71/1.69/1.46 s) —
+    // the whole corpus is ~1 MB of vectors here, so the "payload"
+    // exchange is trivial while the two extra pair→vector joins are not.
+    // The ids-only shape remains the right one when vectors × duplication
+    // dominate; revisit only with a cluster-scale probe.
     val tagged = withBuckets.select(
       posexplode(array((0 until numTables).map(t => col(s"b$t")): _*)).as(Seq("tbl", "bucket")),
       col("vec_id"), col("embedding"))

@@ -267,6 +267,48 @@ object Probe15 {
       }
     }
 
+    if (mode == "lsh") {
+      // A/B the r15 ids-only LSH bucket join against the r14 form that
+      // carried both embeddings through the (tbl, bucket) exchange and
+      // paid the cosine per duplicate candidate.
+      import graft.operators.Similarity
+      val emb = graft.sources.Tables.embeddings(spark, dir)
+      val numPlanes = Similarity.planesForCorpus(Similarity.corpusCount(spark, dir))
+      val numTables = 3
+      def bucketed = (0 until numTables).foldLeft(emb) { (df, t) =>
+        df.withColumn(s"b$t",
+          Similarity.bucketOfAt(Similarity.asDouble(col("embedding")), numPlanes, 64, t * numPlanes))
+      }
+      def oldForm(): Long = {
+        val tagged = bucketed.select(
+          posexplode(array((0 until numTables).map(t => col(s"b$t")): _*)).as(Seq("tbl", "bucket")),
+          col("vec_id"), col("embedding"))
+        val probed = tagged.select(col("tbl"),
+          explode(array(col("bucket") +: (0 until numPlanes)
+            .map(p => col("bucket").bitwiseXOR(lit(1 << p))): _*)).as("bucket"),
+          col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+        val exact = tagged.select(col("tbl"), col("bucket"),
+          col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+        probed.join(exact, Seq("tbl", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(Similarity.cosine(col("vec_a"), col("vec_b")), 6).as("cos"))
+          .distinct()
+          .filter(col("cos") > 0.35)
+          .count()
+      }
+      def newForm(): Long =
+        Similarity.dedupEmbedLshWith(spark, dir, numPlanes, numTables).count()
+      oldForm(); newForm() // warm
+      for (i <- 1 to 3) {
+        def t(body: => Long): Double = {
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+        }
+        val tn = t(newForm()); val to = t(oldForm())
+        println(f"[probe15] lsh A/B iter=$i new=$tn%.2f s old=$to%.2f s")
+      }
+    }
+
     if (mode == "jobs") {
       // per-query Spark job count (is corpus_quality_classifier still one
       // fused job per round?)

@@ -35,6 +35,90 @@ object ScaleProbe {
         .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
+  /** r15 (VERDICT item 7): a 1.2M+-edge rung for the graph_*_users loops —
+    * the peel and BFS rounds whose gate-scale bench sits at the fixed
+    * floor. A community-structured co-activity-like graph (communities of
+    * `comm` users, 0–8 pseudo-random out-edges per user from xxhash64, so
+    * degrees straddle the k-core threshold and the peel cascades for
+    * several rounds; the radius-4 ball saturates inside the community,
+    * mirroring the real sf0.1 graph where the ball saturates the giant
+    * component). Measures:
+    *  - kcoreTruncatedPeel (production, recompute-degrees-per-round) vs a
+    *    DEGREE-DECREMENT formulation (join only the removed set per round,
+    *    subtract from the pinned degree table) — the deferred r14 item 3
+    *    question, cross-checked for identical output at the small rung;
+    *  - harmonicTruncated (r15 one-exchange aggregate rounds) vs the r14
+    *    distinct+anti-join rounds at the same rung. */
+  private def usersLoopProbe(spark: SparkSession, users: Seq[Long]): Unit = {
+    def graphOf(n: Long, comm: Long = 64L): DataFrame = {
+      // user u -> up to 8 targets in u's community; self-loops dropped,
+      // canonicalized a<b, deduped (the coActivityEdges output shape)
+      spark.range(0, n).select(col("id").as("u"),
+          explode(sequence(lit(0), pmod(xxhash64(col("id")), lit(9)).cast("int"))).as("j"))
+        .filter(col("j") > 0)
+        .select(col("u"),
+          ((col("u") - pmod(col("u"), lit(comm))) +
+            pmod(xxhash64(col("u"), col("j")), lit(comm))).as("v"))
+        .filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+        .distinct()
+    }
+    def peelDecrement(pairs: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+      val bi = pairs.select(col("a").as("n1"), col("b").as("n2"))
+        .unionAll(pairs.select(col("b").as("n1"), col("a").as("n2")))
+        .localCheckpoint()
+      var deg = bi.groupBy(col("n1")).agg(count(lit(1)).as("deg")).localCheckpoint()
+      var round = 0
+      var stable = false
+      while (!stable && round < maxRounds) {
+        val removed = deg.filter(col("deg") < k).select(col("n1").as("rm"))
+        if (removed.isEmpty) stable = true
+        else {
+          // decrement survivors by their edges INTO the removed set — the
+          // only join this round touches is |edges incident to removed|,
+          // not |E| (the degree-decrement formulation under evaluation)
+          val dec = bi.join(removed, col("n2") === col("rm"))
+            .groupBy(col("n1")).agg(count(lit(1)).as("d"))
+          deg = deg.filter(col("deg") >= k)
+            .join(dec, Seq("n1"), "left")
+            .select(col("n1"), (col("deg") - coalesce(col("d"), lit(0L))).as("deg"))
+            .localCheckpoint()
+          round += 1
+        }
+      }
+      deg.filter(col("deg") >= k)
+        .select(col("n1").as("node"), col("deg").as("core_deg"))
+    }
+    // output equivalence at a small rung (checksum + count)
+    {
+      val g = graphOf(20000L).localCheckpoint()
+      def sig(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          coalesce(sum(col("node") * lit(31L) + col("core_deg")), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val a = sig(graft.operators.GraphOps.kcoreTruncatedPeel(g, 6, 16))
+      val b = sig(peelDecrement(g, 6, 16))
+      println(s"[scale] usersloop equivalence n=20000: recompute=$a decrement=$b match=${a == b}")
+    }
+    for (n <- users) {
+      val g = graphOf(n).localCheckpoint()
+      val edges = g.count()
+      val (_, tPeel) = probeTimed(
+        graft.operators.GraphOps.kcoreTruncatedPeel(g, 6, 16).count())
+      val (_, tDec) = probeTimed(peelDecrement(g, 6, 16).count())
+      val (_, tPeel2) = probeTimed(
+        graft.operators.GraphOps.kcoreTruncatedPeel(g, 6, 16).count())
+      val (_, tDec2) = probeTimed(peelDecrement(g, 6, 16).count())
+      println(f"[scale] usersloop peel n=$n%-8d edges=$edges%-9d recompute=$tPeel%.2f/$tPeel2%.2f s decrement=$tDec%.2f/$tDec2%.2f s")
+      val (_, tBfs) = probeTimed(
+        graft.operators.GraphOps.harmonicTruncated(g, 4).count())
+      val (_, tBfs2) = probeTimed(
+        graft.operators.GraphOps.harmonicTruncated(g, 4).count())
+      println(f"[scale] usersloop bfs  n=$n%-8d edges=$edges%-9d r15-agg=$tBfs%.2f/$tBfs2%.2f s")
+    }
+  }
+
   /** Round-count probe for connected components on a CHAIN — the
     * diameter-shaped graph where the r1-r7 one-hop propagation loop needs
     * n−1 driver-synchronized rounds. The large/small-star form must stay
@@ -1179,6 +1263,12 @@ object ScaleProbe {
     }
     if (args.headOption.contains("cc")) {
       ccProbe(spark)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("usersloop")) {
+      val sizes = args.drop(1).filter(_.forall(_.isDigit)).map(_.toLong)
+      usersLoopProbe(spark, if (sizes.nonEmpty) sizes else Seq(300000L))
       spark.stop()
       return
     }

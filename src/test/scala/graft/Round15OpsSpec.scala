@@ -66,6 +66,24 @@ class Round15OpsSpec extends SparkSpecBase {
       s"cliques took $rounds rounds — star phase fired on the shallow regime")
   }
 
+  test("phase-2 driver union-find equals the distributed star on the same input") {
+    // the r15 count-gated driver finish (StarDriverCap) vs the distributed
+    // star loop forced via cap = 0: same labels on deep multi-chain
+    // corpora, and both equal union-find
+    val rnd = new scala.util.Random(152)
+    for (trial <- 1 to 3) {
+      val ids = rnd.shuffle((1L to 3000L).toVector).take(150)
+      val chains = ids.grouped(30).flatMap(g =>
+        g.sliding(2).collect { case Seq(x, y) => (x, y) }).toSeq
+      val viaDriver = labelsOf(
+        Components.minLabelWithRounds(edgeDf(chains), Components.StarDriverCap)._1)
+      val viaStar = labelsOf(Components.minLabelWithRounds(edgeDf(chains), 0L)._1)
+      val want = unionFind(chains)
+      assert(viaDriver == want, s"trial $trial: driver-UF labels diverge")
+      assert(viaStar == want, s"trial $trial: forced-star labels diverge")
+    }
+  }
+
   test("mixed corpus (cliques + planted deep chain): exact from any entry round") {
     val rnd = new scala.util.Random(151)
     for (trial <- 1 to 4) {
