@@ -1693,88 +1693,6 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Gate-only shared-scan form of the ivfpq nprobe ladder (r15, guide
-    * §1.2 — don't run the same scan twice): `knn_recall` reports BOTH
-    * nprobe=2 and nprobe=4 as separate floor rows, and until r15 it paid
-    * the full codes-scan + ADC join once per setting. The np-2 candidate
-    * set is BY CONSTRUCTION the probe-rank ≤ 2 slice of the np-4 one
-    * (same csim window, same (csim DESC, cent_id) tie rule), so one scan
-    * at max(nprobes) with the probe rank (crn) kept derives every
-    * setting: filter crn ≤ np, then the per-np shortlist window + exact
-    * rerank are verbatim [[knnIvfPqOverCodes]] arithmetic. The scored
-    * candidate table is pinned NARROW (ids + adist + crn, no vectors;
-    * query vectors re-attach from the 10-row broadcast at rerank) and is
-    * request-batch × candidate bounded — the same rows the old second
-    * pass recomputed. KnnRecallPairSpec pins each slice EQUAL to the
-    * production [[knnIvfPqWith]] at that nprobe, so the gate's recall
-    * rows are provably unchanged. */
-  private[graft] def knnIvfPqPairRecall(spark: SparkSession, dir: String,
-      nprobes: Seq[Int], rerank: Int): DataFrame = {
-    val path = ensurePq(spark, dir)
-    val codes = spark.read.parquet(path + "/codes")
-    val nSub = pqSubFor(corpusCount(spark, dir))
-    val subDim = PqDim / nSub
-    val centroids = loadOrTrainCentroids(spark, dir)
-    val pqCents = spark.read.parquet(path + "/centroids")
-    val emb = Tables.embeddings(spark, dir)
-    val cents = broadcast(
-      spark.createDataFrame(centroids.zipWithIndex.map { case (v, i) => (i, v) })
-        .toDF("cent_id", "cvec"))
-    val maxNp = nprobes.max
-    val wC = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
-    val queries = emb.filter(col("vec_id") >= 0L && col("vec_id") < 10L)
-      .crossJoin(cents)
-      .withColumn("csim", cosine(asDouble(col("embedding")), col("cvec")))
-      .withColumn("crn", row_number().over(wC))
-      .filter(col("crn") <= maxNp)
-      .select(col("cent_id").as("cell"), col("crn"),
-        col("vec_id").as("query_id"), col("embedding").as("qvec"),
-        l2norm(col("embedding")).as("qn"))
-    val rot = loadRotation(spark, path)
-    val dtab = queries
-      .join(broadcast(coarseCentsDf(spark, centroids)), Seq("cell"))
-      .withColumn("qr", matVecCol(rot, zip_with(col("qn"), col("ccvec"), (x, y) => x - y)))
-      .crossJoin(broadcast(pqCents))
-      .withColumn("d",
-        sqdist(slice(col("qr"), col("s") * subDim + 1, lit(subDim)), col("cvec")))
-      .groupBy(col("query_id"), col("cell"))
-      .agg(first(col("crn")).as("crn"),
-        (0 until nSub).map { s =>
-          transform(
-            array_sort(collect_list(when(col("s") === s, struct(col("c"), col("d"))))),
-            t => t.getField("d")).as(s"d$s")
-        }: _*)
-    // ONE codes scan + ADC join for every nprobe setting; pinned narrow
-    // (no vector columns) so both np slices re-read it instead of
-    // re-deriving it
-    val scored = codes.withColumnRenamed("vec_id", "neighbor_id")
-      .join(broadcast(dtab), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("adist",
-        (0 until nSub).map(s => element_at(col(s"d$s"), col(s"c$s") + 1)).reduce(_ + _))
-      .select(col("query_id"), col("neighbor_id"), col("crn"), col("adist"))
-      .localCheckpoint()
-    val qvecs = broadcast(queries.select(col("query_id"), col("qvec")).distinct())
-    val wA = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("adist").asc, col("neighbor_id"))
-    val wR = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    nprobes.map { np =>
-      val shortlist = scored.filter(col("crn") <= np)
-        .withColumn("arn", row_number().over(wA))
-        .filter(col("arn") <= rerank)
-        .select(col("query_id"), col("neighbor_id"))
-      shortlist
-        .join(qvecs, "query_id")
-        .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
-        .withColumn("cos", round(cosine(col("embedding"), col("qvec")), 6))
-        .withColumn("rank", row_number().over(wR))
-        .filter(col("rank") <= K)
-        .select(lit(np).as("np"), col("query_id"), col("neighbor_id"))
-    }.reduce(_ unionByName _)
-  }
-
   /** Embedding near-dup pairs blocked by LSH instead of a pre-existing
     * label — the general corpus path when no curated blocking column exists
     * (dedupEmbed's label blocking assumes one).
@@ -2194,16 +2112,22 @@ object Similarity {
     // a regression in either the cell filter or the code quality drops
     // its own row. All values deterministic (hash seeding + Lloyd).
     val rr = pqRerankFor(corpusCount(spark, dir))
-    // r15: the two ivfpq floor rows ride ONE shared codes-scan + ADC pass
-    // (np2 candidates are the probe-rank ≤ 2 slice of np4's — see
-    // knnIvfPqPairRecall; KnnRecallPairSpec pins each slice equal to the
-    // production knnIvfPqWith at that nprobe, so the recall rows are
-    // provably unchanged while the gate stops paying the scan twice)
-    val ivfpqPair = knnIvfPqPairRecall(spark, dir, Seq(2, 4), rr)
+    // r15 NEGATIVE RESULT: a shared codes-scan+ADC pass for the two ivfpq
+    // rows (np2 candidates = the probe-rank ≤ 2 slice of np4's, scored
+    // once and PINNED, slices re-windowed per setting) was built,
+    // spec-proven row-identical, and REFUTED by an alternating A/B of the
+    // 4-method sub-gate: shared-pinned 4.75/4.26/3.80 s vs this all-lazy
+    // form 4.15/3.91/3.58 s (Probe15 recall2). Both settings run inside
+    // ONE action here, so AQE's runtime exchange reuse already dedupes
+    // the branches' identical subtrees (queries × centroids, codes scan)
+    // and the "second pass" is nearly free — the pin replaced that free
+    // reuse with a synchronous materialization whose ExistingRDD re-enters
+    // with UnknownPartitioning (the r14 q_quantile_sketch verdict,
+    // reproduced on this gate).
     val methods: Seq[(String, DataFrame, Long)] = Seq(
       ("ivf",       knnIvf(spark, dir),                              30L),
-      ("ivfpq_np2", ivfpqPair.filter(col("np") === 2), 38L),
-      ("ivfpq_np4", ivfpqPair.filter(col("np") === 4), 44L),
+      ("ivfpq_np2", knnIvfPqWith(spark, dir, nprobe = 2, rerank = rr), 38L),
+      ("ivfpq_np4", knnIvfPqWith(spark, dir, nprobe = 4, rerank = rr), 44L),
       ("pq",        knnPq(spark, dir),                               55L))
     val base = methods.map { case (nm, df, floor) =>
       df.select(col("query_id"), col("neighbor_id"))

@@ -267,6 +267,23 @@ object Probe15 {
       }
     }
 
+    if (mode == "recall2") {
+      // HISTORICAL (r15): this mode A/B'd a shared-pinned ivfpq
+      // codes-scan inside knn_recall against the all-lazy two-setting
+      // form. Measured alternating: shared-pinned 4.75/4.26/3.80 s vs
+      // all-lazy 4.15/3.91/3.58 s — the pin LOST (AQE runtime exchange
+      // reuse already dedupes the branches inside the gate's single
+      // action), so the helper was removed and production keeps the
+      // all-lazy form; this mode now just times the production gate.
+      import graft.operators.Similarity
+      try Similarity.warmArtifacts(spark, dir) catch { case _: Throwable => }
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        Similarity.queries("knn_recall")(spark, dir).count()
+        println(f"[probe15] recall2 gate iter=$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+
     if (mode == "lsh") {
       // A/B the r15 ids-only LSH bucket join against the r14 form that
       // carried both embeddings through the (tbl, bucket) exchange and
